@@ -1,0 +1,107 @@
+"""Parquet sources/sinks (SURVEY §2.1 S1-S8).
+
+The reference hand-builds batched scans, streaming writers and atomic
+commits (``parq_filter.py:52-80``, ``file_utils.py:15-77``); on Spark
+every one of those is the engine's own job:
+
+- scan: ``spark.read.parquet`` — vectorized reader, row-group pruning,
+  predicate pushdown, column projection (Catalyst).
+- sink: ``df.write.parquet`` — distributed, task-parallel, committed
+  atomically by the Hadoop commit protocol (``_temporary/`` staging +
+  job commit == the reference's ``.tmp`` + ``os.replace``).
+
+What remains here is the thin convenience/validation layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_parquet",
+    "write_parquet",
+    "parquet_row_count",
+    "check_valid_parquet",
+    "table_path",
+    "load_tables",
+]
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str | Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Scan one or more Parquet files/dirs with optional projection.
+
+    Column pruning reaches the scan (``ReadSchema`` in the physical
+    plan), the Spark-native version of ``scanner(columns=...)``
+    (``parq_filter.py:55``).
+    """
+    paths = [path] if isinstance(path, str) else list(path)
+    df = spark.read.parquet(*paths)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    partition_by: Optional[Sequence[str]] = None,
+    compression: str = "snappy",
+) -> None:
+    """Distributed Parquet sink.
+
+    ``single_file=True`` coalesces to one task for small outputs (the
+    reference always writes exactly one file, ``parq_filter.py:72-80``);
+    leave it False at scale so every task writes its own part file.
+    """
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def parquet_row_count(spark: SparkSession, path: str) -> int:
+    """Metadata-only row count (footer stats; no full scan).
+
+    Equivalent of ``dataset.count_rows()`` (``parq_filter.py:59``).
+    Spark's Parquet scan answers ``count()`` from row-group metadata
+    when no filter is present.
+    """
+    return spark.read.parquet(path).count()
+
+
+def check_valid_parquet(path: str) -> bool:
+    """Content-based "is this a readable Parquet file?" probe.
+
+    Mirrors ``check_valid_parquet`` (``file_utils.py:157-184``) but
+    validates via the footer read rather than magic bytes alone.
+    """
+    if not os.path.exists(path):
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        pq.ParquetFile(path)  # reads + validates the footer
+        return True
+    except Exception:
+        return False
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str]
+) -> dict[str, DataFrame]:
+    """Load named testdata tables from a scale-factor directory."""
+    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}

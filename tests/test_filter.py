@@ -1,0 +1,65 @@
+"""Filter operator tests (reference parity: test/filter/test_filter.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.filter import filter_dataframe, filter_parquet
+from parq_tools_spark.sources.parquet_io import check_valid_parquet, read_parquet
+
+
+def test_filter_lineitem_dsl(spark, sf_dir):
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    out = filter_dataframe(li, "l_quantity > 30 and l_returnflag == 'R'")
+    rows = out.collect()
+    assert rows
+    assert all(r.l_quantity > 30 and r.l_returnflag == "R" for r in rows)
+
+
+def test_projection_with_index_columns(spark, sf_dir):
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    out = filter_dataframe(
+        li,
+        "l_discount >= 0.05",
+        columns=["l_quantity", "l_orderkey"],
+        index_columns=["l_orderkey", "l_linenumber"],
+    )
+    # index columns first, de-duplicated
+    assert out.columns == ["l_orderkey", "l_linenumber", "l_quantity"]
+
+
+def test_in_list_filter(spark, sf_dir):
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    out = filter_dataframe(li, "l_returnflag in ['A', 'N']")
+    flags = {r.l_returnflag for r in out.select("l_returnflag").distinct().collect()}
+    assert flags <= {"A", "N"}
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    out = filter_dataframe(li, "l_quantity > 30", columns=["l_quantity"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_filter_parquet_end_to_end(spark, sf_dir, tmp_path):
+    out_path = str(tmp_path / "filtered")
+    filter_parquet(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        out_path,
+        "l_quantity > 45",
+        columns=["l_orderkey", "l_quantity"],
+    )
+    result = spark.read.parquet(out_path)
+    assert result.columns == ["l_orderkey", "l_quantity"]
+    assert result.filter(F.col("l_quantity") <= 45).count() == 0
+    assert result.count() > 0
+
+
+def test_check_valid_parquet(sf_dir, tmp_path):
+    assert check_valid_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    bogus = tmp_path / "not_parquet.parquet"
+    bogus.write_text("hello")
+    assert not check_valid_parquet(str(bogus))
+    assert not check_valid_parquet(str(tmp_path / "missing.parquet"))
