@@ -1,0 +1,112 @@
+"""Strict comparison of two datasets (SURVEY §2.6 U2, §2.4 A6).
+
+Spark-native rebuild of ``compare_parquet_files``
+(``/root/reference/parq_tools/parq_compare.py:14-92``). The reference
+compares raw Arrow buffer sha256 hashes per column batch — a byte-level
+definition that is unreproducible in any other engine (SURVEY §7.4 #5).
+Here equality is **logical**:
+
+- schema: column sets + Spark SQL types;
+- row counts;
+- content: symmetric ``exceptAll`` (order-insensitive multiset
+  equality) plus per-column commutative ``xxhash64`` fingerprints that
+  localize *which* columns differ, computed in one aggregation pass.
+
+The result dict keeps the reference's report shape (match booleans +
+detail lists, ``parq_compare.py:30-38``) so callers can switch over.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parq_tools_spark.sources.parquet_io import read_parquet
+
+__all__ = ["compare_dataframes", "compare_parquet_files", "column_fingerprints"]
+
+
+def column_fingerprints(df: DataFrame, columns: Sequence[str]) -> dict[str, int]:
+    """Order-insensitive per-column fingerprint in ONE pass.
+
+    ``sum(xxhash64(col))`` is commutative, so it is stable under any
+    row order/partitioning — a distributed analogue of the reference's
+    per-column hash stream, minus the order sensitivity. All columns
+    are fingerprinted in a single ``agg`` (one job, one scan). The sum
+    is taken in decimal(38,0) so it cannot overflow under ANSI mode.
+    """
+    aggs = [
+        F.sum(F.xxhash64(F.col(c).cast("string")).cast("decimal(38,0)")).alias(c)
+        for c in columns
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: row[c] for c in columns}
+
+
+def compare_dataframes(
+    df1: DataFrame,
+    df2: DataFrame,
+    check_content: bool = True,
+    columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """Compare two DataFrames; returns the reference-shaped report dict."""
+    cols1, cols2 = set(df1.columns), set(df2.columns)
+    common = [c for c in df1.columns if c in cols2]
+    if columns is not None:
+        common = [c for c in common if c in set(columns)]
+    dtypes1, dtypes2 = dict(df1.dtypes), dict(df2.dtypes)
+    dtype_mismatches = {
+        c: (dtypes1[c], dtypes2[c]) for c in common if dtypes1[c] != dtypes2[c]
+    }
+    n1, n2 = df1.count(), df2.count()
+
+    report = {
+        "row_counts": (n1, n2),
+        "row_count_match": n1 == n2,
+        "columns_only_in_first": sorted(cols1 - cols2),
+        "columns_only_in_second": sorted(cols2 - cols1),
+        "dtype_mismatches": dtype_mismatches,
+        "schema_match": cols1 == cols2 and not dtype_mismatches,
+        "column_match": {},
+        "content_match": None,
+    }
+    if not check_content or not common:
+        return report
+
+    comparable = [c for c in common if c not in dtype_mismatches]
+    if not comparable:
+        report["content_match"] = False
+        return report
+    fp1 = column_fingerprints(df1, comparable)
+    fp2 = column_fingerprints(df2, comparable)
+    report["column_match"] = {c: fp1[c] == fp2[c] for c in comparable}
+
+    if report["row_count_match"] and all(report["column_match"].values()):
+        # fingerprints can collide across columns jointly; confirm with
+        # a symmetric multiset difference on the common projection
+        a, b = df1.select(*comparable), df2.select(*comparable)
+        report["content_match"] = (
+            a.exceptAll(b).limit(1).count() == 0
+            and b.exceptAll(a).limit(1).count() == 0
+        )
+    else:
+        report["content_match"] = False
+    return report
+
+
+def compare_parquet_files(
+    spark: SparkSession,
+    path1: str,
+    path2: str,
+    check_content: bool = True,
+    columns: Optional[Sequence[str]] = None,
+) -> dict:
+    """File-level facade (``parq_compare.py:28-92``)."""
+    return compare_dataframes(
+        read_parquet(spark, path1),
+        read_parquet(spark, path2),
+        check_content=check_content,
+        columns=columns,
+    )

@@ -1,0 +1,119 @@
+"""Profile tests (reference parity: test/profile/)."""
+
+import math
+import os
+
+from parq_tools_spark.operators.profile import (
+    compare_profiles,
+    profile_dataframe,
+)
+from parq_tools_spark.operators.schema_tools import (
+    get_table_metadata,
+    read_pandas_metadata,
+    rename_columns,
+    rename_parquet,
+    set_table_metadata,
+    update_column_metadata,
+)
+
+
+def test_profile_numeric_column(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    prof = profile_dataframe(li, ["l_quantity", "l_returnflag"])
+    q = prof["l_quantity"]
+    pdf = li.select("l_quantity").toPandas()["l_quantity"]
+    assert q["n"] == len(pdf)
+    assert math.isclose(q["mean"], pdf.mean(), rel_tol=1e-9)
+    assert math.isclose(q["std"], pdf.std(), rel_tol=1e-9)
+    assert q["min"] == pdf.min() and q["max"] == pdf.max()
+    assert q["n_missing"] == 0 and q["p_missing"] == 0.0
+    assert q["n_distinct"] == pdf.nunique()
+
+
+def test_profile_string_column_has_no_mean(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    prof = profile_dataframe(li, ["l_returnflag"])
+    flag = prof["l_returnflag"]
+    assert flag["mean"] is None and flag["std"] is None
+    assert flag["min"] is not None  # strings still min/max
+
+
+def test_profile_counts_missing(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,), (None,)], "v double")
+    prof = profile_dataframe(df)["v"]
+    assert prof["n"] == 2 and prof["n_missing"] == 2 and prof["p_missing"] == 0.5
+
+
+def test_compare_profiles_statuses(spark):
+    df1 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    df2 = spark.createDataFrame([(1.0,), (2.0000001,)], "v double")
+    p1, p2 = profile_dataframe(df1), profile_dataframe(df2)
+    strict = compare_profiles(p1, p2)
+    assert not strict["match"]
+    loose = compare_profiles(p1, p2, rel_tol=1e-3)
+    assert loose["summary"]["changed"] == 0
+    assert loose["summary"]["within_tolerance"] > 0
+
+
+def test_compare_profiles_added_removed(spark):
+    df1 = spark.createDataFrame([(1.0, 1)], "a double, b int")
+    df2 = spark.createDataFrame([(1.0,)], "a double")
+    report = compare_profiles(profile_dataframe(df1), profile_dataframe(df2))
+    assert report["removed_columns"] == ["b"]
+    assert not report["match"]
+
+
+# ------------------------------------------------------------ schema tools
+def test_rename_columns(spark, wide_tables):
+    df = spark.read.parquet(wide_tables["wide_1"])
+    out = rename_columns(df, {"a": "alpha"})
+    assert out.columns == ["x", "y", "z", "alpha"]
+
+
+def test_rename_missing_column_errors(spark, wide_tables):
+    import pytest
+
+    df = spark.read.parquet(wide_tables["wide_1"])
+    with pytest.raises(ValueError, match="missing"):
+        rename_columns(df, {"nope": "x2"})
+
+
+def test_rename_parquet_with_metadata(spark, wide_tables, tmp_path):
+    out_path = str(tmp_path / "renamed")
+    rename_parquet(
+        spark,
+        wide_tables["wide_1"],
+        out_path,
+        {"a": "alpha"},
+        column_metadata={"alpha": {"unit": "furlongs"}},
+        table_metadata={"source": "test-suite"},
+        single_file=True,
+    )
+    df = spark.read.parquet(out_path)
+    assert "alpha" in df.columns
+    assert df.schema["alpha"].metadata.get("unit") == "furlongs"
+    assert get_table_metadata(out_path).get("source") == "test-suite"
+
+
+def test_column_metadata_roundtrip(spark, wide_tables, tmp_path):
+    df = spark.read.parquet(wide_tables["wide_1"])
+    df = update_column_metadata(df, {"a": {"desc": "letters"}})
+    out = str(tmp_path / "meta")
+    df.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema["a"].metadata.get("desc") == "letters"
+
+
+def test_read_pandas_metadata(wide_tables):
+    meta = read_pandas_metadata(wide_tables["wide_1"])
+    assert meta is not None and "columns" in meta
+
+
+def test_set_table_metadata_preserves_data(spark, wide_tables, tmp_path):
+    import shutil
+
+    p = str(tmp_path / "copy.parquet")
+    shutil.copy(wide_tables["wide_1"], p)
+    set_table_metadata(p, {"k1": "v1"})
+    assert get_table_metadata(p)["k1"] == "v1"
+    assert spark.read.parquet(p).count() == 10
