@@ -1,0 +1,68 @@
+"""File utility tests (reference parity: test/file/, test/archive/)."""
+
+import zipfile
+
+import pytest
+
+from parq_tools_spark.sources.file_utils import (
+    atomic_file_copy,
+    atomic_output_file,
+    extract_archive,
+    fast_file_check,
+    file_hash,
+    files_match,
+)
+
+
+def test_file_hash_stable(tmp_path):
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello world")
+    assert file_hash(p) == file_hash(p)
+    assert file_hash(p, "md5") != file_hash(p, "sha256")
+
+
+def test_files_match(tmp_path):
+    a, b, c = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    a.write_bytes(b"same content")
+    b.write_bytes(b"same content")
+    c.write_bytes(b"diff content")
+    assert files_match(a, b)
+    assert not files_match(a, c)
+    assert fast_file_check(a, b)
+    assert not fast_file_check(a, c)
+
+
+def test_atomic_output_file_cleans_up_on_error(tmp_path):
+    target = tmp_path / "out.txt"
+    with pytest.raises(RuntimeError):
+        with atomic_output_file(target) as tmp:
+            tmp.write_text("partial")
+            raise RuntimeError("boom")
+    assert not target.exists()
+    assert not tmp.exists()
+
+
+def test_atomic_file_copy_and_skip(tmp_path):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"payload" * 1000)
+    dst = atomic_file_copy(src, tmp_path / "dst.bin")
+    assert files_match(src, dst)
+    # second copy is a no-op (skip-if-identical)
+    before = dst.stat().st_mtime_ns
+    atomic_file_copy(src, dst)
+    assert dst.stat().st_mtime_ns == before
+
+
+def test_extract_archive(tmp_path):
+    z = tmp_path / "a.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("inner/data.txt", "contents")
+    out = extract_archive(z, tmp_path / "extracted")
+    assert (out / "inner" / "data.txt").read_text() == "contents"
+
+
+def test_extract_archive_rejects_non_zip(tmp_path):
+    p = tmp_path / "not.zip"
+    p.write_text("nope")
+    with pytest.raises(ValueError, match="zip"):
+        extract_archive(p, tmp_path / "out")
