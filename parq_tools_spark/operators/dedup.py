@@ -1,0 +1,373 @@
+"""Deduplication at scale (beyond-reference, BASELINE.json north star).
+
+Exact and near-duplicate detection over a document corpus, designed
+for the 100 TB regime:
+
+- exact: hash-groupBy on a normalized content fingerprint — one
+  shuffle, map-side partial aggregation.
+- MinHash + LSH: shingle -> seeded-hash signatures -> banded buckets
+  -> candidate pairs -> signature-estimated Jaccard. Cost is
+  O(docs x shingles) map side plus joins on band keys; no quadratic
+  all-pairs stage ever materializes.
+- SimHash: 63-bit weighted token fingerprint; banded Hamming
+  candidates verified with ``bit_count(xor)``.
+- n-gram Jaccard: exact set similarity via a shingle self-join —
+  the verification oracle for the sketch-based paths (SQL-expressible).
+- connected components: iterative min-label propagation entirely in
+  DataFrame joins (no driver-side union-find), bounded by duplicate-
+  cluster diameter (small in practice).
+
+Everything is built-in ``pyspark.sql.functions`` — no Python in the
+hot path; xxhash64 with per-index seed columns stands in for a
+min-wise independent hash family (the same construction datasketch
+and Spark ML's MinHashLSH use).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_shingles",
+    "exploded_shingles",
+    "dedupe_exact_text",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "connected_components",
+    "dedupe_near_duplicates",
+]
+
+
+def word_shingles(text_col, k: int = 3):
+    """Array of k-word shingles (space-joined); whole text if < k tokens."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(tokens)
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct per document."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------------------- exact
+def dedupe_exact_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized content: keep the min-id row per
+    fingerprint. One hash-shuffle; survivor choice is deterministic."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    keyed = df.withColumn("_fp", F.md5(norm))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
+# ----------------------------------------------------------- exact jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Classic shingle self-join: pairs that share nothing never meet, so
+    the quadratic blowup is bounded by shingle co-occurrence. Returns
+    (id1, id2, jaccard) with id1 < id2 and jaccard >= threshold.
+    Skewed hot shingles (stopword runs) are the known hazard at scale
+    — AQE skew-join handles moderate skew; drop top-frequency shingles
+    upstream for adversarial corpora.
+    """
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes1 = sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1")
+    sizes2 = sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2")
+    return (
+        inter.join(sizes1, "id1")
+        .join(sizes2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: array of ``num_hashes`` longs.
+
+    sig[i] = min over shingles of xxhash64(shingle, i) — a seeded hash
+    family. Computed as ``num_hashes`` min-aggregations in ONE groupBy
+    pass (map-side partial mins make the shuffle tiny: num_hashes
+    longs per doc per partition).
+    """
+    sh = exploded_shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash/LSH near-duplicate pairs.
+
+    Signatures -> ``bands`` band-hashes -> explode -> equi-join on
+    (band index, band hash) for candidates -> Jaccard estimated as the
+    fraction of equal signature components; keep >= threshold.
+    Collision probability for a pair with true Jaccard s is
+    1-(1-s^r)^b with r = num_hashes/bands rows per band.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), bi * r + 1, r), F.lit(bi)
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.bhash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.signature").alias("sig1"),
+            F.col("b.signature").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+) -> DataFrame:
+    """63-bit SimHash fingerprint per document (token-frequency weighted).
+
+    For each token hash h and bit b the contribution is
+    count * (2*bit(h,b) - 1); the fingerprint sets bit b iff the sum
+    is positive. 63 bits keeps the fingerprint a non-negative BIGINT
+    (bit 63 would overflow the sign under ANSI mode). One explode +
+    one groupBy with ``bits`` sum-aggregations.
+    """
+    if not 0 < bits <= 63:
+        raise ValueError("bits must be in (0, 63]")
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    counted = tokens.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    perdoc = counted.groupBy(id_col).agg(*sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return perdoc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Pigeonhole: any pair within ``max_hamming < n_bands`` bits agrees
+    exactly on at least one of ``n_bands`` disjoint bit-bands, so
+    candidates come from equi-joins on band values; each candidate is
+    verified with ``bit_count(xor) <= max_hamming``.
+    """
+    fps = simhash(df, id_col, text_col)
+    width = 63 // n_bands + 1
+    mask = (1 << width) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ components / dedup
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an (id1, id2) edge list -> (id, component).
+
+    Iterative min-label propagation as pure DataFrame joins: each
+    round every vertex adopts the min label among itself and its
+    neighbors; converges in O(cluster diameter) rounds (checked via a
+    cheap count, loop capped at ``max_iter``). Near-dup clusters are
+    shallow, so 3-5 rounds is typical; no driver-side graph state.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .withColumn(
+                "new_component", F.least(F.col("component"), F.col("nmin"))
+            )
+            .select(
+                "id", F.coalesce("new_component", "component").alias("component"),
+                F.col("component").alias("_old"),
+            )
+        )
+        updated = updated.cache()
+        changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
+        labels = updated.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedupe_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicates: within each connected component of
+    ``pairs``, keep only the min-id document; rows in no component are
+    kept untouched (left-anti join against the non-representative set).
+    """
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,197 @@
+"""Multimodal (image/audio/video) column plumbing (beyond-reference).
+
+Media travels as an opaque ``binary`` column plus a typed metadata
+struct — the schema, partition discipline, Arrow batch shapes and UDF
+signatures are real and tested; only the codec step is stubbed
+(``decode_fn=None`` -> deterministic fake) because no image/audio
+libraries exist in this container. Swap ``decode_fn`` for a real
+decoder (PIL/torchaudio/ffmpeg) and nothing else changes.
+
+Design for 100 TB of media:
+
+- blobs stay in executor space end-to-end (``mapInPandas`` streams
+  Arrow batches; nothing collects to the driver);
+- metadata filters (modality/size/dims) prune *before* any decode —
+  they are plain columns, so pushdown applies;
+- decode parallelism = partitions; ``repartition`` by byte-size
+  budget, not row count, for even work (helper below).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_metadata_schema",
+    "attach_media_metadata",
+    "repartition_by_bytes",
+    "extract_features",
+    "sample_frames",
+    "decode_stub",
+]
+
+media_metadata_schema = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),  # png, wav, mp4, ...
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("meta", media_metadata_schema),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    modality: str = "image",
+    fmt: str = "bin",
+) -> DataFrame:
+    """Build the typed metadata struct from the blob (n_bytes real;
+    dims unknown until decode -> null)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def repartition_by_bytes(
+    df: DataFrame, target_bytes_per_partition: int = 128 << 20, blob_col: str = "blob"
+) -> DataFrame:
+    """Partition media so each task decodes ~equal bytes, not rows.
+
+    Media rows are wildly skewed in size; row-count partitioning gives
+    straggler tasks. One cheap agg estimates total bytes -> partition
+    count; hash repartition spreads rows.
+    """
+    total = df.agg(F.sum(F.length(F.col(blob_col)))).collect()[0][0] or 0
+    n = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(n)
+
+
+def decode_stub(blob: bytes) -> np.ndarray:
+    """Deterministic fake decoder: blob -> 8-dim float feature.
+
+    Stands in for PIL/torchaudio decode (libs absent in this
+    container). Derives features from the sha256 digest so results are
+    stable across runs/engines. Replace with a real decoder at will.
+    """
+    digest = hashlib.sha256(blob or b"").digest()
+    return np.frombuffer(digest[:32], dtype=np.uint32).astype(np.float64) / 2**32
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Decode + featurize via ``mapInPandas`` (Arrow-batched).
+
+    The UDF signature — iterator of pandas batches in, iterator out —
+    is the real production shape: per-batch vectorized work, constant
+    memory, no driver involvement. ``decode_fn=None`` uses the
+    deterministic stub.
+    """
+    decode = decode_fn or decode_stub
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(b)[:feature_dim].tolist() for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "features": feats,
+                    "n_bytes": [len(b or b"") for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(featurize, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    frame_decoder: Optional[Callable[[bytes, int], bytes]] = None,
+) -> DataFrame:
+    """Video -> frame rows (media_id, frame_idx, ts_ms, frame_blob).
+
+    Real frame extraction needs ffmpeg (absent here): with
+    ``frame_decoder=None`` the frame blob is a deterministic slice of
+    the source blob so the explode/partition plumbing is fully
+    exercised. One input row fans out to its frames inside the
+    executor — classic flatMap shape via ``mapInPandas``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("frame_blob", T.BinaryType()),
+        ]
+    )
+
+    def cut(blob: bytes, idx: int) -> bytes:
+        if frame_decoder is not None:
+            return frame_decoder(blob, idx)
+        if not blob:
+            raise NotImplementedError(
+                "real frame decode requires ffmpeg; provide frame_decoder"
+            )
+        # deterministic fake: rotate the blob by idx bytes, take 16
+        off = (idx * 16) % max(1, len(blob))
+        return (blob[off:] + blob[:off])[:16]
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "frame_idx", "ts_ms", "frame_blob")}
+            for mid, blob, dur in zip(
+                pdf[id_col], pdf[blob_col], pdf["duration_ms"]
+            ):
+                n_frames = max(1, int(dur or 0) // every_ms)
+                for i in range(n_frames):
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame_blob"].append(cut(blob, i))
+            yield pd.DataFrame(rows)
+
+    src = df.select(
+        id_col, blob_col, F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(frames, schema=out_schema)

@@ -1,0 +1,383 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+Approximate-nearest-neighbor over an ``array<float>`` column:
+
+- brute-force cosine top-k — the exactness baseline. Dot products run
+  JVM-side (``zip_with`` + ``aggregate``, whole-stage codegen); the
+  query side is broadcast so the corpus never shuffles.
+- LSH (random hyperplane / signed random projection) — signature
+  buckets bound the candidate set; recall tuned by bands.
+- IVF (inverted file) — KMeans coarse quantizer; queries probe the
+  ``nprobe`` nearest centroids, so each query scans ~nprobe/ncells of
+  the corpus. The scale path for 100 TB: centroid assignment
+  partitions/prunes the corpus like a partition key.
+
+Embedding-cosine near-duplicate detection composes these:
+candidates from LSH buckets, verified by exact cosine.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_similarity_col",
+    "normalize_embeddings",
+    "brute_force_topk",
+    "lsh_signatures",
+    "lsh_topk",
+    "ivf_build",
+    "ivf_topk",
+    "embedding_near_duplicate_pairs",
+]
+
+
+def cosine_similarity_col(a, b):
+    """Exact cosine similarity of two array<float/double> columns (JVM-side)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize the embedding column (cosine becomes dot product)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return df.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda v: v.cast("double") / norm),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x full corpus scan.
+
+    One pass over the corpus regardless of query count; per-query
+    ranking via a window partitioned by query id (shuffles only the
+    (query, corpus-id, sim) triples, never the vectors).
+    Returns (query_id, vec_id, cosine_sim, rank).
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.alias("c").join(
+        F.broadcast(q), F.col("query_id") != F.col(f"c.{id_col}")
+    )
+    sims = joined.select(
+        "query_id",
+        F.col(f"c.{id_col}").alias(id_col),
+        cosine_similarity_col(F.col(f"c.{vec_col}"), F.col("_qvec")).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --------------------------------------------------------------------- LSH
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: Optional[int] = None,
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Signed-random-projection signature: one int with n_planes bits.
+
+    Each plane's sign bit is an ``aggregate`` over a zip with the
+    (literal, broadcast-inlined) plane vector — all JVM expression
+    tree, no Python per row.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for p_idx, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_arr, lambda v, p: v.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p_idx).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """ANN top-k: candidates share at least one LSH signature band.
+
+    Bands of the signature are the bucket keys; a query only scores
+    corpus vectors colliding in >= 1 band (recall grows with bands,
+    cost with bucket size). Returns (query_id, vec_id, cosine_sim,
+    rank) like the brute-force baseline.
+    """
+    query_id_col = query_id_col or id_col
+    dim = len(corpus.select(vec_col).first()[0])
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, idc: str, alias_id: str) -> DataFrame:
+        sigs = lsh_signatures(df, vec_col, n_planes, seed, dim)
+        return sigs.select(
+            F.col(idc).alias(alias_id),
+            F.col(vec_col).alias(f"{alias_id}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.shiftright("lsh_sig", bi * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(alias_id, f"{alias_id}_vec", "bk.band", "bk.bval")
+
+    cband = banded(corpus, id_col, "cid")
+    qband = banded(queries, query_id_col, "query_id")
+    cand = (
+        cband.join(
+            F.broadcast(qband),
+            (cband.band == qband.band)
+            & (cband.bval == qband.bval)
+            & (F.col("cid") != F.col("query_id")),
+        )
+        .select("query_id", "query_id_vec", "cid", "cid_vec")
+        .dropDuplicates(["query_id", "cid"])
+    )
+    sims = cand.select(
+        "query_id",
+        F.col("cid").alias(id_col),
+        cosine_similarity_col("cid_vec", "query_id_vec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------- IVF
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Train the coarse quantizer and assign corpus vectors to cells.
+
+    Returns (assigned_corpus_df, centroids) where assigned rows carry a
+    ``cell`` column. Uses pyspark.ml KMeans (distributed Lloyd's).
+    At scale, write the assigned corpus partitioned by ``cell`` so a
+    probe reads only the probed partitions (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_features").fit(
+        feat
+    )
+    assigned = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "cell")
+        .drop("_features")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned_corpus: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest cells per query, exact-rank inside.
+
+    Driver computes each query's probe list against the (tiny)
+    centroid table? No — queries stay distributed: cell distances are
+    JVM expressions over the broadcast-inlined centroid literals, and
+    the probe set is the top-nprobe cells by dot product. The corpus
+    side is filtered by cell before any similarity is computed.
+    """
+    query_id_col = query_id_col or id_col
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    # per query: indices of the nprobe nearest centroids
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda v, cc: v.cast("double") * cc),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    n_cells = len(centroids)
+    indexed = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_cell_sims"), i + 1).alias("sim"), i.alias("idx")
+        ),
+    )
+    probe = F.slice(
+        F.array_sort(
+            indexed,
+            lambda x, y: F.when(x.sim > y.sim, -1)
+            .when(x.sim < y.sim, 1)
+            .otherwise(0),
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            dists.alias("_cell_sims"),
+        )
+        .withColumn("cell", F.explode(probe))
+        .select(
+            "query_id", "_qvec", F.col("cell.idx").cast("int").alias("cell")
+        )
+    )
+
+    cand = assigned_corpus.join(
+        F.broadcast(q),
+        (assigned_corpus.cell == q.cell)
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    sims = cand.select(
+        "query_id",
+        F.col(id_col),
+        cosine_similarity_col(vec_col, "_qvec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------- near-dup
+def embedding_near_duplicate_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, sim >= threshold).
+
+    LSH-banded candidate generation (same-bucket join) + exact cosine
+    verification — the all-pairs matrix never materializes.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+    sigs = lsh_signatures(corpus, vec_col, n_planes, seed, dim)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("lsh_sig", bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col(f"a.{vec_col}").alias("v1"),
+            F.col(f"b.{vec_col}").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine_similarity_col("v1", "v2"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id1", "id2", "cosine_sim")
+    )

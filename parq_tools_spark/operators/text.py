@@ -1,0 +1,156 @@
+"""Text analysis for training-data pipelines (beyond-reference, BASELINE.json north star).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every metric is chosen to be
+expressible identically in ANSI SQL (DuckDB oracle): explicit
+character classes and ``\\S+`` token runs behave the same in Java
+regex and RE2.
+
+At 100 TB these are embarrassingly parallel map-only columns: no
+shuffle, filters on the derived columns still prune via pushdown of
+the base columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS_EN",
+    "LANG_MARKERS",
+    "token_count",
+    "with_text_stats",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+]
+
+# small, fixed stopword inventories (public common-word lists)
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "a", "is", "that", "for", "it")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "ist", "das"),
+}
+
+
+def _word_regex(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column | str) -> Column:
+    r"""Whitespace token count: number of ``\S+`` runs.
+
+    SQL oracle: ``len(regexp_extract_all(text, '\S+'))`` (DuckDB) /
+    ``regexp_count(text, '\\S+')`` (Spark) — identical on any input,
+    including leading/trailing/repeated whitespace.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(r"\S+"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-document statistics columns (map-only, codegen'd).
+
+    Columns: n_chars, n_tokens, avg_token_len, punct_ratio,
+    digit_ratio, upper_ratio, space_ratio, stopword_ratio.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len", nonspace.cast("double") / safe_tokens.cast("double")
+        )
+        .withColumn(
+            "punct_ratio",
+            F.regexp_count(t, F.lit(r"[.,;:!?]")).cast("double") / safe_chars,
+        )
+        .withColumn(
+            "digit_ratio",
+            F.regexp_count(t, F.lit(r"[0-9]")).cast("double") / safe_chars,
+        )
+        .withColumn(
+            "upper_ratio",
+            F.regexp_count(t, F.lit(r"[A-Z]")).cast("double") / safe_chars,
+        )
+        .withColumn(
+            "space_ratio",
+            F.regexp_count(t, F.lit(r"[ ]")).cast("double") / safe_chars,
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.regexp_count(F.lower(t), F.lit(_word_regex(STOPWORDS_EN))).cast(
+                "double"
+            )
+            / safe_tokens.cast("double"),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1] (Gopher/C4-style length,
+    punctuation and stopword signals; deterministic, engine-portable).
+
+    score = 0.25*len_ok + 0.25*token_len_ok + 0.25*has_stopwords
+          + 0.25*(1 - excess punctuation), where
+    len_ok: 50 <= n_chars <= 100000; token_len_ok: 2 <= avg <= 12.
+    """
+    stats = with_text_stats(df, text_col)
+    len_ok = (F.col("n_chars") >= 50) & (F.col("n_chars") <= 100_000)
+    tok_ok = (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0)
+    has_stop = F.col("stopword_ratio") > 0.0
+    punct_pen = F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0))
+    score = (
+        len_ok.cast("double") * 0.25
+        + tok_ok.cast("double") * 0.25
+        + has_stop.cast("double") * 0.25
+        + (F.lit(1.0) - punct_pen) * 0.25
+    )
+    return stats.withColumn("quality_score", score)
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/marker-word language heuristic (beyond-reference op).
+
+    Counts whole-word marker hits per language over the lowercased
+    text; ``lang_pred`` is the argmax, ``'und'`` when no marker hits.
+    Deterministic tie-break: languages compared in sorted order, first
+    max wins. All JVM-side; SQL-oracle expressible with the same
+    regexp counts + a greatest/case chain.
+    """
+    t = F.lower(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    scored = df
+    for lang in langs:
+        scored = scored.withColumn(
+            f"score_{lang}", F.regexp_count(t, F.lit(_word_regex(LANG_MARKERS[lang])))
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint for exact dedup: md5 of the
+    whitespace-normalized, lowercased text.
+
+    md5 is bit-identical across engines (unlike xxhash64 seeds), so
+    the fingerprint itself is oracle-checkable. Rolling/locality
+    hashes live in :mod:`parq_tools_spark.operators.dedup`.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,119 @@
+"""Dedup operator tests (exact, MinHash-LSH, SimHash, Jaccard, components)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.dedup import (
+    connected_components,
+    dedupe_exact_text,
+    dedupe_near_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the morning sun with great interest today"
+)
+NEAR = BASE.replace("morning", "evening")  # one token differs
+FAR = (
+    "completely different content about spark dataframes and parquet files "
+    "with partitions shuffles and broadcast joins at massive scale"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)], "doc_id long, text string"
+    )
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(word_shingles("text", 3).alias("s")).collect()[0]
+    assert row.s == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    assert short.select(word_shingles("text", 3).alias("s")).collect()[0].s == ["a b"]
+
+
+def test_dedupe_exact_text(spark):
+    df = spark.createDataFrame(
+        [(10, "Same  Text"), (5, "same text"), (7, "other")],
+        "doc_id long, text string",
+    )
+    out = dedupe_exact_text(df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [5, 7]  # min id survives the normalized-equal pair
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    got = {(r.id1, r.id2): r.jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0  # identical
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0  # near-dup
+    assert not any(3 in p for p in got)  # FAR is not similar to anything
+
+
+def test_minhash_signature_properties(corpus):
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(corpus, num_hashes=64).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 64
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 64
+    assert agree_near > 0.5 > agree_far
+
+
+def test_minhash_lsh_pairs(corpus):
+    pairs = minhash_lsh_pairs(corpus, num_hashes=64, bands=16, threshold=0.5)
+    got = {(r.id1, r.id2): r.est_jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) in got
+    assert not any(3 in pair for pair in got)
+
+
+def test_simhash_hamming(corpus):
+    fps = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    assert fps[0] == fps[1]
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+    assert all(v >= 0 for v in fps.values())  # 63-bit: no sign overflow
+
+
+def test_simhash_pairs(corpus):
+    pairs = simhash_pairs(corpus, max_hamming=10)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert not any(3 in pair for pair in got)
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id1 long, id2 long",
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+
+def test_dedupe_near_duplicates(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    out = dedupe_near_duplicates(corpus, pairs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 3]  # 1 and 2 fold into 0's component
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # statistical sanity: estimate within 0.2 of exact on a near pair
+    df = spark.createDataFrame([(0, BASE), (2, NEAR)], "doc_id long, text string")
+    exact = ngram_jaccard_pairs(df, threshold=0.0).collect()[0].jaccard
+    est_rows = minhash_lsh_pairs(df, num_hashes=128, bands=32, threshold=0.0).collect()
+    assert est_rows, "LSH should surface the near pair"
+    assert abs(est_rows[0].est_jaccard - exact) < 0.2

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests (schema, partitioning, UDF batch shapes)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_stub,
+    extract_features,
+    repartition_by_bytes,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [(i, bytes([i % 256]) * (100 * (i + 1))) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    return attach_media_metadata(df, modality="video").withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", F.lit(3000).cast("long")),
+    )
+
+
+def test_metadata_struct(media):
+    row = media.filter("media_id = 4").collect()[0]
+    assert row.meta.modality == "video"
+    assert row.meta.n_bytes == 500
+    assert row.meta.width is None
+
+
+def test_metadata_filter_prunes_before_decode(media):
+    small = media.filter(F.col("meta.n_bytes") < 300)
+    assert small.count() == 2
+
+
+def test_extract_features_deterministic(media):
+    out = extract_features(media).collect()
+    assert len(out) == 10
+    by_id = {r.media_id: r for r in out}
+    assert by_id[3].n_bytes == 400
+    # deterministic stub: same blob -> same features, stable across runs
+    blob = bytes([3 % 256]) * 400
+    assert by_id[3].features == pytest.approx(decode_stub(blob)[:8].tolist())
+    assert all(len(r.features) == 8 for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r.features)
+
+
+def test_sample_frames_fan_out(media):
+    frames = sample_frames(media, every_ms=1000)
+    out = frames.collect()
+    # 3000ms / 1000ms = 3 frames per video, 10 videos
+    assert len(out) == 30
+    one = [r for r in out if r.media_id == 2]
+    assert [r.frame_idx for r in sorted(one, key=lambda r: r.frame_idx)] == [0, 1, 2]
+    assert [r.ts_ms for r in sorted(one, key=lambda r: r.frame_idx)] == [0, 1000, 2000]
+    assert all(len(r.frame_blob) == 16 for r in out)
+
+
+def test_repartition_by_bytes(media):
+    out = repartition_by_bytes(media, target_bytes_per_partition=1000)
+    # total bytes = 100*(1+..+10) = 5500 -> ~6 partitions
+    assert out.rdd.getNumPartitions() >= 5
+
+
+def test_sample_frames_empty_blob_raises_cleanly(spark):
+    df = spark.createDataFrame([(1, b"")], "media_id long, blob binary")
+    df = attach_media_metadata(df, modality="video").withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.lit(1000).cast("long"))
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(df).collect()

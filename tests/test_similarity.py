@@ -1,0 +1,79 @@
+"""Similarity search tests (brute-force, LSH, IVF) on the embeddings table."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicate_pairs,
+    ivf_build,
+    ivf_topk,
+    lsh_topk,
+    normalize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.filter(F.col("vec_id") < 3)
+
+
+def test_brute_force_topk(embeddings, queries):
+    out = brute_force_topk(embeddings, queries, k=5).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {0, 1, 2}
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != qid for r in rows)
+        assert all(-1.0000001 <= r.cosine_sim <= 1.0000001 for r in rows)
+
+
+def test_lsh_topk_recall_vs_brute(embeddings, queries):
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = lsh_topk(embeddings, queries, k=5, n_planes=16, n_bands=8)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall_vs_brute(embeddings, queries):
+    assigned, centroids = ivf_build(embeddings, n_cells=8)
+    exact = brute_force_topk(embeddings, queries, k=5)
+    approx = ivf_topk(assigned, centroids, queries, k=5, nprobe=4)
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_normalize_embeddings(embeddings):
+    normed = normalize_embeddings(embeddings.limit(10))
+    norms = normed.select(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, v: acc + v * v
+        ).alias("sq")
+    ).collect()
+    assert all(abs(r.sq - 1.0) < 1e-9 for r in norms)
+
+
+def test_embedding_near_duplicate_pairs_finds_planted_dup(spark, embeddings):
+    # plant an exact duplicate of vec 0 with id 9999
+    dup = embeddings.filter("vec_id = 0").withColumn("vec_id", F.lit(9999).cast("long"))
+    corpus = embeddings.unionByName(dup)
+    pairs = embedding_near_duplicate_pairs(corpus, threshold=0.99)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (0, 9999) in got

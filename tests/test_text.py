@@ -1,0 +1,87 @@
+"""Text-analysis operator tests."""
+
+import os
+
+from parq_tools_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+
+
+def test_text_stats_basic(spark):
+    df = spark.createDataFrame([(1, "Hello, World 42!")], "id int, text string")
+    row = with_text_stats(df).collect()[0]
+    assert row.n_chars == 16
+    assert row.n_tokens == 3
+    assert row.punct_ratio == 2 / 16  # ',' and '!'
+    assert row.digit_ratio == 2 / 16
+    assert row.upper_ratio == 2 / 16
+    assert row.stopword_ratio == 0.0
+
+
+def test_text_stats_whitespace_edges(spark):
+    df = spark.createDataFrame([(1, "  a  b  "), (2, "")], "id int, text string")
+    rows = {r.id: r for r in with_text_stats(df).collect()}
+    assert rows[1].n_tokens == 2
+    assert rows[2].n_tokens == 0
+    assert rows[2].avg_token_len == 0.0  # guarded division
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat")], "id int, text string")
+    row = with_text_stats(df).collect()[0]
+    assert row.stopword_ratio == 3 / 5  # the, and, the
+
+
+def test_quality_score_range_and_signal(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = with_quality_score(docs)
+    mn, mx = out.selectExpr(
+        "min(quality_score)", "max(quality_score)"
+    ).collect()[0]
+    assert 0.0 <= mn <= mx <= 1.0
+    junk = spark.createDataFrame([(1, "!!! ??? ...")], "id int, text string")
+    good = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog near the river bank today.")],
+        "id int, text string",
+    )
+    junk_score = with_quality_score(junk).collect()[0].quality_score
+    good_score = with_quality_score(good).collect()[0].quality_score
+    assert good_score > junk_score
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and that is that"),
+            (2, "el perro de la casa que los gatos"),
+            (3, "le chat est dans les maisons des gens"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r.lang_pred for r in with_language_id(df).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "fr"
+    assert rows[4] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id int, text string",
+    )
+    rows = {r.id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_text_ops_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = with_text_stats(docs)
+    # the documents table carries its own n_chars; ours must agree
+    assert out.filter("n_chars <> length(text)").count() == 0
+    assert out.filter("n_tokens <= 0").count() == 0
