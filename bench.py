@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion through the `noop` sink so
+map-only work cannot be pruned by a count()-style action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: parity ops + analytics + LLM-pipeline, scale-stressing mix
+BENCH_QUERIES = [
+    "filter_dsl",
+    "concat_tall",
+    "concat_wide",
+    "sort_multi",
+    "reindex",
+    "dedupe_keep_first",
+    "profile",
+    "calculated_column",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly",
+    "events_sessionize",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "dedupe_text_exact",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_sim_pairs",
+    "ann_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from parq_tools_spark import get_spark
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

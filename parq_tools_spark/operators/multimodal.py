@@ -119,7 +119,15 @@ def extract_features(
     memory, no driver involvement. ``decode_fn=None`` uses the
     deterministic stub.
     """
-    decode = decode_fn or decode_stub
+    if decode_fn is None:
+        # define the stub INSIDE the closure so cloudpickle serializes
+        # it by value — executor Python workers must not need to import
+        # this package (the driver may run from any cwd)
+        def decode_fn(blob: bytes) -> np.ndarray:
+            digest = hashlib.sha256(blob or b"").digest()
+            return np.frombuffer(digest[:32], dtype=np.uint32).astype(np.float64) / 2**32
+
+    decode = decode_fn
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
