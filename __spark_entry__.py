@@ -631,24 +631,10 @@ def q_compare_tables(spark, sf_dir):
 
 
 def q_memory_report(spark, sf_dir):
-    """A5: per-column compressed bytes from parquet footers (driver-side)."""
-    import pyarrow.parquet as pq
+    """A5: per-column compressed/decompressed size accounting."""
+    from parq_tools_spark.operators.memory import memory_report
 
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    meta = pq.ParquetFile(path).metadata
-    sizes: dict[str, int] = {}
-    rows = 0
-    for rg in range(meta.num_row_groups):
-        g = meta.row_group(rg)
-        rows += g.num_rows
-        for ci in range(g.num_columns):
-            col = g.column(ci)
-            name = col.path_in_schema
-            sizes[name] = sizes.get(name, 0) + col.total_compressed_size
-    return spark.createDataFrame(
-        [(k, v, rows) for k, v in sorted(sizes.items())],
-        "column string, compressed_bytes long, n_rows long",
-    )
+    return memory_report(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
 # =====================================================================

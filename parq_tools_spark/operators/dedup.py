@@ -328,11 +328,13 @@ def connected_components(
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
     )
+    edges = edges.cache()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    cached: list = []
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -348,12 +350,18 @@ def connected_components(
                 "id", F.coalesce("new_component", "component").alias("component"),
                 F.col("component").alias("_old"),
             )
-        )
-        updated = updated.cache()
+        ).cache()
+        cached.append(updated)
         changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
         labels = updated.drop("_old")
         if changed == 0:
             break
+    # materialize the final labels, then release iteration caches
+    labels = labels.cache()
+    labels.count()
+    for df in cached:
+        df.unpersist()
+    edges.unpersist()
     return labels
 
 
