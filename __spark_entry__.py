@@ -557,6 +557,100 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Forecast-revenue-change: the classic filter + global sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Analytic window functions: rank + running sum per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Rollup (grouping sets): revenue by (returnflag, linestatus) with
+    subtotals and a grand total; NULL grouping keys rendered as 'ALL'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+        )
+    )
+
+
+def q_ngram_freq(spark, sf_dir):
+    """Top-ngram frequency table: explode 2-gram shingles, count, keep
+    n-grams occurring >= 20 times (integer counts: no float risk)."""
+    from parq_tools_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles("text", 2)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 20)
+    )
+
+
 # ------------------------------------------------- rows-only (non-SQL) ops
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (sketch-based; no SQL oracle)."""
@@ -669,6 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
+        "tpch_q6": q_tpch_q6,
+        "window_running": q_window_running,
+        "pivot_events": q_pivot_events,
+        "rollup_revenue": q_rollup_revenue,
+        "ngram_freq": q_ngram_freq,
         # LLM pipeline
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -906,6 +1005,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE)
                        / count(CAST(props->>'k' AS BIGINT)) AS avg_k
             FROM events GROUP BY event_type
+        """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey) AS order_seq,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                       AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "ngram_freq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_distinct(
+                CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+                     ELSE [array_to_string(t, ' ')] END)) AS ngram
+              FROM toks
+            )
+            SELECT ngram, count(*) AS n_docs
+            FROM grams GROUP BY ngram HAVING count(*) >= 20
         """,
         "text_stats": rf"""
             SELECT doc_id,

@@ -31,6 +31,11 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "window_running",
+    "pivot_events",
+    "rollup_revenue",
+    "ngram_freq",
     "events_hourly",
     "events_sessionize",
     "text_stats",
