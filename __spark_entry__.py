@@ -509,7 +509,7 @@ def q_ann_topk(spark, sf_dir):
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
@@ -589,7 +589,7 @@ def q_window_running(spark, sf_dir):
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
         F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
         .over(running)
         .cast("double")
