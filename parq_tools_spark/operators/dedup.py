@@ -59,12 +59,20 @@ def word_shingles(text_col, k: int = 3):
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, hashed: bool = False
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per document."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
-    )
+    """(id, shingle) rows, distinct per document.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 —
+    8-byte join/shuffle keys instead of ~20-byte strings. Collisions
+    (~n^2/2^65) are negligible for set-similarity purposes; use the
+    string form when shingle text must be surfaced.
+    """
+    shingle = F.explode(word_shingles(text_col, k)).alias("shingle")
+    out = df.select(F.col(id_col), shingle)
+    if hashed:
+        out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 # ------------------------------------------------------------------- exact
@@ -100,7 +108,7 @@ def ngram_jaccard_pairs(
     — AQE skew-join handles moderate skew; drop top-frequency shingles
     upstream for adversarial corpora.
     """
-    sh = exploded_shingles(df, id_col, text_col, k)
+    sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,7 +150,7 @@ def minhash_signatures(
     pass (map-side partial mins make the shuffle tiny: num_hashes
     longs per doc per partition).
     """
-    sh = exploded_shingles(df, id_col, text_col, k)
+    sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -236,9 +244,9 @@ def simhash(
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    )
-    counted = tokens.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64("tok")
+    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    counted = tokens.groupBy(id_col, "th").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.col("th")
     sums = [
         F.sum(
             F.col("cnt")
