@@ -635,6 +635,21 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_part_stats(spark, sf_dir):
+    """Dimension-table aggregation over part (brand-level pricing)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            _dec_sum(F.col("p_retailprice")).alias("sum_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
 def q_ngram_freq(spark, sf_dir):
     """Top-ngram frequency table: explode 2-gram shingles, count, keep
     n-grams occurring >= 20 times (integer counts: no float risk)."""
@@ -767,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "pivot_events": q_pivot_events,
         "rollup_revenue": q_rollup_revenue,
+        "part_stats": q_part_stats,
         "ngram_freq": q_ngram_freq,
         # LLM pipeline
         "text_stats": q_text_stats,
@@ -1042,6 +1058,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "part_stats": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   count(DISTINCT p_type) AS n_types,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE)
+                       AS sum_price,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
         """,
         "ngram_freq": r"""
             WITH toks AS (

@@ -22,7 +22,15 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sort_dataframe", "reindex_dataframe", "dedupe_keep_first", "dedupe_exact"]
+__all__ = [
+    "sort_dataframe",
+    "reindex_dataframe",
+    "dedupe_keep_first",
+    "dedupe_exact",
+    "sort_parquet",
+    "reindex_parquet",
+    "dedupe_parquet",
+]
 
 
 def sort_dataframe(
@@ -94,6 +102,58 @@ def dedupe_keep_first(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_ord")
     )
+
+
+def sort_parquet(
+    spark,
+    input_path: str,
+    output_path: str,
+    columns: Sequence[str],
+    ascending: bool | Sequence[bool] = True,
+    single_file: bool = False,
+) -> None:
+    """File-level sort facade (reference ``sort_parquet_file`` shape)."""
+    from parq_tools_spark.sources.parquet_io import read_parquet, write_parquet
+
+    write_parquet(
+        sort_dataframe(read_parquet(spark, input_path), columns, ascending),
+        output_path,
+        single_file=single_file,
+    )
+
+
+def reindex_parquet(
+    spark,
+    input_path: str,
+    output_path: str,
+    new_index: DataFrame,
+    index_columns: Sequence[str],
+    fill_values: Optional[dict] = None,
+    sort: bool = False,
+    single_file: bool = False,
+) -> None:
+    """File-level reindex facade (``index_utils.reindex`` shape, J4)."""
+    from parq_tools_spark.sources.parquet_io import read_parquet, write_parquet
+
+    out = reindex_dataframe(
+        read_parquet(spark, input_path), new_index, index_columns, fill_values, sort
+    )
+    write_parquet(out, output_path, single_file=single_file)
+
+
+def dedupe_parquet(
+    spark,
+    input_path: str,
+    output_path: str,
+    keys: Sequence[str],
+    order_columns: Optional[Sequence[str]] = None,
+    single_file: bool = False,
+) -> None:
+    """File-level keep-first dedup facade (``index_utils.dedupe`` shape, A4)."""
+    from parq_tools_spark.sources.parquet_io import read_parquet, write_parquet
+
+    out = dedupe_keep_first(read_parquet(spark, input_path), keys, order_columns)
+    write_parquet(out, output_path, single_file=single_file)
 
 
 def dedupe_exact(df: DataFrame, keys: Optional[Sequence[str]] = None) -> DataFrame:

@@ -30,6 +30,7 @@ __all__ = [
     "profile_dataframe",
     "profile_to_dataframe",
     "compare_profiles",
+    "save_profile_report",
 ]
 
 DEFAULT_COMPARISON_METRICS = [
@@ -163,3 +164,33 @@ def compare_profiles(
         and report["summary"]["changed"] == 0
     )
     return report
+
+
+def save_profile_report(
+    profile_or_diff: dict, path: str, fmt: Optional[str] = None
+) -> str:
+    """Serialize a profile or profile-diff to JSON/YAML (driver-side).
+
+    The reference renders ydata-profiling reports to JSON/HTML
+    (``parq_profile.py``); here the artifact is the plain stats dict —
+    atomic write, format inferred from the extension. YAML falls back
+    to JSON if no yaml library is available (not in this container).
+    """
+    import json
+
+    from parq_tools_spark.sources.file_utils import atomic_output_file
+
+    fmt = fmt or ("yaml" if str(path).endswith((".yaml", ".yml")) else "json")
+    with atomic_output_file(path) as tmp:
+        if fmt == "yaml":
+            try:
+                import yaml  # type: ignore
+
+                with open(tmp, "w") as f:
+                    yaml.safe_dump(profile_or_diff, f, sort_keys=True)
+            except ImportError:
+                fmt = "json"
+        if fmt == "json":
+            with open(tmp, "w") as f:
+                json.dump(profile_or_diff, f, indent=2, sort_keys=True, default=str)
+    return fmt

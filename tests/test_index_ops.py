@@ -75,3 +75,28 @@ def test_dedupe_exact(spark):
     df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], "k int, v string")
     assert dedupe_exact(df).count() == 2
     assert dedupe_exact(df, ["k"]).count() == 1
+
+
+def test_file_level_facades(spark, tmp_path, wide_tables):
+    from parq_tools_spark.operators.index_ops import (
+        dedupe_parquet,
+        reindex_parquet,
+        sort_parquet,
+    )
+
+    sort_parquet(spark, wide_tables["wide_1"], str(tmp_path / "sorted"), ["x"], False)
+    out = spark.read.parquet(str(tmp_path / "sorted")).collect()
+    xs = [r.x for r in out]
+    # file content is a set; verify the written data round-trips
+    assert sorted(xs) == list(range(1, 11))
+
+    new_index = spark.createDataFrame([(1, 11, 21), (2, 12, 22)], "x long, y long, z long")
+    reindex_parquet(
+        spark, wide_tables["wide_1"], str(tmp_path / "reix"), new_index, ["x", "y", "z"]
+    )
+    assert spark.read.parquet(str(tmp_path / "reix")).count() == 2
+
+    dedupe_parquet(
+        spark, wide_tables["wide_1"], str(tmp_path / "dd"), ["x"], order_columns=["y"]
+    )
+    assert spark.read.parquet(str(tmp_path / "dd")).count() == 10

@@ -117,3 +117,25 @@ def test_set_table_metadata_preserves_data(spark, wide_tables, tmp_path):
     set_table_metadata(p, {"k1": "v1"})
     assert get_table_metadata(p)["k1"] == "v1"
     assert spark.read.parquet(p).count() == 10
+
+
+def test_save_profile_report(spark, tmp_path):
+    import json
+
+    from parq_tools_spark.operators.profile import (
+        compare_profiles,
+        profile_dataframe,
+        save_profile_report,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    prof = profile_dataframe(df)
+    p = tmp_path / "prof.json"
+    fmt = save_profile_report(prof, str(p))
+    assert fmt == "json"
+    loaded = json.loads(p.read_text())
+    assert loaded["v"]["n"] == 2
+
+    diff = compare_profiles(prof, prof)
+    save_profile_report(diff, str(tmp_path / "diff.json"))
+    assert json.loads((tmp_path / "diff.json").read_text())["match"] is True
