@@ -653,11 +653,12 @@ def q_part_stats(spark, sf_dir):
 def q_ngram_freq(spark, sf_dir):
     """Top-ngram frequency table: explode 2-gram shingles, count, keep
     n-grams occurring >= 20 times (integer counts: no float risk)."""
-    from parq_tools_spark.operators.dedup import word_shingles
+
+    from parq_tools_spark.operators.dedup import exploded_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(word_shingles("text", 2)).alias("ngram")
+    grams = exploded_shingles(docs, "doc_id", "text", 2).select(
+        F.col("shingle").alias("ngram")
     )
     return (
         grams.groupBy("ngram")

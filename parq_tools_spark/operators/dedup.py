@@ -58,6 +58,21 @@ def word_shingles(text_col, k: int = 3):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work parallelizes.
+
+    A small input file scans as ONE partition (below
+    ``maxPartitionBytes``), which serializes the expensive
+    shingle/token expressions onto a single core no matter how many
+    are available. One cheap round-robin repartition up to the default
+    parallelism fixes that; inputs that already split are untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, hashed: bool = False
 ) -> DataFrame:
@@ -69,7 +84,7 @@ def exploded_shingles(
     string form when shingle text must be surfaced.
     """
     shingle = F.explode(word_shingles(text_col, k)).alias("shingle")
-    out = df.select(F.col(id_col), shingle)
+    out = _spread(df).select(F.col(id_col), shingle)
     if hashed:
         out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
     return out
@@ -241,7 +256,7 @@ def simhash(
     """
     if not 0 < bits <= 63:
         raise ValueError("bits must be in (0, 63]")
-    tokens = df.select(
+    tokens = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
