@@ -39,6 +39,8 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
     package by name — addPyFile a zip of it so any session/cwd works.
     """
     global _PKG_SHIPPED
+    # timestamp formatting must not depend on the host session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if _PKG_SHIPPED:
         return
     import shutil

@@ -63,3 +63,29 @@ def test_check_valid_parquet(sf_dir, tmp_path):
     bogus.write_text("hello")
     assert not check_valid_parquet(str(bogus))
     assert not check_valid_parquet(str(tmp_path / "missing.parquet"))
+
+
+def test_dsl_null_semantics_match_sql(spark):
+    """P7: nulls are excluded by every comparison, including !=, in both
+    the Spark DSL compilation and ANSI SQL (DuckDB) — unlike pandas
+    object-equality. Checked against a live DuckDB evaluation."""
+    import duckdb
+
+    from parq_tools_spark.operators.filter import filter_dataframe
+    from parq_tools_spark.plans.query_parser import filter_to_sql
+
+    data = [(1, 10.0), (2, None), (3, 30.0)]
+    df = spark.createDataFrame(data, "id int, v double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    for expr in ["v > 15.0", "v != 10.0", "v <= 30.0", "v in [10.0, 30.0]"]:
+        spark_ids = sorted(r.id for r in filter_dataframe(df, expr).collect())
+        sql_ids = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {filter_to_sql(expr)}"
+            ).fetchall()
+        )
+        assert spark_ids == sql_ids, expr
+        assert 2 not in spark_ids  # the null row never passes
