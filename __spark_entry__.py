@@ -637,6 +637,28 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (union + ordered-window carry): each event picks up the
+    user's latest order at-or-before the event time. DuckDB's native
+    ASOF JOIN is the oracle; both sides pre-dedupe right-time ties the
+    same way, so the match is deterministic."""
+    from parq_tools_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("k"),
+        (F.col("ts_micros") / F.lit(1e6)).alias("t"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("t"),
+        "o_orderkey",
+    )
+    out = asof_join(ev, orders, ["k"], "t", "t")
+    return out.select(
+        "event_id", F.col("k").alias("user_id"), "o_orderkey"
+    )
+
+
 def q_part_stats(spark, sf_dir):
     """Dimension-table aggregation over part (brand-level pricing)."""
     part = _t(spark, sf_dir, "part")
@@ -785,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "pivot_events": q_pivot_events,
         "rollup_revenue": q_rollup_revenue,
+        "asof_join": q_asof_join,
         "part_stats": q_part_stats,
         "ngram_freq": q_ngram_freq,
         # LLM pipeline
@@ -1061,6 +1084,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "asof_join": """
+            WITH ded AS (
+              SELECT o_custkey AS k, epoch(o_orderdate) AS t, o_orderkey
+              FROM orders
+              QUALIFY row_number() OVER (
+                PARTITION BY o_custkey, epoch(o_orderdate)
+                ORDER BY o_orderkey DESC) = 1
+            ), ev AS (
+              SELECT event_id, user_id AS k, epoch(ts) AS t FROM events
+            )
+            SELECT ev.event_id, ev.k AS user_id, ded.o_orderkey
+            FROM ev ASOF LEFT JOIN ded
+              ON ev.k = ded.k AND ev.t >= ded.t
         """,
         "part_stats": """
             SELECT p_brand,

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "pivot_events",
     "rollup_revenue",
     "ngram_freq",
+    "asof_join",
     "events_hourly",
     "events_sessionize",
     "text_stats",
