@@ -659,6 +659,27 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Binned interval self-join: event pairs of the same user within
+    60 seconds of each other (no cross product — bucket equi-join)."""
+    from parq_tools_spark.operators.joins import range_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("ts_micros") / F.lit(1e6)).alias("t")
+    )
+    a = ev.select(
+        F.col("event_id").alias("id1"), "user_id", F.col("t").alias("t1")
+    )
+    b = ev.select(
+        F.col("event_id").alias("id2"), "user_id", F.col("t").alias("t2")
+    )
+    out = range_join(a, b, "t1", "t2", window=60, on=["user_id"])
+    return (
+        out.filter(F.col("id1") < F.col("id2"))
+        .select("user_id", "id1", "id2")
+    )
+
+
 def q_part_stats(spark, sf_dir):
     """Dimension-table aggregation over part (brand-level pricing)."""
     part = _t(spark, sf_dir, "part")
@@ -808,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "rollup_revenue": q_rollup_revenue,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "part_stats": q_part_stats,
         "ngram_freq": q_ngram_freq,
         # LLM pipeline
@@ -1098,6 +1120,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT ev.event_id, ev.k AS user_id, ded.o_orderkey
             FROM ev ASOF LEFT JOIN ded
               ON ev.k = ded.k AND ev.t >= ded.t
+        """,
+        "range_join": """
+            SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND epoch(b.ts) - epoch(a.ts) <= 60
+             AND epoch(a.ts) - epoch(b.ts) <= 60
         """,
         "part_stats": """
             SELECT p_brand,

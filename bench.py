@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "ngram_freq",
     "asof_join",
+    "range_join",
     "events_hourly",
     "events_sessionize",
     "text_stats",

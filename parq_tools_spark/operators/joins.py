@@ -22,7 +22,40 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "salted_join"]
+__all__ = ["asof_join", "salted_join", "range_join"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    window: int,
+    on: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Interval join: pairs with |left_time - right_time| <= window.
+
+    A naive inequality join degenerates to a (broadcast) nested-loop
+    cross product. Binning makes it an equi-join: both sides bucket by
+    ``floor(t / window)``; any qualifying pair lands in the same or an
+    adjacent bucket, so the left side expands 3x into candidate
+    buckets, equi-joins on (keys..., bucket), and the exact predicate
+    filters the boundary misses. Shuffle cost is O(3|L| + |R|),
+    independent of the time span.
+
+    Returns left columns + right columns (caller projects/renames;
+    overlapping names must be disambiguated by the caller first).
+    """
+    bucket_l = F.floor(F.col(left_time) / F.lit(window))
+    bucket_r = F.floor(F.col(right_time) / F.lit(window))
+    keys = list(on or [])
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(bucket_l - 1, bucket_l, bucket_l + 1))
+    )
+    r = right.withColumn("_bucket", bucket_r)
+    joined = l.join(r, on=[*keys, "_bucket"], how="inner").drop("_bucket")
+    dt = F.col(left_time) - F.col(right_time)
+    return joined.filter((dt <= window) & (dt >= -window))
 
 
 def asof_join(

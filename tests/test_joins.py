@@ -99,3 +99,31 @@ def test_salted_join_left_outer(spark):
     out = salted_join(left, right, ["k"], how="left", salt=4).collect()
     got = {r.k: r.v for r in out}
     assert got == {1: "r", 99: None}
+
+
+def test_range_join_matches_inequality_join(spark):
+    from parq_tools_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "v", 100)], "lid int, k string, lt long"
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 130), (11, "u", 400), (12, "v", 40), (13, "w", 100)],
+        "rid int, k string, rt long",
+    )
+    out = range_join(left, right, "lt", "rt", window=60, on=["k"])
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    # oracle: plain nested inequality evaluation
+    lr = [(l, r) for l in left.collect() for r in right.collect()
+          if l.k == r.k and abs(l.lt - r.rt) <= 60]
+    expected = sorted((l.lid, r.rid) for l, r in lr)
+    assert got == expected == [(1, 10), (3, 12)]
+
+
+def test_range_join_boundary_inclusive(spark):
+    from parq_tools_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, 0)], "lid int, lt long")
+    right = spark.createDataFrame([(2, 60), (3, 61), (4, -60), (5, -61)], "rid int, rt long")
+    out = range_join(left, right, "lt", "rt", window=60)
+    assert sorted(r.rid for r in out.collect()) == [2, 4]

@@ -77,3 +77,18 @@ def test_embedding_near_duplicate_pairs_finds_planted_dup(spark, embeddings):
     pairs = embedding_near_duplicate_pairs(corpus, threshold=0.99)
     got = {(r.id1, r.id2) for r in pairs.collect()}
     assert (0, 9999) in got
+
+
+def test_ivf_write_read_partition_pruning(spark, embeddings, tmp_path):
+    from parq_tools_spark.operators.similarity import ivf_build, ivf_read, ivf_write
+
+    assigned, centroids = ivf_build(embeddings, n_cells=4)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path, centroids)
+    corpus, cents = ivf_read(spark, path)
+    assert cents == centroids
+    assert corpus.count() == embeddings.count()
+    probed = corpus.filter("cell IN (0, 1)")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reaches the scan: probing reads only those dirs
+    assert "PartitionFilters" in plan and "cell" in plan
