@@ -26,6 +26,7 @@ __all__ = [
     "read_events_stream",
     "hourly_counts",
     "sessionize",
+    "running_user_totals",
     "start_to_memory",
 ]
 
@@ -122,6 +123,54 @@ def sessionize(
             F.col("sess.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running event count + value sum, emitted every microbatch.
+
+    Demonstrates arbitrary state management (the escape hatch when
+    built-in windows can't express the semantics): state is one
+    (count, sum) pair per user, evicted after ``timeout_minutes`` of
+    processing-time inactivity — bounded state at any user cardinality.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -73,3 +73,63 @@ def test_batch_sessionize_gap_semantics(spark, sf_dir):
     spans = sorted((r.session_start, r.session_end) for r in one_user)
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert e1 <= s2
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir):
+    from parq_tools_spark.streaming.events import running_user_totals
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) n_events, max(total_value) total_value "
+            "FROM running_totals GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.s)
+        for r in _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (n, s) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 1e-6
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    import os
+
+    from parq_tools_spark.sources.bucketing import (
+        bucketed_join_plan_is_shuffle_free,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        write_bucketed(orders, "b_orders", ["o_custkey"], 8, sort_keys=["o_custkey"])
+        write_bucketed(cust, "b_cust", ["o_custkey"], 8, sort_keys=["o_custkey"])
+        assert bucketed_join_plan_is_shuffle_free(
+            spark, "b_orders", "b_cust", ["o_custkey"]
+        )
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
