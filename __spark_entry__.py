@@ -713,6 +713,42 @@ def q_ngram_freq(spark, sf_dir):
 
 
 # ------------------------------------------------- rows-only (non-SQL) ops
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (md5 — the same
+    rows land in the same split in every engine and partitioning)."""
+    from parq_tools_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(
+        docs, "doc_id", [0.8, 0.1, 0.1], names=["train", "val", "test"]
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-based 10% sample — partitioning-independent, reproducible."""
+    from parq_tools_spark.operators.sampling import deterministic_sample
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return deterministic_sample(
+        li.withColumn(
+            "k", F.concat_ws("_", "l_orderkey", "l_linenumber")
+        ),
+        "k",
+        0.1,
+    ).select("l_orderkey", "l_linenumber")
+
+
+def q_clean_text(spark, sf_dir):
+    """C4-style text normalization (control chars out, whitespace
+    collapsed)."""
+    from parq_tools_spark.operators.text import with_clean_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_clean_text(docs).select(
+        "doc_id", F.length("clean_text").alias("clean_len"), "clean_text"
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs (sketch-based; no SQL oracle)."""
     from parq_tools_spark.operators.dedup import minhash_lsh_pairs
@@ -845,6 +881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "hash_split": q_hash_split,
+        "deterministic_sample": q_deterministic_sample,
+        "clean_text": q_clean_text,
         # rows-only (non-SQL-expressible)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1266,6 +1305,36 @@ def oracle_sql() -> dict[str, str]:
                        (n_chars % 5000) * 10 // 1000, 1))) AS INT) AS frame_idx,
                    CAST(unnest(range(0, greatest(
                        (n_chars % 5000) * 10 // 1000, 1))) * 1000 AS BIGINT) AS ts_ms
+            FROM documents
+        """,
+        "hash_split": """
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) < CAST(0.8 * 4294967296 AS BIGINT)
+                       THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) < CAST(0.9 * 4294967296 AS BIGINT)
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "deterministic_sample": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE CAST(('0x' || substr(md5(
+                    CAST(l_orderkey AS VARCHAR) || '_'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < CAST(0.1 * 4294967296 AS BIGINT)
+        """,
+        "clean_text": r"""
+            SELECT doc_id,
+                   length(trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '\s+', ' ', 'g'))) AS clean_len,
+                   trim(regexp_replace(
+                     regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS clean_text
             FROM documents
         """,
         "multimodal_features": """

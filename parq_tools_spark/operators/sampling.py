@@ -1,0 +1,79 @@
+"""Deterministic sampling and dataset splits (beyond-reference).
+
+Training-data pipelines need samples and train/val/test splits that
+are (a) reproducible across runs and engines, (b) stable under
+repartitioning, and (c) cheap. ``df.sample`` satisfies none of these
+(seeded per-partition RNG — changes with partitioning). Instead rows
+are assigned by hashing a key column: ``md5(key)`` is bit-identical in
+every engine, so the same row always lands in the same
+sample/split — and the assignment is auditable with plain SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "deterministic_sample", "hash_split"]
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Uniform bucket in [0, 2^32) from md5 of the key's string form.
+
+    conv(substr(md5(x),1,8), 16, 10) — the first 8 hex chars as an
+    integer. Engine-portable: DuckDB spells it
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`` (or from_hex).
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash.
+
+    Partitioning-independent and engine-reproducible; the same keys are
+    selected every run. Map-only — no shuffle, no RNG state.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_bucket(key) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[float],
+    split_col: str = "split",
+    names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Label each row with a split name by hash range (train/val/test).
+
+    ``weights`` are fractions summing to <= 1 (any remainder falls in
+    the last split). Rows with equal keys always share a split —
+    the property that prevents train/test leakage of duplicated keys.
+    """
+    if any(w < 0 for w in weights) or sum(weights) > 1 + 1e-9:
+        raise ValueError("weights must be non-negative and sum to <= 1")
+    names = list(names) if names else [f"split_{i}" for i in range(len(weights))]
+    if len(names) != len(weights):
+        raise ValueError("names and weights must align")
+    bucket = hash_bucket(key)
+    expr = None
+    bound = 0.0
+    for name, weight in zip(names[:-1], weights[:-1]):
+        bound += weight
+        cond = bucket < int(bound * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -22,6 +22,7 @@ __all__ = [
     "token_count",
     "with_text_stats",
     "with_quality_score",
+    "with_clean_text",
     "with_language_id",
     "with_fingerprint",
 ]
@@ -142,6 +143,21 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
     return scored.withColumn("lang_pred", pred)
+
+
+def with_clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """C4-style text normalization, all built-in regexps (map-only):
+    strip control characters, collapse runs of whitespace to one
+    space, trim. Deterministic and SQL-oracle expressible."""
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[\x00-\x1f\x7f]", " "), r"\s+", " "
+        )
+    )
+    return df.withColumn(out_col, cleaned)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,71 @@
+"""Deterministic sampling/split tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+)
+
+
+def test_sample_is_deterministic_and_partition_independent(spark):
+    df1 = spark.range(0, 10_000, 1, 2).withColumn("k", F.col("id").cast("string"))
+    df32 = spark.range(0, 10_000, 1, 32).withColumn("k", F.col("id").cast("string"))
+    s1 = sorted(r.id for r in deterministic_sample(df1, "k", 0.2).collect())
+    s32 = sorted(r.id for r in deterministic_sample(df32, "k", 0.2).collect())
+    assert s1 == s32  # same rows regardless of partitioning
+    assert 0.15 < len(s1) / 10_000 < 0.25  # ~20%
+
+
+def test_sample_fraction_bounds(spark):
+    df = spark.range(10).withColumn("k", F.col("id").cast("string"))
+    assert deterministic_sample(df, "k", 0.0).count() == 0
+    assert deterministic_sample(df, "k", 1.0).count() == 10
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "k", 1.5)
+
+
+def test_hash_split_covers_all_rows_once(spark):
+    df = spark.range(0, 5_000).withColumn("k", F.col("id").cast("string"))
+    out = hash_split(df, "k", [0.7, 0.2, 0.1], names=["train", "val", "test"])
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 5_000
+    assert 0.6 < counts["train"] / 5_000 < 0.8
+    assert 0.14 < counts["val"] / 5_000 < 0.26
+    assert 0.05 < counts["test"] / 5_000 < 0.16
+
+
+def test_hash_split_same_key_same_split(spark):
+    # duplicated keys must co-locate (no train/test leakage)
+    df = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k int, row int"
+    )
+    out = hash_split(df, "k", [0.5, 0.5], names=["a", "b"])
+    n_splits = (
+        out.groupBy("k").agg(F.countDistinct("split").alias("n")).agg(F.max("n"))
+    ).collect()[0][0]
+    assert n_splits == 1
+
+
+def test_hash_split_validation(spark):
+    df = spark.range(10).withColumn("k", F.col("id").cast("string"))
+    with pytest.raises(ValueError):
+        hash_split(df, "k", [0.9, 0.9])
+    with pytest.raises(ValueError):
+        hash_split(df, "k", [0.5, 0.5], names=["only_one"])
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(0, 50).withColumn("b", hash_bucket(F.col("id").cast("string")))
+    got = {r.id: r.b for r in df.collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "FROM range(50) t(i)"
+    ).fetchall()
+    assert got == {i: b for i, b in rows}

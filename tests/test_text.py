@@ -85,3 +85,13 @@ def test_text_ops_on_real_documents(spark, sf_dir):
     # the documents table carries its own n_chars; ours must agree
     assert out.filter("n_chars <> length(text)").count() == 0
     assert out.filter("n_tokens <= 0").count() == 0
+
+
+def test_with_clean_text(spark):
+    from parq_tools_spark.operators.text import with_clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  a\x00b\tc\n\nd   e\x7f ")], "id int, text string"
+    )
+    row = with_clean_text(df).collect()[0]
+    assert row.clean_text == "a b c d e"
