@@ -195,26 +195,28 @@ class LazySparkDF:
     def iter_row_chunks(self, chunk_size: int = 100_000) -> Iterator[pd.DataFrame]:
         """Ordered pandas chunks (``lazy_parquet.py:433-471`` equivalent).
 
-        Arrow-batched ``toLocalIterator`` — one partition resident on
-        the driver at a time, the Spark analogue of the reference's
-        O(batch) memory contract.
+        Honors the reference's O(chunk) driver-memory contract: each
+        chunk is fetched as a ``_row_id`` range filter and collected
+        independently, so only one chunk is ever resident. The plan is
+        cached once so per-chunk fetches re-filter the cached ordinal
+        frame instead of re-scanning the source.
         """
-        buffer: list[pd.DataFrame] = []
-        buffered = 0
-        for batch in self._ordered().select(*self._user_columns).toArrow().to_batches(
-            max_chunksize=chunk_size
-        ):
-            pdf = batch.to_pandas()
-            buffer.append(pdf)
-            buffered += len(pdf)
-            while buffered >= chunk_size:
-                whole = pd.concat(buffer, ignore_index=True)
-                yield whole.iloc[:chunk_size].reset_index(drop=True)
-                rest = whole.iloc[chunk_size:].reset_index(drop=True)
-                buffer = [rest] if len(rest) else []
-                buffered = len(rest)
-        if buffered:
-            yield pd.concat(buffer, ignore_index=True)
+        cached = self._df.cache()
+        try:
+            total = cached.count()
+            for offset in range(0, total, chunk_size):
+                chunk = (
+                    cached.filter(
+                        (F.col(_ROW_ID) >= offset)
+                        & (F.col(_ROW_ID) < offset + chunk_size)
+                    )
+                    .orderBy(_ROW_ID)
+                    .select(*self._user_columns)
+                    .toPandas()
+                )
+                yield chunk.reset_index(drop=True)
+        finally:
+            cached.unpersist()
 
     def to_parquet(self, path: str, single_file: bool = False) -> None:
         from parq_tools_spark.sources.parquet_io import write_parquet

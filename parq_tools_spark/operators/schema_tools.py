@@ -31,6 +31,8 @@ __all__ = [
     "set_table_metadata",
     "get_table_metadata",
     "read_pandas_metadata",
+    "merge_pandas_metadata",
+    "stamp_pandas_metadata",
 ]
 
 
@@ -120,3 +122,35 @@ def read_pandas_metadata(path: str) -> Optional[dict]:
     """Parse the ``pandas`` schema-metadata blob (F9, ``metadata_utils.py:10-35``)."""
     raw = get_table_metadata(path).get("pandas")
     return json.loads(raw) if raw else None
+
+
+def merge_pandas_metadata(paths) -> Optional[dict]:
+    """Merge the ``pandas`` blobs of several inputs (F9 write side,
+    ``metadata_utils.py:19-35``): first blob wins per column; column
+    entries are unioned in first-seen order. Returns None if no input
+    carries a blob."""
+    merged: Optional[dict] = None
+    seen: set[str] = set()
+    for path in paths:
+        blob = read_pandas_metadata(path)
+        if blob is None:
+            continue
+        if merged is None:
+            merged = {**blob, "columns": list(blob.get("columns", []))}
+            seen = {c.get("name") for c in merged["columns"]}
+            continue
+        for col in blob.get("columns", []):
+            if col.get("name") not in seen:
+                merged["columns"].append(col)
+                seen.add(col.get("name"))
+    return merged
+
+
+def stamp_pandas_metadata(output_path: str, source_paths) -> None:
+    """Write a merged ``pandas`` blob onto an output's footers so pandas
+    extension dtypes survive the round-trip (SURVEY §7.4 #2). Spark's
+    writer cannot emit the blob; this is the documented driver-side
+    footer rewrite."""
+    merged = merge_pandas_metadata(source_paths)
+    if merged is not None:
+        set_table_metadata(output_path, {"pandas": json.dumps(merged)})

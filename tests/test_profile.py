@@ -139,3 +139,24 @@ def test_save_profile_report(spark, tmp_path):
     diff = compare_profiles(prof, prof)
     save_profile_report(diff, str(tmp_path / "diff.json"))
     assert json.loads((tmp_path / "diff.json").read_text())["match"] is True
+
+
+def test_merge_and_stamp_pandas_metadata(spark, wide_tables, tmp_path):
+    from parq_tools_spark.operators.schema_tools import (
+        merge_pandas_metadata,
+        read_pandas_metadata,
+        stamp_pandas_metadata,
+    )
+
+    merged = merge_pandas_metadata([wide_tables["wide_1"], wide_tables["wide_2"]])
+    names = [c["name"] for c in merged["columns"]]
+    assert "a" in names and "b" in names  # union of both inputs' columns
+
+    out = str(tmp_path / "stamped")
+    spark.read.parquet(wide_tables["wide_1"]).write.parquet(out)
+    assert read_pandas_metadata(out) is None  # Spark writes no pandas blob
+    stamp_pandas_metadata(out, [wide_tables["wide_1"], wide_tables["wide_2"]])
+    blob = read_pandas_metadata(out)
+    assert blob is not None and "a" in [c["name"] for c in blob["columns"]]
+    # data still readable by Spark after the footer rewrite
+    assert spark.read.parquet(out).count() == 10
