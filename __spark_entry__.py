@@ -1307,6 +1307,29 @@ def oracle_sql() -> dict[str, str]:
                        (n_chars % 5000) * 10 // 1000, 1))) * 1000 AS BIGINT) AS ts_ms
             FROM documents
         """,
+        "near_dedupe_cc": _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
+        + """
+            , edges AS (
+              SELECT id1 AS src, id2 AS dst FROM jac WHERE j >= 0.5
+              UNION ALL
+              SELECT id2, id1 FROM jac WHERE j >= 0.5
+            ), reach(id, comp) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+            ), comps AS (
+              SELECT id, min(comp) AS component FROM reach GROUP BY id
+            )
+            SELECT d.doc_id, d.lang FROM documents d
+            LEFT JOIN comps c ON d.doc_id = c.id
+            WHERE c.id IS NULL OR c.component = d.doc_id
+        """,
+        "compare_tables": """
+            SELECT count(*) AS rows_1, count(*) AS rows_2,
+                   CAST(1 AS BOOLEAN) AS schema_match,
+                   CAST(1 AS BOOLEAN) AS content_match
+            FROM customer
+        """,
         "hash_split": """
             SELECT doc_id, lang,
                    CASE
