@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "embedding_sim_pairs",
     "ann_topk",
     "multimodal_features",
+    "hash_split",
+    "clean_text",
+    "near_dedupe_cc",
 ]
 
 
