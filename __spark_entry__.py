@@ -1333,10 +1333,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": """
             SELECT doc_id, lang,
                    CASE
-                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
                                AS BIGINT) < CAST(0.8 * 4294967296 AS BIGINT)
                        THEN 'train'
-                     WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
                                AS BIGINT) < CAST(0.9 * 4294967296 AS BIGINT)
                        THEN 'val'
                      ELSE 'test'
@@ -1345,9 +1345,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "deterministic_sample": """
             SELECT l_orderkey, l_linenumber FROM lineitem
-            WHERE CAST(('0x' || substr(md5(
+            WHERE CAST(('0x' || substr(md5(COALESCE(
                     CAST(l_orderkey AS VARCHAR) || '_'
-                    || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                    || CAST(l_linenumber AS VARCHAR), '')), 1, 8)) AS BIGINT)
                   < CAST(0.1 * 4294967296 AS BIGINT)
         """,
         "clean_text": r"""

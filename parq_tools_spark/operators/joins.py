@@ -50,10 +50,10 @@ def range_join(
     bucket_r = F.floor(F.col(right_time) / F.lit(window))
     keys = list(on or [])
     l = left.withColumn(
-        "_bucket", F.explode(F.array(bucket_l - 1, bucket_l, bucket_l + 1))
+        "__range_bucket", F.explode(F.array(bucket_l - 1, bucket_l, bucket_l + 1))
     )
-    r = right.withColumn("_bucket", bucket_r)
-    joined = l.join(r, on=[*keys, "_bucket"], how="inner").drop("_bucket")
+    r = right.withColumn("__range_bucket", bucket_r)
+    joined = l.join(r, on=[*keys, "__range_bucket"], how="inner").drop("__range_bucket")
     dt = F.col(left_time) - F.col(right_time)
     return joined.filter((dt <= window) & (dt >= -window))
 
@@ -96,20 +96,20 @@ def asof_join(
 
     l = left.select(
         *[F.col(c) for c in left_cols],
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right_one.schema[c].dataType).alias(f"_r_{c}")
+        F.col(left_time).alias("__asof_t"),
+        F.lit(1).alias("__asof_is_left"),
+        *[F.lit(None).cast(right_one.schema[c].dataType).alias(f"__asof_r_{c}")
           for c in right_payload],
-        F.lit(None).cast(right_one.schema[right_time].dataType).alias("_rt"),
+        F.lit(None).cast(right_one.schema[right_time].dataType).alias("__asof_rt"),
     )
     r = right_one.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in keys],
         *[F.col(k) for k in keys],
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
-        F.col(right_time).alias("_rt"),
+        F.col(right_time).alias("__asof_t"),
+        F.lit(0).alias("__asof_is_left"),
+        *[F.col(c).alias(f"__asof_r_{c}") for c in right_payload],
+        F.col(right_time).alias("__asof_rt"),
     ).select(*l.columns)  # align column order
 
     merged = l.unionByName(r)
@@ -117,42 +117,42 @@ def asof_join(
         # mirror: order descending, right still first among equal times
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .orderBy(F.col("__asof_t").desc(), F.col("__asof_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         # at equal times the right row sorts first, so '<=' matches
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .orderBy(F.col("__asof_t").asc(), F.col("__asof_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = merged.select(
         *merged.columns,
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            F.last(f"__asof_r_{c}", ignorenulls=True).over(w).alias(f"__asof_c_{c}")
             for c in right_payload
         ],
-        F.last("_rt", ignorenulls=True).over(w).alias("_c_rt"),
+        F.last("__asof_rt", ignorenulls=True).over(w).alias("__asof_c_rt"),
     )
-    out = carried.filter(F.col("_is_left") == 1)
+    out = carried.filter(F.col("__asof_is_left") == 1)
     if tolerance is not None:
         delta = (
-            F.col("_t") - F.col("_c_rt")
+            F.col("__asof_t") - F.col("__asof_c_rt")
             if direction == "backward"
-            else F.col("_c_rt") - F.col("_t")
+            else F.col("__asof_c_rt") - F.col("__asof_t")
         )
         within = delta <= F.lit(tolerance)
         out = out.select(
             *left_cols,
             *[
-                F.when(within, F.col(f"_c_{c}")).alias(c)
+                F.when(within, F.col(f"__asof_c_{c}")).alias(c)
                 for c in right_payload
             ],
         )
     else:
         out = out.select(
-            *left_cols, *[F.col(f"_c_{c}").alias(c) for c in right_payload]
+            *left_cols, *[F.col(f"__asof_c_{c}").alias(c) for c in right_payload]
         )
     return out
 

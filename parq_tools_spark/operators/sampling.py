@@ -29,9 +29,13 @@ def hash_bucket(key: Column | str) -> Column:
     ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`` (or from_hex).
     """
     col = F.col(key) if isinstance(key, str) else key
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    # null keys hash as the empty string so they are assigned
+    # deterministically instead of silently dropped by a null filter
+    return F.conv(
+        F.substring(F.md5(F.coalesce(col.cast("string"), F.lit(""))), 1, 8),
+        16,
+        10,
+    ).cast("long")
 
 
 def deterministic_sample(

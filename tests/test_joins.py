@@ -127,3 +127,24 @@ def test_range_join_boundary_inclusive(spark):
     right = spark.createDataFrame([(2, 60), (3, 61), (4, -60), (5, -61)], "rid int, rt long")
     out = range_join(left, right, "lt", "rt", window=60)
     assert sorted(r.rid for r in out.collect()) == [2, 4]
+
+
+def test_asof_join_survives_hostile_column_names(spark):
+    from parq_tools_spark.operators.joins import asof_join
+
+    # user columns that collide with naive internal names
+    left = spark.createDataFrame(
+        [("a", 10, 99, 1)], "k string, t long, _t long, _is_left int"
+    )
+    right = spark.createDataFrame([("a", 5, 1.0)], "k string, t long, v double")
+    out = asof_join(left, right, ["k"], "t", "t").collect()[0]
+    assert out.v == 1.0 and out._t == 99 and out._is_left == 1
+
+
+def test_range_join_survives_bucket_column_name(spark):
+    from parq_tools_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(1, 100, "x")], "lid int, lt long, _bucket string")
+    right = spark.createDataFrame([(2, 120)], "rid int, rt long")
+    out = range_join(left, right, "lt", "rt", window=60).collect()
+    assert len(out) == 1 and out[0]._bucket == "x"

@@ -69,3 +69,13 @@ def test_hash_bucket_matches_duckdb(spark):
         "FROM range(50) t(i)"
     ).fetchall()
     assert got == {i: b for i, b in rows}
+
+
+def test_null_keys_assigned_deterministically(spark):
+    df = spark.createDataFrame([(None,), ("a",), ("b",)], "k string")
+    out = hash_split(df, "k", [0.5, 0.5], names=["x", "y"])
+    null_split = [r.split for r in out.collect() if r.k is None]
+    assert len(null_split) == 1  # null row not dropped
+    # sample keeps or drops the null row deterministically, never errors
+    n1 = deterministic_sample(df, "k", 1.0).count()
+    assert n1 == 3
