@@ -6,8 +6,79 @@ re-expressed Spark-first: DataFrame/SQL plans optimized by Catalyst,
 distributed Parquet IO, plus large-scale training-data-pipeline
 operators (dedup, similarity search, text analysis, multimodal
 plumbing) the reference does not have.
+
+The reference exposes its entry points at the package root
+(``from parq_tools import filter_parquet_file, ...``); the same
+convenience applies here — every file-level operator and the main
+DataFrame-level operators are importable from ``parq_tools_spark``.
 """
 
 __version__ = "0.1.0"
 
+from parq_tools_spark.functions.calculated_columns import (  # noqa: F401
+    CalculatedColumn,
+    with_calculated_columns,
+)
+from parq_tools_spark.lazy import LazySparkDF  # noqa: F401
+from parq_tools_spark.operators.compare import (  # noqa: F401
+    compare_dataframes,
+    compare_parquet_files,
+)
+from parq_tools_spark.operators.concat import (  # noqa: F401
+    concat_parquet_files,
+    concat_tall,
+    concat_wide,
+    concat_with_dataframe,
+)
+from parq_tools_spark.operators.filter import (  # noqa: F401
+    filter_dataframe,
+    filter_parquet,
+)
+from parq_tools_spark.operators.index_ops import (  # noqa: F401
+    dedupe_exact,
+    dedupe_keep_first,
+    dedupe_parquet,
+    reindex_dataframe,
+    reindex_parquet,
+    sort_dataframe,
+    sort_parquet,
+)
+from parq_tools_spark.operators.memory import memory_report  # noqa: F401
+from parq_tools_spark.operators.profile import (  # noqa: F401
+    compare_profiles,
+    profile_dataframe,
+    save_profile_report,
+)
+from parq_tools_spark.operators.schema_tools import (  # noqa: F401
+    rename_columns,
+    rename_parquet,
+)
 from parq_tools_spark.session import get_spark  # noqa: F401
+
+__all__ = [
+    "get_spark",
+    "LazySparkDF",
+    "CalculatedColumn",
+    "with_calculated_columns",
+    "filter_dataframe",
+    "filter_parquet",
+    "concat_tall",
+    "concat_wide",
+    "concat_with_dataframe",
+    "concat_parquet_files",
+    "sort_dataframe",
+    "sort_parquet",
+    "reindex_dataframe",
+    "reindex_parquet",
+    "dedupe_keep_first",
+    "dedupe_exact",
+    "dedupe_parquet",
+    "compare_dataframes",
+    "compare_parquet_files",
+    "profile_dataframe",
+    "compare_profiles",
+    "save_profile_report",
+    "rename_columns",
+    "rename_parquet",
+    "memory_report",
+]

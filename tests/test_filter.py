@@ -89,3 +89,11 @@ def test_dsl_null_semantics_match_sql(spark):
         )
         assert spark_ids == sql_ids, expr
         assert 2 not in spark_ids  # the null row never passes
+
+
+def test_top_level_api_surface():
+    """Reference-style root imports (README contract)."""
+    import parq_tools_spark as pts
+
+    for name in pts.__all__:
+        assert getattr(pts, name) is not None
