@@ -136,7 +136,10 @@ def lsh_signatures(
     tree, no Python per row.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("empty corpus: cannot infer embedding dimension")
+        dim = len(first[0])
     planes = _hyperplanes(dim, n_planes, seed)
     sig = F.lit(0).cast("long")
     for p_idx, plane in enumerate(planes):
@@ -171,7 +174,10 @@ def lsh_topk(
     rank) like the brute-force baseline.
     """
     query_id_col = query_id_col or id_col
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
     width = n_planes // n_bands
     mask = (1 << width) - 1
 
@@ -382,6 +388,8 @@ def brute_force_pairs(
     from pyspark.sql import types as T
 
     pdf = corpus.select(id_col, vec_col).toPandas()
+    if pdf.empty:
+        raise ValueError("empty corpus")
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -428,7 +436,10 @@ def embedding_near_duplicate_pairs(
     LSH-banded candidate generation (same-bucket join) + exact cosine
     verification — the all-pairs matrix never materializes.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
     width = n_planes // n_bands
     mask = (1 << width) - 1
     sigs = lsh_signatures(corpus, vec_col, n_planes, seed, dim)
