@@ -113,6 +113,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
@@ -125,6 +126,19 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        # bound the self-join on adversarial corpora: shingles present
+        # in more than max_df documents contribute ~df^2 join rows but
+        # almost no Jaccard signal. Dropping them AFTER sizes are
+        # computed keeps denominators exact; intersections become a
+        # lower bound, so results are conservative (fewer pairs).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -37,6 +37,7 @@ __all__ = [
     "ivf_build",
     "ivf_topk",
     "embedding_near_duplicate_pairs",
+    "dedupe_embedding_near_duplicates",
 ]
 
 
@@ -419,6 +420,24 @@ def brute_force_pairs(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+
+
+def dedupe_embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop embedding near-duplicates: LSH candidate pairs -> connected
+    components -> keep the min-id vector per component (composition of
+    :func:`embedding_near_duplicate_pairs` and the dedup machinery)."""
+    from parq_tools_spark.operators.dedup import dedupe_near_duplicates
+
+    pairs = embedding_near_duplicate_pairs(
+        corpus, threshold, id_col, vec_col, **lsh_kwargs
+    )
+    return dedupe_near_duplicates(corpus, pairs, id_col=id_col)
 
 
 # ------------------------------------------------------------- near-dup

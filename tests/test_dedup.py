@@ -117,3 +117,13 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     est_rows = minhash_lsh_pairs(df, num_hashes=128, bands=32, threshold=0.0).collect()
     assert est_rows, "LSH should surface the near pair"
     assert abs(est_rows[0].est_jaccard - exact) < 0.2
+
+
+def test_ngram_jaccard_max_df_prunes_conservatively(corpus):
+    all_pairs = {(r.id1, r.id2) for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    pruned = {(r.id1, r.id2) for r in ngram_jaccard_pairs(corpus, threshold=0.5, max_df=3).collect()}
+    assert pruned <= all_pairs  # pruning only removes pairs, never invents
+    # shingles shared by <= max_df docs are kept, so the identical pair survives
+    assert (0, 1) in pruned
+    # aggressive pruning on a corpus where everything is shared removes all pairs
+    assert ngram_jaccard_pairs(corpus, threshold=0.5, max_df=1).count() == 0

@@ -92,3 +92,13 @@ def test_ivf_write_read_partition_pruning(spark, embeddings, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     # partition pruning reaches the scan: probing reads only those dirs
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_dedupe_embedding_near_duplicates(spark, embeddings):
+    from parq_tools_spark.operators.similarity import dedupe_embedding_near_duplicates
+
+    dup = embeddings.filter("vec_id = 3").withColumn("vec_id", F.lit(77777).cast("long"))
+    corpus = embeddings.unionByName(dup)
+    out = dedupe_embedding_near_duplicates(corpus, threshold=0.999)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert 3 in ids and 77777 not in ids  # min id survives, planted dup dropped
