@@ -17,18 +17,23 @@ for the 100 TB regime:
   DataFrame joins (no driver-side union-find), bounded by duplicate-
   cluster diameter (small in practice).
 
-Everything is built-in ``pyspark.sql.functions`` — no Python in the
-hot path; xxhash64 with per-index seed columns stands in for a
-min-wise independent hash family (the same construction datasketch
-and Spark ML's MinHashLSH use).
+Built-in ``pyspark.sql.functions`` everywhere except the SimHash
+bit-sum, which runs as one vectorized numpy pass inside
+``mapInPandas`` (Arrow-batched; the 63-sum JVM expression tree is
+correct but codegen-hostile). xxhash64 with per-index seed columns
+stands in for a min-wise independent hash family (the same
+construction datasketch and Spark ML's MinHashLSH use).
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "word_shingles",
@@ -265,32 +270,55 @@ def simhash(
     For each token hash h and bit b the contribution is
     count * (2*bit(h,b) - 1); the fingerprint sets bit b iff the sum
     is positive. 63 bits keeps the fingerprint a non-negative BIGINT
-    (bit 63 would overflow the sign under ANSI mode). One explode +
-    one groupBy with ``bits`` sum-aggregations.
+    (bit 63 would overflow the sign under ANSI mode).
+
+    Pipeline: tokenize + per-(doc, token) counts stay JVM-side (one
+    shuffle with map-side partial aggregation), then the per-document
+    bit sums run as a single vectorized numpy pass in ``mapInPandas``
+    after a hash repartition on the doc id. The equivalent pure-JVM
+    formulation (``bits`` sum-aggregations + a ``bits``-term
+    fingerprint sum) produces a codegen-hostile expression tree whose
+    compilation dominates runtime; one (n_rows x bits) numpy matrix op
+    per Arrow batch is both faster and flat in plan size. Shuffle
+    volume is (doc, token-hash, count) triples — the same order as
+    MinHash's shingle shuffle.
     """
     if not 0 < bits <= 63:
         raise ValueError("bits must be in (0, 63]")
+    id_field = df.schema[id_col]
     tokens = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
     counted = tokens.groupBy(id_col, "th").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.col("th")
-    sums = [
-        F.sum(
-            F.col("cnt")
-            * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"_b{b}")
-        for b in range(bits)
-    ]
-    perdoc = counted.groupBy(id_col).agg(*sums)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return perdoc.select(F.col(id_col), fp.alias("simhash"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def _bit_sums(batches):
+        import pandas as pd
+
+        partials = []
+        for b in batches:
+            th = b["th"].to_numpy(dtype=np.int64)
+            cnt = b["cnt"].to_numpy(dtype=np.int64)
+            signs = (((th[:, None] >> shifts[None, :]) & 1) * 2 - 1) * cnt[:, None]
+            pdf = pd.DataFrame(signs)
+            pdf.insert(0, "_id", b[id_col].to_numpy())
+            partials.append(pdf.groupby("_id", sort=False).sum())
+        if not partials:
+            return
+        # same doc can span batches within the partition: combine partials
+        sums = pd.concat(partials).groupby(level=0, sort=False).sum()
+        fp = ((sums.to_numpy() > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+        yield pd.DataFrame({id_col: sums.index.to_numpy(), "simhash": fp})
+
+    return counted.repartition(id_col).mapInPandas(_bit_sums, schema=out_schema)
 
 
 def simhash_pairs(
@@ -359,17 +387,30 @@ def connected_components(
     neighbors; converges in O(cluster diameter) rounds (checked via a
     cheap count, loop capped at ``max_iter``). Near-dup clusters are
     shallow, so 3-5 rounds is typical; no driver-side graph state.
+
+    The edge list after near-dup candidate generation is orders of
+    magnitude smaller than the corpus, so the iteration is sized to
+    the graph, not the corpus: edges are counted once and the loop
+    runs on ``ceil(n_edges / 500k)`` hash partitions. Without this, a
+    477-edge graph inherits the corpus's shuffle width and every
+    round pays 32 tasks of pure scheduling overhead; with it, small
+    graphs iterate in single-task jobs while billion-edge graphs
+    still spread across the cluster.
     """
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
     )
-    edges = edges.cache()
+    edges_cached = edges.cache()
+    n_edges = edges_cached.count()
+    n_parts = max(1, -(-n_edges // 500_000))
+    edges = edges_cached.repartition(n_parts, "src")
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .repartition(n_parts, "id")
     )
     cached: list = []
     for _ in range(max_iter):
@@ -398,7 +439,7 @@ def connected_components(
     labels.count()
     for df in cached:
         df.unpersist()
-    edges.unpersist()
+    edges_cached.unpersist()
     return labels
 
 
