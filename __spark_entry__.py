@@ -480,12 +480,23 @@ def q_dedupe_pairwise(spark, sf_dir):
 
 
 def q_embedding_sim_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force exact, >= 0.95),
-    computed as blocked BLAS matmuls against a broadcast corpus matrix."""
+    """Embedding-cosine near-duplicate pairs (brute-force exact, >= 0.35 so
+    the oracle compares hundreds of real values at sf0.01), computed as
+    blocked BLAS matmuls against a broadcast corpus matrix."""
     from parq_tools_spark.operators.similarity import brute_force_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return brute_force_pairs(emb, threshold=0.95)
+    return brute_force_pairs(emb, threshold=0.35)
+
+
+def q_embedding_sim_pairs_blocked(spark, sf_dir):
+    """Same exact all-pairs cosine as embedding_sim_pairs, but via the
+    block-matrix grid (no driver-side corpus broadcast) — the 100 TB
+    path, value-checked against the same SQL oracle."""
+    from parq_tools_spark.operators.similarity import brute_force_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return brute_force_pairs_blocked(emb, threshold=0.35, n_blocks=4)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -984,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedupe_pairwise": q_dedupe_pairwise,
         "embedding_sim_pairs": q_embedding_sim_pairs,
+        "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
         "ann_topk": q_ann_topk,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -1394,7 +1406,15 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                        * 1000000.0 + 0.5) / 1000000.0 >= 0.95
+                        * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+        """,
+        "embedding_sim_pairs_blocked": """
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                        * 1000000.0 + 0.5) / 1000000.0 >= 0.35
         """,
         "ann_topk": """
             SELECT query_id, vec_id, cosine_sim, rank FROM (

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "embedding_sim_pairs",
+    "embedding_sim_pairs_blocked",
     "ann_topk",
     "multimodal_features",
     "hash_split",

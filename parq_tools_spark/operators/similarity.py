@@ -32,6 +32,8 @@ __all__ = [
     "ivf_read",
     "normalize_embeddings",
     "brute_force_topk",
+    "brute_force_pairs",
+    "brute_force_pairs_blocked",
     "lsh_signatures",
     "lsh_topk",
     "ivf_build",
@@ -420,6 +422,120 @@ def brute_force_pairs(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+
+
+def brute_force_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    block_size: int = 8192,
+    n_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold with NO driver-side corpus.
+
+    Block-matrix decomposition of the N x N similarity matrix: vectors
+    are hash-assigned to ``n_blocks`` blocks; each grid cell (i, j)
+    with i <= j receives block i as its row side and block j as its
+    column side via explode-replication (a ``_side`` flag on a single
+    union keeps the two roles apart), and a grouped ``applyInPandas``
+    computes that cell's block with chunked BLAS matmuls. Every
+    unordered pair lands in exactly one cell (the cell keyed by its
+    two block ids), so no dedup pass is needed. A side-tagged union
+    into one grouped ``applyInPandas`` is used instead of
+    ``cogroup(...)`` because the cogroup plan's per-side inputs can be
+    column-pruned when the query's action discards the UDF output
+    (e.g. ``count()``), which would starve the Python function.
+
+    Scale shape: shuffle is O(N * n_blocks) vector copies (each vector
+    joins one row of cells and one column of cells); cell memory is
+    two blocks of vectors plus a chunk x block sims matrix —
+    independent of N. This removes :func:`brute_force_pairs`'s
+    driver-broadcast cap; the O(N^2) compute is inherent to exact
+    all-pairs and is spread over n_blocks*(n_blocks+1)/2 independent
+    tasks. Results are identical to :func:`brute_force_pairs` (same
+    rounding, same id1 < id2 contract).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if n_blocks is None:
+        n = corpus.count()
+        n_blocks = max(1, -(-n // block_size))
+    scale = float(10**round_to)
+
+    tagged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # row side of cells (_blk, j) for j >= _blk; column side of cells
+    # (i, _blk) for i <= _blk. A pair with blocks (i <= j) meets in
+    # cell (i, j) exactly once.
+    left = tagged.select(
+        id_col,
+        vec_col,
+        F.col("_blk").alias("_ci"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("_cj"),
+        F.lit(0).alias("_side"),
+    )
+    right = tagged.select(
+        id_col,
+        vec_col,
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_ci"),
+        F.col("_blk").alias("_cj"),
+        F.lit(1).alias("_side"),
+    )
+    rows = left.unionByName(right)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", T.LongType()),
+            T.StructField("id2", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        l = pdf[pdf["_side"] == 0]
+        r = pdf[pdf["_side"] == 1]
+        if l.empty or r.empty:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []})
+        lids = l[id_col].to_numpy()
+        rids = r[id_col].to_numpy()
+        lmat = np.stack(l[vec_col].to_numpy()).astype(np.float64)
+        rmat = np.stack(r[vec_col].to_numpy()).astype(np.float64)
+        lnorm = np.sqrt((lmat * lmat).sum(axis=1))
+        rnorm = np.sqrt((rmat * rmat).sum(axis=1))
+        outs = []
+        # chunk the row side so the sims matrix stays chunk x block
+        for s in range(0, len(lids), 1024):
+            e = s + 1024
+            sims = (lmat[s:e] @ rmat.T) / (lnorm[s:e, None] * rnorm[None, :])
+            sims = np.floor(sims * scale + 0.5) / scale
+            keep = (sims >= threshold) & (lids[s:e, None] != rids[None, :])
+            rr, cc = np.nonzero(keep)
+            if len(rr):
+                a, b = lids[s:e][rr], rids[cc]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id1": np.minimum(a, b),
+                            "id2": np.maximum(a, b),
+                            "cosine_sim": sims[rr, cc],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine_sim": []})
+        out = pd.concat(outs)
+        # the diagonal cell sees each pair twice ((a,b) and (b,a));
+        # off-diagonal cells see it once — drop the mirror
+        return out.drop_duplicates(["id1", "id2"])
+
+    return rows.groupBy("_ci", "_cj").applyInPandas(cell, schema=out_schema)
 
 
 def dedupe_embedding_near_duplicates(

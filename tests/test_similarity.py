@@ -102,3 +102,33 @@ def test_dedupe_embedding_near_duplicates(spark, embeddings):
     out = dedupe_embedding_near_duplicates(corpus, threshold=0.999)
     ids = {r.vec_id for r in out.select("vec_id").collect()}
     assert 3 in ids and 77777 not in ids  # min id survives, planted dup dropped
+
+
+def test_brute_force_pairs_blocked_matches_broadcast(embeddings):
+    """The block-matrix all-pairs path must produce exactly the same
+    (id1, id2, sim) set as the broadcast path, including with a block
+    count small enough to force multi-block grid cells."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_pairs,
+        brute_force_pairs_blocked,
+    )
+
+    want = {
+        (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs(embeddings, threshold=0.3).collect()
+    }
+    got = {
+        (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs_blocked(
+            embeddings, threshold=0.3, n_blocks=4
+        ).collect()
+    }
+    assert want == got
+    assert len(got) > 0
+    got1 = {
+        (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs_blocked(
+            embeddings, threshold=0.3, n_blocks=1
+        ).collect()
+    }
+    assert want == got1
