@@ -45,6 +45,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "connected_components",
+    "connected_components_alternating",
     "dedupe_near_duplicates",
 ]
 
@@ -443,16 +444,120 @@ def connected_components(
     return labels
 
 
+def connected_components_alternating(
+    pairs: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star.
+
+    Same contract as :func:`connected_components` — (id, component)
+    with component = min id of the component — but converges in
+    O(log n) rounds instead of O(diameter) (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Use for
+    adversarially deep graphs (long duplicate chains), where min-label
+    propagation would need one round per hop.
+
+    large-star hangs every neighbor larger than a node off the
+    minimum of its neighborhood; small-star re-points each node's
+    smaller neighbors at that minimum. Both are one groupBy + one
+    join; a round is the pair of them. Convergence = the edge
+    multiset stops changing (order-insensitive xxhash fingerprint +
+    count, one tiny agg per round). localCheckpoint truncates the
+    iterative plan lineage so round N's plan does not embed rounds
+    1..N-1.
+    """
+    edges = (
+        pairs.select(
+            F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    n_parts = max(1, -(-n_edges // 500_000))
+    edges = edges.repartition(n_parts, "u")
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor is order-insensitive and cannot overflow under ANSI
+        # mode (edges are distinct, so no self-cancellation)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nb = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        return (
+            nb.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # direct every edge from its larger endpoint x to smaller y
+        nb = e.select(F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y"))
+        mins = nb.groupBy("x").agg(F.min("y").alias("m"))
+        relinked = (
+            nb.join(mins, "x")
+            .filter(F.col("y") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("y").alias("v"))
+        )
+        roots = mins.select(F.col("m").alias("u"), F.col("x").alias("v"))
+        return (
+            relinked.union(roots)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every component is a star (root=u=min, child=v)
+    labels = edges.select(F.col("v").alias("id"), F.col("u").alias("component")).union(
+        edges.select(F.col("u").alias("id"), F.col("u").alias("component"))
+    )
+    return labels.distinct()
+
+
 def dedupe_near_duplicates(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    cc_algorithm: str = "propagation",
 ) -> DataFrame:
     """Drop near-duplicates: within each connected component of
     ``pairs``, keep only the min-id document; rows in no component are
     kept untouched (left-anti join against the non-representative set).
+
+    ``cc_algorithm``: "propagation" (min-label, O(diameter) rounds —
+    right for the shallow clusters near-dup detection produces) or
+    "alternating" (large-star/small-star, O(log n) rounds — right for
+    adversarially deep graphs).
     """
-    comps = connected_components(pairs)
+    if cc_algorithm == "propagation":
+        comps = connected_components(pairs)
+    elif cc_algorithm == "alternating":
+        comps = connected_components_alternating(pairs)
+    else:
+        raise ValueError(
+            f"unknown cc_algorithm {cc_algorithm!r}; "
+            "expected 'propagation' or 'alternating'"
+        )
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

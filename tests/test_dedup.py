@@ -103,11 +103,41 @@ def test_connected_components(spark):
     assert comps[20] == comps[21] == comps[22] == comps[23] == 20
 
 
+def test_connected_components_alternating_matches_propagation(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id1 long, id2 long",
+    )
+    from parq_tools_spark.operators.dedup import connected_components_alternating
+
+    want = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    got = {
+        (r.id, r.component)
+        for r in connected_components_alternating(pairs).collect()
+    }
+    assert want == got
+
+
+def test_connected_components_alternating_deep_chain(spark):
+    """A 64-node path has diameter 63; alternating CC must solve it in
+    far fewer rounds than min-label propagation would need."""
+    from parq_tools_spark.operators.dedup import connected_components_alternating
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id1 long, id2 long"
+    )
+    comps = connected_components_alternating(chain, max_iter=10).collect()
+    assert len(comps) == 64
+    assert all(r.component == 0 for r in comps)
+
+
 def test_dedupe_near_duplicates(spark, corpus):
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
     out = dedupe_near_duplicates(corpus, pairs)
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [0, 3]  # 1 and 2 fold into 0's component
+    out2 = dedupe_near_duplicates(corpus, pairs, cc_algorithm="alternating")
+    assert sorted(r.doc_id for r in out2.collect()) == [0, 3]
 
 
 def test_minhash_estimate_tracks_exact_jaccard(spark):
