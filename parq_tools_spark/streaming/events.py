@@ -24,6 +24,8 @@ from pyspark.sql import types as T
 __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
+    "parse_event_payloads",
+    "read_events_kafka",
     "hourly_counts",
     "sessionize",
     "running_user_totals",
@@ -62,6 +64,60 @@ def read_events_stream(
         .parquet(path)
         .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     )
+
+
+def parse_event_payloads(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode JSON event payloads (one event per message) into the
+    events schema + ``event_time``.
+
+    This is the Kafka value decoder, factored out so it is testable on
+    batch DataFrames without a broker: it takes any DataFrame with a
+    string/binary ``value_col`` and returns typed event rows.
+    Malformed payloads yield null fields (from_json PERMISSIVE mode)
+    rather than failing the stream.
+    """
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+    )
+    return parsed.select("e.*").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def read_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Kafka source for the events stream (JSON payloads).
+
+    Requires the ``spark-sql-kafka-0-10`` connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    raises a clear error if it is absent. ``maxOffsetsPerTrigger``
+    bounds per-microbatch work the way ``maxFilesPerTrigger`` does for
+    the file source. Every transformation downstream
+    (:func:`hourly_counts`, :func:`sessionize`,
+    :func:`running_user_totals`) is source-agnostic.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    try:
+        raw = reader.load()
+    except Exception as exc:  # connector jar absent
+        raise RuntimeError(
+            "Kafka source unavailable: the spark-sql-kafka-0-10 connector "
+            "is not on the classpath. Submit with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>."
+        ) from exc
+    return parse_event_payloads(raw, "value")
 
 
 def hourly_counts(

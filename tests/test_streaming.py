@@ -133,3 +133,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_parse_event_payloads_roundtrip(spark, sf_dir):
+    """Kafka value decoder: events serialized to JSON strings decode
+    back to the same typed rows (+ event_time), malformed rows -> nulls."""
+    from parq_tools_spark.streaming.events import parse_event_payloads
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(50)
+    )
+    as_json = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    decoded = parse_event_payloads(as_json)
+    want = {tuple(r) for r in events.collect()}
+    got = {tuple(r)[:-1] for r in decoded.collect()}  # drop event_time
+    assert want == got
+    bad = spark.createDataFrame([("not json",)], "value string")
+    row = parse_event_payloads(bad).collect()[0]
+    assert row.event_id is None and row.event_time is None
+
+
+def test_read_events_kafka_raises_without_connector(spark):
+    from parq_tools_spark.streaming.events import read_events_kafka
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_events_kafka(spark, "localhost:9092", "events")
