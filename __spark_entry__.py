@@ -1221,14 +1221,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(new_sess) + 1 AS n_sessions,
+                   CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
         """,
         "events_json": """
             SELECT event_type,
                    count(CAST(props->>'k' AS BIGINT)) AS n,
-                   sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE)
                        / count(CAST(props->>'k' AS BIGINT)) AS avg_k
             FROM events GROUP BY event_type
@@ -1424,7 +1424,8 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY q.vec_id
                        ORDER BY floor(list_cosine_similarity(
-                                  c.embedding, q.embedding)
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[]))
                                   * 1000000.0 + 0.5) / 1000000.0 DESC,
                                 c.vec_id) AS rank
               FROM embeddings c
@@ -1466,10 +1467,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CASE
                      WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
-                               AS BIGINT) < CAST(0.8 * 4294967296 AS BIGINT)
+                               AS BIGINT) < CAST(floor(0.8 * 4294967296) AS BIGINT)
                        THEN 'train'
                      WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
-                               AS BIGINT) < CAST(0.9 * 4294967296 AS BIGINT)
+                               AS BIGINT) < CAST(floor(0.9 * 4294967296) AS BIGINT)
                        THEN 'val'
                      ELSE 'test'
                    END AS split
@@ -1480,7 +1481,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(COALESCE(
                     CAST(l_orderkey AS VARCHAR) || '_'
                     || CAST(l_linenumber AS VARCHAR), '')), 1, 8)) AS BIGINT)
-                  < CAST(0.1 * 4294967296 AS BIGINT)
+                  < CAST(floor(0.1 * 4294967296) AS BIGINT)
         """,
         "clean_text": r"""
             SELECT doc_id,

@@ -11,6 +11,7 @@ sample/split — and the assignment is auditable with plain SQL.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -48,7 +49,10 @@ def deterministic_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(hash_bucket(key) < int(fraction * _BUCKETS))
+    # floor, never round: the SQL oracle form is
+    # CAST(floor(f * 4294967296) AS BIGINT) — both engines must place a
+    # key hashing exactly to the boundary bucket on the same side
+    return df.filter(hash_bucket(key) < math.floor(fraction * _BUCKETS))
 
 
 def hash_split(
@@ -74,7 +78,7 @@ def hash_split(
     bound = 0.0
     for name, weight in zip(names[:-1], weights[:-1]):
         bound += weight
-        cond = bucket < int(bound * _BUCKETS)
+        cond = bucket < math.floor(bound * _BUCKETS)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
