@@ -1,23 +1,36 @@
 """Lazy column-on-demand DataFrame facade (SURVEY §3.3).
 
-API-compatible rebuild of ``LazyParquetDF``
-(``/root/reference/parq_tools/lazy_parquet.py:18-570``). The reference
-hand-implements laziness (per-column reads, a pandas cache, mutation
-overlay by row position). A Spark ``DataFrame`` *is* lazy — Catalyst
-prunes to exactly the touched columns — so this class is a thin facade
-that keeps the reference's ergonomics:
+API-compatible rebuild of ``LazyParquetDF`` / ``LazyParquetDataFrame``
+(``/root/reference/parq_tools/lazy_parquet.py:18-570,593-1038``). The
+reference hand-implements laziness (per-column reads, a pandas cache,
+mutation overlay by row position). A Spark ``DataFrame`` *is* lazy —
+Catalyst prunes to exactly the touched columns — so this class is a
+thin facade that keeps the reference's ergonomics:
 
 - ``columns`` / ``shape`` / ``dtypes`` — footer-cheap metadata;
-- ``lazy["col"]`` — materialize one column (pandas Series);
-- ``lazy["new"] = scalar | Column | array-like`` — mutation overlay;
+- ``lazy["col"]`` — a :class:`LazyColumn` (lazy Catalyst expression;
+  iterating / ``to_pandas`` materializes one column);
+- ``lazy["a"] + lazy["b"]`` — arithmetic/comparison/boolean dunders
+  compose Column expressions WITHOUT materializing (the reference's
+  dunders, ``lazy_parquet.py:899-1038``, round-trip through pandas);
+- ``lazy["new"] = scalar | expr | LazyColumn | array-like`` —
+  mutation overlay;
+- ``lazy.loc[mask]`` / ``lazy.loc[mask, cols]`` — the reference's
+  ``LazyLocIndexer`` (``lazy_parquet.py:573-590``), kept lazy for
+  boolean-expression masks; ``lazy.loc[mask, col] = value`` becomes a
+  ``CASE WHEN`` projection, not a pandas round-trip;
 - ``head`` / ``query`` / ``filter`` / ``describe`` — plan operations;
-- ``iter_row_chunks`` — ``toLocalIterator`` over Arrow batches;
+- ``iter_row_chunks`` — ordered pandas chunks, O(chunk) driver memory;
 - ``to_pandas`` / ``to_parquet`` / ``save`` — materialization sinks.
 
 Row identity (the reference leans on implicit file order, SURVEY §7.4
 #1) is made explicit: a ``_row_id`` ordinal is captured from the file
 scan order once, at construction, and used for positional alignment of
-array-like assignment and ordered iteration.
+array-like assignment and ordered iteration. After a ``filter``/
+``query`` the surviving ``_row_id`` values are sparse; positional
+operations (chunk iteration, array-like assignment, boolean-array
+masks) re-rank them into a dense ordinal first — distributed, via
+range repartitioning (no single-partition window).
 """
 
 from __future__ import annotations
@@ -33,7 +46,16 @@ from parq_tools_spark.plans.query_parser import build_filter_expression
 
 _ROW_ID = "_row_id"
 
-__all__ = ["LazySparkDF", "with_row_ordinal"]
+#: Hard cap on driver-resident values accepted by array-like
+#: ``__setitem__`` / boolean-array ``.loc`` masks. Larger assignments
+#: must go through a parquet-backed join (write the values with a key
+#: column and ``concat_with_dataframe`` / ``join`` them in). The
+#: reference holds the whole column in driver memory too
+#: (``lazy_parquet.py:222-245``) — the cap makes the scale boundary
+#: explicit instead of OOM-ing an executor broadcast.
+MAX_DRIVER_ASSIGN_ROWS = 10_000_000
+
+__all__ = ["LazySparkDF", "LazyColumn", "LazyLocIndexer", "with_row_ordinal"]
 
 
 def with_row_ordinal(df: DataFrame, name: str = _ROW_ID) -> DataFrame:
@@ -72,6 +94,286 @@ def with_row_ordinal(df: DataFrame, name: str = _ROW_ID) -> DataFrame:
     )
 
 
+class LazyColumn:
+    """A lazily-evaluated column expression bound to a :class:`LazySparkDF`.
+
+    The reference's arithmetic/comparison dunders
+    (``lazy_parquet.py:899-1038``) materialize the whole frame to
+    pandas on every operation. Here each operation composes a Catalyst
+    ``Column`` expression instead; nothing touches the data until the
+    result is iterated, assigned back (``lazy["c"] = col``), used as a
+    ``.loc`` mask, or converted with :meth:`to_pandas`. At 100 TB that
+    is the difference between a projection pushed into the scan and an
+    impossible driver collect.
+    """
+
+    def __init__(self, parent: "LazySparkDF", expr: Column, name: str = "_col"):
+        self._parent = parent
+        self._expr = expr
+        self._name = name
+
+    # --------------------------------------------------------- composition
+    @staticmethod
+    def _unwrap(other) -> Column:
+        if isinstance(other, LazyColumn):
+            return other._expr
+        if isinstance(other, Column):
+            return other
+        return F.lit(other)
+
+    def _make(self, expr: Column) -> "LazyColumn":
+        return LazyColumn(self._parent, expr, self._name)
+
+    # arithmetic
+    def __add__(self, other):
+        return self._make(self._expr + self._unwrap(other))
+
+    def __radd__(self, other):
+        return self._make(self._unwrap(other) + self._expr)
+
+    def __sub__(self, other):
+        return self._make(self._expr - self._unwrap(other))
+
+    def __rsub__(self, other):
+        return self._make(self._unwrap(other) - self._expr)
+
+    def __mul__(self, other):
+        return self._make(self._expr * self._unwrap(other))
+
+    def __rmul__(self, other):
+        return self._make(self._unwrap(other) * self._expr)
+
+    def __truediv__(self, other):
+        return self._make(self._expr / self._unwrap(other))
+
+    def __rtruediv__(self, other):
+        return self._make(self._unwrap(other) / self._expr)
+
+    def __floordiv__(self, other):
+        return self._make(F.floor(self._expr / self._unwrap(other)))
+
+    def __rfloordiv__(self, other):
+        return self._make(F.floor(self._unwrap(other) / self._expr))
+
+    def __mod__(self, other):
+        return self._make(self._expr % self._unwrap(other))
+
+    def __rmod__(self, other):
+        return self._make(self._unwrap(other) % self._expr)
+
+    def __pow__(self, other):
+        return self._make(self._expr ** self._unwrap(other))
+
+    def __rpow__(self, other):
+        return self._make(self._unwrap(other) ** self._expr)
+
+    def __neg__(self):
+        return self._make(-self._expr)
+
+    def __abs__(self):
+        return self._make(F.abs(self._expr))
+
+    def __round__(self, n: int = 0):
+        return self._make(F.round(self._expr, n))
+
+    # boolean
+    def __and__(self, other):
+        return self._make(self._expr & self._unwrap(other))
+
+    def __rand__(self, other):
+        return self._make(self._unwrap(other) & self._expr)
+
+    def __or__(self, other):
+        return self._make(self._expr | self._unwrap(other))
+
+    def __ror__(self, other):
+        return self._make(self._unwrap(other) | self._expr)
+
+    def __xor__(self, other):
+        a, b = self._expr, self._unwrap(other)
+        return self._make((a | b) & ~(a & b))
+
+    def __invert__(self):
+        return self._make(~self._expr)
+
+    # comparison — returns LazyColumn, so the object is unhashable on
+    # purpose (same tradeoff pandas Series makes)
+    def __eq__(self, other):  # type: ignore[override]
+        return self._make(self._expr == self._unwrap(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._make(self._expr != self._unwrap(other))
+
+    def __lt__(self, other):
+        return self._make(self._expr < self._unwrap(other))
+
+    def __le__(self, other):
+        return self._make(self._expr <= self._unwrap(other))
+
+    def __gt__(self, other):
+        return self._make(self._expr > self._unwrap(other))
+
+    def __ge__(self, other):
+        return self._make(self._expr >= self._unwrap(other))
+
+    __hash__ = None  # type: ignore[assignment]
+
+    # pandas-flavored helpers
+    def isin(self, values) -> "LazyColumn":
+        return self._make(self._expr.isin(list(values)))
+
+    def isna(self) -> "LazyColumn":
+        return self._make(self._expr.isNull())
+
+    def notna(self) -> "LazyColumn":
+        return self._make(self._expr.isNotNull())
+
+    def fillna(self, value) -> "LazyColumn":
+        return self._make(F.coalesce(self._expr, F.lit(value)))
+
+    def astype(self, dtype: str) -> "LazyColumn":
+        return self._make(self._expr.cast(dtype))
+
+    def rename(self, name: str) -> "LazyColumn":
+        return LazyColumn(self._parent, self._expr, name)
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def expr(self) -> Column:
+        """Escape hatch: the underlying Spark ``Column``."""
+        return self._expr
+
+    # ------------------------------------------------------ materialization
+    def to_pandas(self) -> pd.Series:
+        pdf = (
+            self._parent._ordered()
+            .select(self._expr.alias(self._name))
+            .toPandas()
+        )
+        return pdf[self._name]
+
+    # aggregates evaluate eagerly — they return a scalar like pandas
+    def _agg(self, fn) -> object:
+        row = self._parent._df.select(fn(self._expr).alias("v")).collect()[0]
+        return row["v"]
+
+    def sum(self):
+        return self._agg(F.sum)
+
+    def mean(self):
+        return self._agg(F.mean)
+
+    def min(self):
+        return self._agg(F.min)
+
+    def max(self):
+        return self._agg(F.max)
+
+    def count(self):
+        return self._agg(F.count)
+
+    def nunique(self):
+        return self._agg(F.countDistinct)
+
+    def __iter__(self):
+        return iter(self.to_pandas())
+
+    def __len__(self) -> int:
+        return len(self._parent)
+
+    @property
+    def values(self):
+        return self.to_pandas().values
+
+    def tolist(self) -> list:
+        return self.to_pandas().tolist()
+
+    def __repr__(self) -> str:
+        return f"LazyColumn({self._name!r})"
+
+
+class LazyLocIndexer:
+    """``.loc`` accessor (reference ``LazyLocIndexer``,
+    ``lazy_parquet.py:573-590``).
+
+    The reference routes every ``.loc`` through ``to_pandas()``. Here a
+    boolean :class:`LazyColumn` / DSL-string mask stays a Catalyst
+    filter, and ``loc[mask, col] = value`` compiles to
+    ``CASE WHEN mask THEN value ELSE col END`` — both fully lazy and
+    distributed. Driver-resident boolean arrays are accepted for
+    pandas parity, positionally aligned via the dense ordinal, and
+    size-capped by :data:`MAX_DRIVER_ASSIGN_ROWS`.
+    """
+
+    def __init__(self, parent: "LazySparkDF"):
+        self._parent = parent
+
+    def _masked(self, mask) -> "LazySparkDF":
+        p = self._parent
+        if isinstance(mask, slice):
+            if mask.start is None and mask.stop is None and mask.step is None:
+                return p
+            raise TypeError("Only the full slice `:` is supported for rows")
+        if isinstance(mask, (LazyColumn, Column)):
+            out = p._wrap(p._df.filter(LazyColumn._unwrap(mask)))
+            out._dense = False
+            return out
+        if isinstance(mask, str):
+            return p.filter(mask)
+        if hasattr(mask, "__len__"):  # boolean array-like, positional
+            flags = [bool(v) for v in mask]
+            if len(flags) != len(p):
+                raise ValueError(
+                    f"Boolean mask length {len(flags)} does not match "
+                    f"{len(p)} rows"
+                )
+            keep = [i for i, f in enumerate(flags) if f]
+            dense = p._densified()
+            lookup = p._spark.createDataFrame(
+                [(i,) for i in keep], f"{_ROW_ID} long"
+            )
+            out = p._wrap(dense.join(F.broadcast(lookup), on=_ROW_ID, how="inner"))
+            out._dense = False
+            return out
+        raise TypeError(f"Unsupported .loc row key: {type(mask)!r}")
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2:
+            mask, cols = key
+            sub = self._masked(mask)
+            if isinstance(cols, str):
+                return sub[cols]
+            return sub.select(list(cols))
+        return self._masked(key)
+
+    def __setitem__(self, key, value) -> None:
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError(".loc assignment requires (mask, column) keys")
+        mask, col = key
+        if not isinstance(col, str):
+            raise TypeError(".loc assignment supports a single column name")
+        p = self._parent
+        if isinstance(mask, str):
+            cond = build_filter_expression(mask, p._user_columns)
+        elif isinstance(mask, (LazyColumn, Column)):
+            cond = LazyColumn._unwrap(mask)
+        else:
+            raise TypeError(
+                ".loc assignment masks must be LazyColumn/Column/DSL string"
+            )
+        val = LazyColumn._unwrap(value)
+        if col in p._df.columns:
+            new = F.when(cond, val).otherwise(F.col(col))
+        else:
+            new = F.when(cond, val)  # NULL elsewhere, like pandas NaN
+        p._df = p._df.withColumn(col, new)
+        if col not in p._user_columns:
+            p._user_columns.append(col)
+
+
 class LazySparkDF:
     """Column-on-demand facade over a Parquet-backed Spark DataFrame."""
 
@@ -90,6 +392,8 @@ class LazySparkDF:
         # explicit, distributed row ordinal in scan order (no global window)
         self._df = with_row_ordinal(base, _ROW_ID)
         self._user_columns = [c for c in base.columns]
+        # _row_id values are dense [0, n) until a filter sparsifies them
+        self._dense = True
 
     # ------------------------------------------------------------ metadata
     @property
@@ -116,17 +420,23 @@ class LazySparkDF:
         if isinstance(key, str):
             if key not in self._user_columns:
                 raise KeyError(key)
-            pdf = self._ordered().select(key).toPandas()
-            return pdf[key]
+            return LazyColumn(self, F.col(key), key)
         if isinstance(key, (list, tuple)):
             missing = [c for c in key if c not in self._user_columns]
             if missing:
                 raise KeyError(missing)
             return self._ordered().select(*key).toPandas()
+        if isinstance(key, (LazyColumn, Column)):
+            # boolean-mask spelling: lazy[lazy["x"] > 3]
+            out = self._wrap(self._df.filter(LazyColumn._unwrap(key)))
+            out._dense = False
+            return out
         raise TypeError(f"Unsupported key type: {type(key)!r}")
 
     def __setitem__(self, name: str, value) -> None:
-        if isinstance(value, Column):
+        if isinstance(value, LazyColumn):
+            self._df = self._df.withColumn(name, value._expr)
+        elif isinstance(value, Column):
             self._df = self._df.withColumn(name, value)
         elif isinstance(value, str):
             self._df = self._df.withColumn(name, F.expr(value))
@@ -136,19 +446,53 @@ class LazySparkDF:
                 raise ValueError(
                     f"Length mismatch: {len(values)} values for {len(self)} rows"
                 )
+            if len(values) > MAX_DRIVER_ASSIGN_ROWS:
+                raise ValueError(
+                    f"Array-like assignment of {len(values):,} values exceeds "
+                    f"MAX_DRIVER_ASSIGN_ROWS ({MAX_DRIVER_ASSIGN_ROWS:,}). "
+                    "Driver-resident values are broadcast to every executor; "
+                    "at this size write them to parquet with a key column and "
+                    "join instead (e.g. operators.concat.concat_with_dataframe)."
+                )
+            # positional alignment: join on the DENSE ordinal, so values
+            # line up with visible row positions even after a filter
+            dense = self._densified()
             lookup = self._spark.createDataFrame(
                 pd.DataFrame({_ROW_ID: range(len(values)), name: values})
             )
-            existing = self._df.drop(name) if name in self._df.columns else self._df
+            existing = dense.drop(name) if name in dense.columns else dense
             self._df = existing.join(F.broadcast(lookup), on=_ROW_ID, how="left")
+            self._dense = True
         else:
             self._df = self._df.withColumn(name, F.lit(value))
         if name not in self._user_columns:
             self._user_columns.append(name)
 
+    @property
+    def loc(self) -> LazyLocIndexer:
+        return LazyLocIndexer(self)
+
     # ------------------------------------------------------------ plan ops
     def _ordered(self) -> DataFrame:
         return self._df.orderBy(_ROW_ID)
+
+    def _densified(self) -> DataFrame:
+        """Return ``_df`` with ``_row_id`` re-ranked to a dense [0, n).
+
+        After ``filter``/``query`` the surviving ordinals are sparse;
+        positional operations need dense ranks. Re-ranking is
+        distributed: range-repartition on ``_row_id`` (partition *p*
+        holds smaller ordinals than *p+1*), sort within partitions,
+        then reuse the per-partition offset trick — one range shuffle,
+        never a single-partition window. Dense frames skip all of it.
+        """
+        if self._dense:
+            return self._df
+        n_parts = max(int(self._spark.conf.get("spark.sql.shuffle.partitions")), 1)
+        ranged = self._df.repartitionByRange(
+            n_parts, F.col(_ROW_ID)
+        ).sortWithinPartitions(_ROW_ID)
+        return with_row_ordinal(ranged.drop(_ROW_ID), _ROW_ID)
 
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._ordered().select(*self._user_columns).limit(n).toPandas()
@@ -156,7 +500,9 @@ class LazySparkDF:
     def filter(self, expression: str) -> "LazySparkDF":
         """Filter with the pandas-like DSL; returns a new lazy frame."""
         flt = build_filter_expression(expression, self._user_columns)
-        return self._wrap(self._df.filter(flt))
+        out = self._wrap(self._df.filter(flt))
+        out._dense = False
+        return out
 
     # pandas spelling
     query = filter
@@ -181,6 +527,7 @@ class LazySparkDF:
         clone._df = df
         clone._index_columns = list(self._index_columns)
         clone._user_columns = list(self._user_columns)
+        clone._dense = self._dense
         return clone
 
     @property
@@ -196,12 +543,12 @@ class LazySparkDF:
         """Ordered pandas chunks (``lazy_parquet.py:433-471`` equivalent).
 
         Honors the reference's O(chunk) driver-memory contract: each
-        chunk is fetched as a ``_row_id`` range filter and collected
-        independently, so only one chunk is ever resident. The plan is
-        cached once so per-chunk fetches re-filter the cached ordinal
-        frame instead of re-scanning the source.
+        chunk is fetched as a dense-ordinal range filter and collected
+        independently, so only one chunk is ever resident. The
+        (densified, if filtered) plan is cached once so per-chunk
+        fetches re-filter the cached frame instead of re-scanning.
         """
-        cached = self._df.cache()
+        cached = self._densified().cache()
         try:
             total = cached.count()
             for offset in range(0, total, chunk_size):

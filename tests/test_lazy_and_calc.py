@@ -158,3 +158,108 @@ def test_demo_blockmodel_is_distributed(spark):
     bm = create_demo_blockmodel(spark, shape=(10, 10, 10))
     assert bm.rdd.getNumPartitions() > 1
     assert bm.count() == 1000
+
+
+# ------------------------------------------------- LazyColumn + .loc (UD4)
+def test_lazy_column_arithmetic_stays_lazy(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    combo = lazy["x"] + lazy["y"] * 2 - 1
+    # no materialization yet — it's an expression object
+    from parq_tools_spark.lazy import LazyColumn
+
+    assert isinstance(combo, LazyColumn)
+    assert combo.tolist() == [x + (x + 10) * 2 - 1 for x in range(1, 11)]
+
+
+def test_lazy_column_more_dunders(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    assert (lazy["y"] / lazy["x"]).to_pandas().iloc[0] == 11.0
+    assert (lazy["y"] // lazy["x"]).tolist()[0] == 11
+    assert (lazy["x"] % 3).tolist() == [i % 3 for i in range(1, 11)]
+    assert (lazy["x"] ** 2).tolist() == [float(i * i) for i in range(1, 11)]
+    assert (-lazy["x"]).tolist() == [-i for i in range(1, 11)]
+    assert abs(lazy["x"] - 5).tolist() == [abs(i - 5) for i in range(1, 11)]
+    assert (10 - lazy["x"]).tolist() == [10 - i for i in range(1, 11)]
+    assert round(lazy["x"] / 3, 1).tolist() == [round(i / 3, 1) for i in range(1, 11)]
+
+
+def test_lazy_column_comparisons_and_boolean(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    mask = (lazy["x"] > 3) & (lazy["x"] <= 7)
+    assert mask.tolist() == [3 < i <= 7 for i in range(1, 11)]
+    assert (~mask).tolist() == [not (3 < i <= 7) for i in range(1, 11)]
+    xor = (lazy["x"] > 3) ^ (lazy["x"] > 7)
+    assert xor.tolist() == [(i > 3) != (i > 7) for i in range(1, 11)]
+    assert (lazy["x"] == 5).tolist() == [i == 5 for i in range(1, 11)]
+    assert lazy["x"].isin([2, 4]).tolist() == [i in (2, 4) for i in range(1, 11)]
+
+
+def test_lazy_column_aggregates(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    assert lazy["x"].sum() == 55
+    assert lazy["x"].mean() == 5.5
+    assert lazy["x"].min() == 1 and lazy["x"].max() == 10
+    assert lazy["x"].count() == 10 and lazy["x"].nunique() == 10
+
+
+def test_lazy_column_assignment(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    lazy["sum_xy"] = lazy["x"] + lazy["y"]
+    pdf = lazy.to_pandas()
+    assert list(pdf.sum_xy) == [2 * i + 10 for i in range(1, 11)]
+
+
+def test_lazy_loc_mask(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    sub = lazy.loc[lazy["x"] > 8]
+    assert sub.to_pandas().x.tolist() == [9, 10]
+    # (mask, column) -> LazyColumn; (mask, [cols]) -> LazySparkDF
+    assert lazy.loc[lazy["x"] > 8, "a"].tolist() == ["val9", "val10"]
+    two = lazy.loc[lazy["x"] > 8, ["x", "a"]]
+    assert two.columns == ["x", "a"]
+    assert lazy.loc[:, ["x"]].columns == ["x"]
+
+
+def test_lazy_loc_boolean_array_mask(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    mask = [i % 2 == 0 for i in range(10)]  # keeps x = 1,3,5,7,9
+    sub = lazy.loc[mask]
+    assert sub.to_pandas().x.tolist() == [1, 3, 5, 7, 9]
+    with pytest.raises(ValueError, match="mask length"):
+        lazy.loc[[True, False]]
+
+
+def test_lazy_loc_assignment(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    lazy.loc[lazy["x"] > 8, "a"] = "big"
+    assert lazy["a"].tolist() == [f"val{i}" for i in range(1, 9)] + ["big", "big"]
+    # new column: NULL where mask is false (pandas NaN analogue)
+    lazy.loc[lazy["x"] <= 2, "flag"] = 1
+    flags = lazy["flag"].to_pandas()
+    assert flags.iloc[0] == 1 and flags.iloc[1] == 1 and pd.isna(flags.iloc[2])
+
+
+# ---------------------------------------- filtered-frame positional fixes
+def test_filtered_iter_row_chunks_yields_all_rows(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"]).filter("x > 4")
+    chunks = list(lazy.iter_row_chunks(chunk_size=2))
+    assert [len(c) for c in chunks] == [2, 2, 2]
+    rebuilt = pd.concat(chunks, ignore_index=True)
+    assert rebuilt.x.tolist() == [5, 6, 7, 8, 9, 10]
+
+
+def test_filtered_array_setitem_aligns_positionally(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"]).filter("x > 6")
+    lazy["tag"] = ["t0", "t1", "t2", "t3"]
+    pdf = lazy.to_pandas()
+    assert pdf.x.tolist() == [7, 8, 9, 10]
+    assert pdf.tag.tolist() == ["t0", "t1", "t2", "t3"]
+
+
+def test_setitem_size_cap(spark, wide_tables, monkeypatch):
+    import parq_tools_spark.lazy as lazy_mod
+
+    monkeypatch.setattr(lazy_mod, "MAX_DRIVER_ASSIGN_ROWS", 5)
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    with pytest.raises(ValueError, match="MAX_DRIVER_ASSIGN_ROWS"):
+        lazy["big"] = list(range(10))
