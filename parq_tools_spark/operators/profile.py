@@ -28,8 +28,10 @@ from pyspark.sql import types as T
 __all__ = [
     "DEFAULT_COMPARISON_METRICS",
     "profile_dataframe",
+    "profile_alerts",
     "profile_to_dataframe",
     "compare_profiles",
+    "render_profile_html",
     "save_profile_report",
 ]
 
@@ -55,18 +57,34 @@ _NUMERIC_TYPES = (
 )
 
 
+_QUANTILES = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
 def profile_dataframe(
     df: DataFrame,
     columns: Optional[Sequence[str]] = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
+    full: bool = False,
 ) -> dict[str, dict]:
     """Per-column stats dict in a single aggregation pass (A1/A2).
 
-    ``exact_distinct=False`` switches ``n_distinct`` to
-    ``approx_count_distinct`` (HyperLogLog++) — at 100 TB the exact
-    count is a full shuffle per column; the sketch is one pass and
-    merges map-side. Numeric metrics are null for non-numeric columns
-    (min/max still computed — Spark orders strings/timestamps fine).
+    ``n_distinct`` defaults to ``approx_count_distinct``
+    (HyperLogLog++, ~2% relative error): the exact count on every
+    column at once compiles to an expand-based multi-phase aggregation
+    — at 100 TB that is one full shuffle PER COLUMN. The sketch is one
+    pass and merges map-side. Pass ``exact_distinct=True`` when exact
+    cardinality matters (small data, key-uniqueness checks).
+
+    ``full=True`` widens the surface toward the reference's ydata
+    ``describe_1d`` (``profile_utils.py:286-309``): per-column
+    quantiles (p5/p25/p50/p75/p95 via ``percentile_approx``), sum,
+    skewness, kurtosis, zero/negative counts for numerics, value
+    lengths for strings, and ``p_distinct``/``is_unique`` everywhere —
+    still ONE scan; every extra metric is another partial-aggregable
+    expression in the same ``df.agg``.
+
+    Numeric metrics are null for non-numeric columns (min/max still
+    computed — Spark orders strings/timestamps fine).
     """
     cols = list(columns) if columns is not None else df.columns
     field_type = {f.name: f.dataType for f in df.schema.fields}
@@ -74,33 +92,110 @@ def profile_dataframe(
 
     aggs = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
+        col = F.col(c)
         is_num = isinstance(field_type[c], _NUMERIC_TYPES)
-        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
-        aggs.append(distinct_fn(F.col(c)).alias(f"{c}__n_distinct"))
-        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
-        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+        is_str = isinstance(field_type[c], T.StringType)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        aggs.append(distinct_fn(col).alias(f"{c}__n_distinct"))
+        aggs.append(F.min(col).alias(f"{c}__min"))
+        aggs.append(F.max(col).alias(f"{c}__max"))
         if is_num:
-            aggs.append(F.mean(F.col(c)).alias(f"{c}__mean"))
-            aggs.append(F.stddev(F.col(c)).alias(f"{c}__std"))
+            aggs.append(F.mean(col).alias(f"{c}__mean"))
+            aggs.append(F.stddev(col).alias(f"{c}__std"))
+            if full:
+                aggs.append(F.sum(col.cast("double")).alias(f"{c}__sum"))
+                aggs.append(F.skewness(col).alias(f"{c}__skewness"))
+                aggs.append(F.kurtosis(col).alias(f"{c}__kurtosis"))
+                aggs.append(
+                    F.count(F.when(col == 0, 1)).alias(f"{c}__n_zeros")
+                )
+                aggs.append(
+                    F.count(F.when(col < 0, 1)).alias(f"{c}__n_negative")
+                )
+                aggs.append(
+                    F.percentile_approx(col, _QUANTILES, 10_000).alias(
+                        f"{c}__quantiles"
+                    )
+                )
+        if is_str and full:
+            aggs.append(F.mean(F.length(col)).alias(f"{c}__mean_length"))
+            aggs.append(F.max(F.length(col)).alias(f"{c}__max_length"))
+            aggs.append(F.min(F.length(col)).alias(f"{c}__min_length"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     total = row["__total"]
     out: dict[str, dict] = {}
     for c in cols:
         n = row[f"{c}__n"]
+        n_distinct = row[f"{c}__n_distinct"]
         stats = {
             "n": n,
             "n_missing": total - n,
             "p_missing": (total - n) / total if total else 0.0,
-            "n_distinct": row[f"{c}__n_distinct"],
+            "n_distinct": n_distinct,
             "min": row[f"{c}__min"],
             "max": row[f"{c}__max"],
             "mean": row.get(f"{c}__mean"),
             "std": row.get(f"{c}__std"),
             "dtype": field_type[c].simpleString(),
         }
+        if full:
+            stats["p_distinct"] = n_distinct / n if n else 0.0
+            stats["is_unique"] = bool(n) and n_distinct >= n
+            for extra in ("sum", "skewness", "kurtosis", "n_zeros", "n_negative",
+                          "mean_length", "max_length", "min_length"):
+                if f"{c}__{extra}" in row:
+                    stats[extra] = row[f"{c}__{extra}"]
+            if f"{c}__quantiles" in row:
+                qs = row[f"{c}__quantiles"]
+                if qs is not None:
+                    for q, v in zip(_QUANTILES, qs):
+                        stats[f"p{int(q * 100)}"] = v
+            if "n_zeros" in stats:
+                stats["p_zeros"] = stats["n_zeros"] / n if n else 0.0
         out[c] = stats
     return out
+
+
+def profile_alerts(
+    profile: dict[str, dict],
+    missing_threshold: float = 0.05,
+    cardinality_threshold: float = 0.5,
+    skew_threshold: float = 20.0,
+) -> dict[str, list[str]]:
+    """ydata-style per-column alert list (``profile_utils.py`` alerts).
+
+    Plain-Python post-processing of an already-computed profile — no
+    extra Spark jobs. Alert vocabulary mirrors ydata-profiling's:
+    ``constant``, ``unique``, ``missing``, ``zeros``,
+    ``high_cardinality``, ``skewed``.
+    """
+    alerts: dict[str, list[str]] = {}
+    for col, s in profile.items():
+        found = []
+        n = s.get("n") or 0
+        if n and s.get("n_distinct") == 1:
+            found.append("constant")
+        if s.get("is_unique") or (n and s.get("n_distinct") == n):
+            found.append("unique")
+        if (s.get("p_missing") or 0.0) > missing_threshold:
+            found.append("missing")
+        if (s.get("p_zeros") or 0.0) > missing_threshold:
+            found.append("zeros")
+        p_distinct = s.get("p_distinct")
+        if (
+            p_distinct is not None
+            and p_distinct > cardinality_threshold
+            and "unique" not in found
+            and s.get("dtype") == "string"
+        ):
+            found.append("high_cardinality")
+        skew = s.get("skewness")
+        if skew is not None and abs(skew) > skew_threshold:
+            found.append("skewed")
+        if found:
+            alerts[col] = found
+    return alerts
 
 
 def profile_to_dataframe(spark, profile: dict[str, dict]) -> DataFrame:
@@ -166,22 +261,138 @@ def compare_profiles(
     return report
 
 
+def _is_diff(d: dict) -> bool:
+    return "summary" in d and "columns" in d and "added_columns" in d
+
+
+def _fmt_val(v) -> str:
+    import html
+
+    if v is None:
+        return "&mdash;"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return html.escape(str(v))
+
+
+_HTML_STYLE = """
+<style>
+ body { font-family: -apple-system, 'Segoe UI', Roboto, sans-serif;
+        margin: 2rem; color: #1a1a2e; }
+ h1 { font-size: 1.4rem; } h2 { font-size: 1.1rem; margin-top: 1.5rem; }
+ table { border-collapse: collapse; margin-top: .5rem; }
+ th, td { border: 1px solid #d0d4dc; padding: .3rem .6rem;
+          font-size: .85rem; text-align: right; }
+ th { background: #f0f2f6; } td:first-child, th:first-child { text-align: left; }
+ .alert { color: #b3261e; font-weight: 600; }
+ .status-changed { background: #fde7e9; }
+ .status-within_tolerance { background: #fff8e1; }
+</style>
+"""
+
+
+def render_profile_html(profile_or_diff: dict, title: str = "Profile report") -> str:
+    """Self-contained HTML for a profile or profile-diff (driver-side).
+
+    Parity surface for the reference's ydata HTML rendering
+    (``parq_profile.py:158-171``): one table, all columns x all
+    metrics, plus an alerts row — a plain dict in, a standalone
+    document out, no external assets.
+    """
+    import html as _html
+
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_html.escape(title)}</title>",
+        _HTML_STYLE,
+        "</head><body>",
+        f"<h1>{_html.escape(title)}</h1>",
+    ]
+    if _is_diff(profile_or_diff):
+        diff = profile_or_diff
+        parts.append("<h2>Summary</h2><table><tr>")
+        parts += [f"<th>{k}</th>" for k in ("match", "within_tolerance", "changed")]
+        parts.append("</tr><tr>")
+        parts += [f"<td>{diff['summary'][k]}</td>"
+                  for k in ("match", "within_tolerance", "changed")]
+        parts.append("</tr></table>")
+        if diff["added_columns"] or diff["removed_columns"]:
+            parts.append(
+                f"<p class='alert'>added: {diff['added_columns']} "
+                f"removed: {diff['removed_columns']}</p>"
+            )
+        parts.append("<h2>Metric diff</h2><table>")
+        parts.append(
+            "<tr><th>column</th><th>metric</th><th>a</th><th>b</th>"
+            "<th>status</th></tr>"
+        )
+        for col, metrics in diff["columns"].items():
+            for metric, cell in metrics.items():
+                parts.append(
+                    f"<tr class='status-{cell['status']}'>"
+                    f"<td>{_html.escape(col)}</td><td>{metric}</td>"
+                    f"<td>{_fmt_val(cell['a'])}</td><td>{_fmt_val(cell['b'])}</td>"
+                    f"<td>{cell['status']}</td></tr>"
+                )
+        parts.append("</table>")
+    else:
+        profile = profile_or_diff
+        metrics: list[str] = []
+        for stats in profile.values():
+            for m in stats:
+                if m not in metrics:
+                    metrics.append(m)
+        parts.append("<h2>Columns</h2><table><tr><th>column</th>")
+        parts += [f"<th>{_html.escape(m)}</th>" for m in metrics]
+        parts.append("</tr>")
+        for col, stats in profile.items():
+            parts.append(f"<tr><td>{_html.escape(col)}</td>")
+            parts += [f"<td>{_fmt_val(stats.get(m))}</td>" for m in metrics]
+            parts.append("</tr>")
+        parts.append("</table>")
+        alerts = profile_alerts(profile)
+        if alerts:
+            parts.append("<h2>Alerts</h2><table><tr><th>column</th>"
+                         "<th>alerts</th></tr>")
+            for col, found in alerts.items():
+                parts.append(
+                    f"<tr><td>{_html.escape(col)}</td>"
+                    f"<td class='alert'>{', '.join(found)}</td></tr>"
+                )
+            parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 def save_profile_report(
     profile_or_diff: dict, path: str, fmt: Optional[str] = None
 ) -> str:
-    """Serialize a profile or profile-diff to JSON/YAML (driver-side).
+    """Serialize a profile or profile-diff to JSON/YAML/HTML (driver-side).
 
-    The reference renders ydata-profiling reports to JSON/HTML
-    (``parq_profile.py``); here the artifact is the plain stats dict —
-    atomic write, format inferred from the extension. YAML falls back
-    to JSON if no yaml library is available (not in this container).
+    Parity with the reference's report outputs (``parq_profile.py``:
+    ydata JSON + HTML): atomic write, format inferred from the
+    extension (``.html`` renders :func:`render_profile_html`). YAML
+    falls back to JSON if no yaml library is available (not in this
+    container).
     """
     import json
 
     from parq_tools_spark.sources.file_utils import atomic_output_file
 
-    fmt = fmt or ("yaml" if str(path).endswith((".yaml", ".yml")) else "json")
+    p = str(path)
+    if fmt is None:
+        if p.endswith((".yaml", ".yml")):
+            fmt = "yaml"
+        elif p.endswith((".html", ".htm")):
+            fmt = "html"
+        else:
+            fmt = "json"
     with atomic_output_file(path) as tmp:
+        if fmt == "html":
+            with open(tmp, "w") as f:
+                f.write(render_profile_html(profile_or_diff))
         if fmt == "yaml":
             try:
                 import yaml  # type: ignore

@@ -371,24 +371,35 @@ def brute_force_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_driver_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (id1 < id2), vectorized.
 
-    The corpus matrix is collected once to the driver and broadcast
+    Dispatches on corpus size: at or below ``max_driver_rows`` the
+    corpus matrix is collected once to the driver and broadcast
     (float64); each partition then computes a block of the similarity
     matrix with one BLAS matmul inside ``mapInPandas`` — Arrow batches
-    in, ~memory-bandwidth-bound numpy out. Orders of magnitude faster
-    than per-pair expression evaluation. Sims are rounded with the
-    portable floor(x*10^r + 0.5)/10^r before thresholding.
-
-    Driver-side matrix broadcast caps this at ~1M vectors; beyond that
-    use :func:`embedding_near_duplicate_pairs` (LSH candidates) — the
-    O(N^2) similarity matrix is the real limit long before the
-    broadcast is.
+    in, ~memory-bandwidth-bound numpy out, no shuffle at all. Above
+    the cap it delegates to :func:`brute_force_pairs_blocked`, whose
+    memory footprint is independent of N — so the DEFAULT path never
+    collects an unbounded corpus to the driver. Results are identical
+    either way (same portable floor(x*10^r + 0.5)/10^r rounding, same
+    id1 < id2 contract). For genuinely huge corpora prefer
+    :func:`embedding_near_duplicate_pairs` (LSH candidates) — the
+    O(N^2) compute is the real limit long before memory is.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
+
+    if corpus.count() > max_driver_rows:
+        return brute_force_pairs_blocked(
+            corpus,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
 
     pdf = corpus.select(id_col, vec_col).toPandas()
     if pdf.empty:

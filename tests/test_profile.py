@@ -19,7 +19,7 @@ from parq_tools_spark.operators.schema_tools import (
 
 def test_profile_numeric_column(spark, sf_dir):
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    prof = profile_dataframe(li, ["l_quantity", "l_returnflag"])
+    prof = profile_dataframe(li, ["l_quantity", "l_returnflag"], exact_distinct=True)
     q = prof["l_quantity"]
     pdf = li.select("l_quantity").toPandas()["l_quantity"]
     assert q["n"] == len(pdf)
@@ -160,3 +160,74 @@ def test_merge_and_stamp_pandas_metadata(spark, wide_tables, tmp_path):
     assert blob is not None and "a" in [c["name"] for c in blob["columns"]]
     # data still readable by Spark after the footer rewrite
     assert spark.read.parquet(out).count() == 10
+
+
+def test_profile_approx_distinct_default(spark, sf_dir):
+    """Default n_distinct is HLL++ — within ~5% of exact."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    approx = profile_dataframe(li, ["l_quantity"])["l_quantity"]["n_distinct"]
+    exact = li.select("l_quantity").distinct().count()
+    assert abs(approx - exact) <= max(2, 0.10 * exact)
+
+
+def test_profile_full_surface(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    prof = profile_dataframe(
+        li, ["l_quantity", "l_returnflag"], exact_distinct=True, full=True
+    )
+    q = prof["l_quantity"]
+    pdf = li.select("l_quantity", "l_returnflag").toPandas()
+    assert math.isclose(q["sum"], float(pdf.l_quantity.sum()), rel_tol=1e-9)
+    assert q["n_zeros"] == int((pdf.l_quantity == 0).sum())
+    assert q["n_negative"] == 0 and q["p_zeros"] == 0.0
+    assert "skewness" in q and "kurtosis" in q
+    # approx quantiles land within the value domain
+    for k in ("p5", "p25", "p50", "p75", "p95"):
+        assert q["min"] <= q[k] <= q["max"]
+    assert q["p5"] <= q["p50"] <= q["p95"]
+    flag = prof["l_returnflag"]
+    assert flag["max_length"] == 1 and flag["mean_length"] == 1.0
+    assert flag["is_unique"] is False
+    assert 0 < flag["p_distinct"] < 0.01
+
+
+def test_profile_alerts(spark):
+    from parq_tools_spark.operators.profile import profile_alerts
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0, None), (1, "b", 0.0, 2.0), (1, "c", 5.0, None)],
+        "const int, uniq string, zeros double, holes double",
+    )
+    prof = profile_dataframe(df, exact_distinct=True, full=True)
+    alerts = profile_alerts(prof)
+    assert "constant" in alerts["const"]
+    assert "unique" in alerts["uniq"]
+    assert "zeros" in alerts["zeros"]
+    assert "missing" in alerts["holes"]
+
+
+def test_profile_html_report(spark, sf_dir, tmp_path):
+    from parq_tools_spark.operators.profile import (
+        render_profile_html,
+        save_profile_report,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    prof = profile_dataframe(li, ["l_quantity", "l_returnflag"], full=True)
+    p = tmp_path / "report.html"
+    fmt = save_profile_report(prof, str(p))
+    assert fmt == "html"
+    html = p.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "l_quantity" in html and "l_returnflag" in html
+    assert "n_distinct" in html and "<style>" in html
+
+    # diff rendering carries status classes
+    df2 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    df3 = spark.createDataFrame([(1.0,), (9.0,)], "v double")
+    diff = compare_profiles(
+        profile_dataframe(df2, exact_distinct=True),
+        profile_dataframe(df3, exact_distinct=True),
+    )
+    html2 = render_profile_html(diff, title="diff")
+    assert "status-changed" in html2 and "Summary" in html2

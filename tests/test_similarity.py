@@ -132,3 +132,21 @@ def test_brute_force_pairs_blocked_matches_broadcast(embeddings):
         ).collect()
     }
     assert want == got1
+
+
+def test_brute_force_pairs_auto_dispatches_to_blocked(embeddings):
+    """Above max_driver_rows the default path must not collect the corpus:
+    it routes to the blocked implementation and results are identical."""
+    from parq_tools_spark.operators.similarity import brute_force_pairs
+
+    driver = {
+        (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs(embeddings, threshold=0.3).collect()
+    }
+    dispatched = {
+        (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs(
+            embeddings, threshold=0.3, max_driver_rows=1
+        ).collect()
+    }
+    assert dispatched == driver
