@@ -461,7 +461,8 @@ def q_ngram_jaccard(spark, sf_dir):
     from parq_tools_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    # max_df=None: bit-exact Jaccard so the DuckDB oracle matches
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=None)
     return pairs.select("id1", "id2", _pround(F.col("jaccard")).alias("jaccard"))
 
 
@@ -473,7 +474,7 @@ def q_dedupe_pairwise(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_df=None
     )
     losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti")
@@ -786,7 +787,7 @@ def q_near_dedupe_cc(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=None)
     return dedupe_near_duplicates(docs, pairs).select("doc_id", "lang")
 
 
@@ -860,7 +861,7 @@ def q_minhash_precision_check(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mh = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.0)
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_df=None)
     joined = mh.join(exact, ["id1", "id2"], "left").select(
         "id1",
         "id2",
@@ -885,7 +886,7 @@ def q_simhash_precision_check(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = simhash_pairs(docs, max_hamming=6)
-    exact1 = ngram_jaccard_pairs(docs, k=1, threshold=0.0)
+    exact1 = ngram_jaccard_pairs(docs, k=1, threshold=0.0, max_df=None)
     joined = sh.join(exact1, ["id1", "id2"], "left").select(
         "id1",
         "id2",

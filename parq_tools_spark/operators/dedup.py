@@ -119,31 +119,44 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
-    max_df: Optional[int] = None,
+    max_df: Optional[int | str] = "auto",
+    auto_min_df: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Classic shingle self-join: pairs that share nothing never meet, so
     the quadratic blowup is bounded by shingle co-occurrence. Returns
     (id1, id2, jaccard) with id1 < id2 and jaccard >= threshold.
-    Skewed hot shingles (stopword runs) are the known hazard at scale
-    — AQE skew-join handles moderate skew; drop top-frequency shingles
-    upstream for adversarial corpora.
+
+    Skewed hot shingles (stopword runs, boilerplate) are the hazard at
+    scale: a shingle present in *d* documents contributes ~d^2/2 join
+    rows with near-zero Jaccard signal. ``max_df="auto"`` (the
+    default) derives a pruning threshold from the corpus itself — the
+    p99.9 of the shingle document-frequency distribution, floored at
+    ``auto_min_df`` so benign small corpora are never pruned — and
+    drops shingles hotter than that. ``max_df=<int>`` sets the
+    threshold explicitly; ``max_df=None`` disables pruning entirely
+    (bit-exact Jaccard; what the oracle queries check). Pruning
+    happens AFTER per-document set sizes are computed, so denominators
+    stay exact and intersections become a lower bound — results are
+    conservative (never a false pair, possibly a missed one near the
+    threshold).
     """
     sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
-        # bound the self-join on adversarial corpora: shingles present
-        # in more than max_df documents contribute ~df^2 join rows but
-        # almost no Jaccard signal. Dropping them AFTER sizes are
-        # computed keeps denominators exact; intersections become a
-        # lower bound, so results are conservative (fewer pairs).
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
-        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        if max_df == "auto":
+            # two independent signals, take the tighter: the p99.9 of
+            # the document-frequency distribution (tail outliers), and
+            # half the corpus size (a shingle in >50% of documents is
+            # definitionally signal-free — this also covers small
+            # vocabularies where the p99.9 IS the hot shingle). The
+            # auto_min_df floor keeps benign small corpora unpruned.
+            p999 = dfreq.approxQuantile("_df", [0.999], 0.001)[0]
+            half_corpus = int(df.select(id_col).distinct().count() * 0.5)
+            max_df = max(min(int(p999), half_corpus), auto_min_df)
+        hot = dfreq.filter(F.col("_df") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
@@ -389,6 +402,12 @@ def connected_components(
     cheap count, loop capped at ``max_iter``). Near-dup clusters are
     shallow, so 3-5 rounds is typical; no driver-side graph state.
 
+    If the graph has NOT converged after ``max_iter`` rounds (cluster
+    diameter > max_iter — e.g. a long duplicate chain), returning the
+    partial labels would silently split components, so this falls back
+    to :func:`connected_components_alternating`, which converges in
+    O(log n) rounds regardless of diameter (a warning is emitted).
+
     The edge list after near-dup candidate generation is orders of
     magnitude smaller than the corpus, so the iteration is sized to
     the graph, not the corpus: edges are counted once and the loop
@@ -414,6 +433,7 @@ def connected_components(
         .repartition(n_parts, "id")
     )
     cached: list = []
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -435,6 +455,22 @@ def connected_components(
         labels = updated.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        # unconverged labels would silently split components — hand the
+        # graph to the diameter-independent O(log n) algorithm instead
+        import warnings
+
+        for df in cached:
+            df.unpersist()
+        edges_cached.unpersist()
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(cluster diameter exceeds max_iter); falling back to "
+            "connected_components_alternating",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_alternating(pairs)
     # materialize the final labels, then release iteration caches
     labels = labels.cache()
     labels.count()

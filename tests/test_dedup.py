@@ -157,3 +157,63 @@ def test_ngram_jaccard_max_df_prunes_conservatively(corpus):
     assert (0, 1) in pruned
     # aggressive pruning on a corpus where everything is shared removes all pairs
     assert ngram_jaccard_pairs(corpus, threshold=0.5, max_df=1).count() == 0
+
+
+def test_ngram_jaccard_auto_max_df_adversarial(spark):
+    """Adversarial corpus: one shingle in EVERY doc. auto max_df prunes it
+    (df=60 >> p99.9 floor), killing the d^2 join blowup; genuinely similar
+    pairs still surface, and results stay conservative (subset of exact)."""
+    docs = []
+    for i in range(60):
+        docs.append((i, f"spam spam spam spam u{i}a u{i}b u{i}c u{i}d"))
+    # one true near-dup pair sharing non-hot shingles
+    docs.append((100, "alpha beta gamma delta epsilon zeta"))
+    docs.append((101, "alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_df=None).collect()
+    }
+    auto = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert auto <= exact  # conservative: never invents a pair
+    # the hot-shingle clique (~60^2/2 pairs) is gone
+    assert len(auto) < len(exact) / 10
+    # the true near-dup pair survives pruning
+    assert (100, 101) in auto
+
+
+def test_ngram_jaccard_auto_noop_on_benign_corpus(corpus):
+    """auto pruning must not fire when every shingle df <= auto_min_df."""
+    exact = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5, max_df=None).collect()
+    }
+    auto = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert auto == exact
+
+
+def test_connected_components_nonconvergence_fallback(spark):
+    """A 30-hop chain with max_iter=3 cannot converge via propagation; the
+    operator must fall back to the O(log n) algorithm, not return split
+    components."""
+    import warnings
+
+    from parq_tools_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id1 long, id2 long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(chain, max_iter=3).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    comps = {r.component for r in labels}
+    assert comps == {0}  # one component, min-id label
+    assert len(labels) == 31
