@@ -159,3 +159,60 @@ def test_read_events_kafka_raises_without_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_kafka_shaped_decoder_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """Integration-shaped Kafka emulation: JSON payload lines stream through
+    the FILE source (same string-value shape a Kafka topic delivers, with
+    malformed records interleaved), get decoded by parse_event_payloads,
+    and aggregate via hourly_counts — output must equal the batch result on
+    the same (valid) events."""
+    from parq_tools_spark.streaming.events import (
+        hourly_counts,
+        parse_event_payloads,
+        start_to_memory,
+    )
+
+    events = _batch_events(spark, sf_dir).drop("event_time").limit(400)
+    payloads = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    src = tmp_path / "topic"
+    src.mkdir()
+    lines = [r.value for r in payloads.collect()]
+    # interleave malformed payloads the decoder must null out, not crash on
+    lines.insert(0, "{broken json")
+    lines.append("not even json")
+    # two "partitions" of the emulated topic -> two source files
+    (src / "part-0.txt").write_text("\n".join(lines[: len(lines) // 2]) + "\n")
+    (src / "part-1.txt").write_text("\n".join(lines[len(lines) // 2 :]) + "\n")
+
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    decoded = parse_event_payloads(raw).filter(F.col("event_id").isNotNull())
+    q = start_to_memory(hourly_counts(decoded), "kafka_shaped", "append")
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.table("kafka_shaped")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in hourly_counts(
+            events.withColumn(
+                "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        )
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    # append mode holds back windows the watermark hasn't passed (final
+    # <=3 hours per event type); everything emitted must match batch exactly
+    assert 0 < len(got) <= len(want)
+    assert got <= want
+    assert len(got) >= len(want) - 3 * 5  # 5 event types
