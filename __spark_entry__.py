@@ -67,6 +67,17 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
 
 
+def _seed_values(family: str, n: int) -> str:
+    """Inline (seed, a, b) VALUES rows for the portable universal hash
+    family — the same constants parq_tools_spark.operators.dedup uses."""
+    from parq_tools_spark.operators.dedup import portable_hash_params
+
+    return ",\n".join(
+        f"  ({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_hash_params(n, family=family))
+    )
+
+
 def _pround(col, n: int = 6):
     """Engine-portable round-half-up: floor(x*10^n + 0.5)/10^n.
 
@@ -762,17 +773,21 @@ def q_clean_text(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (sketch-based; no SQL oracle)."""
+    """MinHash-LSH near-dup pairs. The portable universal-hash family
+    (one md5-derived base per shingle, (a*x+b) mod 2^31-1 permutations)
+    makes the WHOLE pipeline — shingles, signatures, banding, candidate
+    join, estimated Jaccard — bit-exactly recomputable in DuckDB SQL."""
     from parq_tools_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).select(
-        "id1", "id2"
+        "id1", "id2", _pround(F.col("est_jaccard")).alias("est_jaccard")
     )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-distance near-dup pairs (no SQL oracle)."""
+    """SimHash Hamming-distance near-dup pairs. Portable per-bit
+    universal hashes make fingerprints and pairs SQL-recomputable."""
     from parq_tools_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1441,6 +1456,69 @@ def oracle_sql() -> dict[str, str]:
                        (n_chars % 5000) * 10 // 1000, 1))) * 1000 AS BIGINT) AS ts_ms
             FROM documents
         """,
+        "minhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), bh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+), seeds(seed, a, b) AS (VALUES {MINHASH_SEEDS}
+), h AS (
+  SELECT doc_id, seed, min((a * base + b) % 2147483647) AS mh
+  FROM bh CROSS JOIN seeds GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id1, c.id2,
+         sum(CASE WHEN h1.mh = h2.mh THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN h h1 ON h1.doc_id = c.id1
+  JOIN h h2 ON h2.doc_id = c.id2 AND h2.seed = h1.seed
+  GROUP BY c.id1, c.id2
+)
+SELECT id1, id2, floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM est WHERE e >= 0.5
+        """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64)),
+        "simhash_pairs": """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), seeds(seed, a, b) AS (VALUES {SIMHASH_SEEDS}
+), bitsum AS (
+  SELECT doc_id, seed,
+         sum(c * (2 * (((a * base + b) % 2147483647) & 1) - 1)) AS sgn
+  FROM cnt CROSS JOIN seeds GROUP BY doc_id, seed
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn > 0 THEN (1::BIGINT << seed) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bval
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
+        """.replace("{SIMHASH_SEEDS}", _seed_values("simhash", 63)),
         "near_dedupe_cc": _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks")
         + """
             , edges AS (

@@ -32,6 +32,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,6 +41,9 @@ __all__ = [
     "exploded_shingles",
     "dedupe_exact_text",
     "ngram_jaccard_pairs",
+    "MERSENNE_P",
+    "portable_hash_params",
+    "portable_base_hash",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -184,25 +188,84 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------- minhash
+#: Modulus of the portable universal hash family: the Mersenne prime
+#: 2^31 - 1. Together with a 28-bit base hash, a*x + b < 2^59 — no
+#: overflow in any engine's signed 64-bit arithmetic.
+MERSENNE_P = (1 << 31) - 1
+
+
+def portable_hash_params(n: int, family: str = "minhash") -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod (2^31 - 1)``.
+
+    Derived from md5 of the (family, index) pair so every engine,
+    process, and round generates the identical family — these constants
+    are inlined into the DuckDB oracle SQL as literals.
+    """
+    import hashlib
+
+    params = []
+    for i in range(n):
+        a = int(
+            hashlib.md5(f"{family}-a-{i}".encode()).hexdigest()[:7], 16
+        ) % MERSENNE_P
+        b = int(
+            hashlib.md5(f"{family}-b-{i}".encode()).hexdigest()[:7], 16
+        ) % MERSENNE_P
+        params.append((a or 1, b))
+    return params
+
+
+def portable_base_hash(col) -> Column:
+    """28-bit engine-portable base hash of a string.
+
+    Spark: ``conv(substr(md5(x), 1, 7), 16, 10)::long``; the identical
+    DuckDB spelling is ``('0x' || substr(md5(x), 1, 7))::BIGINT``. 28
+    bits keeps ``a * base + b`` under 2^59 for the universal family.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 128,
     k: int = 3,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Per-document MinHash signature: array of ``num_hashes`` longs.
 
-    sig[i] = min over shingles of xxhash64(shingle, i) — a seeded hash
-    family. Computed as ``num_hashes`` min-aggregations in ONE groupBy
-    pass (map-side partial mins make the shuffle tiny: num_hashes
-    longs per doc per partition).
+    ``hash_family="portable"`` (default) is the classic construction:
+    ONE strong base hash per shingle (md5-derived, 28-bit) permuted by
+    ``num_hashes`` universal hashes ``(a_i*x + b_i) mod 2^31-1`` —
+    cheaper than ``num_hashes`` full hashes per shingle AND bit-exactly
+    recomputable in ANSI SQL, so the whole MinHash+LSH pipeline is
+    oracle-checkable. ``hash_family="xxhash64"`` uses seeded xxhash64
+    per signature slot instead (Spark-only hash, 63-bit space).
+
+    Either way: sig[i] = min over shingles, computed as ``num_hashes``
+    min-aggregations in ONE groupBy pass (map-side partial mins make
+    the shuffle tiny: num_hashes longs per doc per partition).
     """
-    sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "portable":
+        sh = exploded_shingles(df, id_col, text_col, k, hashed=False).select(
+            id_col, portable_base_hash(F.col("shingle")).alias("bh")
+        )
+        mins = [
+            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+                f"_h{i}"
+            )
+            for i, (a, b) in enumerate(portable_hash_params(num_hashes))
+        ]
+    elif hash_family == "xxhash64":
+        sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
@@ -217,6 +280,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     k: int = 3,
     threshold: float = 0.7,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs.
 
@@ -224,12 +288,14 @@ def minhash_lsh_pairs(
     (band index, band hash) for candidates -> Jaccard estimated as the
     fraction of equal signature components; keep >= threshold.
     Collision probability for a pair with true Jaccard s is
-    1-(1-s^r)^b with r = num_hashes/bands rows per band.
+    1-(1-s^r)^b with r = num_hashes/bands rows per band. With the
+    default portable ``hash_family`` the whole pipeline is
+    recomputable in ANSI SQL (see :func:`minhash_signatures`).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, hash_family)
     banded = sigs.select(
         F.col(id_col),
         F.col("signature"),
@@ -277,7 +343,11 @@ def minhash_lsh_pairs(
 
 # ---------------------------------------------------------------- simhash
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 63,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """63-bit SimHash fingerprint per document (token-frequency weighted).
 
@@ -300,10 +370,20 @@ def simhash(
     if not 0 < bits <= 63:
         raise ValueError("bits must be in (0, 63]")
     id_field = df.schema[id_col]
+    if hash_family == "portable":
+        # one md5-derived 28-bit base per token; bit b of the sketch
+        # comes from the universal hash ((a_b*base + b_b) mod 2^31-1)
+        # parity — same family as MinHash, so the whole fingerprint is
+        # recomputable in ANSI SQL for oracle checks
+        token_hash = portable_base_hash(F.col("tok"))
+    elif hash_family == "xxhash64":
+        token_hash = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     tokens = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("th"))
+    ).select(F.col(id_col), token_hash.alias("th"))
     counted = tokens.groupBy(id_col, "th").agg(F.count(F.lit(1)).alias("cnt"))
 
     out_schema = T.StructType(
@@ -313,6 +393,10 @@ def simhash(
         ]
     )
     shifts = np.arange(bits, dtype=np.int64)
+    if hash_family == "portable":
+        params = portable_hash_params(bits, family="simhash")
+        pa = np.array([a for a, _ in params], dtype=np.int64)
+        pb = np.array([b for _, b in params], dtype=np.int64)
 
     def _bit_sums(batches):
         import pandas as pd
@@ -321,7 +405,12 @@ def simhash(
         for b in batches:
             th = b["th"].to_numpy(dtype=np.int64)
             cnt = b["cnt"].to_numpy(dtype=np.int64)
-            signs = (((th[:, None] >> shifts[None, :]) & 1) * 2 - 1) * cnt[:, None]
+            if hash_family == "portable":
+                # a < 2^31, base < 2^28 -> product < 2^59: int64-safe
+                bitvals = ((th[:, None] * pa[None, :] + pb[None, :]) % MERSENNE_P) & 1
+            else:
+                bitvals = (th[:, None] >> shifts[None, :]) & 1
+            signs = (bitvals * 2 - 1) * cnt[:, None]
             pdf = pd.DataFrame(signs)
             pdf.insert(0, "_id", b[id_col].to_numpy())
             partials.append(pdf.groupby("_id", sort=False).sum())
@@ -341,6 +430,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_family: str = "portable",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
@@ -349,7 +439,7 @@ def simhash_pairs(
     candidates come from equi-joins on band values; each candidate is
     verified with ``bit_count(xor) <= max_hamming``.
     """
-    fps = simhash(df, id_col, text_col)
+    fps = simhash(df, id_col, text_col, hash_family=hash_family)
     width = 63 // n_bands + 1
     mask = (1 << width) - 1
     banded = fps.select(

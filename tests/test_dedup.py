@@ -217,3 +217,45 @@ def test_connected_components_nonconvergence_fallback(spark):
     comps = {r.component for r in labels}
     assert comps == {0}  # one component, min-id label
     assert len(labels) == 31
+
+
+def test_portable_minhash_matches_duckdb(spark, corpus):
+    """The portable universal-hash family must be bit-identical across
+    engines: recompute signatures in DuckDB SQL and compare elementwise."""
+    import duckdb
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_signatures,
+        portable_hash_params,
+    )
+
+    sigs = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(corpus, num_hashes=8).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", corpus.toPandas())
+    seeds = ",\n".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_hash_params(8))
+    )
+    rows = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END)) AS shingle
+          FROM toks
+        ), bh AS (
+          SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base
+          FROM sh
+        ), seeds(seed, a, b) AS (VALUES {seeds})
+        SELECT doc_id, seed, min((a * base + b) % 2147483647) AS mh
+        FROM bh CROSS JOIN seeds GROUP BY doc_id, seed
+    """).fetchall()
+    for doc_id, seed, mh in rows:
+        assert sigs[doc_id][seed] == mh, (doc_id, seed)
