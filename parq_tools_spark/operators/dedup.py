@@ -252,16 +252,17 @@ def minhash_signatures(
         sh = exploded_shingles(df, id_col, text_col, k, hashed=False).select(
             id_col, portable_base_hash(F.col("shingle")).alias("bh")
         )
+        # F.expr strings: one py4j round-trip per aggregation instead of
+        # ~5 (lit/mul/add/mod/alias) — plan construction drops from
+        # seconds to milliseconds at num_hashes=128
         mins = [
-            F.min((F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
-                f"_h{i}"
-            )
+            F.expr(f"min(({a} * bh + {b}) % {MERSENNE_P}) AS _h{i}")
             for i, (a, b) in enumerate(portable_hash_params(num_hashes))
         ]
     elif hash_family == "xxhash64":
         sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
         mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}")
             for i in range(num_hashes)
         ]
     else:
