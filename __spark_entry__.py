@@ -602,6 +602,251 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Volume-shipping: two-nation trade flow by year (snowflake join,
+    both nation dims broadcast, one aggregation exchange)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_dec_sum(revenue, 6).alias("revenue"))
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Market-share: NATION_5's share of ECONOMY-part volume sold into
+    ASIA, by order year (conditional aggregation over a ratio)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_dec = F.col("_volume").cast("decimal(27,6)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol_dec).otherwise(
+        F.lit(0).cast("decimal(27,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("_volume", volume)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(nation_vol).cast("double")
+                / F.sum(vol_dec).cast("double")
+            ).alias("_share")
+        )
+        .select("o_year", _pround(F.col("_share")).alias("mkt_share"))
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue per customer (one quarter, R-flag only)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(revenue, 6).alias("revenue"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (outer join + double groupBy)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promo-revenue share over one month (conditional agg ratio)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(
+        F.lit(0).cast("decimal(27,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("_pr")
+        )
+        .select(_pround(F.col("_pr")).alias("promo_revenue_pct"))
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue: correlated avg-quantity subquery,
+    expressed as a per-part aggregate joined back (no correlated
+    re-scan; the tiny per-part avg side is broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
+    )
+    matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = (
+        matched.groupBy(F.col("p_partkey").alias("_pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_limit"))
+    )
+    return (
+        matched.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_limit"))
+        .agg(
+            (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume orders: HAVING on a grouped sum, joined back to
+    customer/orders detail."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("_ok"))
+        .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == F.col("_ok"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Disjunctive brand/quantity/size predicates (OR-of-ANDs pushed
+    into one broadcast hash join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return joined.filter(cond).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Global-sales-opportunity shape: rich customers with no URGENT
+    orders — scalar avg subquery + broadcast anti-join, grouped by a
+    derived country code."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def q_window_running(spark, sf_dir):
     """Analytic window functions: rank + running sum per customer."""
     orders = _t(spark, sf_dir, "orders")
@@ -994,6 +1239,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "window_running": q_window_running,
         "pivot_events": q_pivot_events,
         "rollup_revenue": q_rollup_revenue,
@@ -1258,6 +1512,133 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                                 AS DECIMAL(27,6))
+                                       ELSE CAST(0 AS DECIMAL(27,6)) END)
+                              AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(27,6))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q14": """
+            SELECT floor(100.0
+                         * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                                   AS DECIMAL(27,6))
+                                         ELSE CAST(0 AS DECIMAL(27,6)) END)
+                                AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(27,6))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "tpch_q17": """
+            WITH matched AS (
+              SELECT l_quantity, l_extendedprice, p_partkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'
+            ), lim AS (
+              SELECT p_partkey AS pk, 0.2 * avg(l_quantity) AS q_limit
+              FROM matched GROUP BY p_partkey
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2)))
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM matched JOIN lim ON p_partkey = pk
+            WHERE l_quantity < q_limit
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                         AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum_qty > 300
+            )
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY 1
         """,
         "window_running": """
             SELECT o_custkey, o_orderkey,
