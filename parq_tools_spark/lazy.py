@@ -539,7 +539,9 @@ class LazySparkDF:
     def to_pandas(self) -> pd.DataFrame:
         return self._ordered().select(*self._user_columns).toPandas()
 
-    def iter_row_chunks(self, chunk_size: int = 100_000) -> Iterator[pd.DataFrame]:
+    def iter_row_chunks(
+        self, chunk_size: int = 100_000, progress=None
+    ) -> Iterator[pd.DataFrame]:
         """Ordered pandas chunks (``lazy_parquet.py:433-471`` equivalent).
 
         Honors the reference's O(chunk) driver-memory contract: each
@@ -547,10 +549,18 @@ class LazySparkDF:
         independently, so only one chunk is ever resident. The
         (densified, if filtered) plan is cached once so per-chunk
         fetches re-filter the cached frame instead of re-scanning.
+
+        ``progress`` mirrors the reference's tqdm batch reporting
+        (``progress.py:5-26``): either a tqdm-like object (``.update``
+        is called once per chunk) or a plain callable invoked as
+        ``progress(done_chunks, total_chunks)``. Cluster-side jobs are
+        already visible in the Spark UI; this covers the driver loop.
         """
         cached = self._densified().cache()
         try:
             total = cached.count()
+            n_chunks = max(-(-total // chunk_size), 1)
+            done = 0
             for offset in range(0, total, chunk_size):
                 chunk = (
                     cached.filter(
@@ -561,6 +571,12 @@ class LazySparkDF:
                     .select(*self._user_columns)
                     .toPandas()
                 )
+                done += 1
+                if progress is not None:
+                    if hasattr(progress, "update"):
+                        progress.update(1)
+                    else:
+                        progress(done, n_chunks)
                 yield chunk.reset_index(drop=True)
         finally:
             cached.unpersist()

@@ -126,12 +126,18 @@ def atomic_file_copy(
 def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
     """Zip extraction with atomic output (``archive_utils.py:12-54``).
 
-    The reference falls back to a 7-Zip subprocess for other formats;
-    here non-zip formats raise (no 7z in the environment).
+    The reference falls back to a 7-Zip subprocess for other formats
+    (``archive_utils.py:57-113``); this environment has no ``7z``
+    binary, so non-zip formats raise with the divergence spelled out.
     """
     archive_path, output_dir = Path(archive_path), Path(output_dir)
     if not zipfile.is_zipfile(archive_path):
-        raise ValueError(f"Not a zip archive: {archive_path}")
+        raise ValueError(
+            f"Not a zip archive: {archive_path}. The reference "
+            "implementation falls back to a 7-Zip subprocess for other "
+            "formats; no 7z binary is available here, so only zip is "
+            "supported (known divergence)."
+        )
     output_dir.parent.mkdir(parents=True, exist_ok=True)
     with atomic_output_dir(output_dir) as tmp:
         with zipfile.ZipFile(archive_path) as zf:

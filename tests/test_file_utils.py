@@ -66,3 +66,12 @@ def test_extract_archive_rejects_non_zip(tmp_path):
     p.write_text("nope")
     with pytest.raises(ValueError, match="zip"):
         extract_archive(p, tmp_path / "out")
+
+
+def test_extract_archive_names_7z_divergence(tmp_path):
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    notzip = tmp_path / "a.7z"
+    notzip.write_bytes(b"7z\xbc\xaf\x27\x1c fake")
+    with pytest.raises(ValueError, match="7-Zip"):
+        extract_archive(notzip, tmp_path / "out")

@@ -263,3 +263,20 @@ def test_setitem_size_cap(spark, wide_tables, monkeypatch):
     lazy = LazySparkDF(spark, wide_tables["wide_1"])
     with pytest.raises(ValueError, match="MAX_DRIVER_ASSIGN_ROWS"):
         lazy["big"] = list(range(10))
+
+
+def test_iter_row_chunks_progress_callback(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    seen = []
+    list(lazy.iter_row_chunks(chunk_size=4, progress=lambda d, t: seen.append((d, t))))
+    assert seen == [(1, 3), (2, 3), (3, 3)]
+
+    class FakeTqdm:
+        n = 0
+
+        def update(self, k):
+            self.n += k
+
+    bar = FakeTqdm()
+    list(lazy.iter_row_chunks(chunk_size=4, progress=bar))
+    assert bar.n == 3
