@@ -447,6 +447,19 @@ def q_fingerprint(spark, sf_dir):
     return with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Whitespace vs BPE-ish pre-token counts per document (LLM token
+    budget proxy; map-only, zero shuffle)."""
+    from parq_tools_spark.operators.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        bpe_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
 def q_token_count_by_lang(spark, sf_dir):
     """Corpus token accounting grouped by language."""
     from parq_tools_spark.operators.text import token_count
@@ -1261,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_count_by_lang": q_token_count_by_lang,
+        "token_count_bpe": q_token_count_bpe,
         "dedupe_text_exact": q_dedupe_text_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "dedupe_pairwise": q_dedupe_pairwise,
@@ -1768,6 +1782,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                        AS fingerprint
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+                   len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+                       AS n_tokens_bpe
             FROM documents
         """,
         "token_count_by_lang": r"""

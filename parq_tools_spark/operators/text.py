@@ -20,6 +20,8 @@ __all__ = [
     "STOPWORDS_EN",
     "LANG_MARKERS",
     "token_count",
+    "BPE_PRETOKEN_REGEX",
+    "bpe_token_count",
     "with_text_stats",
     "with_quality_score",
     "with_clean_text",
@@ -51,6 +53,30 @@ def token_count(text: Column | str) -> Column:
     """
     col = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(col, F.lit(r"\S+"))
+
+
+#: GPT-2-style pre-tokenizer approximation, restricted to constructs
+#: both Java regex (Spark) and RE2 (DuckDB) support — i.e. no
+#: lookahead, so trailing-whitespace runs are simply not counted
+#: (a real BPE vocab would merge them anyway). Contractions split off
+#: ('s 't 're 've 'm 'll 'd), letter runs, digit runs, and
+#: punctuation runs each count as one pre-token, with one leading
+#: space folded in like GPT-2's encoder.
+BPE_PRETOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    r"""BPE-ish pre-token count (GPT-2 pre-tokenizer shape).
+
+    Counts the units a byte-pair encoder would start from — a better
+    LLM-token-budget proxy than whitespace splitting (punctuation and
+    contractions cost tokens too; actual BPE merges then only lower
+    the count within each pre-token). Pure ``regexp_count``: map-only,
+    codegen'd, zero shuffle, and bit-identical in DuckDB via
+    ``len(regexp_extract_all(text, <same regex>))``.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_REGEX))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

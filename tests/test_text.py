@@ -95,3 +95,26 @@ def test_with_clean_text(spark):
     )
     row = with_clean_text(df).collect()[0]
     assert row.clean_text == "a b c d e"
+
+
+def test_bpe_token_count(spark):
+    from parq_tools_spark.operators.text import bpe_token_count, token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),            # 2 pre-tokens
+            (2, "it's a test, isn't it?"), # it 's _a _test , _isn 't _it ? = 9
+            (3, "abc123!!"),               # abc 123 !! = 3
+            (4, ""),                       # 0
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: (r.ws, r.bpe) for r in df.select(
+        "id",
+        token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    ).collect()}
+    assert rows[1] == (2, 2)
+    assert rows[2] == (5, 9)
+    assert rows[3] == (1, 3)
+    assert rows[4] == (0, 0)
