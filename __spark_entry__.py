@@ -994,6 +994,40 @@ def q_ngram_freq(spark, sf_dir):
 
 
 # ------------------------------------------------- rows-only (non-SQL) ops
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline in ONE lazy plan: quality
+    gate -> C4-style clean -> exact dedup on normalized content ->
+    deterministic train/val/test split -> per-doc token budget.
+
+    The whole composition stays a single Catalyst plan (map-only
+    stages fused; the only shuffle is the dedup window) — at 100 TB
+    this is the shape a real corpus build takes, and every stage is
+    SQL-recomputable so the full pipeline is oracle-checked.
+    """
+    from parq_tools_spark.operators.dedup import dedupe_exact_text
+    from parq_tools_spark.operators.sampling import hash_split
+    from parq_tools_spark.operators.text import (
+        bpe_token_count,
+        with_clean_text,
+        with_quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).filter(F.col("quality_score") > 0.75)
+    cleaned = with_clean_text(scored)
+    deduped = dedupe_exact_text(cleaned)
+    split = hash_split(
+        deduped, "doc_id", [0.8, 0.1, 0.1], names=["train", "val", "test"]
+    )
+    return split.select(
+        "doc_id",
+        "lang",
+        _pround(F.col("quality_score")).alias("quality_score"),
+        bpe_token_count("clean_text").alias("n_tokens_bpe"),
+        "split",
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by key hash (md5 — the same
     rows land in the same split in every engine and partitioning)."""
@@ -1284,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "hash_split": q_hash_split,
+        "pipeline_e2e": q_pipeline_e2e,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
         # rows-only (non-SQL-expressible)
@@ -1944,6 +1979,59 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(1 AS BOOLEAN) AS content_match
             FROM customer
         """,
+        "pipeline_e2e": r"""
+            WITH stats AS (
+              SELECT *,
+                     length(text) AS n_chars,
+                     CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                       AS avg_token_len,
+                     CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                       / greatest(length(text), 1) AS punct_ratio,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '\b(the|and|of|to|in|a|is|that|for|it)\b')) AS DOUBLE)
+                       / greatest(len(regexp_extract_all(text, '\S+')), 1)
+                       AS stopword_ratio
+              FROM documents
+            ), scored AS (
+              SELECT *,
+                     CAST(n_chars BETWEEN 50 AND 100000 AS INT) * 0.25
+                     + CAST(avg_token_len BETWEEN 2.0 AND 12.0 AS INT) * 0.25
+                     + CAST(stopword_ratio > 0.0 AS INT) * 0.25
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25 AS q
+              FROM stats
+            ), kept AS (
+              SELECT *, trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS clean_text
+              FROM scored WHERE q > 0.75
+            ), deduped AS (
+              SELECT * FROM (
+                SELECT *,
+                       row_number() OVER (
+                         PARTITION BY
+                           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                         ORDER BY doc_id) AS rn
+                FROM kept) WHERE rn = 1
+            )
+            SELECT doc_id, lang,
+                   floor(q * 1000000.0 + 0.5) / 1000000.0 AS quality_score,
+                   len(regexp_extract_all(clean_text, '{BPE_RX}'))
+                       AS n_tokens_bpe,
+                   CASE
+                     WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
+                               AS BIGINT) < CAST(floor(0.8 * 4294967296) AS BIGINT)
+                       THEN 'train'
+                     WHEN CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))
+                               AS BIGINT) < CAST(floor(0.9 * 4294967296) AS BIGINT)
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM deduped
+        """.replace(
+            # SQL string literal: the regex's leading apostrophe is doubled
+            "{BPE_RX}", r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        ),
         "hash_split": """
             SELECT doc_id, lang,
                    CASE
