@@ -28,6 +28,7 @@ __all__ = [
     "read_events_kafka",
     "hourly_counts",
     "sessionize",
+    "dedupe_stream",
     "running_user_totals",
     "start_to_memory",
 ]
@@ -227,6 +228,27 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def dedupe_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: duplicate arrivals within the
+    watermark horizon are suppressed and per-key state is evicted once
+    the watermark passes — memory is bounded by the event rate times
+    the horizon, not the stream length (a plain ``dropDuplicates`` on
+    a stream keeps every key forever). Batch DataFrames fall back to
+    ``dropDuplicates`` for batch/stream parity.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(id_cols))
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
     )
 
 

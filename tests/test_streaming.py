@@ -216,3 +216,32 @@ def test_kafka_shaped_decoder_pipeline_matches_batch(spark, sf_dir, tmp_path):
     assert 0 < len(got) <= len(want)
     assert got <= want
     assert len(got) >= len(want) - 3 * 5  # 5 event types
+
+
+def test_streaming_dedupe_bounded_state(spark, sf_dir, tmp_path):
+    """Duplicate events arriving twice (two source files) are emitted once;
+    result matches batch dropDuplicates on the same ids."""
+    import shutil
+
+    from parq_tools_spark.streaming.events import (
+        dedupe_stream,
+        read_events_stream,
+        start_to_memory,
+    )
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "part-0.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), d / "part-1.parquet")
+
+    stream = read_events_stream(spark, str(d))
+    q = start_to_memory(dedupe_stream(stream), "dedup_stream_test")
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_test").count()
+    want = _batch_events(spark, sf_dir).count()  # source has unique event_ids
+    assert got == want
+
+    # batch parity path
+    b = _batch_events(spark, sf_dir)
+    doubled = b.union(b)
+    assert dedupe_stream(doubled).count() == want
