@@ -1162,13 +1162,19 @@ def q_minhash_precision_check(spark, sf_dir):
     exact 3-gram Jaccard >= 0.3 and |estimate - exact| <= 0.35.
     Returns violations; expected empty."""
     from parq_tools_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
         minhash_lsh_pairs,
-        ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mh = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_df=None)
+    # pairs are reused (id projections + verification join):
+    # localCheckpoint materializes the sketch pipeline once
+    mh = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5
+    ).localCheckpoint(eager=True)
+    # exact ground truth per candidate PAIR — work bounded by the pair
+    # list and its shingle overlap, not an all-pairs self-join
+    exact = exact_jaccard_for_pairs(docs, mh, k=3)
     joined = mh.join(exact, ["id1", "id2"], "left").select(
         "id1",
         "id2",
@@ -1187,13 +1193,13 @@ def q_simhash_precision_check(spark, sf_dir):
     is token-level, not shingle-level). Returns violations; expected
     empty."""
     from parq_tools_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        exact_jaccard_for_pairs,
         simhash_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = simhash_pairs(docs, max_hamming=6)
-    exact1 = ngram_jaccard_pairs(docs, k=1, threshold=0.0, max_df=None)
+    sh = simhash_pairs(docs, max_hamming=6).localCheckpoint(eager=True)
+    exact1 = exact_jaccard_for_pairs(docs, sh, k=1)
     joined = sh.join(exact1, ["id1", "id2"], "left").select(
         "id1",
         "id2",

@@ -41,6 +41,7 @@ __all__ = [
     "exploded_shingles",
     "dedupe_exact_text",
     "ngram_jaccard_pairs",
+    "exact_jaccard_for_pairs",
     "MERSENNE_P",
     "portable_hash_params",
     "portable_base_hash",
@@ -184,6 +185,61 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
+    )
+
+
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard for a GIVEN (id1, id2) pair list.
+
+    Verification companion to the sketch operators: instead of the
+    all-pairs self-join, work is bounded by the pair list itself —
+    each pair costs its two shingle sets plus their overlap. Used by
+    the precision property checks, where ground truth is only needed
+    for the candidates a sketch produced. Returns one row per input
+    pair with ``jaccard`` (0.0 when the pair shares no shingle).
+    """
+    keys = pairs.select("id1", "id2")
+    ids = (
+        keys.select(F.col("id1").alias(id_col))
+        .union(keys.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    cand = df.join(F.broadcast(ids), id_col, "left_semi")
+    sh = exploded_shingles(cand, id_col, text_col, k, hashed=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        keys.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_inter = F.coalesce("n_inter", F.lit(0))
+    return (
+        keys.join(inter, ["id1", "id2"], "left")
+        .join(
+            sizes.withColumnRenamed(id_col, "id1").withColumnRenamed("n_sh", "n1"),
+            "id1",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id2").withColumnRenamed("n_sh", "n2"),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            (
+                n_inter.cast("double")
+                / (F.col("n1") + F.col("n2") - n_inter).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 
