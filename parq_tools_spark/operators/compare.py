@@ -85,12 +85,17 @@ def compare_dataframes(
 
     if report["row_count_match"] and all(report["column_match"].values()):
         # fingerprints can collide across columns jointly; confirm with
-        # a symmetric multiset difference on the common projection
+        # multiset equality: per-row-value counts full-outer-joined on
+        # the grouping keys. One shuffle per side (the join reuses the
+        # aggs' hash partitioning — no extra exchange) and ONE action,
+        # vs two full exceptAll passes for the symmetric difference.
         a, b = df1.select(*comparable), df2.select(*comparable)
-        report["content_match"] = (
-            a.exceptAll(b).limit(1).count() == 0
-            and b.exceptAll(a).limit(1).count() == 0
+        ka = a.groupBy(*comparable).agg(F.count(F.lit(1)).alias("_n1"))
+        kb = b.groupBy(*comparable).agg(F.count(F.lit(1)).alias("_n2"))
+        diff = ka.join(kb, comparable, "full").filter(
+            F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0))
         )
+        report["content_match"] = diff.limit(1).count() == 0
     else:
         report["content_match"] = False
     return report
