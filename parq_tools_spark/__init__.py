@@ -19,7 +19,7 @@ from parq_tools_spark.functions.calculated_columns import (  # noqa: F401
     CalculatedColumn,
     with_calculated_columns,
 )
-from parq_tools_spark.lazy import LazySparkDF  # noqa: F401
+from parq_tools_spark.lazy import LazyColumn, LazySparkDF  # noqa: F401
 from parq_tools_spark.operators.compare import (  # noqa: F401
     compare_dataframes,
     compare_parquet_files,
@@ -44,10 +44,38 @@ from parq_tools_spark.operators.index_ops import (  # noqa: F401
     sort_parquet,
 )
 from parq_tools_spark.operators.memory import memory_report  # noqa: F401
+from parq_tools_spark.operators.dedup import (  # noqa: F401
+    dedupe_exact_text,
+    dedupe_near_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from parq_tools_spark.operators.profile import (  # noqa: F401
     compare_profiles,
+    profile_alerts,
     profile_dataframe,
+    render_profile_html,
     save_profile_report,
+)
+from parq_tools_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    hash_split,
+)
+from parq_tools_spark.operators.similarity import (  # noqa: F401
+    brute_force_pairs,
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from parq_tools_spark.operators.text import (  # noqa: F401
+    bpe_token_count,
+    token_count,
+    with_clean_text,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
 )
 from parq_tools_spark.operators.schema_tools import (  # noqa: F401
     rename_columns,
@@ -58,6 +86,7 @@ from parq_tools_spark.session import get_spark  # noqa: F401
 __all__ = [
     "get_spark",
     "LazySparkDF",
+    "LazyColumn",
     "CalculatedColumn",
     "with_calculated_columns",
     "filter_dataframe",
@@ -76,9 +105,30 @@ __all__ = [
     "compare_dataframes",
     "compare_parquet_files",
     "profile_dataframe",
+    "profile_alerts",
     "compare_profiles",
+    "render_profile_html",
     "save_profile_report",
     "rename_columns",
     "rename_parquet",
     "memory_report",
+    # LLM-pipeline operators
+    "dedupe_exact_text",
+    "dedupe_near_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "brute_force_pairs",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "with_text_stats",
+    "with_quality_score",
+    "with_language_id",
+    "with_clean_text",
+    "with_fingerprint",
+    "token_count",
+    "bpe_token_count",
+    "hash_split",
+    "deterministic_sample",
 ]

@@ -29,6 +29,8 @@ __all__ = [
     "DEFAULT_COMPARISON_METRICS",
     "profile_dataframe",
     "profile_alerts",
+    "profile_partial",
+    "merge_profile_partials",
     "profile_to_dataframe",
     "compare_profiles",
     "render_profile_html",
@@ -405,3 +407,96 @@ def save_profile_report(
             with open(tmp, "w") as f:
                 json.dump(profile_or_diff, f, indent=2, sort_keys=True, default=str)
     return fmt
+
+
+# ------------------------------------------------- mergeable partial profiles
+def profile_partial(
+    df: DataFrame, columns: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """One-row DataFrame of MERGEABLE per-column partial aggregates.
+
+    The reference profiles a table in column batches and merges partial
+    descriptions driver-side (``profile_utils.py:125-258``). The
+    Spark-first equivalent: every statistic is carried in a mergeable
+    form — counts and (decimal) sums add, min/max combine, and
+    n_distinct travels as a Datasketches HLL binary merged with
+    ``hll_union_agg`` — so profiles of independent file sets,
+    partitions, or days can be computed separately (one pass each,
+    map-side partial aggregation) and combined later without touching
+    the data again. Union the one-row outputs and feed them to
+    :func:`merge_profile_partials`.
+    """
+    cols = list(columns) if columns is not None else df.columns
+    field_type = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"))
+        aggs.append(F.min(col).alias(f"{c}__min"))
+        aggs.append(F.max(col).alias(f"{c}__max"))
+        if isinstance(field_type[c], _NUMERIC_TYPES):
+            aggs.append(
+                F.sum(col.cast("decimal(27,6)")).alias(f"{c}__sum")
+            )
+            aggs.append(
+                F.sum((col * col).cast("decimal(27,6)")).alias(f"{c}__ssq")
+            )
+    return df.agg(*aggs)
+
+
+def merge_profile_partials(partials: DataFrame) -> dict[str, dict]:
+    """Combine :func:`profile_partial` rows into one profile dict.
+
+    Input: a union of one-row partial frames (same column set). Counts
+    and sums add; min/max combine; HLL sketches union — one tiny
+    aggregation over k rows, so merging k daily profiles costs k rows
+    of work regardless of the data size behind them. Mean/std are
+    reconstructed from (n, sum, sum-of-squares) exactly (decimal
+    arithmetic, order-independent); ``n_distinct`` is the HLL estimate
+    (~2% relative error).
+    """
+    import math as _math
+
+    base_cols = set()
+    for name in partials.columns:
+        if name.endswith("__hll"):
+            base_cols.add(name[: -len("__hll")])
+    aggs = [F.sum("__total").alias("__total")]
+    for c in sorted(base_cols):
+        aggs.append(F.sum(f"{c}__n").alias(f"{c}__n"))
+        aggs.append(
+            F.hll_sketch_estimate(F.hll_union_agg(f"{c}__hll")).alias(
+                f"{c}__n_distinct"
+            )
+        )
+        aggs.append(F.min(f"{c}__min").alias(f"{c}__min"))
+        aggs.append(F.max(f"{c}__max").alias(f"{c}__max"))
+        if f"{c}__sum" in partials.columns:
+            aggs.append(F.sum(f"{c}__sum").alias(f"{c}__sum"))
+            aggs.append(F.sum(f"{c}__ssq").alias(f"{c}__ssq"))
+    row = partials.agg(*aggs).collect()[0].asDict()
+
+    total = row["__total"]
+    out: dict[str, dict] = {}
+    for c in sorted(base_cols):
+        n = row[f"{c}__n"]
+        stats = {
+            "n": n,
+            "n_missing": total - n,
+            "p_missing": (total - n) / total if total else 0.0,
+            "n_distinct": row[f"{c}__n_distinct"],
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "mean": None,
+            "std": None,
+        }
+        if f"{c}__sum" in row and n:
+            s = float(row[f"{c}__sum"])
+            ssq = float(row[f"{c}__ssq"])
+            stats["mean"] = s / n
+            if n > 1:
+                var = (ssq - s * s / n) / (n - 1)
+                stats["std"] = _math.sqrt(max(var, 0.0))
+        out[c] = stats
+    return out

@@ -231,3 +231,35 @@ def test_profile_html_report(spark, sf_dir, tmp_path):
     )
     html2 = render_profile_html(diff, title="diff")
     assert "status-changed" in html2 and "Summary" in html2
+
+
+def test_profile_partial_merge_matches_whole(spark, sf_dir):
+    """Profiles computed on disjoint chunks and merged must equal the
+    whole-table profile: moments exactly, n_distinct within HLL error."""
+    from parq_tools_spark.operators.profile import (
+        merge_profile_partials,
+        profile_partial,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_quantity", "l_returnflag", "l_extendedprice"
+    )
+    whole = profile_dataframe(li, exact_distinct=True)
+
+    chunks = li.randomSplit([1.0, 1.0, 1.0], seed=7)
+    partials = [profile_partial(c) for c in chunks]
+    merged_df = partials[0]
+    for p in partials[1:]:
+        merged_df = merged_df.unionByName(p)
+    merged = merge_profile_partials(merged_df)
+
+    for c in ["l_quantity", "l_returnflag", "l_extendedprice"]:
+        w, m = whole[c], merged[c]
+        assert m["n"] == w["n"] and m["n_missing"] == w["n_missing"]
+        assert m["min"] == w["min"] and m["max"] == w["max"]
+        if w["mean"] is not None:
+            assert math.isclose(m["mean"], w["mean"], rel_tol=1e-9)
+            assert math.isclose(m["std"], w["std"], rel_tol=1e-6)
+        assert abs(m["n_distinct"] - w["n_distinct"]) <= max(
+            2, 0.05 * w["n_distinct"]
+        )
