@@ -158,7 +158,8 @@ def ngram_jaccard_pairs(
             # definitionally signal-free — this also covers small
             # vocabularies where the p99.9 IS the hot shingle). The
             # auto_min_df floor keeps benign small corpora unpruned.
-            p999 = dfreq.approxQuantile("_df", [0.999], 0.001)[0]
+            q = dfreq.approxQuantile("_df", [0.999], 0.001)
+            p999 = q[0] if q else 0  # empty corpus -> no pruning
             half_corpus = int(df.select(id_col).distinct().count() * 0.5)
             max_df = max(min(int(p999), half_corpus), auto_min_df)
         hot = dfreq.filter(F.col("_df") > max_df).select("shingle")

@@ -124,22 +124,32 @@ def atomic_file_copy(
 
 
 def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
-    """Zip extraction with atomic output (``archive_utils.py:12-54``).
+    """Zip/tar extraction with atomic output (``archive_utils.py:12-54``).
 
-    The reference falls back to a 7-Zip subprocess for other formats
+    zip via ``zipfile``; tar (+gz/bz2/xz) via ``tarfile`` with the
+    ``data`` filter (no absolute paths / traversal / devices). The
+    reference falls back to a 7-Zip subprocess for further formats
     (``archive_utils.py:57-113``); this environment has no ``7z``
-    binary, so non-zip formats raise with the divergence spelled out.
+    binary, so other formats raise with the divergence spelled out.
     """
+    import tarfile
+
     archive_path, output_dir = Path(archive_path), Path(output_dir)
-    if not zipfile.is_zipfile(archive_path):
+    is_zip = zipfile.is_zipfile(archive_path)
+    is_tar = not is_zip and tarfile.is_tarfile(archive_path)
+    if not (is_zip or is_tar):
         raise ValueError(
-            f"Not a zip archive: {archive_path}. The reference "
+            f"Not a zip or tar archive: {archive_path}. The reference "
             "implementation falls back to a 7-Zip subprocess for other "
-            "formats; no 7z binary is available here, so only zip is "
-            "supported (known divergence)."
+            "formats; no 7z binary is available here, so only zip and "
+            "tar(.gz/.bz2/.xz) are supported (known divergence)."
         )
     output_dir.parent.mkdir(parents=True, exist_ok=True)
     with atomic_output_dir(output_dir) as tmp:
-        with zipfile.ZipFile(archive_path) as zf:
-            zf.extractall(tmp)
+        if is_zip:
+            with zipfile.ZipFile(archive_path) as zf:
+                zf.extractall(tmp)
+        else:
+            with tarfile.open(archive_path) as tf:
+                tf.extractall(tmp, filter="data")
     return output_dir

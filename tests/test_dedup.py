@@ -259,3 +259,18 @@ def test_portable_minhash_matches_duckdb(spark, corpus):
     """).fetchall()
     for doc_id, seed, mh in rows:
         assert sigs[doc_id][seed] == mh, (doc_id, seed)
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    """Empty inputs must not crash: sketches/jaccard return empty frames."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty, threshold=0.5).count() == 0
+    from parq_tools_spark.operators.dedup import (
+        dedupe_exact_text,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    assert minhash_lsh_pairs(empty, num_hashes=8, bands=4).count() == 0
+    assert simhash_pairs(empty).count() == 0
+    assert dedupe_exact_text(empty).count() == 0

@@ -75,3 +75,22 @@ def test_extract_archive_names_7z_divergence(tmp_path):
     notzip.write_bytes(b"7z\xbc\xaf\x27\x1c fake")
     with pytest.raises(ValueError, match="7-Zip"):
         extract_archive(notzip, tmp_path / "out")
+
+
+def test_extract_tar_archive(tmp_path):
+    import tarfile
+
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    src = tmp_path / "payload"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    (src / "sub").mkdir()
+    (src / "sub" / "b.txt").write_text("world")
+    tar = tmp_path / "arch.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(src / "a.txt", arcname="a.txt")
+        tf.add(src / "sub" / "b.txt", arcname="sub/b.txt")
+    out = extract_archive(tar, tmp_path / "out")
+    assert (out / "a.txt").read_text() == "hello"
+    assert (out / "sub" / "b.txt").read_text() == "world"
