@@ -860,6 +860,40 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations
+    in one pass (expand + single agg exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join; result must be identical to the
+    plain join (the oracle IS the plain join)."""
+    from parq_tools_spark.operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # join orders (fact, possibly skewed by customer) to customer dim
+    out = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on=["c_custkey"],
+        how="inner",
+        salt=8,
+    )
+    return out.select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
 def q_window_running(spark, sf_dir):
     """Analytic window functions: rank + running sum per customer."""
     orders = _t(spark, sf_dir, "orders")
@@ -1302,6 +1336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "window_running": q_window_running,
+        "cube_revenue": q_cube_revenue,
+        "salted_join": q_salted_join,
         "pivot_events": q_pivot_events,
         "rollup_revenue": q_rollup_revenue,
         "asof_join": q_asof_join,
@@ -1567,6 +1603,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "salted_join": """
+            SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment,
+                   o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
