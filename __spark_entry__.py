@@ -595,6 +595,25 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing with the deterministic md5 stand-in: output blob
+    hex is SQL-recomputable, so the batch pipeline is oracle-checked."""
+    from parq_tools_spark.operators.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
+    )
+    out = resize_media(media, width=224, height=224)
+    return out.select(
+        "media_id",
+        F.decode("blob", "utf-8").alias("blob_hex"),
+        "width",
+        "height",
+        "n_bytes",
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """Forecast-revenue-change: the classic filter + global sum."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1359,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "hash_split": q_hash_split,
         "pipeline_e2e": q_pipeline_e2e,
         "deterministic_sample": q_deterministic_sample,
@@ -1616,6 +1636,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey AS c_custkey, c_mktsegment,
                    o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS media_id,
+                   md5(encode(text) || ':224x224') AS blob_hex,
+                   CAST(224 AS INT) AS width,
+                   CAST(224 AS INT) AS height,
+                   CAST(32 AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

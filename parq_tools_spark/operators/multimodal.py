@@ -35,6 +35,7 @@ __all__ = [
     "attach_media_metadata",
     "repartition_by_bytes",
     "extract_features",
+    "resize_media",
     "sample_frames",
     "decode_stub",
 ]
@@ -148,6 +149,58 @@ def extract_features(
             )
 
     return df.select(id_col, blob_col).mapInPandas(featurize, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas`` (Arrow-batched).
+
+    Same production shape as :func:`extract_features`: iterator of
+    pandas batches in/out, constant memory, blobs never leave the
+    executors. ``resize_fn=None`` uses a deterministic stand-in (PIL /
+    ffmpeg absent in this container): output bytes are the md5 of
+    (blob, width, height) — stable across runs and SQL-recomputable,
+    so the batch plumbing is oracle-checkable end-to-end. Swap in a
+    real ``resize_fn(blob, w, h) -> bytes`` for production.
+    """
+    if resize_fn is None:
+        # defined inside the closure: cloudpickle ships it by value, so
+        # executor workers need no package import
+        def resize_fn(blob: bytes, w: int, h: int) -> bytes:
+            key = (blob or b"") + f":{w}x{h}".encode()
+            return hashlib.md5(key).hexdigest().encode()
+
+    resize = resize_fn
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize(b, width, height) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "blob": out,
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)
 
 
 def sample_frames(

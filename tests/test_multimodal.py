@@ -71,3 +71,25 @@ def test_sample_frames_empty_blob_raises_cleanly(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(df).collect()
+
+
+def test_resize_media_plumbing(spark):
+    import hashlib
+
+    from parq_tools_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes"), (2, b""), (3, None)], "media_id long, blob binary"
+    )
+    out = {r.media_id: r for r in resize_media(df, 64, 32).collect()}
+    for mid, src in [(1, b"imagebytes"), (2, b""), (3, b"")]:
+        want = hashlib.md5(src + b":64x32").hexdigest().encode()
+        assert bytes(out[mid].blob) == want
+        assert out[mid].width == 64 and out[mid].height == 32
+        assert out[mid].n_bytes == 32
+
+    # custom resize_fn is honored
+    custom = resize_media(
+        df, 8, 8, resize_fn=lambda b, w, h: (b or b"")[: w]
+    ).collect()
+    assert {bytes(r.blob) for r in custom} == {b"imagebyt", b""}
