@@ -775,6 +775,31 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier(s) by quarterly revenue: scalar max subquery over a
+    reused grouped intermediate (cached once, consumed twice)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_tpch_q17(spark, sf_dir):
     """Small-quantity-order revenue: correlated avg-quantity subquery,
     expressed as a per-part aggregate joined back (no correlated
@@ -1350,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
@@ -1719,6 +1745,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         """,
         "tpch_q17": """
             WITH matched AS (
