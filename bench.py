@@ -79,25 +79,29 @@ def main() -> None:
     ordered = HEADLINE_QUERIES + [n for n in queries if n not in HEADLINE_QUERIES]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in ordered:
         t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not void the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings[n] for n in HEADLINE_QUERIES), 3)
+    total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -245,3 +245,36 @@ def test_streaming_dedupe_bounded_state(spark, sf_dir, tmp_path):
     b = _batch_events(spark, sf_dir)
     doubled = b.union(b)
     assert dedupe_stream(doubled).count() == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static enrichment join: the static dimension is joined into
+    every microbatch (broadcast), then windowed — equals the batch plan."""
+    from parq_tools_spark.streaming.events import hourly_counts, start_to_memory
+
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("cohort")
+    )
+    stream = read_events_stream(spark, events_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    agg = (
+        enriched.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "cohort", "n")
+    )
+    q = start_to_memory(agg, "stream_static_join")
+    q.awaitTermination(120)
+    got = {(r.ws, r.cohort): r.n for r in spark.table("stream_static_join").collect()}
+
+    batch = (
+        _batch_events(spark, sf_dir)
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "cohort", "n")
+    )
+    want = {(r.ws, r.cohort): r.n for r in batch.collect()}
+    assert 0 < len(got) <= len(want)
+    for k, v in got.items():  # watermark holds back the tail windows
+        assert want[k] == v
