@@ -472,6 +472,49 @@ class LazySparkDF:
     def loc(self) -> LazyLocIndexer:
         return LazyLocIndexer(self)
 
+    # ------------------------------------------------- pandas-shaped verbs
+    # (reference LazyParquetDataFrame.assign/insert/drop/rename,
+    # ``lazy_parquet.py:835-875`` — there they materialize to pandas and
+    # rebuild; here each is a pure plan transformation)
+    def assign(self, **kwargs) -> "LazySparkDF":
+        """Return a new frame with extra/replaced columns (lazy)."""
+        out = self._wrap(self._df)
+        for name, value in kwargs.items():
+            out[name] = value
+        return out
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """Add a column at position ``loc`` (in-place, like pandas)."""
+        if column in self._user_columns:
+            raise ValueError(f"Column {column!r} already exists.")
+        self[column] = value
+        self._user_columns.remove(column)
+        self._user_columns.insert(loc, column)
+
+    def drop(self, columns: str | Sequence[str]) -> "LazySparkDF":
+        """Return a new frame without the given columns (lazy)."""
+        dropped = [columns] if isinstance(columns, str) else list(columns)
+        missing = [c for c in dropped if c not in self._user_columns]
+        if missing:
+            raise KeyError(missing)
+        out = self._wrap(self._df.drop(*dropped))
+        out._user_columns = [c for c in self._user_columns if c not in dropped]
+        return out
+
+    def rename(self, columns: dict[str, str]) -> "LazySparkDF":
+        """Return a new frame with columns renamed (lazy)."""
+        out = self._wrap(self._df.withColumnsRenamed(columns))
+        out._user_columns = [columns.get(c, c) for c in self._user_columns]
+        return out
+
+    def __iter__(self):
+        # pandas semantics: iterating a frame yields column names
+        return iter(self._user_columns)
+
+    def __repr__(self) -> str:
+        n_cols = len(self._user_columns)
+        return f"LazySparkDF({n_cols} columns: {self._user_columns[:8]}...)"
+
     # ------------------------------------------------------------ plan ops
     def _ordered(self) -> DataFrame:
         return self._df.orderBy(_ROW_ID)

@@ -94,3 +94,35 @@ def test_extract_tar_archive(tmp_path):
     out = extract_archive(tar, tmp_path / "out")
     assert (out / "a.txt").read_text() == "hello"
     assert (out / "sub" / "b.txt").read_text() == "world"
+
+
+def test_write_parquet_sort_by_enables_row_group_skipping(spark, tmp_path):
+    """sort_by clusters the layout: each output file's min/max footer
+    range on the sort column is narrow and files are mutually disjoint,
+    so pushed filters can skip whole row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.sources.parquet_io import write_parquet
+
+    df = spark.range(0, 100_000).withColumn(
+        "v", (F.col("id") * 2654435761) % 1000003  # scrambled order
+    )
+    out = str(tmp_path / "clustered")
+    write_parquet(df.repartition(8), out, sort_by=["v"], sort_partitions=8)
+
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            assert col.path_in_schema == "v"
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # disjoint (clustered) ranges: each row group covers a narrow slice
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

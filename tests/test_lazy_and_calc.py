@@ -280,3 +280,29 @@ def test_iter_row_chunks_progress_callback(spark, wide_tables):
     bar = FakeTqdm()
     list(lazy.iter_row_chunks(chunk_size=4, progress=bar))
     assert bar.n == 3
+
+
+def test_lazy_assign_drop_rename_insert(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    out = lazy.assign(s=lazy["x"] + lazy["y"], flag=1)
+    assert out.columns == ["x", "y", "z", "a", "s", "flag"]
+    assert out["s"].tolist() == [2 * i + 10 for i in range(1, 11)]
+    assert lazy.columns == ["x", "y", "z", "a"]  # original untouched
+
+    dropped = out.drop(["z", "flag"])
+    assert dropped.columns == ["x", "y", "a", "s"]
+    with pytest.raises(KeyError):
+        out.drop("nope")
+
+    renamed = dropped.rename({"a": "label"})
+    assert renamed.columns == ["x", "y", "label", "s"]
+    assert renamed["label"].tolist()[0] == "val1"
+
+    lazy.insert(1, "x2", lazy["x"] * 2)
+    assert lazy.columns == ["x", "x2", "y", "z", "a"]
+    assert lazy.to_pandas().columns.tolist() == ["x", "x2", "y", "z", "a"]
+    with pytest.raises(ValueError, match="already exists"):
+        lazy.insert(0, "x2", 1)
+
+    assert list(iter(renamed)) == ["x", "y", "label", "s"]
+    assert "LazySparkDF" in repr(renamed)
