@@ -388,6 +388,7 @@ class LazySparkDF:
             raise ValueError("Provide exactly one of path or df")
         base = spark.read.parquet(path) if path else df
         self._spark = spark
+        self._source_path = path
         self._index_columns = list(index_columns or [])
         # explicit, distributed row ordinal in scan order (no global window)
         self._df = with_row_ordinal(base, _ROW_ID)
@@ -568,6 +569,7 @@ class LazySparkDF:
         clone = object.__new__(LazySparkDF)
         clone._spark = self._spark
         clone._df = df
+        clone._source_path = self._source_path
         clone._index_columns = list(self._index_columns)
         clone._user_columns = list(self._user_columns)
         clone._dense = self._dense
@@ -599,6 +601,8 @@ class LazySparkDF:
         ``progress(done_chunks, total_chunks)``. Cluster-side jobs are
         already visible in the Spark UI; this covers the driver loop.
         """
+        if chunk_size <= 0:
+            raise ValueError(f"chunk_size must be positive, got {chunk_size}")
         cached = self._densified().cache()
         try:
             total = cached.count()
@@ -624,11 +628,51 @@ class LazySparkDF:
         finally:
             cached.unpersist()
 
-    def to_parquet(self, path: str, single_file: bool = False) -> None:
+    def to_parquet(self, path: Optional[str] = None, single_file: bool = False) -> None:
+        """Write the frame; ``path=None`` saves over the source file.
+
+        Spark evaluates lazily, so overwriting the files a plan is
+        still reading from would clobber its own input (the reference
+        streams chunk-by-chunk to the same effect,
+        ``lazy_parquet.py:765-776``). Saving onto the source therefore
+        writes to a sibling temp location first, swaps it in with a
+        rename, and re-points this frame at the new files.
+        """
+        import os
+        import shutil
+
         from parq_tools_spark.sources.parquet_io import write_parquet
 
-        write_parquet(
-            self._ordered().select(*self._user_columns), path, single_file=single_file
-        )
+        if path is None:
+            if self._source_path is None:
+                raise ValueError(
+                    "No path given and this frame was not created from one"
+                )
+            path = self._source_path
+        out = self._ordered().select(*self._user_columns)
+        same_as_source = self._source_path is not None and os.path.abspath(
+            str(path)
+        ) == os.path.abspath(str(self._source_path))
+        if not same_as_source:
+            write_parquet(out, path, single_file=single_file)
+            return
+        def _rm(p: str) -> None:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+
+        tmp = f"{path}.__swap__"
+        backup = f"{path}.__old__"
+        write_parquet(out, tmp, single_file=single_file)
+        _rm(backup)
+        shutil.move(path, backup)
+        shutil.move(tmp, path)
+        _rm(backup)
+        # the old plan points at deleted files — re-read from the swap
+        base = self._spark.read.parquet(path)
+        self._df = with_row_ordinal(base, _ROW_ID)
+        self._user_columns = [c for c in base.columns]
+        self._dense = True
 
     save = to_parquet

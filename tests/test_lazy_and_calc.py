@@ -306,3 +306,31 @@ def test_lazy_assign_drop_rename_insert(spark, wide_tables):
 
     assert list(iter(renamed)) == ["x", "y", "label", "s"]
     assert "LazySparkDF" in repr(renamed)
+
+
+def test_lazy_save_over_source(spark, wide_tables):
+    """Reference parity (lazy_parquet save-in-place): saving onto the
+    source path must not clobber the plan's own input; the frame stays
+    usable and re-reads the new files."""
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    lazy["x2"] = "x * 2"
+    lazy.save()  # no path -> the source
+    assert lazy.columns == ["x", "y", "z", "a", "x2"]
+    pdf = lazy.to_pandas()
+    assert pdf.x2.tolist() == [2 * i for i in range(1, 11)]
+    # a fresh read sees the persisted column
+    again = LazySparkDF(spark, wide_tables["wide_1"])
+    assert "x2" in again.columns and len(again) == 10
+
+
+def test_lazy_save_requires_path_for_df_backed(spark, wide_tables):
+    df = spark.read.parquet(wide_tables["wide_1"])
+    lazy = LazySparkDF(spark, df=df)
+    with pytest.raises(ValueError, match="No path"):
+        lazy.save()
+
+
+def test_iter_row_chunks_invalid_chunk_size(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    with pytest.raises(ValueError, match="chunk_size"):
+        list(lazy.iter_row_chunks(chunk_size=0))
