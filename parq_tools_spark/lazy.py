@@ -94,6 +94,25 @@ def with_row_ordinal(df: DataFrame, name: str = _ROW_ID) -> DataFrame:
     )
 
 
+def _index_cols_from_pandas_metadata(
+    path: str, available: Sequence[str]
+) -> list[str]:
+    """Named index columns recorded in the footer's pandas blob."""
+    try:
+        from parq_tools_spark.operators.schema_tools import read_pandas_metadata
+
+        blob = read_pandas_metadata(path)
+    except Exception:
+        return []
+    if not blob:
+        return []
+    return [
+        c
+        for c in blob.get("index_columns", [])
+        if isinstance(c, str) and c in set(available)  # skip RangeIndex dicts
+    ]
+
+
 class LazyColumn:
     """A lazily-evaluated column expression bound to a :class:`LazySparkDF`.
 
@@ -389,6 +408,10 @@ class LazySparkDF:
         base = spark.read.parquet(path) if path else df
         self._spark = spark
         self._source_path = path
+        if index_columns is None and path is not None:
+            # reference parity (``lazy_parquet.py:78-93``): index columns
+            # come from the file's pandas schema metadata when present
+            index_columns = _index_cols_from_pandas_metadata(path, base.columns)
         self._index_columns = list(index_columns or [])
         # explicit, distributed row ordinal in scan order (no global window)
         self._df = with_row_ordinal(base, _ROW_ID)
@@ -555,6 +578,23 @@ class LazySparkDF:
         out = self._wrap(self._df.select(_ROW_ID, *columns))
         out._user_columns = list(columns)
         return out
+
+    @property
+    def index_columns(self) -> list[str]:
+        return list(self._index_columns)
+
+    def info(self) -> str:
+        """Plan-level summary string (reference ``info()`` shape:
+        columns, dtypes, row count) — one footer-cheap count, no scan
+        of column data."""
+        n = len(self)
+        dtypes = self.dtypes
+        lines = [
+            f"LazySparkDF: {n} rows x {len(self._user_columns)} columns",
+            f"index columns: {self._index_columns or '(none)'}",
+        ]
+        lines += [f"  {c}: {dtypes[c]}" for c in self._user_columns]
+        return "\n".join(lines)
 
     def describe(self) -> pd.DataFrame:
         """`df.summary()` — approx percentiles, matches pandas describe shape."""

@@ -334,3 +334,18 @@ def test_iter_row_chunks_invalid_chunk_size(spark, wide_tables):
     lazy = LazySparkDF(spark, wide_tables["wide_1"])
     with pytest.raises(ValueError, match="chunk_size"):
         list(lazy.iter_row_chunks(chunk_size=0))
+
+
+def test_lazy_index_from_pandas_metadata(spark, tmp_path):
+    """Index columns recorded by pandas in the footer are auto-detected
+    (reference lazy_parquet.py:78-93 parity)."""
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}).set_index("k")
+    p = str(tmp_path / "indexed.parquet")
+    pdf.to_parquet(p)  # pandas records index_columns=["k"]
+    lazy = LazySparkDF(spark, p)
+    assert lazy.index_columns == ["k"]
+    # explicit argument still wins
+    lazy2 = LazySparkDF(spark, p, index_columns=["v"])
+    assert lazy2.index_columns == ["v"]
+    info = lazy.info()
+    assert "3 rows" in info and "k" in info
