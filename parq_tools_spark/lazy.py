@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Iterator, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -342,7 +343,10 @@ class LazyLocIndexer:
             return out
         if isinstance(mask, str):
             return p.filter(mask)
-        if hasattr(mask, "__len__"):  # boolean array-like, positional
+        is_seq = hasattr(mask, "__len__") and not isinstance(mask, str)
+        if is_seq and all(isinstance(v, (bool, np.bool_)) for v in mask):
+            # boolean array-like, positional (pandas rule: a mask is a
+            # mask only when every element is an actual bool)
             flags = [bool(v) for v in mask]
             if len(flags) != len(p):
                 raise ValueError(
@@ -355,6 +359,19 @@ class LazyLocIndexer:
                 [(i,) for i in keep], f"{_ROW_ID} long"
             )
             out = p._wrap(dense.join(F.broadcast(lookup), on=_ROW_ID, how="inner"))
+            out._dense = False
+            return out
+        # label-based access on the (single) index column, like pandas
+        # .loc[value] / .loc[[v1, v2]] — a lazy filter, never a collect
+        if p._index_columns:
+            if len(p._index_columns) != 1:
+                raise TypeError(
+                    ".loc label access supports a single index column; "
+                    f"frame has {p._index_columns}"
+                )
+            idx = p._index_columns[0]
+            values = list(mask) if is_seq else [mask]
+            out = p._wrap(p._df.filter(F.col(idx).isin(values)))
             out._dense = False
             return out
         raise TypeError(f"Unsupported .loc row key: {type(mask)!r}")

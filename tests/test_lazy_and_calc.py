@@ -349,3 +349,23 @@ def test_lazy_index_from_pandas_metadata(spark, tmp_path):
     assert lazy2.index_columns == ["v"]
     info = lazy.info()
     assert "3 rows" in info and "k" in info
+
+
+def test_lazy_loc_label_access(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {"k": [10, 20, 30, 40], "v": list("abcd")}
+    ).set_index("k")
+    p = str(tmp_path / "lbl.parquet")
+    pdf.to_parquet(p)
+    lazy = LazySparkDF(spark, p)
+    assert lazy.index_columns == ["k"]
+    one = lazy.loc[20].to_pandas()
+    assert one.v.tolist() == ["b"]
+    some = lazy.loc[[10, 40], "v"].tolist()
+    assert some == ["a", "d"]
+    # boolean masks still treated positionally, not as labels
+    assert lazy.loc[[True, False, True, False]].to_pandas().v.tolist() == ["a", "c"]
+    # no index columns and a scalar key -> clear error
+    plain = LazySparkDF(spark, df=spark.range(3))
+    with pytest.raises(TypeError, match="Unsupported"):
+        plain.loc[1]
