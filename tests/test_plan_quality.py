@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the properties that make queries
+scale (pushdown, broadcast dimension joins, bounded exchange counts)
+are asserted here so a refactor that silently degrades a plan fails CI,
+not a 100 TB run. Plans come from explain('formatted') at sf0.001."""
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def _plan(spark, name, sf_dir):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count(plan, op):
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", plan))
+
+
+def test_filter_dsl_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "filter_dsl", sf_dir)
+    assert "GreaterThan(l_quantity" in plan  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_extendedprice" not in m.group(1)  # projection pruned
+
+
+def test_tpch_q5_snowflake_is_all_broadcast_one_exchange(spark, sf_dir):
+    plan = _plan(spark, "tpch_q5", sf_dir)
+    assert _count(plan, "BroadcastHashJoin") == 5
+    assert _count(plan, "SortMergeJoin") == 0
+    # a single real (aggregation) exchange
+    assert _count(plan, "Exchange") == 1
+
+
+def test_tpch_q8_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "tpch_q8", sf_dir)
+    assert _count(plan, "BroadcastHashJoin") == 7
+    assert _count(plan, "Exchange") == 1
+    assert "EqualTo(p_type,ECONOMY)" in plan  # dim filter pushed
+
+
+def test_tpch_q1_single_agg_exchange(spark, sf_dir):
+    plan = _plan(spark, "tpch_q1", sf_dir)
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_pipeline_e2e_single_shuffle(spark, sf_dir):
+    """quality gate + clean + split are fused map stages; the only
+    exchange is the dedup window, with partial top-1 before it."""
+    plan = _plan(spark, "pipeline_e2e", sf_dir)
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "Scan parquet") == 1
+    assert _count(plan, "WindowGroupLimit") == 2  # map-side + reduce-side
+
+
+def test_ann_topk_corpus_never_shuffles(spark, sf_dir):
+    plan = _plan(spark, "ann_topk", sf_dir)
+    # queries are broadcast; the only exchange partitions the tiny
+    # (query, candidate) result for the per-query window
+    assert _count(plan, "BroadcastExchange") >= 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_text_stats_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "text_stats", sf_dir)
+    assert _count(plan, "Exchange") == 0
+    assert _count(plan, "BroadcastExchange") == 0
