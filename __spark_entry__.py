@@ -67,6 +67,20 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
 
 
+def _plane_values(dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    """Inline (plane, dim, val) VALUES rows for the LSH hyperplanes —
+    repr() round-trips float64 exactly, so DuckDB parses the identical
+    doubles Spark's expression tree uses."""
+    from parq_tools_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ",\n".join(
+        f"  ({p}, {d}, {v!r})"
+        for p, row in enumerate(planes)
+        for d, v in enumerate(row)
+    )
+
+
 def _seed_values(family: str, n: int) -> str:
     """Inline (seed, a, b) VALUES rows for the portable universal hash
     family — the same constants parq_tools_spark.operators.dedup uses."""
@@ -1177,13 +1191,28 @@ def q_near_dedupe_cc(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (recall<1 by design; no oracle)."""
+    """LSH-bucketed approximate top-k. FULLY oracle-checked: the
+    hyperplane dot-product signs are bit-identical in DuckDB (the
+    plane floats are inlined as literals; an ordered aggregate
+    reproduces Spark's sequential fold), so signatures, banded
+    candidates, and the rounded-cosine ranking all recompute in SQL.
+    The operator generates candidates; ranking uses the portable
+    rounded similarity with id tie-break (same contract as ann_topk)."""
+    from pyspark.sql import Window
     from parq_tools_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return lsh_topk(emb, queries, k=5, n_planes=16, n_bands=8).select(
-        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    cands = lsh_topk(
+        emb, queries, k=1_000_000_000, n_planes=16, n_bands=8
+    ).select("query_id", "vec_id", _pround(F.col("cosine_sim")).alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= 5)
+        .drop("_rnk")
     )
 
 
@@ -2008,6 +2037,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON q.vec_id < 3 AND c.vec_id <> q.vec_id)
             WHERE rank <= 5
         """,
+        "ann_lsh_topk": """
+WITH planes(plane, dim, val) AS (VALUES {PLANES}
+), dots AS (
+  SELECT vec_id, plane,
+         sum(CAST(embedding[dim + 1] AS DOUBLE) * val ORDER BY dim) AS dot
+  FROM embeddings CROSS JOIN planes
+  GROUP BY vec_id, plane
+), sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+), bands(band) AS (
+  VALUES (0), (1), (2), (3), (4), (5), (6), (7)
+), banded AS (
+  SELECT vec_id, band, (sig >> (band * 2)) & 3 AS bval
+  FROM sigs CROSS JOIN bands
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM banded c
+  JOIN banded q ON c.band = q.band AND c.bval = q.bval
+  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         floor(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+  FROM cand
+  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """.replace("{PLANES}", _plane_values()),
         "multimodal_frames": r"""
             SELECT doc_id AS media_id,
                    CAST(unnest(range(0, greatest(
