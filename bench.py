@@ -89,6 +89,15 @@ def main() -> None:
         except Exception as exc:  # one broken query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+        # isolate queries: drop SQL caches and any localCheckpoint RDDs a
+        # query left behind, so block-eviction pressure from earlier
+        # queries cannot distort later timings
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
