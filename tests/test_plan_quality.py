@@ -74,3 +74,28 @@ def test_text_stats_is_map_only(spark, sf_dir):
     plan = _plan(spark, "text_stats", sf_dir)
     assert _count(plan, "Exchange") == 0
     assert _count(plan, "BroadcastExchange") == 0
+
+
+def test_ivf_write_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF index is written partitionBy(cell); a probe filtering on
+    cells must prune partitions at PLANNING time (PartitionFilters in
+    the scan), reading ~nprobe/n_cells of the corpus."""
+    from parq_tools_spark.operators.similarity import ivf_build, ivf_read, ivf_write
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    assigned, centroids = ivf_build(emb, n_cells=4)
+    path = str(tmp_path / "ivf_index")
+    ivf_write(assigned, path, centroids)
+
+    corpus, cents = ivf_read(spark, path)
+    assert len(cents) == 4
+    probed = corpus.filter("cell IN (0, 1)")
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert re.search(r"PartitionFilters: \[.*cell.*IN.*\]", plan) or "cell#" in plan
+    # only the probed partitions' rows come back
+    total = corpus.count()
+    sub = probed.count()
+    assert 0 < sub < total
