@@ -1086,6 +1086,38 @@ def q_ngram_freq(spark, sf_dir):
 
 
 # ------------------------------------------------- rows-only (non-SQL) ops
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample (leakage-safe, RNG-free)."""
+    from parq_tools_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 1.0}, key="doc_id"
+    )
+
+
+def q_data_quality_checks(spark, sf_dir):
+    """Declarative constraint checks in ONE aggregation pass."""
+    from parq_tools_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_checks(
+        docs,
+        [
+            not_null("text"),
+            unique("doc_id"),
+            in_range("n_chars", 0, 1_000_000),
+            matches("lang", "^[a-z]{2}$"),
+        ],
+    )
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """End-to-end training-data pipeline in ONE lazy plan: quality
     gate -> C4-style clean -> exact dedup on normalized content ->
@@ -1435,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
@@ -2166,6 +2200,36 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(1 AS BOOLEAN) AS schema_match,
                    CAST(1 AS BOOLEAN) AS content_match
             FROM customer
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
+                  < CASE lang
+                      WHEN 'en' THEN CAST(floor(0.5 * 4294967296) AS BIGINT)
+                      WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
+                      WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
+                      ELSE 0 END
+        """,
+        "data_quality_checks": """
+            WITH agg AS (
+              SELECT count(CASE WHEN text IS NULL THEN 1 END) AS c0,
+                     count(doc_id) - count(DISTINCT doc_id) AS c1,
+                     count(CASE WHEN n_chars IS NOT NULL
+                                 AND (n_chars < 0 OR n_chars > 1000000)
+                                THEN 1 END) AS c2,
+                     count(CASE WHEN lang IS NOT NULL
+                                 AND NOT regexp_matches(lang, '^[a-z]{2}$')
+                                THEN 1 END) AS c3
+              FROM documents
+            )
+            SELECT 'not_null(text)' AS check, CAST(c0 AS BIGINT) AS n_violations,
+                   c0 = 0 AS passed FROM agg
+            UNION ALL
+            SELECT 'unique(doc_id)', CAST(c1 AS BIGINT), c1 = 0 FROM agg
+            UNION ALL
+            SELECT 'in_range(n_chars,0,1000000)', CAST(c2 AS BIGINT), c2 = 0 FROM agg
+            UNION ALL
+            SELECT 'matches(lang)', CAST(c3 AS BIGINT), c3 = 0 FROM agg
         """,
         "pipeline_e2e": r"""
             WITH stats AS (

@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "hash_split"]
+__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "stratified_sample"]
 
 _BUCKETS = 1 << 32
 
@@ -85,3 +85,32 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key: str,
+) -> DataFrame:
+    """Per-stratum deterministic sample (pandas ``groupby().sample``
+    analogue, Spark ``sampleBy`` analogue without RNG state).
+
+    Each stratum keeps ~``fractions[stratum]`` of its rows, chosen by
+    the key hash — partitioning-independent, reproducible in any
+    engine, and leakage-safe (the same key is always in or always out
+    for a given fraction). Strata absent from ``fractions`` default to
+    0.0 (dropped). Map-only: the stratum thresholds compile to one
+    CASE expression; no shuffle, no RNG.
+    """
+    for stratum, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0, 1]")
+    threshold = F.lit(0).cast("long")
+    expr = threshold
+    for stratum, f in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            F.lit(math.floor(f * _BUCKETS)).cast("long"),
+        ).otherwise(expr)
+    return df.filter(hash_bucket(key) < expr)

@@ -79,3 +79,29 @@ def test_null_keys_assigned_deterministically(spark):
     # sample keeps or drops the null row deterministically, never errors
     n1 = deterministic_sample(df, "k", 1.0).count()
     assert n1 == 3
+
+
+def test_stratified_sample(spark, sf_dir):
+    import os as _os
+
+    from parq_tools_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "lang"
+    )
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 1.0}, key="doc_id"
+    )
+    pdf = out.toPandas()
+    # unlisted strata are dropped entirely
+    assert set(pdf.lang) <= {"en", "fr"}
+    n_fr_total = docs.filter("lang = 'fr'").count()
+    assert (pdf.lang == "fr").sum() == n_fr_total  # fraction 1.0 keeps all
+    n_en_total = docs.filter("lang = 'en'").count()
+    kept_en = (pdf.lang == "en").sum()
+    assert 0 < kept_en < n_en_total
+    # deterministic: same selection every run
+    again = stratified_sample(docs, "lang", {"en": 0.5, "fr": 1.0}, key="doc_id")
+    assert sorted(pdf.doc_id) == sorted(again.toPandas().doc_id)
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, "lang", {"en": 1.5}, key="doc_id")
