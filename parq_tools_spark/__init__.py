@@ -52,6 +52,7 @@ from parq_tools_spark.operators.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from parq_tools_spark.operators.profile import (  # noqa: F401
+    ColumnMetadata,
     compare_profiles,
     profile_alerts,
     profile_dataframe,
@@ -106,6 +107,7 @@ __all__ = [
     "compare_parquet_files",
     "profile_dataframe",
     "profile_alerts",
+    "ColumnMetadata",
     "compare_profiles",
     "render_profile_html",
     "save_profile_report",

@@ -34,6 +34,7 @@ __all__ = [
     "profile_to_dataframe",
     "compare_profiles",
     "render_profile_html",
+    "ColumnMetadata",
     "save_profile_report",
 ]
 
@@ -500,3 +501,73 @@ def merge_profile_partials(partials: DataFrame) -> dict[str, dict]:
                 stats["std"] = _math.sqrt(max(var, 0.0))
         out[c] = stats
     return out
+
+
+# ------------------------------------------------------- column metadata
+class ColumnMetadata:
+    """Structured column description used in profile rendering
+    (reference public API, ``profile_utils.py:56-107``).
+
+    Accepts a plain string (description), a mapping with
+    title/description/units (or unit_of_measure)/source keys, or an
+    existing instance; renders to one description line for reports.
+    """
+
+    def __init__(
+        self,
+        title: Optional[str] = None,
+        description: Optional[str] = None,
+        units: Optional[str] = None,
+        source: Optional[str] = None,
+    ):
+        self.title = title
+        self.description = description
+        self.units = units
+        self.source = source
+
+    @classmethod
+    def from_value(cls, value) -> "ColumnMetadata":
+        if isinstance(value, cls):
+            return value
+        if isinstance(value, str):
+            return cls(description=value)
+        if isinstance(value, dict):
+            return cls(
+                title=value.get("title"),
+                description=value.get("description"),
+                units=value.get("units") or value.get("unit_of_measure"),
+                source=value.get("source"),
+            )
+        raise TypeError(
+            "Column metadata values must be str, mapping, or ColumnMetadata."
+        )
+
+    def to_description_string(self, default_title: Optional[str] = None) -> str:
+        title = self.title or default_title
+        parts = []
+        if title and self.description:
+            parts.append(f"{title}: {self.description}")
+        elif self.description:
+            parts.append(self.description)
+        elif title:
+            parts.append(title)
+        if self.units:
+            parts.append(f"Units: {self.units}")
+        if self.source:
+            parts.append(f"Source: {self.source}")
+        return " | ".join(parts)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ColumnMetadata) and (
+            self.title,
+            self.description,
+            self.units,
+            self.source,
+        ) == (other.title, other.description, other.units, other.source)
+
+    def __repr__(self) -> str:
+        return (
+            f"ColumnMetadata(title={self.title!r}, "
+            f"description={self.description!r}, units={self.units!r}, "
+            f"source={self.source!r})"
+        )

@@ -263,3 +263,23 @@ def test_profile_partial_merge_matches_whole(spark, sf_dir):
         assert abs(m["n_distinct"] - w["n_distinct"]) <= max(
             2, 0.05 * w["n_distinct"]
         )
+
+
+def test_column_metadata_normalization():
+    import pytest
+
+    from parq_tools_spark.operators.profile import ColumnMetadata
+
+    assert ColumnMetadata.from_value("just text").description == "just text"
+    m = ColumnMetadata.from_value(
+        {"title": "Grade", "description": "Cu grade", "unit_of_measure": "%"}
+    )
+    assert m.units == "%"
+    assert m.to_description_string() == "Grade: Cu grade | Units: %"
+    assert ColumnMetadata.from_value(m) is m
+    assert ColumnMetadata(description="x") == ColumnMetadata(description="x")
+    with pytest.raises(TypeError):
+        ColumnMetadata.from_value(42)
+    assert ColumnMetadata(units="m").to_description_string("Depth") == (
+        "Depth | Units: m"
+    )
