@@ -258,6 +258,10 @@ class LazyColumn:
         return LazyColumn(self._parent, self._expr, name)
 
     @property
+    def str(self) -> "_StrAccessor":
+        return _StrAccessor(self)
+
+    @property
     def name(self) -> str:
         return self._name
 
@@ -313,6 +317,66 @@ class LazyColumn:
 
     def __repr__(self) -> str:
         return f"LazyColumn({self._name!r})"
+
+
+class _StrAccessor:
+    """pandas ``Series.str``-shaped string namespace, fully lazy.
+
+    Every method composes a Catalyst expression on the parent column —
+    ``lazy["name"].str.lower().str.contains("smith")`` never touches
+    the data. ``contains``/``replace`` follow pandas defaults
+    (regex=True).
+    """
+
+    def __init__(self, col: "LazyColumn"):
+        self._c = col
+
+    def _m(self, expr: Column) -> "LazyColumn":
+        return self._c._make(expr)
+
+    def lower(self):
+        return self._m(F.lower(self._c._expr))
+
+    def upper(self):
+        return self._m(F.upper(self._c._expr))
+
+    def strip(self):
+        return self._m(F.trim(self._c._expr))
+
+    def lstrip(self):
+        return self._m(F.ltrim(self._c._expr))
+
+    def rstrip(self):
+        return self._m(F.rtrim(self._c._expr))
+
+    def len(self):
+        return self._m(F.length(self._c._expr))
+
+    def contains(self, pat: str, regex: bool = True):
+        e = self._c._expr
+        return self._m(e.rlike(pat) if regex else e.contains(pat))
+
+    def startswith(self, prefix: str):
+        return self._m(self._c._expr.startswith(prefix))
+
+    def endswith(self, suffix: str):
+        return self._m(self._c._expr.endswith(suffix))
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        e = self._c._expr
+        if regex:
+            return self._m(F.regexp_replace(e, pat, repl))
+        return self._m(F.replace(e, F.lit(pat), F.lit(repl)))
+
+    def slice(self, start: int = 0, stop: Optional[int] = None):
+        length = (stop - start) if stop is not None else (1 << 30)
+        return self._m(F.substring(self._c._expr, start + 1, length))
+
+    def split(self, pat: str = r"\s+"):
+        return self._m(F.split(self._c._expr, pat))
+
+    def zfill(self, width: int):
+        return self._m(F.lpad(self._c._expr, width, "0"))
 
 
 class LazyLocIndexer:

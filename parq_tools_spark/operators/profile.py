@@ -296,13 +296,19 @@ _HTML_STYLE = """
 """
 
 
-def render_profile_html(profile_or_diff: dict, title: str = "Profile report") -> str:
+def render_profile_html(
+    profile_or_diff: dict,
+    title: str = "Profile report",
+    column_metadata: Optional[dict] = None,
+) -> str:
     """Self-contained HTML for a profile or profile-diff (driver-side).
 
     Parity surface for the reference's ydata HTML rendering
     (``parq_profile.py:158-171``): one table, all columns x all
     metrics, plus an alerts row — a plain dict in, a standalone
-    document out, no external assets.
+    document out, no external assets. ``column_metadata`` maps column
+    name -> str | dict | :class:`ColumnMetadata` and renders a
+    description column (the reference's profile variable descriptions).
     """
     import html as _html
 
@@ -347,11 +353,20 @@ def render_profile_html(profile_or_diff: dict, title: str = "Profile report") ->
             for m in stats:
                 if m not in metrics:
                     metrics.append(m)
+        meta = {
+            c: ColumnMetadata.from_value(v)
+            for c, v in (column_metadata or {}).items()
+        }
         parts.append("<h2>Columns</h2><table><tr><th>column</th>")
+        if meta:
+            parts.append("<th>description</th>")
         parts += [f"<th>{_html.escape(m)}</th>" for m in metrics]
         parts.append("</tr>")
         for col, stats in profile.items():
             parts.append(f"<tr><td>{_html.escape(col)}</td>")
+            if meta:
+                desc = meta[col].to_description_string(col) if col in meta else ""
+                parts.append(f"<td>{_html.escape(desc)}</td>")
             parts += [f"<td>{_fmt_val(stats.get(m))}</td>" for m in metrics]
             parts.append("</tr>")
         parts.append("</table>")

@@ -369,3 +369,21 @@ def test_lazy_loc_label_access(spark, tmp_path):
     plain = LazySparkDF(spark, df=spark.range(3))
     with pytest.raises(TypeError, match="Unsupported"):
         plain.loc[1]
+
+
+def test_lazy_str_accessor(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    assert lazy["a"].str.upper().tolist() == [f"VAL{i}" for i in range(1, 11)]
+    assert lazy["a"].str.len().tolist() == [4] * 9 + [5]
+    assert lazy["a"].str.contains(r"val1$").tolist() == [True] + [False] * 9
+    assert lazy["a"].str.contains("val1", regex=False).tolist() == (
+        [True] + [False] * 8 + [True]
+    )
+    assert lazy["a"].str.startswith("val").tolist() == [True] * 10
+    assert lazy["a"].str.replace(r"^val", "item").tolist()[0] == "item1"
+    assert lazy["a"].str.slice(0, 3).tolist()[0] == "val"
+    assert list(lazy["a"].str.split("a").tolist()[0]) == ["v", "l1"]
+    lazy["num"] = lazy["x"].astype("string").str.zfill(3)
+    assert lazy["num"].tolist()[0] == "001"
+    # chained with masks
+    assert lazy.loc[lazy["a"].str.endswith("0"), "x"].tolist() == [10]

@@ -283,3 +283,14 @@ def test_column_metadata_normalization():
     assert ColumnMetadata(units="m").to_description_string("Depth") == (
         "Depth | Units: m"
     )
+
+
+def test_profile_html_column_metadata(spark):
+    from parq_tools_spark.operators.profile import render_profile_html
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "grade double")
+    prof = profile_dataframe(df, exact_distinct=True)
+    html = render_profile_html(
+        prof, column_metadata={"grade": {"description": "Cu grade", "units": "%"}}
+    )
+    assert "Cu grade" in html and "Units: %" in html and "description" in html
