@@ -262,6 +262,10 @@ class LazyColumn:
         return _StrAccessor(self)
 
     @property
+    def dt(self) -> "_DtAccessor":
+        return _DtAccessor(self)
+
+    @property
     def name(self) -> str:
         return self._name
 
@@ -377,6 +381,67 @@ class _StrAccessor:
 
     def zfill(self, width: int):
         return self._m(F.lpad(self._c._expr, width, "0"))
+
+
+class _DtAccessor:
+    """pandas ``Series.dt``-shaped datetime namespace, fully lazy."""
+
+    def __init__(self, col: "LazyColumn"):
+        self._c = col
+
+    def _m(self, expr: Column) -> "LazyColumn":
+        return self._c._make(expr)
+
+    @property
+    def year(self):
+        return self._m(F.year(self._c._expr))
+
+    @property
+    def month(self):
+        return self._m(F.month(self._c._expr))
+
+    @property
+    def day(self):
+        return self._m(F.dayofmonth(self._c._expr))
+
+    @property
+    def hour(self):
+        return self._m(F.hour(self._c._expr))
+
+    @property
+    def minute(self):
+        return self._m(F.minute(self._c._expr))
+
+    @property
+    def second(self):
+        return self._m(F.second(self._c._expr))
+
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0 ... Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return self._m((F.dayofweek(self._c._expr) + 5) % 7)
+
+    @property
+    def date(self):
+        return self._m(F.to_date(self._c._expr))
+
+    def floor(self, freq: str):
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute"}.get(
+            freq, freq
+        )
+        return self._m(F.date_trunc(unit, self._c._expr))
+
+    def strftime(self, fmt: str):
+        # translate the common strftime directives to Spark's pattern
+        spark_fmt = (
+            fmt.replace("%Y", "yyyy")
+            .replace("%m", "MM")
+            .replace("%d", "dd")
+            .replace("%H", "HH")
+            .replace("%M", "mm")
+            .replace("%S", "ss")
+        )
+        return self._m(F.date_format(self._c._expr, spark_fmt))
 
 
 class LazyLocIndexer:

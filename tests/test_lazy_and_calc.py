@@ -387,3 +387,24 @@ def test_lazy_str_accessor(spark, wide_tables):
     assert lazy["num"].tolist()[0] == "001"
     # chained with masks
     assert lazy.loc[lazy["a"].str.endswith("0"), "x"].tolist() == [10]
+
+
+def test_lazy_dt_accessor(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-03-05 10:30:45", "2025-12-31 23:59:59"])}
+    )
+    p = str(tmp_path / "ts.parquet")
+    pdf.to_parquet(p, index=False, coerce_timestamps="us")
+    lazy = LazySparkDF(spark, p)
+    ts = lazy["ts"]
+    assert ts.dt.year.tolist() == [2024, 2025]
+    assert ts.dt.month.tolist() == [3, 12]
+    assert ts.dt.day.tolist() == [5, 31]
+    assert ts.dt.hour.tolist() == [10, 23]
+    # pandas weekday: 2024-03-05 is Tuesday=1; 2025-12-31 is Wednesday=2
+    assert ts.dt.dayofweek.tolist() == [1, 2]
+    assert ts.dt.strftime("%Y-%m-%d %H:%M").tolist() == [
+        "2024-03-05 10:30",
+        "2025-12-31 23:59",
+    ]
+    assert str(ts.dt.floor("D").tolist()[0]) == "2024-03-05 00:00:00"
