@@ -1248,6 +1248,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_hash_topk(spark, sf_dir):
+    """IVF top-k with deterministic hash-seeded centroids — the whole
+    index (centroid choice, assignment, probing, ranking) recomputes
+    bit-exactly in SQL, so unlike the trained-KMeans variant this one
+    is FULLY oracle-checked."""
+    from parq_tools_spark.operators.similarity import ivf_hashseed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_hashseed_topk(emb, queries, k=5, n_cells=8, nprobe=2)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (KMeans-partitioned) approximate top-k (no oracle)."""
     from parq_tools_spark.operators.similarity import ivf_build, ivf_topk
@@ -1478,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedupe_cc": q_near_dedupe_cc,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
         "compare_tables": q_compare_tables,
         "memory_report": q_memory_report,
         # property checks (violations of an invariant; oracle = typed
@@ -2107,6 +2120,50 @@ SELECT query_id, vec_id, cosine_sim FROM (
   FROM scored)
 WHERE rnk <= 5
         """.replace("{PLANES}", _plane_values()),
+        "ann_ivf_hash_topk": """
+WITH ranked_ids AS (
+  SELECT embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS cidx
+  FROM embeddings
+), cents AS (
+  SELECT cidx, embedding FROM ranked_ids WHERE cidx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         floor(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                      CAST(qe.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+  FROM cand
+  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
         "multimodal_frames": r"""
             SELECT doc_id AS media_id,
                    CAST(unnest(range(0, greatest(

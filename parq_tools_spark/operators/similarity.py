@@ -33,6 +33,7 @@ __all__ = [
     "normalize_embeddings",
     "brute_force_topk",
     "brute_force_pairs",
+    "ivf_hashseed_topk",
     "brute_force_pairs_blocked",
     "lsh_signatures",
     "lsh_topk",
@@ -626,4 +627,105 @@ def embedding_near_duplicate_pairs(
         cand.withColumn("cosine_sim", cosine_similarity_col("v1", "v2"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id1", "id2", "cosine_sim")
+    )
+
+
+def ivf_hashseed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k with deterministic hash-seeded centroids (no training).
+
+    Centroids are the ``n_cells`` corpus vectors ranked first by the
+    md5 hash of their id — a closed-form choice, so the ENTIRE index
+    is engine-recomputable: assignment (argmax rounded cosine to a
+    centroid, ties to the lower cell), probing (top-``nprobe`` cells
+    per query), and the final rounded-cosine ranking all have exact
+    SQL equivalents. Recall trails trained KMeans (this is the classic
+    random-seed IVF baseline) — use :func:`ivf_build`/:func:`ivf_topk`
+    for the trained path; use this one when reproducibility across
+    engines/runs matters more than the last few recall points.
+
+    Scale shape is the same as :func:`ivf_topk`: centroids are inlined
+    literals (no shuffle to assign), the corpus is filtered by probed
+    cell before any query similarity is computed, and only (query,
+    candidate) pairs ever move.
+    """
+    from parq_tools_spark.operators.sampling import hash_bucket
+
+    query_id_col = query_id_col or id_col
+    scale = float(10**round_to)
+
+    cent_rows = (
+        corpus.select(id_col, vec_col, hash_bucket(F.col(id_col)).alias("_hb"))
+        .orderBy("_hb", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    if not cent_rows:
+        raise ValueError("empty corpus")
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r[vec_col]]) for r in cent_rows]
+    )
+
+    def _pr(col):
+        return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+    def _sims_to_cents(col_name: str):
+        return F.transform(
+            cent_arr, lambda c: _pr(cosine_similarity_col(F.col(col_name), c))
+        )
+
+    indexed = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cent_rows) - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_csims"), i + 1).alias("sim"), i.alias("idx")
+        ),
+    )
+    ranked = F.array_sort(
+        indexed,
+        lambda x, y: F.when(x.sim > y.sim, -1).when(x.sim < y.sim, 1).otherwise(
+            F.when(x.idx < y.idx, -1).when(x.idx > y.idx, 1).otherwise(0)
+        ),
+    )
+
+    assigned = (
+        corpus.withColumn("_csims", _sims_to_cents(vec_col))
+        .withColumn("cell", F.element_at(ranked, 1).idx.cast("int"))
+        .drop("_csims")
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+        .withColumn("_csims", _sims_to_cents("_qvec"))
+        .withColumn("_probe", F.slice(ranked, 1, nprobe))
+        .select(
+            "query_id", "_qvec", F.explode("_probe").alias("_p")
+        )
+        .select("query_id", "_qvec", F.col("_p.idx").cast("int").alias("cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned.cell == probes.cell) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col),
+        _pr(cosine_similarity_col(vec_col, "_qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
     )

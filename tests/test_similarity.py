@@ -150,3 +150,23 @@ def test_brute_force_pairs_auto_dispatches_to_blocked(embeddings):
         ).collect()
     }
     assert dispatched == driver
+
+
+def test_ivf_hashseed_topk_deterministic_and_sane(embeddings):
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_hashseed_topk,
+    )
+
+    queries = embeddings.filter("vec_id < 2")
+    a = {(r.query_id, r.vec_id) for r in ivf_hashseed_topk(
+        embeddings, queries, k=5, n_cells=4, nprobe=2).collect()}
+    b = {(r.query_id, r.vec_id) for r in ivf_hashseed_topk(
+        embeddings, queries, k=5, n_cells=4, nprobe=2).collect()}
+    assert a == b and len(a) > 0  # deterministic, no RNG state
+    # full probe == brute force exactly (candidate set = whole corpus)
+    full = {(r.query_id, r.vec_id) for r in ivf_hashseed_topk(
+        embeddings, queries, k=5, n_cells=4, nprobe=4).collect()}
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(
+        embeddings, queries, k=5).collect()}
+    assert full == bf
