@@ -380,7 +380,11 @@ class _StrAccessor:
         return self._m(F.split(self._c._expr, pat))
 
     def zfill(self, width: int):
-        return self._m(F.lpad(self._c._expr, width, "0"))
+        e = self._c._expr
+        # pandas zfill never truncates values longer than width
+        return self._m(
+            F.when(F.length(e) >= width, e).otherwise(F.lpad(e, width, "0"))
+        )
 
 
 class _DtAccessor:
@@ -473,6 +477,12 @@ class LazyLocIndexer:
         if isinstance(mask, str):
             return p.filter(mask)
         is_seq = hasattr(mask, "__len__") and not isinstance(mask, str)
+        if is_seq and len(mask) == 0:
+            # pandas: df.loc[[]] selects nothing (works for both empty
+            # label lists and empty masks)
+            out = p._wrap(p._df.filter(F.lit(False)))
+            out._dense = False
+            return out
         if is_seq and all(isinstance(v, (bool, np.bool_)) for v in mask):
             # boolean array-like, positional (pandas rule: a mask is a
             # mask only when every element is an actual bool)
@@ -481,6 +491,12 @@ class LazyLocIndexer:
                 raise ValueError(
                     f"Boolean mask length {len(flags)} does not match "
                     f"{len(p)} rows"
+                )
+            if len(flags) > MAX_DRIVER_ASSIGN_ROWS:
+                raise ValueError(
+                    f"Boolean mask of {len(flags):,} elements exceeds "
+                    f"MAX_DRIVER_ASSIGN_ROWS ({MAX_DRIVER_ASSIGN_ROWS:,}); "
+                    "use a LazyColumn/DSL expression mask instead"
                 )
             keep = [i for i, f in enumerate(flags) if f]
             dense = p._densified()
@@ -528,6 +544,13 @@ class LazyLocIndexer:
         else:
             raise TypeError(
                 ".loc assignment masks must be LazyColumn/Column/DSL string"
+            )
+        if hasattr(value, "__len__") and not isinstance(value, (str, bytes)):
+            raise TypeError(
+                ".loc assignment values must be scalars or "
+                "LazyColumn/Column expressions; got an array-like "
+                "(positional array assignment is only supported via "
+                "frame[col] = values on an unmasked frame)"
             )
         val = LazyColumn._unwrap(value)
         if col in p._df.columns:

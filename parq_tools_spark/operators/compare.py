@@ -89,10 +89,20 @@ def compare_dataframes(
         # the grouping keys. One shuffle per side (the join reuses the
         # aggs' hash partitioning — no extra exchange) and ONE action,
         # vs two full exceptAll passes for the symmetric difference.
+        # The join must use NULL-SAFE equality (eqNullSafe): groupBy
+        # treats NULL keys as one group, but a null-unsafe join would
+        # never match them, reporting identical NULL-bearing frames as
+        # different (exceptAll's set semantics treat NULLs as equal).
         a, b = df1.select(*comparable), df2.select(*comparable)
         ka = a.groupBy(*comparable).agg(F.count(F.lit(1)).alias("_n1"))
-        kb = b.groupBy(*comparable).agg(F.count(F.lit(1)).alias("_n2"))
-        diff = ka.join(kb, comparable, "full").filter(
+        kb = b.groupBy(*comparable).agg(F.count(F.lit(1)).alias("_n2")).select(
+            *[F.col(c).alias(f"_r_{c}") for c in comparable], "_n2"
+        )
+        cond = None
+        for c in comparable:
+            term = ka[c].eqNullSafe(kb[f"_r_{c}"])
+            cond = term if cond is None else (cond & term)
+        diff = ka.join(kb, cond, "full").filter(
             F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0))
         )
         report["content_match"] = diff.limit(1).count() == 0

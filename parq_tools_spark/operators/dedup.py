@@ -152,16 +152,25 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         if max_df == "auto":
-            # two independent signals, take the tighter: the p99.9 of
-            # the document-frequency distribution (tail outliers), and
-            # half the corpus size (a shingle in >50% of documents is
-            # definitionally signal-free — this also covers small
-            # vocabularies where the p99.9 IS the hot shingle). The
-            # auto_min_df floor keeps benign small corpora unpruned.
+            # the document-frequency aggregation feeds the quantile
+            # action AND the hot-shingle anti-join side: cache it so the
+            # shuffle runs once
+            dfreq = dfreq.cache()
+            # signals, tightest wins but floored so pruning never cuts
+            # into legitimately shared phrases: the p99.9 of the df
+            # distribution (tail outliers), capped by half the corpus
+            # (a shingle in >50% of documents is definitionally
+            # signal-free — covers tiny vocabularies where the p99.9 IS
+            # the hot shingle). The floor is the LARGER of auto_min_df
+            # and 1% of the corpus: in a 1M-doc corpus the df
+            # distribution's p99.9 is tiny (most shingles appear once),
+            # and without the relative floor everything shared by >16
+            # documents would be pruned.
             q = dfreq.approxQuantile("_df", [0.999], 0.001)
             p999 = q[0] if q else 0  # empty corpus -> no pruning
-            half_corpus = int(df.select(id_col).distinct().count() * 0.5)
-            max_df = max(min(int(p999), half_corpus), auto_min_df)
+            n_docs = df.select(id_col).distinct().count()
+            floor_df = max(auto_min_df, -(-n_docs // 100))
+            max_df = max(min(int(p999), int(n_docs * 0.5)), floor_df)
         hot = dfreq.filter(F.col("_df") > max_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
     a = sh.alias("a")

@@ -141,10 +141,15 @@ def profile_dataframe(
             "mean": row.get(f"{c}__mean"),
             "std": row.get(f"{c}__std"),
             "dtype": field_type[c].simpleString(),
+            "distinct_exact": exact_distinct,
         }
         if full:
             stats["p_distinct"] = n_distinct / n if n else 0.0
-            stats["is_unique"] = bool(n) and n_distinct >= n
+            # with the HLL estimate (~2% error) uniqueness cannot be
+            # asserted — report None rather than a misleading boolean
+            stats["is_unique"] = (
+                (bool(n) and n_distinct >= n) if exact_distinct else None
+            )
             for extra in ("sum", "skewness", "kurtosis", "n_zeros", "n_negative",
                           "mean_length", "max_length", "min_length"):
                 if f"{c}__{extra}" in row:
@@ -177,10 +182,15 @@ def profile_alerts(
     for col, s in profile.items():
         found = []
         n = s.get("n") or 0
+        exact = s.get("distinct_exact", True)
         if n and s.get("n_distinct") == 1:
+            # an HLL estimate of exactly 1 is reliable (tiny cardinality
+            # is where the sketch is exact)
             found.append("constant")
-        if s.get("is_unique") or (n and s.get("n_distinct") == n):
+        if exact and (s.get("is_unique") or (n and s.get("n_distinct") == n)):
             found.append("unique")
+        elif not exact and n and s.get("n_distinct") >= n:
+            found.append("maybe_unique")  # approximate distinct count
         if (s.get("p_missing") or 0.0) > missing_threshold:
             found.append("missing")
         if (s.get("p_zeros") or 0.0) > missing_threshold:
@@ -452,11 +462,24 @@ def profile_partial(
         aggs.append(F.min(col).alias(f"{c}__min"))
         aggs.append(F.max(col).alias(f"{c}__max"))
         if isinstance(field_type[c], _NUMERIC_TYPES):
+            # decimal(38,6) keeps sums exact (order-independent) up to
+            # ~1e31; the square is computed in double first so huge
+            # values cannot wrap long arithmetic, then the per-row cast
+            # uses try_cast -> NULL + a counted "_ssq_bad" column so an
+            # overflow is REPORTED (std becomes None) instead of
+            # silently corrupting the variance
             aggs.append(
-                F.sum(col.cast("decimal(27,6)")).alias(f"{c}__sum")
+                F.sum(
+                    col.cast("double").try_cast("decimal(38,6)")
+                ).alias(f"{c}__sum")
             )
+            sq = col.cast("double") * col.cast("double")
+            sq_dec = sq.try_cast("decimal(38,6)")
+            aggs.append(F.sum(sq_dec).alias(f"{c}__ssq"))
             aggs.append(
-                F.sum((col * col).cast("decimal(27,6)")).alias(f"{c}__ssq")
+                F.count(F.when(col.isNotNull() & sq_dec.isNull(), 1)).alias(
+                    f"{c}__ssq_bad"
+                )
             )
     return df.agg(*aggs)
 
@@ -491,6 +514,7 @@ def merge_profile_partials(partials: DataFrame) -> dict[str, dict]:
         if f"{c}__sum" in partials.columns:
             aggs.append(F.sum(f"{c}__sum").alias(f"{c}__sum"))
             aggs.append(F.sum(f"{c}__ssq").alias(f"{c}__ssq"))
+            aggs.append(F.sum(f"{c}__ssq_bad").alias(f"{c}__ssq_bad"))
     row = partials.agg(*aggs).collect()[0].asDict()
 
     total = row["__total"]
@@ -507,12 +531,13 @@ def merge_profile_partials(partials: DataFrame) -> dict[str, dict]:
             "mean": None,
             "std": None,
         }
-        if f"{c}__sum" in row and n:
+        if f"{c}__sum" in row and n and row[f"{c}__sum"] is not None:
             s = float(row[f"{c}__sum"])
-            ssq = float(row[f"{c}__ssq"])
             stats["mean"] = s / n
-            if n > 1:
-                var = (ssq - s * s / n) / (n - 1)
+            ssq_raw = row.get(f"{c}__ssq")
+            overflowed = (row.get(f"{c}__ssq_bad") or 0) > 0
+            if n > 1 and ssq_raw is not None and not overflowed:
+                var = (float(ssq_raw) - s * s / n) / (n - 1)
                 stats["std"] = _math.sqrt(max(var, 0.0))
         out[c] = stats
     return out

@@ -393,7 +393,9 @@ def brute_force_pairs(
 
     from pyspark.sql import types as T
 
-    if corpus.count() > max_driver_rows:
+    # limit+count probes the size with an early-exit scan instead of
+    # executing the full upstream plan just to choose a dispatch path
+    if corpus.limit(max_driver_rows + 1).count() > max_driver_rows:
         return brute_force_pairs_blocked(
             corpus,
             threshold=threshold,

@@ -47,3 +47,20 @@ def test_dtype_mismatch_reported(spark):
     report = compare_dataframes(df1, df2)
     assert report["dtype_mismatches"] == {"k": ("int", "double")}
     assert not report["schema_match"]
+
+
+def test_compare_identical_frames_with_nulls(spark):
+    """Multiset equality must treat NULL keys as equal (exceptAll
+    semantics): a frame with NULL cells equals itself."""
+    from parq_tools_spark.operators.compare import compare_dataframes
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, None)], "k int, v string"
+    )
+    r = compare_dataframes(df, spark.createDataFrame(df.collect(), df.schema))
+    assert r["content_match"] is True
+    # and a genuine NULL-pattern difference is still caught
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "x"), (None, None)], "k int, v string"
+    )
+    assert compare_dataframes(df, df2)["content_match"] is False

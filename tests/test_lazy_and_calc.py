@@ -408,3 +408,29 @@ def test_lazy_dt_accessor(spark, tmp_path):
         "2025-12-31 23:59",
     ]
     assert str(ts.dt.floor("D").tolist()[0]) == "2024-03-05 00:00:00"
+
+
+def test_zfill_never_truncates(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    lazy["long_id"] = lazy["x"].astype("string").str.replace("^", "1234")
+    assert lazy["long_id"].str.zfill(3).tolist()[0] == "12341"  # unchanged
+
+
+def test_loc_rejects_array_assignment(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    with pytest.raises(TypeError, match="array-like"):
+        lazy.loc[lazy["x"] > 5, "a"] = [1, 2, 3]
+
+
+def test_loc_empty_sequence_selects_nothing(spark, wide_tables):
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    assert len(lazy.loc[[]]) == 0
+
+
+def test_loc_boolean_mask_cap(spark, wide_tables, monkeypatch):
+    import parq_tools_spark.lazy as lazy_mod
+
+    monkeypatch.setattr(lazy_mod, "MAX_DRIVER_ASSIGN_ROWS", 5)
+    lazy = LazySparkDF(spark, wide_tables["wide_1"])
+    with pytest.raises(ValueError, match="MAX_DRIVER_ASSIGN_ROWS"):
+        lazy.loc[[True] * 10]

@@ -294,3 +294,32 @@ def test_profile_html_column_metadata(spark):
         prof, column_metadata={"grade": {"description": "Cu grade", "units": "%"}}
     )
     assert "Cu grade" in html and "Units: %" in html and "description" in html
+
+
+def test_partial_profile_overflow_reported_not_silent(spark):
+    """Values whose squares exceed decimal(38,6) must yield std=None,
+    not a corrupted variance or a crash."""
+    from parq_tools_spark.operators.profile import (
+        merge_profile_partials,
+        profile_partial,
+    )
+
+    df = spark.createDataFrame([(1e18,), (2e18,), (3e18,)], "v double")
+    merged = merge_profile_partials(profile_partial(df))
+    assert merged["v"]["n"] == 3
+    assert merged["v"]["std"] is None  # overflow reported, not faked
+
+
+def test_approx_unique_not_asserted(spark):
+    """With the HLL default, uniqueness is None and alerts say
+    maybe_unique instead of claiming unique."""
+    from parq_tools_spark.operators.profile import profile_alerts
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    prof = profile_dataframe(df, full=True)  # approx default
+    assert prof["k"]["is_unique"] is None
+    a = profile_alerts(prof)
+    assert "unique" not in a.get("k", [])
+    exact = profile_dataframe(df, full=True, exact_distinct=True)
+    assert exact["k"]["is_unique"] is True
+    assert "unique" in profile_alerts(exact)["k"]
