@@ -918,6 +918,27 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_window_analytics(spark, sf_dir):
+    """Analytic-window family: rank, dense_rank, lag, lead, ntile over
+    per-customer order history (one window shuffle; deterministic via
+    an orderkey tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_cube_revenue(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all 4 grouping combinations
     in one pass (expand + single agg exchange)."""
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "window_running": q_window_running,
+        "window_analytics": q_window_analytics,
         "cube_revenue": q_cube_revenue,
         "salted_join": q_salted_join,
         "pivot_events": q_pivot_events,
@@ -1725,6 +1747,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "window_analytics": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC)
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
