@@ -939,6 +939,25 @@ def q_window_analytics(spark, sf_dir):
     )
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS: exactly the named aggregation levels (by flag, by
+    status, grand total) in one expand + single agg exchange —
+    completes the cube/rollup family."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            _dec_sum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_cube_revenue(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all 4 grouping combinations
     in one pass (expand + single agg exchange)."""
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "window_running": q_window_running,
         "window_analytics": q_window_analytics,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
         "cube_revenue": q_cube_revenue,
         "salted_join": q_salted_join,
         "pivot_events": q_pivot_events,
@@ -1758,6 +1778,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "grouping_sets_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
