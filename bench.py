@@ -78,26 +78,36 @@ def main() -> None:
     # headline first (stable ordering round-over-round), then the rest
     ordered = HEADLINE_QUERIES + [n for n in queries if n not in HEADLINE_QUERIES]
 
+    # optional per-query repeats (min-of-N) for noise-controlled local
+    # re-measurement; the driver's per-round run keeps the default n=1
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in ordered:
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not void the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
-        # isolate queries: drop SQL caches and any localCheckpoint RDDs a
-        # query left behind, so block-eviction pressure from earlier
-        # queries cannot distort later timings
-        try:
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
-        except Exception:
-            pass
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not void the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+                break
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # isolate queries: drop SQL caches and any localCheckpoint RDDs
+            # a query left behind, so block-eviction pressure from earlier
+            # queries cannot distort later timings
+            try:
+                spark.catalog.clearCache()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist()
+            except Exception:
+                pass
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -109,9 +119,14 @@ def main() -> None:
         "sf": float(sf) if sf else SF_DIR,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        # counts only — full text already went to stderr line-by-line; the
+        # driver tail-captures output, so the headline line must stay small
+        payload["errors"] = {"count": len(errors), "queries": sorted(errors)}
     spark.stop()
+    # the headline JSON is the LAST stdout line (nothing — not even Spark
+    # shutdown chatter — may print after it; the driver reads the tail)
+    sys.stdout.flush()
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,14 +34,21 @@ _FIXED_WIDTH = {
 }
 
 
-def _part_files(path: str) -> list[str]:
+def _part_files(path) -> list[str]:
+    if isinstance(path, (list, tuple)):  # pre-resolved file list
+        return [f.removeprefix("file://") for f in path]
     if os.path.isfile(path):
         return [path]
     return sorted(glob.glob(os.path.join(path, "*.parquet")))
 
 
-def compressed_column_sizes(path: str) -> dict[str, dict[str, int]]:
-    """Per-column {compressed_bytes, uncompressed_bytes} from footers."""
+def compressed_column_sizes(path) -> dict[str, dict[str, int]]:
+    """Per-column {compressed_bytes, uncompressed_bytes} from footers.
+
+    ``path`` is a parquet file, a directory of parts, or an explicit
+    list of part files (e.g. ``df.inputFiles()``). Footer-only: cost is
+    O(#files), no data pages are read.
+    """
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, int]] = {}

@@ -82,17 +82,44 @@ def attach_media_metadata(
 
 
 def repartition_by_bytes(
-    df: DataFrame, target_bytes_per_partition: int = 128 << 20, blob_col: str = "blob"
+    df: DataFrame,
+    target_bytes_per_partition: int = 128 << 20,
+    blob_col: str = "blob",
 ) -> DataFrame:
     """Partition media so each task decodes ~equal bytes, not rows.
 
     Media rows are wildly skewed in size; row-count partitioning gives
-    straggler tasks. One cheap agg estimates total bytes -> partition
-    count; hash repartition spreads rows.
+    straggler tasks. Total blob bytes come from Parquet footer
+    row-group statistics over the frame's input files (O(#files)
+    metadata reads — no data scan; at 100 TB a full pass over every
+    blob byte just to pick a partition count would double the job).
+    Filters on ``df`` make the footer total an upper bound, which only
+    over-provisions partitions — AQE coalesces the excess. Frames with
+    no parquet lineage (in-memory test data) fall back to one
+    aggregation scan.
     """
-    total = df.agg(F.sum(F.length(F.col(blob_col)))).collect()[0][0] or 0
+    total = _blob_bytes_from_footers(df, blob_col)
+    if total is None:
+        total = df.agg(F.sum(F.length(F.col(blob_col)))).collect()[0][0] or 0
     n = max(1, int(total // target_bytes_per_partition) + 1)
     return df.repartition(n)
+
+
+def _blob_bytes_from_footers(df: DataFrame, blob_col: str):
+    """Uncompressed byte total of ``blob_col`` from the footers of the
+    frame's input files; None when the frame has no parquet lineage or
+    the footers don't carry the column (then the caller must scan)."""
+    from parq_tools_spark.operators.memory import compressed_column_sizes
+
+    files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    if not files:
+        return None
+    try:
+        sizes = compressed_column_sizes(files)
+    except Exception:
+        return None
+    entry = sizes.get(blob_col)
+    return entry["uncompressed_bytes"] if entry else None
 
 
 def decode_stub(blob: bytes) -> np.ndarray:

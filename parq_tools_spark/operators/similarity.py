@@ -372,20 +372,24 @@ def brute_force_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-    max_driver_rows: int = 100_000,
+    max_driver_rows: int = 0,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (id1 < id2), vectorized.
 
-    Dispatches on corpus size: at or below ``max_driver_rows`` the
-    corpus matrix is collected once to the driver and broadcast
-    (float64); each partition then computes a block of the similarity
-    matrix with one BLAS matmul inside ``mapInPandas`` — Arrow batches
-    in, ~memory-bandwidth-bound numpy out, no shuffle at all. Above
-    the cap it delegates to :func:`brute_force_pairs_blocked`, whose
-    memory footprint is independent of N — so the DEFAULT path never
-    collects an unbounded corpus to the driver. Results are identical
-    either way (same portable floor(x*10^r + 0.5)/10^r rounding, same
-    id1 < id2 contract). For genuinely huge corpora prefer
+    The DEFAULT path (``max_driver_rows=0``) is
+    :func:`brute_force_pairs_blocked`: a block-grid decomposition whose
+    shuffle and per-task memory are independent of corpus size — it
+    never collects the corpus anywhere, so it is safe at any N.
+
+    ``max_driver_rows > 0`` opts in to a small-corpus fast path: if the
+    corpus is at most that many rows, its matrix is collected once to
+    the driver and broadcast (float64); each partition then computes a
+    block of the similarity matrix with one BLAS matmul inside
+    ``mapInPandas`` — Arrow batches in, ~memory-bandwidth-bound numpy
+    out, no shuffle at all. Corpora above the opt-in cap fall back to
+    the blocked path. Results are identical either way (same portable
+    floor(x*10^r + 0.5)/10^r rounding, same id1 < id2 contract). For
+    genuinely huge corpora prefer
     :func:`embedding_near_duplicate_pairs` (LSH candidates) — the
     O(N^2) compute is the real limit long before memory is.
     """
@@ -395,7 +399,10 @@ def brute_force_pairs(
 
     # limit+count probes the size with an early-exit scan instead of
     # executing the full upstream plan just to choose a dispatch path
-    if corpus.limit(max_driver_rows + 1).count() > max_driver_rows:
+    if (
+        max_driver_rows <= 0
+        or corpus.limit(max_driver_rows + 1).count() > max_driver_rows
+    ):
         return brute_force_pairs_blocked(
             corpus,
             threshold=threshold,

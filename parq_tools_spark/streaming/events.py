@@ -23,6 +23,10 @@ from pyspark.sql import types as T
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "events_schema",
+    "ts_micros_expr",
+    "event_time_expr",
+    "normalize_events",
     "read_events_stream",
     "parse_event_payloads",
     "read_events_kafka",
@@ -33,18 +37,64 @@ __all__ = [
     "start_to_memory",
 ]
 
-# ts arrives as long nanoseconds (Spark's parquet reader cannot decode
-# TIMESTAMP(NANOS); the batch path uses the same nanosAsLong contract)
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """The events row schema, parameterized on the physical ``ts`` type.
+
+    The fixture generator has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (readable only as raw long ns via the ``nanosAsLong`` escape hatch)
+    and as plain ``timestamp[us]``; downstream operators must work with
+    either, so the schema is a function of the layout, not a constant.
+    """
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type or T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# default layout: current fixtures store ts as timestamp[us] (NTZ)
+EVENTS_SCHEMA = events_schema()
+
+
+def ts_micros_expr(ts_dtype: str, col: str = "ts"):
+    """Exact epoch-microseconds (BIGINT) from the raw ``ts`` column,
+    dispatching on its physical type:
+
+    - long: raw nanoseconds (legacy TIMESTAMP(NANOS) via nanosAsLong);
+      integer-divide by 1000 — double division of an ~1.7e18 ns value
+      would lose precision past 2^53.
+    - timestamp / timestamp_ntz: ``unix_micros`` after a cast to
+      session-zone timestamp. The engine pins the session zone to UTC
+      (session.py), so NTZ wall-clock micros equal DuckDB's
+      ``epoch_us(ts)`` bit-for-bit.
+    """
+    if ts_dtype in ("bigint", "long"):
+        return F.expr(f"{col} div 1000")
+    if ts_dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    raise TypeError(
+        f"events.{col} has unsupported type {ts_dtype!r}; expected long "
+        "nanoseconds or a timestamp type"
+    )
+
+
+def event_time_expr(ts_dtype: str, col: str = "ts"):
+    """``ts`` normalized to a session-zone TIMESTAMP event-time column."""
+    return F.timestamp_micros(ts_micros_expr(ts_dtype, col))
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Append ``event_time`` (timestamp) derived from whatever physical
+    ``ts`` type the source carries. Works on batch and streaming frames
+    (type dispatch is on the resolved schema, not the data)."""
+    ts_dtype = dict(df.dtypes)["ts"]
+    return df.withColumn("event_time", event_time_expr(ts_dtype))
 
 
 def read_events_stream(
@@ -54,35 +104,50 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream of events parquet (one dir = one stream).
 
-    ``maxFilesPerTrigger`` bounds per-microbatch work; on a real
-    deployment swap for the Kafka source — every transformation
-    downstream is source-agnostic.
+    The stream schema is taken from a batch footer read of the same
+    path, so whichever ``ts`` layout the files carry (long nanos or
+    timestamp[us]) resolves correctly. ``maxFilesPerTrigger`` bounds
+    per-microbatch work; on a real deployment swap for the Kafka
+    source — every transformation downstream is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(path).schema  # footer-only, no data scan
+    stream = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return normalize_events(stream)
 
 
-def parse_event_payloads(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_event_payloads(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_type: T.DataType | None = None,
+) -> DataFrame:
     """Decode JSON event payloads (one event per message) into the
     events schema + ``event_time``.
 
     This is the Kafka value decoder, factored out so it is testable on
     batch DataFrames without a broker: it takes any DataFrame with a
     string/binary ``value_col`` and returns typed event rows.
-    Malformed payloads yield null fields (from_json PERMISSIVE mode)
-    rather than failing the stream.
+    ``ts_type`` selects the payload's timestamp encoding (ISO string →
+    TimestampNTZType, the default; long nanos → LongType for legacy
+    producers). Malformed payloads yield null fields (from_json
+    PERMISSIVE mode) rather than failing the stream.
     """
+    schema = events_schema(ts_type)
+    # default JSON timestamp rendering is millisecond-precision; events
+    # carry micros, so pin a micros-capable parse format (the trailing
+    # fraction is optional so second-precision payloads still decode)
+    opts = {
+        "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]",
+    }
     parsed = df.select(
-        F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+        F.from_json(F.col(value_col).cast("string"), schema, opts).alias("e")
     )
-    return parsed.select("e.*").withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_events(parsed.select("e.*"))
 
 
 def read_events_kafka(

@@ -72,9 +72,14 @@ def test_asof_matches_pandas_merge_asof(spark):
 def test_asof_preserves_left_rowcount(spark, sf_dir):
     import os
 
+    from parq_tools_spark.streaming.events import ts_micros_expr
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
-        "event_id", F.col("user_id").alias("k"), F.col("ts").alias("t")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        ts_micros_expr(dict(ev.dtypes)["ts"]).alias("t"),
     )
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         F.col("o_custkey").alias("k"),

@@ -59,9 +59,33 @@ def test_sample_frames_fan_out(media):
 
 
 def test_repartition_by_bytes(media):
+    # in-memory frame: no parquet lineage -> aggregation-scan fallback
     out = repartition_by_bytes(media, target_bytes_per_partition=1000)
     # total bytes = 100*(1+..+10) = 5500 -> ~6 partitions
     assert out.rdd.getNumPartitions() >= 5
+
+
+def test_repartition_by_bytes_uses_footer_metadata(spark, media, tmp_path):
+    """Parquet-backed frames must size partitions from footer stats
+    (no data scan), and the footer total must drive the count."""
+    from parq_tools_spark.operators.multimodal import _blob_bytes_from_footers
+
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    df = spark.read.parquet(path)
+
+    footer_total = _blob_bytes_from_footers(df, "blob")
+    assert footer_total is not None
+    # footer uncompressed size covers the 5500 payload bytes (+ page
+    # framing overhead, which only rounds the partition count up)
+    assert footer_total >= 5500
+
+    out = repartition_by_bytes(df, target_bytes_per_partition=1000)
+    expect = max(1, footer_total // 1000 + 1)
+    assert out.rdd.getNumPartitions() == expect
+
+    # no parquet lineage after a non-file source -> footer probe is None
+    assert _blob_bytes_from_footers(media, "blob") is None
 
 
 def test_sample_frames_empty_blob_raises_cleanly(spark):

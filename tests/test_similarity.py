@@ -113,9 +113,12 @@ def test_brute_force_pairs_blocked_matches_broadcast(embeddings):
         brute_force_pairs_blocked,
     )
 
+    # opt-in driver-broadcast fast path (max_driver_rows > 0)
     want = {
         (r.id1, r.id2, r.cosine_sim)
-        for r in brute_force_pairs(embeddings, threshold=0.3).collect()
+        for r in brute_force_pairs(
+            embeddings, threshold=0.3, max_driver_rows=1_000_000
+        ).collect()
     }
     got = {
         (r.id1, r.id2, r.cosine_sim)
@@ -134,22 +137,31 @@ def test_brute_force_pairs_blocked_matches_broadcast(embeddings):
     assert want == got1
 
 
-def test_brute_force_pairs_auto_dispatches_to_blocked(embeddings):
-    """Above max_driver_rows the default path must not collect the corpus:
-    it routes to the blocked implementation and results are identical."""
+def test_brute_force_pairs_defaults_to_blocked(embeddings):
+    """The default path must not collect the corpus to the driver: with
+    no opt-in cap it routes to the blocked implementation; an opt-in
+    cap smaller than the corpus also falls back to blocked. Both match
+    the driver-broadcast fast path exactly."""
     from parq_tools_spark.operators.similarity import brute_force_pairs
 
     driver = {
         (r.id1, r.id2, r.cosine_sim)
+        for r in brute_force_pairs(
+            embeddings, threshold=0.3, max_driver_rows=1_000_000
+        ).collect()
+    }
+    default = {
+        (r.id1, r.id2, r.cosine_sim)
         for r in brute_force_pairs(embeddings, threshold=0.3).collect()
     }
-    dispatched = {
+    overflow = {
         (r.id1, r.id2, r.cosine_sim)
         for r in brute_force_pairs(
             embeddings, threshold=0.3, max_driver_rows=1
         ).collect()
     }
-    assert dispatched == driver
+    assert default == driver
+    assert overflow == driver
 
 
 def test_ivf_hashseed_topk_deterministic_and_sane(embeddings):

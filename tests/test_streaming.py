@@ -14,6 +14,9 @@ from parq_tools_spark.streaming.events import (
     start_to_memory,
 )
 
+# micros-precision JSON timestamps (default rendering is millis-only)
+_JSON_TS_OPTS = {"timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"}
+
 
 @pytest.fixture()
 def events_dir(spark, sf_dir, tmp_path):
@@ -25,9 +28,11 @@ def events_dir(spark, sf_dir, tmp_path):
 
 
 def _batch_events(spark, sf_dir):
+    from parq_tools_spark.streaming.events import normalize_events
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    return normalize_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     )
 
 
@@ -144,7 +149,9 @@ def test_parse_event_payloads_roundtrip(spark, sf_dir):
     events = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(50)
     )
-    as_json = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    as_json = events.select(F.to_json(
+            F.struct(*events.columns), _JSON_TS_OPTS
+        ).alias("value"))
     decoded = parse_event_payloads(as_json)
     want = {tuple(r) for r in events.collect()}
     got = {tuple(r)[:-1] for r in decoded.collect()}  # drop event_time
@@ -174,7 +181,9 @@ def test_kafka_shaped_decoder_pipeline_matches_batch(spark, sf_dir, tmp_path):
     )
 
     events = _batch_events(spark, sf_dir).drop("event_time").limit(400)
-    payloads = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    payloads = events.select(F.to_json(
+            F.struct(*events.columns), _JSON_TS_OPTS
+        ).alias("value"))
     src = tmp_path / "topic"
     src.mkdir()
     lines = [r.value for r in payloads.collect()]
@@ -201,13 +210,11 @@ def test_kafka_shaped_decoder_pipeline_matches_batch(spark, sf_dir, tmp_path):
         .select("window_start", "event_type", "n_events", "sum_value")
         .collect()
     }
+    from parq_tools_spark.streaming.events import normalize_events
+
     want = {
         tuple(r)
-        for r in hourly_counts(
-            events.withColumn(
-                "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        )
+        for r in hourly_counts(normalize_events(events))
         .select("window_start", "event_type", "n_events", "sum_value")
         .collect()
     }
