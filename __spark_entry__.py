@@ -511,13 +511,16 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_dedupe_pairwise(spark, sf_dir):
     """Near-dedup, pairwise-dominated semantics: drop any doc that is the
     larger id of a >= 0.5 Jaccard pair (SQL-oracle-able variant of the
-    connected-components dedup)."""
+    connected-components dedup). Runs with max_df=None (hot-shingle
+    pruning OFF) so the oracle is bit-exact — and therefore bounds the
+    corpus to even doc_ids: unpruned Jaccard is deliberately quadratic
+    in hot shingles, and this is a correctness check, never the
+    production path (that's near_dedupe_cc / minhash with pruning)."""
     from parq_tools_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_df=None
-    )
+    bounded = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    docs = bounded.select("doc_id", "lang")
+    pairs = ngram_jaccard_pairs(bounded, k=3, threshold=0.5, max_df=None)
     losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti")
 
@@ -1306,14 +1309,34 @@ def q_ann_ivf_hash_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (KMeans-partitioned) approximate top-k (no oracle)."""
+    """IVF top-k through the trained-KMeans quantizer at FULL probe
+    (nprobe = n_cells): the whole pipeline — distributed KMeans fit,
+    cell assignment, per-query centroid ranking, probe explode, cell
+    equi-join, exact rank — executes, and probing every cell makes the
+    result exactly the brute-force top-k whatever centroids training
+    produced, so this trained variant gets a bit-exact SQL oracle.
+    Partial-probe approximation is value-checked by ann_ivf_hash_topk
+    (deterministic cells) and ann_ivf_fullprobe_equiv (IVF == brute
+    force property)."""
     from parq_tools_spark.operators.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(emb, n_cells=8)
     queries = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(assigned, centroids, queries, k=5, nprobe=3).select(
-        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    # keep every candidate (k=inf), then round + re-rank so ties break
+    # on the ROUNDED similarity identically in both engines
+    cands = ivf_topk(
+        assigned, centroids, queries, k=1_000_000_000, nprobe=8
+    ).select(
+        "query_id", "vec_id", _pround(F.col("cosine_sim")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
     )
 
 
@@ -2124,10 +2147,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, floor(j * 1000000.0 + 0.5) / 1000000.0 AS jaccard
             FROM jac WHERE j >= 0.5
         """,
-        "dedupe_pairwise": _SHINGLES_CTE
+        # same bounded corpus (even doc_ids) as the Spark side: unpruned
+        # Jaccard is the oracle-only check, kept off the full corpus
+        "dedupe_pairwise": _SHINGLES_CTE.replace(
+            "FROM documents\n", "FROM documents WHERE doc_id % 2 = 0\n", 1
+        )
         + """
             SELECT d.doc_id, d.lang FROM documents d
-            WHERE d.doc_id NOT IN (SELECT id2 FROM jac WHERE j >= 0.5)
+            WHERE d.doc_id % 2 = 0
+              AND d.doc_id NOT IN (SELECT id2 FROM jac WHERE j >= 0.5)
         """,
         "embedding_sim_pairs": """
             SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2146,6 +2174,25 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000.0 + 0.5) / 1000000.0 >= 0.35
         """,
         "ann_topk": """
+            SELECT query_id, vec_id, cosine_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     floor(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                           * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY floor(list_cosine_similarity(
+                                  CAST(c.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[]))
+                                  * 1000000.0 + 0.5) / 1000000.0 DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c
+              JOIN embeddings q ON q.vec_id < 3 AND c.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        # full probe (nprobe = n_cells) makes IVF exact: the probed set
+        # is the whole corpus, so the trained-quantizer result equals
+        # brute-force top-k independent of the learned centroids
+        "ann_ivf_topk": """
             SELECT query_id, vec_id, cosine_sim, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                      floor(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))

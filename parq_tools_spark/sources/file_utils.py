@@ -124,13 +124,14 @@ def atomic_file_copy(
 
 
 def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
-    """Zip/tar extraction with atomic output (``archive_utils.py:12-54``).
+    """Zip/tar/7z extraction with atomic output (``archive_utils.py:12-54``).
 
     zip via ``zipfile``; tar (+gz/bz2/xz) via ``tarfile`` with the
-    ``data`` filter (no absolute paths / traversal / devices). The
-    reference falls back to a 7-Zip subprocess for further formats
-    (``archive_utils.py:57-113``); this environment has no ``7z``
-    binary, so other formats raise with the divergence spelled out.
+    ``data`` filter (no absolute paths / traversal / devices). Other
+    formats follow the reference's 7-Zip fallback
+    (``archive_utils.py:57-113``): the optional ``py7zr`` module if
+    importable, else a ``7z`` binary on PATH; when neither is present
+    (e.g. this container) the error spells out the divergence.
     """
     import tarfile
 
@@ -138,12 +139,7 @@ def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
     is_zip = zipfile.is_zipfile(archive_path)
     is_tar = not is_zip and tarfile.is_tarfile(archive_path)
     if not (is_zip or is_tar):
-        raise ValueError(
-            f"Not a zip or tar archive: {archive_path}. The reference "
-            "implementation falls back to a 7-Zip subprocess for other "
-            "formats; no 7z binary is available here, so only zip and "
-            "tar(.gz/.bz2/.xz) are supported (known divergence)."
-        )
+        return _extract_archive_7z(archive_path, output_dir)
     output_dir.parent.mkdir(parents=True, exist_ok=True)
     with atomic_output_dir(output_dir) as tmp:
         if is_zip:
@@ -153,3 +149,40 @@ def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
             with tarfile.open(archive_path) as tf:
                 tf.extractall(tmp, filter="data")
     return output_dir
+
+
+def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
+    """7-Zip fallback for non-zip/tar archives: ``py7zr`` if installed,
+    else the ``7z`` executable; otherwise raise naming the divergence."""
+    import shutil as _shutil
+    import subprocess
+
+    try:
+        import py7zr  # optional dependency
+    except ImportError:
+        py7zr = None
+
+    if py7zr is not None and py7zr.is_7zfile(archive_path):
+        output_dir.parent.mkdir(parents=True, exist_ok=True)
+        with atomic_output_dir(output_dir) as tmp:
+            with py7zr.SevenZipFile(archive_path) as zf:
+                zf.extractall(tmp)
+        return output_dir
+
+    seven_zip = _shutil.which("7z") or _shutil.which("7za")
+    if seven_zip:
+        output_dir.parent.mkdir(parents=True, exist_ok=True)
+        with atomic_output_dir(output_dir) as tmp:
+            subprocess.run(
+                [seven_zip, "x", "-y", f"-o{tmp}", str(archive_path)],
+                check=True,
+                capture_output=True,
+            )
+        return output_dir
+
+    raise ValueError(
+        f"Not a zip or tar archive: {archive_path}. Other formats need "
+        "the 7-Zip fallback (install py7zr or put a 7z binary on PATH); "
+        "neither is available here, so only zip and tar(.gz/.bz2/.xz) "
+        "are supported (known divergence)."
+    )

@@ -1,5 +1,6 @@
 """File utility tests (reference parity: test/file/, test/archive/)."""
 
+import pathlib
 import zipfile
 
 import pytest
@@ -68,13 +69,58 @@ def test_extract_archive_rejects_non_zip(tmp_path):
         extract_archive(p, tmp_path / "out")
 
 
-def test_extract_archive_names_7z_divergence(tmp_path):
+def test_extract_archive_names_7z_divergence(tmp_path, monkeypatch):
     from parq_tools_spark.sources.file_utils import extract_archive
 
+    # force the no-7z environment regardless of host PATH / site-packages
+    import shutil as shutil_mod
+
+    monkeypatch.setattr(shutil_mod, "which", lambda name: None)
+    import sys
+
+    monkeypatch.setitem(sys.modules, "py7zr", None)
     notzip = tmp_path / "a.7z"
     notzip.write_bytes(b"7z\xbc\xaf\x27\x1c fake")
     with pytest.raises(ValueError, match="7-Zip"):
         extract_archive(notzip, tmp_path / "out")
+
+
+def test_extract_archive_uses_py7zr_when_available(tmp_path, monkeypatch):
+    """With a py7zr module importable, non-zip/tar archives extract
+    through it (atomic output dir), closing the reference's 7-Zip
+    fallback path without requiring the binary."""
+    import sys
+    import types
+
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    extracted_to = {}
+
+    class FakeSevenZipFile:
+        def __init__(self, path):
+            self.path = path
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def extractall(self, dest):
+            extracted_to["dest"] = str(dest)
+            (pathlib.Path(dest) / "payload.txt").write_text("from-7z")
+
+    fake = types.ModuleType("py7zr")
+    fake.is_7zfile = lambda p: True
+    fake.SevenZipFile = FakeSevenZipFile
+    monkeypatch.setitem(sys.modules, "py7zr", fake)
+
+    arch = tmp_path / "a.7z"
+    arch.write_bytes(b"7z\xbc\xaf\x27\x1c payload")
+    out = extract_archive(arch, tmp_path / "out")
+    assert (out / "payload.txt").read_text() == "from-7z"
+    # extraction happened into the atomic temp dir, not the final path
+    assert extracted_to["dest"] != str(out)
 
 
 def test_extract_tar_archive(tmp_path):
