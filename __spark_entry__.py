@@ -926,6 +926,229 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2 shape adapted to the slimmer fixture (no partsupp table):
+    min-per-group with join-back — per STANDARD/size-9 part, the
+    supplier offering the lowest unit price across its lineitems
+    (rounded-price then suppkey tie-break, identical in SQL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    priced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "l_suppkey",
+        _pround(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        priced.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "unit_price")
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Q4 shape (order-priority checking): correlated EXISTS as a
+    LEFT SEMI join with a non-equi term — orders in 1996Q1 having at
+    least one lineitem shipped >30 days after the order date (the
+    fixture has no commit/receipt dates)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9 shape (product-type profit): 5-way snowflake join + profit
+    aggregation by supplier nation and order year. Without partsupp,
+    supply cost is proxied as 0.5 * p_retailprice per unit (documented
+    adaptation); name filter keeps the LIKE-driven part pruning."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dec_sum(profit, 6).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 shape (important stock): grouped revenue with a HAVING
+    against a global scalar fraction (broadcast single-row cross join,
+    not a collected constant). Stock value is proxied by NATION_3
+    suppliers' lineitem revenue (no partsupp in the fixture); both
+    sides of the > come from exact decimal sums so the boundary cannot
+    flip between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    src = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    per_part = src.groupBy("l_partkey").agg(
+        _dec_sum(revenue, 6).alias("value")
+    )
+    # threshold = 2x the mean per-part value: selective at every SF
+    # (a fixed fraction of the total would drift with part count)
+    total = src.agg(
+        (_dec_sum(revenue, 6) * F.lit(2.0) / F.countDistinct("l_partkey")).alias(
+            "_thr"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("l_partkey", "value")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shape (shipping-mode priority split): CASE bucketing + dual
+    conditional counts. The fixture has no l_shipmode, so the bucket is
+    derived from shipping latency (days between order and ship)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    speed = (
+        F.when(lat <= 30, "FAST").when(lat <= 90, "MEDIUM").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 shape (supplier relationship count): NOT IN anti-join
+    against a subquery (suppliers with negative balance) + count
+    distinct per (brand, type, size) over an IN-list size filter.
+    partsupp is proxied by the observed lineitem (part, supplier)
+    pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 shape (potential part promotion): IN-subquery over a grouped
+    HAVING whose threshold is itself a scalar subquery (0.012 of the
+    global PROMO quantity in 1996) — suppliers who shipped an
+    above-average share. Exact decimal sums on both sides of the >."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+    per_supp = shipped.groupBy("l_suppkey").agg(
+        _dec_sum(F.col("l_quantity")).alias("qty")
+    )
+    thr = shipped.agg((_dec_sum(F.col("l_quantity")) * F.lit(0.012)).alias("_thr"))
+    big = (
+        per_supp.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("_thr"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(big, supp.s_suppkey == big.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT EXISTS pair expressed as per-order aggregates — the
+    scalable plan (two grouped passes, no correlated rescans): a
+    supplier is counted for each finished multi-supplier order where it
+    was late (shipped >60 days after order) and no other supplier was.
+    Lateness replaces the missing commit/receipt dates."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_window_analytics(spark, sf_dir):
     """Analytic-window family: rank, dense_rank, lag, lead, ntile over
     per-customer order history (one window shuffle; deterministic via
@@ -1555,17 +1778,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "salted_join": q_salted_join,
         # --- multiply driver-verified in r01-r03 (past the 50-row window)
+        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "window_running": q_window_running,
         "cube_revenue": q_cube_revenue,
@@ -1975,6 +2206,128 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 10)
                OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 30
                    AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q2": """
+            WITH priced AS (
+              SELECT p_partkey, p_name, l_suppkey,
+                     floor(l_extendedprice / l_quantity * 1000000.0 + 0.5)
+                         / 1000000.0 AS unit_price
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'STANDARD' AND p_size <= 10
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY p_partkey
+                       ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+              FROM priced
+            )
+            SELECT p_partkey, p_name, s_name, s_acctbal, unit_price
+            FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rn = 1
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 - 0.5 * p_retailprice * l_quantity
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11": """
+            WITH src AS (
+              SELECT l_partkey, l_extendedprice, l_discount
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+            )
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS value
+            FROM src
+            GROUP BY l_partkey
+            HAVING value > (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                               AS DECIMAL(27,6))) AS DOUBLE)
+                                   * 2.0 / count(DISTINCT l_partkey)
+                            FROM src)
+        """,
+        "tpch_q12": """
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                        THEN 'FAST'
+                        WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                        THEN 'MEDIUM'
+                        ELSE 'SLOW' END AS ship_speed,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3'
+              AND p_type NOT IN ('PROMO', 'ECONOMY')
+              AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+              SELECT l_suppkey, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM shipped
+              GROUP BY l_suppkey
+              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                     > (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                                    AS DOUBLE) * 0.012
+                        FROM shipped))
+        """,
+        "tpch_q21": """
+            WITH per_os AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                              THEN 1 ELSE 0 END) AS is_late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY 1, 2
+            ), per_o AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+              FROM per_os GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_os
+            JOIN per_o USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+            GROUP BY s_name
         """,
         "tpch_q22": """
             SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
