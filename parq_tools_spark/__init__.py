@@ -83,9 +83,11 @@ from parq_tools_spark.operators.schema_tools import (  # noqa: F401
     rename_parquet,
 )
 from parq_tools_spark.session import get_spark  # noqa: F401
+from parq_tools_spark.sources.progress import job_progress  # noqa: F401
 
 __all__ = [
     "get_spark",
+    "job_progress",
     "LazySparkDF",
     "LazyColumn",
     "CalculatedColumn",

@@ -271,9 +271,15 @@ def concat_parquet_files(
     filter_query: Optional[str] = None,
     columns: Optional[Sequence[str]] = None,
     single_file: bool = False,
+    show_progress: bool = False,
+    progress_callback=None,
 ) -> None:
     """File-level facade matching the reference entry point
-    (``parq_concat.py:43-68``)."""
+    (``parq_concat.py:43-68``). ``show_progress`` reports task-level
+    progress of the distributed write (reference progress.py parity);
+    pass ``progress_callback(desc, done, total)`` to redirect it."""
+    from parq_tools_spark.sources.progress import job_progress
+
     if axis == 0:
         out = concat_tall(spark, paths, filter_query, columns, index_columns)
     elif axis == 1:
@@ -282,4 +288,8 @@ def concat_parquet_files(
         out = concat_wide(spark, paths, index_columns, filter_query, columns)
     else:
         raise ConcatError(f"axis must be 0 or 1, got {axis}")
-    write_parquet(out, output_path, single_file=single_file)
+    if show_progress or progress_callback is not None:
+        with job_progress(spark, "concat_parquet_files", progress_callback):
+            write_parquet(out, output_path, single_file=single_file)
+    else:
+        write_parquet(out, output_path, single_file=single_file)

@@ -56,9 +56,21 @@ def filter_parquet(
     columns: Optional[Sequence[str]] = None,
     index_columns: Optional[Sequence[str]] = None,
     single_file: bool = False,
+    show_progress: bool = False,
+    progress_callback=None,
 ) -> None:
-    """File-to-file filter, the reference's flagship entry point (P6)."""
+    """File-to-file filter, the reference's flagship entry point (P6).
+
+    ``show_progress`` reports task-level progress of the distributed
+    scan+write (reference progress.py parity); pass
+    ``progress_callback(desc, done, total)`` to redirect it."""
+    from parq_tools_spark.sources.progress import job_progress
+
     df = filter_dataframe(
         read_parquet(spark, input_path), expression, columns, index_columns
     )
-    write_parquet(df, output_path, single_file=single_file)
+    if show_progress or progress_callback is not None:
+        with job_progress(spark, "filter_parquet", progress_callback):
+            write_parquet(df, output_path, single_file=single_file)
+    else:
+        write_parquet(df, output_path, single_file=single_file)

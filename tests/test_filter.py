@@ -57,6 +57,41 @@ def test_filter_parquet_end_to_end(spark, sf_dir, tmp_path):
     assert result.count() > 0
 
 
+def test_filter_parquet_progress_callback(spark, sf_dir, tmp_path):
+    """The facade reports task progress through the callback: at least
+    the final completion call, with done == total > 0."""
+    calls = []
+    filter_parquet(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        str(tmp_path / "filtered_progress"),
+        "l_quantity > 45",
+        columns=["l_orderkey", "l_quantity"],
+        progress_callback=lambda desc, done, total: calls.append(
+            (desc, done, total)
+        ),
+    )
+    assert calls, "progress callback never invoked"
+    desc, done, total = calls[-1]
+    assert desc == "filter_parquet"
+    assert total > 0 and done == total
+
+
+def test_job_progress_counts_tasks(spark):
+    """job_progress sees the real task counters of actions run inside
+    the block (multi-partition job => total >= partition count)."""
+    from parq_tools_spark.sources.progress import job_progress
+
+    calls = []
+    with job_progress(
+        spark, "count_job", lambda d, c, t: calls.append((c, t)), interval=0.05
+    ):
+        spark.range(0, 1_000_000, 1, 8).selectExpr("sum(id)").collect()
+    done, total = calls[-1]
+    assert total >= 8
+    assert done == total
+
+
 def test_check_valid_parquet(sf_dir, tmp_path):
     assert check_valid_parquet(os.path.join(sf_dir, "lineitem.parquet"))
     bogus = tmp_path / "not_parquet.parquet"
