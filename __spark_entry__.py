@@ -1459,6 +1459,71 @@ def q_clean_text(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (training-data hygiene): the corpus carries no
+    natural PII, so the query plants deterministic emails / phone
+    numbers / IPv4 literals derived from doc_id (identically in the
+    oracle), then redacts and counts them — the regexes are genuinely
+    exercised, not vacuously matched against nothing."""
+    from parq_tools_spark.operators.text import with_pii_redacted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), 100).cast("string"), 2, "0"),
+            F.lit(" from 10.0."),
+            F.pmod(F.col("doc_id"), 256).cast("string"),
+            F.lit(".7"),
+        ),
+    )
+    out = with_pii_redacted(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("redacted_text")).alias("redacted_md5"),
+    )
+
+
+def q_zorder_cells(spark, sf_dir):
+    """Morton (Z-order) cell assignment for clustered writes: grid
+    scaling from a broadcast single-row min/max aggregate (no collect)
+    + pure shift/mask bit interleave — the exact layout computation
+    write_zordered clusters 100 TB by, value-checked bit-for-bit
+    against DuckDB's integer bit operators."""
+    from parq_tools_spark.sources.zorder import zorder_column
+
+    bits, cells = 10, 1 << 10
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("mn1"),
+        F.max(F.col("o_custkey").cast("double")).alias("mx1"),
+        F.min(F.col("o_totalprice").cast("double")).alias("mn2"),
+        F.max(F.col("o_totalprice").cast("double")).alias("mx2"),
+    )
+
+    def scale(c, mn, mx):
+        span = F.when(F.col(mx) != F.col(mn), F.col(mx) - F.col(mn)).otherwise(
+            F.lit(1.0)
+        )
+        raw = F.floor((F.col(c).cast("double") - F.col(mn)) / span * cells)
+        return F.least(F.lit(cells - 1), F.greatest(F.lit(0), raw)).cast("long")
+
+    return orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        zorder_column(
+            [scale("o_custkey", "mn1", "mx1"), scale("o_totalprice", "mn2", "mx2")],
+            bits,
+        ).alias("zcell"),
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs. The portable universal-hash family
     (one md5-derived base per shingle, (a*x+b) mod 2^31-1 permutations)
@@ -1744,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
+        "pii_redact": q_pii_redact,
+        "zorder_cells": q_zorder_cells,
         "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
@@ -2853,6 +2920,65 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        "zorder_cells": """
+            WITH s AS (
+              SELECT min(CAST(o_custkey AS DOUBLE)) AS mn1,
+                     max(CAST(o_custkey AS DOUBLE)) AS mx1,
+                     min(CAST(o_totalprice AS DOUBLE)) AS mn2,
+                     max(CAST(o_totalprice AS DOUBLE)) AS mx2
+              FROM orders
+            ), g AS (
+              SELECT o_orderkey,
+                     CAST(least(1023, greatest(0,
+                       floor((CAST(o_custkey AS DOUBLE) - mn1)
+                             / (CASE WHEN mx1 <> mn1 THEN mx1 - mn1
+                                     ELSE 1.0 END) * 1024)))
+                       AS BIGINT) AS x,
+                     CAST(least(1023, greatest(0,
+                       floor((CAST(o_totalprice AS DOUBLE) - mn2)
+                             / (CASE WHEN mx2 <> mn2 THEN mx2 - mn2
+                                     ELSE 1.0 END) * 1024)))
+                       AS BIGINT) AS y
+              FROM orders, s
+            )
+            SELECT o_orderkey, {ZTERMS} AS zcell FROM g
+        """.replace(
+            "{ZTERMS}",
+            " + ".join(
+                f"((({c} >> {b}) & 1) << {b * 2 + i})"
+                for b in range(10)
+                for i, c in enumerate(("x", "y"))
+            ),
+        ),
+        "pii_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or +1-555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?'))
+                     AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?',
+                     '<PHONE>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g')) AS redacted_md5
+            FROM planted
         """,
         # property checks: the Spark query returns invariant VIOLATIONS,
         # so the oracle is a typed empty relation of the same shape.

@@ -84,10 +84,14 @@ from parq_tools_spark.operators.schema_tools import (  # noqa: F401
 )
 from parq_tools_spark.session import get_spark  # noqa: F401
 from parq_tools_spark.sources.progress import job_progress  # noqa: F401
+from parq_tools_spark.sources.zorder import write_zordered  # noqa: F401
+from parq_tools_spark.operators.text import with_pii_redacted  # noqa: F401
 
 __all__ = [
     "get_spark",
     "job_progress",
+    "write_zordered",
+    "with_pii_redacted",
     "LazySparkDF",
     "LazyColumn",
     "CalculatedColumn",

@@ -27,6 +27,8 @@ __all__ = [
     "with_clean_text",
     "with_language_id",
     "with_fingerprint",
+    "PII_PATTERNS",
+    "with_pii_redacted",
 ]
 
 # small, fixed stopword inventories (public common-word lists)
@@ -184,6 +186,61 @@ def with_clean_text(
         )
     )
     return df.withColumn(out_col, cleaned)
+
+
+# PII categories as (name, pattern, replacement). Patterns stay in the
+# regex subset shared by Java (Spark) and RE2 (DuckDB/Go scanners) — no
+# lookaround, no backreferences — so redaction is engine-portable and
+# oracle-checkable. Order matters: emails before phones so the digits
+# in a local-part aren't half-eaten by the phone rule.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "phone",
+        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?",
+        "<PHONE>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+)
+
+
+def with_pii_redacted(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted_text",
+    count_matches: bool = True,
+) -> DataFrame:
+    """Redact common PII shapes (training-data hygiene pass).
+
+    Map-only, all built-in regexp functions — no UDFs, so the pass
+    rides whole-stage codegen and costs one scan at any corpus size.
+    Emails, then phone numbers, then IPv4 literals are replaced with
+    typed placeholders; with ``count_matches`` each category also gets
+    an ``n_<category>`` column (counted BEFORE redaction) so downstream
+    filters can quarantine PII-dense documents instead of just
+    scrubbing them.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pattern, replacement in PII_PATTERNS:
+        if count_matches:
+            out = out.withColumn(
+                f"n_{name}",
+                F.size(
+                    # idx=0 (whole match): the patterns are group-free
+                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+                ).cast("long"),
+            )
+        redacted = F.regexp_replace(redacted, pattern, replacement)
+    return out.withColumn(out_col, redacted)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -118,3 +118,28 @@ def test_bpe_token_count(spark):
     assert rows[2] == (5, 9)
     assert rows[3] == (1, 3)
     assert rows[4] == (0, 0)
+
+
+def test_pii_redaction(spark):
+    from parq_tools_spark.operators.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org thanks"),
+            (2, "call +1-555-0123 or 212.555.9876 x77"),
+            (3, "server at 192.168.1.254 and 10.0.0.1"),
+            (4, "version 1.2.3 should stay, 1.2.3.4 should not"),
+            (5, "clean text, nothing to scrub"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in with_pii_redacted(df).collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted_text
+    assert "jane" not in rows[1].redacted_text
+    assert rows[2].n_phone == 2 and rows[2].redacted_text.count("<PHONE>") == 2
+    assert rows[3].n_ipv4 == 2 and rows[3].redacted_text.count("<IP>") == 2
+    # a 3-part version string is NOT an IPv4; a 4-part one is
+    assert rows[4].n_ipv4 == 1 and "1.2.3 should stay" in rows[4].redacted_text
+    clean = rows[5]
+    assert (clean.n_email, clean.n_phone, clean.n_ipv4) == (0, 0, 0)
+    assert clean.redacted_text == "clean text, nothing to scrub"
