@@ -1491,6 +1491,22 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget corpus sharding: deterministic streaming pack via
+    one window cumsum (shard = floor(exclusive prefix tokens / budget))
+    — the op that turns a cleaned corpus into ~equal-token training
+    files, auditable in plain SQL."""
+    from parq_tools_spark.operators.sampling import pack_token_shards
+    from parq_tools_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_token_shards(docs, "n_tokens", budget=2000).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
 def q_zorder_cells(spark, sf_dir):
     """Morton (Z-order) cell assignment for clustered writes: grid
     scaling from a broadcast single-row min/max aggregate (no collect)
@@ -1811,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
+        "pack_shards": q_pack_shards,
         "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
@@ -2920,6 +2937,19 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        "pack_shards": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / 2000) AS BIGINT) AS shard
+            FROM toks
         """,
         "zorder_cells": """
             WITH s AS (

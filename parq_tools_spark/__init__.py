@@ -62,6 +62,7 @@ from parq_tools_spark.operators.profile import (  # noqa: F401
 from parq_tools_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
     hash_split,
+    pack_token_shards,
 )
 from parq_tools_spark.operators.similarity import (  # noqa: F401
     brute_force_pairs,
@@ -92,6 +93,7 @@ __all__ = [
     "job_progress",
     "write_zordered",
     "with_pii_redacted",
+    "pack_token_shards",
     "LazySparkDF",
     "LazyColumn",
     "CalculatedColumn",

@@ -17,7 +17,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "hash_split", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_sample",
+    "pack_token_shards",
+]
 
 _BUCKETS = 1 << 32
 
@@ -114,3 +120,42 @@ def stratified_sample(
             F.lit(math.floor(f * _BUCKETS)).cast("long"),
         ).otherwise(expr)
     return df.filter(hash_bucket(key) < expr)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_by: Sequence[str] = ("doc_id",),
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to fixed token-budget shards (training-corpus
+    sharding: "write files of ~N tokens each").
+
+    Deterministic streaming pack in a fixed document order: shard =
+    floor(exclusive-running-token-sum / budget), via one window cumsum.
+    Reproducible across runs/engines/partitionings (the order is a
+    column contract, not physical order) and auditable in plain SQL.
+    A document longer than the budget gets a shard of its own and
+    pushes the next shard boundary past itself (no splitting —
+    document integrity beats perfect balance for training data).
+
+    Scale shape: ONE global window over a range-partitioned sort — the
+    same external-sort shuffle ``sort_parquet`` runs; at 100 TB prefer
+    ordering by a hash-derived column so the sort keys are uniform.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (
+        Window.orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum(F.col(token_col).cast("long")).over(w)
+    # exclusive prefix sum: a doc starts a new shard when the tokens
+    # BEFORE it already fill the budget
+    cum_excl = cum_incl - F.col(token_col).cast("long")
+    return df.withColumn(
+        shard_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+    )

@@ -105,3 +105,30 @@ def test_stratified_sample(spark, sf_dir):
     assert sorted(pdf.doc_id) == sorted(again.toPandas().doc_id)
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(docs, "lang", {"en": 1.5}, key="doc_id")
+
+
+def test_pack_token_shards(spark):
+    from parq_tools_spark.operators.sampling import pack_token_shards
+
+    df = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 250), (4, 10), (5, 90), (6, 40)],
+        "doc_id long, n long",
+    )
+    got = {
+        r.doc_id: r.shard
+        for r in pack_token_shards(df, "n", budget=100).collect()
+    }
+    # exclusive prefix sums: 0, 60, 110, 360, 370, 460
+    assert got == {1: 0, 2: 0, 3: 1, 4: 3, 5: 3, 6: 4}
+    # order contract, not physical order: shuffling partitions is a no-op
+    got2 = {
+        r.doc_id: r.shard
+        for r in pack_token_shards(
+            df.repartition(5), "n", budget=100
+        ).collect()
+    }
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_token_shards(df, "n", budget=0)
