@@ -133,29 +133,54 @@ def pack_token_shards(
     sharding: "write files of ~N tokens each").
 
     Deterministic streaming pack in a fixed document order: shard =
-    floor(exclusive-running-token-sum / budget), via one window cumsum.
-    Reproducible across runs/engines/partitionings (the order is a
-    column contract, not physical order) and auditable in plain SQL.
-    A document longer than the budget gets a shard of its own and
-    pushes the next shard boundary past itself (no splitting —
-    document integrity beats perfect balance for training data).
+    floor(exclusive-running-token-sum / budget). Reproducible across
+    runs/engines/partitionings (the order is a column contract, not
+    physical order) and auditable in plain SQL. A document longer than
+    the budget gets a shard of its own and pushes the next shard
+    boundary past itself (no splitting — document integrity beats
+    perfect balance for training data).
 
-    Scale shape: ONE global window over a range-partitioned sort — the
-    same external-sort shuffle ``sort_parquet`` runs; at 100 TB prefer
-    ordering by a hash-derived column so the sort keys are uniform.
+    Scale shape: a naive ``Window.orderBy`` with no partition key
+    executes in ONE task (Spark warns and moves everything to a single
+    partition), so the global prefix sum runs as the classic two-pass
+    decomposition instead: range-repartition on the order columns,
+    local window cumsum per partition, then one tiny per-partition
+    total aggregate (rows = #partitions) joined back as broadcast
+    offsets. Every pass is distributed; the only driver-sized data is
+    the offset table.
     """
     from pyspark.sql import Window
 
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = (
-        Window.orderBy(*[F.col(c).asc() for c in order_by])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order_cols = [F.col(c).asc() for c in order_by]
+    tok = F.col(token_col).cast("long")
+
+    # range partitions are contiguous in order_by and numbered in
+    # order, so per-partition totals in pid order are prefix offsets
+    parted = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    cum_incl = F.sum(F.col(token_col).cast("long")).over(w)
-    # exclusive prefix sum: a doc starts a new shard when the tokens
-    # BEFORE it already fill the budget
-    cum_excl = cum_incl - F.col(token_col).cast("long")
-    return df.withColumn(
-        shard_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local_excl = F.sum(tok).over(w_local) - tok
+
+    w_parts = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum(tok).alias("_ptotal"))
+        # this window IS single-task, over #partitions rows — trivial
+        .withColumn("_offset", F.sum("_ptotal").over(w_parts) - F.col("_ptotal"))
+        .select("_pid", "_offset")
+    )
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            shard_col,
+            F.floor((F.col("_offset") + local_excl) / F.lit(budget)).cast("long"),
+        )
+        .drop("_pid", "_offset")
     )

@@ -132,3 +132,22 @@ def test_pack_token_shards(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         pack_token_shards(df, "n", budget=0)
+
+
+def test_pack_token_shards_distributed_prefix_matches_local(spark):
+    """The two-pass distributed prefix sum (range partitions + offset
+    join) must equal a single-threaded local pack over many partitions
+    worth of rows."""
+    from parq_tools_spark.operators.sampling import pack_token_shards
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(13)
+    got = {
+        r.doc_id: r.shard
+        for r in pack_token_shards(df, "n", budget=500).collect()
+    }
+    cum, want = 0, {}
+    for i, n in rows:  # already in doc_id order
+        want[i] = cum // 500
+        cum += n
+    assert got == want
