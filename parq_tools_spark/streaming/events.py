@@ -34,6 +34,7 @@ __all__ = [
     "sessionize",
     "dedupe_stream",
     "running_user_totals",
+    "join_events_within",
     "start_to_memory",
 ]
 
@@ -294,6 +295,65 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def join_events_within(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    within: str = "60 seconds",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream INNER join banded on event time: pairs of events
+    with equal ``keys`` whose event times are within ``within`` of each
+    other (e.g. correlate clicks with purchases per user).
+
+    This is Spark's bounded-state stream-stream join: the equality
+    keys partition state, the two-sided time-range condition plus the
+    watermark let the engine evict state older than
+    ``watermark + within`` — memory is bounded by rate x horizon at
+    any stream length. Works on batch frames too (watermarks are
+    skipped; the join condition is identical), giving batch/stream
+    parity for tests and backfills. Output columns are prefix-renamed
+    so self-joins of one stream are legal.
+    """
+    if left.isStreaming:
+        left = left.withWatermark("event_time", watermark)
+    if right.isStreaming:
+        right = right.withWatermark("event_time", watermark)
+    l = left.select(
+        *[F.col(k).alias(f"{left_prefix}{k}") for k in keys],
+        *[
+            F.col(c).alias(f"{left_prefix}{c}")
+            for c in left.columns
+            if c not in keys
+        ],
+    )
+    r = right.select(
+        *[F.col(k).alias(f"{right_prefix}{k}") for k in keys],
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    cond = [
+        F.col(f"{left_prefix}{k}") == F.col(f"{right_prefix}{k}") for k in keys
+    ] + [
+        F.col(f"{right_prefix}event_time")
+        >= F.expr(f"{left_prefix}event_time - INTERVAL {within}"),
+        F.col(f"{right_prefix}event_time")
+        <= F.expr(f"{left_prefix}event_time + INTERVAL {within}"),
+    ]
+    joined = l.join(r, cond, "inner")
+    # fold the duplicated equality keys back to one column each
+    for k in keys:
+        joined = joined.withColumnRenamed(f"{left_prefix}{k}", k).drop(
+            f"{right_prefix}{k}"
+        )
+    return joined
 
 
 def dedupe_stream(

@@ -99,3 +99,45 @@ def test_ivf_write_partition_pruning(spark, sf_dir, tmp_path):
     total = corpus.count()
     sub = probed.count()
     assert 0 < sub < total
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """PII scrub must stay a fused scan->project pipeline: zero
+    exchanges, zero Python stages (pure built-in regexps)."""
+    plan = _plan(spark, "pii_redact", sf_dir)
+    assert _count(plan, "Exchange") == 0
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_pack_shards_has_no_global_window(spark, sf_dir):
+    """The corpus-wide prefix sum must be the two-pass decomposition:
+    per-partition windows keyed on _pid, never one unpartitioned Window
+    over the full data (which executes in a single task)."""
+    plan = _plan(spark, "pack_shards", sf_dir)
+    # data-sized window runs over the range exchange, partitioned by
+    # _pid; the data side must therefore carry a range repartition
+    assert "rangepartitioning" in plan.lower()
+    # offsets come back as a broadcast join, not another data shuffle
+    assert _count(plan, "BroadcastHashJoin") == 1
+    data_windows = _count(plan, "Window")
+    assert data_windows == 2  # local cumsum + the tiny offsets cumsum
+
+
+def test_zorder_cells_single_stats_pass(spark, sf_dir):
+    """Grid stats are ONE tiny aggregate broadcast to the row side —
+    the Morton computation itself is a pure Project (no shuffle of the
+    fact table)."""
+    plan = _plan(spark, "zorder_cells", sf_dir)
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1
+    # the only exchanges feed the single-row stats aggregate
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_brute_force_default_is_blocked_grid(spark, sf_dir):
+    """The default all-pairs path must be the grid decomposition: a
+    grouped Pandas stage after ONE hash exchange — and no driver-side
+    collect can appear in a lazy plan at all (building the plan must
+    not execute anything)."""
+    plan = _plan(spark, "embedding_sim_pairs", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert _count(plan, "Exchange") == 1

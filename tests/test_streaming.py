@@ -285,3 +285,40 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
     assert 0 < len(got) <= len(want)
     for k, v in got.items():  # watermark holds back the tail windows
         assert want[k] == v
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (clicks x purchases per user within
+    10 minutes) must emit exactly the batch join's pairs once both
+    file-source streams drain."""
+    from parq_tools_spark.streaming.events import (
+        join_events_within,
+        start_to_memory,
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "event_time"
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "event_time"
+        )
+        return clicks, buys
+
+    sc, sb = split(read_events_stream(spark, events_dir))
+    q = start_to_memory(
+        join_events_within(sc, sb, within="10 minutes"), "ss_join"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("ss_join").collect()
+    }
+
+    bc, bb = split(_batch_events(spark, sf_dir))
+    want = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in join_events_within(bc, bb, within="10 minutes").collect()
+    }
+    assert got == want
+    assert len(want) > 0
