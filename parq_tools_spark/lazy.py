@@ -56,7 +56,13 @@ _ROW_ID = "_row_id"
 #: explicit instead of OOM-ing an executor broadcast.
 MAX_DRIVER_ASSIGN_ROWS = 10_000_000
 
-__all__ = ["LazySparkDF", "LazyColumn", "LazyLocIndexer", "with_row_ordinal"]
+__all__ = [
+    "LazySparkDF",
+    "LazyColumn",
+    "LazyGroupBy",
+    "LazyLocIndexer",
+    "with_row_ordinal",
+]
 
 
 def with_row_ordinal(df: DataFrame, name: str = _ROW_ID) -> DataFrame:
@@ -733,6 +739,18 @@ class LazySparkDF:
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._ordered().select(*self._user_columns).limit(n).toPandas()
 
+    def groupby(self, by) -> "LazyGroupBy":
+        """pandas-style grouped aggregation namespace:
+        ``lazy.groupby("lang").mean()``, ``.sum()``, ``.count()``,
+        ``.size()``, or ``.agg({"col": ["sum", "max"]})``. The grouping
+        stays a Spark plan (one agg exchange); only the per-group
+        result — rows = group count — comes back as pandas."""
+        keys = [by] if isinstance(by, str) else list(by)
+        missing = [k for k in keys if k not in self._user_columns]
+        if missing:
+            raise KeyError(missing)
+        return LazyGroupBy(self, keys)
+
     def filter(self, expression: str) -> "LazySparkDF":
         """Filter with the pandas-like DSL; returns a new lazy frame."""
         flt = build_filter_expression(expression, self._user_columns)
@@ -885,3 +903,92 @@ class LazySparkDF:
         self._dense = True
 
     save = to_parquet
+
+
+class LazyGroupBy:
+    """pandas ``DataFrameGroupBy`` analogue over the lazy facade.
+
+    Aggregations compile to ONE Spark groupBy (partial map-side combine
+    + a single exchange); only the per-group result materializes as a
+    pandas frame indexed by the group keys, sorted for determinism.
+    Numeric-only reducers (sum/mean) skip string columns the way pandas
+    ``numeric_only=True`` does; min/max/count cover every column.
+    """
+
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+    def __init__(self, parent: "LazySparkDF", keys: list[str]):
+        self._parent = parent
+        self._keys = keys
+
+    def _value_cols(self, numeric_only: bool) -> list[str]:
+        dtypes = self._parent.dtypes
+        cols = [c for c in self._parent.columns if c not in self._keys]
+        if numeric_only:
+            cols = [
+                c
+                for c in cols
+                if dtypes[c] in self._NUMERIC or dtypes[c].startswith("decimal")
+            ]
+        return cols
+
+    def _run(self, fn, numeric_only: bool) -> pd.DataFrame:
+        cols = self._value_cols(numeric_only)
+        if not cols:
+            raise ValueError("no aggregatable columns for this reducer")
+        grouped = (
+            self._parent._df.groupBy(*self._keys)
+            .agg(*[fn(c).alias(c) for c in cols])
+            .orderBy(*self._keys)
+        )
+        return grouped.toPandas().set_index(self._keys)
+
+    def sum(self) -> pd.DataFrame:
+        return self._run(F.sum, numeric_only=True)
+
+    def mean(self) -> pd.DataFrame:
+        return self._run(F.avg, numeric_only=True)
+
+    def min(self) -> pd.DataFrame:
+        return self._run(F.min, numeric_only=False)
+
+    def max(self) -> pd.DataFrame:
+        return self._run(F.max, numeric_only=False)
+
+    def count(self) -> pd.DataFrame:
+        # pandas semantics: non-null count per column
+        return self._run(F.count, numeric_only=False)
+
+    def size(self) -> pd.Series:
+        pdf = (
+            self._parent._df.groupBy(*self._keys)
+            .agg(F.count(F.lit(1)).alias("size"))
+            .orderBy(*self._keys)
+            .toPandas()
+            .set_index(self._keys)
+        )
+        return pdf["size"]
+
+    def agg(self, spec: dict) -> pd.DataFrame:
+        """``{"col": "sum"}`` or ``{"col": ["sum", "max"]}`` — output
+        columns are named ``col_fn`` (flattened pandas convention)."""
+        fns = {
+            "sum": F.sum,
+            "mean": F.avg,
+            "avg": F.avg,
+            "min": F.min,
+            "max": F.max,
+            "count": F.count,
+        }
+        aggs = []
+        for col, how in spec.items():
+            if col not in self._parent.columns:
+                raise KeyError(col)
+            for h in [how] if isinstance(how, str) else list(how):
+                if h not in fns:
+                    raise ValueError(f"unsupported aggregation {h!r}")
+                aggs.append(fns[h](col).alias(f"{col}_{h}"))
+        grouped = (
+            self._parent._df.groupBy(*self._keys).agg(*aggs).orderBy(*self._keys)
+        )
+        return grouped.toPandas().set_index(self._keys)

@@ -434,3 +434,52 @@ def test_loc_boolean_mask_cap(spark, wide_tables, monkeypatch):
     lazy = LazySparkDF(spark, wide_tables["wide_1"])
     with pytest.raises(ValueError, match="MAX_DRIVER_ASSIGN_ROWS"):
         lazy.loc[[True] * 10]
+
+
+def test_lazy_groupby_matches_pandas(spark, tmp_path):
+    import pandas as pd
+
+    from parq_tools_spark.lazy import LazySparkDF
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "b", "a", "b", "c", "a"],
+            "x": [1, 2, 3, 4, 5, 6],
+            "y": [1.5, 2.5, 3.5, 4.5, 5.5, 6.5],
+            "s": ["p", "q", "r", "s", "t", "u"],
+        }
+    )
+    path = str(tmp_path / "gb.parquet")
+    pdf.to_parquet(path, index=False)
+    lazy = LazySparkDF(spark, path)
+
+    got_sum = lazy.groupby("g").sum()
+    want_sum = pdf.groupby("g")[["x", "y"]].sum()
+    pd.testing.assert_frame_equal(
+        got_sum.astype("float64"), want_sum.astype("float64")
+    )
+
+    got_mean = lazy.groupby("g").mean()
+    want_mean = pdf.groupby("g")[["x", "y"]].mean()
+    pd.testing.assert_frame_equal(
+        got_mean.astype("float64"), want_mean.astype("float64")
+    )
+
+    # min/max include strings, like pandas
+    got_max = lazy.groupby("g").max()
+    assert list(got_max.loc["a", ["x", "s"]]) == [6, "u"]
+
+    got_size = lazy.groupby("g").size()
+    assert got_size.to_dict() == {"a": 3, "b": 2, "c": 1}
+
+    got_agg = lazy.groupby("g").agg({"x": ["sum", "max"], "y": "mean"})
+    assert list(got_agg.columns) == ["x_sum", "x_max", "y_mean"]
+    assert got_agg.loc["a", "x_sum"] == 10
+    assert got_agg.loc["b", "y_mean"] == 3.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lazy.groupby("nope")
+    with _pytest.raises(ValueError):
+        lazy.groupby("g").agg({"x": "median"})

@@ -67,3 +67,21 @@ def test_zorder_write_tightens_file_ranges(spark, sf_dir, tmp_path):
         # bits per dimension z-ordered files must cover well under half
         # of it on EVERY clustered column (theory ~0.25 + edge effects)
         assert tightened < 0.55, f"{col}: only tightened to {tightened:.2f}"
+
+
+def test_morton_is_bijective_on_the_grid(spark):
+    """Distinct (x, y) grid cells must map to distinct Morton codes —
+    interleaving is a bijection onto [0, 4^bits)."""
+    bits = 4
+    n = 1 << bits
+    cells = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    z = cells.select(
+        zorder_column([F.col("x"), F.col("y")], bits=bits).alias("z")
+    )
+    stats = z.agg(
+        F.countDistinct("z").alias("d"), F.min("z").alias("mn"), F.max("z").alias("mx")
+    ).collect()[0]
+    assert stats.d == n * n
+    assert stats.mn == 0 and stats.mx == n * n - 1
