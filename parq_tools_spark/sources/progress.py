@@ -97,14 +97,20 @@ def job_progress(
 
     thread = threading.Thread(target=run, daemon=True)
     thread.start()
+    completed = False
     try:
         yield
+        completed = True
     finally:
         stop.set()
         thread.join(timeout=5)
         done, total = poll_once()
         sc.setLocalProperty("spark.jobGroup.id", prev_group)
         sc.setLocalProperty("spark.job.description", prev_desc)
-        # skipped/cached stages can under-report completions; the block
-        # finished, so every launched task finished — report done=total
-        cb(desc, max(done, total), total)
+        if completed:
+            # skipped/cached stages can under-report completions; the
+            # block finished, so every launched task finished
+            cb(desc, max(done, total), total)
+        else:
+            # the block raised — report the truthful partial counts
+            cb(desc, done, total)

@@ -83,9 +83,14 @@ def write_zordered(
         *[F.min(F.col(c).cast("double")).alias(f"{c}__mn") for c in columns],
         *[F.max(F.col(c).cast("double")).alias(f"{c}__mx") for c in columns],
     ).collect()[0]
+    # all-null or empty columns have no stats: pin them to cell 0 so
+    # the write still succeeds (they contribute nothing to clustering)
     scaled = [
         _grid_scale(
-            F.col(c), stats_row[f"{c}__mn"], stats_row[f"{c}__mx"], bits
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)),
+            stats_row[f"{c}__mn"] if stats_row[f"{c}__mn"] is not None else 0.0,
+            stats_row[f"{c}__mx"] if stats_row[f"{c}__mx"] is not None else 0.0,
+            bits,
         )
         for c in columns
     ]

@@ -132,3 +132,18 @@ def test_top_level_api_surface():
 
     for name in pts.__all__:
         assert getattr(pts, name) is not None
+
+
+def test_job_progress_truthful_on_failure(spark):
+    """If the block raises, the final callback must NOT claim 100%
+    completion of work that never ran."""
+    from parq_tools_spark.sources.progress import job_progress
+
+    calls = []
+    try:
+        with job_progress(spark, "boom", lambda d, c, t: calls.append((c, t))):
+            raise RuntimeError("no jobs ever ran")
+    except RuntimeError:
+        pass
+    done, total = calls[-1]
+    assert (done, total) == (0, 0)

@@ -85,3 +85,13 @@ def test_morton_is_bijective_on_the_grid(spark):
     ).collect()[0]
     assert stats.d == n * n
     assert stats.mn == 0 and stats.mx == n * n - 1
+
+
+def test_zorder_write_survives_nulls_and_all_null_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, None, None), (3, 30.0, None)],
+        "id long, v double, w double",
+    )
+    path = str(tmp_path / "z_nulls")
+    write_zordered(df, path, ["v", "w"], bits=4, num_files=2)
+    assert spark.read.parquet(path).count() == 3
