@@ -2991,24 +2991,33 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                           || '.7' AS text
               FROM documents
             )
+            , r1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted
+            ), r2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1,
+                       '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?',
+                       '<PHONE>', 'g') AS t2
+              FROM r1
+            )
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                      AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                      '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?'))
                      AS BIGINT) AS n_phone,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
                      AS BIGINT) AS n_ipv4,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                     '<EMAIL>', 'g'),
-                     '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?',
-                     '<PHONE>', 'g'),
+                   md5(regexp_replace(t2,
                      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                      '<IP>', 'g')) AS redacted_md5
-            FROM planted
+            FROM r2
         """,
         # property checks: the Spark query returns invariant VIOLATIONS,
         # so the oracle is a typed empty relation of the same shape.

@@ -82,6 +82,18 @@ def main() -> None:
     # re-measurement; the driver's per-round run keeps the default n=1
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
 
+    def _isolate() -> None:
+        # drop SQL caches and any localCheckpoint RDDs a query left
+        # behind, so block-eviction pressure from earlier queries
+        # cannot distort later timings — run after EVERY attempt,
+        # including failed ones
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in ordered:
@@ -94,18 +106,14 @@ def main() -> None:
             except Exception as exc:  # one broken query must not void the bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"BENCH-ERROR {name}: {errors[name]}", file=sys.stderr)
+                # a flaky query is an errored query: void its timing so
+                # the payload never claims both a result and an error
+                best = None
+                _isolate()
                 break
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
-            # isolate queries: drop SQL caches and any localCheckpoint RDDs
-            # a query left behind, so block-eviction pressure from earlier
-            # queries cannot distort later timings
-            try:
-                spark.catalog.clearCache()
-                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                    rdd.unpersist()
-            except Exception:
-                pass
+            _isolate()
         if best is not None:
             timings[name] = round(best, 3)
 

@@ -739,17 +739,21 @@ class LazySparkDF:
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._ordered().select(*self._user_columns).limit(n).toPandas()
 
-    def groupby(self, by) -> "LazyGroupBy":
+    def groupby(self, by, dropna: bool = True) -> "LazyGroupBy":
         """pandas-style grouped aggregation namespace:
         ``lazy.groupby("lang").mean()``, ``.sum()``, ``.count()``,
         ``.size()``, or ``.agg({"col": ["sum", "max"]})``. The grouping
         stays a Spark plan (one agg exchange); only the per-group
-        result — rows = group count — comes back as pandas."""
+        result — rows = group count — comes back as pandas.
+        ``dropna=True`` (the pandas default) excludes null-keyed rows;
+        Spark would otherwise keep a null group pandas never shows."""
         keys = [by] if isinstance(by, str) else list(by)
+        if not keys:
+            raise ValueError("groupby requires at least one key column")
         missing = [k for k in keys if k not in self._user_columns]
         if missing:
             raise KeyError(missing)
-        return LazyGroupBy(self, keys)
+        return LazyGroupBy(self, keys, dropna=dropna)
 
     def filter(self, expression: str) -> "LazySparkDF":
         """Filter with the pandas-like DSL; returns a new lazy frame."""
@@ -917,9 +921,19 @@ class LazyGroupBy:
 
     _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
-    def __init__(self, parent: "LazySparkDF", keys: list[str]):
+    def __init__(
+        self, parent: "LazySparkDF", keys: list[str], dropna: bool = True
+    ):
         self._parent = parent
         self._keys = keys
+        self._dropna = dropna
+
+    def _grouped_source(self):
+        df = self._parent._df
+        if self._dropna:  # pandas groupby drops null-keyed rows
+            for k in self._keys:
+                df = df.filter(F.col(k).isNotNull())
+        return df
 
     def _value_cols(self, numeric_only: bool) -> list[str]:
         dtypes = self._parent.dtypes
@@ -937,7 +951,7 @@ class LazyGroupBy:
         if not cols:
             raise ValueError("no aggregatable columns for this reducer")
         grouped = (
-            self._parent._df.groupBy(*self._keys)
+            self._grouped_source().groupBy(*self._keys)
             .agg(*[fn(c).alias(c) for c in cols])
             .orderBy(*self._keys)
         )
@@ -961,7 +975,7 @@ class LazyGroupBy:
 
     def size(self) -> pd.Series:
         pdf = (
-            self._parent._df.groupBy(*self._keys)
+            self._grouped_source().groupBy(*self._keys)
             .agg(F.count(F.lit(1)).alias("size"))
             .orderBy(*self._keys)
             .toPandas()
@@ -989,6 +1003,6 @@ class LazyGroupBy:
                     raise ValueError(f"unsupported aggregation {h!r}")
                 aggs.append(fns[h](col).alias(f"{col}_{h}"))
         grouped = (
-            self._parent._df.groupBy(*self._keys).agg(*aggs).orderBy(*self._keys)
+            self._grouped_source().groupBy(*self._keys).agg(*aggs).orderBy(*self._keys)
         )
         return grouped.toPandas().set_index(self._keys)

@@ -278,6 +278,8 @@ def concat_parquet_files(
     (``parq_concat.py:43-68``). ``show_progress`` reports task-level
     progress of the distributed write (reference progress.py parity);
     pass ``progress_callback(desc, done, total)`` to redirect it."""
+    from contextlib import nullcontext
+
     from parq_tools_spark.sources.progress import job_progress
 
     if axis == 0:
@@ -288,8 +290,10 @@ def concat_parquet_files(
         out = concat_wide(spark, paths, index_columns, filter_query, columns)
     else:
         raise ConcatError(f"axis must be 0 or 1, got {axis}")
-    if show_progress or progress_callback is not None:
-        with job_progress(spark, "concat_parquet_files", progress_callback):
-            write_parquet(out, output_path, single_file=single_file)
-    else:
+    ctx = (
+        job_progress(spark, "concat_parquet_files", progress_callback)
+        if show_progress or progress_callback is not None
+        else nullcontext()
+    )
+    with ctx:
         write_parquet(out, output_path, single_file=single_file)

@@ -64,13 +64,17 @@ def filter_parquet(
     ``show_progress`` reports task-level progress of the distributed
     scan+write (reference progress.py parity); pass
     ``progress_callback(desc, done, total)`` to redirect it."""
+    from contextlib import nullcontext
+
     from parq_tools_spark.sources.progress import job_progress
 
     df = filter_dataframe(
         read_parquet(spark, input_path), expression, columns, index_columns
     )
-    if show_progress or progress_callback is not None:
-        with job_progress(spark, "filter_parquet", progress_callback):
-            write_parquet(df, output_path, single_file=single_file)
-    else:
+    ctx = (
+        job_progress(spark, "filter_parquet", progress_callback)
+        if show_progress or progress_callback is not None
+        else nullcontext()
+    )
+    with ctx:
         write_parquet(df, output_path, single_file=single_file)

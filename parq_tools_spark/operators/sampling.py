@@ -153,34 +153,38 @@ def pack_token_shards(
 
     if budget <= 0:
         raise ValueError("budget must be positive")
+    reserved = {"__pts_pid", "__pts_offset"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with scratch names: {sorted(clash)}")
     order_cols = [F.col(c).asc() for c in order_by]
     tok = F.col(token_col).cast("long")
 
     # range partitions are contiguous in order_by and numbered in
     # order, so per-partition totals in pid order are prefix offsets
     parted = df.repartitionByRange(*order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+        "__pts_pid", F.spark_partition_id()
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+    w_local = Window.partitionBy("__pts_pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local_excl = F.sum(tok).over(w_local) - tok
 
-    w_parts = Window.orderBy("_pid").rowsBetween(
+    w_parts = Window.orderBy("__pts_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = (
-        parted.groupBy("_pid")
-        .agg(F.sum(tok).alias("_ptotal"))
+        parted.groupBy("__pts_pid")
+        .agg(F.sum(tok).alias("__pts_total"))
         # this window IS single-task, over #partitions rows — trivial
-        .withColumn("_offset", F.sum("_ptotal").over(w_parts) - F.col("_ptotal"))
-        .select("_pid", "_offset")
+        .withColumn("__pts_offset", F.sum("__pts_total").over(w_parts) - F.col("__pts_total"))
+        .select("__pts_pid", "__pts_offset")
     )
     return (
-        parted.join(F.broadcast(offsets), "_pid")
+        parted.join(F.broadcast(offsets), "__pts_pid")
         .withColumn(
             shard_col,
-            F.floor((F.col("_offset") + local_excl) / F.lit(budget)).cast("long"),
+            F.floor((F.col("__pts_offset") + local_excl) / F.lit(budget)).cast("long"),
         )
-        .drop("_pid", "_offset")
+        .drop("__pts_pid", "__pts_offset")
     )

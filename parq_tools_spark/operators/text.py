@@ -224,9 +224,11 @@ def with_pii_redacted(
     rides whole-stage codegen and costs one scan at any corpus size.
     Emails, then phone numbers, then IPv4 literals are replaced with
     typed placeholders; with ``count_matches`` each category also gets
-    an ``n_<category>`` column (counted BEFORE redaction) so downstream
-    filters can quarantine PII-dense documents instead of just
-    scrubbing them.
+    an ``n_<category>`` column. Each category is counted on the text
+    AFTER the earlier categories' redactions, so every count
+    corresponds to a placeholder actually present in the output (a
+    phone-shaped substring inside an email local-part is redacted as
+    part of the email, and is NOT counted as a phone).
     """
     out = df
     redacted = F.col(text_col)
@@ -236,7 +238,7 @@ def with_pii_redacted(
                 f"n_{name}",
                 F.size(
                     # idx=0 (whole match): the patterns are group-free
-                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+                    F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0))
                 ).cast("long"),
             )
         redacted = F.regexp_replace(redacted, pattern, replacement)

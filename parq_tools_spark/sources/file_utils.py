@@ -151,9 +151,27 @@ def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
     return output_dir
 
 
+def _reject_escaping_entries(names, archive_path: Path) -> None:
+    """Refuse archives whose entries would land outside the output dir
+    (absolute paths or ``..`` components) — the same protection
+    ``tarfile``'s ``data`` filter gives the tar path."""
+    import posixpath
+
+    for name in names:
+        clean = name.replace("\\", "/")
+        if posixpath.isabs(clean) or ".." in clean.split("/"):
+            raise ValueError(
+                f"Archive {archive_path} entry {name!r} escapes the "
+                "output directory (absolute path or '..'); refusing to "
+                "extract"
+            )
+
+
 def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
     """7-Zip fallback for non-zip/tar archives: ``py7zr`` if installed,
-    else the ``7z`` executable; otherwise raise naming the divergence."""
+    else the ``7z`` executable; otherwise raise naming the divergence.
+    Entry names are vetted for path traversal BEFORE extraction (older
+    py7zr releases and the raw binary don't sanitize them)."""
     import shutil as _shutil
     import subprocess
 
@@ -166,11 +184,24 @@ def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
         output_dir.parent.mkdir(parents=True, exist_ok=True)
         with atomic_output_dir(output_dir) as tmp:
             with py7zr.SevenZipFile(archive_path) as zf:
+                _reject_escaping_entries(zf.getnames(), archive_path)
                 zf.extractall(tmp)
         return output_dir
 
     seven_zip = _shutil.which("7z") or _shutil.which("7za")
     if seven_zip:
+        listing = subprocess.run(
+            [seven_zip, "l", "-ba", "-slt", str(archive_path)],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        names = [
+            line[len("Path = "):]
+            for line in listing.stdout.splitlines()
+            if line.startswith("Path = ")
+        ]
+        _reject_escaping_entries(names, archive_path)
         output_dir.parent.mkdir(parents=True, exist_ok=True)
         with atomic_output_dir(output_dir) as tmp:
             subprocess.run(

@@ -31,10 +31,13 @@ def stderr_progress(desc: str, done: int, total: int) -> None:
     if total:
         pct = 100.0 * done / total
         sys.stderr.write(f"\r{desc}: {done}/{total} tasks ({pct:.0f}%)")
+        if done >= total:
+            sys.stderr.write("\n")
     else:
-        sys.stderr.write(f"\r{desc}: starting")
-    if total and done >= total:
-        sys.stderr.write("\n")
+        # only the guaranteed final call can arrive with total == 0: the
+        # block launched no Spark jobs (metadata-only action) or failed
+        # before any job started — close the line either way
+        sys.stderr.write(f"\r{desc}: 0/0 tasks (no spark jobs ran)\n")
     sys.stderr.flush()
 
 

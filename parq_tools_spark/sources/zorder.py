@@ -33,10 +33,12 @@ def zorder_column(
     """Interleave ``bits`` low bits of each (already grid-scaled, long)
     column into one Morton code.
 
-    Bit b of column i lands at position ``b * n_cols + i``; with the
-    default 16 bits and up to 4 columns the code fits a BIGINT. Pure
-    shift/mask expression — engine-portable (the driver oracle
-    recomputes it with DuckDB's bit operators).
+    Bit b of column i lands at position ``b * n_cols + i``;
+    ``bits * n_cols`` must stay within a BIGINT's 63 value bits (16
+    bits covers up to 3 columns; ``write_zordered`` auto-shrinks bits
+    for wider column sets). Pure shift/mask expression —
+    engine-portable (the driver oracle recomputes it with DuckDB's bit
+    operators).
     """
     n = len(scaled)
     if not 0 < bits * n <= 63:
@@ -78,16 +80,31 @@ def write_zordered(
     gives every file AND every row group tight min/max ranges on all
     participating columns. Readers need no cooperation: plain Spark /
     DuckDB / pyarrow scans prune on the ordinary parquet statistics.
+
+    ``bits`` is shrunk automatically when ``bits * len(columns)`` would
+    overflow a BIGINT's 63 value bits (e.g. 4 columns -> 15 bits each);
+    grid resolution beyond ~2^10 per dimension adds nothing once files
+    hold millions of rows. Timestamp/date columns (the most common
+    clustering keys) grid on their epoch-micros value.
     """
+    bits = min(bits, 63 // max(1, len(columns)))
+    dtypes = dict(df.dtypes)
+
+    def numeric(c: str) -> Column:
+        dt = dtypes[c]
+        if dt.startswith("timestamp") or dt == "date":
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     stats_row = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"{c}__mn") for c in columns],
-        *[F.max(F.col(c).cast("double")).alias(f"{c}__mx") for c in columns],
+        *[F.min(numeric(c)).alias(f"{c}__mn") for c in columns],
+        *[F.max(numeric(c)).alias(f"{c}__mx") for c in columns],
     ).collect()[0]
     # all-null or empty columns have no stats: pin them to cell 0 so
     # the write still succeeds (they contribute nothing to clustering)
     scaled = [
         _grid_scale(
-            F.coalesce(F.col(c).cast("double"), F.lit(0.0)),
+            F.coalesce(numeric(c), F.lit(0.0)),
             stats_row[f"{c}__mn"] if stats_row[f"{c}__mn"] is not None else 0.0,
             stats_row[f"{c}__mx"] if stats_row[f"{c}__mx"] is not None else 0.0,
             bits,

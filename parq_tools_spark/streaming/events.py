@@ -107,12 +107,18 @@ def read_events_stream(
 
     The stream schema is taken from a batch footer read of the same
     path, so whichever ``ts`` layout the files carry (long nanos or
-    timestamp[us]) resolves correctly. ``maxFilesPerTrigger`` bounds
-    per-microbatch work; on a real deployment swap for the Kafka
-    source — every transformation downstream is source-agnostic.
+    timestamp[us]) resolves correctly. A not-yet-populated source
+    directory (the normal streaming bootstrap order: start the stream,
+    then the producer) falls back to the current fixture layout
+    (``EVENTS_SCHEMA``). ``maxFilesPerTrigger`` bounds per-microbatch
+    work; on a real deployment swap for the Kafka source — every
+    transformation downstream is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # footer-only, no data scan
+    try:
+        schema = spark.read.parquet(path).schema  # footer-only, no data scan
+    except Exception:  # empty/absent dir: no footers to probe yet
+        schema = EVENTS_SCHEMA
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -106,6 +106,9 @@ def test_extract_archive_uses_py7zr_when_available(tmp_path, monkeypatch):
         def __exit__(self, *exc):
             return False
 
+        def getnames(self):
+            return ["payload.txt"]
+
         def extractall(self, dest):
             extracted_to["dest"] = str(dest)
             (pathlib.Path(dest) / "payload.txt").write_text("from-7z")
@@ -172,3 +175,38 @@ def test_write_parquet_sort_by_enables_row_group_skipping(spark, tmp_path):
     # disjoint (clustered) ranges: each row group covers a narrow slice
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_extract_archive_7z_rejects_path_traversal(tmp_path, monkeypatch):
+    """Entries escaping the output dir (.. or absolute) must be refused
+    BEFORE any extraction happens."""
+    import sys
+    import types
+
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    class EvilSevenZipFile:
+        def __init__(self, path):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def getnames(self):
+            return ["ok.txt", "../../escape.txt"]
+
+        def extractall(self, dest):
+            raise AssertionError("must not extract a traversing archive")
+
+    fake = types.ModuleType("py7zr")
+    fake.is_7zfile = lambda p: True
+    fake.SevenZipFile = EvilSevenZipFile
+    monkeypatch.setitem(sys.modules, "py7zr", fake)
+
+    arch = tmp_path / "evil.7z"
+    arch.write_bytes(b"7z\xbc\xaf\x27\x1c evil")
+    with pytest.raises(ValueError, match="escapes"):
+        extract_archive(arch, tmp_path / "out")

@@ -483,3 +483,27 @@ def test_lazy_groupby_matches_pandas(spark, tmp_path):
         lazy.groupby("nope")
     with _pytest.raises(ValueError):
         lazy.groupby("g").agg({"x": "median"})
+
+
+def test_lazy_groupby_dropna_matches_pandas(spark, tmp_path):
+    import pandas as pd
+
+    from parq_tools_spark.lazy import LazySparkDF
+
+    pdf = pd.DataFrame(
+        {"g": ["a", None, "a", None], "x": [1, 2, 3, 4]}
+    )
+    path = str(tmp_path / "gbn.parquet")
+    pdf.to_parquet(path, index=False)
+    lazy = LazySparkDF(spark, path)
+    # pandas default drops the null-key group; so do we
+    got = lazy.groupby("g").sum()
+    assert list(got.index) == ["a"]
+    assert got.loc["a", "x"] == 4
+    # opt out: the null group comes back (Spark semantics)
+    kept = lazy.groupby("g", dropna=False).size()
+    assert int(kept.sum()) == 4 and len(kept) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        lazy.groupby([])

@@ -151,3 +151,13 @@ def test_pack_token_shards_distributed_prefix_matches_local(spark):
         want[i] = cum // 500
         cum += n
     assert got == want
+
+
+def test_pack_token_shards_rejects_scratch_collisions(spark):
+    from parq_tools_spark.operators.sampling import pack_token_shards
+
+    df = spark.createDataFrame([(1, 5, 0)], "doc_id long, n long, __pts_pid int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        pack_token_shards(df, "n", budget=10)

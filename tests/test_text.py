@@ -143,3 +143,20 @@ def test_pii_redaction(spark):
     clean = rows[5]
     assert (clean.n_email, clean.n_phone, clean.n_ipv4) == (0, 0, 0)
     assert clean.redacted_text == "clean text, nothing to scrub"
+
+
+def test_pii_counts_reconcile_with_placeholders(spark):
+    """Counts are computed on the progressively-redacted text, so every
+    count corresponds to a placeholder in the output: a phone-shaped
+    substring inside an email local-part is part of the email, not a
+    phone."""
+    from parq_tools_spark.operators.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [(1, "reach me: 1-555-0123b@example.com")], "id long, text string"
+    )
+    row = with_pii_redacted(df).collect()[0]
+    assert row.n_email == 1
+    assert row.n_phone == 0  # consumed by the email redaction
+    assert row.redacted_text == "reach me: <EMAIL>"
+    assert row.redacted_text.count("<PHONE>") == row.n_phone

@@ -95,3 +95,15 @@ def test_zorder_write_survives_nulls_and_all_null_columns(spark, tmp_path):
     path = str(tmp_path / "z_nulls")
     write_zordered(df, path, ["v", "w"], bits=4, num_files=2)
     assert spark.read.parquet(path).count() == 3
+
+
+def test_write_zordered_autofits_bits_for_wide_column_sets(spark, tmp_path):
+    """4 columns at the default 16 bits would overflow 63 value bits;
+    write_zordered shrinks bits instead of crashing."""
+    df = spark.createDataFrame(
+        [(i, i * 2.0, i * 3.0, i % 7, i % 5) for i in range(100)],
+        "id long, a double, b double, c long, d long",
+    )
+    path = str(tmp_path / "z4")
+    write_zordered(df, path, ["a", "b", "c", "d"], num_files=2)  # bits=16 default
+    assert spark.read.parquet(path).count() == 100
