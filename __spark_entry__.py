@@ -1491,6 +1491,27 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs containing >= 60% of an
+    eval doc's 3-gram set (directional containment; the eval side is
+    broadcast — the corpus side never shuffles). Eval set = every 25th
+    document, so true positives (the eval docs themselves, containment
+    1.0) are guaranteed and the oracle checks real matches."""
+    from parq_tools_spark.operators.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = contamination_overlap(docs, ev, k=3, threshold=0.6)
+    return out.select(
+        "doc_id",
+        "eval_id",
+        "n_overlap",
+        _pround(F.col("containment")).alias("containment"),
+    )
+
+
 def q_pack_shards(spark, sf_dir):
     """Token-budget corpus sharding: deterministic streaming pack via
     one window cumsum (shard = floor(exclusive prefix tokens / budget))
@@ -1828,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
+        "contamination": q_contamination,
         "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
@@ -2937,6 +2959,33 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), csh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, len(t) - 1)]
+                     ELSE [array_to_string(t, ' ')] END)) AS shingle
+              FROM toks
+            ), esh AS (
+              SELECT doc_id AS eval_id, shingle FROM csh
+              WHERE doc_id % 25 = 0
+            ), esize AS (
+              SELECT eval_id, count(*) AS es FROM esh GROUP BY eval_id
+            ), ov AS (
+              SELECT c.doc_id, e.eval_id, count(*) AS n_overlap
+              FROM csh c JOIN esh e USING (shingle)
+              GROUP BY 1, 2
+            )
+            SELECT doc_id, eval_id, n_overlap,
+                   floor(CAST(n_overlap AS DOUBLE) / es * 1000000.0 + 0.5)
+                       / 1000000.0 AS containment
+            FROM ov JOIN esize USING (eval_id)
+            WHERE CAST(n_overlap AS DOUBLE) / es >= 0.6
         """,
         "pack_shards": r"""
             WITH toks AS (

@@ -45,6 +45,8 @@ from parq_tools_spark.operators.index_ops import (  # noqa: F401
 )
 from parq_tools_spark.operators.memory import memory_report  # noqa: F401
 from parq_tools_spark.operators.dedup import (  # noqa: F401
+    contamination_overlap,
+    decontaminate,
     dedupe_exact_text,
     dedupe_near_duplicates,
     minhash_lsh_pairs,
@@ -123,6 +125,8 @@ __all__ = [
     "rename_parquet",
     "memory_report",
     # LLM-pipeline operators
+    "contamination_overlap",
+    "decontaminate",
     "dedupe_exact_text",
     "dedupe_near_duplicates",
     "ngram_jaccard_pairs",

@@ -40,6 +40,8 @@ __all__ = [
     "word_shingles",
     "exploded_shingles",
     "dedupe_exact_text",
+    "contamination_overlap",
+    "decontaminate",
     "ngram_jaccard_pairs",
     "exact_jaccard_for_pairs",
     "MERSENNE_P",
@@ -115,6 +117,91 @@ def dedupe_exact_text(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_fp")
     )
+
+
+# --------------------------------------------------------- decontamination
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark-decontamination scan: training documents that contain
+    too much of an eval document's k-gram set.
+
+    For every (corpus doc, eval doc) pair sharing at least one k-word
+    shingle: ``n_overlap`` distinct shared shingles and ``containment``
+    = n_overlap / |eval doc's shingle set| (the standard directional
+    decontamination measure — a 100-page training doc that embeds a
+    whole eval prompt scores 1.0 even though its Jaccard is tiny).
+    Returns pairs with containment >= ``threshold``.
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    KBs, corpora are TBs), so its exploded shingles ride a BROADCAST
+    join against the corpus shingles — the 100 TB side is never
+    shuffled; per-pair counting is one map-side-combined aggregation.
+    """
+    corpus_sh = exploded_shingles(corpus, id_col, text_col, k)
+    eval_sh = (
+        eval_set.select(
+            F.col(eval_id_col), F.col(eval_text_col).alias("__etext")
+        )
+        .select(
+            eval_id_col,
+            F.explode(word_shingles("__etext", k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    eval_sizes = eval_sh.groupBy(eval_id_col).agg(
+        F.count(F.lit(1)).alias("__esize")
+    )
+    overlap = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(eval_sizes), eval_id_col)
+        .withColumn(
+            "containment",
+            F.col("n_overlap").cast("double") / F.col("__esize"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(id_col, eval_id_col, "n_overlap", "containment")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop training documents flagged by :func:`contamination_overlap`
+    (broadcast anti-join on the flagged ids)."""
+    flagged = (
+        contamination_overlap(
+            corpus,
+            eval_set,
+            id_col,
+            text_col,
+            eval_id_col,
+            eval_text_col,
+            k,
+            threshold,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 # ----------------------------------------------------------- exact jaccard

@@ -274,3 +274,31 @@ def test_dedup_operators_on_empty_corpus(spark):
     assert minhash_lsh_pairs(empty, num_hashes=8, bands=4).count() == 0
     assert simhash_pairs(empty).count() == 0
     assert dedupe_exact_text(empty).count() == 0
+
+
+def test_contamination_overlap_and_decontaminate(spark):
+    from parq_tools_spark.operators.dedup import (
+        contamination_overlap,
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark execution plans"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog tonight and more"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "eval_id long, text string",
+    )
+    out = contamination_overlap(corpus, evals, k=3, threshold=0.9).collect()
+    flagged = {r.doc_id: r.containment for r in out}
+    # doc 1 IS the eval text (containment 1.0); doc 3 embeds it fully
+    assert flagged[1] == 1.0
+    assert flagged[3] == 1.0
+    assert 2 not in flagged
+    clean = decontaminate(corpus, evals, k=3, threshold=0.9)
+    assert {r.doc_id for r in clean.collect()} == {2}
