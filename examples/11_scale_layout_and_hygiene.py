@@ -10,6 +10,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parq_tools_spark import (
+    decontaminate,
     get_spark,
     pack_token_shards,
     with_pii_redacted,
@@ -37,6 +38,15 @@ docs = spark.read.parquet(f"{SF}/documents.parquet")
 scrubbed = with_pii_redacted(docs)
 dense = scrubbed.filter("n_email + n_phone + n_ipv4 > 3")
 print("PII-dense documents to quarantine:", dense.count())
+
+# --- Benchmark decontamination: drop training docs that contain an
+# eval document's n-gram set (the eval side broadcasts; the corpus
+# side never shuffles)
+eval_set = docs.filter("doc_id % 25 = 0").selectExpr(
+    "doc_id AS eval_id", "text"
+)
+clean = decontaminate(docs, eval_set, k=8, threshold=0.8)
+print("decontaminated corpus:", clean.count(), "of", docs.count(), "docs")
 
 # --- Token-budget sharding: ~equal-token training files, stable order
 sharded = pack_token_shards(
