@@ -1491,6 +1491,20 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic: heaviest values + row share for two
+    candidate shuffle keys on lineitem (evidence for choosing plain vs
+    salted vs AQE-skew joins). TakeOrdered top-N per key — no global
+    sort over the per-key count table."""
+    from parq_tools_spark.operators.skew import key_skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = key_skew_report(li, ["l_returnflag", "l_suppkey"], top_n=5)
+    return out.select(
+        "column", "value", "n_rows", _pround(F.col("share")).alias("share")
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs containing >= 60% of an
     eval doc's 3-gram set (directional containment; the eval side is
@@ -1850,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
         "contamination": q_contamination,
+        "key_skew": q_key_skew,
         "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
@@ -2959,6 +2974,26 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    8 AS feature_dim
             FROM documents
+        """,
+        "key_skew": """
+            WITH totals AS (SELECT count(*) AS total FROM lineitem),
+            rf AS (
+              SELECT 'l_returnflag' AS "column",
+                     CAST(l_returnflag AS VARCHAR) AS value,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY 2
+              ORDER BY n_rows DESC, value ASC LIMIT 5
+            ), sk AS (
+              SELECT 'l_suppkey' AS "column",
+                     CAST(l_suppkey AS VARCHAR) AS value,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY 2
+              ORDER BY n_rows DESC, value ASC LIMIT 5
+            )
+            SELECT "column", value, n_rows,
+                   floor(CAST(n_rows AS DOUBLE) / total * 1000000.0 + 0.5)
+                       / 1000000.0 AS share
+            FROM (SELECT * FROM rf UNION ALL SELECT * FROM sk), totals
         """,
         "contamination": r"""
             WITH toks AS (

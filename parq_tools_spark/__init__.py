@@ -44,6 +44,10 @@ from parq_tools_spark.operators.index_ops import (  # noqa: F401
     sort_parquet,
 )
 from parq_tools_spark.operators.memory import memory_report  # noqa: F401
+from parq_tools_spark.operators.skew import (  # noqa: F401
+    key_skew_report,
+    skew_factor,
+)
 from parq_tools_spark.operators.dedup import (  # noqa: F401
     contamination_overlap,
     decontaminate,
@@ -124,6 +128,8 @@ __all__ = [
     "rename_columns",
     "rename_parquet",
     "memory_report",
+    "key_skew_report",
+    "skew_factor",
     # LLM-pipeline operators
     "contamination_overlap",
     "decontaminate",
