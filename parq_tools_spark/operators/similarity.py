@@ -18,7 +18,6 @@ candidates from LSH buckets, verified by exact cosine.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
@@ -577,6 +576,68 @@ def dedupe_embedding_near_duplicates(
     return dedupe_near_duplicates(corpus, pairs, id_col=id_col)
 
 
+def _with_centroid_cells(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str,
+    round_to: int = 6,
+    nprobe: Optional[int] = None,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the nearest-centroid cell (or the top-``nprobe`` probe
+    list) by ROUNDED cosine, vectorized: one numpy matmul per Arrow
+    batch inside ``mapInPandas``.
+
+    This replaces the per-centroid ``transform``/``aggregate`` cosine
+    ladder (n_cells interpreted higher-order expressions per row —
+    Catalyst does not codegen HOFs) with a single BLAS matmul per
+    batch: map-side only, centroids broadcast, no shuffle.
+
+    Contract (must match the SQL-oracle expression path bit-for-bit
+    after rounding): cosine in float64, rounded portable
+    ``floor(x*10^r + 0.5)/10^r``; argmax ties go to the LOWER cell
+    index (numpy first-max); probe order is (rounded sim desc, cell
+    asc) via a stable argsort on the negated sims.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    scale = float(10**round_to)
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))
+
+    out_field = (
+        T.StructField(out_col, T.IntegerType())
+        if nprobe is None
+        else T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    )
+    schema = T.StructType(list(df.schema.fields) + [out_field])
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        cmat_w, cnorm_w = bc.value
+        for b in batches:
+            out = b[cols].copy()
+            if not len(b):
+                out[out_col] = [] if nprobe is None else []
+                yield out
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ cmat_w.T) / (vnorm[:, None] * cnorm_w[None, :])
+            sims = np.floor(sims * scale + 0.5) / scale
+            if nprobe is None:
+                out[out_col] = sims.argmax(axis=1).astype(np.int32)
+            else:
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+                out[out_col] = [r.tolist() for r in order.astype(np.int32)]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ------------------------------------------------------------- near-dup
 def embedding_near_duplicate_pairs(
     corpus: DataFrame,
@@ -662,10 +723,14 @@ def ivf_hashseed_topk(
     for the trained path; use this one when reproducibility across
     engines/runs matters more than the last few recall points.
 
-    Scale shape is the same as :func:`ivf_topk`: centroids are inlined
-    literals (no shuffle to assign), the corpus is filtered by probed
+    Scale shape is the same as :func:`ivf_topk`: centroids ride a
+    broadcast (no shuffle to assign), the corpus is filtered by probed
     cell before any query similarity is computed, and only (query,
-    candidate) pairs ever move.
+    candidate) pairs ever move. Assignment and probing are one numpy
+    matmul per Arrow batch (:func:`_with_centroid_cells`) — the
+    round-3/4 expression-ladder version evaluated n_cells interpreted
+    HOF cosines per corpus row and was the slowest query in the bench
+    registry; the matmul path computes the identical rounded values.
     """
     from parq_tools_spark.operators.sampling import hash_bucket
 
@@ -680,46 +745,27 @@ def ivf_hashseed_topk(
     )
     if not cent_rows:
         raise ValueError("empty corpus")
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r[vec_col]]) for r in cent_rows]
-    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
 
     def _pr(col):
         return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
-    def _sims_to_cents(col_name: str):
-        return F.transform(
-            cent_arr, lambda c: _pr(cosine_similarity_col(F.col(col_name), c))
-        )
-
-    indexed = F.transform(
-        F.sequence(F.lit(0), F.lit(len(cent_rows) - 1)),
-        lambda i: F.struct(
-            F.element_at(F.col("_csims"), i + 1).alias("sim"), i.alias("idx")
-        ),
-    )
-    ranked = F.array_sort(
-        indexed,
-        lambda x, y: F.when(x.sim > y.sim, -1).when(x.sim < y.sim, 1).otherwise(
-            F.when(x.idx < y.idx, -1).when(x.idx > y.idx, 1).otherwise(0)
-        ),
-    )
-
-    assigned = (
-        corpus.withColumn("_csims", _sims_to_cents(vec_col))
-        .withColumn("cell", F.element_at(ranked, 1).idx.cast("int"))
-        .drop("_csims")
+    assigned = _with_centroid_cells(
+        corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
     )
     probes = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        _with_centroid_cells(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+            ),
+            centroids,
+            "_qvec",
+            round_to,
+            nprobe,
+            "_probe",
         )
-        .withColumn("_csims", _sims_to_cents("_qvec"))
-        .withColumn("_probe", F.slice(ranked, 1, nprobe))
-        .select(
-            "query_id", "_qvec", F.explode("_probe").alias("_p")
-        )
-        .select("query_id", "_qvec", F.col("_p.idx").cast("int").alias("cell"))
+        .select("query_id", "_qvec", F.explode("_probe").alias("cell"))
     )
     cand = assigned.join(
         F.broadcast(probes),
