@@ -8,15 +8,18 @@ with their row share, so the caller can decide between a plain join,
 `joins.salted_join`, or AQE skew handling — from evidence, not
 folklore.
 
-One aggregation per column (map-side combined) + a TakeOrdered top-N;
-the only driver-sized data is top_n rows per column.
+ONE scan of the input regardless of how many columns are profiled:
+the candidate columns stack into (column, value) pairs in a single
+projection, one map-side-combined aggregation counts them, and the
+per-column top-N window compiles to a map-side WindowGroupLimit. The
+only driver-sized data is top_n rows per column.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["key_skew_report", "skew_factor"]
@@ -33,36 +36,61 @@ def key_skew_report(
     the report is deterministic. Nulls count as a key (they hash to
     one reducer like any other value — a mostly-null join key IS a
     skew problem).
+
+    Single pass: each input row explodes into one (column, value) pair
+    per candidate column; one groupBy (partial aggregation shrinks the
+    shuffle to the distinct pairs per map partition) counts them all.
+    The per-column top-N is a ``row_number`` window that Spark rewrites
+    to a map-side WindowGroupLimit, so at most top_n rows per column
+    per partition reach the final ranking — never the full key-count
+    table. Totals fold out of the same counts (a column's counts sum
+    to the row count) via a broadcast of one row per column; the
+    aggregation exchange is reused between the two branches, so the
+    input is still scanned once. The old shape — one groupBy + count()
+    per column — scanned a 100 TB table C+1 times for a C-column
+    report.
     """
-    total = df.count()
-    if total == 0:
+    if df.isEmpty():
         raise ValueError("empty input")
-    parts = []
-    for col in columns:
-        counts = (
-            df.groupBy(F.col(col).cast("string").alias("value"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-        )
-        # orderBy + limit compiles to TakeOrderedAndProject: a
-        # distributed partial top-N — the per-key count table can be as
-        # big as the key cardinality, so no global sort and no
-        # single-task window over it
-        parts.append(
-            counts.orderBy(F.col("n_rows").desc(), F.col("value").asc())
-            .limit(top_n)
-            .select(
-                F.lit(col).alias("column"),
-                "value",
-                "n_rows",
-                (F.col("n_rows").cast("double") / F.lit(float(total))).alias(
-                    "share"
-                ),
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_pos"),
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for i, c in enumerate(columns)
+                ]
             )
+        ).alias("kv")
+    ).select("kv._pos", "kv.column", "kv.value")
+    counts = stacked.groupBy("_pos", "column", "value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.groupBy("column").agg(F.sum("n_rows").alias("_total"))
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("value").asc()
+    )
+    top = (
+        counts.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= top_n)
+        .drop("_rnk")
+    )
+    return (
+        top.join(F.broadcast(totals), "column")
+        # bounded sort: at most top_n rows per column reach it
+        .orderBy("_pos", F.col("n_rows").desc(), F.col("value").asc())
+        .select(
+            "column",
+            "value",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def skew_factor(df: DataFrame, column: str) -> float:
@@ -75,4 +103,6 @@ def skew_factor(df: DataFrame, column: str) -> float:
         .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"))
         .collect()[0]
     )
+    if row.mx is None:
+        raise ValueError("empty input")
     return float(row.mx) / float(row.mean)

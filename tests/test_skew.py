@@ -40,15 +40,19 @@ def test_skew_factor(spark):
     assert skew_factor(skewed, "k") > 50
 
 
-def test_key_skew_plan_uses_take_ordered(spark):
-    """The top-N must be a distributed partial TakeOrdered, never a
-    global sort or single-task window over the key-count table."""
-    df = spark.range(0, 10_000).selectExpr("id % 97 AS k")
-    plan = (
-        key_skew_report(df, ["k"], top_n=5)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "TakeOrderedAndProject" in plan
-    assert "Window" not in plan
+def test_key_skew_plan_one_pass(spark):
+    """The report must stay one-pass at any column count: the per-column
+    top-N runs as a map-side WindowGroupLimit (never a full-partition
+    window over the key-count table), and the totals branch reuses the
+    aggregation exchange instead of rescanning the input."""
+    df = spark.range(0, 10_000).selectExpr("id % 97 AS k", "id % 7 AS g")
+    rep = key_skew_report(df, ["k", "g"], top_n=5)
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_skew_factor_empty_input_raises(spark):
+    with pytest.raises(ValueError, match="empty"):
+        skew_factor(spark.createDataFrame([], "k string"), "k")
