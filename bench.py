@@ -69,6 +69,19 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from parq_tools_spark import get_spark
 
+    # contention guard: timings on a loaded box are upper bounds, not
+    # measurements (rounds 3 and 4 both produced phantom "regressions"
+    # from concurrent Spark runs). Record the load so the payload
+    # carries its own credibility signal.
+    ncpus = os.cpu_count() or 1
+    load_start = os.getloadavg()[0]
+    if load_start > 0.5 * ncpus:
+        print(
+            f"BENCH-WARNING: load {load_start:.1f} on {ncpus} cpus at start "
+            "- timings will be inflated by contention",
+            file=sys.stderr,
+        )
+
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
@@ -119,12 +132,22 @@ def main() -> None:
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    load_end = os.getloadavg()[0]
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else SF_DIR,
+        # load_1m_start is the pre-existing load (this process hadn't
+        # started work yet): > ~0.5*ncpus means a concurrent workload
+        # was inflating every timing above
+        "load": {
+            "load_1m_start": round(load_start, 2),
+            "load_1m_end": round(load_end, 2),
+            "ncpus": ncpus,
+            "contended": load_start > 0.5 * ncpus,
+        },
     }
     if errors:
         # counts only — full text already went to stderr line-by-line; the

@@ -14,6 +14,14 @@ from parq_tools_spark.operators.concat import (
 from parq_tools_spark.plans.query_parser import FilterParseError
 
 
+def _nan_missing(df: pd.DataFrame) -> pd.DataFrame:
+    """Pin the None-vs-NaN intent: both mean 'missing' here. Spark
+    round-trips object-column nulls as None, pandas concat as NaN;
+    assert_frame_equal currently treats them as equal but a future
+    pandas flips that, so normalize both sides to NaN explicitly."""
+    return df.where(df.notna(), other=float("nan"))
+
+
 def test_tall_concat_same_schema(spark, wide_tables):
     out = concat_tall(spark, [wide_tables["wide_1"], wide_tables["wide_1"]])
     assert out.count() == 20
@@ -63,7 +71,9 @@ def test_tall_concat_matches_pandas_oracle(spark, wide_tables):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(
-        out[sorted(out.columns)], expected[sorted(expected.columns)], check_dtype=False
+        _nan_missing(out[sorted(out.columns)]),
+        _nan_missing(expected[sorted(expected.columns)]),
+        check_dtype=False,
     )
 
 
