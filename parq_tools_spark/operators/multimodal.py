@@ -85,6 +85,8 @@ def repartition_by_bytes(
     df: DataFrame,
     target_bytes_per_partition: int = 128 << 20,
     blob_col: str = "blob",
+    selectivity: float = 1.0,
+    total_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Partition media so each task decodes ~equal bytes, not rows.
 
@@ -93,15 +95,26 @@ def repartition_by_bytes(
     row-group statistics over the frame's input files (O(#files)
     metadata reads — no data scan; at 100 TB a full pass over every
     blob byte just to pick a partition count would double the job).
-    Filters on ``df`` make the footer total an upper bound, which only
-    over-provisions partitions — AQE coalesces the excess. Frames with
-    no parquet lineage (in-memory test data) fall back to one
-    aggregation scan.
+
+    The footer total covers the FULL input files, so with a filtered
+    frame it is an upper bound — harmless for a mild filter (AQE
+    coalesces modest excess), but a 1% filter over 100 TB would
+    provision ~100x the partitions needed. Two escape hatches:
+    ``selectivity`` scales the footer estimate by the caller's known
+    keep-fraction, and ``total_bytes`` skips estimation entirely when
+    the caller already knows the byte total. Frames with no parquet
+    lineage (in-memory test data) fall back to one aggregation scan
+    (exact, so ``selectivity`` does not apply to it).
     """
-    total = _blob_bytes_from_footers(df, blob_col)
-    if total is None:
-        total = df.agg(F.sum(F.length(F.col(blob_col)))).collect()[0][0] or 0
-    n = max(1, int(total // target_bytes_per_partition) + 1)
+    if not 0.0 < selectivity <= 1.0:
+        raise ValueError("selectivity must be in (0, 1]")
+    if total_bytes is None:
+        total_bytes = _blob_bytes_from_footers(df, blob_col)
+        if total_bytes is not None:
+            total_bytes = int(total_bytes * selectivity)
+    if total_bytes is None:
+        total_bytes = df.agg(F.sum(F.length(F.col(blob_col)))).collect()[0][0] or 0
+    n = max(1, int(total_bytes // target_bytes_per_partition) + 1)
     return df.repartition(n)
 
 

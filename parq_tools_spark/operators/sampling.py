@@ -128,6 +128,7 @@ def pack_token_shards(
     budget: int,
     order_by: Sequence[str] = ("doc_id",),
     shard_col: str = "shard",
+    validate_order: bool = False,
 ) -> DataFrame:
     """Assign documents to fixed token-budget shards (training-corpus
     sharding: "write files of ~N tokens each").
@@ -139,6 +140,13 @@ def pack_token_shards(
     the budget gets a shard of its own and pushes the next shard
     boundary past itself (no splitting — document integrity beats
     perfect balance for training data).
+
+    ``order_by`` must be a TOTAL (unique) order: rows tied on all the
+    order columns get arbitrary relative positions in the running sum,
+    so their shard assignments can differ between runs — append a
+    unique id as the last order column if the natural key can tie.
+    ``validate_order=True`` spends one extra aggregation to fail fast
+    on duplicated order keys instead of packing nondeterministically.
 
     Scale shape: a naive ``Window.orderBy`` with no partition key
     executes in ONE task (Spark warns and moves everything to a single
@@ -153,6 +161,21 @@ def pack_token_shards(
 
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if validate_order:
+        dup = (
+            df.groupBy(*order_by)
+            .agg(F.count(F.lit(1)).alias("__pts_n"))
+            .filter(F.col("__pts_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in order_by}
+            raise ValueError(
+                f"order_by {tuple(order_by)} is not a total order: key "
+                f"{key} appears {dup[0]['__pts_n']} times; append a "
+                "unique tiebreaker column"
+            )
     reserved = {"__pts_pid", "__pts_offset"}
     clash = reserved & set(df.columns)
     if clash:

@@ -229,6 +229,11 @@ def with_pii_redacted(
     corresponds to a placeholder actually present in the output (a
     phone-shaped substring inside an email local-part is redacted as
     part of the email, and is NOT counted as a phone).
+
+    Null text keeps a null ``out_col`` (nothing to redact) but counts
+    are 0, not null — downstream arithmetic like
+    ``n_email + n_phone > 3`` quarantine filters must not silently
+    skip null-text rows.
     """
     out = df
     redacted = F.col(text_col)
@@ -236,10 +241,13 @@ def with_pii_redacted(
         if count_matches:
             out = out.withColumn(
                 f"n_{name}",
-                F.size(
-                    # idx=0 (whole match): the patterns are group-free
-                    F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0))
-                ).cast("long"),
+                F.coalesce(
+                    F.size(
+                        # idx=0 (whole match): the patterns are group-free
+                        F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0))
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
             )
         redacted = F.regexp_replace(redacted, pattern, replacement)
     return out.withColumn(out_col, redacted)

@@ -152,9 +152,12 @@ def extract_archive(archive_path: str | Path, output_dir: str | Path) -> Path:
 
 
 def _reject_escaping_entries(names, archive_path: Path) -> None:
-    """Refuse archives whose entries would land outside the output dir
-    (absolute paths or ``..`` components) — the same protection
-    ``tarfile``'s ``data`` filter gives the tar path."""
+    """Refuse archives whose entry NAMES would land outside the output
+    dir (absolute paths or ``..`` components). This is only one of the
+    checks ``tarfile``'s ``data`` filter performs — symlink vetting for
+    the 7z paths lives in :func:`_reject_link_entries` (pre-extraction,
+    from the listing) and :func:`_reject_outward_links`
+    (post-extraction walk of the atomic tmp dir)."""
     import posixpath
 
     for name in names:
@@ -167,11 +170,63 @@ def _reject_escaping_entries(names, archive_path: Path) -> None:
             )
 
 
+_S_IFMT, _S_IFLNK = 0o170000, 0o120000
+# 7z stores a unix st_mode in the high 16 attribute bits behind
+# FILE_ATTRIBUTE_UNIX_EXTENSION (0x8000)
+_UNIX_EXT = 0x8000
+
+
+def _reject_link_entries(entries, archive_path: Path) -> None:
+    """Refuse 7z archives whose LISTING marks any entry as a symlink.
+
+    This must run BEFORE extraction: an extractor that first creates a
+    symlink pointing outside the output dir and then extracts a file
+    through it has already escaped by the time a post-hoc walk runs.
+    ``entries`` are py7zr ``FileInfo``-likes (``attributes`` int).
+    """
+    for e in entries:
+        attrs = getattr(e, "attributes", None) or 0
+        if attrs & _UNIX_EXT and (attrs >> 16) & _S_IFMT == _S_IFLNK:
+            raise ValueError(
+                f"Archive {archive_path} entry {getattr(e, 'filename', '?')!r} "
+                "is a symlink; refusing to extract (links can redirect "
+                "writes outside the output directory)"
+            )
+
+
+def _reject_outward_links(tmp: Path, archive_path: Path) -> None:
+    """Walk the freshly-extracted tmp dir and refuse to publish it if
+    any entry is a symlink resolving outside the tmp dir, or a special
+    file (FIFO/device). Runs INSIDE the atomic-output context, so a
+    rejection discards the tmp dir and nothing reaches the final path.
+    Belt to :func:`_reject_link_entries`'s braces — catches extractors
+    whose listings hide link attributes."""
+    root = tmp.resolve()
+    for dirpath, dirnames, filenames in os.walk(tmp):
+        for name in (*dirnames, *filenames):
+            p = Path(dirpath) / name
+            if p.is_symlink():
+                resolved = p.resolve()
+                if resolved != root and root not in resolved.parents:
+                    raise ValueError(
+                        f"Archive {archive_path} produced symlink {name!r} "
+                        f"resolving outside the output directory "
+                        f"({resolved}); refusing to extract"
+                    )
+            elif not (p.is_file() or p.is_dir()):
+                raise ValueError(
+                    f"Archive {archive_path} produced special file "
+                    f"{name!r}; refusing to extract"
+                )
+
+
 def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
     """7-Zip fallback for non-zip/tar archives: ``py7zr`` if installed,
     else the ``7z`` executable; otherwise raise naming the divergence.
-    Entry names are vetted for path traversal BEFORE extraction (older
-    py7zr releases and the raw binary don't sanitize them)."""
+    Entry names AND link attributes are vetted from the listing BEFORE
+    extraction (older py7zr releases and the raw binary don't sanitize
+    them), and the extracted tmp dir is walked for outward-resolving
+    symlinks / special files before the atomic rename publishes it."""
     import shutil as _shutil
     import subprocess
 
@@ -185,7 +240,11 @@ def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
         with atomic_output_dir(output_dir) as tmp:
             with py7zr.SevenZipFile(archive_path) as zf:
                 _reject_escaping_entries(zf.getnames(), archive_path)
+                lister = getattr(zf, "list", None)
+                if callable(lister):
+                    _reject_link_entries(lister(), archive_path)
                 zf.extractall(tmp)
+            _reject_outward_links(tmp, archive_path)
         return output_dir
 
     seven_zip = _shutil.which("7z") or _shutil.which("7za")
@@ -202,6 +261,23 @@ def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
             if line.startswith("Path = ")
         ]
         _reject_escaping_entries(names, archive_path)
+        # -slt prints one "Attributes = ..." per entry; a unix mode
+        # string starting with 'l' (or an explicit Symbolic Link field)
+        # marks a symlink — refuse BEFORE extraction, a link can
+        # redirect later writes outside the tmp dir
+        for line in listing.stdout.splitlines():
+            if line.startswith("Symbolic Link = ") and line.split(" = ", 1)[1]:
+                raise ValueError(
+                    f"Archive {archive_path} contains a symlink entry; "
+                    "refusing to extract"
+                )
+            if line.startswith("Attributes = "):
+                mode = line.rsplit(" ", 1)[-1]
+                if mode.startswith("l") and len(mode) == 10:
+                    raise ValueError(
+                        f"Archive {archive_path} contains a symlink entry "
+                        f"({line.strip()}); refusing to extract"
+                    )
         output_dir.parent.mkdir(parents=True, exist_ok=True)
         with atomic_output_dir(output_dir) as tmp:
             subprocess.run(
@@ -209,6 +285,7 @@ def _extract_archive_7z(archive_path: Path, output_dir: Path) -> Path:
                 check=True,
                 capture_output=True,
             )
+            _reject_outward_links(tmp, archive_path)
         return output_dir
 
     raise ValueError(

@@ -210,3 +210,121 @@ def test_extract_archive_7z_rejects_path_traversal(tmp_path, monkeypatch):
     arch.write_bytes(b"7z\xbc\xaf\x27\x1c evil")
     with pytest.raises(ValueError, match="escapes"):
         extract_archive(arch, tmp_path / "out")
+
+
+def _fake_py7zr(monkeypatch, seven_zip_cls):
+    import sys
+    import types
+
+    fake = types.ModuleType("py7zr")
+    fake.is_7zfile = lambda p: True
+    fake.SevenZipFile = seven_zip_cls
+    monkeypatch.setitem(sys.modules, "py7zr", fake)
+
+
+def test_extract_archive_7z_rejects_symlink_in_listing(tmp_path, monkeypatch):
+    """A listing entry whose 7z unix attributes mark a symlink must be
+    refused BEFORE extraction — by extraction time a link could already
+    have redirected writes outside the output dir."""
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    class Info:
+        def __init__(self, filename, attributes):
+            self.filename = filename
+            self.attributes = attributes
+
+    class LinkySevenZipFile:
+        def __init__(self, path):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def getnames(self):
+            return ["link"]
+
+        def list(self):
+            # FILE_ATTRIBUTE_UNIX_EXTENSION | (S_IFLNK|0o777) << 16
+            return [Info("link", 0x8000 | (0o120777 << 16))]
+
+        def extractall(self, dest):
+            raise AssertionError("must not extract an archive with symlinks")
+
+    _fake_py7zr(monkeypatch, LinkySevenZipFile)
+    arch = tmp_path / "linky.7z"
+    arch.write_bytes(b"7z\xbc\xaf\x27\x1c link")
+    with pytest.raises(ValueError, match="symlink"):
+        extract_archive(arch, tmp_path / "out")
+
+
+def test_extract_archive_7z_rejects_outward_symlink_on_disk(
+    tmp_path, monkeypatch
+):
+    """Even when the listing hides link attributes, an extracted
+    symlink resolving outside the tmp dir must abort the atomic commit:
+    nothing reaches the final path."""
+    import os
+
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    outside = tmp_path / "victim.txt"
+    outside.write_text("precious")
+
+    class SneakySevenZipFile:
+        def __init__(self, path):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def getnames(self):
+            return ["innocent.txt", "sneaky"]
+
+        def extractall(self, dest):
+            (pathlib.Path(dest) / "innocent.txt").write_text("hi")
+            os.symlink(outside, pathlib.Path(dest) / "sneaky")
+
+    _fake_py7zr(monkeypatch, SneakySevenZipFile)
+    arch = tmp_path / "sneaky.7z"
+    arch.write_bytes(b"7z\xbc\xaf\x27\x1c sneaky")
+    out_dir = tmp_path / "out"
+    with pytest.raises(ValueError, match="outside the output directory"):
+        extract_archive(arch, out_dir)
+    assert not out_dir.exists()  # atomic: rejection discards the tmp dir
+
+
+def test_extract_archive_7z_allows_inward_symlink(tmp_path, monkeypatch):
+    """Relative symlinks staying inside the archive are legitimate
+    (dedup-by-link layouts) and must survive extraction."""
+    import os
+
+    from parq_tools_spark.sources.file_utils import extract_archive
+
+    class InwardSevenZipFile:
+        def __init__(self, path):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def getnames(self):
+            return ["real.txt", "alias"]
+
+        def extractall(self, dest):
+            (pathlib.Path(dest) / "real.txt").write_text("content")
+            os.symlink("real.txt", pathlib.Path(dest) / "alias")
+
+    _fake_py7zr(monkeypatch, InwardSevenZipFile)
+    arch = tmp_path / "inward.7z"
+    arch.write_bytes(b"7z\xbc\xaf\x27\x1c inward")
+    out = extract_archive(arch, tmp_path / "out")
+    assert (out / "alias").read_text() == "content"

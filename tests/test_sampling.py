@@ -161,3 +161,27 @@ def test_pack_token_shards_rejects_scratch_collisions(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         pack_token_shards(df, "n", budget=10)
+
+
+def test_pack_token_shards_validate_order_catches_ties(spark):
+    """order_by must be a total order for the pack to be deterministic;
+    validate_order=True fails fast on a duplicated key instead of
+    assigning tied rows nondeterministically."""
+    from parq_tools_spark.operators.sampling import pack_token_shards
+
+    import pytest as _pytest
+
+    tied = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "doc_id long, n long"
+    )
+    with _pytest.raises(ValueError, match="not a total order"):
+        pack_token_shards(tied, "n", budget=100, validate_order=True)
+
+    unique = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n long")
+    got = {
+        r.doc_id: r.shard
+        for r in pack_token_shards(
+            unique, "n", budget=100, validate_order=True
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0}

@@ -160,3 +160,18 @@ def test_pii_counts_reconcile_with_placeholders(spark):
     assert row.n_phone == 0  # consumed by the email redaction
     assert row.redacted_text == "reach me: <EMAIL>"
     assert row.redacted_text.count("<PHONE>") == row.n_phone
+
+
+def test_pii_null_text_counts_zero(spark):
+    """Null text keeps a null redacted_text but 0 (not null) counts, so
+    downstream quarantine arithmetic (n_email + n_phone > k) cannot
+    silently skip null-text rows."""
+    from parq_tools_spark.operators.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.org")], "id long, text string"
+    )
+    rows = {r.id: r for r in with_pii_redacted(df).collect()}
+    assert rows[1].redacted_text is None
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (0, 0, 0)
+    assert rows[2].n_email == 1
