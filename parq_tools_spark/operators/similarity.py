@@ -29,6 +29,7 @@ __all__ = [
     "cosine_similarity_col",
     "ivf_write",
     "ivf_read",
+    "ivf_rebalance_subcells",
     "normalize_embeddings",
     "brute_force_topk",
     "brute_force_pairs",
@@ -259,6 +260,49 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_rebalance_subcells(
+    assigned_corpus: DataFrame,
+    max_cell_rows: int,
+    id_col: str = "vec_id",
+    subcell_col: str = "subcell",
+) -> DataFrame:
+    """Split skewed IVF cells into bounded sub-cells for balanced layout.
+
+    KMeans tolerates arbitrarily skewed cells (a degenerate corpus can
+    put most vectors in one cell), which at scale means one straggler
+    write task and one huge partition directory. This adds a
+    ``subcell`` column: cells at or under ``max_cell_rows`` keep
+    subcell 0; a hot cell with s rows hash-splits into ceil(s /
+    max_cell_rows) sub-cells by the id hash — deterministic,
+    partitioning-independent, and strict about EXPECTED size (hash
+    variance can overshoot a little; the bound is s/k per sub-cell on
+    average).
+
+    Search semantics are untouched: ``cell`` remains the centroid id,
+    probes rank and filter exactly as before, so every oracle result
+    is bit-identical. Only the physical layout changes —
+    :func:`ivf_write` partitions by (cell, subcell) when the column is
+    present, so partition pruning on ``cell`` still skips unprobed
+    data while no single directory holds an unbounded cell.
+    """
+    if max_cell_rows <= 0:
+        raise ValueError("max_cell_rows must be positive")
+    sizes = assigned_corpus.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    n_sub = {
+        r["cell"]: max(1, -(-r["_n"] // max_cell_rows)) for r in sizes
+    }
+    expr = F.lit(0)
+    for cell_id, k in n_sub.items():
+        if k > 1:
+            expr = F.when(
+                F.col("cell") == F.lit(cell_id),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int"),
+            ).otherwise(expr)
+    return assigned_corpus.withColumn(subcell_col, expr.cast("int"))
+
+
 def ivf_write(
     assigned_corpus: DataFrame, path: str, centroids: list
 ) -> None:
@@ -268,12 +312,18 @@ def ivf_write(
     ``partitionBy("cell")`` is the scale payoff: a probe that filters
     on ``cell IN (...)`` prunes to the probed directories at PLANNING
     time (``PartitionFilters`` in the scan) — each query reads
-    ~nprobe/n_cells of a 100 TB corpus instead of scanning it.
+    ~nprobe/n_cells of a 100 TB corpus instead of scanning it. If the
+    frame carries a ``subcell`` column (see
+    :func:`ivf_rebalance_subcells`), the layout is additionally split
+    by it so no skewed cell produces an unbounded partition.
     """
     import json
     import os
 
-    assigned_corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
+    part_cols = ["cell"]
+    if "subcell" in assigned_corpus.columns:
+        part_cols.append("subcell")
+    assigned_corpus.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(centroids, f)
 

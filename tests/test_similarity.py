@@ -94,6 +94,71 @@ def test_ivf_write_read_partition_pruning(spark, embeddings, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_ivf_rebalance_bounds_skewed_cells(spark, embeddings):
+    """Property: on an adversarially skewed assignment (most of the
+    corpus in one cell), rebalancing bounds every (cell, subcell)
+    group near max_cell_rows, keeps cell membership bit-identical, and
+    the split is deterministic (id-hash, not partitioning/RNG)."""
+    from parq_tools_spark.operators.similarity import ivf_rebalance_subcells
+
+    n = embeddings.count()
+    # degenerate quantizer: ~90% of vectors land in cell 0
+    skewed = embeddings.withColumn(
+        "cell",
+        F.when(F.col("vec_id") % 10 < 9, F.lit(0)).otherwise(F.lit(1)).cast("int"),
+    )
+    # cap above cell 1's ~10% share so only cell 0 is hot
+    cap = max(1, n // 8)
+    out = ivf_rebalance_subcells(skewed, max_cell_rows=cap)
+
+    groups = out.groupBy("cell", "subcell").count().collect()
+    biggest = max(r["count"] for r in groups)
+    # hash split: strict in expectation, slack for hash variance
+    assert biggest <= 1.5 * cap, f"sub-cell still skewed: {biggest} > 1.5*{cap}"
+    # cold cell 1 keeps a single subcell 0
+    assert {r["subcell"] for r in groups if r["cell"] == 1} == {0}
+    # cell membership (search semantics) unchanged
+    assert out.filter("cell = 0").count() == skewed.filter("cell = 0").count()
+    # deterministic under re-partitioning
+    a = {(r.vec_id, r.subcell) for r in out.collect()}
+    b = {
+        (r.vec_id, r.subcell)
+        for r in ivf_rebalance_subcells(
+            skewed.repartition(7), max_cell_rows=cap
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ivf_write_partitions_by_subcell(spark, embeddings, tmp_path):
+    """A rebalanced frame writes (cell, subcell) directories; pruning
+    on cell alone still reaches the scan."""
+    from parq_tools_spark.operators.similarity import (
+        ivf_build,
+        ivf_read,
+        ivf_rebalance_subcells,
+        ivf_write,
+    )
+
+    assigned, centroids = ivf_build(embeddings, n_cells=4)
+    n = assigned.count()
+    rebal = ivf_rebalance_subcells(assigned, max_cell_rows=max(1, n // 8))
+    path = str(tmp_path / "ivf_rebal")
+    ivf_write(rebal, path, centroids)
+    import glob
+
+    assert glob.glob(path + "/cell=*/subcell=*"), "no subcell directories"
+    corpus, cents = ivf_read(spark, path)
+    assert corpus.count() == n
+    plan = (
+        corpus.filter("cell IN (0, 1)")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_dedupe_embedding_near_duplicates(spark, embeddings):
     from parq_tools_spark.operators.similarity import dedupe_embedding_near_duplicates
 
