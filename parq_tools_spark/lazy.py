@@ -512,23 +512,59 @@ class LazyLocIndexer:
             out = p._wrap(dense.join(F.broadcast(lookup), on=_ROW_ID, how="inner"))
             out._dense = False
             return out
-        # label-based access on the (single) index column, like pandas
-        # .loc[value] / .loc[[v1, v2]] — a lazy filter, never a collect
+        # label-based access on the index column(s), like pandas
+        # .loc[value] / .loc[[v1, v2]] / .loc[(a, b)] / .loc[[(a, b)]]
+        # — a lazy filter, never a collect
         if p._index_columns:
-            if len(p._index_columns) != 1:
+            idxs = p._index_columns
+            if len(idxs) == 1:
+                values = list(mask) if is_seq else [mask]
+                out = p._wrap(p._df.filter(F.col(idxs[0]).isin(values)))
+                out._dense = False
+                return out
+            # multi-level index: a tuple is one label, a list of tuples
+            # several (pandas MultiIndex parity)
+            if isinstance(mask, tuple) and len(mask) == len(idxs):
+                labels = [mask]
+            else:
+                labels = list(mask) if is_seq else [mask]
+            bad = [
+                l
+                for l in labels
+                if not (isinstance(l, tuple) and len(l) == len(idxs))
+            ]
+            if bad:
                 raise TypeError(
-                    ".loc label access supports a single index column; "
-                    f"frame has {p._index_columns}"
+                    f".loc labels on a {len(idxs)}-level index must be "
+                    f"{len(idxs)}-tuples (index columns {idxs}); got "
+                    f"{bad[0]!r}"
                 )
-            idx = p._index_columns[0]
-            values = list(mask) if is_seq else [mask]
-            out = p._wrap(p._df.filter(F.col(idx).isin(values)))
+            cond = F.lit(False)
+            for lab in labels:
+                one = F.lit(True)
+                for c, v in zip(idxs, lab):
+                    one = one & (F.col(c) == F.lit(v))
+                cond = cond | one
+            out = p._wrap(p._df.filter(cond))
             out._dense = False
             return out
         raise TypeError(f"Unsupported .loc row key: {type(mask)!r}")
 
     def __getitem__(self, key):
         if isinstance(key, tuple) and len(key) == 2:
+            p = self._parent
+            # pandas MultiIndex parity: on a multi-level index a tuple
+            # whose width matches the index and whose elements are all
+            # scalars is a row LABEL, not a (mask, columns) pair — use
+            # .loc[mask][cols] for masked column selection there
+            if (
+                len(p._index_columns) == 2
+                and all(
+                    not isinstance(k, (LazyColumn, Column, slice, list))
+                    for k in key
+                )
+            ):
+                return self._masked(key)
             mask, cols = key
             sub = self._masked(mask)
             if isinstance(cols, str):
@@ -599,8 +635,47 @@ class LazySparkDF:
     def columns(self) -> list[str]:
         return list(self._user_columns)
 
+    #: Spark simpleString dtype -> (nullable pandas extension dtype,
+    #: non-null numpy dtype), mirroring the reference's pyarrow mapping
+    #: (``lazy_parquet.py:805-832``): nullable ints/floats report
+    #: pandas extension dtypes so null-capable columns don't silently
+    #: read as int64-that-will-coerce-to-float64.
+    _PANDAS_DTYPES = {
+        "tinyint": ("Int8", "int8"),
+        "smallint": ("Int16", "int16"),
+        "int": ("Int32", "int32"),
+        "bigint": ("Int64", "int64"),
+        "float": ("Float32", "float32"),
+        "double": ("Float64", "float64"),
+    }
+
     @property
     def dtypes(self) -> dict[str, str]:
+        """pandas-parity dtype names (reference ``lazy_parquet.py:805-832``):
+        nullable integer/float columns map to pandas extension dtypes
+        (``Int64``/``Float32``/...), non-nullable ones to plain numpy
+        names; booleans are ``bool``, strings/decimals/dates and nested
+        types ``object``, timestamps ``datetime64[us]`` (what
+        ``toPandas`` materializes). Spark-native type strings remain
+        available as :attr:`spark_dtypes`."""
+        nullable = {f.name: f.nullable for f in self._df.schema.fields}
+        spark_types = dict(self._df.dtypes)
+        out: dict[str, str] = {}
+        for c in self._user_columns:
+            dt = spark_types[c]
+            if dt in self._PANDAS_DTYPES:
+                ext, plain = self._PANDAS_DTYPES[dt]
+                out[c] = ext if nullable.get(c, True) else plain
+            elif dt == "boolean":
+                out[c] = "bool"
+            elif dt.startswith("timestamp"):
+                out[c] = "datetime64[us]"
+            else:
+                out[c] = "object"
+        return out
+
+    @property
+    def spark_dtypes(self) -> dict[str, str]:
         d = dict(self._df.dtypes)
         return {c: d[c] for c in self._user_columns}
 
@@ -936,7 +1011,7 @@ class LazyGroupBy:
         return df
 
     def _value_cols(self, numeric_only: bool) -> list[str]:
-        dtypes = self._parent.dtypes
+        dtypes = self._parent.spark_dtypes
         cols = [c for c in self._parent.columns if c not in self._keys]
         if numeric_only:
             cols = [

@@ -371,6 +371,61 @@ def test_lazy_loc_label_access(spark, tmp_path):
         plain.loc[1]
 
 
+def test_lazy_loc_multiindex_labels(spark, tmp_path):
+    """Multi-level index labels, pandas MultiIndex parity (reference
+    LazyLocIndexer routes through pandas .loc, lazy_parquet.py:573-590):
+    a tuple is one label, a list of tuples several."""
+    pdf = pd.DataFrame(
+        {
+            "a": [1, 1, 2, 2],
+            "b": ["x", "y", "x", "y"],
+            "v": [10.0, 20.0, 30.0, 40.0],
+        }
+    ).set_index(["a", "b"])
+    p = str(tmp_path / "mi.parquet")
+    pdf.to_parquet(p)
+    lazy = LazySparkDF(spark, p)
+    assert lazy.index_columns == ["a", "b"]
+
+    # single tuple label == pandas pdf.loc[(1, "y")]
+    one = lazy.loc[(1, "y")].to_pandas()
+    assert one.v.tolist() == [20.0]
+    # list of tuples == pandas pdf.loc[[(1, "x"), (2, "y")]]
+    both = lazy.loc[[(1, "x"), (2, "y")]].to_pandas().sort_values("v")
+    assert both.v.tolist() == [10.0, 40.0]
+    assert pdf.loc[[(1, "x"), (2, "y")]].v.tolist() == [10.0, 40.0]
+    # wrong-width labels rejected with a clear error
+    with pytest.raises(TypeError, match="2-tuples"):
+        lazy.loc[[(1,)]]
+
+
+def test_lazy_dtypes_nullable_mapping(spark, tmp_path):
+    """Nullable numeric columns report pandas extension dtypes
+    (reference lazy_parquet.py:805-832); non-numeric types map to
+    their pandas names; Spark-native strings stay on spark_dtypes."""
+    pdf = pd.DataFrame(
+        {
+            "i": pd.array([1, None, 3], dtype="Int64"),
+            "f": [1.5, 2.5, None],
+            "s": ["a", "b", None],
+            "flag": [True, False, True],
+        }
+    )
+    p = str(tmp_path / "dt.parquet")
+    pdf.to_parquet(p)
+    lazy = LazySparkDF(spark, p)
+    dt = lazy.dtypes
+    assert dt["i"] == "Int64"
+    assert dt["f"] == "Float64"
+    assert dt["s"] == "object"
+    assert dt["flag"] == "bool"
+    assert lazy.spark_dtypes["i"] == "bigint"
+    # numeric-only groupby aggregation still selects via spark type
+    # names (it must not look for "bigint" in the pandas-style names)
+    g = LazySparkDF(spark, p).groupby("s").sum()
+    assert "i" in g.columns and "f" in g.columns
+
+
 def test_lazy_str_accessor(spark, wide_tables):
     lazy = LazySparkDF(spark, wide_tables["wide_1"])
     assert lazy["a"].str.upper().tolist() == [f"VAL{i}" for i in range(1, 11)]
