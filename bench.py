@@ -133,31 +133,53 @@ def main() -> None:
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     load_end = os.getloadavg()[0]
+    # The driver tail-captures only the LAST ~2000 chars of stdout:
+    # the rounds-3/4 payloads carried all 88 per-query timings, blew
+    # that window, and were recorded unparsed (BENCH_r03/r04
+    # "parsed": null). The headline line therefore carries ONLY the
+    # headline-set timings (compact, 2dp); the full per-query map
+    # goes to BENCH_FULL.json next to this script.
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {
+            n: round(timings[n], 2) for n in HEADLINE_QUERIES if n in timings
+        },
         "sf": float(sf) if sf else SF_DIR,
+        "n_timed": len(timings),
+        "full": "BENCH_FULL.json",
         # load_1m_start is the pre-existing load (this process hadn't
         # started work yet): > ~0.5*ncpus means a concurrent workload
         # was inflating every timing above
         "load": {
-            "load_1m_start": round(load_start, 2),
-            "load_1m_end": round(load_end, 2),
+            "start": round(load_start, 1),
+            "end": round(load_end, 1),
             "ncpus": ncpus,
             "contended": load_start > 0.5 * ncpus,
         },
     }
     if errors:
-        # counts only — full text already went to stderr line-by-line; the
-        # driver tail-captures output, so the headline line must stay small
-        payload["errors"] = {"count": len(errors), "queries": sorted(errors)}
+        # count + a truncated name list — full text already went to
+        # stderr line-by-line; the tail window is the hard budget
+        payload["errors"] = {
+            "count": len(errors),
+            "queries": sorted(errors)[:5],
+        }
+    full = dict(payload)
+    full["queries"] = timings
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
     spark.stop()
     # the headline JSON is the LAST stdout line (nothing — not even Spark
     # shutdown chatter — may print after it; the driver reads the tail)
     sys.stdout.flush()
-    print(json.dumps(payload), flush=True)
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # hard budget: the driver's 2000-char tail
+        payload["queries"] = {}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
