@@ -1817,6 +1817,196 @@ def q_ann_ivf_fullprobe_equiv(spark, sf_dir):
     return only_bf.unionByName(only_ivf)
 
 
+# ---------------------------------------------------------------------
+# Round-5 LLM-pipeline additions: repetition quality signals,
+# paragraph-level corpus dedup, keyed merge/CDC, product quantization,
+# semantic dedup.
+# ---------------------------------------------------------------------
+def q_word_repetition(spark, sf_dir):
+    """Gopher-style word repetition signals (map-only, zero shuffle)."""
+    from parq_tools_spark.operators.repetition import with_word_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_word_repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_unique_words",
+        _pround(F.col("frac_unique_words")).alias("frac_unique_words"),
+        _pround(F.col("frac_dup_words")).alias("frac_dup_words"),
+    )
+
+
+def q_repetition_ngram(spark, sf_dir):
+    """Top/duplicate 2-gram character fractions per document (the
+    Gopher Table A1 repetition filters)."""
+    from parq_tools_spark.operators.repetition import ngram_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_repetition_stats(docs, n=2)
+    return out.select(
+        "doc_id",
+        "top_ngram",
+        "top_ngram_count",
+        _pround(F.col("top_ngram_char_frac")).alias("top_ngram_char_frac"),
+        _pround(F.col("dup_ngram_char_frac")).alias("dup_ngram_char_frac"),
+    )
+
+
+def q_paragraph_dedupe(spark, sf_dir):
+    """Corpus-wide paragraph dedup (C4/RefinedWeb boilerplate pass).
+
+    The fixture has single-line documents, so the query derives a
+    deterministic paragraph structure first: a newline after every
+    3rd token (same regexp in both engines), then keeps only the
+    corpus-first occurrence of each paragraph."""
+    from parq_tools_spark.operators.dedup import dedupe_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
+    )
+    return dedupe_paragraphs(chunked, sep="\n")
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics on plain parquet: a derived change set
+    (updates for custkey%10==0, inserts for %37==5 shifted by 1e6,
+    deletes for %100==7) applied to the customer snapshot."""
+    from parq_tools_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 10 == 0).select(
+        k.alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(False).alias("_del"),
+    )
+    ins = cust.filter(k % 37 == 5).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("_del"),
+    )
+    dels = cust.filter(k % 100 == 7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(True).alias("_del"),
+    )
+    src = upd.unionByName(ins).unionByName(dels)
+    merged = merge_upsert(
+        cust, src, ["c_custkey"], delete_col="_del", broadcast_source=True
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        _pround(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC log apply with latest-wins per key: seq-1 updates for
+    custkey%10==0, seq-2 deletes for %20==0 (delete beats the earlier
+    update), seq-1 inserts for %37==5. The oracle derives the expected
+    final state independently — it never re-implements the merge."""
+    from parq_tools_spark.operators.merge import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    dels = cust.filter(k % 20 == 0).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    ins = cust.filter(k % 37 == 5).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("NEW-"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    out = apply_cdc(cust, changes, ["c_custkey"], broadcast_source=True)
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        _pround(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN top-5 by asymmetric distance. The whole
+    pipeline (hash-seeded codebooks, argmin-L2 encoding, ADC scoring)
+    is closed-form, so DuckDB recomputes it value-for-value."""
+    from parq_tools_spark.operators.similarity import pq_build, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cbs = pq_build(emb, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return pq_topk(codes, cbs, qs, k=5).select("query_id", "vec_id", "pq_score")
+
+
+def q_ann_pq_exact_equiv(spark, sf_dir):
+    """With the identity codebook (every corpus row a seed) PQ encoding
+    is lossless, so ADC top-k must equal the brute-force baseline
+    EXACTLY. Returns the symmetric difference; expected empty."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        pq_build,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cbs = pq_build(emb, m=8, n_codes=None)
+    qs = emb.filter(F.col("vec_id") < 3)
+    pq = pq_topk(codes, cbs, qs, k=5).select("query_id", "vec_id")
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    only_pq = pq.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("pq_only")
+    )
+    only_bf = bf.join(pq, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    return only_pq.unionByName(only_bf)
+
+
+def q_semantic_dedupe(spark, sf_dir):
+    """SemDeDup-style semantic dedup: within hash-seeded cells, drop
+    every vector with a lower-id neighbor at rounded cosine >= 0.35
+    (threshold chosen so the sf0.01 fixture actually drops rows)."""
+    from parq_tools_spark.operators.similarity import semantic_dedupe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedupe(emb, threshold=0.35, n_cells=8).select("vec_id")
+
+
 # =====================================================================
 # Contract
 # =====================================================================
@@ -1845,6 +2035,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        # --- round-5 additions (inside the driver's 50-query window so
+        # they get hard driver verification this round)
+        "word_repetition": q_word_repetition,
+        "repetition_ngram": q_repetition_ngram,
+        "paragraph_dedupe": q_paragraph_dedupe,
+        "merge_upsert": q_merge_upsert,
+        "cdc_apply": q_cdc_apply,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "semantic_dedupe": q_semantic_dedupe,
         # --- LLM pipeline: dedup / similarity (driver-green r04)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2720,6 +2920,240 @@ SELECT query_id, vec_id, cosine_sim FROM (
   FROM scored)
 WHERE rnk <= 5
         """.replace("{PLANES}", _plane_values()),
+        # --- round-5 additions -----------------------------------------
+        "word_repetition": r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_words,
+       len(list_distinct(t)) AS n_unique_words,
+       CASE WHEN len(t) = 0 THEN 1.0
+            ELSE floor(CAST(len(list_distinct(t)) AS DOUBLE)
+                       / greatest(len(t), 1) * 1000000.0 + 0.5) / 1000000.0
+       END AS frac_unique_words,
+       floor(CAST(len(list_filter(t,
+                 x -> len(list_filter(t, y -> y = x)) >= 2)) AS DOUBLE)
+             / greatest(len(t), 1) * 1000000.0 + 0.5) / 1000000.0
+         AS frac_dup_words
+FROM toks
+        """,
+        "repetition_ngram": r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS nc,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, nc,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks
+), e AS (
+  SELECT doc_id, nc, unnest(g) AS gram FROM grams
+), counts AS (
+  SELECT doc_id, nc, gram, count(*) AS c FROM e GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+  FROM counts
+), agg AS (
+  SELECT doc_id,
+         max(gram) FILTER (rn = 1) AS top_ngram,
+         max(c) FILTER (rn = 1) AS top_ngram_count,
+         max(CAST(c * length(gram) AS DOUBLE)
+             / greatest(nc, 1)) FILTER (rn = 1) AS top_frac,
+         sum(CAST(c * length(gram) AS DOUBLE)) FILTER (c >= 2)
+           / sum(CAST(c * length(gram) AS DOUBLE)) AS dup_frac
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       a.top_ngram,
+       coalesce(a.top_ngram_count, 0) AS top_ngram_count,
+       floor(coalesce(a.top_frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS top_ngram_char_frac,
+       floor(coalesce(a.dup_frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS dup_ngram_char_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "paragraph_dedupe": r"""
+WITH chunked AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(t, chr(10)),
+                               (s, i) -> {'para': s, 'pos': i})) AS u
+  FROM chunked
+), p AS (
+  SELECT doc_id, u.para AS para, u.pos AS pos FROM e
+), k AS (
+  SELECT doc_id, para, pos, row_number() OVER (
+    PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY pos) AS dedup_text,
+         count(*) AS n_paras_kept
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.dedup_text, '') AS dedup_text,
+       CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "merge_upsert": """
+WITH src AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 1000.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment, FALSE AS _del
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, 0.0, 'NEW', FALSE
+  FROM customer WHERE c_custkey % 37 = 5
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, TRUE
+  FROM customer WHERE c_custkey % 100 = 7
+), merged AS (
+  SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+              ELSE t.c_name END AS c_name,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+              ELSE t.c_nationkey END AS c_nationkey,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+              ELSE t.c_acctbal END AS c_acctbal,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+              ELSE t.c_mktsegment END AS c_mktsegment
+  FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+  WHERE NOT coalesce(s._del, FALSE)
+)
+SELECT c_custkey, c_name, c_nationkey,
+       floor(c_acctbal * 1000000.0 + 0.5) / 1000000.0 AS c_acctbal,
+       c_mktsegment
+FROM merged
+        """,
+        # cdc_apply's oracle derives the expected FINAL STATE from the
+        # change rules directly (deletes win at seq 2; updates apply to
+        # the %10 keys not deleted; inserts add shifted keys) — it does
+        # not re-implement the merge, so a merge bug cannot self-verify.
+        "cdc_apply": """
+SELECT c_custkey, c_name, c_nationkey,
+       floor(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END * 1000000.0 + 0.5) / 1000000.0
+         AS c_acctbal,
+       CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED'
+            ELSE c_mktsegment END AS c_mktsegment
+FROM customer WHERE c_custkey % 20 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+       c_nationkey, 0.0, 'NEW'
+FROM customer WHERE c_custkey % 37 = 5
+        """,
+        # ann_pq_topk: the full PQ pipeline recomputed in SQL — seed
+        # rows by md5 rank -> L2-normalize -> per-subspace argmin-L2
+        # codes -> ADC = sum of subspace inner products, rounded like
+        # every similarity in the registry.
+        "ann_pq_topk": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs) ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         floor(sum(list_inner_product(q.xs, c.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM enc e
+  JOIN csub c ON c.j = e.j AND c.code = e.code
+  JOIN qsub q ON q.j = e.j
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+)
+SELECT query_id, vec_id, pq_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
+        "ann_pq_exact_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        # semantic_dedupe: survivors after the within-cell lower-id
+        # drop rule, cells from the same hash-seeded assignment the
+        # ann_ivf_hash_topk oracle recomputes.
+        "semantic_dedupe": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS cidx
+  FROM embeddings
+), cents AS (
+  SELECT cidx, embedding FROM ranked_ids WHERE cidx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
         "ann_ivf_hash_topk": """
 WITH ranked_ids AS (
   SELECT embedding,

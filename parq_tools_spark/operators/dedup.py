@@ -54,6 +54,7 @@ __all__ = [
     "connected_components",
     "connected_components_alternating",
     "dedupe_near_duplicates",
+    "dedupe_paragraphs",
 ]
 
 
@@ -842,3 +843,80 @@ def dedupe_near_duplicates(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ------------------------------------------------------- paragraph dedup
+def dedupe_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 0,
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4/RefinedWeb
+    boilerplate pass): split every document on ``sep``, keep only the
+    FIRST occurrence of each exact paragraph across the whole corpus
+    (first = smallest ``(id, position)``), and reassemble documents
+    from their surviving paragraphs in original order.
+
+    Beyond-reference operator (the reference has no text stack).
+
+    Returns ``(id_col, out_col, n_paras_kept)`` — one row per input
+    document; a document whose every paragraph was seen earlier comes
+    back with an empty string and ``n_paras_kept = 0``.
+
+    ``min_chars``: paragraphs shorter than this are exempt from
+    dedup (always kept) — short connective lines ("Introduction",
+    "---") would otherwise be stripped from every document but the
+    corpus-first one. ``0`` dedupes everything exactly (what the SQL
+    oracle checks).
+
+    Scale shape: one ``posexplode`` (map-only), ONE exchange keyed by
+    paragraph text for the first-occurrence window, one exchange keyed
+    by document for reassembly. Paragraph keys distribute by content
+    hash — hot paragraphs (the reason this pass exists) each collapse
+    to a single window partition whose size is the duplicate count,
+    never the corpus; ``row_number`` over (id, pos) is a total order,
+    so survivor choice is deterministic and engine-portable.
+    """
+    import re
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1)).alias(
+            "_pos", "_para"
+        ),
+    )
+    w = Window.partitionBy("_para").orderBy(
+        F.col(id_col).asc(), F.col("_pos").asc()
+    )
+    exempt = F.length("_para") < min_chars
+    kept = (
+        paras.withColumn(
+            "_rn", F.when(exempt, F.lit(1)).otherwise(F.row_number().over(w))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_para"))
+                ),
+                lambda s: s["_para"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        )
+    )

@@ -1,0 +1,221 @@
+"""Keyed merge / upsert / CDC-apply (Delta-MERGE semantics, Spark-first).
+
+Beyond-reference operators: a 100 TB training-data lake needs
+incremental maintenance — nightly document refreshes, takedown
+deletes, metadata backfills — and the reference's whole-file rewrite
+model (``parq_concat``-then-replace) has no keyed path. These
+implement the standard MERGE INTO contract as pure DataFrame joins so
+they run against plain parquet (and compose with
+``sources/table_format.py``'s Delta/Iceberg sinks when a connector is
+present).
+
+Scale shape: one full-outer shuffle join keyed by the merge keys —
+the minimum any keyed merge pays. When the change set is small
+relative to the target (the common CDC case), pass
+``broadcast_source=True`` to keep the 100 TB side unshuffled; the
+matched-key rewrite then rides a map-side broadcast join. AQE handles
+skewed keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert", "apply_cdc"]
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Optional[Sequence[str]] = None,
+    delete_col: Optional[str] = None,
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """MERGE INTO target USING source ON keys:
+
+    - matched rows take the source's values (all non-key columns, or
+      just ``update_cols`` with the rest kept from the target);
+    - unmatched source rows are inserted;
+    - unmatched target rows are kept;
+    - when ``delete_col`` names a boolean source column, matched rows
+      with it true are deleted (and unmatched deletes are no-ops).
+
+    Schemas must agree on the non-key columns being written; extra
+    target columns are preserved (NULL-filled for inserts only if
+    listed in neither ``keys`` nor the source schema). Source keys
+    must be unique (the standard MERGE precondition — multiple source
+    matches for one target row make the result ambiguous);
+    :func:`apply_cdc` guarantees this via its latest-wins pass.
+
+    Two physical shapes:
+
+    - default: ONE full-outer shuffle join on the keys — the right
+      plan when the change set is comparable to the target;
+    - ``broadcast_source=True``: a full outer join cannot build a
+      broadcast side, so the merge is decomposed into (a) a broadcast
+      LEFT join applying updates/deletes to the target — map-only,
+      the 100 TB side never shuffles — plus (b) the insert set from a
+      key-pruned broadcast semi scan of the target (filters/column
+      pruning reach the parquet footer, so pass (b) reads only the
+      key column). Two target scans, zero target shuffles — the
+      difference between a metadata-rate operation and a corpus
+      rewrite when changes are small.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    missing = [k for k in keys if k not in source.columns or k not in target.columns]
+    if missing:
+        raise ValueError(f"key columns missing from target/source: {missing}")
+
+    t_cols = [c for c in target.columns if c not in keys]
+    s_cols = [c for c in source.columns if c not in keys and c != delete_col]
+    if update_cols is None:
+        update_cols = [c for c in s_cols if c in t_cols]
+    bad = [c for c in update_cols if c not in s_cols]
+    if bad:
+        raise ValueError(f"update_cols not in source: {bad}")
+
+    if broadcast_source:
+        return _merge_broadcast(
+            target, source, keys, list(update_cols), delete_col
+        )
+
+    # row provenance: the key columns are coalesced by the USING join,
+    # so probe a guaranteed-non-null marker from each side instead
+    joined = (
+        target.withColumn("_t_present", F.lit(True))
+        .alias("t")
+        .join(
+            source.withColumn("_s_present", F.lit(True)).alias("s"),
+            on=keys,
+            how="full_outer",
+        )
+    )
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    insert = F.col("_t_present").isNull()
+    deleted = (
+        F.col(f"s.{delete_col}").isNotNull() & F.col(f"s.{delete_col}")
+        if delete_col
+        else F.lit(False)
+    )
+
+    out_cols = [F.col(k) for k in keys]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in update_cols:
+            val = (
+                F.when(matched | insert, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+            )
+        elif c in source.columns and c != delete_col:
+            # not updated on match, but inserts still need the value
+            val = F.when(insert, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            val = F.col(f"t.{c}")
+        out_cols.append(val.alias(c))
+
+    return joined.filter(~(deleted & (matched | insert))).select(*out_cols)
+
+
+def _merge_broadcast(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    delete_col: Optional[str],
+) -> DataFrame:
+    """Small-source merge with zero shuffles of the target: broadcast
+    left join for updates/deletes + key-pruned semi scan for inserts.
+    Produces exactly the rows the full-outer plan produces."""
+    marked = source.withColumn("_s_present", F.lit(True))
+    joined = target.alias("t").join(
+        F.broadcast(marked).alias("s"), on=keys, how="left"
+    )
+    matched = F.col("_s_present").isNotNull()
+    deleted = (
+        matched & F.col(f"s.{delete_col}").isNotNull() & F.col(f"s.{delete_col}")
+        if delete_col
+        else F.lit(False)
+    )
+    upd_cols = [F.col(k) for k in keys]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in update_cols:
+            val = F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        else:
+            val = F.col(f"t.{c}")
+        upd_cols.append(val.alias(c))
+    updated = joined.filter(~deleted).select(*upd_cols)
+
+    # inserts: source keys absent from the target. The target scan here
+    # projects only the key columns (column pruning hits the footer).
+    matched_keys = (
+        target.select(*keys)
+        .join(F.broadcast(source.select(*keys)), on=keys, how="left_semi")
+        .distinct()
+    )
+    ins = source.join(matched_keys, on=keys, how="left_anti")
+    if delete_col:
+        ins = ins.filter(
+            ~(F.col(delete_col).isNotNull() & F.col(delete_col))
+        )
+    ins_cols = [F.col(k) for k in keys]
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in source.columns and c != delete_col:
+            val = F.col(c)
+        else:
+            val = F.lit(None).cast(target.schema[c].dataType)
+        ins_cols.append(val.alias(c))
+    return updated.unionByName(ins.select(*ins_cols))
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Apply a change-data-capture log to a keyed snapshot.
+
+    ``changes`` carries one row per change event with ``op_col`` in
+    {'I','U','D'} (insert/update/delete — I and U are both upserts)
+    and ``seq_col`` a monotonically increasing change sequence. For
+    each key only the LATEST event applies (max ``seq_col``; ties
+    broken by ``op_col`` descending, so a same-sequence U beats D —
+    document your log's ordering and pass unique sequences to avoid
+    relying on the tiebreak).
+
+    Shape: one window pass over the change log keyed by ``keys``
+    (the log, not the snapshot), then :func:`merge_upsert` — the
+    100 TB snapshot shuffles at most once, or never with
+    ``broadcast_source=True``.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    latest = latest.withColumn("_is_delete", F.col(op_col) == "D").drop(op_col)
+    return merge_upsert(
+        target,
+        latest,
+        keys,
+        delete_col="_is_delete",
+        broadcast_source=broadcast_source,
+    )

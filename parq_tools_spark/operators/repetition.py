@@ -1,0 +1,202 @@
+"""Gopher-style repetition quality signals for training-data pipelines.
+
+Beyond-reference operators (the reference has no text stack; this
+extends ``operators/text.py``'s quality surface with the repetition
+family from public data-quality literature — Rae et al. 2021
+"Scaling Language Models" Table A1, and the C4/RefinedWeb line-dedup
+passes).
+
+Two tiers, chosen by what they cost at 100 TB:
+
+- :func:`with_word_repetition_stats` and
+  :func:`with_line_repetition_stats` are MAP-ONLY: pure array
+  expressions (``split`` / ``array_distinct`` / ``filter``), zero
+  shuffle, whole-stage codegen'd. Use these as the first-pass filter.
+- :func:`ngram_repetition_stats` needs per-document n-gram counts, so
+  it explodes and aggregates: two exchanges, both keyed by document
+  (cardinality bounded by document length, never by corpus size).
+
+Every metric is expressible identically in ANSI SQL (DuckDB oracle):
+splits are on explicit separators / ``\\s+`` runs, and tie-breaks are
+total orders (count desc, gram asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words_array",
+    "ngrams_array",
+    "with_word_repetition_stats",
+    "with_line_repetition_stats",
+    "ngram_repetition_stats",
+]
+
+
+def words_array(text: Column | str) -> Column:
+    r"""Whitespace-token array (``\S+`` runs; empty array for blank text)."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(col), r"\s+")
+    # split('') yields [''] — normalize to an empty array
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(toks)
+
+
+def ngrams_array(text: Column | str, n: int = 2) -> Column:
+    """All space-joined word n-grams IN ORDER (duplicates kept — this
+    is the counting form; :func:`~.dedup.word_shingles` is the
+    distinct set form). Documents shorter than ``n`` words yield an
+    empty array (no padding n-gram), so repetition fractions are
+    well-defined zeros there.
+    """
+    toks = words_array(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only word-level repetition columns (no shuffle):
+
+    - ``n_words``: whitespace token count;
+    - ``n_unique_words``: distinct token count;
+    - ``frac_unique_words``: distinct/total (1.0 for empty text — an
+      empty document has no repetition signal; filter on ``n_words``
+      separately);
+    - ``frac_dup_words``: fraction of word OCCURRENCES whose value
+      occurs more than once (Gopher's "duplicate word fraction").
+
+    ``frac_dup_words`` uses a quadratic-in-line-vocabulary array
+    ``filter``; word counts per document are bounded (docs are split
+    upstream at the token-budget pass), so this stays cheap. For
+    adversarially long documents prefer :func:`ngram_repetition_stats`
+    with ``n=1``, which is the same metric via a keyed aggregation.
+    """
+    toks = words_array(text_col)
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    dup_occurrences = F.size(
+        F.filter(
+            toks,
+            lambda x: F.size(F.filter(toks, lambda y: y == x)) >= 2,
+        )
+    )
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("n_unique_words", uniq)
+        .withColumn(
+            "frac_unique_words",
+            F.when(n == 0, F.lit(1.0)).otherwise(uniq.cast("double") / safe_n),
+        )
+        .withColumn("frac_dup_words", dup_occurrences.cast("double") / safe_n)
+    )
+
+
+def with_line_repetition_stats(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Map-only line-level repetition columns (no shuffle):
+
+    - ``n_lines``: count of ``sep``-separated lines;
+    - ``frac_dup_lines``: fraction of line occurrences whose exact
+      text occurs on another line of the same document;
+    - ``frac_bullet_lines``: lines starting with a bullet marker
+      (``-``, ``*``, or ``•`` followed by a space);
+    - ``frac_ellipsis_lines``: lines ending in ``...`` or ``…``.
+
+    These are the C4/Gopher line heuristics; single-line documents get
+    0.0 duplicate fraction by construction.
+    """
+    import re
+
+    lines = F.split(F.col(text_col), re.escape(sep), -1)
+    n = F.size(lines)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    dup = F.size(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2,
+        )
+    )
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    return (
+        df.withColumn("n_lines", n)
+        .withColumn("frac_dup_lines", dup.cast("double") / safe_n)
+        .withColumn("frac_bullet_lines", bullet.cast("double") / safe_n)
+        .withColumn("frac_ellipsis_lines", ellipsis.cast("double") / safe_n)
+    )
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition report (Gopher Table A1 family):
+
+    - ``top_ngram``: the most frequent word n-gram (ties broken to the
+      lexicographically smallest — a total order, so engines agree);
+    - ``top_ngram_count``: its occurrence count;
+    - ``top_ngram_char_frac``: characters covered by occurrences of
+      the top n-gram over the document's character count
+      (``count * length(gram) / n_chars``, the paper's simple
+      non-overlap-corrected form);
+    - ``dup_ngram_char_frac``: characters in n-grams occurring at
+      least twice over characters in all n-gram occurrences.
+
+    Scale shape: explode n-grams -> ``groupBy(doc, gram)`` count (one
+    exchange on the composite key) -> per-doc rank + aggregate (one
+    exchange on the doc key). Work per key is bounded by document
+    length; there is no corpus-wide key, so skew follows document
+    size, which the token-budget sharding pass already bounds.
+    Documents with fewer than ``n`` words are preserved with zero
+    fractions and a NULL ``top_ngram``.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_nc"),
+        F.explode_outer(ngrams_array(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "_nc", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    gram_chars = (F.col("c") * F.length("gram")).cast("double")
+    is_gram = F.col("gram").isNotNull()
+    top = (F.col("_rn") == 1) & is_gram
+    return ranked.groupBy(id_col).agg(
+        F.max(F.when(top, F.col("gram"))).alias("top_ngram"),
+        F.coalesce(F.max(F.when(top, F.col("c"))), F.lit(0)).alias(
+            "top_ngram_count"
+        ),
+        F.coalesce(
+            F.max(
+                F.when(top, gram_chars)
+                / F.greatest(F.col("_nc"), F.lit(1)).cast("double")
+            ),
+            F.lit(0.0),
+        ).alias("top_ngram_char_frac"),
+        F.coalesce(
+            F.sum(F.when(is_gram & (F.col("c") >= 2), gram_chars))
+            / F.sum(F.when(is_gram, gram_chars)),
+            F.lit(0.0),
+        ).alias("dup_ngram_char_frac"),
+    )

@@ -41,6 +41,9 @@ __all__ = [
     "ivf_topk",
     "embedding_near_duplicate_pairs",
     "dedupe_embedding_near_duplicates",
+    "pq_build",
+    "pq_topk",
+    "semantic_dedupe",
 ]
 
 
@@ -750,6 +753,26 @@ def embedding_near_duplicate_pairs(
     )
 
 
+def _hashseed_rows(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """The first ``n`` corpus vectors ranked by (md5-bucket of id, id)
+    — a closed-form, engine-recomputable seed-row choice shared by the
+    hash-seeded IVF, PQ codebooks, and semantic dedup. Collects only
+    ``n`` vectors (the seeds), never the corpus."""
+    from parq_tools_spark.operators.sampling import hash_bucket
+
+    rows = (
+        corpus.select(id_col, vec_col, hash_bucket(F.col(id_col)).alias("_hb"))
+        .orderBy("_hb", id_col)
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 def ivf_hashseed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -782,20 +805,9 @@ def ivf_hashseed_topk(
     HOF cosines per corpus row and was the slowest query in the bench
     registry; the matmul path computes the identical rounded values.
     """
-    from parq_tools_spark.operators.sampling import hash_bucket
-
     query_id_col = query_id_col or id_col
     scale = float(10**round_to)
-
-    cent_rows = (
-        corpus.select(id_col, vec_col, hash_bucket(F.col(id_col)).alias("_hb"))
-        .orderBy("_hb", id_col)
-        .limit(n_cells)
-        .collect()
-    )
-    if not cent_rows:
-        raise ValueError("empty corpus")
-    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
 
     def _pr(col):
         return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
@@ -834,3 +846,234 @@ def ivf_hashseed_topk(
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+# ---------------------------------------------------------------------- PQ
+def pq_build(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantize an embedding column (Jégou et al. 2011).
+
+    Vectors are L2-normalized, split into ``m`` contiguous subvectors,
+    and each subvector is replaced by the index of its nearest (L2)
+    codeword — storage drops from ``dim * 4`` bytes to ``m`` small
+    ints per vector, which is what makes billion-scale ANN candidate
+    scoring RAM-resident.
+
+    Codebooks are deterministic: the sub-vectors of the first
+    ``n_codes`` corpus rows ranked by the md5 hash of their id (the
+    same closed-form seeding as :func:`ivf_hashseed_topk`), so the
+    whole index is reproducible across runs and engines — no trained
+    state to ship. ``n_codes=None`` uses EVERY corpus row as a seed
+    (the identity codebook: encoding is then exact, which is what the
+    ``ann_pq_exact_equiv`` correctness gate exercises).
+
+    Returns ``(codes_df, codebooks)``: ``codes_df`` is
+    ``(id_col, codes array<int>)`` and ``codebooks`` a numpy array of
+    shape ``(m, n_codes, dim // m)``.
+
+    Scale shape: seeds are collected (``n_codes`` rows, not the
+    corpus); encoding is one ``mapInPandas`` pass — map-only, one
+    numpy distance matrix per (batch, subspace), no shuffle.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    if n_codes is None:
+        n_codes = corpus.count()
+    seeds = np.asarray(
+        _hashseed_rows(corpus, n_codes, id_col, vec_col), dtype=np.float64
+    )
+    seeds /= np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    # (m, n_codes, sub): codebook j holds the seeds' j-th subvectors
+    codebooks = np.stack(
+        [seeds[:, j * sub : (j + 1) * sub] for j in range(m)]
+    )
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    schema = T.StructType(
+        [
+            corpus.schema[id_col],
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        cb = bc.value
+        for b in batches:
+            if not len(b):
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            codes = np.empty((len(b), cb.shape[0]), dtype=np.int32)
+            for j in range(cb.shape[0]):
+                x = mat[:, j * sub : (j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ties
+                # go to the lower code index (numpy first-min)
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: b[id_col], "codes": [r.tolist() for r in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema), codebooks
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k over PQ codes by asymmetric distance (ADC).
+
+    Each query precomputes an ``(m, n_codes)`` table of subspace dot
+    products against the codebooks; scoring a corpus vector is then
+    ``m`` table lookups summed — no decompression. With normalized
+    inputs the score approximates cosine similarity (exactly equals it
+    under the identity codebook).
+
+    Scale shape: the query tables are broadcast; the corpus side is
+    one map-only ``mapInPandas`` lookup pass over the codes. Only
+    (query, id, score) triples shuffle into the per-query top-k
+    window — the same shape as :func:`brute_force_topk` but over
+    ``m``-byte codes instead of ``dim``-float vectors.
+    Returns (query_id, vec_id, pq_score, rank); ranking is
+    (rounded score desc, id asc), the registry's portable total order.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    query_id_col = query_id_col or id_col
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = cb.shape
+    scale = float(10**round_to)
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no queries")
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r["_qvec"]] for r in q_rows])
+    q_mat /= np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    # tables[q, j, c] = dot(q_j, codebook[j][c])
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), m, sub), cb)
+
+    spark = codes_df.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+    id_field = codes_df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("pq_score", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, tabs = bc.value
+        jj = np.arange(m)
+        for b in batches:
+            if not len(b):
+                yield pd.DataFrame(
+                    {"query_id": [], id_col: [], "pq_score": []}
+                )
+                continue
+            codes = np.stack(b["codes"].to_numpy()).astype(np.int64)
+            out_id, out_qid, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                s = tabs[qi][jj[None, :], codes].sum(axis=1)
+                s = np.floor(s * scale + 0.5) / scale
+                out_qid.extend([qid] * len(b))
+                out_id.extend(b[id_col].tolist())
+                out_s.extend(s.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_qid, id_col: out_id, "pq_score": out_s}
+            )
+
+    scored = codes_df.mapInPandas(score, schema).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------- semantic dedup
+def semantic_dedupe(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus into ``n_cells`` cells, and within each cell
+    drop every vector that has a LOWER-id neighbor with rounded cosine
+    similarity >= ``threshold``. Returns the surviving corpus rows.
+
+    Unlike :func:`dedupe_embedding_near_duplicates` (LSH candidates +
+    connected components, transitive closure), this is the paper's
+    cluster-local rule: comparisons never cross cell boundaries, so
+    the work is exactly the within-cell pair count — the knob that
+    makes semantic dedup tractable at billions of documents.
+
+    Cells come from the closed-form hash-seeded centroids
+    (:func:`_hashseed_rows` + argmax rounded cosine, ties to the lower
+    cell), so the drop set is deterministic and engine-recomputable —
+    the ``semantic_dedupe`` registry query value-checks it against
+    DuckDB. Shape: centroid assignment is one broadcast matmul pass
+    (no shuffle); the within-cell self-join shuffles on the cell key;
+    skewed cells can be split first with
+    :func:`ivf_rebalance_subcells`.
+    """
+    centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
+    assigned = _with_centroid_cells(
+        corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
+    )
+    scale = float(10**round_to)
+    a = assigned.select(
+        F.col(id_col).alias("_sd_id1"), "cell", F.col(vec_col).alias("_sd_v1")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_sd_id2"), "cell", F.col(vec_col).alias("_sd_v2")
+    )
+    sim = F.floor(
+        cosine_similarity_col("_sd_v1", "_sd_v2") * F.lit(scale) + F.lit(0.5)
+    ) / F.lit(scale)
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("_sd_id1") < F.col("_sd_id2"))
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("_sd_id2").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dropped, on=id_col, how="left_anti")

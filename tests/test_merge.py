@@ -1,0 +1,138 @@
+"""Keyed merge/upsert + CDC apply — both physical shapes must agree."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.merge import apply_cdc, merge_upsert
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_update_insert_delete(spark, target, broadcast):
+    src = spark.createDataFrame(
+        [
+            (2, "B", 99.0, False),  # update
+            (3, "c", 30.0, True),  # delete
+            (4, "d", 40.0, False),  # insert
+            (5, "e", 50.0, True),  # unmatched delete -> no-op
+        ],
+        "k long, name string, v double, del boolean",
+    )
+    out = merge_upsert(target, src, ["k"], delete_col="del", broadcast_source=broadcast)
+    assert _rows(out) == [(1, "a", 10.0), (2, "B", 99.0), (4, "d", 40.0)]
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_without_delete(spark, target, broadcast):
+    src = spark.createDataFrame([(1, "A", 11.0), (9, "z", 90.0)], "k long, name string, v double")
+    out = merge_upsert(target, src, ["k"], broadcast_source=broadcast)
+    assert _rows(out) == [
+        (1, "A", 11.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (9, "z", 90.0),
+    ]
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_partial_update_cols(spark, target, broadcast):
+    src = spark.createDataFrame([(1, "A", 11.0), (9, "z", 90.0)], "k long, name string, v double")
+    out = merge_upsert(
+        target, src, ["k"], update_cols=["v"], broadcast_source=broadcast
+    )
+    rows = {r.k: r for r in out.collect()}
+    # matched: only v updated, name kept from target
+    assert rows[1].name == "a" and rows[1].v == 11.0
+    # insert still carries all source values
+    assert rows[9].name == "z" and rows[9].v == 90.0
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_extra_target_column_null_filled_on_insert(spark, broadcast):
+    tgt = spark.createDataFrame(
+        [(1, "a", 7)], "k long, name string, extra int"
+    )
+    src = spark.createDataFrame([(1, "A"), (2, "b")], "k long, name string")
+    out = merge_upsert(tgt, src, ["k"], broadcast_source=broadcast)
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].extra == 7  # preserved on update
+    assert rows[2].extra is None  # null-filled on insert
+
+
+def test_merge_validation(spark, target):
+    src = spark.createDataFrame([(1, "x")], "other long, name string")
+    with pytest.raises(ValueError):
+        merge_upsert(target, src, ["k"])
+    with pytest.raises(ValueError):
+        merge_upsert(target, target, [])
+    with pytest.raises(ValueError):
+        merge_upsert(
+            target,
+            spark.createDataFrame([(1, "x")], "k long, name string"),
+            ["k"],
+            update_cols=["v"],
+        )
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_cdc_latest_wins(spark, target, broadcast):
+    chg = spark.createDataFrame(
+        [
+            (2, "U", 1, "b2", 21.0),
+            (2, "D", 2, None, None),  # later delete wins over the update
+            (3, "D", 1, None, None),
+            (3, "U", 2, "c3", 33.0),  # later update wins over the delete
+            (5, "I", 1, "e", 50.0),
+        ],
+        "k long, op string, seq long, name string, v double",
+    )
+    out = apply_cdc(target, chg, ["k"], broadcast_source=broadcast)
+    assert _rows(out) == [(1, "a", 10.0), (3, "c3", 33.0), (5, "e", 50.0)]
+
+
+def test_cdc_same_seq_tiebreak_update_beats_delete(spark, target):
+    chg = spark.createDataFrame(
+        [(1, "D", 1, None, None), (1, "U", 1, "a1", 12.0)],
+        "k long, op string, seq long, name string, v double",
+    )
+    out = apply_cdc(target, chg, ["k"])
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].name == "a1" and rows[1].v == 12.0
+
+
+def test_broadcast_merge_plan_keeps_target_unshuffled(spark, tmp_path):
+    """The broadcast path must not exchange the wide target scan, and
+    the insert pass must scan only the key column."""
+    import re
+
+    tgt_path = str(tmp_path / "tgt.parquet")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("name"),
+        (F.col("id") * 1.5).alias("v"),
+    ).write.parquet(tgt_path)
+    tgt = spark.read.parquet(tgt_path)
+    src = spark.createDataFrame([(1, "x", 0.0), (2000, "y", 1.0)], "k long, name string, v double")
+    out = merge_upsert(tgt, src, ["k"], broadcast_source=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # wide target scan present and key-only scan present
+    assert re.search(r"FileScan parquet \[k#\d+L\]", plan), plan
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "name" in ln and "v#" in ln
+    ]
+    assert wide, plan

@@ -1,0 +1,132 @@
+"""Repetition quality signals (Gopher family) + paragraph dedup."""
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.dedup import dedupe_paragraphs
+from parq_tools_spark.operators.repetition import (
+    ngram_repetition_stats,
+    with_line_repetition_stats,
+    with_word_repetition_stats,
+)
+
+
+def _one(df, **filters):
+    for k, v in filters.items():
+        df = df.filter(F.col(k) == v)
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_word_repetition_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c a"),  # a x3, b, c -> 5 words, 3 unique, 3 dup occ
+            (2, "x y z"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "id long, text string",
+    )
+    out = with_word_repetition_stats(df)
+    r1 = _one(out, id=1)
+    assert r1.n_words == 5 and r1.n_unique_words == 3
+    assert abs(r1.frac_unique_words - 0.6) < 1e-12
+    assert abs(r1.frac_dup_words - 0.6) < 1e-12
+    r2 = _one(out, id=2)
+    assert r2.frac_dup_words == 0.0 and r2.frac_unique_words == 1.0
+    for blank in (3, 4):
+        rb = _one(out, id=blank)
+        assert rb.n_words == 0
+        assert rb.frac_unique_words == 1.0 and rb.frac_dup_words == 0.0
+
+
+def test_line_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "dup\nx\ndup\n- bullet\ntail..."), (2, "single")],
+        "id long, text string",
+    )
+    out = with_line_repetition_stats(df)
+    r1 = _one(out, id=1)
+    assert r1.n_lines == 5
+    assert abs(r1.frac_dup_lines - 0.4) < 1e-12
+    assert abs(r1.frac_bullet_lines - 0.2) < 1e-12
+    assert abs(r1.frac_ellipsis_lines - 0.2) < 1e-12
+    r2 = _one(out, id=2)
+    assert r2.n_lines == 1 and r2.frac_dup_lines == 0.0
+
+
+def test_ngram_repetition_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # bigrams: "a b","b a","a b","b a" -> both x2
+            (2, "p q r"),  # "p q","q r" -> unique
+            (3, "solo"),  # < n words
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_repetition_stats(df, id_col="doc_id", n=2)
+    r1 = _one(out, doc_id=1)
+    # tie on count=2 -> lexicographically smallest wins
+    assert r1.top_ngram == "a b" and r1.top_ngram_count == 2
+    # 2 occurrences * 3 chars / 9 chars of text
+    assert abs(r1.top_ngram_char_frac - 6 / 9) < 1e-12
+    # all 4 bigram occurrences are duplicates
+    assert abs(r1.dup_ngram_char_frac - 1.0) < 1e-12
+    r2 = _one(out, doc_id=2)
+    assert r2.top_ngram == "p q" and r2.dup_ngram_char_frac == 0.0
+    r3 = _one(out, doc_id=3)
+    assert r3.top_ngram is None and r3.top_ngram_count == 0
+    assert r3.top_ngram_char_frac == 0.0 and r3.dup_ngram_char_frac == 0.0
+
+
+def test_ngram_repetition_preserves_all_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_repetition_stats(docs.select("doc_id", "text"), n=2)
+    assert out.count() == docs.count()
+
+
+def test_paragraph_dedupe_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),
+            (3, "alpha\nbeta"),
+            (4, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedupe_paragraphs(df).collect()}
+    assert out[1].dedup_text == "alpha\nbeta\ngamma" and out[1].n_paras_kept == 3
+    assert out[2].dedup_text == "delta" and out[2].n_paras_kept == 1
+    assert out[3].dedup_text == "" and out[3].n_paras_kept == 0
+    assert out[4].dedup_text == "unique"
+
+
+def test_paragraph_dedupe_dedupes_within_document(spark):
+    df = spark.createDataFrame([(1, "x\ny\nx\nz")], "doc_id long, text string")
+    out = dedupe_paragraphs(df).collect()[0]
+    assert out.dedup_text == "x\ny\nz"
+
+
+def test_paragraph_dedupe_min_chars_exempts_short(spark):
+    df = spark.createDataFrame(
+        [(1, "##\nlong paragraph one"), (2, "##\nlong paragraph one")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedupe_paragraphs(df, min_chars=5).collect()}
+    # "##" kept in both docs (exempt); the long paragraph deduped
+    assert out[1].dedup_text == "##\nlong paragraph one"
+    assert out[2].dedup_text == "##"
+
+
+def test_paragraph_dedupe_partition_independent(spark):
+    rows = [(i, f"shared\nuniq-{i}") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    r1 = {(r.doc_id, r.dedup_text) for r in dedupe_paragraphs(df1).collect()}
+    r8 = {(r.doc_id, r.dedup_text) for r in dedupe_paragraphs(df8).collect()}
+    assert r1 == r8
+    # only doc 0 keeps "shared"
+    kept_shared = [d for d, t in r1 if "shared" in t]
+    assert kept_shared == [0]

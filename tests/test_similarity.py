@@ -247,3 +247,82 @@ def test_ivf_hashseed_topk_deterministic_and_sane(embeddings):
     bf = {(r.query_id, r.vec_id) for r in brute_force_topk(
         embeddings, queries, k=5).collect()}
     assert full == bf
+
+
+# ------------------------------------------------------------------- PQ
+def test_pq_identity_codebook_equals_brute_force(embeddings, queries):
+    from parq_tools_spark.operators.similarity import pq_build, pq_topk
+
+    codes, cbs = pq_build(embeddings, m=8, n_codes=None)
+    pq = pq_topk(codes, cbs, queries, k=5)
+    bf = brute_force_topk(embeddings, queries, k=5)
+    p = {(r.query_id, r.vec_id) for r in pq.collect()}
+    b = {(r.query_id, r.vec_id) for r in bf.collect()}
+    assert p == b
+    # rounded ADC scores equal rounded cosine under lossless encoding
+    import math
+
+    pqs = {(r.query_id, r.vec_id): r.pq_score for r in pq.collect()}
+    bfs = {
+        (r.query_id, r.vec_id): math.floor(r.cosine_sim * 1e6 + 0.5) / 1e6
+        for r in bf.collect()
+    }
+    assert pqs == bfs
+
+
+def test_pq_codes_shape_and_determinism(embeddings):
+    from parq_tools_spark.operators.similarity import pq_build
+
+    codes1, cb1 = pq_build(embeddings, m=8, n_codes=16)
+    codes2, cb2 = pq_build(embeddings, m=8, n_codes=16)
+    assert cb1.shape == (8, 16, 8)
+    assert (cb1 == cb2).all()
+    r1 = {r.vec_id: tuple(r.codes) for r in codes1.collect()}
+    r2 = {r.vec_id: tuple(r.codes) for r in codes2.collect()}
+    assert r1 == r2
+    assert all(len(c) == 8 for c in r1.values())
+    assert all(0 <= x < 16 for c in r1.values() for x in c)
+
+
+def test_pq_rejects_indivisible_dim(embeddings):
+    from parq_tools_spark.operators.similarity import pq_build
+
+    with pytest.raises(ValueError):
+        pq_build(embeddings, m=7)
+
+
+def test_pq_topk_k_bound(embeddings, queries):
+    from parq_tools_spark.operators.similarity import pq_build, pq_topk
+
+    codes, cbs = pq_build(embeddings, m=8, n_codes=16)
+    out = pq_topk(codes, cbs, queries, k=3)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+# -------------------------------------------------------- semantic dedup
+def test_semantic_dedupe_drop_rule(spark):
+    from parq_tools_spark.operators.similarity import semantic_dedupe
+
+    # two exact duplicates + one orthogonal vector; only the
+    # lower-id duplicate survives
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(r.vec_id for r in semantic_dedupe(df, threshold=0.95, n_cells=2).collect())
+    assert 0 in out and 1 not in out and 2 in out
+
+
+def test_semantic_dedupe_threshold_monotone(embeddings):
+    from parq_tools_spark.operators.similarity import semantic_dedupe
+
+    n = embeddings.count()
+    hi = semantic_dedupe(embeddings, threshold=0.99, n_cells=8).count()
+    lo = semantic_dedupe(embeddings, threshold=0.30, n_cells=8).count()
+    assert lo <= hi <= n
+    # survivors are a subset of the corpus and keep full rows
+    out = semantic_dedupe(embeddings, threshold=0.30, n_cells=8)
+    assert out.columns == embeddings.columns
