@@ -141,3 +141,43 @@ def test_brute_force_default_is_blocked_grid(spark, sf_dir):
     plan = _plan(spark, "embedding_sim_pairs", sf_dir)
     assert "FlatMapGroupsInPandas" in plan
     assert _count(plan, "Exchange") == 1
+
+
+def test_word_repetition_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "word_repetition", sf_dir)
+    assert _count(plan, "Exchange") == 0
+    assert "MapInPandas" not in plan  # pure array expressions
+
+
+def test_repetition_ngram_two_doc_keyed_exchanges(spark, sf_dir):
+    """Explode -> (doc,gram) count -> doc window/agg: exactly the two
+    document-keyed exchanges, nothing corpus-wide."""
+    plan = _plan(spark, "repetition_ngram", sf_dir)
+    assert _count(plan, "Exchange") == 2
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_paragraph_dedupe_no_corpus_wide_key(spark, sf_dir):
+    """First-occurrence window keys on paragraph text, rebuild keys on
+    doc id; the doc restore join must broadcast."""
+    plan = _plan(spark, "paragraph_dedupe", sf_dir)
+    assert _count(plan, "Exchange") == 2
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_cdc_apply_log_window_is_group_limited(spark, sf_dir):
+    """Latest-wins must pre-prune map-side (WindowGroupLimit) and the
+    snapshot must ride broadcast joins only."""
+    plan = _plan(spark, "cdc_apply", sf_dir)
+    assert _count(plan, "WindowGroupLimit") >= 2
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_ann_pq_topk_single_ranking_exchange(spark, sf_dir):
+    """Encode and ADC are map-only Pandas passes; the only exchange
+    ranks (query, id, score) triples, group-limited map-side."""
+    plan = _plan(spark, "ann_pq_topk", sf_dir)
+    assert _count(plan, "MapInPandas") == 2  # encode + score
+    assert _count(plan, "Exchange") == 1
+    assert _count(plan, "WindowGroupLimit") == 2
