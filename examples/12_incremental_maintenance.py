@@ -1,0 +1,110 @@
+"""Incremental corpus maintenance + repetition hygiene (round 5).
+
+A training-data lake is not write-once: documents get refreshed,
+takedowns delete keys, and every refresh re-runs quality filters.
+This example drives the round-5 surface end to end: repetition
+filters (Gopher family), paragraph-level boilerplate dedup,
+semantic dedup over embedding cells, a CDC merge applying a day's
+changes without shuffling the snapshot, and PQ-compressed ANN.
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark import (
+    apply_cdc,
+    dedupe_paragraphs,
+    get_spark,
+    ngram_repetition_stats,
+    pq_build,
+    pq_topk,
+    semantic_dedupe,
+    with_word_repetition_stats,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+spark = get_spark("example_12")
+out = tempfile.mkdtemp()
+
+# --- repetition hygiene: flag documents dominated by repeated n-grams
+docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+rep = with_word_repetition_stats(docs)
+ngram = ngram_repetition_stats(docs, n=2)
+flagged = ngram.filter("top_ngram_char_frac > 0.15").join(
+    rep.select("doc_id", "frac_unique_words"), "doc_id"
+)
+print("repetition-flagged documents:", flagged.count(), "of", docs.count())
+
+# --- paragraph-level boilerplate dedup (C4/RefinedWeb pass): derive a
+# line structure, keep only the corpus-first occurrence of each chunk
+chunked = docs.withColumn(
+    "text", F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
+)
+deduped = dedupe_paragraphs(chunked, sep="\n")
+removed = (
+    chunked.select(F.explode(F.split("text", "\n"))).count()
+    - deduped.agg(F.sum("n_paras_kept")).collect()[0][0]
+)
+print("boilerplate paragraph occurrences removed:", removed)
+
+# --- semantic dedup: within embedding cells, drop near-identical docs
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+survivors = semantic_dedupe(emb, threshold=0.35, n_cells=8)
+print("semantic survivors:", survivors.count(), "of", emb.count())
+
+# --- a day of CDC: refreshed docs (U), takedowns (D), new docs (I).
+# The snapshot rides broadcast joins only — at 100 TB this is a
+# metadata-rate operation, not a corpus rewrite.
+snapshot = spark.read.parquet(f"{SF}/documents.parquet")
+changes = (
+    snapshot.filter("doc_id % 50 = 0")
+    .select(
+        "doc_id",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.concat(F.lit("refreshed: "), "text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    .unionByName(
+        snapshot.filter("doc_id % 97 = 0").select(
+            "doc_id",
+            F.lit("D").alias("op"),
+            F.lit(2).alias("seq"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+)
+next_snapshot = apply_cdc(snapshot, changes, ["doc_id"], broadcast_source=True)
+next_snapshot.write.mode("overwrite").parquet(f"{out}/documents_v2")
+v2 = spark.read.parquet(f"{out}/documents_v2")
+print(
+    "snapshot v2:",
+    v2.count(),
+    "docs,",
+    v2.filter(F.col("text").startswith("refreshed:")).count(),
+    "refreshed,",
+    snapshot.count() - v2.count(),
+    "taken down",
+)
+
+# --- PQ-compressed ANN: 8 codes per vector instead of 64 floats; the
+# codebooks are closed-form (hash-seeded), so the index needs no
+# trained state shipped to readers
+codes, codebooks = pq_build(emb, m=8, n_codes=16)
+codes.write.mode("overwrite").parquet(f"{out}/pq_codes")
+queries = emb.filter("vec_id < 2")
+hits = pq_topk(
+    spark.read.parquet(f"{out}/pq_codes"), codebooks, queries, k=5
+)
+print("PQ ANN hits:")
+hits.orderBy("query_id", "rank").show(10, truncate=False)
+spark.stop()

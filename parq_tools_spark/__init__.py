@@ -53,9 +53,19 @@ from parq_tools_spark.operators.dedup import (  # noqa: F401
     decontaminate,
     dedupe_exact_text,
     dedupe_near_duplicates,
+    dedupe_paragraphs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+)
+from parq_tools_spark.operators.merge import (  # noqa: F401
+    apply_cdc,
+    merge_upsert,
+)
+from parq_tools_spark.operators.repetition import (  # noqa: F401
+    ngram_repetition_stats,
+    with_line_repetition_stats,
+    with_word_repetition_stats,
 )
 from parq_tools_spark.operators.profile import (  # noqa: F401
     ColumnMetadata,
@@ -75,6 +85,9 @@ from parq_tools_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    pq_build,
+    pq_topk,
+    semantic_dedupe,
 )
 from parq_tools_spark.operators.text import (  # noqa: F401
     bpe_token_count,
@@ -151,4 +164,14 @@ __all__ = [
     "bpe_token_count",
     "hash_split",
     "deterministic_sample",
+    # round-5 additions
+    "dedupe_paragraphs",
+    "with_word_repetition_stats",
+    "with_line_repetition_stats",
+    "ngram_repetition_stats",
+    "merge_upsert",
+    "apply_cdc",
+    "pq_build",
+    "pq_topk",
+    "semantic_dedupe",
 ]
