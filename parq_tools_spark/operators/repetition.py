@@ -29,10 +29,33 @@ from pyspark.sql import functions as F
 __all__ = [
     "words_array",
     "ngrams_array",
+    "dup_occurrence_count",
     "with_word_repetition_stats",
     "with_line_repetition_stats",
     "ngram_repetition_stats",
 ]
+
+
+def dup_occurrence_count(sorted_arr: Column) -> Column:
+    """Occurrences whose value appears >= 2 times in ``sorted_arr``
+    (which MUST be sorted so equal values are adjacent).
+
+    Linear neighbor comparison instead of the naive quadratic
+    count-within-array lambda — the difference between O(L log L) and
+    O(L^2) per document, which matters for adversarially long
+    documents at corpus scale. Engine-portable: the same indexed
+    lambda exists in DuckDB (1-based) and Spark (0-based), and any
+    total sort groups equal values adjacently, so collation
+    differences cannot change the count.
+    """
+    n = F.size(sorted_arr)
+    return F.size(
+        F.filter(
+            sorted_arr,
+            lambda x, i: ((i > 0) & (F.get(sorted_arr, i - 1) == x))
+            | ((i < n - 1) & (F.get(sorted_arr, i + 1) == x)),
+        )
+    )
 
 
 def words_array(text: Column | str) -> Column:
@@ -71,21 +94,15 @@ def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFra
     - ``frac_dup_words``: fraction of word OCCURRENCES whose value
       occurs more than once (Gopher's "duplicate word fraction").
 
-    ``frac_dup_words`` uses a quadratic-in-line-vocabulary array
-    ``filter``; word counts per document are bounded (docs are split
-    upstream at the token-budget pass), so this stays cheap. For
-    adversarially long documents prefer :func:`ngram_repetition_stats`
-    with ``n=1``, which is the same metric via a keyed aggregation.
+    ``frac_dup_words`` counts via :func:`dup_occurrence_count` over
+    the sorted token array — O(L log L) per document, no keyed
+    aggregation needed.
     """
     toks = words_array(text_col)
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
-    dup_occurrences = F.size(
-        F.filter(
-            toks,
-            lambda x: F.size(F.filter(toks, lambda y: y == x)) >= 2,
-        )
-    )
+    df = df.withColumn("_rep_sorted", F.array_sort(toks))
+    dup_occurrences = dup_occurrence_count(F.col("_rep_sorted"))
     safe_n = F.greatest(n, F.lit(1)).cast("double")
     return (
         df.withColumn("n_words", n)
@@ -95,6 +112,7 @@ def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFra
             F.when(n == 0, F.lit(1.0)).otherwise(uniq.cast("double") / safe_n),
         )
         .withColumn("frac_dup_words", dup_occurrences.cast("double") / safe_n)
+        .drop("_rep_sorted")
     )
 
 
@@ -118,12 +136,8 @@ def with_line_repetition_stats(
     lines = F.split(F.col(text_col), re.escape(sep), -1)
     n = F.size(lines)
     safe_n = F.greatest(n, F.lit(1)).cast("double")
-    dup = F.size(
-        F.filter(
-            lines,
-            lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2,
-        )
-    )
+    df = df.withColumn("_rep_sorted", F.array_sort(lines))
+    dup = dup_occurrence_count(F.col("_rep_sorted"))
     bullet = F.size(
         F.filter(
             lines,
@@ -138,6 +152,7 @@ def with_line_repetition_stats(
         .withColumn("frac_dup_lines", dup.cast("double") / safe_n)
         .withColumn("frac_bullet_lines", bullet.cast("double") / safe_n)
         .withColumn("frac_ellipsis_lines", ellipsis.cast("double") / safe_n)
+        .drop("_rep_sorted")
     )
 
 
