@@ -1997,6 +1997,44 @@ def q_ann_pq_exact_equiv(spark, sf_dir):
     return only_pq.unionByName(only_bf)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ layered ANN top-5: hash-seeded cells prune, PQ codes
+    score by ADC — the full pipeline recomputed value-for-value by
+    the DuckDB oracle."""
+    from parq_tools_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    return ivf_pq_topk(
+        emb, qs, k=5, n_cells=8, nprobe=2, m=8, n_codes=16
+    ).select("query_id", "vec_id", "pq_score")
+
+
+def q_ann_ivfpq_equiv(spark, sf_dir):
+    """Degenerate IVF-PQ (probe every cell, identity codebook) must
+    equal the brute-force baseline exactly — the composition of the
+    full-probe and lossless-encoding invariants. Returns the
+    symmetric difference; expected empty."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    ivfpq = ivf_pq_topk(
+        emb, qs, k=5, n_cells=8, nprobe=8, m=8, n_codes=None
+    ).select("query_id", "vec_id")
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    only_a = ivfpq.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("ivfpq_only")
+    )
+    only_b = bf.join(ivfpq, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_semantic_dedupe(spark, sf_dir):
     """SemDeDup-style semantic dedup: within hash-seeded cells, drop
     every vector with a lower-id neighbor at rounded cosine >= 0.35
@@ -2044,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "semantic_dedupe": q_semantic_dedupe,
         # --- LLM pipeline: dedup / similarity (driver-green r04)
         "minhash_pairs": q_minhash_pairs,
@@ -3113,6 +3153,91 @@ SELECT query_id, vec_id, pq_score FROM (
 WHERE rnk <= 5
         """,
         "ann_pq_exact_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        # ann_ivfpq_topk: the layered index recomputed in SQL — one
+        # md5-ranked seed ordering feeds BOTH the 8 coarse centroids
+        # and the 16 PQ codebook rows; cells prune the candidate set,
+        # ADC scores it.
+        "ann_ivfpq_topk": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings
+), cents AS (
+  SELECT ridx AS cidx, embedding FROM ranked_ids WHERE ridx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs) ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         floor(sum(list_inner_product(q.xs, cs.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN csub cs ON cs.j = e.j AND cs.code = e.code
+  JOIN qsub q ON q.query_id = c.query_id AND q.j = e.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, pq_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
+        "ann_ivfpq_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS VARCHAR) AS side

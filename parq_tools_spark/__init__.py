@@ -84,6 +84,7 @@ from parq_tools_spark.operators.similarity import (  # noqa: F401
     brute_force_pairs,
     brute_force_topk,
     ivf_topk,
+    ivf_pq_topk,
     lsh_topk,
     pq_build,
     pq_topk,
@@ -173,5 +174,6 @@ __all__ = [
     "apply_cdc",
     "pq_build",
     "pq_topk",
+    "ivf_pq_topk",
     "semantic_dedupe",
 ]

@@ -43,6 +43,7 @@ __all__ = [
     "dedupe_embedding_near_duplicates",
     "pq_build",
     "pq_topk",
+    "ivf_pq_topk",
     "semantic_dedupe",
 ]
 
@@ -1100,3 +1101,124 @@ def semantic_dedupe(
         cell_dropped, schema=out_schema
     )
     return corpus.join(dropped_ids, on=id_col, how="left_anti")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ layered ANN (the standard billion-scale index layout):
+    hash-seeded coarse cells prune the corpus to ~nprobe/n_cells, then
+    PQ codes score the surviving candidates by asymmetric distance —
+    the scan reads m small ints per candidate, not dim floats.
+
+    Everything is closed-form (hash-seeded centroids AND codebooks),
+    so the full pipeline is engine-recomputable: the
+    ``ann_ivfpq_topk`` registry query value-checks it against DuckDB,
+    and ``ann_ivfpq_equiv`` pins the degenerate configuration
+    (nprobe = n_cells, identity codebook) to the brute-force baseline.
+
+    Scale shape: assignment and encoding are map-only broadcast-matmul
+    passes; probes ride a BroadcastHashJoin on the cell key (the
+    corpus never shuffles); ADC scoring is one more map-only pass;
+    only (query, id, score) triples reach the group-limited top-k
+    window. With :func:`ivf_write`'s cell-partitioned layout the cell
+    filter becomes partition pruning at the source.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    query_id_col = query_id_col or id_col
+    scale = float(10**round_to)
+
+    centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
+    codes_df, codebooks = pq_build(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _with_centroid_cells(
+        corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
+    ).select(id_col, "cell")
+    coded = codes_df.join(assigned, on=id_col)
+
+    probes = (
+        _with_centroid_cells(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("_qvec"),
+            ),
+            centroids,
+            "_qvec",
+            round_to,
+            nprobe,
+            "_probe",
+        )
+        .select("query_id", F.explode("_probe").alias("cell"))
+    )
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_, n_codes_, sub = cb.shape
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no queries")
+    q_ids = [r["query_id"] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r["_qvec"]] for r in q_rows])
+    q_mat /= np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    tables = np.einsum(
+        "qjs,jcs->qjc", q_mat.reshape(len(q_ids), m_, sub), cb
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, tables))
+
+    cand = coded.join(
+        F.broadcast(probes),
+        (coded.cell == probes.cell) & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", id_col, "codes")
+
+    id_field = corpus.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_field.dataType),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("pq_score", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids, tabs = bc.value
+        idx = {qid: i for i, qid in enumerate(ids)}
+        jj = np.arange(m_)
+        for b in batches:
+            if not len(b):
+                yield pd.DataFrame({"query_id": [], id_col: [], "pq_score": []})
+                continue
+            codes = np.stack(b["codes"].to_numpy()).astype(np.int64)
+            qidx = b["query_id"].map(idx).to_numpy()
+            # gather each row's table by its query: tabs[q][j, code_j]
+            s = tabs[qidx[:, None], jj[None, :], codes].sum(axis=1)
+            s = np.floor(s * scale + 0.5) / scale
+            yield pd.DataFrame(
+                {
+                    "query_id": b["query_id"],
+                    id_col: b[id_col],
+                    "pq_score": s,
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

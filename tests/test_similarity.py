@@ -326,3 +326,51 @@ def test_semantic_dedupe_threshold_monotone(embeddings):
     # survivors are a subset of the corpus and keep full rows
     out = semantic_dedupe(embeddings, threshold=0.30, n_cells=8)
     assert out.columns == embeddings.columns
+
+
+def test_ivf_pq_full_probe_identity_equals_brute_force(embeddings, queries):
+    from parq_tools_spark.operators.similarity import ivf_pq_topk
+
+    ivfpq = ivf_pq_topk(
+        embeddings, queries, k=5, n_cells=8, nprobe=8, m=8, n_codes=None
+    )
+    bf = brute_force_topk(embeddings, queries, k=5)
+    a = {(r.query_id, r.vec_id) for r in ivfpq.collect()}
+    b = {(r.query_id, r.vec_id) for r in bf.collect()}
+    assert a == b
+
+
+def test_ivf_pq_prunes_to_probed_cells(embeddings, queries):
+    from parq_tools_spark.operators.similarity import (
+        _hashseed_rows,
+        _with_centroid_cells,
+        ivf_pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    out = ivf_pq_topk(
+        embeddings, queries, k=5, n_cells=8, nprobe=2, m=8, n_codes=16
+    )
+    counts = out.groupBy("query_id").count().collect()
+    assert len(counts) == 3 and all(r["count"] == 5 for r in counts)
+    # every hit must live in one of its query's 2 probed cells
+    cents = _hashseed_rows(embeddings, 8, "vec_id", "embedding")
+    assigned = _with_centroid_cells(
+        embeddings.select("vec_id", "embedding"), cents, "embedding", 6, None, "cell"
+    ).select("vec_id", "cell")
+    probes = (
+        _with_centroid_cells(
+            embeddings.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("_qvec"),
+            ),
+            cents, "_qvec", 6, 2, "_probe",
+        )
+        .select("query_id", F.explode("_probe").alias("cell"))
+    )
+    bad = (
+        out.join(assigned, "vec_id")
+        .join(probes, ["query_id", "cell"], "left_semi")
+        .count()
+    )
+    assert bad == out.count()
