@@ -99,11 +99,17 @@ def main() -> None:
         # drop SQL caches and any localCheckpoint RDDs a query left
         # behind, so block-eviction pressure from earlier queries
         # cannot distort later timings — run after EVERY attempt,
-        # including failed ones
+        # including failed ones. The gc.collect() matters too: JVM
+        # broadcast/checkpoint blocks are freed by the ContextCleaner
+        # only after the PYTHON handle is collected, and 2x98 queries'
+        # worth of pinned blocks measurably inflates late timings.
         try:
+            import gc
+
             spark.catalog.clearCache()
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
+            gc.collect()
         except Exception:
             pass
 
