@@ -136,3 +136,21 @@ def test_broadcast_merge_plan_keeps_target_unshuffled(spark, tmp_path):
         if "FileScan parquet" in ln and "name" in ln and "v#" in ln
     ]
     assert wide, plan
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_composite_keys(spark, broadcast):
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)],
+        "k1 long, k2 string, v double",
+    )
+    src = spark.createDataFrame(
+        [(1, "b", 99.0), (3, "c", 1.0)], "k1 long, k2 string, v double"
+    )
+    out = merge_upsert(tgt, src, ["k1", "k2"], broadcast_source=broadcast)
+    assert _rows(out) == [
+        (1, "a", 10.0),
+        (1, "b", 99.0),
+        (2, "a", 30.0),
+        (3, "c", 1.0),
+    ]

@@ -130,3 +130,31 @@ def test_paragraph_dedupe_partition_independent(spark):
     # only doc 0 keeps "shared"
     kept_shared = [d for d, t in r1 if "shared" in t]
     assert kept_shared == [0]
+
+
+def test_dup_occurrence_count_matches_naive(spark):
+    """Property: the sorted-neighbor linear count equals the naive
+    multiplicity definition on random token lists."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.repetition import dup_occurrence_count
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 30)
+        toks = [rng.choice("abcdefg") for _ in range(n)]
+        naive = sum(1 for t in toks if toks.count(t) >= 2)
+        rows.append((i, toks, naive))
+    df = spark.createDataFrame(
+        rows, "id long, toks array<string>, naive long"
+    )
+    got = df.select(
+        "id",
+        "naive",
+        dup_occurrence_count(F.array_sort("toks")).alias("linear"),
+    )
+    bad = got.filter(F.col("naive") != F.col("linear")).collect()
+    assert bad == []
