@@ -80,6 +80,11 @@ def merge_upsert(
     bad = [c for c in update_cols if c not in s_cols]
     if bad:
         raise ValueError(f"update_cols not in source: {bad}")
+    ghost = [c for c in update_cols if c not in t_cols]
+    if ghost:
+        # the output schema is the TARGET schema; an update column the
+        # target lacks would be silently dropped otherwise
+        raise ValueError(f"update_cols not in target: {ghost}")
 
     if broadcast_source:
         return _merge_broadcast(

@@ -154,3 +154,11 @@ def test_merge_composite_keys(spark, broadcast):
         (2, "a", 30.0),
         (3, "c", 1.0),
     ]
+
+
+def test_merge_rejects_update_col_missing_from_target(spark, target):
+    src = spark.createDataFrame(
+        [(1, "x", 5.0)], "k long, name string, extra_col double"
+    )
+    with pytest.raises(ValueError, match="not in target"):
+        merge_upsert(target, src, ["k"], update_cols=["extra_col"])
