@@ -59,14 +59,24 @@ __all__ = [
 
 
 def word_shingles(text_col, k: int = 3):
-    """Array of k-word shingles (space-joined); whole text if < k tokens."""
+    """Array of k-word shingles (space-joined); whole text if < k tokens.
+
+    Built as a chain of shifted ``zip_with``s — k-1 linear passes —
+    instead of slicing the whole token array once per position
+    (O(L*k) interpreted work in the HOF evaluator); the produced
+    strings are identical.
+    """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(F.lower(col)), r"\s+")
     n = F.size(tokens)
-    shingled = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-    )
+    m = n - F.lit(k - 1)
+    shingled = F.slice(tokens, 1, m)
+    for i in range(1, k):
+        shingled = F.zip_with(
+            shingled,
+            F.slice(tokens, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(
         F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", tokens)))
     )

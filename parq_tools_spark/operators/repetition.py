@@ -75,12 +75,17 @@ def ngrams_array(text: Column | str, n: int = 2) -> Column:
     """
     toks = words_array(text)
     cnt = F.size(toks)
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    m = cnt - F.lit(n - 1)
+    # chain of shifted zip_withs: n-1 linear passes instead of one
+    # slice-of-the-whole-array per position (O(L*n) interpreted work)
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
