@@ -139,28 +139,49 @@ def lsh_signatures(
 ) -> DataFrame:
     """Signed-random-projection signature: one int with n_planes bits.
 
-    Each plane's sign bit is an ``aggregate`` over a zip with the
-    (literal, broadcast-inlined) plane vector — all JVM expression
-    tree, no Python per row.
+    One numpy matmul per Arrow batch against the broadcast plane
+    matrix (map-only, no shuffle). The rounds-1-4 formulation built
+    n_planes interpreted ``aggregate``-over-``zip_with`` expressions
+    per row — Catalyst does not codegen HOFs, and that ladder was the
+    same constant-factor trap the IVF assignment had. Sign bits are
+    identical: the dot products differ from the expression left-fold
+    only in float summation order, and a flipped sign needs
+    |dot| < ~1e-13 — the DuckDB oracle (which also re-sums in its own
+    order) has always carried that same epsilon and hash-matches.
     """
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
             raise ValueError("empty corpus: cannot infer embedding dimension")
         dim = len(first[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for p_idx, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_arr, lambda v, p: v.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p_idx).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.withColumn(out_col, sig)
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    planes = np.asarray(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((planes, weights))
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        pl, w = bc.value
+        for b in batches:
+            out = b[cols].copy()
+            if not len(b):
+                out[out_col] = np.array([], dtype=np.int64)
+                yield out
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            dots = mat @ pl.T
+            out[out_col] = ((dots > 0).astype(np.int64) * w[None, :]).sum(
+                axis=1
+            )
+            yield out
+
+    return df.mapInPandas(run, schema)
 
 
 def lsh_topk(
