@@ -2045,6 +2045,27 @@ def q_semantic_dedupe(spark, sf_dir):
     return semantic_dedupe(emb, threshold=0.35, n_cells=8).select("vec_id")
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup primitive: MinHash pairs BETWEEN an indexed
+    corpus (even doc_ids) and a new batch (odd doc_ids) — the indexed
+    side's band rows come precomputed from the persistent index in
+    production (minhash_index_write/query), so a new batch dedupes
+    against the corpus without re-shingling it."""
+    from parq_tools_spark.operators.dedup import minhash_pairs_between
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = minhash_pairs_between(
+        indexed, new, num_hashes=64, bands=16, threshold=0.5
+    )
+    return out.select(
+        "id_indexed",
+        "id_new",
+        _pround(F.col("est_jaccard")).alias("est_jaccard"),
+    )
+
+
 # =====================================================================
 # Contract
 # =====================================================================
@@ -2085,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "semantic_dedupe": q_semantic_dedupe,
+        "minhash_incremental": q_minhash_incremental,
         # --- LLM pipeline: dedup / similarity (driver-green r04)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3364,6 +3386,46 @@ WITH toks AS (
   GROUP BY c.id1, c.id2
 )
 SELECT id1, id2, floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM est WHERE e >= 0.5
+        """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64)),
+        # minhash_incremental: identical pipeline, but candidates are
+        # CROSS-parity (even = indexed corpus, odd = new batch) with no
+        # id ordering constraint — the incremental-dedup orientation.
+        "minhash_incremental": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), bh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+), seeds(seed, a, b) AS (VALUES {MINHASH_SEEDS}
+), h AS (
+  SELECT doc_id, seed, min((a * base + b) % 2147483647) AS mh
+  FROM bh CROSS JOIN seeds GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+), est AS (
+  SELECT c.id_indexed, c.id_new,
+         sum(CASE WHEN h1.mh = h2.mh THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN h h1 ON h1.doc_id = c.id_indexed
+  JOIN h h2 ON h2.doc_id = c.id_new AND h2.seed = h1.seed
+  GROUP BY c.id_indexed, c.id_new
+)
+SELECT id_indexed, id_new,
+       floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
 FROM est WHERE e >= 0.5
         """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64)),
         "simhash_pairs": """

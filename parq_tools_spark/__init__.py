@@ -54,7 +54,11 @@ from parq_tools_spark.operators.dedup import (  # noqa: F401
     dedupe_exact_text,
     dedupe_near_duplicates,
     dedupe_paragraphs,
+    minhash_index_add,
+    minhash_index_query,
+    minhash_index_write,
     minhash_lsh_pairs,
+    minhash_pairs_between,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -176,4 +180,8 @@ __all__ = [
     "pq_topk",
     "ivf_pq_topk",
     "semantic_dedupe",
+    "minhash_pairs_between",
+    "minhash_index_write",
+    "minhash_index_add",
+    "minhash_index_query",
 ]

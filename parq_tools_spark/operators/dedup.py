@@ -55,6 +55,11 @@ __all__ = [
     "connected_components_alternating",
     "dedupe_near_duplicates",
     "dedupe_paragraphs",
+    "banded_minhash",
+    "minhash_pairs_between",
+    "minhash_index_write",
+    "minhash_index_add",
+    "minhash_index_query",
 ]
 
 
@@ -457,27 +462,9 @@ def minhash_lsh_pairs(
     default portable ``hash_family`` the whole pipeline is
     recomputable in ANSI SQL (see :func:`minhash_signatures`).
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, hash_family)
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("signature"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), bi * r + 1, r), F.lit(bi)
-                        ).alias("bhash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "signature", "bk.band", "bk.bhash")
+    banded = banded_minhash(
+        df, id_col, text_col, num_hashes, bands, k, hash_family
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -929,4 +916,189 @@ def dedupe_paragraphs(
             F.coalesce(out_col, F.lit("")).alias(out_col),
             F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
         )
+    )
+
+
+# ----------------------------------------------------- incremental minhash
+def banded_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """(id, signature, band, bhash) rows — the LSH bucket keys of every
+    document, ``bands`` rows per document. The shared banding step of
+    :func:`minhash_lsh_pairs`, :func:`minhash_pairs_between` and the
+    persistent index."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, hash_family)
+    return sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), bi * r + 1, r), F.lit(bi)
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.bhash")
+
+
+def minhash_pairs_between(
+    indexed: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.7,
+    hash_family: str = "portable",
+    indexed_banded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (the incremental-dedup
+    primitive): ``(id_indexed, id_new, est_jaccard)`` for every new
+    document colliding with an indexed one in >= 1 LSH band at
+    estimated Jaccard >= threshold.
+
+    Unlike the self-join in :func:`minhash_lsh_pairs`, the indexed
+    side's signatures are never recomputed when ``indexed_banded`` is
+    supplied (the persistent index) — the cost of deduping a new batch
+    against a 100 TB corpus is banding the BATCH plus one broadcast
+    join; the corpus side is a scan of precomputed band rows that
+    never shuffles.
+    """
+    if indexed_banded is None:
+        indexed_banded = banded_minhash(
+            indexed, id_col, text_col, num_hashes, bands, k, hash_family
+        )
+    new_banded = banded_minhash(
+        new_docs, id_col, text_col, num_hashes, bands, k, hash_family
+    )
+    a = indexed_banded.select(
+        F.col(id_col).alias("id_indexed"),
+        F.col("signature").alias("_sig_a"),
+        "band",
+        "bhash",
+    )
+    b = new_banded.select(
+        F.col(id_col).alias("id_new"),
+        F.col("signature").alias("_sig_b"),
+        "band",
+        "bhash",
+    )
+    cand = (
+        a.join(F.broadcast(b), on=["band", "bhash"])
+        .filter(F.col("id_indexed") != F.col("id_new"))
+        .dropDuplicates(["id_indexed", "id_new"])
+    )
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_indexed", "id_new", "est_jaccard")
+    )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    hash_family: str = "portable",
+) -> None:
+    """Persist a corpus's banded MinHash index: band rows partitioned
+    by ``band`` + a params sidecar, so future batches dedupe against
+    the corpus WITHOUT recomputing its signatures. Index size is
+    ``bands`` small rows per document — for 100 TB of text, a few
+    hundred GB of longs."""
+    import json
+    import os
+
+    banded = banded_minhash(
+        df, id_col, text_col, num_hashes, bands, k, hash_family
+    )
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    params = {
+        "id_col": id_col,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "k": k,
+        "hash_family": hash_family,
+    }
+    with open(os.path.join(path, "_minhash_params.json"), "w") as f:
+        json.dump(params, f)
+
+
+def _minhash_index_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_minhash_params.json")) as f:
+        return json.load(f)
+
+
+def minhash_index_add(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Append a new batch's band rows to an existing index (after
+    deduping the batch with :func:`minhash_index_query` — the index
+    does not check for id collisions)."""
+    p = _minhash_index_params(path)
+    banded = banded_minhash(
+        df,
+        p["id_col"],
+        text_col,
+        p["num_hashes"],
+        p["bands"],
+        p["k"],
+        p["hash_family"],
+    )
+    banded.write.mode("append").partitionBy("band").parquet(path)
+
+
+def minhash_index_query(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Pairs between an on-disk index and a new batch:
+    ``(id_indexed, id_new, est_jaccard)``. The index side is read as
+    precomputed band rows and joined against a BROADCAST of the new
+    batch's keys — the corpus never shuffles and its text is never
+    re-shingled."""
+    p = _minhash_index_params(path)
+    indexed_banded = spark.read.parquet(path)
+    return minhash_pairs_between(
+        None,
+        new_docs,
+        id_col=p["id_col"],
+        text_col=text_col,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        k=p["k"],
+        threshold=threshold,
+        hash_family=p["hash_family"],
+        indexed_banded=indexed_banded,
     )

@@ -302,3 +302,82 @@ def test_contamination_overlap_and_decontaminate(spark):
     assert 2 not in flagged
     clean = decontaminate(corpus, evals, k=3, threshold=0.9)
     assert {r.doc_id for r in clean.collect()} == {2}
+
+
+# ------------------------------------------------- incremental minhash
+def test_minhash_index_roundtrip_matches_direct(spark, sf_dir, tmp_path):
+    """Querying a persisted index must give the same pairs as banding
+    the indexed corpus inline."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+        minhash_pairs_between,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    indexed = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(indexed, path, num_hashes=64, bands=16)
+
+    direct = minhash_pairs_between(
+        indexed, new, num_hashes=64, bands=16, threshold=0.5
+    )
+    via_index = minhash_index_query(spark, path, new, threshold=0.5)
+    d = sorted((r.id_indexed, r.id_new) for r in direct.collect())
+    v = sorted((r.id_indexed, r.id_new) for r in via_index.collect())
+    assert d == v and len(d) > 0
+
+
+def test_minhash_index_add_extends_coverage(spark, sf_dir, tmp_path):
+    """After appending a batch, its documents are findable as indexed
+    matches for subsequent batches."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first = docs.filter(F.col("doc_id") < 10)
+    second = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(first, path, num_hashes=64, bands=16)
+    minhash_index_add(second, path)
+    # the same texts under fresh ids must collide with the appended
+    # batch at est 1.0 (same-id pairs are excluded by design)
+    probe = second.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    hits = minhash_index_query(spark, path, probe, threshold=0.99)
+    got = {(r.id_indexed, r.id_new) for r in hits.collect()}
+    assert all((i, i + 10000) in got for i in range(10, 20)), got
+
+
+def test_minhash_index_query_plan_broadcasts_batch(spark, sf_dir, tmp_path):
+    """The index side must join against a BROADCAST of the new batch —
+    no sort-merge join of the corpus band rows."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(docs.filter(F.col("doc_id") % 2 == 0), path,
+                        num_hashes=64, bands=16)
+    q = minhash_index_query(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.5
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -331,3 +331,57 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
+    """A change stream folded into a parquet snapshot must reach the
+    same final state as the batch apply_cdc of the full change log."""
+    from parq_tools_spark.operators.merge import apply_cdc
+    from parq_tools_spark.streaming.cdc import start_cdc_apply
+
+    snap_path = str(tmp_path / "snapshot")
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    initial.write.parquet(snap_path)
+
+    chg_schema = "k long, op string, seq long, name string, v double"
+    batch1 = [(2, "U", 1, "b2", 21.0), (4, "I", 1, "d", 40.0)]
+    batch2 = [(2, "D", 2, None, None), (3, "U", 2, "c3", 33.0)]
+    spark.createDataFrame(batch1, chg_schema).coalesce(1).write.parquet(
+        str(chg_dir / "f1")
+    )
+    spark.createDataFrame(batch2, chg_schema).coalesce(1).write.parquet(
+        str(chg_dir / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir / "*"))
+    )
+    q = start_cdc_apply(
+        stream, snap_path, ["k"], str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(snap_path).collect())
+    expected_df = apply_cdc(
+        initial,
+        spark.createDataFrame(batch1 + batch2, chg_schema),
+        ["k"],
+    )
+    expected = sorted(tuple(r) for r in expected_df.collect())
+    assert got == expected
+    assert got == [(1, "a", 10.0), (3, "c3", 33.0), (4, "d", 40.0)]
+
+
+def test_streaming_cdc_apply_rejects_batch_input(spark, tmp_path):
+    from parq_tools_spark.streaming.cdc import start_cdc_apply
+
+    batch = spark.createDataFrame([(1, "U", 1)], "k long, op string, seq long")
+    with pytest.raises(ValueError):
+        start_cdc_apply(batch, str(tmp_path / "s"), ["k"], str(tmp_path / "c"))
