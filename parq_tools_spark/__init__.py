@@ -54,6 +54,7 @@ from parq_tools_spark.operators.dedup import (  # noqa: F401
     dedupe_exact_text,
     dedupe_near_duplicates,
     dedupe_paragraphs,
+    incremental_dedupe,
     minhash_index_add,
     minhash_index_query,
     minhash_index_write,
@@ -184,4 +185,5 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_add",
     "minhash_index_query",
+    "incremental_dedupe",
 ]

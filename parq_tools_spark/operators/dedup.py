@@ -60,6 +60,7 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_add",
     "minhash_index_query",
+    "incremental_dedupe",
 ]
 
 
@@ -1102,3 +1103,56 @@ def minhash_index_query(
         hash_family=p["hash_family"],
         indexed_banded=indexed_banded,
     )
+
+
+def incremental_dedupe(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    update_index: bool = False,
+) -> DataFrame:
+    """The full incremental-ingest dedup step: drop new documents that
+    near-duplicate (a) anything in the persistent index or (b) a
+    lower-id document within the same batch, and optionally append the
+    survivors' band rows to the index.
+
+    Returns the surviving rows of ``new_docs``. With
+    ``update_index=True`` the survivors are materialized (one action)
+    before their signatures are appended, so the returned DataFrame is
+    a simple scan of what the index now covers.
+
+    Cost shape at 100 TB corpus / small batch: banding the batch, one
+    broadcast join against the index band rows (corpus unshuffled),
+    one in-batch LSH self-join bounded by batch size.
+    """
+    p = _minhash_index_params(index_path)
+    id_col = p["id_col"]
+    vs_index = minhash_index_query(
+        spark, index_path, new_docs, text_col=text_col, threshold=threshold
+    )
+    dup_vs_index = vs_index.select(
+        F.col("id_new").alias(id_col)
+    ).distinct()
+    in_batch = minhash_lsh_pairs(
+        new_docs,
+        id_col,
+        text_col,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        k=p["k"],
+        threshold=threshold,
+        hash_family=p["hash_family"],
+    )
+    # within the batch, keep the min-id member of each duplicate pair
+    dup_in_batch = in_batch.select(F.col("id2").alias(id_col)).distinct()
+    survivors = new_docs.join(
+        dup_vs_index.unionByName(dup_in_batch).distinct(),
+        on=id_col,
+        how="left_anti",
+    )
+    if update_index:
+        survivors = survivors.localCheckpoint(eager=True)
+        minhash_index_add(survivors, index_path, text_col=text_col)
+    return survivors

@@ -381,3 +381,43 @@ def test_minhash_index_query_plan_broadcasts_batch(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedupe_end_to_end(spark, tmp_path):
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "an entirely different document about spark physical plans")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    minhash_index_write(corpus, path, num_hashes=64, bands=16)
+
+    batch = spark.createDataFrame(
+        [
+            # near-dup of indexed doc 1 -> dropped
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # two in-batch duplicates -> lower id survives
+            (11, "fresh content about training data pipelines at scale"),
+            (12, "fresh content about training data pipelines at scale"),
+            # unique -> survives
+            (13, "completely novel text mentioning nothing seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedupe(
+        spark, path, batch, threshold=0.7, update_index=True
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+    # survivors are now indexed: re-probing the same texts under new
+    # ids must hit them
+    reprobe = batch.filter("doc_id = 11").select(
+        (batch.doc_id + 100).alias("doc_id"), "text"
+    )
+    hits = minhash_index_query(spark, path, reprobe, threshold=0.99)
+    assert {(r.id_indexed, r.id_new) for r in hits.collect()} == {(11, 111)}
