@@ -2045,6 +2045,28 @@ def q_semantic_dedupe(spark, sf_dir):
     return semantic_dedupe(emb, threshold=0.35, n_cells=8).select("vec_id")
 
 
+def q_repetition_lines(spark, sf_dir):
+    """C4-style line repetition signals over the derived line
+    structure (newline after every 3rd token, the same chunking the
+    paragraph-dedup query uses)."""
+    from parq_tools_spark.operators.repetition import (
+        with_line_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){2}\S+) ", "$1\n")
+    )
+    out = with_line_repetition_stats(chunked, sep="\n")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        _pround(F.col("frac_dup_lines")).alias("frac_dup_lines"),
+        _pround(F.col("frac_bullet_lines")).alias("frac_bullet_lines"),
+        _pround(F.col("frac_ellipsis_lines")).alias("frac_ellipsis_lines"),
+    )
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup primitive: MinHash pairs BETWEEN an indexed
     corpus (even doc_ids) and a new batch (odd doc_ids) — the indexed
@@ -2107,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "semantic_dedupe": q_semantic_dedupe,
         "minhash_incremental": q_minhash_incremental,
+        "repetition_lines": q_repetition_lines,
         # --- LLM pipeline: dedup / similarity (driver-green r04)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3068,6 +3091,31 @@ SELECT d.doc_id,
        coalesce(r.dedup_text, '') AS dedup_text,
        CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "repetition_lines": r"""
+WITH chunked AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, string_split(t, chr(10)) AS l FROM chunked
+)
+SELECT doc_id,
+       len(l) AS n_lines,
+       floor(CAST(len(list_filter(l,
+                 x -> len(list_filter(l, y -> y = x)) >= 2)) AS DOUBLE)
+             / greatest(len(l), 1) * 1000000.0 + 0.5) / 1000000.0
+         AS frac_dup_lines,
+       floor(CAST(len(list_filter(l, x ->
+                 starts_with(x, '- ') OR starts_with(x, '* ')
+                 OR starts_with(x, chr(8226) || ' '))) AS DOUBLE)
+             / greatest(len(l), 1) * 1000000.0 + 0.5) / 1000000.0
+         AS frac_bullet_lines,
+       floor(CAST(len(list_filter(l, x ->
+                 x LIKE '%...' OR x LIKE '%' || chr(8230))) AS DOUBLE)
+             / greatest(len(l), 1) * 1000000.0 + 0.5) / 1000000.0
+         AS frac_ellipsis_lines
+FROM lines
         """,
         "merge_upsert": """
 WITH src AS (
