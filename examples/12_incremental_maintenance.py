@@ -107,4 +107,57 @@ hits = pq_topk(
 )
 print("PQ ANN hits:")
 hits.orderBy("query_id", "rank").show(10, truncate=False)
+
+# --- persistent incremental dedup: index today's corpus once; every
+# future batch dedupes against it by banding ONLY the batch (the
+# corpus is never re-shingled and never shuffles), then appends its
+# survivors so tomorrow's batch sees them
+from parq_tools_spark import incremental_dedupe, minhash_index_write
+
+corpus = snapshot.filter("doc_id < 400").select("doc_id", "text")
+minhash_index_write(corpus, f"{out}/mh_index", num_hashes=64, bands=16)
+batch = (
+    snapshot.filter("doc_id >= 400")
+    .select("doc_id", "text")
+    .unionByName(  # re-crawled copies of already-indexed documents
+        snapshot.filter("doc_id < 5").select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"
+        )
+    )
+)
+fresh = incremental_dedupe(
+    spark, f"{out}/mh_index", batch, threshold=0.9, update_index=True
+)
+print(
+    "incremental ingest:",
+    batch.count(),
+    "arrived,",
+    fresh.count(),
+    "survived (re-crawls and in-batch dups dropped, index extended)",
+)
+
+# --- continuous maintenance: the same CDC merge as above, but driven
+# by a change STREAM folding into the snapshot batch by batch
+from parq_tools_spark.streaming.cdc import start_cdc_apply
+
+snap2 = f"{out}/documents_stream"
+snapshot.write.mode("overwrite").parquet(snap2)
+chg_dir = f"{out}/changes"
+changes.limit(20).coalesce(1).write.mode("overwrite").parquet(
+    f"{chg_dir}/batch1"
+)
+stream = (
+    spark.readStream.schema(changes.schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(f"{chg_dir}/*")
+)
+q = start_cdc_apply(
+    stream, snap2, ["doc_id"], f"{out}/ckpt", available_now=True
+)
+q.awaitTermination(120)
+print(
+    "streamed snapshot:",
+    spark.read.parquet(snap2).count(),
+    "docs after folding the change stream",
+)
 spark.stop()
