@@ -252,13 +252,20 @@ def _sql_literal(value) -> str:
     return repr(value)
 
 
+def _sql_ident(name: str) -> str:
+    """ANSI-quoted identifier — a column named like a SQL keyword
+    (``as``, ``select``, ...) is legal in the DSL and must stay legal
+    in the emitted SQL."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def _to_sql(node: Node) -> str:
     if isinstance(node, Comparison):
         op = "=" if node.op == "==" else ("<>" if node.op == "!=" else node.op)
-        return f"({node.column} {op} {_sql_literal(node.value)})"
+        return f"({_sql_ident(node.column)} {op} {_sql_literal(node.value)})"
     if isinstance(node, InList):
         vals = ", ".join(_sql_literal(v) for v in node.values)
-        return f"({node.column} IN ({vals}))"
+        return f"({_sql_ident(node.column)} IN ({vals}))"
     if isinstance(node, BoolOp):
         return f"({_to_sql(node.left)} {node.op.upper()} {_to_sql(node.right)})"
     raise TypeError(f"Unknown AST node {node!r}")

@@ -68,9 +68,20 @@ def test_validate_missing_columns():
 
 def test_filter_to_sql():
     sql = filter_to_sql("a > 1 and s == 'x' or b in [1, 2]")
-    assert sql == "(((a > 1) AND (s = 'x')) OR (b IN (1, 2)))"
+    assert sql == '((("a" > 1) AND ("s" = \'x\')) OR ("b" IN (1, 2)))'
 
 
 def test_sql_escapes_quotes():
     # a single quote inside a double-quoted DSL literal must be doubled in SQL
-    assert filter_to_sql('s == "a\'b"') == "(s = 'a''b')"
+    assert filter_to_sql('s == "a\'b"') == '("s" = \'a\'\'b\')'
+
+
+def test_sql_quotes_keyword_columns():
+    # a column named like a SQL keyword must emit valid SQL
+    import duckdb
+
+    sql = filter_to_sql("as > 0")
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t ("as" DOUBLE)')
+    con.execute("INSERT INTO t VALUES (1)")
+    assert con.sql(f"SELECT count(*) FROM t WHERE {sql}").fetchone()[0] == 1

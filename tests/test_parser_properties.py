@@ -114,6 +114,6 @@ def test_comparison_sql_matches_duckdb_parse(cmp):
     col = cmp.column
     typ = "VARCHAR" if isinstance(cmp.value, str) else "DOUBLE"
     val = "'x'" if typ == "VARCHAR" else "1"
-    con.execute(f"CREATE TABLE t ({col} {typ})")
+    con.execute(f'CREATE TABLE t ("{col}" {typ})')
     con.execute(f"INSERT INTO t VALUES ({val})")
     con.execute(f"SELECT * FROM t WHERE {sql}")  # must not raise
