@@ -3802,16 +3802,26 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         # memory_report: DuckDB reads the same footers via
         # parquet_metadata() and recomputes the in-memory estimate with
         # the same typed-width rules (fixed width x rows; characters for
-        # strings). Path is the driver's sf0.01 correctness dataset.
+        # strings). The oracle SQL is a static string but the harness may
+        # run it at any scale factor, so the footer path is self-locating:
+        # glob every sf dir and keep the file whose num_rows equals the
+        # registered `lineitem` view's count — i.e. the very file the view
+        # (and the Spark side) is reading.
         "memory_report": """
-            WITH footer AS (
+            WITH target AS (
+              SELECT file_name FROM parquet_file_metadata(
+                '/root/testdata/sf*/lineitem.parquet')
+              WHERE num_rows = (SELECT count(*) FROM lineitem)
+              LIMIT 1
+            ), footer AS (
               SELECT path_in_schema AS "column",
                      CAST(SUM(total_compressed_size) AS BIGINT)
                        AS compressed_bytes,
                      CAST(SUM(total_uncompressed_size) AS BIGINT)
                        AS uncompressed_bytes
               FROM parquet_metadata(
-                '/root/testdata/sf0.01/lineitem.parquet')
+                '/root/testdata/sf*/lineitem.parquet')
+              WHERE file_name = (SELECT file_name FROM target)
               GROUP BY 1
             ), mem AS (
               SELECT * FROM (VALUES
