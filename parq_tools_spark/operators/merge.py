@@ -35,6 +35,7 @@ def merge_upsert(
     update_cols: Optional[Sequence[str]] = None,
     delete_col: Optional[str] = None,
     broadcast_source: bool = False,
+    match_condition: Optional[str] = None,
 ) -> DataFrame:
     """MERGE INTO target USING source ON keys:
 
@@ -43,7 +44,12 @@ def merge_upsert(
     - unmatched source rows are inserted;
     - unmatched target rows are kept;
     - when ``delete_col`` names a boolean source column, matched rows
-      with it true are deleted (and unmatched deletes are no-ops).
+      with it true are deleted (and unmatched deletes are no-ops);
+    - ``match_condition`` is Delta's ``WHEN MATCHED AND <cond>``: a SQL
+      boolean over the ``t``/``s`` aliases (e.g. ``"s.seq > t.seq"``).
+      A matched row failing the condition is kept unchanged — its
+      update AND delete are both skipped. Inserts are unconditional
+      (the condition only ever sees matched pairs).
 
     Schemas must agree on the non-key columns being written; extra
     target columns are preserved (NULL-filled for inserts only if
@@ -88,7 +94,8 @@ def merge_upsert(
 
     if broadcast_source:
         return _merge_broadcast(
-            target, source, keys, list(update_cols), delete_col
+            target, source, keys, list(update_cols), delete_col,
+            match_condition,
         )
 
     # row provenance: the key columns are coalesced by the USING join,
@@ -103,6 +110,9 @@ def merge_upsert(
         )
     )
     matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
+    if match_condition is not None:
+        # null condition result means "not satisfied", per WHEN MATCHED AND
+        matched = matched & F.coalesce(F.expr(match_condition), F.lit(False))
     insert = F.col("_t_present").isNull()
     deleted = (
         F.col(f"s.{delete_col}").isNotNull() & F.col(f"s.{delete_col}")
@@ -135,6 +145,7 @@ def _merge_broadcast(
     keys: list[str],
     update_cols: list[str],
     delete_col: Optional[str],
+    match_condition: Optional[str] = None,
 ) -> DataFrame:
     """Small-source merge with zero shuffles of the target: broadcast
     left join for updates/deletes + key-pruned semi scan for inserts.
@@ -144,6 +155,8 @@ def _merge_broadcast(
         F.broadcast(marked).alias("s"), on=keys, how="left"
     )
     matched = F.col("_s_present").isNotNull()
+    if match_condition is not None:
+        matched = matched & F.coalesce(F.expr(match_condition), F.lit(False))
     deleted = (
         matched & F.col(f"s.{delete_col}").isNotNull() & F.col(f"s.{delete_col}")
         if delete_col
@@ -191,6 +204,7 @@ def apply_cdc(
     op_col: str = "op",
     seq_col: str = "seq",
     broadcast_source: bool = False,
+    target_seq_col: Optional[str] = None,
 ) -> DataFrame:
     """Apply a change-data-capture log to a keyed snapshot.
 
@@ -202,10 +216,24 @@ def apply_cdc(
     document your log's ordering and pass unique sequences to avoid
     relying on the tiebreak).
 
+    ``target_seq_col`` (stale-event protection): when set, ``target``
+    must carry that column holding the seq of the last event applied
+    per key (NULL for never-touched rows). An event only applies when
+    its seq is STRICTLY greater than the stored value, and the stored
+    value advances to the applied event's seq — so replaying an
+    already-applied log is a no-op (idempotent at-least-once apply)
+    and a late batch carrying stale events cannot overwrite newer
+    state. Without it, each call is latest-wins only within the
+    ``changes`` it was handed. Caveat: a delete removes the row AND
+    its stored seq, so a stale pre-delete upsert arriving later would
+    resurrect the key — retain tombstones upstream if your log can
+    reorder across a delete.
+
     Shape: one window pass over the change log keyed by ``keys``
     (the log, not the snapshot), then :func:`merge_upsert` — the
     100 TB snapshot shuffles at most once, or never with
-    ``broadcast_source=True``.
+    ``broadcast_source=True``. The seq guard rides the same join as a
+    ``match_condition``; it adds no extra pass.
     """
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(
@@ -214,8 +242,25 @@ def apply_cdc(
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", seq_col)
+        .drop("_rn")
     )
+    match_condition = None
+    if target_seq_col is not None:
+        if target_seq_col not in target.columns:
+            raise ValueError(
+                f"target_seq_col {target_seq_col!r} not in target; "
+                "add it (NULL-initialised) before the first apply"
+            )
+        if target_seq_col != seq_col:
+            latest = latest.withColumn(
+                target_seq_col, F.col(seq_col)
+            ).drop(seq_col)
+        match_condition = (
+            f"t.`{target_seq_col}` IS NULL "
+            f"OR s.`{target_seq_col}` > t.`{target_seq_col}`"
+        )
+    else:
+        latest = latest.drop(seq_col)
     latest = latest.withColumn("_is_delete", F.col(op_col) == "D").drop(op_col)
     return merge_upsert(
         target,
@@ -223,4 +268,5 @@ def apply_cdc(
         keys,
         delete_col="_is_delete",
         broadcast_source=broadcast_source,
+        match_condition=match_condition,
     )

@@ -102,6 +102,89 @@ def test_cdc_latest_wins(spark, target, broadcast):
     assert _rows(out) == [(1, "a", 10.0), (3, "c3", 33.0), (5, "e", 50.0)]
 
 
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_merge_match_condition_guards_update_and_delete(
+    spark, target, broadcast
+):
+    """WHEN MATCHED AND <cond>: a matched row failing the condition is
+    kept unchanged — neither updated nor deleted; inserts still land."""
+    src = spark.createDataFrame(
+        [
+            (1, "a9", 9.0, False),   # v < t.v -> guard fails, keep (1,a,10)
+            (2, "b2", 25.0, False),  # guard passes -> update
+            (3, None, 35.0, True),   # guard passes -> delete
+            (4, "d", 40.0, False),   # unmatched -> insert (unconditional)
+        ],
+        "k long, name string, v double, dead boolean",
+    )
+    out = merge_upsert(
+        target,
+        src,
+        ["k"],
+        delete_col="dead",
+        broadcast_source=broadcast,
+        match_condition="s.v > t.v",
+    )
+    assert _rows(out) == [(1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)]
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_cdc_target_seq_col_skips_stale_and_is_idempotent(
+    spark, target, broadcast
+):
+    """With target_seq_col the snapshot remembers the last applied seq
+    per key: stale events skip, and replaying an applied log no-ops."""
+    tgt = target.withColumn("__cdc_seq", F.lit(None).cast("long"))
+    chg = spark.createDataFrame(
+        [
+            (2, "U", 7, "b7", 27.0),
+            (3, "D", 5, None, None),
+            (4, "I", 1, "d", 40.0),
+        ],
+        "k long, op string, seq long, name string, v double",
+    )
+    once = apply_cdc(
+        tgt, chg, ["k"], broadcast_source=broadcast,
+        target_seq_col="__cdc_seq",
+    )
+    assert _rows(once) == [
+        (1, "a", 10.0, None),
+        (2, "b7", 27.0, 7),
+        (4, "d", 40.0, 1),
+    ]
+    # replay the SAME log against the updated snapshot: every event's
+    # seq is <= the stored seq, so nothing changes (delete of the
+    # already-deleted k=3 is a no-op on a missing key)
+    twice = apply_cdc(
+        once, chg, ["k"], broadcast_source=broadcast,
+        target_seq_col="__cdc_seq",
+    )
+    assert _rows(twice) == _rows(once)
+    # a stale update (seq 3 < stored 7) must not overwrite
+    stale = spark.createDataFrame(
+        [(2, "U", 3, "old", 1.0)],
+        "k long, op string, seq long, name string, v double",
+    )
+    guarded = apply_cdc(
+        once, stale, ["k"], broadcast_source=broadcast,
+        target_seq_col="__cdc_seq",
+    )
+    assert _rows(guarded) == _rows(once)
+
+
+def test_cdc_target_seq_col_requires_column(spark, target):
+    with pytest.raises(ValueError, match="target_seq_col"):
+        apply_cdc(
+            target,
+            spark.createDataFrame(
+                [(1, "U", 1, "x", 1.0)],
+                "k long, op string, seq long, name string, v double",
+            ),
+            ["k"],
+            target_seq_col="__cdc_seq",
+        )
+
+
 def test_cdc_same_seq_tiebreak_update_beats_delete(spark, target):
     chg = spark.createDataFrame(
         [(1, "D", 1, None, None), (1, "U", 1, "a1", 12.0)],

@@ -368,7 +368,9 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = sorted(tuple(r) for r in spark.read.parquet(snap_path).collect())
+    from parq_tools_spark.streaming.cdc import read_snapshot
+
+    got = sorted(tuple(r) for r in read_snapshot(spark, snap_path).collect())
     expected_df = apply_cdc(
         initial,
         spark.createDataFrame(batch1 + batch2, chg_schema),
@@ -377,6 +379,73 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
     expected = sorted(tuple(r) for r in expected_df.collect())
     assert got == expected
     assert got == [(1, "a", 10.0), (3, "c3", 33.0), (4, "d", 40.0)]
+    # the raw snapshot carries the per-key applied-seq bookkeeping
+    raw = spark.read.parquet(snap_path)
+    assert "__cdc_seq" in raw.columns
+    seqs = {r["k"]: r["__cdc_seq"] for r in raw.collect()}
+    assert seqs == {1: None, 3: 2, 4: 1}
+
+
+def test_streaming_cdc_stale_batch_does_not_overwrite(spark, tmp_path):
+    """An out-of-order micro-batch carrying a LOWER seq than what the
+    snapshot already applied must be a no-op (persisted-seq guard)."""
+    from parq_tools_spark.streaming.cdc import read_snapshot, start_cdc_apply
+
+    snap_path = str(tmp_path / "snapshot")
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, name string, v double"
+    ).write.parquet(snap_path)
+
+    chg_schema = "k long, op string, seq long, name string, v double"
+    # newer event arrives FIRST, stale event in a LATER micro-batch
+    spark.createDataFrame(
+        [(1, "U", 5, "new", 50.0)], chg_schema
+    ).coalesce(1).write.parquet(str(chg_dir / "f1"))
+    spark.createDataFrame(
+        [(1, "U", 2, "stale", 20.0), (2, "I", 1, "b", 2.0)], chg_schema
+    ).coalesce(1).write.parquet(str(chg_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir / "*"))
+    )
+    q = start_cdc_apply(
+        stream, snap_path, ["k"], str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in read_snapshot(spark, snap_path).collect())
+    # k=1 keeps the seq-5 state; the stale seq-2 update was skipped,
+    # while the genuinely-new k=2 insert from the same batch landed
+    assert got == [(1, "new", 50.0), (2, "b", 2.0)]
+
+
+def test_cdc_swap_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves only '.old'; the
+    next read/batch must restore it. A leftover '.old' beside a
+    complete primary must be cleaned up, not restored."""
+    import os
+    import shutil
+
+    from parq_tools_spark.streaming.cdc import _recover_swap, read_snapshot
+
+    snap = str(tmp_path / "snap")
+    spark.range(5).write.parquet(snap)
+
+    # crash between rename(current, .old) and rename(tmp, current)
+    os.replace(snap, snap + ".old")
+    assert not os.path.exists(snap)
+    assert read_snapshot(spark, snap).count() == 5
+    assert not os.path.exists(snap + ".old")
+
+    # crash after the second rename, before deleting .old
+    shutil.copytree(snap, snap + ".old")
+    _recover_swap(snap)
+    assert not os.path.exists(snap + ".old")
+    assert spark.read.parquet(snap).count() == 5
 
 
 def test_streaming_cdc_apply_rejects_batch_input(spark, tmp_path):
