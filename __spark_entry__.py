@@ -1382,7 +1382,9 @@ def q_data_quality_checks(spark, sf_dir):
         docs,
         [
             not_null("text"),
-            unique("doc_id"),
+            # exact so the DuckDB oracle comparison is deterministic;
+            # the API default is approx=True (HLL, no Expand at scale)
+            unique("doc_id", approx=False),
             in_range("n_chars", 0, 1_000_000),
             matches("lang", "^[a-z]{2}$"),
         ],
@@ -3198,9 +3200,10 @@ WITH ranked_ids AS (
   SELECT vec_id, j, code FROM (
     SELECT x.vec_id, x.j, c.code,
            row_number() OVER (PARTITION BY x.vec_id, x.j
-             ORDER BY list_inner_product(x.xs, x.xs)
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
                       - 2 * list_inner_product(x.xs, c.cs)
-                      + list_inner_product(c.cs, c.cs) ASC,
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
                       c.code ASC) AS rn
     FROM xsub x JOIN csub c ON c.j = x.j)
   WHERE rn = 1
@@ -3279,9 +3282,10 @@ WITH ranked_ids AS (
   SELECT vec_id, j, code FROM (
     SELECT x.vec_id, x.j, c.code,
            row_number() OVER (PARTITION BY x.vec_id, x.j
-             ORDER BY list_inner_product(x.xs, x.xs)
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
                       - 2 * list_inner_product(x.xs, c.cs)
-                      + list_inner_product(c.cs, c.cs) ASC,
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
                       c.code ASC) AS rn
     FROM xsub x JOIN csub c ON c.j = x.j)
   WHERE rn = 1

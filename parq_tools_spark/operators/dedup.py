@@ -968,11 +968,20 @@ def minhash_pairs_between(
     threshold: float = 0.7,
     hash_family: str = "portable",
     indexed_banded: Optional[DataFrame] = None,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora (the incremental-dedup
     primitive): ``(id_indexed, id_new, est_jaccard)`` for every new
     document colliding with an indexed one in >= 1 LSH band at
     estimated Jaccard >= threshold.
+
+    The two sides' id spaces are treated as independent: a pair whose
+    ids happen to coincide is still reported (it may be a genuine
+    cross-corpus duplicate). Pass ``exclude_same_id=True`` only when
+    both sides share ONE id space with ids unique across the union —
+    then an equal-id pair means "the same row seen twice" and is
+    suppressed (what :func:`minhash_index_query` does, since an index
+    and its batches share the id space by construction).
 
     Unlike the self-join in :func:`minhash_lsh_pairs`, the indexed
     side's signatures are never recomputed when ``indexed_banded`` is
@@ -1000,11 +1009,10 @@ def minhash_pairs_between(
         "band",
         "bhash",
     )
-    cand = (
-        a.join(F.broadcast(b), on=["band", "bhash"])
-        .filter(F.col("id_indexed") != F.col("id_new"))
-        .dropDuplicates(["id_indexed", "id_new"])
-    )
+    cand = a.join(F.broadcast(b), on=["band", "bhash"])
+    if exclude_same_id:
+        cand = cand.filter(F.col("id_indexed") != F.col("id_new"))
+    cand = cand.dropDuplicates(["id_indexed", "id_new"])
     est = F.aggregate(
         F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -1083,12 +1091,19 @@ def minhash_index_query(
     new_docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.7,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Pairs between an on-disk index and a new batch:
     ``(id_indexed, id_new, est_jaccard)``. The index side is read as
     precomputed band rows and joined against a BROADCAST of the new
     batch's keys — the corpus never shuffles and its text is never
-    re-shingled."""
+    re-shingled.
+
+    The index and its batches share one id space by construction
+    (:func:`minhash_index_add` appends batch ids as-is), so equal-id
+    collisions mean "this exact row is already indexed" and are
+    suppressed by default; pass ``exclude_same_id=False`` to surface
+    them (e.g. to detect re-submissions)."""
     p = _minhash_index_params(path)
     indexed_banded = spark.read.parquet(path)
     return minhash_pairs_between(
@@ -1102,6 +1117,7 @@ def minhash_index_query(
         threshold=threshold,
         hash_family=p["hash_family"],
         indexed_banded=indexed_banded,
+        exclude_same_id=exclude_same_id,
     )
 
 

@@ -27,6 +27,8 @@ class Check:
         self.violation = violation
         self.kind = kind
         self.column: str | None = None
+        self.approx: bool = False
+        self.rsd: float = 0.05
 
 
 def not_null(column: str) -> Check:
@@ -49,9 +51,26 @@ def matches(column: str, pattern: str) -> Check:
     )
 
 
-def unique(column: str) -> Check:
+def unique(column: str, approx: bool = True, rsd: float = 0.05) -> Check:
+    """Uniqueness constraint.
+
+    ``approx=True`` (default) estimates the duplicate count with
+    HyperLogLog++ (``approx_count_distinct``), the same default as
+    ``profile_dataframe``: with two or more exact ``count(DISTINCT)``
+    rules in one pass, Catalyst plans an Expand that replicates EVERY
+    input row once per distinct rule (and even a single exact rule
+    shuffles the full distinct key set) — costs a 100 TB table
+    shouldn't pay for a health check. Estimates at or below the HLL noise floor
+    (``3 * rsd * count``) are reported as 0, so a truly-unique column
+    robustly passes; a real duplication problem (what the check
+    exists to catch) dwarfs the floor. Pass ``approx=False`` for the
+    exact, deterministic count (small tables, or when the precise
+    violation count matters).
+    """
     chk = Check(f"unique({column})", None, kind="unique")
     chk.column = column
+    chk.approx = approx
+    chk.rsd = rsd
     return chk
 
 
@@ -59,19 +78,28 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Evaluate all constraints in one aggregation pass.
 
     Row-level rules become ``count(CASE WHEN violation)``; uniqueness
-    becomes ``count(col) - count(DISTINCT col)`` — all inside ONE
-    ``df.agg``, so the whole rule set is a single scan. Returns
-    (check, n_violations, passed) rows, stable order = input order.
+    becomes ``count(col) - count(DISTINCT col)`` (or the HLL estimate,
+    see :func:`unique`) — all inside ONE ``df.agg``, so the whole rule
+    set is a single scan. Returns (check, n_violations, passed) rows,
+    stable order = input order.
     """
     aggs = []
     for i, chk in enumerate(checks):
         if chk.kind == "unique":
-            aggs.append(
-                (
-                    F.count(F.col(chk.column))
-                    - F.countDistinct(F.col(chk.column))
-                ).alias(f"_c{i}")
-            )
+            col = F.col(chk.column)
+            if chk.approx:
+                est = F.count(col) - F.approx_count_distinct(col, chk.rsd)
+                floor = F.ceil(
+                    F.lit(3.0 * chk.rsd) * F.count(col)
+                ).cast("long")
+                aggs.append(
+                    F.when(est > floor, est).otherwise(F.lit(0))
+                    .alias(f"_c{i}")
+                )
+            else:
+                aggs.append(
+                    (F.count(col) - F.countDistinct(col)).alias(f"_c{i}")
+                )
         else:
             aggs.append(F.count(F.when(chk.violation, 1)).alias(f"_c{i}"))
     row = df.agg(*aggs).collect()[0]

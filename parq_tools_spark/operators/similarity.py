@@ -174,7 +174,29 @@ def lsh_signatures(
                 out[out_col] = np.array([], dtype=np.int64)
                 yield out
                 continue
-            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            vecs = b[vec_col].to_numpy()
+            # np.stack on null / ragged rows dies with an opaque
+            # executor error — reject them with the offending rows
+            # named instead (the expression-based predecessor silently
+            # produced sign-bit-0 garbage for nulls, which was worse)
+            lengths = np.fromiter(
+                (-1 if v is None else len(v) for v in vecs),
+                dtype=np.int64,
+                count=len(vecs),
+            )
+            bad = np.nonzero(lengths != pl.shape[1])[0]
+            if len(bad):
+                id_cols = [c for c in cols if c != vec_col]
+                sample = b.iloc[bad[:3]][id_cols].to_dict("records")
+                raise ValueError(
+                    f"lsh_signatures: {len(bad)} row(s) have a null or "
+                    f"wrong-length {vec_col!r} (expected dim "
+                    f"{pl.shape[1]}, got "
+                    f"{sorted(set(lengths[bad].tolist()))[:5]} where -1 "
+                    f"is null); first offending rows: {sample}. Filter "
+                    f"or fix these before hashing."
+                )
+            mat = np.stack(vecs).astype(np.float64)
             dots = mat @ pl.T
             out[out_col] = ((dots > 0).astype(np.int64) * w[None, :]).sum(
                 axis=1
@@ -877,6 +899,7 @@ def pq_build(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ):
     """Product-quantize an embedding column (Jégou et al. 2011).
 
@@ -926,6 +949,7 @@ def pq_build(
     )
 
     bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    scale = float(10**round_to)
     schema = T.StructType(
         [
             corpus.schema[id_col],
@@ -945,12 +969,18 @@ def pq_build(
             for j in range(cb.shape[0]):
                 x = mat[:, j * sub : (j + 1) * sub]
                 # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ties
-                # go to the lower code index (numpy first-min)
+                # go to the lower code index (numpy first-min). The
+                # distance is rounded to the registry's 10^-round_to
+                # grid BEFORE argmin (the _with_centroid_cells
+                # convention) so near-tied codewords resolve the same
+                # way across engines regardless of float summation
+                # order — the SQL oracle rounds identically.
                 d = (
                     (x * x).sum(axis=1)[:, None]
                     - 2.0 * (x @ cb[j].T)
                     + (cb[j] * cb[j]).sum(axis=1)[None, :]
                 )
+                d = np.floor(d * scale + 0.5) / scale
                 codes[:, j] = d.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: b[id_col], "codes": [r.tolist() for r in codes]}

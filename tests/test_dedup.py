@@ -421,3 +421,30 @@ def test_incremental_dedupe_end_to_end(spark, tmp_path):
     )
     hits = minhash_index_query(spark, path, reprobe, threshold=0.99)
     assert {(r.id_indexed, r.id_new) for r in hits.collect()} == {(11, 111)}
+
+
+def test_minhash_pairs_between_independent_id_spaces(spark):
+    """Cross-corpus duplicates whose ids coincide are reported by
+    default; exclude_same_id=True suppresses them (shared-id-space
+    mode, what minhash_index_query uses)."""
+    from parq_tools_spark.operators.dedup import minhash_pairs_between
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    indexed = spark.createDataFrame(
+        [(1, text), (2, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    # new corpus has its OWN id space; its doc 1 is a genuine dup of
+    # the indexed corpus's doc 1 despite the id collision
+    new = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    got = minhash_pairs_between(
+        indexed, new, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    assert {(r.id_indexed, r.id_new) for r in got} == {(1, 1)}
+
+    none = minhash_pairs_between(
+        indexed, new, num_hashes=32, bands=8, threshold=0.5,
+        exclude_same_id=True,
+    ).collect()
+    assert none == []

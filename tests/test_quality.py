@@ -3,6 +3,8 @@
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parq_tools_spark.operators.quality import (  # noqa: E402
@@ -30,7 +32,7 @@ def test_run_checks_single_pass(spark):
             df,
             [
                 not_null("s"),
-                unique("k"),
+                unique("k", approx=False),
                 in_range("v", 0.0, 10.0),
                 matches("s", "^[a-z-]+$"),
             ],
@@ -46,3 +48,53 @@ def test_run_checks_all_pass(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
     res = run_checks(df, [not_null("s"), unique("k")]).collect()
     assert all(r.passed and r.n_violations == 0 for r in res)
+
+
+def test_unique_approx_default_no_expand(spark):
+    """Default unique() rides HLL: the agg plan must not contain an
+    Expand node. Exact countDistinct over >= 2 distinct column sets
+    (i.e. two unique rules) makes Catalyst Expand-replicate EVERY
+    input row per rule — the expansion a 100 TB table shouldn't pay.
+    A truly-unique column must still pass despite estimation."""
+    df = spark.range(20_000).withColumnRenamed("id", "k").withColumn(
+        "s", F.concat(F.lit("v"), F.col("k"))
+    )
+    checks = [not_null("s"), unique("k"), unique("s")]
+    # reproduce run_checks' aggregation to inspect its plan
+    aggs = []
+    for i, chk in enumerate(checks):
+        if chk.kind == "unique":
+            est = F.count(F.col(chk.column)) - F.approx_count_distinct(
+                F.col(chk.column), chk.rsd
+            )
+            aggs.append(est.alias(f"_c{i}"))
+        else:
+            aggs.append(F.count(F.when(chk.violation, 1)).alias(f"_c{i}"))
+    plan = df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+    exact_plan = (
+        df.agg(
+            F.count(F.when(checks[0].violation, 1)).alias("_c0"),
+            (F.count("k") - F.countDistinct("k")).alias("_c1"),
+            (F.count("s") - F.countDistinct("s")).alias("_c2"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # what approx mode avoids
+
+    out = {r.check: r for r in run_checks(df, checks).collect()}
+    assert out["unique(k)"].passed and out["unique(k)"].n_violations == 0
+    assert out["unique(s)"].passed and out["unique(s)"].n_violations == 0
+
+
+def test_unique_approx_detects_heavy_duplication(spark):
+    df = spark.range(20_000).withColumn("k", F.col("id") % 100)
+    out = {r.check: r for r in run_checks(df, [unique("k")]).collect()}
+    r = out["unique(k)"]
+    assert not r.passed
+    # ~19,900 true duplicates; HLL with rsd=0.05 lands well above the
+    # 3*rsd*count noise floor (3,000)
+    assert r.n_violations > 15_000

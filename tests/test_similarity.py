@@ -374,3 +374,31 @@ def test_ivf_pq_prunes_to_probed_cells(embeddings, queries):
         .count()
     )
     assert bad == out.count()
+
+
+def test_lsh_signatures_rejects_null_and_ragged_vectors(spark):
+    """Null or wrong-length embedding rows must fail with a clear
+    error naming the offending rows, not an opaque np.stack crash."""
+    from parq_tools_spark.operators.similarity import lsh_signatures
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null or wrong-length"):
+        lsh_signatures(df, "embedding", n_planes=8, dim=3).collect()
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (7, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null or wrong-length"):
+        lsh_signatures(ragged, "embedding", n_planes=8, dim=3).collect()
+
+    # clean input still works
+    clean = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [-1.0, 0.5, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = lsh_signatures(clean, "embedding", n_planes=8, dim=3).collect()
+    assert len(out) == 2 and all(r.lsh_sig is not None for r in out)
