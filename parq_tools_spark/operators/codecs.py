@@ -1,0 +1,446 @@
+"""Self-contained media codecs for the multimodal operators.
+
+Decode priority per blob: (1) PIL / ffmpeg when importable (probed
+lazily, absent in this container), (2) the pure-numpy decoders below —
+PNG (8-bit, non-interlaced), BMP (24-bit uncompressed) and WAV (PCM,
+via stdlib ``wave``) need NO third-party codec, so the decode path is
+real wherever numpy runs, (3) none: the caller falls back to its
+documented deterministic stub (``multimodal.decode_stub``).
+
+Everything here is a plain ``bytes -> numpy`` function: executors call
+it from inside ``mapInPandas`` closures, the driver never sees a blob.
+The pure decoders favour clarity over speed (per-row unfilter loop) —
+at production scale you install PIL and the probe picks it up; these
+keep the pipeline REAL, not stubbed, in codec-less environments and
+serve as the oracle for the plumbing tests.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "have_pil",
+    "sniff_format",
+    "probe_media_header",
+    "decode_image",
+    "decode_audio",
+    "decode_media",
+    "media_features",
+    "encode_png",
+    "resize_nearest",
+]
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def have_pil() -> bool:
+    """True when PIL is importable (probed per call; cheap after the
+    first import either way)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sniff_format(blob: Optional[bytes]) -> Optional[str]:
+    """Identify a blob by magic bytes: png/bmp/wav/jpeg/gif, else None."""
+    if not blob or len(blob) < 12:
+        return None
+    if blob[:8] == _PNG_MAGIC:
+        return "png"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    if blob[:2] == b"\xff\xd8":
+        return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+# ------------------------------------------------------------------ PNG
+def _png_chunks(blob: bytes):
+    pos = 8
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to (H, W, C) uint8.
+
+    Color types: 0 gray, 2 RGB, 3 palette (expanded to RGB), 4
+    gray+alpha, 6 RGBA. All five scanline filters are unfiltered.
+    """
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"pure decoder handles 8-bit non-interlaced PNG only "
+            f"(bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); install PIL for the rest"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth scan left-to-right
+            cur = cur.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        arr = palette[arr[:, :, 0]]
+    return arr
+
+
+def _filter_row(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int):
+    """Apply PNG filter ``ftype`` to a raw row (encode side)."""
+    cur = cur.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+    if ftype == 0:
+        return cur & 0xFF
+    if ftype == 1:
+        return (cur - left) & 0xFF
+    if ftype == 2:
+        return (cur - prev) & 0xFF
+    if ftype == 3:
+        return (cur - ((left + prev) >> 1)) & 0xFF
+    p = left + prev - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+    pred = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+    )
+    return (cur - pred) & 0xFF
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (H, W) or (H, W, C) uint8 to PNG (8-bit, non-interlaced).
+
+    ``filter_type`` picks the scanline filter for every row (0-4) —
+    the decoder roundtrips all five, which is how the unfilter paths
+    are tested without a reference codec.
+    """
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    flat = arr.reshape(h, w * c)
+    rows = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        filtered = _filter_row(filter_type, flat[y], prev, c)
+        rows.append(filter_type)
+        rows.extend(filtered.astype(np.uint8).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------------------ BMP
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (H, W, 3) uint8 RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"pure decoder handles 24-bit uncompressed BMP only "
+            f"(bpp={bpp}, compression={compression}); install PIL"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=height * stride, offset=data_offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB to a 24-bit bottom-up BMP."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("BMP encoder takes (H, W, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    pixel_data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + pixel_data
+
+
+# ------------------------------------------------------------------ WAV
+def decode_wav(blob: bytes):
+    """Decode PCM WAV to ``(samples, sample_rate)``: samples is
+    (n_frames, n_channels) float64 in [-1, 1]."""
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        n_ch = wf.getnchannels()
+        rate = wf.getframerate()
+        sampwidth = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sampwidth == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sampwidth == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 4:
+        samples = (
+            np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+        )
+    else:
+        raise NotImplementedError(f"sample width {sampwidth} bytes")
+    return samples.reshape(-1, n_ch), rate
+
+
+# ----------------------------------------------------------- dispatch
+def decode_image(blob: bytes) -> np.ndarray:
+    """Decode any supported image blob to (H, W, C) uint8 — PIL when
+    importable, pure PNG/BMP decoders otherwise."""
+    fmt = sniff_format(blob)
+    if have_pil():
+        import PIL.Image
+
+        return np.asarray(PIL.Image.open(io.BytesIO(blob)))
+    if fmt == "png":
+        return decode_png(blob)
+    if fmt == "bmp":
+        return decode_bmp(blob)
+    raise NotImplementedError(
+        f"no decoder for format {fmt!r} without PIL installed"
+    )
+
+
+def decode_audio(blob: bytes):
+    """Decode a supported audio blob -> (samples, sample_rate)."""
+    if sniff_format(blob) == "wav":
+        return decode_wav(blob)
+    raise NotImplementedError("only PCM WAV decodes without ffmpeg")
+
+
+def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
+    """Header-only metadata probe — no pixel/sample decode, O(bytes
+    read) = a few dozen: (format, modality, width, height,
+    duration_ms). None when the format is unknown."""
+    fmt = sniff_format(blob)
+    if fmt is None:
+        return None
+    meta = {
+        "format": fmt,
+        "modality": "audio" if fmt == "wav" else "image",
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+    }
+    try:
+        if fmt == "png":
+            for ctype, data in _png_chunks(blob):
+                if ctype == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                    meta["width"], meta["height"] = int(w), int(h)
+                break  # IHDR is required first; one chunk is enough
+        elif fmt == "bmp":
+            w, h = struct.unpack_from("<ii", blob, 18)
+            meta["width"], meta["height"] = int(w), abs(int(h))
+        elif fmt == "wav":
+            import wave
+
+            with wave.open(io.BytesIO(blob)) as wf:
+                meta["duration_ms"] = int(
+                    wf.getnframes() * 1000 / wf.getframerate()
+                )
+        elif fmt == "jpeg" and have_pil():
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(blob)) as im:
+                meta["width"], meta["height"] = im.size
+    except Exception:
+        return None
+    return meta
+
+
+def decode_media(blob: bytes) -> Optional[dict]:
+    """Full decode of any supported blob. Returns a dict with
+    ``modality`` plus either ``array``/``width``/``height``/
+    ``channels`` (image) or ``samples``/``sample_rate``/
+    ``duration_ms`` (audio); None when undecodable here."""
+    fmt = sniff_format(blob)
+    try:
+        if fmt in ("png", "bmp") or (fmt in ("jpeg", "gif") and have_pil()):
+            arr = decode_image(blob)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return {
+                "modality": "image",
+                "format": fmt,
+                "array": arr,
+                "width": arr.shape[1],
+                "height": arr.shape[0],
+                "channels": arr.shape[2],
+            }
+        if fmt == "wav":
+            samples, rate = decode_wav(blob)
+            return {
+                "modality": "audio",
+                "format": fmt,
+                "samples": samples,
+                "sample_rate": rate,
+                "duration_ms": int(len(samples) * 1000 / rate),
+            }
+    except (NotImplementedError, ValueError):
+        return None
+    return None
+
+
+def media_features(blob: bytes, feature_dim: int = 8) -> Optional[np.ndarray]:
+    """Real decoded features for a supported blob, None otherwise.
+
+    Image: (width, height, channels, mean, std, min, max, 0) over
+    pixel intensities scaled to [0, 1]. Audio: (n_frames, rate,
+    channels, mean, std, min, max, zero-crossing rate). Truncated /
+    zero-padded to ``feature_dim``.
+    """
+    m = decode_media(blob)
+    if m is None:
+        return None
+    if m["modality"] == "image":
+        px = m["array"].astype(np.float64) / 255.0
+        feats = [
+            float(m["width"]),
+            float(m["height"]),
+            float(m["channels"]),
+            float(px.mean()),
+            float(px.std()),
+            float(px.min()),
+            float(px.max()),
+            0.0,
+        ]
+    else:
+        s = m["samples"]
+        mono = s.mean(axis=1)
+        zcr = (
+            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            if len(mono) > 1
+            else 0.0
+        )
+        feats = [
+            float(s.shape[0]),
+            float(m["sample_rate"]),
+            float(s.shape[1]),
+            float(s.mean()),
+            float(s.std()),
+            float(s.min()),
+            float(s.max()),
+            zcr,
+        ]
+    out = np.zeros(feature_dim, dtype=np.float64)
+    n = min(feature_dim, len(feats))
+    out[:n] = feats[:n]
+    return out
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbour resample of (H, W[, C]) to (height, width)."""
+    arr = np.asarray(arr)
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[ys][:, xs]

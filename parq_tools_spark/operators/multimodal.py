@@ -2,10 +2,12 @@
 
 Media travels as an opaque ``binary`` column plus a typed metadata
 struct — the schema, partition discipline, Arrow batch shapes and UDF
-signatures are real and tested; only the codec step is stubbed
-(``decode_fn=None`` -> deterministic fake) because no image/audio
-libraries exist in this container. Swap ``decode_fn`` for a real
-decoder (PIL/torchaudio/ffmpeg) and nothing else changes.
+signatures are real and tested. The decode step resolves per blob at
+runtime (``operators/codecs.py``): PIL/ffmpeg when importable, else
+the pure-numpy PNG/BMP/WAV decoders (always available), else the
+deterministic sha256 stub for formats nothing here can decode (e.g.
+JPEG without PIL, any video — ffmpeg genuinely required). Swap
+``decode_fn`` for your own decoder and nothing else changes.
 
 Design for 100 TB of media:
 
@@ -65,20 +67,57 @@ def attach_media_metadata(
     blob_col: str = "blob",
     modality: str = "image",
     fmt: str = "bin",
+    probe: bool = False,
 ) -> DataFrame:
-    """Build the typed metadata struct from the blob (n_bytes real;
-    dims unknown until decode -> null)."""
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.lit(modality).alias("modality"),
-            F.lit(fmt).alias("format"),
-            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-        ),
+    """Build the typed metadata struct from the blob.
+
+    Default: n_bytes real, dims/duration null (zero decode cost, pure
+    column exprs). ``probe=True`` parses each blob's HEADER in a
+    ``mapInPandas`` pass — magic bytes, PNG IHDR / BMP header / WAV
+    fmt chunk, a few dozen bytes per blob, no pixel decode — and
+    fills modality/format/width/height/duration_ms with real values
+    (falling back to the passed defaults for unknown formats).
+    """
+    if not probe:
+        return df.withColumn(
+            "meta",
+            F.struct(
+                F.lit(modality).alias("modality"),
+                F.lit(fmt).alias("format"),
+                F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        )
+
+    cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("meta", media_metadata_schema)]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parq_tools_spark.operators.codecs import probe_media_header
+
+        for pdf in batches:
+            metas = []
+            for blob in pdf[blob_col]:
+                h = probe_media_header(blob)
+                metas.append(
+                    {
+                        "modality": h["modality"] if h else modality,
+                        "format": h["format"] if h else fmt,
+                        "n_bytes": len(blob or b""),
+                        "width": h["width"] if h else None,
+                        "height": h["height"] if h else None,
+                        "duration_ms": h["duration_ms"] if h else None,
+                    }
+                )
+            out = pdf[cols].copy()
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def repartition_by_bytes(
@@ -138,9 +177,10 @@ def _blob_bytes_from_footers(df: DataFrame, blob_col: str):
 def decode_stub(blob: bytes) -> np.ndarray:
     """Deterministic fake decoder: blob -> 8-dim float feature.
 
-    Stands in for PIL/torchaudio decode (libs absent in this
-    container). Derives features from the sha256 digest so results are
-    stable across runs/engines. Replace with a real decoder at will.
+    The LAST-RESORT tier of the decode ladder (after PIL and the pure
+    PNG/BMP/WAV decoders in ``operators/codecs.py``), used for blobs
+    nothing in the environment can decode. Derives features from the
+    sha256 digest so results are stable across runs/engines.
     """
     digest = hashlib.sha256(blob or b"").digest()
     return np.frombuffer(digest[:32], dtype=np.uint32).astype(np.float64) / 2**32
@@ -157,14 +197,27 @@ def extract_features(
 
     The UDF signature — iterator of pandas batches in, iterator out —
     is the real production shape: per-batch vectorized work, constant
-    memory, no driver involvement. ``decode_fn=None`` uses the
-    deterministic stub.
+    memory, no driver involvement. ``decode_fn=None`` resolves per
+    blob: REAL decoded features for formats the environment can decode
+    (PIL when installed; the built-in pure PNG/BMP/WAV decoders
+    always — see ``operators/codecs.py``), the deterministic sha256
+    stub for everything else.
     """
     if decode_fn is None:
-        # define the stub INSIDE the closure so cloudpickle serializes
-        # it by value — executor Python workers must not need to import
-        # this package (the driver may run from any cwd)
+        fdim = feature_dim
+
         def decode_fn(blob: bytes) -> np.ndarray:
+            # stub fallback defined by value in the closure; the real
+            # path imports codecs lazily on the executor (and degrades
+            # to the stub if this package isn't importable there)
+            try:
+                from parq_tools_spark.operators.codecs import media_features
+
+                feats = media_features(blob, fdim)
+                if feats is not None:
+                    return feats
+            except ImportError:
+                pass
             digest = hashlib.sha256(blob or b"").digest()
             return np.frombuffer(digest[:32], dtype=np.uint32).astype(np.float64) / 2**32
 
@@ -203,16 +256,29 @@ def resize_media(
 
     Same production shape as :func:`extract_features`: iterator of
     pandas batches in/out, constant memory, blobs never leave the
-    executors. ``resize_fn=None`` uses a deterministic stand-in (PIL /
-    ffmpeg absent in this container): output bytes are the md5 of
-    (blob, width, height) — stable across runs and SQL-recomputable,
-    so the batch plumbing is oracle-checkable end-to-end. Swap in a
-    real ``resize_fn(blob, w, h) -> bytes`` for production.
+    executors. ``resize_fn=None`` resolves per blob: decodable images
+    (PNG/BMP built-in; more with PIL) are REALLY resampled
+    (nearest-neighbour) and re-encoded as PNG; undecodable blobs get
+    the deterministic md5 stand-in — stable across runs and
+    SQL-recomputable, so the batch plumbing stays oracle-checkable
+    end-to-end. Swap in your own ``resize_fn(blob, w, h) -> bytes``
+    for production (e.g. PIL Lanczos).
     """
     if resize_fn is None:
-        # defined inside the closure: cloudpickle ships it by value, so
-        # executor workers need no package import
+
         def resize_fn(blob: bytes, w: int, h: int) -> bytes:
+            try:
+                from parq_tools_spark.operators.codecs import (
+                    decode_media,
+                    encode_png,
+                    resize_nearest,
+                )
+
+                m = decode_media(blob)
+                if m is not None and m["modality"] == "image":
+                    return encode_png(resize_nearest(m["array"], w, h))
+            except ImportError:
+                pass
             key = (blob or b"") + f":{w}x{h}".encode()
             return hashlib.md5(key).hexdigest().encode()
 

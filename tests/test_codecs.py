@@ -1,0 +1,228 @@
+"""Pure-numpy media codecs + their wiring into the multimodal ops.
+
+The PNG encoder can emit any of the five scanline filters, so every
+unfilter path is roundtrip-tested without a reference codec; BMP and
+WAV are crafted byte-exact. PIL-specific paths skip when PIL is
+absent (this container).
+"""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from parq_tools_spark.operators.codecs import (
+    decode_audio,
+    decode_bmp,
+    decode_image,
+    decode_media,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    have_pil,
+    media_features,
+    probe_media_header,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _img(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters(filter_type, channels):
+    arr = _img(13, 7, channels, seed=filter_type * 10 + channels)
+    blob = encode_png(arr, filter_type=filter_type)
+    assert sniff_format(blob) == "png"
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_palette_decode():
+    """Handcrafted color-type-3 PNG: indices expand through PLTE."""
+    import struct
+    import zlib
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sixteen_bit = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(sixteen_bit)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # width 5 -> 15-byte rows pad to 16: exercises the stride logic
+    arr = _img(4, 5, 3, seed=3)
+    blob = encode_bmp(arr)
+    assert sniff_format(blob) == "bmp"
+    np.testing.assert_array_equal(decode_bmp(blob), arr)
+    np.testing.assert_array_equal(decode_image(blob), arr)
+
+
+def _wav_blob(n=800, rate=8000, n_ch=1):
+    t = np.arange(n)
+    wave16 = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.repeat(wave16, n_ch).tobytes())
+    return buf.getvalue(), wave16
+
+
+def test_wav_decode():
+    blob, wave16 = _wav_blob()
+    assert sniff_format(blob) == "wav"
+    samples, rate = decode_audio(blob)
+    assert rate == 8000 and samples.shape == (800, 1)
+    np.testing.assert_allclose(
+        samples[:, 0], wave16.astype(np.float64) / 32768.0
+    )
+
+
+def test_probe_media_header():
+    png = encode_png(_img(6, 9, 3))
+    h = probe_media_header(png)
+    assert (h["format"], h["width"], h["height"]) == ("png", 9, 6)
+    bmp = encode_bmp(_img(2, 3, 3))
+    h = probe_media_header(bmp)
+    assert (h["format"], h["width"], h["height"]) == ("bmp", 3, 2)
+    wav, _ = _wav_blob(n=4000, rate=8000)
+    h = probe_media_header(wav)
+    assert (h["format"], h["modality"], h["duration_ms"]) == (
+        "wav",
+        "audio",
+        500,
+    )
+    assert probe_media_header(b"just some text, no magic") is None
+    assert probe_media_header(None) is None
+
+
+def test_resize_nearest():
+    arr = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = resize_nearest(arr, width=3, height=2)
+    np.testing.assert_array_equal(out, arr[::2, ::2])
+    up = resize_nearest(arr, width=12, height=4)
+    assert up.shape == (4, 12)
+    np.testing.assert_array_equal(up[:, ::2], arr)
+
+
+def test_media_features_real_values():
+    arr = np.full((10, 20, 3), 128, dtype=np.uint8)
+    f = media_features(encode_png(arr))
+    assert f[:3].tolist() == [20.0, 10.0, 3.0]
+    assert abs(f[3] - 128 / 255) < 1e-12 and f[4] < 1e-12
+    wav, _ = _wav_blob()
+    fa = media_features(wav)
+    assert fa[0] == 800.0 and fa[1] == 8000.0 and fa[2] == 1.0
+    assert 0.0 < fa[7] < 0.5  # zero-crossing rate of a 440 Hz tone
+    assert media_features(b"not media at all") is None
+
+
+@pytest.mark.skipif(not have_pil(), reason="PIL not installed")
+def test_pil_path_decodes_jpeg():
+    import PIL.Image
+
+    arr = _img(8, 8, 3)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(arr).save(buf, format="JPEG")
+    out = decode_image(buf.getvalue())
+    assert out.shape == (8, 8, 3)
+
+
+# ------------------------------------------------- Spark-side wiring
+def test_extract_features_real_decode_in_spark(spark):
+    """Default extract_features must return REAL dims for decodable
+    blobs and the sha256 stub for opaque ones — in the same frame."""
+    from parq_tools_spark.operators.multimodal import extract_features
+
+    png = encode_png(_img(6, 9, 3, seed=1))
+    wav, _ = _wav_blob()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"opaque"))],
+        "media_id long, blob binary",
+    )
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].features[:3] == [9.0, 6.0, 3.0]  # real w/h/c
+    assert rows[2].features[:2] == [800.0, 8000.0]  # real frames/rate
+    stub = media_features(b"opaque")
+    assert stub is None  # confirms row 3 fell through to the stub
+    assert all(0.0 <= v < 1.0 for v in rows[3].features)
+
+
+def test_attach_media_metadata_probe_in_spark(spark):
+    from parq_tools_spark.operators.multimodal import attach_media_metadata
+
+    png = encode_png(_img(4, 5, 3))
+    wav, _ = _wav_blob(n=4000, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"zz-unknown-zz"))],
+        "media_id long, blob binary",
+    )
+    out = {r.media_id: r.meta for r in attach_media_metadata(df, probe=True).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 5, 4)
+    assert (out[2]["modality"], out[2]["duration_ms"]) == ("audio", 500)
+    assert out[3]["format"] == "bin" and out[3]["width"] is None
+    assert out[3]["n_bytes"] == 13
+
+
+def test_resize_media_real_path_in_spark(spark):
+    from parq_tools_spark.operators.multimodal import resize_media
+
+    src = _img(16, 16, 3, seed=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(src))), (2, bytearray(b"opaque"))],
+        "media_id long, blob binary",
+    )
+    rows = {r.media_id: r for r in resize_media(df, width=4, height=4).collect()}
+    resized = decode_media(bytes(rows[1].blob))
+    assert resized is not None
+    assert (resized["width"], resized["height"]) == (4, 4)
+    np.testing.assert_array_equal(resized["array"], resize_nearest(src, 4, 4))
+    # opaque blob keeps the md5 stand-in contract (32 hex bytes)
+    assert rows[2].n_bytes == 32
