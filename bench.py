@@ -65,6 +65,47 @@ HEADLINE_QUERIES = [
 ]
 
 
+def _bench_minhash_index(spark, sf_dir) -> "dict[str, float]":
+    """Steady-state cost of the incremental MinHash index
+    (dedup.minhash_index_*): build the persistent index on 90% of the
+    documents table, then time ONE ingest step — band a 10% "new"
+    batch, query it against the index band rows, drop in-batch and
+    vs-index near-dups, and append the survivors' band rows. The two
+    timings land in BENCH_FULL.json as minhash_index_build and
+    minhash_index_ingest10pct; neither is a headline query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    indexed = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="mh_index_bench_")
+    path = os.path.join(tmp, "idx")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        minhash_index_write(indexed, path, num_hashes=64, bands=16)
+        out["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        survivors = incremental_dedupe(
+            spark, path, batch, threshold=0.5, update_index=True
+        )
+        survivors.write.format("noop").mode("overwrite").save()
+        out["minhash_index_ingest10pct"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from parq_tools_spark import get_spark
@@ -135,6 +176,19 @@ def main() -> None:
             _isolate()
         if best is not None:
             timings[name] = round(best, 3)
+
+    # steady-state incremental-ingest benchmark (not a registry query:
+    # it writes/updates an on-disk index, so it's timed as a scenario)
+    try:
+        timings.update(_bench_minhash_index(spark, SF_DIR))
+    except Exception as exc:
+        errors["minhash_index_roundtrip"] = f"{type(exc).__name__}: {exc}"[:200]
+        print(
+            f"BENCH-ERROR minhash_index_roundtrip: "
+            f"{errors['minhash_index_roundtrip']}",
+            file=sys.stderr,
+        )
+    _isolate()
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

@@ -52,3 +52,14 @@ def wide_tables(spark, tmp_path):
         "wide_2": str(tmp_path / "wide_2.parquet"),
         "wide_3": str(tmp_path / "wide_3.parquet"),
     }
+
+
+def pytest_collection_modifyitems(config, items):
+    """The oracle sweep only runs when explicitly selected with
+    `-m oracles` — it re-executes the whole query registry twice."""
+    if "oracles" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="oracle sweep: select with -m oracles")
+    for item in items:
+        if "oracles" in item.keywords:
+            item.add_marker(skip)
