@@ -226,10 +226,16 @@ def main() -> None:
             "count": len(errors),
             "queries": sorted(errors)[:5],
         }
+    # SPARK_GRAFT_BENCH_OUT redirects the full per-query map so quiet
+    # local runs (BENCH_QUIET.json) and driver-condition runs
+    # (BENCH_FULL.json, often load-contended) stay distinct files and
+    # rounds compare like-for-like
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    payload["full"] = out_name
     full = dict(payload)
     full["queries"] = timings
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(full, f, indent=1)
     spark.stop()
     # the headline JSON is the LAST stdout line (nothing — not even Spark

@@ -60,6 +60,7 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_add",
     "minhash_index_query",
+    "minhash_index_compact",
     "incremental_dedupe",
 ]
 
@@ -1056,6 +1057,70 @@ def minhash_index_write(
     }
     with open(os.path.join(path, "_minhash_params.json"), "w") as f:
         json.dump(params, f)
+
+
+def minhash_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_per_band: int = 8,
+) -> dict:
+    """Compact an index's band partitions after repeated
+    :func:`minhash_index_add` appends.
+
+    Each append writes one small file set per ``band=`` partition, so
+    after K ingests query-scan cost creeps up with file COUNT (task
+    scheduling + footer reads), not data size. Compaction is an
+    embarrassingly parallel per-band rewrite — every band directory is
+    read and rewritten as ``ceil(bytes / target_file_bytes)`` files
+    with NO shuffle and no cross-band coordination (the partition
+    column is the directory; coalesce just concatenates row batches).
+    Only bands whose file count exceeds both ``min_files_per_band``
+    and their post-compaction count are touched: the trigger is a
+    directory listing, never a data scan. The rewrite goes through a
+    tmp-dir + atomic rename per band, so concurrent readers see either
+    the old or the new file set. On a table format (Delta/Iceberg)
+    this whole function is the built-in OPTIMIZE; plain parquet does
+    it by hand.
+
+    Returns ``{band: (files_before, files_after)}`` for the bands
+    rewritten.
+    """
+    import math
+    import os
+    import shutil
+
+    compacted: dict = {}
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("band="):
+            continue
+        band_dir = os.path.join(path, entry)
+        files = [
+            os.path.join(band_dir, f)
+            for f in os.listdir(band_dir)
+            if f.endswith(".parquet")
+        ]
+        if len(files) <= min_files_per_band:
+            continue
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        if len(files) <= n_out:
+            continue
+        tmp = band_dir + ".compact.tmp"
+        # band_dir files only — the partition column lives in the
+        # directory name, so the rewrite needs no shuffle at all
+        spark.read.parquet(band_dir).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = band_dir + ".old"
+        os.replace(band_dir, old)
+        os.replace(tmp, band_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = len(
+            [f for f in os.listdir(band_dir) if f.endswith(".parquet")]
+        )
+        compacted[int(entry.split("=", 1)[1])] = (len(files), n_after)
+    return compacted
 
 
 def _minhash_index_params(path: str) -> dict:

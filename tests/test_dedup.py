@@ -448,3 +448,60 @@ def test_minhash_pairs_between_independent_id_spaces(spark):
         exclude_same_id=True,
     ).collect()
     assert none == []
+
+
+def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
+    """Compaction rewrites each band partition into fewer files with
+    identical content: query results must be byte-identical and file
+    counts must drop."""
+    import os
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add,
+        minhash_index_compact,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 5 == 0), path, num_hashes=32, bands=8
+    )
+    # four appends -> each band dir accumulates small file sets
+    for m in range(1, 5):
+        minhash_index_add(docs.filter(F.col("doc_id") % 5 == m), path)
+
+    def count_files(p):
+        return {
+            e: len([f for f in os.listdir(os.path.join(p, e)) if f.endswith(".parquet")])
+            for e in os.listdir(p)
+            if e.startswith("band=")
+        }
+
+    probe = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    before_files = count_files(path)
+    before = sorted(
+        (r.id_indexed, r.id_new, r.est_jaccard)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
+    )
+    assert len(before) > 0
+
+    compacted = minhash_index_compact(path=path, spark=spark, min_files_per_band=2)
+    assert compacted, "no band qualified for compaction"
+    after_files = count_files(path)
+    for band, (n_before, n_after) in compacted.items():
+        assert n_after < n_before
+        assert after_files[f"band={band}"] == n_after
+    assert sum(after_files.values()) < sum(before_files.values())
+
+    after = sorted(
+        (r.id_indexed, r.id_new, r.est_jaccard)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
+    )
+    assert after == before
