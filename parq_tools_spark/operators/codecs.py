@@ -31,6 +31,8 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "decode_media",
+    "decode_gif",
+    "encode_gif",
     "media_features",
     "encode_png",
     "resize_nearest",
@@ -265,6 +267,245 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + pixel_data
 
 
+# ------------------------------------------------------------------ GIF
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-flavoured LZW: variable code width starting at
+    min_code_size+1, clear/end codes, dictionary grows to 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list = []
+    table: list = []
+
+    def reset_table():
+        table.clear()
+        table.extend([i] for i in range(clear))
+        table.append(None)  # clear
+        table.append(None)  # end
+
+    reset_table()
+    code_size = min_code_size + 1
+    buffer = 0
+    bits = 0
+    prev: Optional[list] = None
+    for byte in data:
+        buffer |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = buffer & ((1 << code_size) - 1)
+            buffer >>= code_size
+            bits -= code_size
+            if code == clear:
+                reset_table()
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out.extend(entry)
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> list:
+    """Decode a GIF87a/89a to ``[(delay_ms, frame), ...]``: one
+    (H, W, 4) uint8 RGBA frame per image block, composed per the
+    draw-over disposal model (dispose-to-background clears the
+    sub-rectangle). Pure Python LZW — no PIL needed. Animated GIFs
+    are the one 'video-like' format decodable without ffmpeg, which
+    is what makes real frame sampling possible in codec-less
+    environments (:func:`multimodal.sample_frames`).
+    """
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack_from("<HH", blob, 6)
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((height, width, 4), dtype=np.uint8)
+    frames: list = []
+    delay_ms = 0
+    transparent = None
+    disposal = 0
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = blob[pos]
+                flags = blob[pos + 1]
+                (delay_cs,) = struct.unpack_from("<H", blob, pos + 2)
+                delay_ms = delay_cs * 10
+                transparent = blob[pos + 4] if flags & 1 else None
+                disposal = (flags >> 2) & 0x07
+                pos += size + 1
+            while blob[pos] != 0:  # skip (remaining) sub-blocks
+                pos += blob[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", blob, pos)
+            ipacked = blob[pos + 8]
+            pos += 9
+            lct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                lct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if lct is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                data.extend(blob[pos + 1 : pos + 1 + blob[pos]])
+                pos += blob[pos] + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code_size)[: w * h],
+                dtype=np.int32,
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                de = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, h, step)
+                    de[list(rows)] = idx[src : src + len(rows)]
+                    src += len(rows)
+                idx = de
+            rgba = np.dstack(
+                [lct[idx], np.full((h, w), 255, dtype=np.uint8)]
+            )
+            if transparent is not None:
+                rgba[idx == transparent, 3] = 0
+            region = canvas[top : top + h, left : left + w]
+            opaque = rgba[:, :, 3] == 255
+            region[opaque] = rgba[opaque]
+            frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:  # restore to background: clear the rect
+                canvas[top : top + h, left : left + w] = 0
+            delay_ms = 0
+            transparent = None
+            disposal = 0
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    return frames
+
+
+def _gif_scan_meta(blob: bytes) -> dict:
+    """Walk a GIF's block structure WITHOUT LZW-decoding pixels:
+    dimensions, frame count, total duration. O(bytes) skip-scan."""
+    width, height = struct.unpack_from("<HH", blob, 6)
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:
+        pos += (2 << (packed & 0x07)) * 3
+    n_frames = 0
+    duration_ms = 0
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9 and blob[pos] >= 4:
+                (delay_cs,) = struct.unpack_from("<H", blob, pos + 2)
+                duration_ms += delay_cs * 10
+            while blob[pos] != 0:
+                pos += blob[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            ipacked = blob[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += (2 << (ipacked & 0x07)) * 3
+            pos += 1  # LZW min code size
+            while blob[pos] != 0:
+                pos += blob[pos] + 1
+            pos += 1
+            n_frames += 1
+        else:
+            break
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+    }
+
+
+def encode_gif(frames, delays_ms=None) -> bytes:
+    """Encode uint8 frames -> animated GIF87a/89a with a 256-entry
+    grayscale-cube color table, UNCOMPRESSED LZW (clear code before
+    every pixel — valid per spec, code width never grows). Frames are
+    (H, W) palette indices into an identity grayscale table, so
+    roundtrips are exact; the encoder exists to test the decoder and
+    to fabricate video-like fixtures."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    if delays_ms is None:
+        delays_ms = [100] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))  # gray GCT
+    min_code = 8
+    clear, end = 256, 257
+    for frame, delay in zip(frames, delays_ms):
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        # 9-bit codes, clear before each pixel keeps the table fixed
+        bits = 0
+        buffer = 0
+        data = bytearray()
+
+        def push(code):
+            nonlocal bits, buffer
+            buffer |= code << bits
+            bits += 9
+            while bits >= 8:
+                data.append(buffer & 0xFF)
+                buffer >>= 8
+                bits -= 8
+
+        for px in frame.reshape(-1):
+            push(clear)
+            push(int(px))
+        push(end)
+        if bits:
+            data.append(buffer & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk_ = data[i : i + 255]
+            out.append(len(chunk_))
+            out += chunk_
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ WAV
 def decode_wav(blob: bytes):
     """Decode PCM WAV to ``(samples, sample_rate)``: samples is
@@ -304,6 +545,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_png(blob)
     if fmt == "bmp":
         return decode_bmp(blob)
+    if fmt == "gif":
+        return decode_gif(blob)[0][1]
     raise NotImplementedError(
         f"no decoder for format {fmt!r} without PIL installed"
     )
@@ -331,6 +574,13 @@ def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
         "duration_ms": None,
     }
     try:
+        if fmt == "gif":
+            g = _gif_scan_meta(blob)
+            meta["width"], meta["height"] = g["width"], g["height"]
+            if g["n_frames"] > 1:
+                meta["modality"] = "video"
+                meta["duration_ms"] = g["duration_ms"]
+            return meta
         if fmt == "png":
             for ctype, data in _png_chunks(blob):
                 if ctype == b"IHDR":
@@ -364,6 +614,29 @@ def decode_media(blob: bytes) -> Optional[dict]:
     ``duration_ms`` (audio); None when undecodable here."""
     fmt = sniff_format(blob)
     try:
+        if fmt == "gif" and not have_pil():
+            decoded = decode_gif(blob)
+            if len(decoded) > 1:  # animated: the video-like modality
+                total_ms = sum(d for d, _ in decoded)
+                first = decoded[0][1]
+                return {
+                    "modality": "video",
+                    "format": fmt,
+                    "frames": decoded,
+                    "width": first.shape[1],
+                    "height": first.shape[0],
+                    "n_frames": len(decoded),
+                    "duration_ms": total_ms,
+                }
+            arr = decoded[0][1]
+            return {
+                "modality": "image",
+                "format": fmt,
+                "array": arr,
+                "width": arr.shape[1],
+                "height": arr.shape[0],
+                "channels": arr.shape[2],
+            }
         if fmt in ("png", "bmp") or (fmt in ("jpeg", "gif") and have_pil()):
             arr = decode_image(blob)
             if arr.ndim == 2:
@@ -401,7 +674,19 @@ def media_features(blob: bytes, feature_dim: int = 8) -> Optional[np.ndarray]:
     m = decode_media(blob)
     if m is None:
         return None
-    if m["modality"] == "image":
+    if m["modality"] == "video":
+        stack = np.stack([f for _, f in m["frames"]]).astype(np.float64) / 255.0
+        feats = [
+            float(m["width"]),
+            float(m["height"]),
+            float(m["n_frames"]),
+            float(stack.mean()),
+            float(stack.std()),
+            float(stack.min()),
+            float(stack.max()),
+            float(m["duration_ms"]),
+        ]
+    elif m["modality"] == "image":
         px = m["array"].astype(np.float64) / 255.0
         feats = [
             float(m["width"]),

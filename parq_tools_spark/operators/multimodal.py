@@ -318,11 +318,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video -> frame rows (media_id, frame_idx, ts_ms, frame_blob).
 
-    Real frame extraction needs ffmpeg (absent here): with
-    ``frame_decoder=None`` the frame blob is a deterministic slice of
-    the source blob so the explode/partition plumbing is fully
-    exercised. One input row fans out to its frames inside the
-    executor — classic flatMap shape via ``mapInPandas``.
+    With ``frame_decoder=None`` the frame blob resolves per format:
+    animated GIFs (the one video-like container decodable without
+    ffmpeg — pure-Python LZW in ``operators/codecs.py``) yield the
+    REAL frame covering each sample timestamp, re-encoded as PNG;
+    other containers (mp4/webm — genuinely ffmpeg territory) get a
+    deterministic byte-slice stand-in so the explode/partition
+    plumbing still runs. One input row fans out to its frames inside
+    the executor — classic flatMap shape via ``mapInPandas``.
     """
     out_schema = T.StructType(
         [
@@ -332,6 +335,7 @@ def sample_frames(
             T.StructField("frame_blob", T.BinaryType()),
         ]
     )
+    step_ms = every_ms
 
     def cut(blob: bytes, idx: int) -> bytes:
         if frame_decoder is not None:
@@ -340,6 +344,25 @@ def sample_frames(
             raise NotImplementedError(
                 "real frame decode requires ffmpeg; provide frame_decoder"
             )
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                from parq_tools_spark.operators.codecs import (
+                    decode_gif,
+                    encode_png,
+                )
+
+                frames_ = decode_gif(bytes(blob))
+                ts = idx * step_ms
+                elapsed = 0
+                chosen = frames_[-1][1]
+                for delay, frame in frames_:
+                    elapsed += delay
+                    if ts < elapsed:
+                        chosen = frame
+                        break
+                return encode_png(chosen)
+            except (ImportError, ValueError):
+                pass
         # deterministic fake: rotate the blob by idx bytes, take 16
         off = (idx * 16) % max(1, len(blob))
         return (blob[off:] + blob[:off])[:16]
@@ -350,7 +373,9 @@ def sample_frames(
             for mid, blob, dur in zip(
                 pdf[id_col], pdf[blob_col], pdf["duration_ms"]
             ):
-                n_frames = max(1, int(dur or 0) // every_ms)
+                # a null duration arrives as NaN (truthy!), not None
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                n_frames = max(1, dur // every_ms)
                 for i in range(n_frames):
                     rows[id_col].append(mid)
                     rows["frame_idx"].append(i)

@@ -226,3 +226,115 @@ def test_resize_media_real_path_in_spark(spark):
     np.testing.assert_array_equal(resized["array"], resize_nearest(src, 4, 4))
     # opaque blob keeps the md5 stand-in contract (32 hex bytes)
     assert rows[2].n_bytes == 32
+
+
+# ------------------------------------------------------------- GIF
+def test_gif_roundtrip_animated():
+    from parq_tools_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (5, 9), dtype=np.uint8) for _ in range(3)]
+    blob = encode_gif(frames, delays_ms=[100, 250, 400])
+    assert sniff_format(blob) == "gif"
+    decoded = decode_gif(blob)
+    assert [d for d, _ in decoded] == [100, 250, 400]
+    for src, (_, rgba) in zip(frames, decoded):
+        assert rgba.shape == (5, 9, 4)
+        # grayscale identity palette: every channel equals the index
+        np.testing.assert_array_equal(rgba[:, :, 0], src)
+        np.testing.assert_array_equal(rgba[:, :, 1], src)
+        np.testing.assert_array_equal(rgba[:, :, 2], src)
+        assert (rgba[:, :, 3] == 255).all()
+
+
+def test_gif_scan_meta_and_probe():
+    from parq_tools_spark.operators.codecs import _gif_scan_meta, encode_gif
+
+    frames = [np.zeros((4, 6), dtype=np.uint8)] * 4
+    blob = encode_gif(frames, delays_ms=[50, 50, 100, 100])
+    meta = _gif_scan_meta(blob)
+    assert meta == {
+        "width": 6,
+        "height": 4,
+        "n_frames": 4,
+        "duration_ms": 300,
+    }
+    h = probe_media_header(blob)
+    assert (h["modality"], h["width"], h["height"], h["duration_ms"]) == (
+        "video",
+        6,
+        4,
+        300,
+    )
+    # single-frame GIF probes as an image
+    h1 = probe_media_header(encode_gif([frames[0]]))
+    assert h1["modality"] == "image" and h1["duration_ms"] is None
+
+
+def test_gif_decode_media_and_features():
+    from parq_tools_spark.operators.codecs import encode_gif
+
+    frames = [
+        np.full((3, 3), 0, dtype=np.uint8),
+        np.full((3, 3), 255, dtype=np.uint8),
+    ]
+    blob = encode_gif(frames, delays_ms=[100, 100])
+    m = decode_media(blob)
+    assert m["modality"] == "video" and m["n_frames"] == 2
+    assert m["duration_ms"] == 200
+    f = media_features(blob)
+    # width, height, n_frames; mean over RGBA = (0.25 + 1.0)/2 (the
+    # opaque alpha plane contributes 1.0 to both frames); duration
+    assert f[:3].tolist() == [3.0, 3.0, 2.0]
+    assert abs(f[3] - 0.625) < 0.01 and f[7] == 200.0
+
+
+def test_gif_interlaced_decode():
+    """Handcraft an interlaced image block: rows stored in the four
+    GIF passes must come back in display order."""
+    import struct
+
+    from parq_tools_spark.operators.codecs import decode_gif, encode_gif
+
+    h, w = 9, 4
+    img = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    passes = [0, 8], [4, 8], [2, 4], [1, 2]
+    order = [r for start, step in passes for r in range(start, h, step)]
+    blob = bytearray(encode_gif([img[order]]))  # rows pre-permuted
+    # flip the interlace bit in the image descriptor's packed field:
+    # descriptor starts right after header+LSD+GCT(768)+GCE(8)
+    desc = 6 + 7 + 768 + 8
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40
+    (_, rgba), = decode_gif(bytes(blob))
+    np.testing.assert_array_equal(rgba[:, :, 0], img)
+
+
+def test_sample_frames_real_gif_frames(spark):
+    """sample_frames must return REAL PNG-encoded GIF frames at the
+    sampled timestamps (and keep the slice stub for opaque blobs)."""
+    from parq_tools_spark.operators.codecs import decode_media, encode_gif
+    from parq_tools_spark.operators.multimodal import (
+        attach_media_metadata,
+        sample_frames,
+    )
+
+    frames = [
+        np.full((4, 4), 10, dtype=np.uint8),
+        np.full((4, 4), 200, dtype=np.uint8),
+    ]
+    gif = encode_gif(frames, delays_ms=[1000, 1000])
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not-a-video-blob"))],
+        "media_id long, blob binary",
+    )
+    media = attach_media_metadata(df, probe=True, modality="video")
+    out = sample_frames(media, every_ms=1000).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    # gif: 2000ms / 1000ms -> 2 sampled frames, each the REAL frame
+    m0 = decode_media(bytes(by_key[(1, 0)].frame_blob))
+    m1 = decode_media(bytes(by_key[(1, 1)].frame_blob))
+    assert m0["array"][0, 0, 0] == 10 and m1["array"][0, 0, 0] == 200
+    assert by_key[(1, 1)].ts_ms == 1000
+    # opaque blob: stub slice, single frame (no duration known)
+    assert len(bytes(by_key[(2, 0)].frame_blob)) == 16
