@@ -2332,12 +2332,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_quantity) AS n_distinct,
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) / count(*)
                        AS mean_qty,
-                   sqrt((CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4)))
-                              AS DOUBLE)
-                         - CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
-                           * CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                   sqrt((CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)
+                         - CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
+                           * CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                            / count(*))
                         / (count(*) - 1)) AS std_qty
             FROM lineitem
@@ -2362,18 +2361,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                        AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                                 AS DECIMAL(27,8))) AS DOUBLE) AS sum_charge,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                 AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) / count(*)
                        AS avg_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                        / count(*) AS avg_price,
-                   CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / count(*)
+                   CAST(CAST(sum(CAST(l_discount AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) / count(*)
                        AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
@@ -2384,8 +2383,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2396,8 +2395,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2411,7 +2410,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+                   CAST(CAST(sum(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -2439,8 +2438,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "tpch_q6": """
-            SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
-                        AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -2461,16 +2459,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouping_sets_revenue": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "cube_revenue": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -2491,8 +2489,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2507,13 +2505,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q8": """
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   floor(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                   floor(CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
                                        THEN CAST(l_extendedprice * (1 - l_discount)
                                                  AS DECIMAL(27,6))
-                                       ELSE CAST(0 AS DECIMAL(27,6)) END)
-                              AS DOUBLE)
-                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                         AS DECIMAL(27,6))) AS DOUBLE)
+                                       ELSE CAST(0 AS DECIMAL(27,6)) END) AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
                          * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -2528,8 +2525,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2550,13 +2547,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q14": """
             SELECT floor(100.0
-                         * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                                          THEN CAST(l_extendedprice * (1 - l_discount)
                                                    AS DECIMAL(27,6))
-                                         ELSE CAST(0 AS DECIMAL(27,6)) END)
-                                AS DOUBLE)
-                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                         AS DECIMAL(27,6))) AS DOUBLE)
+                                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
                          * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue_pct
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -2566,8 +2562,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": """
             WITH revenue AS (
               SELECT l_suppkey AS supplier_no,
-                     CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+                     CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -2586,8 +2582,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT p_partkey AS pk, 0.2 * avg(l_quantity) AS q_limit
               FROM matched GROUP BY p_partkey
             )
-            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2)))
-                        AS DOUBLE) / 7.0 AS avg_yearly
+            SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
             FROM matched JOIN lim ON p_partkey = pk
             WHERE l_quantity < q_limit
         """,
@@ -2597,7 +2592,7 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice, sum_qty
             FROM (
               SELECT l_orderkey,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                     CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                          AS sum_qty
               FROM lineitem GROUP BY l_orderkey
               HAVING sum_qty > 300
@@ -2606,8 +2601,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
         """,
         "tpch_q19": """
-            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11
@@ -2647,9 +2642,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9": """
             SELECT n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                                  - 0.5 * p_retailprice * l_quantity
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -2667,12 +2662,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE n_name = 'NATION_3'
             )
             SELECT l_partkey,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS value
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS value
             FROM src
             GROUP BY l_partkey
-            HAVING value > (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                               AS DECIMAL(27,6))) AS DOUBLE)
+            HAVING value > (SELECT CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                               AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
                                    * 2.0 / count(DISTINCT l_partkey)
                             FROM src)
         """,
@@ -2715,9 +2710,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE s_suppkey IN (
               SELECT l_suppkey FROM shipped
               GROUP BY l_suppkey
-              HAVING CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
-                     > (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
-                                    AS DOUBLE) * 0.012
+              HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
+                     > (SELECT CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE) * 0.012
                         FROM shipped))
         """,
         "tpch_q21": """
@@ -2741,7 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q22": """
             SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
-                   CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                        AS totacctbal
             FROM customer
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
@@ -2755,9 +2749,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, o_orderkey,
                    row_number() OVER (
                      PARTITION BY o_custkey ORDER BY o_orderkey) AS order_seq,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+                     ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_total
             FROM orders
         """,
         "pivot_events": """
@@ -2772,7 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                        AS sum_price,
                    count(*) AS n_rows
             FROM lineitem
@@ -2804,7 +2798,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand,
                    count(*) AS n_parts,
                    count(DISTINCT p_type) AS n_types,
-                   CAST(sum(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(27,2))) AS VARCHAR) AS DOUBLE)
                        AS sum_price,
                    min(p_size) AS min_size,
                    max(p_size) AS max_size
