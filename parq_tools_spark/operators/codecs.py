@@ -1,11 +1,14 @@
 """Self-contained media codecs for the multimodal operators.
 
 Decode priority per blob: (1) PIL / ffmpeg when importable (probed
-lazily, absent in this container), (2) the pure-numpy decoders below —
-PNG (8-bit, non-interlaced), BMP (24-bit uncompressed) and WAV (PCM,
-via stdlib ``wave``) need NO third-party codec, so the decode path is
-real wherever numpy runs, (3) none: the caller falls back to its
-documented deterministic stub (``multimodal.decode_stub``).
+lazily, absent in this container), (2) the pure-numpy decoders — PNG
+(8-bit, non-interlaced), BMP (24-bit uncompressed), WAV (PCM, via
+stdlib ``wave``), GIF (LZW, incl. animation — the video-like path)
+here, and baseline JPEG in ``operators/jpeg.py`` — which need NO
+third-party codec, so the decode path is real wherever numpy runs,
+(3) none: the caller falls back to its documented deterministic stub
+(``multimodal.decode_stub``; in practice that now means only
+progressive JPEG, esoteric image formats, and real video containers).
 
 Everything here is a plain ``bytes -> numpy`` function: executors call
 it from inside ``mapInPandas`` closures, the driver never sees a blob.
@@ -547,6 +550,10 @@ def decode_image(blob: bytes) -> np.ndarray:
         return decode_bmp(blob)
     if fmt == "gif":
         return decode_gif(blob)[0][1]
+    if fmt == "jpeg":
+        from parq_tools_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"no decoder for format {fmt!r} without PIL installed"
     )
@@ -557,6 +564,26 @@ def decode_audio(blob: bytes):
     if sniff_format(blob) == "wav":
         return decode_wav(blob)
     raise NotImplementedError("only PCM WAV decodes without ffmpeg")
+
+
+def _jpeg_scan_dims(blob: bytes):
+    """(width, height) from the first SOFn marker; header walk only."""
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h, w = struct.unpack_from(">HH", blob, pos + 5)
+            return int(w), int(h)
+        pos += 2 + seglen
+    return None
 
 
 def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
@@ -597,11 +624,16 @@ def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
                 meta["duration_ms"] = int(
                     wf.getnframes() * 1000 / wf.getframerate()
                 )
-        elif fmt == "jpeg" and have_pil():
-            import PIL.Image
+        elif fmt == "jpeg":
+            if have_pil():
+                import PIL.Image
 
-            with PIL.Image.open(io.BytesIO(blob)) as im:
-                meta["width"], meta["height"] = im.size
+                with PIL.Image.open(io.BytesIO(blob)) as im:
+                    meta["width"], meta["height"] = im.size
+            else:
+                dims = _jpeg_scan_dims(blob)
+                if dims:
+                    meta["width"], meta["height"] = dims
     except Exception:
         return None
     return meta
@@ -637,7 +669,7 @@ def decode_media(blob: bytes) -> Optional[dict]:
                 "height": arr.shape[0],
                 "channels": arr.shape[2],
             }
-        if fmt in ("png", "bmp") or (fmt in ("jpeg", "gif") and have_pil()):
+        if fmt in ("png", "bmp", "jpeg") or (fmt == "gif" and have_pil()):
             arr = decode_image(blob)
             if arr.ndim == 2:
                 arr = arr[:, :, None]

@@ -338,3 +338,78 @@ def test_sample_frames_real_gif_frames(spark):
     assert by_key[(1, 1)].ts_ms == 1000
     # opaque blob: stub slice, single frame (no duration known)
     assert len(bytes(by_key[(2, 0)].frame_blob)) == 16
+
+
+# ------------------------------------------------------------ JPEG
+def test_jpeg_roundtrip_gray_flat_exact():
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    arr = np.full((16, 24), 128, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=95))
+    assert out.shape == (16, 24)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_jpeg_roundtrip_rgb_gradient_close():
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.zeros((32, 32, 3), dtype=np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, 32).astype(np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(255, 0, 32).astype(np.uint8)[:, None]
+    g[:, :, 2] = 100
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    err = np.abs(out.astype(int) - g.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.5
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    """4:2:0 exercises the MCU interleave + chroma upsample path."""
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.zeros((40, 24, 3), dtype=np.uint8)
+    g[:, :, 0] = np.linspace(10, 240, 24).astype(np.uint8)[None, :]
+    g[:, :, 1] = 80
+    g[:, :, 2] = np.linspace(240, 10, 40).astype(np.uint8)[:, None]
+    out = decode_jpeg(encode_jpeg(g, quality=90, subsample=True))
+    assert out.shape == g.shape
+    err = np.abs(out.astype(int) - g.astype(int))
+    assert err.mean() < 6 and err.max() < 40  # chroma edges are soft
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(1)
+    arr = rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=85))
+    assert out.shape == (13, 21, 3)
+
+
+def test_jpeg_progressive_rejected():
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive)
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_in_codecs_dispatch():
+    from parq_tools_spark.operators.jpeg import encode_jpeg
+
+    g = np.zeros((12, 18, 3), dtype=np.uint8)
+    g[:, :, 0] = 200
+    blob = encode_jpeg(g, quality=95)
+    assert sniff_format(blob) == "jpeg"
+    h = probe_media_header(blob)
+    assert (h["format"], h["width"], h["height"]) == ("jpeg", 18, 12)
+    m = decode_media(blob)
+    assert m["modality"] == "image"
+    assert (m["width"], m["height"], m["channels"]) == (18, 12, 3)
+    f = media_features(blob)
+    assert f[:3].tolist() == [18.0, 12.0, 3.0]
+    out = decode_image(blob)
+    assert abs(int(out[:, :, 0].mean()) - 200) <= 3
+    assert int(out[:, :, 1].mean()) <= 3
