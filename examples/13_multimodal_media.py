@@ -48,6 +48,17 @@ with wave.open(buf, "wb") as wf:
 rows.append((5, bytearray(buf.getvalue())))
 rows.append((6, bytearray(b"no magic bytes here - falls back to the stub")))
 
+# baseline JPEG (pure-numpy codec, operators/jpeg.py)
+from parq_tools_spark.operators.jpeg import encode_jpeg
+
+rows.append((7, bytearray(encode_jpeg(rng.randint(0, 256, (24, 36, 3), dtype=np.uint8), quality=90))))
+
+# animated GIF: the video-like modality decodable without ffmpeg
+from parq_tools_spark.operators.codecs import encode_gif
+
+gif_frames = [np.full((12, 12), v, dtype=np.uint8) for v in (0, 80, 160, 240)]
+rows.append((8, bytearray(encode_gif(gif_frames, delays_ms=[500] * 4))))
+
 media = spark.createDataFrame(rows, "media_id long, blob binary")
 
 # ---- header-only metadata probe (a few dozen bytes per blob, no decode)
@@ -63,10 +74,24 @@ print("== extracted features (real decode; media 6 = sha256 stub) ==")
 feats.show(truncate=False)
 
 # ---- real nearest-neighbour resize, re-encoded as PNG
-resized = resize_media(media.filter("media_id < 5"), width=8, height=8)
+resized = resize_media(media.filter("media_id < 5 or media_id = 7"), width=8, height=8)
 out = {r.media_id: bytes(r.blob) for r in resized.collect()}
 m = decode_media(out[0])
 print(f"resized media 0 -> {m['width']}x{m['height']} PNG, {len(out[0])} bytes")
 assert (m["width"], m["height"]) == (8, 8)
+assert decode_media(out[7])["width"] == 8  # JPEG went through the real path too
+
+# ---- real frame sampling from the animated GIF (no ffmpeg needed)
+from parq_tools_spark.operators.multimodal import sample_frames
+
+# sample_frames reads meta.duration_ms, so feed the probed frame
+frames_df = sample_frames(probed.filter("media_id = 8"), every_ms=500)
+sampled = sorted(
+    (r.frame_idx, r.ts_ms, decode_media(bytes(r.frame_blob))["array"][0, 0, 0])
+    for r in frames_df.collect()
+)
+print("== sampled GIF frames (idx, ts_ms, pixel value) ==")
+print(sampled)
+assert [v for _, _, v in sampled] == [0, 80, 160, 240]
 spark.stop()
 print("ok")
