@@ -132,6 +132,16 @@ def main() -> None:
     # headline first (stable ordering round-over-round), then the rest
     ordered = HEADLINE_QUERIES + [n for n in queries if n not in HEADLINE_QUERIES]
 
+    # SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the run (targeted quiet
+    # re-measurement of specific queries; skips the index scenario too)
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if n.strip()
+    }
+    if only:
+        ordered = [n for n in ordered if n in only]
+
     # optional per-query repeats (min-of-N) for noise-controlled local
     # re-measurement; the driver's per-round run keeps the default n=1
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "1")))
@@ -179,16 +189,19 @@ def main() -> None:
 
     # steady-state incremental-ingest benchmark (not a registry query:
     # it writes/updates an on-disk index, so it's timed as a scenario)
-    try:
-        timings.update(_bench_minhash_index(spark, SF_DIR))
-    except Exception as exc:
-        errors["minhash_index_roundtrip"] = f"{type(exc).__name__}: {exc}"[:200]
-        print(
-            f"BENCH-ERROR minhash_index_roundtrip: "
-            f"{errors['minhash_index_roundtrip']}",
-            file=sys.stderr,
-        )
-    _isolate()
+    if not only:
+        try:
+            timings.update(_bench_minhash_index(spark, SF_DIR))
+        except Exception as exc:
+            errors["minhash_index_roundtrip"] = (
+                f"{type(exc).__name__}: {exc}"[:200]
+            )
+            print(
+                f"BENCH-ERROR minhash_index_roundtrip: "
+                f"{errors['minhash_index_roundtrip']}",
+                file=sys.stderr,
+            )
+        _isolate()
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
