@@ -526,6 +526,16 @@ def decode_wav(blob: bytes):
         ) / 128.0
     elif sampwidth == 2:
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 3:
+        # 24-bit: widen each little-endian triple to int32, sign-extend
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        widened = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        widened = np.where(widened >= 1 << 23, widened - (1 << 24), widened)
+        samples = widened.astype(np.float64) / float(1 << 23)
     elif sampwidth == 4:
         samples = (
             np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0

@@ -413,3 +413,23 @@ def test_jpeg_in_codecs_dispatch():
     out = decode_image(blob)
     assert abs(int(out[:, :, 0].mean()) - 200) <= 3
     assert int(out[:, :, 1].mean()) <= 3
+
+
+def test_wav_24bit_decode():
+    from parq_tools_spark.operators.codecs import decode_wav
+
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)], dtype=np.int64)
+    raw = bytearray()
+    for v in vals:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(48000)
+        wf.writeframes(bytes(raw))
+    samples, rate = decode_wav(buf.getvalue())
+    assert rate == 48000
+    np.testing.assert_allclose(
+        samples[:, 0], vals.astype(np.float64) / (1 << 23)
+    )

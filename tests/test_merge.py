@@ -221,6 +221,55 @@ def test_broadcast_merge_plan_keeps_target_unshuffled(spark, tmp_path):
     assert wide, plan
 
 
+def test_cdc_seq_guard_plan_keeps_target_unshuffled(spark, tmp_path):
+    """The persisted-seq guard (match_condition) must ride the same
+    broadcast left join — no shuffle of the snapshot appears when it
+    is enabled."""
+    tgt_path = str(tmp_path / "snap.parquet")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit(None).cast("long").alias("__cdc_seq"),
+    ).write.parquet(tgt_path)
+    tgt = spark.read.parquet(tgt_path)
+    chg = spark.createDataFrame(
+        [(1, "U", 5, 9.0), (2000, "I", 6, 1.0)],
+        "k long, op string, seq long, v double",
+    )
+    out = apply_cdc(
+        tgt, chg, ["k"], broadcast_source=True, target_seq_col="__cdc_seq"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the WIDE target scan (carries v + __cdc_seq) must reach its join
+    # without any repartitioning ancestor — only the small change-log
+    # side (latest-wins window, matched-key distinct) may exchange
+    import re
+
+    lines = plan.splitlines()
+
+    def depth(ln):
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    wide_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "FileScan parquet" in ln and "v#" in ln and "__cdc_seq" in ln
+    ]
+    assert wide_idx, plan
+    for i in wide_idx:
+        d = depth(lines[i])
+        for j in range(i - 1, -1, -1):
+            dj = depth(lines[j])
+            if 0 <= dj < d:  # ancestor
+                assert not re.search(
+                    r"Exchange (hash|range)partitioning", lines[j]
+                ), plan
+                d = dj
+
+
 @pytest.mark.parametrize("broadcast", [False, True])
 def test_merge_composite_keys(spark, broadcast):
     tgt = spark.createDataFrame(
