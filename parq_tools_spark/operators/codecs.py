@@ -7,8 +7,8 @@ stdlib ``wave``), GIF (LZW, incl. animation — the video-like path)
 here, and baseline JPEG in ``operators/jpeg.py`` — which need NO
 third-party codec, so the decode path is real wherever numpy runs,
 (3) none: the caller falls back to its documented deterministic stub
-(``multimodal.decode_stub``; in practice that now means only
-progressive JPEG, esoteric image formats, and real video containers).
+(``multimodal.decode_stub``; in practice that now means only esoteric
+image formats and real video containers — ffmpeg genuinely required).
 
 Everything here is a plain ``bytes -> numpy`` function: executors call
 it from inside ``mapInPandas`` closures, the driver never sees a blob.

@@ -1,15 +1,19 @@
 """Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
 
 The last common image format the repo could not decode without PIL.
-Supports what baseline JPEG writers actually emit: 8-bit samples,
-Huffman entropy coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
-sampling, restart markers. Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError`` (install PIL for those).
+Supports what JPEG writers actually emit: 8-bit samples, Huffman
+entropy coding, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart markers, and PROGRESSIVE (SOF2) streams — spectral
+selection, successive approximation (DC and AC refinement bit
+planes), and EOB runs per ITU-T T.81 G.2. Arithmetic coding and
+hierarchical/lossless modes raise ``NotImplementedError``.
 
 The encoder exists to roundtrip-test the decoder in codec-less
 environments (standard Annex K quantization + Huffman tables, 4:4:4
-or 4:2:0). JPEG is lossy, so tests assert closeness, not equality —
-the only correctness oracle available without a reference codec.
+or 4:2:0, baseline or progressive). JPEG is lossy, so tests assert
+closeness, not equality — except that the progressive and baseline
+streams of the same input decode to IDENTICAL pixels, which is the
+strongest oracle available without a reference codec.
 
 Like the rest of ``operators/codecs.py``, these are plain
 ``bytes <-> numpy`` functions called from ``mapInPandas`` closures on
@@ -121,6 +125,17 @@ STD_AC_CHROMA = (
 )
 
 
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14), which the
+# standard baseline tables do not carry. This uniform 9-bit table holds
+# every symbol a progressive AC scan can emit (r 0..15 x s 0..10) — a
+# valid, deliberately compression-light Huffman table (176 codes at
+# length 9; Kraft sum 176/512 < 1) used by the test-oriented encoder.
+PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
 def _dct_matrix() -> np.ndarray:
     """8x8 orthonormal DCT-II basis: spatial = M.T @ coef @ M."""
     u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
@@ -201,8 +216,14 @@ class _BitReader:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Decode baseline JPEG -> (H, W) uint8 grayscale or (H, W, 3)
-    uint8 RGB (BT.601 YCbCr conversion)."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG ->
+    (H, W) uint8 grayscale or (H, W, 3) uint8 RGB (BT.601).
+
+    Both modes accumulate quantized coefficients per component and
+    reconstruct once at the end; progressive folds each scan
+    (spectral selection band + successive-approximation bit plane)
+    into the same arrays per ITU-T T.81 G.2.
+    """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -210,7 +231,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     htables = {}
     frame = None
     restart_interval = 0
-    while pos < len(blob):
+    while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
             pos += 1
             continue
@@ -218,6 +239,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         (seglen,) = struct.unpack_from(">H", blob, pos)
         seg = blob[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -240,7 +263,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -252,90 +275,260 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["mcus_x"] = -(-w // (8 * hmax))
+            frame["mcus_y"] = -(-h // (8 * vmax))
+            for c in comps:
+                # full (MCU-padded) block grid + the true block counts
+                # a non-interleaved scan iterates (B.2.3):
+                # ceil(ceil(dim * sampling / max_sampling) / 8)
+                c["bx_pad"] = frame["mcus_x"] * c["h"]
+                c["by_pad"] = frame["mcus_y"] * c["v"]
+                comp_w = -(-(w * c["h"]) // hmax)
+                comp_h = -(-(h * c["v"]) // vmax)
+                c["bx"] = -(-comp_w // 8)
+                c["by"] = -(-comp_h // 8)
+                c["coefs"] = np.zeros(
+                    (c["by_pad"], c["bx_pad"], 64), dtype=np.int32
+                )
+                c["pred"] = 0
+                c["eobrun"] = 0
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}); install PIL"
+                f"unsupported JPEG coding (SOF marker 0x{marker:02x}); "
+                "install PIL"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append(
-                    (comp, htables[(0, td_ta >> 4)], htables[(1, td_ta & 0x0F)])
+                    (
+                        comp,
+                        htables.get((0, td_ta >> 4)),
+                        htables.get((1, td_ta & 0x0F)),
+                    )
                 )
-            data_start = pos + seglen
-            return _decode_scan(
-                blob, data_start, frame, scan, qtables, restart_interval
+            ss, se, ah_al = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            pos = _decode_scan_coefs(
+                blob, pos + seglen, frame, scan, ss, se, ah, al,
+                restart_interval,
             )
+            continue
         pos += seglen
-    raise ValueError("no SOS segment found")
+    if frame is None:
+        raise ValueError("no SOF segment found")
+    return _reconstruct(frame, qtables)
 
 
-def _decode_scan(blob, start, frame, scan, qtables, restart_interval):
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next real marker (skips stuffed FF00 and fill
+    FFs inside entropy data; RST markers are consumed by the reader)."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _decode_scan_coefs(blob, start, frame, scan, ss, se, ah, al,
+                       restart_interval):
+    """Decode ONE scan's entropy data into the components' coefficient
+    arrays (zigzag order). Returns the stream position after the scan.
+    Handles baseline full-block scans and all four progressive scan
+    kinds (DC/AC x first/refinement)."""
+    reader = _BitReader(blob, start)
+    for comp, _, _ in scan:
+        comp["pred"] = 0
+        comp["eobrun"] = 0
+    progressive = frame["progressive"]
+    interleaved = len(scan) > 1
+    if interleaved:
+        units_x, units_y = frame["mcus_x"], frame["mcus_y"]
+    else:
+        comp0 = scan[0][0]
+        units_x, units_y = comp0["bx"], comp0["by"]
+    unit_count = 0
+    for uy in range(units_y):
+        for ux in range(units_x):
+            if (
+                restart_interval
+                and unit_count
+                and unit_count % restart_interval == 0
+            ):
+                reader.align_restart()
+                for comp, _, _ in scan:
+                    comp["pred"] = 0
+                    comp["eobrun"] = 0
+            for comp, dc_tab, ac_tab in scan:
+                blocks = (
+                    [
+                        (uy * comp["v"] + by, ux * comp["h"] + bx)
+                        for by in range(comp["v"])
+                        for bx in range(comp["h"])
+                    ]
+                    if interleaved
+                    else [(uy, ux)]
+                )
+                for by, bx in blocks:
+                    zz = comp["coefs"][by, bx]
+                    if not progressive:
+                        _block_baseline(reader, zz, comp, dc_tab, ac_tab)
+                    elif ss == 0 and ah == 0:
+                        s = dc_tab.decode(reader)
+                        comp["pred"] += reader.receive_extend(s)
+                        zz[0] = comp["pred"] << al
+                    elif ss == 0:
+                        if reader.read_bit():
+                            zz[0] |= 1 << al
+                    elif ah == 0:
+                        _block_ac_first(reader, zz, comp, ac_tab, ss, se, al)
+                    else:
+                        _block_ac_refine(reader, zz, comp, ac_tab, ss, se, al)
+            unit_count += 1
+    return _next_marker(blob, reader.pos)
+
+
+def _block_baseline(reader, zz, comp, dc_tab, ac_tab):
+    s = dc_tab.decode(reader)
+    comp["pred"] += reader.receive_extend(s)
+    zz[0] = comp["pred"]
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index out of range")
+        zz[k] = reader.receive_extend(s)
+        k += 1
+
+
+def _block_ac_first(reader, zz, comp, ac_tab, ss, se, al):
+    """Progressive AC first scan (Ah=0): spectral band [ss..se] at
+    bit-plane al, with EOB-run skipping (G.1.2.2)."""
+    if comp["eobrun"] > 0:
+        comp["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac_tab.decode(reader)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: this block + (2^r - 1 + received) more
+                comp["eobrun"] = (1 << r) - 1
+                if r:
+                    comp["eobrun"] += _read_bits(reader, r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index out of band")
+        zz[k] = reader.receive_extend(s) << al
+        k += 1
+
+
+def _read_bits(reader, n):
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | reader.read_bit()
+    return v
+
+
+def _block_ac_refine(reader, zz, comp, ac_tab, ss, se, al):
+    """Progressive AC refinement scan (Ah>0): one correction bit per
+    already-nonzero coefficient, newly-significant coefficients
+    +-1<<al, zero-runs count zero-HISTORY positions only (G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if comp["eobrun"] == 0:
+        while k <= se:
+            rs = ac_tab.decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # run length INCLUDES this block, whose remaining
+                    # band still takes correction bits below — so no
+                    # -1 here; the tail pass decrements
+                    comp["eobrun"] = 1 << r
+                    if r:
+                        comp["eobrun"] += _read_bits(reader, r)
+                    break
+                # r == 15: run over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with s > 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k]:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                zz[k] = val
+            k += 1
+    if comp["eobrun"] > 0:
+        while k <= se:
+            if zz[k]:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        comp["eobrun"] -= 1
+
+
+def _reconstruct(frame, qtables):
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
-        )
-        for c in frame["comps"]
-    }
-    reader = _BitReader(blob, start)
-    pred = {c["id"]: 0 for c in frame["comps"]}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_restart()
-                pred = {c["id"]: 0 for c in frame["comps"]}
-            for comp, dc_tab, ac_tab in scan:
-                q = qtables[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        s = dc_tab.decode(reader)
-                        diff = reader.receive_extend(s)
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = ac_tab.decode(reader)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = reader.receive_extend(s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = zz * q[np.arange(64)]
-                        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
-
     out_planes = []
     for c in frame["comps"]:
-        p = planes[c["id"]] + 128.0
-        # upsample to full resolution (nearest) then crop
+        q = qtables[c["tq"]]
+        by_pad, bx_pad = c["by_pad"], c["bx_pad"]
+        plane = np.zeros((by_pad * 8, bx_pad * 8), dtype=np.float64)
+        deq = c["coefs"].astype(np.float64) * q[None, None, :]
+        # dezigzag every block at once; per-block IDCT loop is clear
+        # and fast enough for the pure tier
+        nat = np.zeros_like(deq)
+        nat[:, :, ZIGZAG] = deq
+        blocks = nat.reshape(by_pad, bx_pad, 8, 8)
+        for by in range(by_pad):
+            for bx in range(bx_pad):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_M.T @ blocks[by, bx] @ _DCT_M
+                )
+        plane += 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
@@ -400,47 +593,21 @@ def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(bw, block, qz, dc_tab, ac_tab, pred):
-    """qz is the quant table in ZIGZAG order (file order): zz[i] =
-    coef_flat[ZIGZAG[i]] / qz[i], matching the decoder's dequant."""
-    coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
-    zz = np.round(coef.reshape(64)[ZIGZAG] / qz).astype(np.int64)
-    diff = int(zz[0]) - pred
-    s = _category(diff)
-    code, length = dc_tab[s]
-    bw.write(code, length)
-    if s:
-        v = diff if diff >= 0 else diff + (1 << s) - 1
-        bw.write(v & ((1 << s) - 1), s)
-    run = 0
-    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_tab[0xF0]
-            bw.write(code, length)
-            run -= 16
-        s = _category(v)
-        code, length = ac_tab[(run << 4) | s]
-        bw.write(code, length)
-        vv = v if v >= 0 else v + (1 << s) - 1
-        bw.write(vv & ((1 << s) - 1), s)
-        run = 0
-    if last_nz < 63:
-        code, length = ac_tab[0x00]
-        bw.write(code, length)
-    return int(zz[0])
-
-
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsample: bool = False
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to baseline
     JPEG. ``subsample=True`` uses 4:2:0 chroma (exercises the
-    decoder's MCU interleave/upsample path); default 4:4:4."""
+    decoder's MCU interleave/upsample path); default 4:4:4.
+    ``progressive=True`` emits an SOF2 stream (DC first at Al=1 + DC
+    refinement + per-component full-band AC first at Al=1 + AC
+    refinement scans, with EOB-run accumulation in the first scans) —
+    it reconstructs to the SAME pixels as the baseline stream for the
+    same quality, which is how the progressive decode paths are
+    roundtrip-tested without a reference codec."""
     arr = np.asarray(arr, dtype=np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -491,7 +658,9 @@ def encode_jpeg(
     vmax = max(c[4] for c in comps)
     for i, (_, _, _, ch, cv) in enumerate(comps):
         sof += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", len(sof) + 2
+    ) + sof
     # DHT x4 (or x2 for gray)
     specs = [(0, 0, STD_DC_LUMA), (1, 0, STD_AC_LUMA)]
     if not gray:
@@ -499,45 +668,244 @@ def encode_jpeg(
     for tc, th, (bits, values) in specs:
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
         out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
-    # SOS
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     dc_l = _enc_table(*STD_DC_LUMA)
     ac_l = _enc_table(*STD_AC_LUMA)
     dc_c = _enc_table(*STD_DC_CHROMA)
     ac_c = _enc_table(*STD_AC_CHROMA)
-    bw = _BitWriter()
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    pred = [0] * len(comps)
-    padded = []
-    for _, plane, _, ch, cv in comps:
-        ph = mcus_y * cv * 8
-        pw = mcus_x * ch * 8
-        padded.append(
-            np.pad(
-                plane,
-                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
-                mode="edge",
-            )
+    # quantize every block up front: qblocks[ci][by, bx, 64] zigzag ints
+    qblocks = []
+    for _, plane, q, ch, cv in comps:
+        by_pad, bx_pad = mcus_y * cv, mcus_x * ch
+        padded = np.pad(
+            plane,
+            ((0, by_pad * 8 - plane.shape[0]), (0, bx_pad * 8 - plane.shape[1])),
+            mode="edge",
         )
+        zz = np.zeros((by_pad, bx_pad, 64), dtype=np.int64)
+        for by in range(by_pad):
+            for bx in range(bx_pad):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
+                zz[by, bx] = np.round(coef.reshape(64)[ZIGZAG] / q)
+        qblocks.append(zz)
+
+    def sos_header(comp_idx, ss, se, ah, al, with_ac=True, ac_tab_id=None):
+        seg = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            ta = (0 if ci == 0 else 1) if with_ac else 0
+            if ac_tab_id is not None:
+                ta = ac_tab_id
+            seg += bytes([ci + 1, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    if not progressive:
+        out += sos_header(list(range(ncomp)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        pred = [0] * len(comps)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, _, _, ch, cv) in enumerate(comps):
+                    dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = qblocks[ci][my * cv + by, mx * ch + bx]
+                            pred[ci] = _emit_block_baseline(
+                                bw, zz, dct, act, pred[ci]
+                            )
+        bw.flush()
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive: DC first (Al=1) -> DC refine -> per-component
+    # AC first (Al=1, EOB-run accumulated) -> AC refine
+    al = 1
+    out += sos_header(list(range(ncomp)), 0, 0, 0, al, with_ac=False)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (name, _, q, ch, cv) in enumerate(comps):
-                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            for ci, (_, _, _, ch, cv) in enumerate(comps):
+                dct = dc_l if ci == 0 else dc_c
                 for by in range(cv):
                     for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        pred[ci] = _encode_block(
-                            bw, block, q, dct, act, pred[ci]
-                        )
+                        dc = int(qblocks[ci][my * cv + by, mx * ch + bx, 0])
+                        cur = dc >> al  # arithmetic shift per F.1.4.1
+                        diff = cur - pred[ci]
+                        pred[ci] = cur
+                        s = _category(diff)
+                        code, length = dct[s]
+                        bw.write(code, length)
+                        if s:
+                            v = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.write(v & ((1 << s) - 1), s)
     bw.flush()
     out += bw.out
+
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0, with_ac=False)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, _, _, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(qblocks[ci][my * cv + by, mx * ch + bx, 0])
+                        bw.write(dc & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # progressive AC scans use the EOBn-capable custom table: emit a
+    # DHT redefining AC table 0 mid-stream (legal per B.2.4.2), then
+    # reference it from every AC scan
+    body = bytes([(1 << 4) | 0]) + bytes(PROG_AC[0]) + bytes(PROG_AC[1])
+    out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    ac_p = _enc_table(*PROG_AC)
+
+    for ci, (_, plane, _, ch, cv) in enumerate(comps):
+        act = ac_p
+        bx_n = -(-plane.shape[1] // 8)
+        by_n = -(-plane.shape[0] // 8)
+        out += sos_header([ci], 1, 63, 0, al, ac_tab_id=0)
+        bw = _BitWriter()
+        _emit_ac_first_scan(bw, qblocks[ci], by_n, bx_n, act, al)
+        bw.flush()
+        out += bw.out
+        out += sos_header([ci], 1, 63, 1, 0, ac_tab_id=0)
+        bw = _BitWriter()
+        for by in range(by_n):
+            for bx in range(bx_n):
+                _emit_ac_refine_block(bw, qblocks[ci][by, bx], act, 0)
+        bw.flush()
+        out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _emit_block_baseline(bw, zz, dc_tab, ac_tab, pred):
+    """Huffman-encode one quantized zigzag block (baseline scan)."""
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(v & ((1 << s) - 1), s)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bw.write(vv & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _flush_eobrun(bw, ac_tab, eobrun):
+    """Emit an EOBn code covering ``eobrun`` consecutive ended blocks."""
+    if eobrun <= 0:
+        return
+    r = eobrun.bit_length() - 1
+    code, length = ac_tab[r << 4]
+    bw.write(code, length)
+    if r:
+        bw.write(eobrun - (1 << r), r)
+
+
+def _emit_ac_first_scan(bw, blocks, by_n, bx_n, ac_tab, al):
+    """Progressive AC first scan (Ah=0) for one component's true block
+    grid, with cross-block EOB-run accumulation (G.1.2.2)."""
+    eobrun = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            zz = blocks[by, bx]
+            band = np.sign(zz[1:]) * (np.abs(zz[1:]) >> al)
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _flush_eobrun(bw, ac_tab, eobrun)
+                    eobrun = 0
+                continue
+            _flush_eobrun(bw, ac_tab, eobrun)
+            eobrun = 0
+            run = 0
+            last = int(nz[-1])
+            for i in range(last + 1):
+                v = int(band[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_tab[(run << 4) | s]
+                bw.write(code, length)
+                vv = v if v >= 0 else v + (1 << s) - 1
+                bw.write(vv & ((1 << s) - 1), s)
+                run = 0
+            if last < 62:  # trailing zeros: this block joins an EOB run
+                eobrun = 1
+    _flush_eobrun(bw, ac_tab, eobrun)
+
+
+def _emit_ac_refine_block(bw, zz, ac_tab, al):
+    """Progressive AC refinement (Ah=al+1 -> Al=al) for one block,
+    mirroring the decoder's walk (G.1.2.3): ZRLs are flushed at every
+    nonzero-current position up to the last newly-significant
+    coefficient (keeping every buffered correction bit inside the next
+    emitted window), and the trailing region folds into an EOB whose
+    correction bits follow it."""
+    mag = np.abs(zz[1:]) >> al
+    sig_pos = np.nonzero(mag == 1)[0]
+    last_sig = int(sig_pos[-1]) if len(sig_pos) else -1
+    corr = []
+    r = 0
+    for i in range(63):
+        a = int(mag[i])
+        if a == 0:
+            r += 1
+            continue
+        if i <= last_sig:
+            while r > 15:
+                code, length = ac_tab[0xF0]
+                bw.write(code, length)
+                for bit in corr:
+                    bw.write(bit, 1)
+                corr = []
+                r -= 16
+        if a > 1:  # already significant at the previous bit plane
+            corr.append(a & 1)
+            continue
+        code, length = ac_tab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if zz[1 + i] > 0 else 0, 1)
+        for bit in corr:
+            bw.write(bit, 1)
+        corr = []
+        r = 0
+    if r or corr:
+        code, length = ac_tab[0x00]  # EOB0: run of exactly this block
+        bw.write(code, length)
+        for bit in corr:
+            bw.write(bit, 1)

@@ -4,9 +4,9 @@ Media travels as an opaque ``binary`` column plus a typed metadata
 struct — the schema, partition discipline, Arrow batch shapes and UDF
 signatures are real and tested. The decode step resolves per blob at
 runtime (``operators/codecs.py``): PIL/ffmpeg when importable, else
-the pure-numpy PNG/BMP/WAV/GIF/baseline-JPEG decoders (always
-available), else the deterministic sha256 stub for formats nothing
-here can decode (progressive JPEG, real video containers — ffmpeg
+the pure-numpy PNG/BMP/WAV/GIF/JPEG (baseline AND progressive)
+decoders (always available), else the deterministic sha256 stub for
+formats nothing here can decode (real video containers — ffmpeg
 genuinely required). Swap ``decode_fn`` for your own decoder and
 nothing else changes.
 

@@ -385,14 +385,55 @@ def test_jpeg_non_multiple_of_8_dims():
     assert out.shape == (13, 21, 3)
 
 
-def test_jpeg_progressive_rejected():
+@pytest.mark.parametrize(
+    "shape,subsample",
+    [((16, 24), False), ((32, 32, 3), False), ((40, 24, 3), True), ((13, 21, 3), False)],
+)
+def test_jpeg_progressive_decodes_identical_to_baseline(shape, subsample):
+    """A progressive (SOF2) stream of the same quantized coefficients
+    must reconstruct to EXACTLY the baseline pixels — the strongest
+    oracle available without a reference codec. Exercises DC
+    successive approximation, AC spectral-selection first scans and
+    AC refinement bit planes."""
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(arr, quality=90, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg(arr, quality=90, subsample=subsample, progressive=True)
+    )
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_jpeg_progressive_eob_runs_and_zrl():
+    """Mostly-flat images drive cross-block EOB runs; isolated spikes
+    drive ZRL paths in both first and refinement scans."""
+    from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((64, 80, 3), 130, dtype=np.uint8)
+    flat[30, 40] = 250
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(flat, 85)),
+        decode_jpeg(encode_jpeg(flat, 85, progressive=True)),
+    )
+    sparse = np.full((48, 48), 128, dtype=np.uint8)
+    for y, x in [(0, 47), (7, 0), (40, 40), (23, 23)]:
+        sparse[y, x] = 255
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(sparse, 95)),
+        decode_jpeg(encode_jpeg(sparse, 95, progressive=True)),
+    )
+
+
+def test_jpeg_arithmetic_coding_rejected():
     from parq_tools_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
-    # flip SOF0 (0xC0) to SOF2 (0xC2 progressive)
+    # flip SOF0 (0xC0) to SOF9 (0xC9, arithmetic sequential)
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    blob[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="unsupported"):
         decode_jpeg(bytes(blob))
 
 
