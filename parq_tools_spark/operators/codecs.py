@@ -39,6 +39,7 @@ __all__ = [
     "media_features",
     "encode_png",
     "resize_nearest",
+    "perceptual_hash",
 ]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -771,3 +772,49 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * h) // height, h - 1)
     xs = np.minimum((np.arange(width) * w) // width, w - 1)
     return arr[ys][:, xs]
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """n-point orthonormal DCT-II basis matrix."""
+    u, x = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    m = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_DCT32 = None
+
+
+def perceptual_hash(blob: Optional[bytes]) -> Optional[int]:
+    """63-bit pHash of a decodable image blob; None otherwise.
+
+    Standard construction: grayscale -> 32x32 resample -> 2-D DCT ->
+    8x8 low-frequency block -> threshold each coefficient (DC
+    excluded) against the block median -> one bit per coefficient.
+    Near-duplicate images (recompression, mild noise, small edits)
+    land within a few bits of Hamming distance; 63 bits keeps the
+    value in positive int64 range so it joins the same banded-Hamming
+    infrastructure as text SimHash (``dedup.hamming_pairs``).
+    """
+    global _DCT32
+    m = decode_media(blob)
+    if m is None or m["modality"] != "image":
+        return None
+    arr = m["array"].astype(np.float64)
+    if arr.shape[2] >= 3:
+        gray = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    else:
+        gray = arr[:, :, 0]
+    small = resize_nearest(gray, 32, 32)
+    if _DCT32 is None:
+        _DCT32 = _dct_basis(32)
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8].reshape(64)[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h

@@ -51,6 +51,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "hamming_pairs",
     "connected_components",
     "connected_components_alternating",
     "dedupe_near_duplicates",
@@ -594,17 +595,41 @@ def simhash_pairs(
     verified with ``bit_count(xor) <= max_hamming``.
     """
     fps = simhash(df, id_col, text_col, hash_family=hash_family)
-    width = 63 // n_bands + 1
+    return hamming_pairs(
+        fps, "simhash", id_col, max_hamming=max_hamming, n_bands=n_bands
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 63,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits on an integer-signature
+    column: ``(id1, id2, hamming)`` with ``id1 < id2``.
+
+    The banded-candidate core shared by :func:`simhash_pairs` (text)
+    and ``multimodal.image_near_duplicate_pairs`` (perceptual hash):
+    any pair within ``max_hamming < n_bands`` bits agrees exactly on
+    at least one of ``n_bands`` disjoint bit-bands (pigeonhole), so
+    candidates come from equi-joins on band values and each candidate
+    verifies with ``bit_count(xor)``. One shuffle keyed by (band,
+    value) — never all-pairs.
+    """
+    width = (bits - 1) // n_bands + 1
     mask = (1 << width) - 1
-    banded = fps.select(
+    banded = df.select(
         id_col,
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright("simhash", bi * width)
+                        F.shiftright(sig_col, bi * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
@@ -612,7 +637,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.bval")
+    ).select(id_col, sig_col, "bk.band", "bk.bval")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -625,7 +650,7 @@ def simhash_pairs(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).alias("hamming"),
         )
         .dropDuplicates(["id1", "id2"])

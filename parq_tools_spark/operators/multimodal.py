@@ -41,6 +41,8 @@ __all__ = [
     "resize_media",
     "sample_frames",
     "decode_stub",
+    "with_image_phash",
+    "image_near_duplicate_pairs",
 ]
 
 media_metadata_schema = T.StructType(
@@ -388,3 +390,68 @@ def sample_frames(
         id_col, blob_col, F.col("meta.duration_ms").alias("duration_ms")
     )
     return src.mapInPandas(frames, schema=out_schema)
+
+
+def with_image_phash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Append a 63-bit perceptual-hash column (NULL for blobs no
+    decoder handles): grayscale 32x32 DCT thresholded against the
+    low-frequency median — the image analogue of text SimHash.
+    Map-only ``mapInPandas``; blobs never leave the executors.
+    """
+    cols = df.columns
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parq_tools_spark.operators.codecs import perceptual_hash
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = pd.array(
+                [perceptual_hash(b) for b in pdf[blob_col]], dtype="Int64"
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_near_duplicate_pairs(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs ``(id1, id2, hamming)`` by banded
+    perceptual-hash Hamming distance — recompressed, mildly-noised or
+    slightly-edited copies collide; unrelated images do not.
+
+    Rides the same pigeonhole banding as text SimHash
+    (``dedup.hamming_pairs``): one shuffle keyed by (band, value),
+    never all-pairs, so a billion-image corpus dedupes at the cost of
+    its band join. Undecodable blobs (NULL phash) are excluded rather
+    than colliding in a NULL bucket. ``max_hamming`` must stay below
+    ``n_bands`` for the banding recall guarantee.
+    """
+    from parq_tools_spark.operators.dedup import hamming_pairs
+
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}) for the pigeonhole guarantee"
+        )
+    hashed = with_image_phash(df, blob_col=blob_col).filter(
+        F.col("phash").isNotNull()
+    )
+    return hamming_pairs(
+        hashed.select(id_col, "phash"),
+        "phash",
+        id_col,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )

@@ -474,3 +474,79 @@ def test_wav_24bit_decode():
     np.testing.assert_allclose(
         samples[:, 0], vals.astype(np.float64) / (1 << 23)
     )
+
+
+# -------------------------------------------------- perceptual hash
+def _phash_fixtures():
+    from parq_tools_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(42)
+    base = np.zeros((64, 64, 3), dtype=np.uint8)
+    # structured content (gradients + a block), not pure noise — pHash
+    # is designed for natural-image structure
+    base[:, :, 0] = np.linspace(0, 255, 64)[None, :]
+    base[:, :, 1] = np.linspace(255, 0, 64)[:, None]
+    base[16:40, 16:40, 2] = 220
+    noisy = base.astype(np.int16) + rng.randint(-8, 9, base.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = np.zeros_like(base)
+    other[:, :, 2] = np.linspace(0, 255, 64)[None, :]
+    other[8:20, 40:60, 0] = 255
+    other[40:64, :, 1] = 128
+    return base, noisy, other, encode_jpeg
+
+
+def test_perceptual_hash_invariance_and_discrimination():
+    from parq_tools_spark.operators.codecs import perceptual_hash
+
+    base, noisy, other, encode_jpeg = _phash_fixtures()
+    h_png = perceptual_hash(encode_png(base))
+    h_jpeg = perceptual_hash(encode_jpeg(base, quality=85))
+    h_noisy = perceptual_hash(encode_png(noisy))
+    h_other = perceptual_hash(encode_png(other))
+    assert h_png is not None and 0 <= h_png < (1 << 63)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    # same content, different codec/compression -> near
+    assert ham(h_png, h_jpeg) <= 6
+    # mild noise -> near
+    assert ham(h_png, h_noisy) <= 6
+    # different image -> far
+    assert ham(h_png, h_other) > 12
+    assert perceptual_hash(b"not an image") is None
+
+
+def test_image_near_duplicate_pairs_in_spark(spark):
+    from parq_tools_spark.operators.multimodal import (
+        image_near_duplicate_pairs,
+        with_image_phash,
+    )
+
+    base, noisy, other, encode_jpeg = _phash_fixtures()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(base))),
+            (2, bytearray(encode_jpeg(base, quality=85))),
+            (3, bytearray(encode_png(noisy))),
+            (4, bytearray(encode_png(other))),
+            (5, bytearray(b"opaque-not-an-image")),
+        ],
+        "media_id long, blob binary",
+    )
+    hashed = {r.media_id: r.phash for r in with_image_phash(df).collect()}
+    assert hashed[5] is None and hashed[1] is not None
+
+    pairs = {
+        (r.id1, r.id2)
+        for r in image_near_duplicate_pairs(df, max_hamming=6).collect()
+    }
+    # the three variants of `base` pair up; `other` and the opaque
+    # blob pair with nothing
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_duplicate_pairs(df, max_hamming=8, n_bands=8)
