@@ -40,6 +40,8 @@ __all__ = [
     "encode_png",
     "resize_nearest",
     "perceptual_hash",
+    "encode_wav",
+    "resample_linear",
 ]
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -511,12 +513,43 @@ def encode_gif(frames, delays_ms=None) -> bytes:
 
 
 # ------------------------------------------------------------------ WAV
+def _decode_wav_float(blob: bytes):
+    """WAVE_FORMAT_IEEE_FLOAT (format 3), which stdlib ``wave``
+    refuses: manual RIFF chunk walk for fmt + data."""
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits_per,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 3:
+        raise NotImplementedError(f"WAV format {audio_fmt}")
+    dt = "<f4" if bits_per == 32 else "<f8"
+    samples = np.frombuffer(data, dtype=dt).astype(np.float64)
+    return samples.reshape(-1, n_ch), rate
+
+
 def decode_wav(blob: bytes):
-    """Decode PCM WAV to ``(samples, sample_rate)``: samples is
-    (n_frames, n_channels) float64 in [-1, 1]."""
+    """Decode WAV to ``(samples, sample_rate)``: samples is
+    (n_frames, n_channels) float64 in [-1, 1]. PCM 8/16/24/32-bit via
+    stdlib ``wave``; IEEE-float (format 3) via a manual RIFF walk."""
     import wave
 
-    with wave.open(io.BytesIO(blob)) as wf:
+    try:
+        wf_ctx = wave.open(io.BytesIO(blob))
+    except wave.Error:
+        return _decode_wav_float(blob)
+    with wf_ctx as wf:
         n_ch = wf.getnchannels()
         rate = wf.getframerate()
         sampwidth = wf.getsampwidth()
@@ -577,6 +610,25 @@ def decode_audio(blob: bytes):
     raise NotImplementedError("only PCM WAV decodes without ffmpeg")
 
 
+def _wav_scan_duration_ms(blob: bytes):
+    """Duration from the RIFF fmt/data chunk HEADERS only — no sample
+    decode; works for PCM and IEEE-float alike."""
+    pos = 12
+    rate = block_align = data_size = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"fmt ":
+            _, _, rate = struct.unpack_from("<HHI", blob, pos + 8)
+            (block_align,) = struct.unpack_from("<H", blob, pos + 8 + 12)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if rate and block_align and data_size is not None:
+        return int(data_size * 1000 // (rate * block_align))
+    return None
+
+
 def _jpeg_scan_dims(blob: bytes):
     """(width, height) from the first SOFn marker; header walk only."""
     pos = 2
@@ -629,12 +681,7 @@ def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
             w, h = struct.unpack_from("<ii", blob, 18)
             meta["width"], meta["height"] = int(w), abs(int(h))
         elif fmt == "wav":
-            import wave
-
-            with wave.open(io.BytesIO(blob)) as wf:
-                meta["duration_ms"] = int(
-                    wf.getnframes() * 1000 / wf.getframerate()
-                )
+            meta["duration_ms"] = _wav_scan_duration_ms(blob)
         elif fmt == "jpeg":
             if have_pil():
                 import PIL.Image
@@ -818,3 +865,45 @@ def perceptual_hash(blob: Optional[bytes]) -> Optional[int]:
         if b:
             h |= 1 << i
     return h
+
+
+def encode_wav(samples: np.ndarray, rate: int, float_fmt: bool = False) -> bytes:
+    """Encode (n_frames, n_channels) float64 in [-1, 1] to WAV —
+    16-bit PCM by default, IEEE float32 (format 3) with
+    ``float_fmt=True``. Exists to roundtrip-test the decoder and to
+    re-emit resampled audio."""
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim == 1:
+        samples = samples[:, None]  # mono
+    n_ch = samples.shape[1]
+    if float_fmt:
+        data = samples.astype("<f4").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, n_ch, rate, rate * 4 * n_ch, 4 * n_ch, 32)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    import wave
+
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def resample_linear(samples: np.ndarray, rate: int, target_rate: int) -> np.ndarray:
+    """Linear-interpolation resample of (n_frames, n_channels) to
+    ``target_rate``; identity when the rates match."""
+    if rate == target_rate:
+        return samples
+    n = samples.shape[0]
+    out_n = max(1, int(round(n * target_rate / rate)))
+    src_t = np.arange(n, dtype=np.float64) / rate
+    dst_t = np.arange(out_n, dtype=np.float64) / target_rate
+    return np.stack(
+        [np.interp(dst_t, src_t, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )

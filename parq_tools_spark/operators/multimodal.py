@@ -43,6 +43,7 @@ __all__ = [
     "decode_stub",
     "with_image_phash",
     "image_near_duplicate_pairs",
+    "resample_audio",
 ]
 
 media_metadata_schema = T.StructType(
@@ -455,3 +456,61 @@ def image_near_duplicate_pairs(
         max_hamming=max_hamming,
         n_bands=n_bands,
     )
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resample decodable audio blobs (PCM / IEEE-float WAV) to
+    ``target_rate`` — REAL linear-interpolation resampling re-encoded
+    as 16-bit PCM WAV; non-audio blobs pass through with a NULL blob
+    and ``resampled=false`` so the pipeline can route them.
+
+    Returns (id, blob, sample_rate, n_frames, resampled). Same
+    map-only ``mapInPandas`` shape as :func:`resize_media` — audio
+    bytes never leave the executors, parallelism = partitions (pair
+    with :func:`repartition_by_bytes`).
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("resampled", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parq_tools_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+            resample_linear,
+            sniff_format,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "blob", "sample_rate", "n_frames", "resampled")}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                rows[id_col].append(mid)
+                if sniff_format(blob) == "wav":
+                    samples, rate = decode_wav(bytes(blob))
+                    out = resample_linear(samples, rate, target_rate)
+                    rows["blob"].append(encode_wav(out, target_rate))
+                    rows["sample_rate"].append(target_rate)
+                    rows["n_frames"].append(out.shape[0])
+                    rows["resampled"].append(True)
+                else:
+                    rows["blob"].append(None)
+                    rows["sample_rate"].append(None)
+                    rows["n_frames"].append(None)
+                    rows["resampled"].append(False)
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("Int32")
+            pdf_out["n_frames"] = pdf_out["n_frames"].astype("Int64")
+            yield pdf_out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=out_schema)

@@ -550,3 +550,53 @@ def test_image_near_duplicate_pairs_in_spark(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         image_near_duplicate_pairs(df, max_hamming=8, n_bands=8)
+
+
+# ------------------------------------------------------------ audio
+def test_wav_float32_decode_and_roundtrip():
+    from parq_tools_spark.operators.codecs import decode_wav, encode_wav
+
+    t = np.arange(1000)
+    mono = np.sin(2 * np.pi * 440 * t / 16000)
+    blob = encode_wav(mono, 16000, float_fmt=True)
+    assert sniff_format(blob) == "wav"
+    samples, rate = decode_wav(blob)
+    assert rate == 16000 and samples.shape == (1000, 1)
+    np.testing.assert_allclose(samples[:, 0], mono, atol=1e-7)
+    # header probe handles format-3 files too
+    h = probe_media_header(blob)
+    assert h["modality"] == "audio"
+
+
+def test_resample_linear_preserves_tone():
+    from parq_tools_spark.operators.codecs import resample_linear
+
+    rate, target = 8000, 16000
+    t = np.arange(800) / rate
+    tone = np.sin(2 * np.pi * 200 * t)[:, None]
+    up = resample_linear(tone, rate, target)
+    assert up.shape == (1600, 1)
+    tt = np.arange(1600) / target
+    # np.interp holds the edge value beyond the last source sample, so
+    # exclude the extrapolated tail from the tolerance check
+    np.testing.assert_allclose(
+        up[:-2, 0], np.sin(2 * np.pi * 200 * tt[:-2]), atol=0.01
+    )
+    assert resample_linear(tone, rate, rate) is tone
+
+
+def test_resample_audio_in_spark(spark):
+    from parq_tools_spark.operators.codecs import decode_wav
+    from parq_tools_spark.operators.multimodal import resample_audio
+
+    wav, _ = _wav_blob(n=800, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "media_id long, blob binary",
+    )
+    rows = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    assert rows[1].resampled and rows[1].sample_rate == 16000
+    assert rows[1].n_frames == 1600
+    samples, rate = decode_wav(bytes(rows[1].blob))
+    assert rate == 16000 and samples.shape == (1600, 1)
+    assert not rows[2].resampled and rows[2].blob is None
