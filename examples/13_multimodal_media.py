@@ -95,3 +95,44 @@ print(sampled)
 assert [v for _, _, v in sampled] == [0, 80, 160, 240]
 spark.stop()
 print("ok")
+
+# ---- restart a session for the round-6 additions below
+spark = get_spark("example_13b")
+
+# ---- image near-duplicate detection: perceptual hash + banded Hamming
+from parq_tools_spark.operators.multimodal import image_near_duplicate_pairs
+
+base = rng.randint(0, 256, (48, 48, 3), dtype=np.uint8)
+base[8:40, 8:40] = (200, 40, 40)  # structure, not pure noise
+noisy = np.clip(base.astype(np.int16) + rng.randint(-6, 7, base.shape), 0, 255).astype(np.uint8)
+unrelated = rng.randint(0, 256, (48, 48, 3), dtype=np.uint8)
+unrelated[:24] = (10, 220, 10)
+
+images = spark.createDataFrame(
+    [
+        (100, bytearray(encode_png(base))),
+        (101, bytearray(encode_jpeg(base, quality=85))),   # recompressed copy
+        (102, bytearray(encode_png(noisy))),               # noised copy
+        (103, bytearray(encode_png(unrelated))),
+        (104, bytearray(b"opaque")),
+    ],
+    "media_id long, blob binary",
+)
+pairs = image_near_duplicate_pairs(images, max_hamming=6)
+got = sorted((r.id1, r.id2, r.hamming) for r in pairs.collect())
+print("== image near-duplicates (pHash, banded Hamming) ==")
+print(got)
+assert {(a, b) for a, b, _ in got} == {(100, 101), (100, 102), (101, 102)}
+
+# ---- real audio resampling (8 kHz tone -> 16 kHz)
+from parq_tools_spark.operators.codecs import decode_wav
+from parq_tools_spark.operators.multimodal import resample_audio
+
+audio = spark.createDataFrame([(5, rows[5][1])], "media_id long, blob binary")
+res = resample_audio(audio, 16000).collect()[0]
+samples, rate = decode_wav(bytes(res.blob))
+print(f"resampled: {rate} Hz, {samples.shape[0]} frames")
+assert rate == 16000 and samples.shape[0] == 16000  # 1 s of audio
+
+spark.stop()
+print("round-6 additions ok")
