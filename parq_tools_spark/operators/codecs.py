@@ -706,6 +706,8 @@ def decode_media(blob: bytes) -> Optional[dict]:
     try:
         if fmt == "gif" and not have_pil():
             decoded = decode_gif(blob)
+            if not decoded or decoded[0][1].size == 0:
+                return None
             if len(decoded) > 1:  # animated: the video-like modality
                 total_ms = sum(d for d, _ in decoded)
                 first = decoded[0][1]
@@ -731,6 +733,8 @@ def decode_media(blob: bytes) -> Optional[dict]:
             arr = decode_image(blob)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
+            if arr.size == 0:  # corrupt header claiming 0-dim image
+                return None
             return {
                 "modality": "image",
                 "format": fmt,
@@ -741,6 +745,8 @@ def decode_media(blob: bytes) -> Optional[dict]:
             }
         if fmt == "wav":
             samples, rate = decode_wav(blob)
+            if samples.size == 0 or rate <= 0:
+                return None
             return {
                 "modality": "audio",
                 "format": fmt,
@@ -748,7 +754,12 @@ def decode_media(blob: bytes) -> Optional[dict]:
                 "sample_rate": rate,
                 "duration_ms": int(len(samples) * 1000 / rate),
             }
-    except (NotImplementedError, ValueError):
+    except Exception:
+        # corrupt/truncated blobs surface as struct/index/zlib errors
+        # from whichever parser got furthest — at corpus scale one bad
+        # blob must degrade (None -> caller's stub), never kill the
+        # executor batch. Unsupported-but-valid formats take the same
+        # path via NotImplementedError.
         return None
     return None
 

@@ -365,8 +365,8 @@ def sample_frames(
                         chosen = frame
                         break
                 return encode_png(chosen)
-            except (ImportError, ValueError):
-                pass
+            except Exception:
+                pass  # corrupt GIF: degrade to the slice stand-in
         # deterministic fake: rotate the blob by idx bytes, take 16
         off = (idx * 16) % max(1, len(blob))
         return (blob[off:] + blob[:off])[:16]
@@ -496,14 +496,19 @@ def resample_audio(
             rows = {k: [] for k in (id_col, "blob", "sample_rate", "n_frames", "resampled")}
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 rows[id_col].append(mid)
+                ok = False
                 if sniff_format(blob) == "wav":
-                    samples, rate = decode_wav(bytes(blob))
-                    out = resample_linear(samples, rate, target_rate)
-                    rows["blob"].append(encode_wav(out, target_rate))
-                    rows["sample_rate"].append(target_rate)
-                    rows["n_frames"].append(out.shape[0])
-                    rows["resampled"].append(True)
-                else:
+                    try:
+                        samples, rate = decode_wav(bytes(blob))
+                        out = resample_linear(samples, rate, target_rate)
+                        rows["blob"].append(encode_wav(out, target_rate))
+                        rows["sample_rate"].append(target_rate)
+                        rows["n_frames"].append(out.shape[0])
+                        rows["resampled"].append(True)
+                        ok = True
+                    except Exception:
+                        ok = False  # corrupt container: route, don't crash
+                if not ok:
                     rows["blob"].append(None)
                     rows["sample_rate"].append(None)
                     rows["n_frames"].append(None)

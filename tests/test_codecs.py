@@ -600,3 +600,77 @@ def test_resample_audio_in_spark(spark):
     samples, rate = decode_wav(bytes(rows[1].blob))
     assert rate == 16000 and samples.shape == (1600, 1)
     assert not rows[2].resampled and rows[2].blob is None
+
+
+# ------------------------------------------------------- robustness
+def test_truncated_and_corrupt_blobs_degrade_not_crash():
+    """At corpus scale a corrupt blob must degrade (None -> stub),
+    never raise out of the decode ladder: every prefix of every valid
+    blob and bit-flipped bodies go through decode_media /
+    probe_media_header / media_features / perceptual_hash."""
+    from parq_tools_spark.operators.codecs import (
+        encode_gif,
+        encode_wav,
+        perceptual_hash,
+    )
+    from parq_tools_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    blobs = [
+        encode_png(img),
+        encode_bmp(img),
+        encode_jpeg(img, quality=85),
+        encode_jpeg(img, quality=85, progressive=True),
+        encode_gif([img[:, :, 0], img[:, :, 1]], delays_ms=[100, 100]),
+        encode_wav(np.sin(np.arange(400) / 10.0), 8000),
+        encode_wav(np.sin(np.arange(400) / 10.0), 8000, float_fmt=True),
+    ]
+    for blob in blobs:
+        assert decode_media(blob) is not None  # sanity: valid decodes
+        for cut in range(0, len(blob), max(1, len(blob) // 23)):
+            trunc = blob[:cut]
+            decode_media(trunc)
+            probe_media_header(trunc)
+            media_features(trunc)
+            perceptual_hash(trunc)
+        # flip bytes mid-body (headers intact enough to enter parsers)
+        for seed in range(3):
+            r = np.random.RandomState(seed)
+            corrupt = bytearray(blob)
+            for pos in r.randint(12, len(blob), size=8):
+                corrupt[pos] ^= 0xFF
+            decode_media(bytes(corrupt))
+            probe_media_header(bytes(corrupt))
+            media_features(bytes(corrupt))
+
+
+def test_corrupt_blobs_in_spark_pipeline(spark):
+    """End-to-end: a frame mixing valid, truncated and opaque blobs
+    must flow through features/resize/resample without task failure."""
+    from parq_tools_spark.operators.codecs import encode_wav
+    from parq_tools_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_features,
+        resample_audio,
+        resize_media,
+        sample_frames,
+    )
+
+    png = encode_png(_img(8, 8, 3))
+    wav = encode_wav(np.sin(np.arange(400) / 7.0), 8000)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(png[: len(png) // 2])),   # truncated PNG
+            (3, bytearray(wav[:30])),                # truncated WAV
+            (4, bytearray(b"\x89PNG\r\n\x1a\nJUNK")),
+        ],
+        "media_id long, blob binary",
+    )
+    assert extract_features(df).count() == 4
+    assert resize_media(df, 4, 4).count() == 4
+    res = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    assert not res[3].resampled  # truncated WAV routed, not crashed
+    probed = attach_media_metadata(df, probe=True, modality="video")
+    assert sample_frames(probed).count() == 4
