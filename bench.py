@@ -106,6 +106,71 @@ def _bench_minhash_index(spark, sf_dir) -> "dict[str, float]":
     return out
 
 
+def _bench_media_decode(spark, sf_dir) -> "dict[str, float]":
+    """Real-decode throughput of the pure-numpy codec tier: fabricate
+    one 64x64 PNG per document row (deterministic from doc_id, done
+    OUTSIDE the timer and persisted), then time (a) feature extraction
+    + (b) perceptual hashing over the blobs. Lands in BENCH_FULL.json
+    as media_feature_extract / media_phash; the production tier (PIL)
+    is strictly faster, so these are honest lower bounds."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .limit(500)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+
+    def fabricate(batches):
+        from parq_tools_spark.operators.codecs import encode_png
+
+        for b in batches:
+            blobs = []
+            for did in b["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+                img[8:40, 8:56] = rng.randint(0, 256, 3, dtype=np.uint8)
+                blobs.append(encode_png(img))
+            yield pd.DataFrame({"media_id": b["doc_id"], "blob": blobs})
+
+    tmp = tempfile.mkdtemp(prefix="media_bench_")
+    out: dict[str, float] = {}
+    try:
+        path = os.path.join(tmp, "media.parquet")
+        docs.mapInPandas(fabricate, schema).write.parquet(path)
+        media = spark.read.parquet(path)
+
+        from parq_tools_spark.operators.multimodal import (
+            extract_features,
+            with_image_phash,
+        )
+
+        t0 = time.perf_counter()
+        extract_features(media).write.format("noop").mode("overwrite").save()
+        out["media_feature_extract"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        with_image_phash(media).select("media_id", "phash").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["media_phash"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from parq_tools_spark import get_spark
@@ -190,18 +255,19 @@ def main() -> None:
     # steady-state incremental-ingest benchmark (not a registry query:
     # it writes/updates an on-disk index, so it's timed as a scenario)
     if not only:
-        try:
-            timings.update(_bench_minhash_index(spark, SF_DIR))
-        except Exception as exc:
-            errors["minhash_index_roundtrip"] = (
-                f"{type(exc).__name__}: {exc}"[:200]
-            )
-            print(
-                f"BENCH-ERROR minhash_index_roundtrip: "
-                f"{errors['minhash_index_roundtrip']}",
-                file=sys.stderr,
-            )
-        _isolate()
+        for scenario, fn in (
+            ("minhash_index_roundtrip", _bench_minhash_index),
+            ("media_decode", _bench_media_decode),
+        ):
+            try:
+                timings.update(fn(spark, SF_DIR))
+            except Exception as exc:
+                errors[scenario] = f"{type(exc).__name__}: {exc}"[:200]
+                print(
+                    f"BENCH-ERROR {scenario}: {errors[scenario]}",
+                    file=sys.stderr,
+                )
+            _isolate()
 
     total = round(sum(timings.get(n, 0.0) for n in HEADLINE_QUERIES), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
