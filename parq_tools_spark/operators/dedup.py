@@ -701,6 +701,8 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .repartition(n_parts, "id")
     )
+    from pyspark.sql import Observation
+
     cached: list = []
     changed = 0
     for _ in range(max_iter):
@@ -709,6 +711,11 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
+        # the convergence metric rides the SAME job that fills the
+        # cache (Observation): a separate filter().limit(1).count()
+        # would short-circuit, leaving the cache partial and forcing
+        # the next iteration to recompute the missing partitions
+        obs = Observation()
         updated = (
             labels.join(neighbor_min, "id", "left")
             .withColumn(
@@ -718,9 +725,16 @@ def connected_components(
                 "id", F.coalesce("new_component", "component").alias("component"),
                 F.col("component").alias("_old"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("_old"), 1)
+                ).alias("changed"),
+            )
         ).cache()
         cached.append(updated)
-        changed = updated.filter(F.col("component") != F.col("_old")).limit(1).count()
+        updated.count()
+        changed = int(obs.get["changed"])
         labels = updated.drop("_old")
         if changed == 0:
             break
