@@ -4,11 +4,14 @@ Decode priority per blob: (1) PIL / ffmpeg when importable (probed
 lazily, absent in this container), (2) the pure-numpy decoders — PNG
 (8-bit, non-interlaced), BMP (24-bit uncompressed), WAV (PCM, via
 stdlib ``wave``), GIF (LZW, incl. animation — the video-like path)
-here, and baseline JPEG in ``operators/jpeg.py`` — which need NO
-third-party codec, so the decode path is real wherever numpy runs,
-(3) none: the caller falls back to its documented deterministic stub
+here, baseline+progressive JPEG in ``operators/jpeg.py``, and the
+AVI (MJPEG / raw DIB) + Y4M video containers in
+``operators/video.py`` — which need NO third-party codec, so the
+decode path is real wherever numpy runs, (3) none: the caller falls
+back to its documented deterministic stub
 (``multimodal.decode_stub``; in practice that now means only esoteric
-image formats and real video containers — ffmpeg genuinely required).
+image formats and inter-frame video codecs (H.264/VP9 in mp4/webm) —
+ffmpeg genuinely required).
 
 Everything here is a plain ``bytes -> numpy`` function: executors call
 it from inside ``mapInPandas`` closures, the driver never sees a blob.
@@ -68,6 +71,10 @@ def sniff_format(blob: Optional[bytes]) -> Optional[str]:
         return "bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
+    if blob[:9] == b"YUV4MPEG2":
+        return "y4m"
     if blob[:2] == b"\xff\xd8":
         return "jpeg"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
@@ -658,12 +665,24 @@ def probe_media_header(blob: Optional[bytes]) -> Optional[dict]:
         return None
     meta = {
         "format": fmt,
-        "modality": "audio" if fmt == "wav" else "image",
+        "modality": "audio"
+        if fmt == "wav"
+        else ("video" if fmt in ("avi", "y4m") else "image"),
         "width": None,
         "height": None,
         "duration_ms": None,
     }
     try:
+        if fmt in ("avi", "y4m"):
+            from parq_tools_spark.operators.video import (
+                avi_scan_meta,
+                y4m_scan_meta,
+            )
+
+            v = avi_scan_meta(blob) if fmt == "avi" else y4m_scan_meta(blob)
+            meta["width"], meta["height"] = v["width"], v["height"]
+            meta["duration_ms"] = v["duration_ms"]
+            return meta
         if fmt == "gif":
             g = _gif_scan_meta(blob)
             meta["width"], meta["height"] = g["width"], g["height"]
@@ -704,6 +723,19 @@ def decode_media(blob: bytes) -> Optional[dict]:
     ``duration_ms`` (audio); None when undecodable here."""
     fmt = sniff_format(blob)
     try:
+        if fmt in ("avi", "y4m"):
+            from parq_tools_spark.operators.video import decode_avi, decode_y4m
+
+            v = decode_avi(blob) if fmt == "avi" else decode_y4m(blob)
+            return {
+                "modality": "video",
+                "format": fmt,
+                "frames": v["frames"],
+                "width": v["width"],
+                "height": v["height"],
+                "n_frames": v["n_frames"],
+                "duration_ms": v["duration_ms"],
+            }
         if fmt == "gif" and not have_pil():
             decoded = decode_gif(blob)
             if not decoded or decoded[0][1].size == 0:

@@ -4,11 +4,12 @@ Media travels as an opaque ``binary`` column plus a typed metadata
 struct — the schema, partition discipline, Arrow batch shapes and UDF
 signatures are real and tested. The decode step resolves per blob at
 runtime (``operators/codecs.py``): PIL/ffmpeg when importable, else
-the pure-numpy PNG/BMP/WAV/GIF/JPEG (baseline AND progressive)
+the pure-numpy PNG/BMP/WAV/GIF/JPEG (baseline AND progressive) and
+video-container (AVI MJPEG/DIB, Y4M — ``operators/video.py``)
 decoders (always available), else the deterministic sha256 stub for
-formats nothing here can decode (real video containers — ffmpeg
-genuinely required). Swap ``decode_fn`` for your own decoder and
-nothing else changes.
+formats nothing here can decode (inter-frame codecs like H.264/VP9 —
+ffmpeg genuinely required). Swap ``decode_fn`` for your own decoder
+and nothing else changes.
 
 Design for 100 TB of media:
 
@@ -323,13 +324,16 @@ def sample_frames(
     """Video -> frame rows (media_id, frame_idx, ts_ms, frame_blob).
 
     With ``frame_decoder=None`` the frame blob resolves per format:
-    animated GIFs (the one video-like container decodable without
-    ffmpeg — pure-Python LZW in ``operators/codecs.py``) yield the
-    REAL frame covering each sample timestamp, re-encoded as PNG;
-    other containers (mp4/webm — genuinely ffmpeg territory) get a
-    deterministic byte-slice stand-in so the explode/partition
-    plumbing still runs. One input row fans out to its frames inside
-    the executor — classic flatMap shape via ``mapInPandas``.
+    every container the codec tier can open WITHOUT ffmpeg — animated
+    GIF, AVI (MJPEG via the repo JPEG codec, incl. DHT-less
+    spec-classic MJPEG, or raw DIB) and Y4M — yields the REAL frame
+    covering each sample timestamp, re-encoded as PNG; containers
+    needing an inter-frame codec (mp4/webm — genuinely ffmpeg
+    territory) get a deterministic byte-slice stand-in so the
+    explode/partition plumbing still runs. Each blob decodes ONCE per
+    row (not once per sampled frame); one input row fans out to its
+    frames inside the executor — classic flatMap shape via
+    ``mapInPandas``.
     """
     out_schema = T.StructType(
         [
@@ -339,39 +343,34 @@ def sample_frames(
             T.StructField("frame_blob", T.BinaryType()),
         ]
     )
-    step_ms = every_ms
 
-    def cut(blob: bytes, idx: int) -> bytes:
-        if frame_decoder is not None:
-            return frame_decoder(blob, idx)
-        if not blob:
-            raise NotImplementedError(
-                "real frame decode requires ffmpeg; provide frame_decoder"
-            )
-        if blob[:6] in (b"GIF87a", b"GIF89a"):
-            try:
-                from parq_tools_spark.operators.codecs import (
-                    decode_gif,
-                    encode_png,
-                )
-
-                frames_ = decode_gif(bytes(blob))
-                ts = idx * step_ms
-                elapsed = 0
-                chosen = frames_[-1][1]
-                for delay, frame in frames_:
-                    elapsed += delay
-                    if ts < elapsed:
-                        chosen = frame
-                        break
-                return encode_png(chosen)
-            except Exception:
-                pass  # corrupt GIF: degrade to the slice stand-in
+    def slice_standin(blob: bytes, idx: int) -> bytes:
         # deterministic fake: rotate the blob by idx bytes, take 16
         off = (idx * 16) % max(1, len(blob))
         return (blob[off:] + blob[:off])[:16]
 
+    def decoded_frames(blob: bytes):
+        """[(delay_ms, array)] for containers decodable here, else
+        None (-> stand-in tier). Corrupt containers also degrade."""
+        from parq_tools_spark.operators.codecs import decode_media, sniff_format
+
+        if sniff_format(blob) not in ("gif", "avi", "y4m"):
+            return None
+        try:
+            m = decode_media(bytes(blob))
+        except Exception:
+            return None
+        if m is None:
+            return None
+        if m["modality"] == "video":
+            return m["frames"]
+        if m["modality"] == "image":  # single-frame GIF
+            return [(every_ms, m["array"])]
+        return None
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from parq_tools_spark.operators.codecs import encode_png
+
         for pdf in batches:
             rows = {k: [] for k in (id_col, "frame_idx", "ts_ms", "frame_blob")}
             for mid, blob, dur in zip(
@@ -380,11 +379,33 @@ def sample_frames(
                 # a null duration arrives as NaN (truthy!), not None
                 dur = 0 if dur is None or pd.isna(dur) else int(dur)
                 n_frames = max(1, dur // every_ms)
+                decoded = None
+                if frame_decoder is None:
+                    if not blob:
+                        raise NotImplementedError(
+                            "real frame decode requires ffmpeg; "
+                            "provide frame_decoder"
+                        )
+                    decoded = decoded_frames(blob)
                 for i in range(n_frames):
+                    ts = i * every_ms
+                    if frame_decoder is not None:
+                        fb = frame_decoder(blob, i)
+                    elif decoded is not None:
+                        elapsed = 0
+                        chosen = decoded[-1][1]
+                        for delay, frame in decoded:
+                            elapsed += delay
+                            if ts < elapsed:
+                                chosen = frame
+                                break
+                        fb = encode_png(chosen)
+                    else:
+                        fb = slice_standin(blob, i)
                     rows[id_col].append(mid)
                     rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(i * every_ms)
-                    rows["frame_blob"].append(cut(blob, i))
+                    rows["ts_ms"].append(ts)
+                    rows["frame_blob"].append(fb)
             yield pd.DataFrame(rows)
 
     src = df.select(

@@ -28,6 +28,19 @@ def get_spark(app_name: str = "parq_tools_spark", **extra_conf) -> SparkSession:
       Pandas UDFs) — vectorized transfer instead of per-row pickling.
     - UTC session timezone so timestamp semantics are deterministic.
     """
+    # mapInPandas closures import this package lazily on the Python
+    # workers; a sys.path tweak in the driver process does NOT reach
+    # them. Exporting the package root on PYTHONPATH before the
+    # context launches does (local mode forks workers from the driver
+    # env). On a real cluster the package is pip-installed / shipped
+    # via --py-files, so the extra entry is inert there.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
