@@ -636,6 +636,70 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_video_pipeline(spark, sf_dir):
+    """REAL video decode path end-to-end, value-oracled: build one
+    mono-Y4M container per document (frames are constant-valued, so
+    every later stage is exactly SQL-recomputable), probe the REAL
+    container header for duration, sample frames at 1s, decode each
+    sampled PNG frame back to its pixel value.
+
+    Per doc: n_frames = doc_id % 6 + 2 at 2 fps (500 ms/frame), frame
+    k's pixels all equal (doc_id*7 + k*13) % 256; the frame covering
+    ts = i*1000 is k = min(2*i, n_frames-1). Every byte travels the
+    real encode -> Y4M -> header probe -> sample -> PNG -> decode
+    pipeline inside executors."""
+    import pandas as pd
+
+    from parq_tools_spark.operators.multimodal import (
+        attach_media_metadata,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from parq_tools_spark.operators.video import encode_y4m
+
+        for pdf in batches:
+            blobs = []
+            for mid in pdf["media_id"]:
+                nf = int(mid) % 6 + 2
+                frames = [
+                    np.full((8, 8), (int(mid) * 7 + k * 13) % 256, dtype=np.uint8)
+                    for k in range(nf)
+                ]
+                blobs.append(encode_y4m(frames, fps=(2, 1), colorspace="mono"))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "blob": blobs})
+
+    media_raw = docs.mapInPandas(build, schema="media_id long, blob binary")
+    media = attach_media_metadata(media_raw, probe=True)
+    frames = sample_frames(media, every_ms=1000)
+
+    def px(batches):
+        from parq_tools_spark.operators.codecs import decode_png
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "px": [
+                        int(decode_png(bytes(b))[0, 0, 0])
+                        for b in pdf["frame_blob"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(
+        px, schema="media_id long, frame_idx int, ts_ms long, px int"
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """Forecast-revenue-change: the classic filter + global sum."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2153,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "video_pipeline": q_video_pipeline,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "deterministic_sample": q_deterministic_sample,
@@ -3398,6 +3463,17 @@ WHERE rnk <= 5
                    CAST(unnest(range(0, greatest(
                        (n_chars % 5000) * 10 // 1000, 1))) * 1000 AS BIGINT) AS ts_ms
             FROM documents
+        """,
+        "video_pipeline": """
+            SELECT d.doc_id AS media_id,
+                   CAST(g.i AS INTEGER) AS frame_idx,
+                   CAST(g.i AS BIGINT) * 1000 AS ts_ms,
+                   CAST((d.doc_id * 7 + LEAST(2 * g.i, d.nf - 1) * 13) % 256
+                        AS INTEGER) AS px
+            FROM (SELECT doc_id, doc_id % 6 + 2 AS nf FROM documents) d
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(GREATEST(1, d.nf // 2))) AS i
+            ) g
         """,
         "minhash_pairs": """
 WITH toks AS (
