@@ -1,0 +1,174 @@
+"""Streaming near-duplicate filtering over the persistent MinHash
+index (beyond-reference; the reference has no streaming surface at
+all — parq_tools covers only static parquet files).
+
+Why ``foreachBatch`` + the on-disk band index instead of
+``applyInPandasWithState``: near-dedup state is the signature set of
+EVERY document ever admitted — at 100 TB of corpus that is hundreds
+of GB of longs, far beyond what a streaming state store should hold,
+and it must outlive any one query anyway (batch jobs dedupe against
+the same corpus). So the stream reuses the exact batch primitives
+(``operators/dedup.py``: ``incremental_dedupe`` /
+``minhash_index_add`` / ``minhash_index_compact``): each micro-batch
+bands its documents, broadcast-joins them against the index's
+precomputed band rows (the corpus side never shuffles, never
+re-shingles), drops near-duplicates of the index or of a lower-id
+in-batch sibling, appends the survivors to both the output and the
+index.
+
+Recovery contract (foreachBatch is at-least-once; each side effect is
+made idempotent separately):
+
+- **output**: survivors land in ``output_path/batch=<id>/`` with
+  overwrite — a replayed batch rewrites the same directory, so the
+  output is exactly-once (readers see ``batch`` as a partition
+  column: free provenance).
+- **index**: replayed appends duplicate band rows; candidates are
+  ``dropDuplicates``-ed before scoring (`dedup.py`
+  minhash_pairs_between), so duplicates cost bytes, never
+  correctness — and compaction folds them away.
+- **survivor set**: recomputation after a partial apply is stable,
+  because the index query suppresses equal-id collisions
+  (``exclude_same_id=True``): a half-indexed batch does not shadow
+  itself on replay.
+- **marker**: ``_stream_last_batch`` in the index dir (written last,
+  atomic rename) short-circuits fully-applied batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+__all__ = ["start_near_dedupe_stream"]
+
+_MARKER = "_stream_last_batch"
+
+
+def _last_applied(index_path: str) -> int:
+    try:
+        with open(os.path.join(index_path, _MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _commit_marker(index_path: str, batch_id: int) -> None:
+    tmp = os.path.join(index_path, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(index_path, _MARKER))
+
+
+def start_near_dedupe_stream(
+    docs: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    hash_family: str = "portable",
+    compact_every: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Start a streaming query admitting only documents that are not
+    near-duplicates of anything previously admitted.
+
+    If ``index_path`` holds an existing MinHash index
+    (:func:`~parq_tools_spark.operators.dedup.minhash_index_write`),
+    its stored parameters govern and the stream dedupes against that
+    corpus from the first batch (``id_col``..``hash_family`` are
+    ignored). Otherwise the first non-empty batch bootstraps a fresh
+    index with the given parameters.
+
+    ``compact_every=N`` runs
+    :func:`~parq_tools_spark.operators.dedup.minhash_index_compact`
+    after every Nth batch — per-band listing-triggered rewrites, no
+    shuffle — so steady-state query cost doesn't creep with file
+    count. ``available_now=True`` drains the backlog and stops (the
+    testing / catch-up trigger); pass ``False`` for continuous.
+
+    Returns the started ``StreamingQuery``; admitted documents are at
+    ``output_path`` (partitioned by ``batch``).
+    """
+    if not docs.isStreaming:
+        raise ValueError(
+            "start_near_dedupe_stream needs a streaming DataFrame; use "
+            "operators.dedup.incremental_dedupe for batch ingests"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from parq_tools_spark.operators.dedup import (
+            incremental_dedupe,
+            minhash_index_compact,
+            minhash_index_write,
+            minhash_lsh_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        if batch_id <= _last_applied(index_path):
+            return  # replay of a fully-applied batch
+        if not batch_df.take(1):
+            _commit_marker(index_path, batch_id)
+            return
+        spark = batch_df.sparkSession
+        params_exist = os.path.exists(
+            os.path.join(index_path, "_minhash_params.json")
+        )
+        if params_exist:
+            survivors = incremental_dedupe(
+                spark,
+                index_path,
+                batch_df,
+                text_col=text_col,
+                threshold=threshold,
+                update_index=True,
+            )
+        else:
+            # bootstrap: first batch dedupes only against itself, its
+            # survivors found the index (overwrite -> replay-safe)
+            in_batch = minhash_lsh_pairs(
+                batch_df,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+                threshold=threshold,
+                hash_family=hash_family,
+            )
+            dup = in_batch.select(F.col("id2").alias(id_col)).distinct()
+            survivors = batch_df.join(dup, on=id_col, how="left_anti")
+            survivors = survivors.localCheckpoint(eager=True)
+            minhash_index_write(
+                survivors,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+                hash_family=hash_family,
+            )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch={batch_id}")
+        )
+        _commit_marker(index_path, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            minhash_index_compact(spark, index_path)
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -454,3 +454,127 @@ def test_streaming_cdc_apply_rejects_batch_input(spark, tmp_path):
     batch = spark.createDataFrame([(1, "U", 1)], "k long, op string, seq long")
     with pytest.raises(ValueError):
         start_cdc_apply(batch, str(tmp_path / "s"), ["k"], str(tmp_path / "c"))
+
+
+# ------------------------------------------------ streaming near-dedup
+def _dedup_docs_batches(spark, src_dir):
+    """Three single-file micro-batches with known duplicate structure:
+    3 near-dups 1, 5 near-dups 4, 6 exactly dups 2, 7 unique."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base_b = "pack my box with five dozen liquor jugs for the long trip " * 4
+    base_c = "sphinx of black quartz judge my vow said the museum curator " * 4
+    batches = [
+        [(1, base_a), (2, base_b)],
+        [(3, base_a + "plus tail"), (4, base_c)],
+        [
+            (5, base_c + "edited end"),
+            (6, base_b),
+            (7, "completely unrelated short text about spark streaming"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src_dir, f"f{i}"))
+    return batches
+
+
+def _run_near_dedupe(spark, src_dir, index_path, out_path, ckpt):
+    from parq_tools_spark.streaming.near_dedup import start_near_dedupe_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = start_near_dedupe_stream(
+        stream,
+        index_path,
+        out_path,
+        ckpt,
+        threshold=0.7,
+        num_hashes=64,
+        bands=16,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_near_dedupe_admits_only_novel_docs(spark, tmp_path):
+    """Cross-batch near-duplicates must be suppressed by the on-disk
+    index; the admitted set matches the sequential batch ingest."""
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_write,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
+
+    got = spark.read.parquet(out_path)
+    assert set(got.columns) == {"doc_id", "text", "batch"}
+    admitted = sorted(r.doc_id for r in got.collect())
+    assert admitted == [1, 2, 4, 7]
+
+    # parity: the same ingest as sequential batch incremental_dedupe
+    batch_index = str(tmp_path / "batch_index")
+    first = spark.createDataFrame(batches[0], "doc_id long, text string")
+    minhash_index_write(first, batch_index, num_hashes=64, bands=16)
+    expected = {1, 2}
+    for rows in batches[1:]:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = incremental_dedupe(
+            spark, batch_index, df, threshold=0.7, update_index=True
+        )
+        expected |= {r.doc_id for r in surv.collect()}
+    assert sorted(expected) == admitted
+
+
+def test_streaming_near_dedupe_replay_is_idempotent(spark, tmp_path):
+    """Replaying every batch against an already-populated index (a
+    lost checkpoint + lost marker, the worst recovery case) must admit
+    the same documents and leave the output without duplicates."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck1"))
+    marker = os.path.join(index_path, "_stream_last_batch")
+    assert open(marker).read() == "2"
+
+    def index_files():
+        return sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(index_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    files_before = index_files()
+
+    # full replay: fresh checkpoint AND no marker -> every batch re-runs
+    os.remove(marker)
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck2"))
+    got = spark.read.parquet(out_path)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2, 4, 7]
+    assert len(index_files()) > len(files_before)  # at-least-once appends...
+
+    # ...which are correctness-neutral: a third corpus pass still
+    # suppresses every distinct-id near-duplicate; the admitted docs
+    # themselves pass as equal-id resubmissions (documented
+    # exclude_same_id semantics in minhash_index_query)
+    from parq_tools_spark.operators.dedup import incremental_dedupe
+
+    all_docs = spark.read.parquet(os.path.join(str(src), "*"))
+    surv = incremental_dedupe(spark, index_path, all_docs, threshold=0.7)
+    assert sorted(r.doc_id for r in surv.collect()) == [1, 2, 4, 7]
+
+    # marker-present rerun: every batch short-circuits, index untouched
+    files_mid = index_files()
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck3"))
+    assert index_files() == files_mid
