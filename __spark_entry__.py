@@ -1431,6 +1431,26 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Corpus mixing: downsample sources to target proportions (one
+    tiny count agg -> map-only hash filter; no data shuffle)."""
+    from parq_tools_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, key="doc_id"
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (split/sequence/explode/
+    slice — all codegen'd, map-only)."""
+    from parq_tools_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -2220,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "chunk_documents": q_chunk_documents,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
         "pii_redact": q_pii_redact,
@@ -3609,6 +3631,41 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                       WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
                       WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
                       ELSE 0 END
+        """,
+        "mixture_sample": """
+            WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),
+                                          ('src2', 0.2)),
+            cnt AS (SELECT source, count(*) AS c FROM documents
+                    GROUP BY source),
+            sc AS (SELECT min(c / wt) AS k FROM cnt JOIN w USING (source)
+                   WHERE wt > 0),
+            fr AS (SELECT source,
+                          floor(least(1.0, wt * k / c) * 1e9) / 1e9 AS f
+                   FROM cnt JOIN w USING (source) CROSS JOIN sc
+                   WHERE wt > 0 AND c > 0)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN fr USING (source)
+            WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
+                  < CAST(floor(f * 4294967296) AS BIGINT)
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                     len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, w, unnest(range(0,
+                  1 + CASE WHEN n <= 32 THEN 0
+                           ELSE CAST(ceil((n - 32) / 24.0) AS INT) END
+              )) AS chunk_idx
+              FROM t
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(len(w[chunk_idx*24+1 : chunk_idx*24+32]) AS INT)
+                       AS n_tokens,
+                   array_to_string(w[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+                       AS chunk_text
+            FROM idx
         """,
         "data_quality_checks": """
             WITH agg AS (

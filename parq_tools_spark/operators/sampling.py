@@ -22,6 +22,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "stratified_sample",
+    "mixture_sample",
     "pack_token_shards",
 ]
 
@@ -211,3 +212,51 @@ def pack_token_shards(
         )
         .drop("__pts_pid", "__pts_offset")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict,
+    key: str,
+) -> DataFrame:
+    """Deterministically downsample each source so the result matches
+    the target mixture proportions — the corpus-mixing pass of a
+    training-data pipeline (e.g. 50% web / 30% books / 20% code).
+
+    No source is upsampled: the binding source (largest observed
+    count relative to its weight... strictly, the one minimizing
+    ``count/weight``) is kept whole and every other source is
+    hash-downsampled to match, so result sizes are
+    ``weight_s * min_t(count_t / weight_t)``. Sources absent from
+    ``weights`` are dropped.
+
+    Cost at 100 TB: one map-side-partial count on a low-cardinality
+    column (tiny collect: one row per source), then the same map-only
+    hash filter as :func:`stratified_sample` — no shuffle of the
+    data itself, reproducible in any engine. Keep-fractions are
+    floored to a 1e-9 grid so the SQL oracle computes bit-identical
+    thresholds.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    ratios = [
+        counts[s] / w for s, w in weights.items() if w > 0 and counts.get(s)
+    ]
+    if not ratios:
+        raise ValueError("no weighted source present in the data")
+    scale = min(ratios)
+    fractions = {}
+    for s, w in weights.items():
+        c = counts.get(s, 0)
+        if c == 0 or w <= 0:
+            continue
+        f = min(1.0, w * scale / c)
+        fractions[s] = math.floor(f * 1e9) / 1e9
+    return stratified_sample(df, source_col, fractions, key)

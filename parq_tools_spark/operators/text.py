@@ -27,6 +27,7 @@ __all__ = [
     "with_clean_text",
     "with_language_id",
     "with_fingerprint",
+    "chunk_documents",
     "PII_PATTERNS",
     "with_pii_redacted",
 ]
@@ -263,3 +264,58 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    r"""Split documents into fixed-size token windows with overlap —
+    the training-data / RAG chunking pass. Returns one row per chunk:
+    ``(id, chunk_idx, n_tokens, chunk_text)``.
+
+    Tokens are whitespace runs; window ``chunk_size`` tokens, stride
+    ``chunk_size - overlap``. A document with <= ``chunk_size`` tokens
+    yields exactly one (possibly short) chunk; otherwise chunks tile
+    the document so every token is covered and consecutive chunks
+    share ``overlap`` tokens (the final chunk may be shorter).
+
+    Entirely built-in expressions — split / sequence / explode /
+    slice / array_join, all codegen'd, zero Python. The explode is the
+    only fan-out and stays inside the stage (no shuffle); at 100 TB
+    this is a map-only pass whose output is ~``1/(1-overlap/size)``x
+    the input tokens. DuckDB oracle: ``string_split_regex`` +
+    1-based inclusive list slicing ``t[a:b]`` mirrors Spark
+    ``slice(arr, a, size)`` exactly.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must be in [0, chunk_size)")
+    stride = chunk_size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_extra_expr = (
+        f"CASE WHEN _n <= {chunk_size} THEN 0 "
+        f"ELSE CAST(ceil((_n - {chunk_size}) / {stride}.0) AS INT) END"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .withColumn("_n", F.size("_w"))
+        .withColumn("chunk_idx", F.explode(F.expr(f"sequence(0, {n_extra_expr})")))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"slice(_w, chunk_idx * {stride} + 1, {chunk_size})").alias(
+                "_c"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_c").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

@@ -185,3 +185,47 @@ def test_pack_token_shards_validate_order_catches_ties(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0}
+
+
+def test_mixture_sample_matches_target_proportions(spark):
+    from parq_tools_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(1000)]
+        + [(1000 + i, "books") for i in range(200)]
+        + [(1200 + i, "code") for i in range(500)]
+        + [(1700 + i, "junk") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(
+        df, "source", {"web": 0.5, "books": 0.3, "code": 0.2}, key="doc_id"
+    )
+    counts = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(__import__("pyspark").sql.functions
+                                        .count("*").alias("cnt")).collect()}
+    # books binds: 200/0.3 -> scale 666.67; targets 333/200/133
+    assert counts["books"] == 200  # binding source kept whole
+    assert abs(counts["web"] - 333) < 40  # hash-sampling tolerance
+    assert abs(counts["code"] - 133) < 30
+    assert "junk" not in counts  # unweighted source dropped
+    # deterministic: identical second run
+    again = mixture_sample(
+        df, "source", {"web": 0.5, "books": 0.3, "code": 0.2}, key="doc_id"
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
+
+
+def test_mixture_sample_validation(spark):
+    import pytest as _pytest
+
+    from parq_tools_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {}, key="doc_id")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": -0.1}, key="doc_id")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"absent": 1.0}, key="doc_id")

@@ -175,3 +175,47 @@ def test_pii_null_text_counts_zero(spark):
     assert rows[1].redacted_text is None
     assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (0, 0, 0)
     assert rows[2].n_email == 1
+
+
+def test_chunk_documents_tiling_and_overlap(spark):
+    from parq_tools_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   "), (4, "exact four token doc")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 over 10 tokens -> starts 0,3,6 -> 3 chunks
+    assert sorted(k for k in out if k[0] == 1) == [(1, i) for i in range(3)]
+    assert out[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert out[(1, 1)].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert out[(1, 2)].chunk_text == "w6 w7 w8 w9"
+    # every token covered
+    covered = []
+    for i in range(3):
+        covered += out[(1, i)].chunk_text.split()
+    assert sorted(set(covered)) == sorted(f"w{i}" for i in range(10))
+    # short doc: one chunk, whole text
+    assert sorted(k for k in out if k[0] == 2) == [(2, 0)]
+    assert out[(2, 0)].chunk_text == "short doc" and out[(2, 0)].n_tokens == 2
+    # whitespace-only doc: one empty-token chunk (both engines agree)
+    assert out[(3, 0)].n_tokens == 1 and out[(3, 0)].chunk_text == ""
+    # exactly chunk_size tokens: one chunk, no spill
+    assert sorted(k for k in out if k[0] == 4) == [(4, 0)]
+    assert out[(4, 0)].n_tokens == 4
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from parq_tools_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
