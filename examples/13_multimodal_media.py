@@ -136,3 +136,40 @@ assert rate == 16000 and samples.shape[0] == 16000  # 1 s of audio
 
 spark.stop()
 print("round-6 additions ok")
+
+# ---- real video containers (late round 6): AVI + Y4M without ffmpeg
+spark = get_spark("example_13c")
+from parq_tools_spark.operators.codecs import decode_png
+from parq_tools_spark.operators.multimodal import sample_frames
+from parq_tools_spark.operators.video import encode_avi, encode_y4m
+
+vid_frames = []
+for i in range(6):
+    yy, xx = np.mgrid[0:24, 0:32]
+    vid_frames.append(
+        np.stack(
+            [(xx * 4 + i * 25) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256],
+            axis=2,
+        ).astype(np.uint8)
+    )
+vids = spark.createDataFrame(
+    [
+        # spec-classic MJPEG: frames omit Huffman tables; the decoder
+        # injects Annex K per the MJPEG convention
+        (300, bytearray(encode_avi(vid_frames, fps=2, codec="mjpeg",
+                                   omit_huffman=True))),
+        (301, bytearray(encode_avi(vid_frames, fps=2, codec="dib"))),
+        (302, bytearray(encode_y4m(vid_frames, fps=(2, 1)))),
+    ],
+    "media_id long, blob binary",
+)
+vmedia = attach_media_metadata(vids, probe=True)
+print("== video containers probed (header-only) ==")
+vmedia.select("media_id", "meta.format", "meta.width", "meta.height",
+              "meta.duration_ms").show()
+vsampled = sample_frames(vmedia, every_ms=1000).collect()
+for r in sorted(vsampled, key=lambda r: (r.media_id, r.frame_idx))[:6]:
+    arr = decode_png(bytes(r.frame_blob))
+    print(f"media {r.media_id} frame {r.frame_idx} @ {r.ts_ms}ms -> "
+          f"REAL {arr.shape[1]}x{arr.shape[0]} frame")
+print("video containers ok")
