@@ -225,3 +225,53 @@ def test_sample_frames_real_avi_and_y4m_frames(spark):
         err = np.abs(arr.astype(int) - frames[2].astype(int)).mean()
         assert err < 3.0
     assert len(bytes(by_key[(3, 0)].frame_blob)) == 16
+
+
+# ------------------------------------------------- property roundtrips
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rand_frames(draw, max_frames=4, max_dim=24):
+    n = draw(st.integers(1, max_frames))
+    h = draw(st.integers(1, max_dim))
+    w = draw(st.integers(1, max_dim))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_avi_dib_roundtrip_property(data):
+    """Any frame stack (odd dims included — row padding) roundtrips
+    EXACTLY through raw-DIB AVI."""
+    frames = _rand_frames(data.draw)
+    d = decode_avi(encode_avi(frames, fps=7, codec="dib"))
+    assert d["n_frames"] == len(frames)
+    for (_, fr), src in zip(d["frames"], frames):
+        np.testing.assert_array_equal(fr, src)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_y4m_mono_roundtrip_property(data):
+    """Grayscale Y4M stores Y raw: exact for any size/count."""
+    frames = [f[:, :, 0] for f in _rand_frames(data.draw)]
+    blob = encode_y4m(frames, fps=(13, 1), colorspace="mono")
+    d = decode_y4m(blob)
+    meta = y4m_scan_meta(blob)
+    assert meta["n_frames"] == d["n_frames"] == len(frames)
+    for (_, fr), src in zip(d["frames"], frames):
+        np.testing.assert_array_equal(fr[:, :, 0], src)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_y4m_444_roundtrip_bounded_error(data):
+    """Full-chroma Y4M roundtrip error is bounded by the YCbCr<->RGB
+    integer rounding (never structural)."""
+    frames = _rand_frames(data.draw, max_frames=2)
+    d = decode_y4m(encode_y4m(frames, fps=(10, 1), colorspace="444"))
+    for (_, fr), src in zip(d["frames"], frames):
+        assert np.abs(fr.astype(int) - src.astype(int)).max() <= 3
