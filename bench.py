@@ -171,6 +171,18 @@ def _bench_media_decode(spark, sf_dir) -> "dict[str, float]":
     return out
 
 
+def _spin_calibration(n: int = 2_000_000) -> float:
+    """Wall ms for a fixed single-core integer loop, best of 3."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(n):
+            x += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from parq_tools_spark import get_spark
@@ -181,6 +193,7 @@ def main() -> None:
     # carries its own credibility signal.
     ncpus = os.cpu_count() or 1
     load_start = os.getloadavg()[0]
+    cpu_ms = _spin_calibration()
     if load_start > 0.5 * ncpus:
         print(
             f"BENCH-WARNING: load {load_start:.1f} on {ncpus} cpus at start "
@@ -296,6 +309,17 @@ def main() -> None:
             "end": round(load_end, 1),
             "ncpus": ncpus,
             "contended": load_start > 0.5 * ncpus,
+            # single-core spin wall-time (ms, best of 3) for a FIXED
+            # work amount: a machine-speed scalar. This VM has shown
+            # ~2x host-level slowdowns that load avg and /proc/stat
+            # steal do NOT surface; comparing cpu_ms across records
+            # separates "engine regressed" from "box got slower".
+            # Reference: ~105 ms on this box when healthy.
+            "cpu_ms": cpu_ms,
+            # min-of-N repeats per query (SPARK_GRAFT_BENCH_N): n>1
+            # removes first-execution JVM-warmup noise, which has
+            # shown 2-3x inflation on early-run queries some days
+            "n_repeats": repeat,
         },
     }
     if errors:
