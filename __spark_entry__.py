@@ -1431,17 +1431,6 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
-def q_contamination_check(spark, sf_dir):
-    """GPT-3-style n-gram contamination scan: even-id docs as the
-    corpus, odd-id docs as the eval benchmark (broadcast side)."""
-    from parq_tools_spark.operators.dedup import contamination_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    bench = docs.filter(F.col("doc_id") % 2 == 1)
-    return contamination_pairs(corpus, bench, n=4)
-
-
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2252,7 +2241,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
-        "contamination_check": q_contamination_check,
         "chunk_documents": q_chunk_documents,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
@@ -3643,25 +3631,6 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                       WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
                       WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
                       ELSE 0 END
-        """,
-        "contamination_check": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
-              FROM documents
-            ), sh AS (
-              SELECT doc_id, unnest(list_distinct(
-                CASE WHEN len(t) >= 4
-                     THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
-                           || t[i+3] FOR i IN range(1, len(t) - 2)]
-                     ELSE [array_to_string(t, ' ')] END)) AS shingle
-              FROM toks
-            )
-            SELECT a.doc_id AS id_corpus, b.doc_id AS id_bench,
-                   count(*) AS n_shared_ngrams
-            FROM sh a JOIN sh b ON a.shingle = b.shingle
-            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-            GROUP BY 1, 2
         """,
         "mixture_sample": """
             WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),

@@ -63,7 +63,6 @@ __all__ = [
     "minhash_index_query",
     "minhash_index_compact",
     "incremental_dedupe",
-    "contamination_pairs",
 ]
 
 
@@ -1278,49 +1277,3 @@ def incremental_dedupe(
         minhash_index_add(survivors, index_path, text_col=text_col)
     return survivors
 
-
-def contamination_pairs(
-    corpus: DataFrame,
-    benchmark: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 13,
-    min_shared: int = 1,
-    broadcast_benchmark: bool = True,
-    hashed: bool = False,
-) -> DataFrame:
-    """Train/eval contamination check: ``(id_corpus, id_bench,
-    n_shared_ngrams)`` for every corpus document sharing >=
-    ``min_shared`` distinct n-grams with a benchmark document — the
-    GPT-3-style 13-gram collision scan that keeps eval sets out of
-    training data.
-
-    N-grams are distinct per document (presence, not multiplicity),
-    lowercased, whitespace-tokenized — the same normalization as the
-    MinHash pipeline, so the whole scan is recomputable in ANSI SQL.
-    Cost shape at 100 TB corpus / small benchmark: explode both sides'
-    n-grams (map-only), broadcast the benchmark side (default; a
-    benchmark is thousands of docs, its n-gram set fits comfortably),
-    one join that never shuffles the corpus, then a partial-agg count
-    per (corpus doc, bench doc). ``hashed=True`` joins on xxhash64 of
-    the n-gram (8-byte keys, Spark-only — drop the oracle) for very
-    long n-gram strings.
-    """
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    a = exploded_shingles(corpus, id_col, text_col, k=n, hashed=hashed).select(
-        F.col(id_col).alias("id_corpus"), "shingle"
-    )
-    b = exploded_shingles(
-        benchmark, id_col, text_col, k=n, hashed=hashed
-    ).select(F.col(id_col).alias("id_bench"), "shingle")
-    if broadcast_benchmark:
-        b = F.broadcast(b)
-    out = (
-        a.join(b, on="shingle")
-        .groupBy("id_corpus", "id_bench")
-        .agg(F.count("*").alias("n_shared_ngrams"))
-    )
-    if min_shared > 1:
-        out = out.filter(F.col("n_shared_ngrams") >= min_shared)
-    return out

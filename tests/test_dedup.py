@@ -505,56 +505,3 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
         for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
     )
     assert after == before
-
-
-def test_contamination_pairs_semantics(spark):
-    from parq_tools_spark.operators.dedup import contamination_pairs
-
-    corpus = spark.createDataFrame(
-        [
-            (1, "alpha beta gamma delta epsilon zeta"),
-            (2, "one two three four five six seven"),
-            (3, "nothing shared with any benchmark at all"),
-        ],
-        "doc_id long, text string",
-    )
-    bench = spark.createDataFrame(
-        [
-            (100, "XX alpha beta gamma delta YY"),  # 2 shared 4-grams
-            (101, "one two three four"),  # short-enough, exact window
-        ],
-        "doc_id long, text string",
-    )
-    rows = {
-        (r.id_corpus, r.id_bench): r.n_shared_ngrams
-        for r in contamination_pairs(corpus, bench, n=4).collect()
-    }
-    # doc1 x bench100: shared distinct 4-grams are
-    # "alpha beta gamma delta" and "beta gamma delta epsilon"? no —
-    # bench has only windows within "xx alpha beta gamma delta yy":
-    # {"xx alpha beta gamma", "alpha beta gamma delta",
-    #  "beta gamma delta yy"} -> exactly 1 shared
-    assert rows == {(1, 100): 1, (2, 101): 1}
-    # min_shared filters
-    assert (
-        contamination_pairs(corpus, bench, n=4, min_shared=2).count() == 0
-    )
-    # hashed path agrees on pair set (values joined on xxhash64)
-    hashed = {
-        (r.id_corpus, r.id_bench): r.n_shared_ngrams
-        for r in contamination_pairs(corpus, bench, n=4, hashed=True).collect()
-    }
-    assert hashed == rows
-
-
-def test_contamination_pairs_broadcasts_benchmark(spark, sf_dir):
-    from parq_tools_spark.operators.dedup import contamination_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = contamination_pairs(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-        n=4,
-    )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
