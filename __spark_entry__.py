@@ -1431,6 +1431,62 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_incremental_revenue(spark, sf_dir):
+    """Incremental rollup maintenance == flat GROUP BY: lineitem
+    arrives in two file batches (even order keys first); each
+    `incremental_aggregate` fold reads ONLY the new files (manifest
+    diff) and merges mergeable partials into the state, which the
+    oracle checks against a one-shot aggregation of the whole table.
+    The result is localCheckpoint'ed so the temp input/state dirs can
+    be deleted before the driver collects."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.incremental_agg import (
+        finalize_aggregate,
+        incremental_aggregate,
+    )
+
+    work = tempfile.mkdtemp(prefix="increv_")
+    inp = os.path.join(work, "in")
+    state = os.path.join(work, "state")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        F.expr("l_extendedprice * (1 - l_discount)").alias("revenue"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = [
+        ("sum", "l_quantity", "decimal(27,2)"),
+        ("count", "l_quantity"),
+        ("sum", "revenue", "decimal(27,6)"),
+    ]
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        os.path.join(inp, "b0")
+    )
+    incremental_aggregate(spark, inp, state, keys, measures)
+    li.filter(F.col("l_orderkey") % 2 == 1).write.parquet(
+        os.path.join(inp, "b1")
+    )
+    st = incremental_aggregate(spark, inp, state, keys, measures)
+    out = (
+        finalize_aggregate(st, averages=["l_quantity"])
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            F.col("l_quantity_sum").cast("double").alias("sum_qty"),
+            F.col("revenue_sum").cast("double").alias("sum_revenue"),
+            F.col("l_quantity_avg").alias("avg_qty"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2241,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "incremental_revenue": q_incremental_revenue,
         "chunk_documents": q_chunk_documents,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
@@ -3631,6 +3688,20 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                       WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
                       WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
                       ELSE 0 END
+        """,
+        "incremental_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                        AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+                       AS sum_revenue,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                        AS VARCHAR) AS DOUBLE) / count(l_quantity)
+                       AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
         """,
         "mixture_sample": """
             WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3),

@@ -1,0 +1,191 @@
+"""Incremental aggregate maintenance — rollup tables over append-only
+parquet (beyond-reference; the reference recomputes everything per
+run, `parq_tools` has no materialization story at all).
+
+At 100 TB an append-mostly fact table cannot re-scan history to
+refresh a summary: the rollup must fold in ONLY the newly-arrived
+files. This module maintains a state directory holding mergeable
+partial aggregates (sum / count / min / max — avg derives from
+sum+count at read time) keyed by the group columns:
+
+- **discovery** is a file listing diffed against a manifest — no data
+  read decides what's new (object-store listing at scale);
+- **fold** reads just the new files, partial-aggregates them
+  (map-side combine; the shuffle carries one row per group per
+  partition), and merges with the state via a second tiny groupBy —
+  state size is O(groups), never O(rows);
+- **commit** swaps the state directory with the CDC-style two-rename
+  (tmp -> current.old -> current; a complete state exists on disk at
+  every instant). The manifest lives INSIDE the state directory, so
+  processed-file bookkeeping and aggregate data commit atomically
+  together — a crash can never double-count or drop a file.
+
+The partial columns are plain sums/counts/mins/maxes, so the final
+state provably equals a flat GROUP BY over all input — which is
+exactly how the `incremental_revenue` registry oracle checks it.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "incremental_aggregate",
+    "read_aggregate",
+    "finalize_aggregate",
+]
+
+_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL_FN = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_DATA = "data"
+_MANIFEST = "_manifest.json"
+
+
+def _normalize_measures(measures: Sequence) -> list:
+    out = []
+    for m in measures:
+        fn, col, cast = (m if len(m) == 3 else (*m, None))
+        if fn not in _PARTIAL_FN:
+            raise ValueError(
+                f"measure fn {fn!r} not mergeable (use "
+                f"{sorted(_PARTIAL_FN)}; avg derives from sum+count)"
+            )
+        out.append((fn, col, cast))
+    return out
+
+
+def _measure_alias(fn: str, col: str) -> str:
+    return f"{col}_{fn}"
+
+
+def _list_input_files(input_path: str) -> list:
+    files = _glob.glob(
+        os.path.join(input_path, "**", "*.parquet"), recursive=True
+    )
+    return sorted(os.path.relpath(f, input_path) for f in files)
+
+
+def _recover_swap(state_path: str) -> None:
+    """Finish an interrupted two-rename swap: if the primary is
+    missing, promote `.old` (the previous complete state)."""
+    old = state_path + ".old"
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.replace(old, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(state_path + ".tmp", ignore_errors=True)
+
+
+def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
+    """The current rollup state (partial-aggregate columns), or None
+    before the first fold."""
+    _recover_swap(state_path)
+    data = os.path.join(state_path, _DATA)
+    if not os.path.exists(data):
+        return None
+    return spark.read.parquet(data)
+
+
+def _read_manifest(state_path: str) -> list:
+    try:
+        with open(os.path.join(state_path, _MANIFEST)) as f:
+            return json.load(f)["files"]
+    except (FileNotFoundError, KeyError, ValueError):
+        return []
+
+
+def incremental_aggregate(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    keys: Sequence[str],
+    measures: Sequence,
+) -> DataFrame:
+    """Fold newly-arrived parquet files under ``input_path`` into the
+    rollup state at ``state_path`` and return the updated state.
+
+    ``measures``: ``(fn, col)`` or ``(fn, col, cast)`` tuples with
+    ``fn`` in sum/count/min/max; ``cast`` (e.g. ``"decimal(27,2)"``)
+    applies before aggregation — the way to keep money sums exact and
+    partition-order independent. Output columns: the keys, ``n_rows``
+    (group row count) and one ``<col>_<fn>`` per measure.
+
+    Files already named in the manifest are skipped; files must be
+    immutable once written (the append-only contract — rewrites are
+    invisible to the diff). A run with no new files returns the state
+    unchanged without reading any data.
+    """
+    keys = list(keys)
+    measures = _normalize_measures(measures)
+    _recover_swap(state_path)
+    os.makedirs(state_path, exist_ok=True)
+
+    done = set(_read_manifest(state_path))
+    all_files = _list_input_files(input_path)
+    new = [f for f in all_files if f not in done]
+    state = read_aggregate(spark, state_path)
+    if not new:
+        if state is None:
+            raise ValueError(
+                f"no parquet files under {input_path} and no existing state"
+            )
+        return state
+
+    batch = spark.read.parquet(
+        *[os.path.join(input_path, f) for f in new]
+    )
+    partial_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for fn, col, cast in measures:
+        c = F.col(col).cast(cast) if cast else F.col(col)
+        partial_aggs.append(_PARTIAL_FN[fn](c).alias(_measure_alias(fn, col)))
+    partial = batch.groupBy(*keys).agg(*partial_aggs)
+
+    if state is not None:
+        merge_aggs = [F.sum("n_rows").alias("n_rows")]
+        for fn, col, cast in measures:
+            a = _measure_alias(fn, col)
+            merge_aggs.append(_MERGE_FN[fn](F.col(a)).alias(a))
+        merged = (
+            state.unionByName(partial).groupBy(*keys).agg(*merge_aggs)
+        )
+    else:
+        merged = partial
+
+    tmp = state_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, _DATA))
+    with open(os.path.join(tmp, _MANIFEST), "w") as f:
+        json.dump({"files": sorted(done | set(new))}, f)
+    old = state_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(state_path, old)
+    os.replace(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return read_aggregate(spark, state_path)
+
+
+def finalize_aggregate(
+    state: DataFrame, averages: Sequence[str] = ()
+) -> DataFrame:
+    """Derive presentation columns from the mergeable state:
+    ``<col>_avg = <col>_sum / <col>_count`` (double) for each name in
+    ``averages`` — both partials must be among the measures."""
+    out = state
+    for col in averages:
+        s, c = f"{col}_sum", f"{col}_count"
+        if s not in state.columns or c not in state.columns:
+            raise ValueError(
+                f"avg({col}) needs both ('sum', {col!r}) and "
+                f"('count', {col!r}) measures in the state"
+            )
+        out = out.withColumn(
+            f"{col}_avg", F.col(s).cast("double") / F.col(c)
+        )
+    return out

@@ -1,0 +1,102 @@
+"""Incremental aggregate maintenance (operators/incremental_agg.py):
+fold-equals-full-recompute, manifest skipping, and crash recovery."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.incremental_agg import (
+    finalize_aggregate,
+    incremental_aggregate,
+    read_aggregate,
+)
+
+KEYS = ["l_returnflag", "l_linestatus"]
+MEASURES = [
+    ("sum", "l_quantity", "decimal(27,2)"),
+    ("count", "l_quantity"),
+    ("min", "l_shipdate"),
+    ("max", "l_shipdate"),
+]
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_incremental_folds_equal_full_recompute(spark, sf_dir, tmp_path):
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    for i, pred in enumerate(
+        (F.col("l_orderkey") % 3 == r for r in range(3))
+    ):
+        li.filter(pred).write.parquet(os.path.join(inp, f"b{i}"))
+        st = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    got = sorted(
+        tuple(r)
+        for r in finalize_aggregate(st, averages=["l_quantity"]).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in li.groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias(
+                "l_quantity_sum"
+            ),
+            F.count("l_quantity").alias("l_quantity_count"),
+            F.min("l_shipdate").alias("l_shipdate_min"),
+            F.max("l_shipdate").alias("l_shipdate_max"),
+        )
+        .withColumn(
+            "l_quantity_avg",
+            F.col("l_quantity_sum").cast("double") / F.col("l_quantity_count"),
+        )
+        .collect()
+    )
+    assert got == exp
+
+
+def test_no_new_files_skips_and_empty_input_errors(spark, sf_dir, tmp_path):
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    with pytest.raises(ValueError, match="no parquet files"):
+        incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    li.limit(100).write.parquet(os.path.join(inp, "b0"))
+    s1 = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    n1 = s1.agg(F.sum("n_rows")).collect()[0][0]
+    # same listing -> nothing re-read, state unchanged (no double count)
+    s2 = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    assert s2.agg(F.sum("n_rows")).collect()[0][0] == n1 == 100
+
+
+def test_swap_crash_recovery(spark, sf_dir, tmp_path):
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    li.limit(500).write.parquet(os.path.join(inp, "b0"))
+    st = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    total = st.agg(F.sum("n_rows")).collect()[0][0]
+    # interrupted swap: primary gone, .old holds the complete state
+    os.replace(state, state + ".old")
+    rec = read_aggregate(spark, state)
+    assert rec.agg(F.sum("n_rows")).collect()[0][0] == total
+    # and the next fold proceeds from the recovered state
+    li.limit(600).write.parquet(os.path.join(inp, "b1"))  # 600 new rows
+    st2 = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    assert st2.agg(F.sum("n_rows")).collect()[0][0] == total + 600
+
+
+def test_measure_validation(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError, match="not mergeable"):
+        incremental_aggregate(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "state"),
+            KEYS,
+            [("avg", "l_quantity")],
+        )
+    df = _lineitem(spark, sf_dir).limit(1).groupBy(*KEYS).count()
+    with pytest.raises(ValueError, match="needs both"):
+        finalize_aggregate(df, averages=["l_quantity"])
