@@ -42,8 +42,24 @@ __all__ = [
     "finalize_aggregate",
 ]
 
-_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-_PARTIAL_FN = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_MERGE_FN = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # HLL sketches are the mergeable form of COUNT DISTINCT — union of
+    # per-batch sketches estimates EXACTLY what a one-shot sketch over
+    # all rows would (union is commutative/associative), which is what
+    # makes approximate distinct counts incrementally maintainable
+    "approx_distinct": F.hll_union_agg,
+}
+_PARTIAL_FN = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "approx_distinct": F.hll_sketch_agg,
+}
 _DATA = "data"
 _MANIFEST = "_manifest.json"
 
@@ -172,12 +188,28 @@ def incremental_aggregate(
 
 
 def finalize_aggregate(
-    state: DataFrame, averages: Sequence[str] = ()
+    state: DataFrame,
+    averages: Sequence[str] = (),
+    distinct_counts: Sequence[str] = (),
 ) -> DataFrame:
     """Derive presentation columns from the mergeable state:
     ``<col>_avg = <col>_sum / <col>_count`` (double) for each name in
-    ``averages`` — both partials must be among the measures."""
+    ``averages`` — both partials must be among the measures — and
+    ``<col>_distinct_est`` (long) from the HLL sketch for each name in
+    ``distinct_counts`` (needs an ``('approx_distinct', col)``
+    measure; the raw sketch column stays in the state for future
+    merges, only the estimate is derived here)."""
     out = state
+    for col in distinct_counts:
+        sk = _measure_alias("approx_distinct", col)
+        if sk not in state.columns:
+            raise ValueError(
+                f"distinct_est({col}) needs an ('approx_distinct', "
+                f"{col!r}) measure in the state"
+            )
+        out = out.withColumn(
+            f"{col}_distinct_est", F.hll_sketch_estimate(F.col(sk))
+        )
     for col in averages:
         s, c = f"{col}_sum", f"{col}_count"
         if s not in state.columns or c not in state.columns:

@@ -100,3 +100,41 @@ def test_measure_validation(spark, sf_dir, tmp_path):
     df = _lineitem(spark, sf_dir).limit(1).groupBy(*KEYS).count()
     with pytest.raises(ValueError, match="needs both"):
         finalize_aggregate(df, averages=["l_quantity"])
+
+
+def test_approx_distinct_measure_fold_equals_oneshot(spark, sf_dir, tmp_path):
+    """HLL sketches folded over batches must estimate EXACTLY what a
+    one-shot sketch over all rows does (union is order-free), and the
+    sketch survives the parquet state roundtrip."""
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    measures = [("approx_distinct", "l_partkey"), ("count", "l_partkey")]
+    for i in range(3):
+        li.filter(F.col("l_orderkey") % 3 == i).write.parquet(
+            os.path.join(inp, f"b{i}")
+        )
+        st = incremental_aggregate(spark, inp, state, KEYS, measures)
+    got = {
+        (r.l_returnflag, r.l_linestatus): r.l_partkey_distinct_est
+        for r in finalize_aggregate(
+            st, distinct_counts=["l_partkey"]
+        ).collect()
+    }
+    exp = {
+        (r.l_returnflag, r.l_linestatus): r.e
+        for r in li.groupBy(*KEYS)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e"))
+        .collect()
+    }
+    assert got == exp
+    # sanity: estimates are near the exact distinct counts
+    exact = {
+        (r.l_returnflag, r.l_linestatus): r.d
+        for r in li.groupBy(*KEYS)
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05
+    with pytest.raises(ValueError, match="distinct_est"):
+        finalize_aggregate(st, distinct_counts=["l_orderkey"])
