@@ -160,4 +160,38 @@ print(
     spark.read.parquet(snap2).count(),
     "docs after folding the change stream",
 )
+
+# --- incremental rollup: a revenue summary that folds ONLY new files
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.incremental_agg import (
+    finalize_aggregate,
+    incremental_aggregate,
+)
+
+li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+    "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+    F.expr("l_extendedprice * (1 - l_discount)").alias("revenue"),
+)
+inp, state = f"{out}/facts", f"{out}/rollup_state"
+measures = [
+    ("sum", "revenue", "decimal(27,6)"),
+    ("count", "revenue"),
+    ("approx_distinct", "l_orderkey"),
+]
+for day, pred in enumerate((F.col("l_orderkey") % 2 == r for r in range(2))):
+    li.filter(pred).write.parquet(f"{inp}/day{day}")
+    st = incremental_aggregate(
+        spark, inp, state, ["l_returnflag", "l_linestatus"], measures
+    )
+    print(f"rollup after day {day}: {st.count()} groups "
+          f"(only day {day}'s files were read)")
+print("== final rollup (sketch-backed distinct order count) ==")
+finalize_aggregate(
+    st, averages=["revenue"], distinct_counts=["l_orderkey"]
+).select(
+    "l_returnflag", "l_linestatus", "n_rows",
+    F.round(F.col("revenue_sum").cast("double"), 2).alias("revenue"),
+    "l_orderkey_distinct_est",
+).orderBy("l_returnflag", "l_linestatus").show()
 spark.stop()
