@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "incremental_aggregate",
     "read_aggregate",
+    "read_aggregate_with_tail",
     "finalize_aggregate",
 ]
 
@@ -96,6 +97,22 @@ def _recover_swap(state_path: str) -> None:
         os.replace(old, state_path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(state_path + ".tmp", ignore_errors=True)
+
+
+def _partial_aggs(measures: Sequence) -> list:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for fn, col, cast in measures:
+        c = F.col(col).cast(cast) if cast else F.col(col)
+        aggs.append(_PARTIAL_FN[fn](c).alias(_measure_alias(fn, col)))
+    return aggs
+
+
+def _merge_aggs(measures: Sequence) -> list:
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for fn, col, _ in measures:
+        a = _measure_alias(fn, col)
+        aggs.append(_MERGE_FN[fn](F.col(a)).alias(a))
+    return aggs
 
 
 def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
@@ -156,19 +173,12 @@ def incremental_aggregate(
     batch = spark.read.parquet(
         *[os.path.join(input_path, f) for f in new]
     )
-    partial_aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for fn, col, cast in measures:
-        c = F.col(col).cast(cast) if cast else F.col(col)
-        partial_aggs.append(_PARTIAL_FN[fn](c).alias(_measure_alias(fn, col)))
-    partial = batch.groupBy(*keys).agg(*partial_aggs)
-
+    partial = batch.groupBy(*keys).agg(*_partial_aggs(measures))
     if state is not None:
-        merge_aggs = [F.sum("n_rows").alias("n_rows")]
-        for fn, col, cast in measures:
-            a = _measure_alias(fn, col)
-            merge_aggs.append(_MERGE_FN[fn](F.col(a)).alias(a))
         merged = (
-            state.unionByName(partial).groupBy(*keys).agg(*merge_aggs)
+            state.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_merge_aggs(measures))
         )
     else:
         merged = partial
@@ -185,6 +195,42 @@ def incremental_aggregate(
     os.replace(tmp, state_path)
     shutil.rmtree(old, ignore_errors=True)
     return read_aggregate(spark, state_path)
+
+
+def read_aggregate_with_tail(
+    spark: SparkSession,
+    input_path: str,
+    state_path: str,
+    keys: Sequence[str],
+    measures: Sequence,
+) -> DataFrame:
+    """Exact up-to-now rollup WITHOUT committing state: the persisted
+    state merged with a live partial over files the manifest hasn't
+    folded yet (the lambda-architecture read). Costs a listing diff +
+    a scan of just the unfolded tail — the folded history is one
+    O(groups) state read. Use this for freshness between scheduled
+    :func:`incremental_aggregate` folds; the state on disk is
+    untouched."""
+    keys = list(keys)
+    measures = _normalize_measures(measures)
+    _recover_swap(state_path)
+    done = set(_read_manifest(state_path))
+    new = [f for f in _list_input_files(input_path) if f not in done]
+    state = read_aggregate(spark, state_path)
+    if not new:
+        if state is None:
+            raise ValueError(
+                f"no parquet files under {input_path} and no existing state"
+            )
+        return state
+    tail = (
+        spark.read.parquet(*[os.path.join(input_path, f) for f in new])
+        .groupBy(*keys)
+        .agg(*_partial_aggs(measures))
+    )
+    if state is None:
+        return tail
+    return state.unionByName(tail).groupBy(*keys).agg(*_merge_aggs(measures))
 
 
 def finalize_aggregate(

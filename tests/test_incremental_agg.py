@@ -138,3 +138,34 @@ def test_approx_distinct_measure_fold_equals_oneshot(spark, sf_dir, tmp_path):
         assert abs(est - exact[k]) / exact[k] < 0.05
     with pytest.raises(ValueError, match="distinct_est"):
         finalize_aggregate(st, distinct_counts=["l_orderkey"])
+
+
+def test_read_with_tail_is_exact_and_uncommitted(spark, sf_dir, tmp_path):
+    from parq_tools_spark.operators.incremental_agg import (
+        read_aggregate_with_tail,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        os.path.join(inp, "b0")
+    )
+    incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    # new files arrive but are NOT folded
+    li.filter(F.col("l_orderkey") % 2 == 1).write.parquet(
+        os.path.join(inp, "b1")
+    )
+    live = read_aggregate_with_tail(spark, inp, state, KEYS, MEASURES)
+    assert live.agg(F.sum("n_rows")).collect()[0][0] == li.count()
+    # state untouched: committed rollup still covers only batch 0
+    committed = read_aggregate(spark, state)
+    assert (
+        committed.agg(F.sum("n_rows")).collect()[0][0]
+        == li.filter(F.col("l_orderkey") % 2 == 0).count()
+    )
+    # with everything folded, the tail read IS the state read
+    st = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    again = read_aggregate_with_tail(spark, inp, state, KEYS, MEASURES)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, st.collect())
+    )
