@@ -1208,7 +1208,29 @@ def minhash_index_query(
     collisions mean "this exact row is already indexed" and are
     suppressed by default; pass ``exclude_same_id=False`` to surface
     them (e.g. to detect re-submissions)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
     p = _minhash_index_params(path)
+    if not _glob.glob(
+        _os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
+        # freshly-bootstrapped index (params sidecar, zero band rows):
+        # nothing can match — a typed empty relation keeps callers
+        # (incremental_dedupe, the streaming admitter) branch-free
+        id_type = new_docs.schema[p["id_col"]].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_indexed", id_type),
+                    T.StructField("id_new", id_type),
+                    T.StructField("est_jaccard", T.DoubleType()),
+                ]
+            ),
+        )
     indexed_banded = spark.read.parquet(path)
     return minhash_pairs_between(
         None,

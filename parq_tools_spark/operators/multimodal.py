@@ -351,12 +351,24 @@ def sample_frames(
 
     def decoded_frames(blob: bytes):
         """[(delay_ms, array)] for containers decodable here, else
-        None (-> stand-in tier). Corrupt containers also degrade."""
-        from parq_tools_spark.operators.codecs import decode_media, sniff_format
+        None (-> stand-in tier). Corrupt containers also degrade.
 
-        if sniff_format(blob) not in ("gif", "avi", "y4m"):
+        GIF goes through decode_gif DIRECTLY, not decode_media: with
+        PIL installed decode_media prefers PIL's decode_image, which
+        returns only the FIRST frame of an animation — every sampled
+        timestamp would silently get frame 0."""
+        from parq_tools_spark.operators.codecs import (
+            decode_gif,
+            decode_media,
+            sniff_format,
+        )
+
+        fmt = sniff_format(blob)
+        if fmt not in ("gif", "avi", "y4m"):
             return None
         try:
+            if fmt == "gif":
+                return decode_gif(bytes(blob)) or None
             m = decode_media(bytes(blob))
         except Exception:
             return None
@@ -364,8 +376,6 @@ def sample_frames(
             return None
         if m["modality"] == "video":
             return m["frames"]
-        if m["modality"] == "image":  # single-frame GIF
-            return [(every_ms, m["array"])]
         return None
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -380,6 +390,7 @@ def sample_frames(
                 dur = 0 if dur is None or pd.isna(dur) else int(dur)
                 n_frames = max(1, dur // every_ms)
                 decoded = None
+                png_cache: dict = {}  # frame index -> encoded bytes
                 if frame_decoder is None:
                     if not blob:
                         raise NotImplementedError(
@@ -393,13 +404,17 @@ def sample_frames(
                         fb = frame_decoder(blob, i)
                     elif decoded is not None:
                         elapsed = 0
-                        chosen = decoded[-1][1]
-                        for delay, frame in decoded:
+                        chosen = len(decoded) - 1
+                        for fi, (delay, _) in enumerate(decoded):
                             elapsed += delay
                             if ts < elapsed:
-                                chosen = frame
+                                chosen = fi
                                 break
-                        fb = encode_png(chosen)
+                        # one encode per DISTINCT frame, however many
+                        # sample timestamps resolve to it
+                        if chosen not in png_cache:
+                            png_cache[chosen] = encode_png(decoded[chosen][1])
+                        fb = png_cache[chosen]
                     else:
                         fb = slice_standin(blob, i)
                     rows[id_col].append(mid)

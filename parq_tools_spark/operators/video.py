@@ -83,6 +83,7 @@ def _parse_avi_headers(blob: bytes) -> dict:
         "stream_no": None,
         "compression": None,
         "bit_count": None,
+        "top_down": False,
         "top_end": top_end,
     }
     stream_idx = 0
@@ -104,13 +105,14 @@ def _parse_avi_headers(blob: bytes) -> dict:
                         if rate and meta["us_per_frame"] is None:
                             meta["us_per_frame"] = int(1_000_000 * scale / rate)
                 elif f2 == b"strf" and is_video and s2 >= 40:
-                    # BITMAPINFOHEADER
+                    # BITMAPINFOHEADER; biHeight < 0 = top-down rows
                     (_, w, h, _, bc, comp) = struct.unpack_from(
                         "<IiiHHI", blob, b2
                     )
                     meta["stream_no"] = stream_idx
                     meta["compression"] = struct.pack("<I", comp)
                     meta["bit_count"] = bc
+                    meta["top_down"] = h < 0
                     if meta["width"] is None:
                         meta["width"], meta["height"] = w, abs(h)
             stream_idx += 1
@@ -131,7 +133,8 @@ def avi_scan_meta(blob: bytes) -> dict:
         "width": m["width"],
         "height": m["height"],
         "n_frames": n,
-        "duration_ms": int(n * uspf / 1000) if uspf else None,
+        # cumulative rounding matches decode_avi's summed delays
+        "duration_ms": round(n * uspf / 1000) if uspf else None,
     }
 
 
@@ -212,15 +215,20 @@ def _strip_jpeg_huffman(frame: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_dib_frame(data: bytes, width: int, height: int) -> np.ndarray:
-    """24-bit bottom-up BGR rows padded to 4 bytes -> (H, W, 3) RGB."""
+def _decode_dib_frame(
+    data: bytes, width: int, height: int, top_down: bool = False
+) -> np.ndarray:
+    """24-bit BGR rows padded to 4 bytes -> (H, W, 3) RGB. Rows are
+    bottom-up unless the header's biHeight was negative."""
     stride = (width * 3 + 3) & ~3
     need = stride * height
     if len(data) < need:
         raise ValueError(f"DIB frame short: {len(data)} < {need}")
     rows = np.frombuffer(data[:need], dtype=np.uint8).reshape(height, stride)
     bgr = rows[:, : width * 3].reshape(height, width, 3)
-    return bgr[::-1, :, ::-1].copy()  # flip vertical, BGR -> RGB
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def _encode_dib_frame(arr: np.ndarray) -> bytes:
@@ -229,6 +237,21 @@ def _encode_dib_frame(arr: np.ndarray) -> bytes:
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
     return rows.tobytes()
+
+
+def _with_uniform_delays(
+    arrs: List[np.ndarray], us_per_frame: float
+) -> List[Tuple[int, np.ndarray]]:
+    """(delay_ms, frame) with delays from CUMULATIVE rounding —
+    delay_i = round((i+1)*T) - round(i*T) — so the summed timeline
+    never drifts more than 1 ms from i * T, however long the stream
+    (naive per-frame int(T) truncation loses ~0.37 ms/frame at NTSC
+    rates: 11 frames of drift over 1000)."""
+    ms = us_per_frame / 1000.0
+    return [
+        (max(1, round((i + 1) * ms) - round(i * ms)), a)
+        for i, a in enumerate(arrs)
+    ]
 
 
 def _as_rgb(frame: np.ndarray) -> np.ndarray:
@@ -271,33 +294,44 @@ def decode_avi(blob: bytes) -> dict:
 
     from parq_tools_spark.operators.jpeg import decode_jpeg
 
-    frames: List[Tuple[int, np.ndarray]] = []
-    delay_ms = max(1, (m["us_per_frame"] or 33_333) // 1000)
+    arrs: List[np.ndarray] = []
+    pending_drops = 0  # zero-size chunks seen before any decoded frame
 
     def walk(pos: int, end: int):
+        nonlocal pending_drops
         for fourcc, body, size in _riff_chunks(blob, pos, end):
             if fourcc == b"LIST" and blob[body : body + 4] == b"rec ":
                 walk(body + 4, body + size)
             elif fourcc in want:
                 data = blob[body : body + size]
                 if size == 0:  # dropped frame: repeat previous
-                    if frames:
-                        frames.append((delay_ms, frames[-1][1]))
+                    if arrs:
+                        arrs.append(arrs[-1])
+                    else:
+                        # a leading drop still occupies a frame slot;
+                        # fill with the first real frame once it lands
+                        pending_drops += 1
                     continue
                 if is_mjpeg:
                     arr = _as_rgb(decode_jpeg(ensure_mjpeg_huffman(data)))
                 else:
-                    arr = _decode_dib_frame(data, m["width"], m["height"])
-                frames.append((delay_ms, arr))
+                    arr = _decode_dib_frame(
+                        data, m["width"], m["height"], m["top_down"]
+                    )
+                if pending_drops:
+                    arrs.extend([arr] * pending_drops)
+                    pending_drops = 0
+                arrs.append(arr)
 
     walk(movi[0], movi[1])
-    if not frames:
+    if not arrs:
         raise ValueError("AVI: video stream has no frames")
+    frames = _with_uniform_delays(arrs, m["us_per_frame"] or 33_333)
     return {
-        "width": frames[0][1].shape[1],
-        "height": frames[0][1].shape[0],
-        "n_frames": len(frames),
-        "duration_ms": delay_ms * len(frames),
+        "width": arrs[0].shape[1],
+        "height": arrs[0].shape[0],
+        "n_frames": len(arrs),
+        "duration_ms": sum(d for d, _ in frames),
         "frames": frames,
     }
 
@@ -420,16 +454,23 @@ def _parse_y4m_header(blob: bytes) -> dict:
 
 def y4m_scan_meta(blob: bytes) -> dict:
     """Header-only probe: frame size is fixed per stream, so the frame
-    COUNT is byte arithmetic — O(1) however long the stream."""
+    COUNT is byte arithmetic — O(1) however long the stream. The
+    per-frame header length is measured from the FIRST frame (frame
+    headers may carry parameters, e.g. 'FRAME Ixyz\\n'); streams whose
+    frame headers vary in length need the full decode for an exact
+    count."""
     m = _parse_y4m_header(blob)
-    per = m["frame_bytes"] + 6  # 'FRAME\n'
-    n = max(0, (len(blob) - m["data_start"])) // per
+    ds = m["data_start"]
+    nl = blob.find(b"\n", ds, ds + 256)
+    header_len = (nl - ds + 1) if nl > 0 and blob[ds : ds + 5] == b"FRAME" else 6
+    per = m["frame_bytes"] + header_len
+    n = max(0, (len(blob) - ds)) // per
     num, den = m["fps"]
     return {
         "width": m["width"],
         "height": m["height"],
         "n_frames": int(n),
-        "duration_ms": int(n * 1000 * den / num) if num else None,
+        "duration_ms": round(n * 1000 * den / num) if num else None,
     }
 
 
@@ -469,10 +510,9 @@ def decode_y4m(blob: bytes) -> dict:
     w, h = m["width"], m["height"]
     cs = m["colorspace"]
     num, den = m["fps"]
-    delay_ms = max(1, int(1000 * den / num)) if num else 33
     cw = (w + 1) // 2
     ch = (h + 1) // 2
-    frames: List[Tuple[int, np.ndarray]] = []
+    arrs: List[np.ndarray] = []
     pos = m["data_start"]
     while pos < len(blob):
         nl = blob.find(b"\n", pos, pos + 256)
@@ -500,14 +540,17 @@ def decode_y4m(blob: bytes) -> dict:
             u = raw[w * h : w * h + cw * ch].reshape(ch, cw)
             v = raw[w * h + cw * ch :].reshape(ch, cw)
             rgb = _yuv_to_rgb(y, _upsample2(u, h, w), _upsample2(v, h, w))
-        frames.append((delay_ms, rgb))
-    if not frames:
+        arrs.append(rgb)
+    if not arrs:
         raise ValueError("Y4M: no complete frames")
+    frames = _with_uniform_delays(
+        arrs, 1_000_000 * den / num if num else 33_333
+    )
     return {
         "width": w,
         "height": h,
-        "n_frames": len(frames),
-        "duration_ms": delay_ms * len(frames),
+        "n_frames": len(arrs),
+        "duration_ms": sum(d for d, _ in frames),
         "frames": frames,
     }
 

@@ -32,7 +32,11 @@ made idempotent separately):
   (``exclude_same_id=True``): a half-indexed batch does not shadow
   itself on replay.
 - **marker**: ``_stream_last_batch`` in the index dir (written last,
-  atomic rename) short-circuits fully-applied batches.
+  atomic rename) short-circuits fully-applied batches — scoped to
+  ONE query's checkpoint (batch ids are only meaningful relative to
+  a checkpoint; a fresh-checkpoint restart renumbers batches, so the
+  marker is ignored then and the idempotent side effects above carry
+  the safety).
 """
 
 from __future__ import annotations
@@ -47,18 +51,35 @@ __all__ = ["start_near_dedupe_stream"]
 _MARKER = "_stream_last_batch"
 
 
-def _last_applied(index_path: str) -> int:
+def _last_applied(index_path: str, checkpoint_dir: str) -> int:
+    """Last fully-applied batch id FOR THIS QUERY. Batch ids are only
+    meaningful relative to one checkpoint: a restart with a fresh
+    checkpoint renumbers and re-partitions micro-batches, so a bare
+    integer from a previous query could short-circuit batches holding
+    never-processed files. The marker therefore records which
+    checkpoint it belongs to and is ignored for any other."""
+    import json
+
     try:
         with open(os.path.join(index_path, _MARKER)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+            m = json.load(f)
+        if m.get("checkpoint") != os.path.abspath(checkpoint_dir):
+            return -1
+        return int(m["batch"])
+    except (FileNotFoundError, ValueError, KeyError):
         return -1
 
 
-def _commit_marker(index_path: str, batch_id: int) -> None:
+def _commit_marker(index_path: str, checkpoint_dir: str, batch_id: int) -> None:
+    import json
+
+    os.makedirs(index_path, exist_ok=True)
     tmp = os.path.join(index_path, _MARKER + ".tmp")
     with open(tmp, "w") as f:
-        f.write(str(batch_id))
+        json.dump(
+            {"checkpoint": os.path.abspath(checkpoint_dir), "batch": batch_id},
+            f,
+        )
     os.replace(tmp, os.path.join(index_path, _MARKER))
 
 
@@ -109,46 +130,23 @@ def start_near_dedupe_stream(
             incremental_dedupe,
             minhash_index_compact,
             minhash_index_write,
-            minhash_lsh_pairs,
         )
-        from pyspark.sql import functions as F
 
-        if batch_id <= _last_applied(index_path):
-            return  # replay of a fully-applied batch
+        if batch_id <= _last_applied(index_path, checkpoint_dir):
+            return  # replay of a batch this query already applied
         if not batch_df.take(1):
-            _commit_marker(index_path, batch_id)
+            _commit_marker(index_path, checkpoint_dir, batch_id)
             return
         spark = batch_df.sparkSession
-        params_exist = os.path.exists(
+        if not os.path.exists(
             os.path.join(index_path, "_minhash_params.json")
-        )
-        if params_exist:
-            survivors = incremental_dedupe(
-                spark,
-                index_path,
-                batch_df,
-                text_col=text_col,
-                threshold=threshold,
-                update_index=True,
-            )
-        else:
-            # bootstrap: first batch dedupes only against itself, its
-            # survivors found the index (overwrite -> replay-safe)
-            in_batch = minhash_lsh_pairs(
-                batch_df,
-                id_col,
-                text_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                k=k,
-                threshold=threshold,
-                hash_family=hash_family,
-            )
-            dup = in_batch.select(F.col("id2").alias(id_col)).distinct()
-            survivors = batch_df.join(dup, on=id_col, how="left_anti")
-            survivors = survivors.localCheckpoint(eager=True)
+        ):
+            # bootstrap an EMPTY index (params sidecar, zero band
+            # rows — minhash_index_query returns a typed empty
+            # relation for it), so every batch, including the first,
+            # takes the one incremental_dedupe path
             minhash_index_write(
-                survivors,
+                batch_df.limit(0),
                 index_path,
                 id_col=id_col,
                 text_col=text_col,
@@ -157,10 +155,18 @@ def start_near_dedupe_stream(
                 k=k,
                 hash_family=hash_family,
             )
+        survivors = incremental_dedupe(
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            threshold=threshold,
+            update_index=True,
+        )
         survivors.write.mode("overwrite").parquet(
             os.path.join(output_path, f"batch={batch_id}")
         )
-        _commit_marker(index_path, batch_id)
+        _commit_marker(index_path, checkpoint_dir, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             minhash_index_compact(spark, index_path)
 

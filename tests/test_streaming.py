@@ -544,8 +544,10 @@ def test_streaming_near_dedupe_replay_is_idempotent(spark, tmp_path):
     index_path = str(tmp_path / "index")
     out_path = str(tmp_path / "admitted")
     _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck1"))
+    import json
+
     marker = os.path.join(index_path, "_stream_last_batch")
-    assert open(marker).read() == "2"
+    assert json.load(open(marker))["batch"] == 2
 
     def index_files():
         return sorted(
@@ -574,7 +576,50 @@ def test_streaming_near_dedupe_replay_is_idempotent(spark, tmp_path):
     surv = incremental_dedupe(spark, index_path, all_docs, threshold=0.7)
     assert sorted(r.doc_id for r in surv.collect()) == [1, 2, 4, 7]
 
-    # marker-present rerun: every batch short-circuits, index untouched
+    # same-checkpoint rerun: nothing is re-delivered / re-applied,
+    # index untouched (a FRESH checkpoint instead reprocesses by
+    # design — the marker is scoped to one query's checkpoint)
     files_mid = index_files()
-    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck3"))
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck2"))
     assert index_files() == files_mid
+
+
+def test_streaming_near_dedupe_fresh_checkpoint_sees_new_files(spark, tmp_path):
+    """A restart with a LOST checkpoint renumbers micro-batches; the
+    marker (scoped to the old checkpoint) must not short-circuit them,
+    or files arriving after the first run would be silently skipped."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck1"))
+    # new unique doc arrives; the old checkpoint is gone
+    spark.createDataFrame(
+        [(8, "an entirely fresh document observed after the restart")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(str(src), "f3"))
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck2"))
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(out_path).collect()
+    )
+    assert 8 in admitted  # the post-restart file was processed
+    assert [d for d in admitted if d != 8] == [1, 2, 4, 7]
+
+
+def test_streaming_near_dedupe_empty_first_batch(spark, tmp_path):
+    """An empty micro-batch before the index exists must commit its
+    marker cleanly (the index dir is created on demand), not crash."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(
+        os.path.join(str(src), "f0")
+    )
+    spark.createDataFrame(
+        [(1, "one real document arriving after the empty file")], schema
+    ).coalesce(1).write.parquet(os.path.join(str(src), "f1"))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
+    assert [r.doc_id for r in spark.read.parquet(out_path).collect()] == [1]

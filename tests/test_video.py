@@ -79,7 +79,7 @@ def test_avi_scan_meta_and_probe_header_only():
         "width": 40,
         "height": 32,
         "n_frames": 6,
-        "duration_ms": 1999,  # 6 frames x 333333us, floored once
+        "duration_ms": 2000,  # round(6 x 333333us) — matches decode
     }
     h = probe_media_header(blob)
     assert (h["modality"], h["format"]) == ("video", "avi")
@@ -275,3 +275,73 @@ def test_y4m_444_roundtrip_bounded_error(data):
     d = decode_y4m(encode_y4m(frames, fps=(10, 1), colorspace="444"))
     for (_, fr), src in zip(d["frames"], frames):
         assert np.abs(fr.astype(int) - src.astype(int)).max() <= 3
+
+
+def test_avi_top_down_dib_decodes_unflipped():
+    """biHeight < 0 marks top-down rows: the decoder must NOT apply
+    the bottom-up flip. Patch the header sign on an encoded AVI — the
+    stored rows are bottom-up, so a top-down interpretation yields the
+    vertically mirrored image."""
+    import struct
+
+    frames = _frames(n=1)
+    blob = bytearray(encode_avi(frames, fps=5, codec="dib"))
+    i = blob.find(b"strf") + 8  # BITMAPINFOHEADER start
+    w, h = struct.unpack_from("<ii", blob, i + 4)
+    struct.pack_into("<i", blob, i + 8, -h)
+    d = decode_avi(bytes(blob))
+    np.testing.assert_array_equal(d["frames"][0][1], frames[0][::-1])
+
+
+def test_avi_leading_dropped_frame_fills_with_first():
+    import struct
+
+    from parq_tools_spark.operators.video import _encode_dib_frame
+
+    frames = _frames(n=2)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    one = encode_avi([frames[0]], fps=5, codec="dib")
+    p0 = _encode_dib_frame(frames[0])
+    movi_old = chunk(b"LIST", b"movi" + chunk(b"00db", p0))
+    movi_new = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00db", b"") + chunk(b"00db", p0)
+        + chunk(b"00db", _encode_dib_frame(frames[1])),
+    )
+    spliced = one.replace(movi_old, movi_new)
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    d = decode_avi(spliced)
+    assert d["n_frames"] == 3  # the leading drop still occupies a slot
+    np.testing.assert_array_equal(d["frames"][0][1], frames[0])
+    np.testing.assert_array_equal(d["frames"][2][1], frames[1])
+
+
+def test_y4m_frame_parameter_headers():
+    """Frame headers may carry parameters ('FRAME Ixyz\\n'): decode
+    walks them exactly; the probe measures the first header's length
+    instead of assuming the bare 6 bytes."""
+    frames = _frames(n=4)
+    blob = encode_y4m(frames, fps=(5, 1), colorspace="mono").replace(
+        b"FRAME\n", b"FRAME Ixyz\n"
+    )
+    d = decode_y4m(blob)
+    assert d["n_frames"] == 4
+    meta = y4m_scan_meta(blob)
+    assert meta["n_frames"] == 4 and meta["duration_ms"] == 800
+
+
+def test_ntsc_rate_timeline_does_not_drift():
+    """29.97 fps (F30000:1001): cumulative rounding keeps the decode
+    timeline within 1 ms of n * period; probe and decode agree."""
+    frames = [np.zeros((2, 2), dtype=np.uint8)] * 30
+    blob = encode_y4m(frames, fps=(30000, 1001), colorspace="mono")
+    d = decode_y4m(blob)
+    assert d["duration_ms"] == round(30 * 1001000 / 30000) == 1001
+    assert y4m_scan_meta(blob)["duration_ms"] == 1001
+    delays = [dl for dl, _ in d["frames"]]
+    assert set(delays) <= {33, 34} and sum(delays) == 1001
