@@ -1507,6 +1507,24 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, chunk_size=32, overlap=8)
 
 
+def q_chunk_sentences(spark, sf_dir):
+    """Sentence-aware chunking (sentences intact, ~24-token tiling).
+    The fixture text has no sentence terminators, so the query first
+    derives them deterministically (a period after every 7-token run
+    — non-overlapping left-to-right regex, identical in Java regex
+    and RE2), making the multi-chunk tiling path real at every
+    scale."""
+    from parq_tools_spark.operators.text import chunk_by_sentences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ", "$1. "
+        ),
+    )
+    return chunk_by_sentences(docs, max_tokens=24)
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -2299,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "incremental_revenue": q_incremental_revenue,
         "chunk_documents": q_chunk_documents,
+        "chunk_sentences": q_chunk_sentences,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
         "pii_redact": q_pii_redact,
@@ -3688,6 +3707,36 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                       WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
                       WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
                       ELSE 0 END
+        """,
+        "chunk_sentences": r"""
+            WITH documents2 AS (
+              SELECT doc_id,
+                     regexp_replace(text,
+                       '(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ', '\1. ',
+                       'g') AS text
+              FROM documents
+            ), sent AS (
+              SELECT doc_id, u.s AS sentence, u.i - 1 AS idx
+              FROM documents2, LATERAL (
+                SELECT unnest(string_split(regexp_replace(text,
+                         '([.!?])\s+', '\1' || chr(30), 'g'), chr(30))) AS s,
+                       generate_subscripts(string_split(regexp_replace(text,
+                         '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)), 1) AS i
+              ) u
+            ), tok AS (
+              SELECT doc_id, idx, sentence,
+                     len(regexp_extract_all(sentence, '\S+')) AS n_tok,
+                     COALESCE(SUM(len(regexp_extract_all(sentence, '\S+')))
+                       OVER (PARTITION BY doc_id ORDER BY idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum_before
+              FROM sent
+            )
+            SELECT doc_id, CAST(cum_before // 24 AS INT) AS chunk_idx,
+                   CAST(count(*) AS INT) AS n_sentences,
+                   CAST(SUM(n_tok) AS INT) AS n_tokens,
+                   string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
+            FROM tok GROUP BY 1, 2
         """,
         "incremental_revenue": """
             SELECT l_returnflag, l_linestatus,

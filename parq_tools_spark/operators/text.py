@@ -28,6 +28,7 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "chunk_documents",
+    "chunk_by_sentences",
     "PII_PATTERNS",
     "with_pii_redacted",
 ]
@@ -318,4 +319,64 @@ def chunk_documents(
             F.size("_c").alias("n_tokens"),
             F.array_join("_c", " ").alias("chunk_text"),
         )
+    )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+) -> DataFrame:
+    r"""Sentence-aware chunking: sentences stay intact, chunks tile
+    the document at ~``max_tokens`` whitespace tokens. Returns
+    ``(id, chunk_idx, n_sentences, n_tokens, chunk_text)``.
+
+    A sentence belongs to chunk ``floor(cum_tokens_before /
+    max_tokens)`` — deterministic offset tiling, so a sentence
+    straddling a boundary makes its chunk run slightly over budget
+    (the price of never splitting a sentence; true greedy packing is
+    sequential and engine-specific). Sentence boundaries are
+    ``[.!?]`` + whitespace via replace-then-split (RE2 has no
+    lookbehind, so the same spelling works in the DuckDB oracle; the
+    \x1e separator must not occur in the text).
+
+    Cost shape: one hash shuffle on ``id_col`` for the per-document
+    running token count, then a partially-aggregated groupBy on
+    (id, chunk) — both key on the document, so at 100 TB this is one
+    repartition of the corpus with no skew beyond document length.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    from pyspark.sql import Window
+
+    sep = "\x1e"
+    sentences = F.split(
+        F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + sep), sep
+    )
+    s = df.select(
+        F.col(id_col), F.posexplode(sentences).alias("idx", "sentence")
+    ).withColumn("n_tok", F.regexp_count("sentence", F.lit(r"\S+")))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = s.withColumn(
+        "chunk_idx",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / max_tokens
+        ).cast("int"),
+    )
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "sentence"))),
+            lambda x: x["sentence"],
+        ),
+        " ",
+    )
+    return s.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sentences"),
+        F.sum("n_tok").cast("int").alias("n_tokens"),
+        ordered_text.alias("chunk_text"),
     )

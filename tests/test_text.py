@@ -219,3 +219,33 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, chunk_size=0)
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_chunk_by_sentences_keeps_sentences_intact(spark):
+    from parq_tools_spark.operators.text import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c. d e f g! h i? j k l m n o p q"),
+            (2, "no terminators at all just words"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_by_sentences(df, max_tokens=6).collect()
+    }
+    # doc 1: sentences of 3,4,2,8 tokens; offsets 0,3,7,9 -> chunks
+    # 0,0,1,1 (the 8-token tail stays whole even though it overruns)
+    assert out[(1, 0)].chunk_text == "a b c. d e f g!"
+    assert out[(1, 0)].n_sentences == 2 and out[(1, 0)].n_tokens == 7
+    assert out[(1, 1)].chunk_text == "h i? j k l m n o p q"
+    assert out[(1, 1)].n_tokens == 10
+    # no terminators: one sentence, one chunk, intact
+    assert sorted(k for k in out if k[0] == 2) == [(2, 0)]
+    assert out[(2, 0)].chunk_text == "no terminators at all just words"
+    # empty text: single empty chunk, zero tokens
+    assert out[(3, 0)].n_tokens == 0 and out[(3, 0)].chunk_text == ""
+    with __import__("pytest").raises(ValueError):
+        chunk_by_sentences(df, max_tokens=0)
