@@ -43,23 +43,39 @@ __all__ = [
     "finalize_aggregate",
 ]
 
-_MERGE_FN = {
-    "sum": F.sum,
-    "count": F.sum,
-    "min": F.min,
-    "max": F.max,
-    # HLL sketches are the mergeable form of COUNT DISTINCT — union of
-    # per-batch sketches estimates EXACTLY what a one-shot sketch over
-    # all rows would (union is commutative/associative), which is what
-    # makes approximate distinct counts incrementally maintainable
-    "approx_distinct": F.hll_union_agg,
-}
+# binary state⊕partial merges (the fold combines exactly two rows per
+# group, so scalar two-arg forms suffice — which is what admits KLL,
+# whose merge has no aggregate form). null handling: an absent side
+# (group only in state, or only in the new batch) passes the other
+# side through.
+def _merge_two(fn: str, a, b):
+    if fn in ("sum", "count"):
+        return F.coalesce(a + b, a, b)  # null side skipped, both null -> null
+    if fn == "min":
+        return F.least(a, b)  # least/greatest skip nulls
+    if fn == "max":
+        return F.greatest(a, b)
+    if fn == "approx_distinct":
+        # HLL union of per-batch sketches estimates EXACTLY what a
+        # one-shot sketch would (union is commutative/associative)
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+            F.hll_union(a, b)
+        )
+    if fn == "quantiles":
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(
+            F.kll_sketch_merge_double(a, b)
+        )
+    raise ValueError(f"unmergeable fn {fn!r}")
 _PARTIAL_FN = {
     "sum": F.sum,
     "count": F.count,
     "min": F.min,
     "max": F.max,
     "approx_distinct": F.hll_sketch_agg,
+    # KLL quantile sketches (DataSketches): mergeable medians/p99s —
+    # the classically un-rollable measure. Binary-merged at state
+    # fold time (kll_sketch_merge_double has no aggregate form).
+    "quantiles": lambda c: F.kll_sketch_agg_double(c.cast("double")),
 }
 _DATA = "data"
 _MANIFEST = "_manifest.json"
@@ -103,16 +119,50 @@ def _partial_aggs(measures: Sequence) -> list:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for fn, col, cast in measures:
         c = F.col(col).cast(cast) if cast else F.col(col)
-        aggs.append(_PARTIAL_FN[fn](c).alias(_measure_alias(fn, col)))
+        agg = _stabilize(fn, cast, _PARTIAL_FN[fn](c))
+        aggs.append(agg.alias(_measure_alias(fn, col)))
     return aggs
 
 
-def _merge_aggs(measures: Sequence) -> list:
-    aggs = [F.sum("n_rows").alias("n_rows")]
-    for fn, col, _ in measures:
+def _merge_state_partial(
+    state: DataFrame, partial: DataFrame, keys: Sequence[str], measures
+) -> DataFrame:
+    """Full-outer join on the group keys, per-measure binary merge.
+    One shuffle of two O(groups) frames (broadcastable when small)."""
+    joined = state.alias("__s").join(
+        partial.alias("__p"), on=list(keys), how="full_outer"
+    )
+    cols = [F.col(k) for k in keys]
+    cols.append(
+        (
+            F.coalesce(F.col("__s.n_rows"), F.lit(0))
+            + F.coalesce(F.col("__p.n_rows"), F.lit(0))
+        ).alias("n_rows")
+    )
+    for fn, col, cast in measures:
         a = _measure_alias(fn, col)
-        aggs.append(_MERGE_FN[fn](F.col(a)).alias(a))
-    return aggs
+        merged = _merge_two(fn, F.col(f"__s.{a}"), F.col(f"__p.{a}"))
+        merged = _stabilize(fn, cast, merged)
+        cols.append(merged.alias(a))
+    return joined.select(*cols)
+
+
+_DECIMAL_RE = None
+
+
+def _stabilize(fn: str, cast, expr):
+    """Pin decimal sums to decimal(38, s): addition widens precision
+    by one per fold otherwise, drifting the state schema until the
+    38 cap."""
+    global _DECIMAL_RE
+    if fn != "sum" or not cast:
+        return expr
+    if _DECIMAL_RE is None:
+        import re
+
+        _DECIMAL_RE = re.compile(r"decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", re.I)
+    m = _DECIMAL_RE.match(cast.strip())
+    return expr.cast(f"decimal(38,{m.group(1)})") if m else expr
 
 
 def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
@@ -175,11 +225,7 @@ def incremental_aggregate(
     )
     partial = batch.groupBy(*keys).agg(*_partial_aggs(measures))
     if state is not None:
-        merged = (
-            state.unionByName(partial)
-            .groupBy(*keys)
-            .agg(*_merge_aggs(measures))
-        )
+        merged = _merge_state_partial(state, partial, keys, measures)
     else:
         merged = partial
 
@@ -230,22 +276,37 @@ def read_aggregate_with_tail(
     )
     if state is None:
         return tail
-    return state.unionByName(tail).groupBy(*keys).agg(*_merge_aggs(measures))
+    return _merge_state_partial(state, tail, keys, measures)
 
 
 def finalize_aggregate(
     state: DataFrame,
     averages: Sequence[str] = (),
     distinct_counts: Sequence[str] = (),
+    quantiles: Optional[dict] = None,
 ) -> DataFrame:
     """Derive presentation columns from the mergeable state:
     ``<col>_avg = <col>_sum / <col>_count`` (double) for each name in
     ``averages`` — both partials must be among the measures — and
     ``<col>_distinct_est`` (long) from the HLL sketch for each name in
     ``distinct_counts`` (needs an ``('approx_distinct', col)``
-    measure; the raw sketch column stays in the state for future
-    merges, only the estimate is derived here)."""
+    measure) and ``<col>_q<p>`` quantile estimates from the KLL
+    sketch for ``quantiles={col: [0.5, 0.99]}`` (needs a
+    ``('quantiles', col)`` measure). Raw sketch columns stay in the
+    state for future merges; only estimates are derived here."""
     out = state
+    for col, probs in (quantiles or {}).items():
+        sk = _measure_alias("quantiles", col)
+        if sk not in state.columns:
+            raise ValueError(
+                f"quantiles({col}) needs a ('quantiles', {col!r}) "
+                "measure in the state"
+            )
+        for q in probs:
+            out = out.withColumn(
+                f"{col}_q{int(round(q * 100))}",
+                F.kll_sketch_get_quantile_double(F.col(sk), F.lit(float(q))),
+            )
     for col in distinct_counts:
         sk = _measure_alias("approx_distinct", col)
         if sk not in state.columns:

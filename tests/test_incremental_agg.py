@@ -169,3 +169,50 @@ def test_read_with_tail_is_exact_and_uncommitted(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, st.collect())
     )
+
+
+def test_quantile_measure_folds_within_sketch_error(spark, sf_dir, tmp_path):
+    """KLL quantiles fold across batches: the merged estimate must sit
+    within the sketch's rank error of the exact quantile (merged and
+    one-shot sketches may differ slightly — both are valid)."""
+    from parq_tools_spark.operators.incremental_agg import (
+        read_aggregate_with_tail,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    measures = [("quantiles", "l_extendedprice")]
+    for i in range(3):
+        li.filter(F.col("l_orderkey") % 3 == i).write.parquet(
+            os.path.join(inp, f"b{i}")
+        )
+        st = incremental_aggregate(spark, inp, state, KEYS, measures)
+    got = {
+        (r.l_returnflag, r.l_linestatus): (
+            r.l_extendedprice_q50,
+            r.l_extendedprice_q99,
+        )
+        for r in finalize_aggregate(
+            st, quantiles={"l_extendedprice": [0.5, 0.99]}
+        ).collect()
+    }
+    exact = {
+        (r.l_returnflag, r.l_linestatus): (r.p50, r.p99)
+        for r in li.groupBy(*KEYS)
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    # default-k KLL normalized rank error ~1.7%; allow 5% VALUE slack
+    for k, (q50, q99) in got.items():
+        assert abs(q50 - exact[k][0]) / exact[k][0] < 0.05
+        assert abs(q99 - exact[k][1]) / exact[k][1] < 0.05
+    # the lambda-view read merges sketches the same way
+    live = read_aggregate_with_tail(spark, inp, state, KEYS, measures)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, st.collect())
+    )
+    with pytest.raises(ValueError, match="quantiles"):
+        finalize_aggregate(st, quantiles={"l_quantity": [0.5]})
