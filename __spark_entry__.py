@@ -1507,6 +1507,23 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, chunk_size=32, overlap=8)
 
 
+def q_group_overlap(spark, sf_dir):
+    """Distinct-supplier overlap between return flags via theta
+    sketches (exact below the 4096-hash retention, which covers the
+    test scales — the oracle recomputes the set algebra exactly)."""
+    from parq_tools_spark.operators.compare import group_overlap_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_overlap_report(li, "l_returnflag", "l_suppkey")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_common_est",
+        "n_union_est",
+        _pround(F.col("jaccard_est")).alias("jaccard_est"),
+    )
+
+
 def q_chunk_sentences(spark, sf_dir):
     """Sentence-aware chunking (sentences intact, ~24-token tiling).
     The fixture text has no sentence terminators, so the query first
@@ -2318,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_revenue": q_incremental_revenue,
         "chunk_documents": q_chunk_documents,
         "chunk_sentences": q_chunk_sentences,
+        "group_overlap": q_group_overlap,
         "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
         "pii_redact": q_pii_redact,
@@ -3707,6 +3725,28 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                       WHEN 'de' THEN CAST(floor(0.25 * 4294967296) AS BIGINT)
                       WHEN 'fr' THEN CAST(floor(1.0 * 4294967296) AS BIGINT)
                       ELSE 0 END
+        """,
+        "group_overlap": """
+            WITH s AS (
+              SELECT DISTINCT l_returnflag AS g, l_suppkey AS k
+              FROM lineitem
+            ), cnt AS (
+              SELECT g, count(*) AS c FROM s GROUP BY g
+            ), common AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     CAST(count(*) AS BIGINT) AS n_common_est
+              FROM s a JOIN s b ON a.k = b.k AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT group_a, group_b, n_common_est,
+                   CAST(ca.c + cb.c - n_common_est AS BIGINT)
+                       AS n_union_est,
+                   floor(n_common_est /
+                         CAST(ca.c + cb.c - n_common_est AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS jaccard_est
+            FROM common
+            JOIN cnt ca ON ca.g = group_a
+            JOIN cnt cb ON cb.g = group_b
         """,
         "chunk_sentences": r"""
             WITH documents2 AS (

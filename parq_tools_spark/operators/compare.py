@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from parq_tools_spark.sources.parquet_io import read_parquet
 
-__all__ = ["compare_dataframes", "compare_parquet_files", "column_fingerprints"]
+__all__ = [
+    "compare_dataframes",
+    "compare_parquet_files",
+    "column_fingerprints",
+    "group_overlap_report",
+]
 
 
 def column_fingerprints(df: DataFrame, columns: Sequence[str]) -> dict[str, int]:
@@ -124,4 +129,49 @@ def compare_parquet_files(
         read_parquet(spark, path2),
         check_content=check_content,
         columns=columns,
+    )
+
+
+def group_overlap_report(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between groups via theta sketches
+    (beyond-reference): ``(group_a, group_b, n_common_est,
+    n_union_est, jaccard_est)`` for every unordered group pair —
+    which sources share documents/URLs/users, without ever
+    materializing the distinct sets.
+
+    One shuffle builds a theta sketch per group (map-side partial);
+    the pairwise intersections/unions then run over G sketch rows (a
+    broadcast self-join — sketches are KB), so a 100 TB corpus costs
+    one aggregation regardless of how many pairs are reported.
+    Estimates are EXACT while a group's distinct keys fit the sketch
+    (default k = 4096 retained hashes) and ~2% beyond it.
+    """
+    sk = df.groupBy(group_col).agg(
+        F.theta_sketch_agg(key_col).alias("__sk")
+    )
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("__sk").alias("__ska")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("__sk").alias("__skb")
+    )
+    common = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("__ska"), F.col("__skb"))
+    )
+    union = F.theta_sketch_estimate(
+        F.theta_union(F.col("__ska"), F.col("__skb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(common).cast("long").alias("n_common_est"),
+            F.round(union).cast("long").alias("n_union_est"),
+            (F.round(common) / F.round(union)).alias("jaccard_est"),
+        )
     )

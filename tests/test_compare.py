@@ -64,3 +64,35 @@ def test_compare_identical_frames_with_nulls(spark):
         [(1, "a"), (2, "x"), (None, None)], "k int, v string"
     )
     assert compare_dataframes(df, df2)["content_match"] is False
+
+
+def test_group_overlap_report_exact_and_approximate(spark):
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.compare import group_overlap_report
+
+    # small sets: theta sketches are in exact mode
+    rows = (
+        [("a", k) for k in range(100)]
+        + [("b", k) for k in range(50, 150)]
+        + [("c", k) for k in range(200, 210)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        (r.group_a, r.group_b): (r.n_common_est, r.n_union_est, r.jaccard_est)
+        for r in group_overlap_report(df, "g", "k").collect()
+    }
+    assert got[("a", "b")] == (50, 150, 50 / 150)
+    assert got[("a", "c")] == (0, 110, 0.0)
+    assert got[("b", "c")] == (0, 110, 0.0)
+    # beyond the 4096-hash retention: estimates, within ~5%
+    big = spark.range(40000).select(
+        F.when(F.col("id") < 30000, F.lit("x")).otherwise(F.lit("y")).alias("g"),
+        (F.col("id") % 25000).alias("k"),  # y: k 5000..14999, all inside x
+    )
+    est = {
+        (r.group_a, r.group_b): r
+        for r in group_overlap_report(big, "g", "k").collect()
+    }[("x", "y")]
+    assert abs(est.n_common_est - 10000) / 10000 < 0.05
+    assert abs(est.n_union_est - 25000) / 25000 < 0.05
