@@ -181,3 +181,21 @@ def test_ann_pq_topk_single_ranking_exchange(spark, sf_dir):
     assert _count(plan, "MapInPandas") == 2  # encode + score
     assert _count(plan, "Exchange") == 1
     assert _count(plan, "WindowGroupLimit") == 2
+
+
+def test_chunk_sentences_reuses_doc_partitioning(spark, sf_dir):
+    """The (doc, chunk) aggregation must reuse the window's doc_id
+    hash partitioning: exactly ONE exchange in the whole plan."""
+    plan = _plan(spark, "chunk_sentences", sf_dir)
+    assert _count(plan, "Exchange") == 1
+
+
+def test_group_overlap_joins_only_sketch_rows(spark, sf_dir):
+    """The pairwise join runs over per-group SKETCH rows (broadcast
+    nested loop over G one-row-per-group frames is deliberate), never
+    over the corpus: the scan feeds one partial theta aggregation and
+    the join consumes the aggregated frame."""
+    plan = _plan(spark, "group_overlap", sf_dir)
+    assert _count(plan, "BroadcastNestedLoopJoin") == 1
+    assert plan.count("theta_sketch_agg") >= 2  # partial + final
+    assert _count(plan, "CartesianProduct") == 0
