@@ -216,3 +216,35 @@ def test_quantile_measure_folds_within_sketch_error(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="quantiles"):
         finalize_aggregate(st, quantiles={"l_quantity": [0.5]})
+
+
+def test_random_fold_partitions_equal_full_recompute(spark, sf_dir, tmp_path):
+    """Fold-equals-full must hold for ANY partition of the input into
+    batches — three random-but-deterministic splits exercised."""
+    li = _lineitem(spark, sf_dir).limit(2000)
+    for salt in (11, 23, 37):
+        inp = str(tmp_path / f"in{salt}")
+        state = str(tmp_path / f"state{salt}")
+        n_parts = salt % 4 + 2
+        st = None
+        for i in range(n_parts):
+            li.filter(
+                F.abs(F.hash(F.col("l_orderkey") + salt)) % n_parts == i
+            ).write.parquet(os.path.join(inp, f"b{i}"))
+            st = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+        got = sorted(map(tuple, st.collect()))
+        exp = sorted(
+            tuple(r)
+            for r in li.groupBy(*KEYS)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+                .cast("decimal(38,2)")
+                .alias("l_quantity_sum"),
+                F.count("l_quantity").alias("l_quantity_count"),
+                F.min("l_shipdate").alias("l_shipdate_min"),
+                F.max("l_shipdate").alias("l_shipdate_max"),
+            )
+            .collect()
+        )
+        assert got == exp, f"salt {salt}"

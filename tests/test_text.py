@@ -249,3 +249,47 @@ def test_chunk_by_sentences_keeps_sentences_intact(spark):
     assert out[(3, 0)].n_tokens == 0 and out[(3, 0)].chunk_text == ""
     with __import__("pytest").raises(ValueError):
         chunk_by_sentences(df, max_tokens=0)
+
+
+# --------------------------------------------------- property checks
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_chunks(words, size, overlap):
+    """Reference tiling model: starts 0, s, 2s, ... until coverage."""
+    s = size - overlap
+    if len(words) <= size:
+        return [words]
+    n_extra = -(-(len(words) - size) // s)  # ceil
+    return [words[i * s : i * s + size] for i in range(n_extra + 1)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_chunk_documents_tiling_invariants(spark, data):
+    from parq_tools_spark.operators.text import chunk_documents
+
+    n_words = data.draw(st.integers(0, 40))
+    size = data.draw(st.integers(1, 12))
+    overlap = data.draw(st.integers(0, min(size - 1, 6)))
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r.chunk_idx: r.chunk_text.split() if r.chunk_text else []
+        for r in chunk_documents(
+            df, chunk_size=size, overlap=overlap
+        ).collect()
+    }
+    ref = _ref_chunks(words if words else [""], size, overlap)
+    ref = [
+        [w for w in chunk if w != ""] for chunk in ref
+    ]  # empty text tokenizes to [""] in both engines
+    assert sorted(got) == list(range(len(ref)))
+    for i, chunk in enumerate(ref):
+        assert got[i] == chunk
+    # every token covered at least once, in order within each chunk
+    covered = set(w for c in ref for w in c)
+    assert covered == set(words)
