@@ -3729,24 +3729,32 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         "group_overlap": """
             WITH s AS (
               SELECT DISTINCT l_returnflag AS g, l_suppkey AS k
-              FROM lineitem
+              FROM lineitem WHERE l_returnflag IS NOT NULL
             ), cnt AS (
               SELECT g, count(*) AS c FROM s GROUP BY g
+            ), pairs AS (
+              -- the FULL pair grid: zero-overlap pairs must appear
+              -- with n_common_est = 0, matching the engine's output
+              SELECT ca.g AS group_a, cb.g AS group_b,
+                     ca.c AS c_a, cb.c AS c_b
+              FROM cnt ca JOIN cnt cb ON ca.g < cb.g
             ), common AS (
               SELECT a.g AS group_a, b.g AS group_b,
-                     CAST(count(*) AS BIGINT) AS n_common_est
+                     CAST(count(*) AS BIGINT) AS n_common
               FROM s a JOIN s b ON a.k = b.k AND a.g < b.g
               GROUP BY 1, 2
             )
-            SELECT group_a, group_b, n_common_est,
-                   CAST(ca.c + cb.c - n_common_est AS BIGINT)
+            SELECT p.group_a, p.group_b,
+                   COALESCE(c.n_common, 0) AS n_common_est,
+                   CAST(p.c_a + p.c_b - COALESCE(c.n_common, 0) AS BIGINT)
                        AS n_union_est,
-                   floor(n_common_est /
-                         CAST(ca.c + cb.c - n_common_est AS DOUBLE)
+                   floor(COALESCE(c.n_common, 0) /
+                         CAST(p.c_a + p.c_b - COALESCE(c.n_common, 0)
+                              AS DOUBLE)
                          * 1000000 + 0.5) / 1000000 AS jaccard_est
-            FROM common
-            JOIN cnt ca ON ca.g = group_a
-            JOIN cnt cb ON cb.g = group_b
+            FROM pairs p
+            LEFT JOIN common c
+              ON c.group_a = p.group_a AND c.group_b = p.group_b
         """,
         "chunk_sentences": r"""
             WITH documents2 AS (

@@ -149,9 +149,17 @@ def group_overlap_report(
     one aggregation regardless of how many pairs are reported.
     Estimates are EXACT while a group's distinct keys fit the sketch
     (default k = 4096 retained hashes) and ~2% beyond it.
+
+    Rows whose ``group_col`` is NULL are excluded (an unnamed group
+    has no meaningful pair ordering). The pair count is G*(G-1)/2 —
+    by construction this is a per-GROUP report, so G is the
+    cardinality of a grouping column (sources, languages, shards),
+    not of a key; for G beyond a few thousand, pre-aggregate groups.
     """
-    sk = df.groupBy(group_col).agg(
-        F.theta_sketch_agg(key_col).alias("__sk")
+    sk = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.theta_sketch_agg(key_col).alias("__sk"))
     )
     a = sk.select(
         F.col(group_col).alias("group_a"), F.col("__sk").alias("__ska")
@@ -172,6 +180,9 @@ def group_overlap_report(
             "group_b",
             F.round(common).cast("long").alias("n_common_est"),
             F.round(union).cast("long").alias("n_union_est"),
-            (F.round(common) / F.round(union)).alias("jaccard_est"),
+            # two all-NULL-key groups union to 0: jaccard 0, not NaN
+            F.when(F.round(union) > 0, F.round(common) / F.round(union))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard_est"),
         )
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 import shutil
 from typing import Optional, Sequence
 
@@ -50,7 +51,10 @@ __all__ = [
 # side through.
 def _merge_two(fn: str, a, b):
     if fn in ("sum", "count"):
-        return F.coalesce(a + b, a, b)  # null side skipped, both null -> null
+        # explicit absent-side passthrough; NOT coalesce(a+b, a, b),
+        # which would conflate "one side absent" with "a+b overflowed
+        # to NULL" (non-ANSI mode) and silently drop a batch
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(a + b)
     if fn == "min":
         return F.least(a, b)  # least/greatest skip nulls
     if fn == "max":
@@ -147,22 +151,23 @@ def _merge_state_partial(
     return joined.select(*cols)
 
 
-_DECIMAL_RE = None
+_DECIMAL_RE = re.compile(r"decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", re.I)
 
 
 def _stabilize(fn: str, cast, expr):
     """Pin decimal sums to decimal(38, s): addition widens precision
     by one per fold otherwise, drifting the state schema until the
-    38 cap."""
-    global _DECIMAL_RE
-    if fn != "sum" or not cast:
+    38 cap. ``cast`` may be a type string or a DataType (both are
+    legal for ``Column.cast``)."""
+    if fn != "sum" or cast is None:
         return expr
-    if _DECIMAL_RE is None:
-        import re
-
-        _DECIMAL_RE = re.compile(r"decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", re.I)
-    m = _DECIMAL_RE.match(cast.strip())
-    return expr.cast(f"decimal(38,{m.group(1)})") if m else expr
+    scale = None
+    if isinstance(cast, str):
+        m = _DECIMAL_RE.match(cast.strip())
+        scale = m.group(1) if m else None
+    elif hasattr(cast, "scale"):  # pyspark DecimalType
+        scale = cast.scale
+    return expr.cast(f"decimal(38,{scale})") if scale is not None else expr
 
 
 def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
@@ -292,7 +297,9 @@ def finalize_aggregate(
     ``distinct_counts`` (needs an ``('approx_distinct', col)``
     measure) and ``<col>_q<p>`` quantile estimates from the KLL
     sketch for ``quantiles={col: [0.5, 0.99]}`` (needs a
-    ``('quantiles', col)`` measure). Raw sketch columns stay in the
+    ``('quantiles', col)`` measure; fractional percents keep their
+    digits — 0.994 -> ``<col>_q99_4`` — so nearby probabilities never
+    collide). Raw sketch columns stay in the
     state for future merges; only estimates are derived here."""
     out = state
     for col, probs in (quantiles or {}).items():
@@ -303,8 +310,9 @@ def finalize_aggregate(
                 "measure in the state"
             )
         for q in probs:
+            label = ("%g" % (q * 100)).replace(".", "_")
             out = out.withColumn(
-                f"{col}_q{int(round(q * 100))}",
+                f"{col}_q{label}",
                 F.kll_sketch_get_quantile_double(F.col(sk), F.lit(float(q))),
             )
     for col in distinct_counts:

@@ -351,8 +351,11 @@ def chunk_by_sentences(
     from pyspark.sql import Window
 
     sep = "\x1e"
+    # NULL text behaves like empty text (one zero-token chunk) — a
+    # bare split(NULL) would silently drop the document's rows
+    text = F.coalesce(F.col(text_col), F.lit(""))
     sentences = F.split(
-        F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1" + sep), sep
+        F.regexp_replace(text, r"([.!?])\s+", "$1" + sep), sep
     )
     s = df.select(
         F.col(id_col), F.posexplode(sentences).alias("idx", "sentence")

@@ -96,3 +96,21 @@ def test_group_overlap_report_exact_and_approximate(spark):
     }[("x", "y")]
     assert abs(est.n_common_est - 10000) / 10000 < 0.05
     assert abs(est.n_union_est - 25000) / 25000 < 0.05
+
+
+def test_group_overlap_null_group_excluded_and_no_nan(spark):
+    from parq_tools_spark.operators.compare import group_overlap_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), ("b", None), ("c", None)],
+        "g string, k long",
+    )
+    rows = {
+        (r.group_a, r.group_b): r
+        for r in group_overlap_report(df, "g", "k").collect()
+    }
+    # NULL group never appears in any pair
+    assert all(None not in k for k in rows)
+    # b and c hold only NULL keys: empty sketches -> jaccard 0, not NaN
+    bc = rows[("b", "c")]
+    assert (bc.n_common_est, bc.n_union_est, bc.jaccard_est) == (0, 0, 0.0)

@@ -248,3 +248,33 @@ def test_random_fold_partitions_equal_full_recompute(spark, sf_dir, tmp_path):
             .collect()
         )
         assert got == exp, f"salt {salt}"
+
+
+def test_datatype_cast_and_fractional_quantile_labels(spark, sf_dir, tmp_path):
+    from pyspark.sql.types import DecimalType
+
+    li = _lineitem(spark, sf_dir).limit(300)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    li.write.parquet(os.path.join(inp, "b0"))
+    # cast given as a DataType object, not a string
+    st = incremental_aggregate(
+        spark,
+        inp,
+        state,
+        KEYS,
+        [
+            ("sum", "l_quantity", DecimalType(27, 2)),
+            ("quantiles", "l_extendedprice"),
+        ],
+    )
+    assert dict(st.dtypes)["l_quantity_sum"] == "decimal(38,2)"
+    fin = finalize_aggregate(
+        st, quantiles={"l_extendedprice": [0.99, 0.994, 0.5]}
+    )
+    # nearby probabilities get distinct, digit-preserving labels
+    for c in (
+        "l_extendedprice_q99",
+        "l_extendedprice_q99_4",
+        "l_extendedprice_q50",
+    ):
+        assert c in fin.columns

@@ -293,3 +293,14 @@ def test_chunk_documents_tiling_invariants(spark, data):
     # every token covered at least once, in order within each chunk
     covered = set(w for c in ref for w in c)
     assert covered == set(words)
+
+
+def test_chunk_by_sentences_null_text_kept_as_empty(spark):
+    from parq_tools_spark.operators.text import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_by_sentences(df, max_tokens=8).collect()}
+    assert out[1].n_tokens == 0 and out[1].chunk_text == ""  # not dropped
+    assert out[2].chunk_text == "real text here"
