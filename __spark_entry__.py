@@ -3818,8 +3818,9 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         """,
         "chunk_documents": r"""
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-                     len(string_split_regex(trim(text), '\s+')) AS n
+              SELECT doc_id,
+                     string_split_regex(trim(coalesce(text, '')), '\s+') AS w,
+                     len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n
               FROM documents
             ), idx AS (
               SELECT doc_id, w, unnest(range(0,

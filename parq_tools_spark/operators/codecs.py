@@ -413,11 +413,16 @@ def decode_gif(blob: bytes) -> list:
             if transparent is not None:
                 rgba[idx == transparent, 3] = 0
             region = canvas[top : top + h, left : left + w]
+            # disposal 3 = restore-to-previous: the canvas as it was
+            # BEFORE this frame drew must come back afterwards
+            before = region.copy() if disposal == 3 else None
             opaque = rgba[:, :, 3] == 255
             region[opaque] = rgba[opaque]
             frames.append((delay_ms, canvas.copy()))
             if disposal == 2:  # restore to background: clear the rect
                 canvas[top : top + h, left : left + w] = 0
+            elif disposal == 3:
+                canvas[top : top + h, left : left + w] = before
             delay_ms = 0
             transparent = None
             disposal = 0

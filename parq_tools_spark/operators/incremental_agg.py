@@ -132,11 +132,23 @@ def _merge_state_partial(
     state: DataFrame, partial: DataFrame, keys: Sequence[str], measures
 ) -> DataFrame:
     """Full-outer join on the group keys, per-measure binary merge.
-    One shuffle of two O(groups) frames (broadcastable when small)."""
-    joined = state.alias("__s").join(
-        partial.alias("__p"), on=list(keys), how="full_outer"
-    )
-    cols = [F.col(k) for k in keys]
+    One shuffle of two O(groups) frames (broadcastable when small).
+
+    The join is NULL-SAFE on every key (``<=>``): a NULL group key is
+    a legal group (``GROUP BY`` treats all NULLs as one group), so a
+    plain-equality join would never match it and each fold would
+    append a fresh NULL-key row instead of merging — breaking the
+    fold == flat-GROUP-BY contract."""
+    s, p = state.alias("__s"), partial.alias("__p")
+    cond = None
+    for k in keys:
+        c = F.col(f"__s.{k}").eqNullSafe(F.col(f"__p.{k}"))
+        cond = c if cond is None else cond & c
+    joined = s.join(p, on=cond, how="full_outer")
+    cols = [
+        F.coalesce(F.col(f"__s.{k}"), F.col(f"__p.{k}")).alias(k)
+        for k in keys
+    ]
     cols.append(
         (
             F.coalesce(F.col("__s.n_rows"), F.lit(0))

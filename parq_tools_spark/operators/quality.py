@@ -51,7 +51,7 @@ def matches(column: str, pattern: str) -> Check:
     )
 
 
-def unique(column: str, approx: bool = True, rsd: float = 0.05) -> Check:
+def unique(column: str, approx: bool = True, rsd: float = 0.01) -> Check:
     """Uniqueness constraint.
 
     ``approx=True`` (default) estimates the duplicate count with
@@ -60,12 +60,15 @@ def unique(column: str, approx: bool = True, rsd: float = 0.05) -> Check:
     rules in one pass, Catalyst plans an Expand that replicates EVERY
     input row once per distinct rule (and even a single exact rule
     shuffles the full distinct key set) — costs a 100 TB table
-    shouldn't pay for a health check. Estimates at or below the HLL noise floor
-    (``3 * rsd * count``) are reported as 0, so a truly-unique column
-    robustly passes; a real duplication problem (what the check
-    exists to catch) dwarfs the floor. Pass ``approx=False`` for the
-    exact, deterministic count (small tables, or when the precise
-    violation count matters).
+    shouldn't pay for a health check. Estimates at or below the HLL
+    noise floor (``3 * rsd * count``) are reported as 0, so a
+    truly-unique column robustly passes — which makes the floor a
+    FALSE-NEGATIVE BOUND: duplication affecting fewer than
+    ``3 * rsd`` of the rows (3% at the default ``rsd=0.01``) can pass
+    the approx check. A real duplication problem (what the check
+    exists to catch) dwarfs the floor; when the precise violation
+    count matters, or duplication below the floor must fail, pass
+    ``approx=False`` for the exact, deterministic count.
     """
     chk = Check(f"unique({column})", None, kind="unique")
     chk.column = column

@@ -297,7 +297,11 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("overlap must be in [0, chunk_size)")
     stride = chunk_size - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text behaves like empty text (one zero-ish chunk), the
+    # same contract as chunk_by_sentences — a bare split(NULL) would
+    # silently drop the document's rows through sequence/explode
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(text), r"\s+")
     n_extra_expr = (
         f"CASE WHEN _n <= {chunk_size} THEN 0 "
         f"ELSE CAST(ceil((_n - {chunk_size}) / {stride}.0) AS INT) END"

@@ -674,3 +674,63 @@ def test_corrupt_blobs_in_spark_pipeline(spark):
     assert not res[3].resampled  # truncated WAV routed, not crashed
     probed = attach_media_metadata(df, probe=True, modality="video")
     assert sample_frames(probed).count() == 4
+
+
+def test_gif_disposal_restore_to_previous():
+    """Disposal 3 (restore-to-previous): the canvas must revert to its
+    pre-frame state before the next frame composes, so a transparent
+    pixel in the next frame shows what was there BEFORE the disposed
+    frame drew — not the disposed frame's pixels."""
+    import struct
+
+    from parq_tools_spark.operators.codecs import decode_gif
+
+    def lzw(pixels):
+        data = bytearray()
+        bits = buffer = 0
+
+        def push(code):
+            nonlocal bits, buffer
+            buffer |= code << bits
+            bits += 9
+            while bits >= 8:
+                data.append(buffer & 0xFF)
+                buffer >>= 8
+                bits -= 8
+
+        for px in pixels:
+            push(256)  # clear
+            push(px)
+        push(257)  # end
+        if bits:
+            data.append(buffer & 0xFF)
+        return data
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x87, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    # (gce_flags, transparent_idx, pixels): frame 2 sets disposal 3
+    # (flags 3<<2), frame 3 has a transparent pixel (flags 1)
+    for flags, tidx, pixels in (
+        (0x00, 0, [10, 10]),
+        (0x0C, 0, [20, 20]),
+        (0x01, 0, [0, 30]),
+    ):
+        out += b"\x21\xf9\x04" + bytes([flags])
+        out += struct.pack("<H", 10) + bytes([tidx]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        out.append(8)  # min LZW code size
+        data = lzw(pixels)
+        for i in range(0, len(data), 255):
+            out.append(len(data[i : i + 255]))
+            out += data[i : i + 255]
+        out.append(0)
+    out += b"\x3b"
+
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 3
+    f3 = frames[2][1]
+    # pixel 0 is transparent in frame 3: with disposal 3 honored it
+    # shows frame 1's value (10); the draw-over bug would show 20
+    assert f3[0, 0, 0] == 10
+    assert f3[0, 1, 0] == 30

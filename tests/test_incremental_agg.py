@@ -278,3 +278,22 @@ def test_datatype_cast_and_fractional_quantile_labels(spark, sf_dir, tmp_path):
         "l_extendedprice_q50",
     ):
         assert c in fin.columns
+
+
+def test_null_group_key_merges_across_folds(spark, tmp_path):
+    """GROUP BY treats all-NULL keys as one group; the state merge
+    must too (null-safe join), not append a fresh NULL row per fold."""
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "k string, v long"
+    spark.createDataFrame(
+        [(None, 10), ("a", 1)], schema
+    ).write.parquet(os.path.join(inp, "b0"))
+    incremental_aggregate(spark, inp, state, ["k"], [("sum", "v")])
+    spark.createDataFrame(
+        [(None, 5), ("a", 2)], schema
+    ).write.parquet(os.path.join(inp, "b1"))
+    st = incremental_aggregate(spark, inp, state, ["k"], [("sum", "v")])
+    rows = {r.k: (r.n_rows, r.v_sum) for r in st.collect()}
+    assert len(rows) == 2  # exactly one NULL-key group
+    assert rows[None] == (2, 15)
+    assert rows["a"] == (2, 3)

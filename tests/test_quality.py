@@ -98,3 +98,17 @@ def test_unique_approx_detects_heavy_duplication(spark):
     # ~19,900 true duplicates; HLL with rsd=0.05 lands well above the
     # 3*rsd*count noise floor (3,000)
     assert r.n_violations > 15_000
+
+
+def test_unique_approx_catches_moderate_duplication(spark):
+    """The default rsd=0.01 noise floor is 3% of rows: a 10%-duplicated
+    key column must FAIL the approx check (the false-negative bound
+    the check documents)."""
+    df = spark.range(20_000).withColumn(
+        "k", F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id"))
+    )
+    out = {r.check: r for r in run_checks(df, [unique("k")]).collect()}
+    r = out["unique(k)"]
+    assert not r.passed
+    # ~1,999 true duplicates; floor at rsd=0.01 is 600
+    assert r.n_violations > 600

@@ -304,3 +304,18 @@ def test_chunk_by_sentences_null_text_kept_as_empty(spark):
     out = {r.doc_id: r for r in chunk_by_sentences(df, max_tokens=8).collect()}
     assert out[1].n_tokens == 0 and out[1].chunk_text == ""  # not dropped
     assert out[2].chunk_text == "real text here"
+
+
+def test_chunk_documents_null_text_kept_as_empty(spark):
+    """Same NULL contract as chunk_by_sentences: a NULL-text document
+    yields one (empty) chunk row instead of vanishing through
+    split(NULL) -> sequence/explode."""
+    from parq_tools_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_documents(df, chunk_size=8).collect()}
+    assert set(out) == {1, 2}  # NULL doc not dropped
+    assert out[1].chunk_idx == 0 and out[1].chunk_text == ""
+    assert out[2].chunk_text == "alpha beta gamma"
