@@ -1079,9 +1079,12 @@ def minhash_index_write(
     by ``band`` + a params sidecar, so future batches dedupe against
     the corpus WITHOUT recomputing its signatures. Index size is
     ``bands`` small rows per document — for 100 TB of text, a few
-    hundred GB of longs."""
+    hundred GB of longs. All sidecar/maintenance file operations go
+    through the Hadoop ``FileSystem`` API (``sources/statefs.py``),
+    so the index lives equally on ``file:``, ``hdfs:`` or ``s3a:``."""
     import json
-    import os
+
+    from parq_tools_spark.sources.statefs import StateFS
 
     banded = banded_minhash(
         df, id_col, text_col, num_hashes, bands, k, hash_family
@@ -1094,8 +1097,9 @@ def minhash_index_write(
         "k": k,
         "hash_family": hash_family,
     }
-    with open(os.path.join(path, "_minhash_params.json"), "w") as f:
-        json.dump(params, f)
+    StateFS(df.sparkSession, path).write_text(
+        f"{path}/{_PARAMS_FILE}", json.dumps(params)
+    )
 
 
 def minhash_index_compact(
@@ -1124,50 +1128,90 @@ def minhash_index_compact(
 
     Returns ``{band: (files_before, files_after)}`` for the bands
     rewritten.
+
+    Crash safety: tmp and displaced-old directories live under
+    ``<path>/.compact/`` — a dot-prefixed name Spark's partition
+    discovery ignores, so leftovers from a crash can never surface as
+    phantom ``band`` values (they are also repaired/cleaned by
+    :func:`_recover_compact` on the next compact or params read). The
+    per-band swap is two renames: atomic on ``file:``/``hdfs:``; on
+    object stores rename is copy+delete, so a concurrent reader can
+    briefly see a band's rows missing — run compaction in the ingest
+    job's maintenance slot there (it is an optimization, never a
+    correctness step).
     """
     import math
-    import os
-    import shutil
 
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, path)
+    _recover_compact(fs, path)
     compacted: dict = {}
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith("band="):
+    for entry, is_dir, _ in fs.list_status(path):
+        if not (is_dir and entry.startswith("band=")):
             continue
-        band_dir = os.path.join(path, entry)
+        band_dir = f"{path}/{entry}"
         files = [
-            os.path.join(band_dir, f)
-            for f in os.listdir(band_dir)
-            if f.endswith(".parquet")
+            (n, size)
+            for n, d, size in fs.list_status(band_dir)
+            if not d and n.endswith(".parquet")
         ]
         if len(files) <= min_files_per_band:
             continue
-        total_bytes = sum(os.path.getsize(f) for f in files)
+        total_bytes = sum(size for _, size in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
         if len(files) <= n_out:
             continue
-        tmp = band_dir + ".compact.tmp"
+        tmp = f"{path}/{_COMPACT_DIR}/tmp-{entry}"
+        old = f"{path}/{_COMPACT_DIR}/old-{entry}"
+        fs.delete(tmp)
         # band_dir files only — the partition column lives in the
         # directory name, so the rewrite needs no shuffle at all
         spark.read.parquet(band_dir).coalesce(n_out).write.mode(
             "overwrite"
         ).parquet(tmp)
-        old = band_dir + ".old"
-        os.replace(band_dir, old)
-        os.replace(tmp, band_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        n_after = len(
-            [f for f in os.listdir(band_dir) if f.endswith(".parquet")]
+        fs.rename(band_dir, old)
+        fs.rename(tmp, band_dir)
+        fs.delete(old)
+        n_after = sum(
+            1
+            for n, d, _ in fs.list_status(band_dir)
+            if not d and n.endswith(".parquet")
         )
         compacted[int(entry.split("=", 1)[1])] = (len(files), n_after)
+    fs.delete(f"{path}/{_COMPACT_DIR}")
     return compacted
 
 
-def _minhash_index_params(path: str) -> dict:
-    import json
-    import os
+_PARAMS_FILE = "_minhash_params.json"
+_COMPACT_DIR = ".compact"
 
-    with open(os.path.join(path, "_minhash_params.json")) as f:
-        return json.load(f)
+
+def _recover_compact(fs, path: str) -> None:
+    """Repair a crashed :func:`minhash_index_compact`: a failure
+    between its two renames leaves ``.compact/old-band=N`` holding the
+    only copy of that band — promote it back; any ``tmp-`` leftovers
+    are partial rewrites of data still present elsewhere — drop them.
+    Idempotent, and a single exists() probe when nothing crashed."""
+    cdir = f"{path}/{_COMPACT_DIR}"
+    if not fs.exists(cdir):
+        return
+    for entry, is_dir, _ in fs.list_status(cdir):
+        if is_dir and entry.startswith("old-band="):
+            band_dir = f"{path}/{entry[len('old-'):]}"
+            if not fs.exists(band_dir):
+                fs.rename(f"{cdir}/{entry}", band_dir)
+    fs.delete(cdir)
+
+
+def _minhash_index_params(spark, path: str) -> dict:
+    import json
+
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, path)
+    _recover_compact(fs, path)
+    return json.loads(fs.read_text(f"{path}/{_PARAMS_FILE}"))
 
 
 def minhash_index_add(
@@ -1176,7 +1220,7 @@ def minhash_index_add(
     """Append a new batch's band rows to an existing index (after
     deduping the batch with :func:`minhash_index_query` — the index
     does not check for id collisions)."""
-    p = _minhash_index_params(path)
+    p = _minhash_index_params(df.sparkSession, path)
     banded = banded_minhash(
         df,
         p["id_col"],
@@ -1208,15 +1252,12 @@ def minhash_index_query(
     collisions mean "this exact row is already indexed" and are
     suppressed by default; pass ``exclude_same_id=False`` to surface
     them (e.g. to detect re-submissions)."""
-    import glob as _glob
-    import os as _os
-
     from pyspark.sql import types as T
 
-    p = _minhash_index_params(path)
-    if not _glob.glob(
-        _os.path.join(path, "**", "*.parquet"), recursive=True
-    ):
+    from parq_tools_spark.sources.statefs import StateFS
+
+    p = _minhash_index_params(spark, path)
+    if not StateFS(spark, path).list_files(path):
         # freshly-bootstrapped index (params sidecar, zero band rows):
         # nothing can match — a typed empty relation keeps callers
         # (incremental_dedupe, the streaming admitter) branch-free
@@ -1269,7 +1310,7 @@ def incremental_dedupe(
     broadcast join against the index band rows (corpus unshuffled),
     one in-batch LSH self-join bounded by batch size.
     """
-    p = _minhash_index_params(index_path)
+    p = _minhash_index_params(spark, index_path)
     id_col = p["id_col"]
     vs_index = minhash_index_query(
         spark, index_path, new_docs, text_col=text_col, threshold=threshold

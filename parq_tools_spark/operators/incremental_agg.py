@@ -9,16 +9,28 @@ partial aggregates (sum / count / min / max — avg derives from
 sum+count at read time) keyed by the group columns:
 
 - **discovery** is a file listing diffed against a manifest — no data
-  read decides what's new (object-store listing at scale);
+  read decides what's new. The listing goes through the Hadoop
+  ``FileSystem`` API (:class:`~parq_tools_spark.sources.statefs.StateFS`),
+  so the same code lists ``file:`` in tests and ``s3a:``/``hdfs:`` on
+  a cluster;
 - **fold** reads just the new files, partial-aggregates them
   (map-side combine; the shuffle carries one row per group per
   partition), and merges with the state via a second tiny groupBy —
   state size is O(groups), never O(rows);
-- **commit** swaps the state directory with the CDC-style two-rename
-  (tmp -> current.old -> current; a complete state exists on disk at
-  every instant). The manifest lives INSIDE the state directory, so
-  processed-file bookkeeping and aggregate data commit atomically
-  together — a crash can never double-count or drop a file.
+- **commit** is a VERSIONED-MANIFEST protocol that never renames a
+  directory (object stores have no atomic rename): each fold writes a
+  fresh ``v=<n>/data`` directory, then writes ``v=<n>/_manifest.json``
+  LAST. The manifest's appearance is the commit point — written via
+  tmp+atomic-rename on ``file:``/``hdfs:`` and a single atomic PUT on
+  object stores — so every reader sees either version n-1 or version
+  n, never a torn state. The manifest lives INSIDE the version it
+  commits, so processed-file bookkeeping and aggregate data commit
+  atomically together: a crash can never double-count or drop a file.
+  Versions older than the previous one are deleted at the start of
+  the next fold (in-flight readers of the prior version get a full
+  fold cycle to finish); a version directory without its manifest is
+  an aborted fold and is cleaned the same way. Single writer assumed
+  (one maintenance job per state path — the usual scheduler contract).
 
 The partial columns are plain sums/counts/mins/maxes, so the final
 state provably equals a flat GROUP BY over all input — which is
@@ -27,15 +39,14 @@ exactly how the `incremental_revenue` registry oracle checks it.
 
 from __future__ import annotations
 
-import glob as _glob
 import json
-import os
 import re
-import shutil
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parq_tools_spark.sources.statefs import StateFS
 
 __all__ = [
     "incremental_aggregate",
@@ -83,6 +94,7 @@ _PARTIAL_FN = {
 }
 _DATA = "data"
 _MANIFEST = "_manifest.json"
+_V_RE = re.compile(r"^v=(\d+)$")
 
 
 def _normalize_measures(measures: Sequence) -> list:
@@ -102,21 +114,58 @@ def _measure_alias(fn: str, col: str) -> str:
     return f"{col}_{fn}"
 
 
-def _list_input_files(input_path: str) -> list:
-    files = _glob.glob(
-        os.path.join(input_path, "**", "*.parquet"), recursive=True
-    )
-    return sorted(os.path.relpath(f, input_path) for f in files)
+# ------------------------------------------------- version protocol
+def _versions(fs: StateFS, state_path: str) -> list:
+    """Sorted ``(n, committed)`` for every ``v=<n>`` child: committed
+    means its manifest exists (the commit marker)."""
+    out = []
+    for name, is_dir, _ in fs.list_status(state_path):
+        m = _V_RE.match(name)
+        if m and is_dir:
+            n = int(m.group(1))
+            out.append(
+                (n, fs.exists(f"{state_path}/v={n}/{_MANIFEST}"))
+            )
+    return sorted(out)
 
 
-def _recover_swap(state_path: str) -> None:
-    """Finish an interrupted two-rename swap: if the primary is
-    missing, promote `.old` (the previous complete state)."""
-    old = state_path + ".old"
-    if not os.path.exists(state_path) and os.path.exists(old):
-        os.replace(old, state_path)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(state_path + ".tmp", ignore_errors=True)
+def _current_version(fs: StateFS, state_path: str) -> Optional[int]:
+    committed = [n for n, ok in _versions(fs, state_path) if ok]
+    return max(committed) if committed else None
+
+
+def _clean_stale_versions(
+    fs: StateFS, state_path: str, current: Optional[int]
+) -> None:
+    """Drop aborted folds (uncommitted v-dirs) and versions older
+    than the previous commit. The version just below ``current``
+    survives until the NEXT fold so in-flight readers of it finish."""
+    for n, committed in _versions(fs, state_path):
+        if (not committed and n != current) or (
+            committed and current is not None and n < current
+        ):
+            fs.delete(f"{state_path}/v={n}")
+
+
+def _read_manifest(fs: StateFS, state_path: str, version: int) -> list:
+    try:
+        doc = json.loads(
+            fs.read_text(f"{state_path}/v={version}/{_MANIFEST}")
+        )
+        return doc["files"]
+    except Exception:
+        return []
+
+
+def _resolve_state(
+    spark: SparkSession, state_path: str
+) -> Tuple[StateFS, Optional[int], Optional[DataFrame], set]:
+    fs = StateFS(spark, state_path)
+    cur = _current_version(fs, state_path)
+    if cur is None:
+        return fs, None, None, set()
+    state = spark.read.parquet(f"{state_path}/v={cur}/{_DATA}")
+    return fs, cur, state, set(_read_manifest(fs, state_path, cur))
 
 
 def _partial_aggs(measures: Sequence) -> list:
@@ -183,21 +232,14 @@ def _stabilize(fn: str, cast, expr):
 
 
 def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
-    """The current rollup state (partial-aggregate columns), or None
-    before the first fold."""
-    _recover_swap(state_path)
-    data = os.path.join(state_path, _DATA)
-    if not os.path.exists(data):
+    """The current committed rollup state (partial-aggregate
+    columns), or None before the first fold. Resolution = highest
+    version whose manifest exists; aborted folds are invisible."""
+    fs = StateFS(spark, state_path)
+    cur = _current_version(fs, state_path)
+    if cur is None:
         return None
-    return spark.read.parquet(data)
-
-
-def _read_manifest(state_path: str) -> list:
-    try:
-        with open(os.path.join(state_path, _MANIFEST)) as f:
-            return json.load(f)["files"]
-    except (FileNotFoundError, KeyError, ValueError):
-        return []
+    return spark.read.parquet(f"{state_path}/v={cur}/{_DATA}")
 
 
 def incremental_aggregate(
@@ -206,30 +248,42 @@ def incremental_aggregate(
     state_path: str,
     keys: Sequence[str],
     measures: Sequence,
+    retain=None,
 ) -> DataFrame:
     """Fold newly-arrived parquet files under ``input_path`` into the
     rollup state at ``state_path`` and return the updated state.
 
     ``measures``: ``(fn, col)`` or ``(fn, col, cast)`` tuples with
-    ``fn`` in sum/count/min/max; ``cast`` (e.g. ``"decimal(27,2)"``)
-    applies before aggregation — the way to keep money sums exact and
-    partition-order independent. Output columns: the keys, ``n_rows``
-    (group row count) and one ``<col>_<fn>`` per measure.
+    ``fn`` in sum/count/min/max/approx_distinct/quantiles; ``cast``
+    (e.g. ``"decimal(27,2)"``) applies before aggregation — the way
+    to keep money sums exact and partition-order independent. Output
+    columns: the keys, ``n_rows`` (group row count) and one
+    ``<col>_<fn>`` per measure.
+
+    ``retain``: optional retention predicate over the STATE schema (a
+    ``Column`` or SQL string, e.g. ``"ship_month >= '1995-01'"``) —
+    groups failing it are dropped at fold time, bounding state size
+    when a group key contains a time bucket (otherwise state grows
+    monotonically forever). Retention assumes pruned groups receive
+    no further input rows (the watermark contract): a late row for a
+    pruned group would resurrect it with only the late data. Under
+    that assumption, fold+retain provably equals a flat GROUP BY over
+    the retained groups' rows.
 
     Files already named in the manifest are skipped; files must be
     immutable once written (the append-only contract — rewrites are
     invisible to the diff). A run with no new files returns the state
-    unchanged without reading any data.
+    unchanged without reading any data (retention too is only applied
+    when a fold commits).
     """
     keys = list(keys)
     measures = _normalize_measures(measures)
-    _recover_swap(state_path)
-    os.makedirs(state_path, exist_ok=True)
+    fs, cur, state, done = _resolve_state(spark, state_path)
+    _clean_stale_versions(fs, state_path, cur)
 
-    done = set(_read_manifest(state_path))
-    all_files = _list_input_files(input_path)
+    in_fs = StateFS(spark, input_path)
+    all_files = in_fs.list_files(input_path)
     new = [f for f in all_files if f not in done]
-    state = read_aggregate(spark, state_path)
     if not new:
         if state is None:
             raise ValueError(
@@ -238,26 +292,29 @@ def incremental_aggregate(
         return state
 
     batch = spark.read.parquet(
-        *[os.path.join(input_path, f) for f in new]
+        *[f"{input_path.rstrip('/')}/{f}" for f in new]
     )
     partial = batch.groupBy(*keys).agg(*_partial_aggs(measures))
     if state is not None:
         merged = _merge_state_partial(state, partial, keys, measures)
     else:
         merged = partial
+    if retain is not None:
+        merged = merged.filter(
+            retain if isinstance(retain, Column) else F.expr(retain)
+        )
 
-    tmp = state_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, _DATA))
-    with open(os.path.join(tmp, _MANIFEST), "w") as f:
-        json.dump({"files": sorted(done | set(new))}, f)
-    old = state_path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(state_path, old)
-    os.replace(tmp, state_path)
-    shutil.rmtree(old, ignore_errors=True)
-    return read_aggregate(spark, state_path)
+    nxt = (cur or 0) + 1
+    vdir = f"{state_path}/v={nxt}"
+    # a fresh directory per fold: the merge plan lazily reads the
+    # current version's files, which stay untouched until the NEXT
+    # fold's cleanup — no self-overwrite, no reader-visible gap
+    merged.write.mode("overwrite").parquet(f"{vdir}/{_DATA}")
+    fs.write_text(  # the commit point (atomic per scheme — statefs)
+        f"{vdir}/{_MANIFEST}",
+        json.dumps({"version": nxt, "files": sorted(done | set(new))}),
+    )
+    return spark.read.parquet(f"{vdir}/{_DATA}")
 
 
 def read_aggregate_with_tail(
@@ -276,10 +333,9 @@ def read_aggregate_with_tail(
     untouched."""
     keys = list(keys)
     measures = _normalize_measures(measures)
-    _recover_swap(state_path)
-    done = set(_read_manifest(state_path))
-    new = [f for f in _list_input_files(input_path) if f not in done]
-    state = read_aggregate(spark, state_path)
+    fs, cur, state, done = _resolve_state(spark, state_path)
+    in_fs = StateFS(spark, input_path)
+    new = [f for f in in_fs.list_files(input_path) if f not in done]
     if not new:
         if state is None:
             raise ValueError(
@@ -287,7 +343,9 @@ def read_aggregate_with_tail(
             )
         return state
     tail = (
-        spark.read.parquet(*[os.path.join(input_path, f) for f in new])
+        spark.read.parquet(
+            *[f"{input_path.rstrip('/')}/{f}" for f in new]
+        )
         .groupBy(*keys)
         .agg(*_partial_aggs(measures))
     )

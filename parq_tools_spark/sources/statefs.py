@@ -1,0 +1,175 @@
+"""Filesystem primitives for state-directory protocols, routed
+through the JVM Hadoop ``FileSystem`` API (beyond-reference; the
+reference is a single-machine tool whose state — if any — is plain
+local files, `parq_tools/utils` passim).
+
+Why not ``os`` / ``glob`` / ``shutil``: the incremental-maintenance
+features (rollup state, CDC snapshots, the MinHash index, streaming
+markers) must hold on the storage a 1000-executor cluster actually
+uses — HDFS and object stores (``s3a:``, ``abfs:``, ``gs:``) — where
+the Python stdlib never reaches. Every listing, read, write, rename
+and delete here goes through ``Path.getFileSystem(hadoopConf)``, the
+same connector stack Spark's own reads use, so one code path covers
+``file:`` (tests), ``hdfs:`` and object stores alike.
+
+Atomicity is SCHEME-DEPENDENT, and the protocols built on this module
+pick primitives accordingly:
+
+- ``file:`` / ``hdfs:`` — ``rename`` is atomic (file and directory);
+  object stores emulate rename as copy+delete (non-atomic, O(data)).
+- object stores — single-object PUT is atomic: a file written via
+  ``create`` + ``close`` appears fully-formed or not at all. Directory
+  content is only eventually consistent relative to listings on some
+  stores.
+
+Therefore: **commit = the appearance of one small immutable marker
+file** (a manifest), never a directory rename. Writing that marker is
+``tmp + rename`` where rename is atomic and a direct create-PUT where
+it is not (:meth:`StateFS.write_text`); both end with the marker
+either fully present or absent. Directory renames remain available
+(:meth:`StateFS.rename`) for protocols that are optimization-only
+(e.g. index compaction) and document their non-atomic window on
+object stores.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+from pyspark.sql import SparkSession
+
+__all__ = ["StateFS"]
+
+#: Schemes where rename is copy+delete (non-atomic) but single-object
+#: PUT is atomic.
+_OBJECT_STORE_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "cosn",
+    "wasb", "wasbs", "abfs", "abfss", "swift",
+}
+
+
+class StateFS:
+    """Hadoop-FileSystem-backed file operations rooted at one path.
+
+    One instance wraps the ``FileSystem`` owning ``base`` (Hadoop
+    caches these per scheme+authority, so construction is cheap) and
+    exposes the handful of primitives the state protocols need. All
+    paths are strings; relative semantics follow Hadoop ``Path``.
+    """
+
+    def __init__(self, spark: SparkSession, base: str):
+        jvm = spark._jvm
+        self._jPath = jvm.org.apache.hadoop.fs.Path
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._fs = self._jPath(base).getFileSystem(conf)
+        self._ioutils = jvm.org.apache.commons.io.IOUtils
+
+    # ---------------------------------------------------- basics
+    def _p(self, path: str):
+        return self._jPath(path)
+
+    @property
+    def scheme(self) -> str:
+        return self._fs.getScheme()
+
+    @property
+    def is_object_store(self) -> bool:
+        """True when rename is non-atomic copy+delete and the atomic
+        primitive is single-object PUT instead."""
+        return self.scheme in _OBJECT_STORE_SCHEMES
+
+    def qualify(self, path: str) -> str:
+        """The fully-qualified URI of ``path`` on this filesystem —
+        the scheme-stable identity to persist (``os.path.abspath``
+        only makes sense for ``file:``)."""
+        return self._fs.makeQualified(self._p(path)).toString()
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._p(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str) -> bool:
+        """Recursive delete; False if the path didn't exist."""
+        return self._fs.delete(self._p(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Rename, raising IOError on failure (Hadoop signals failure
+        inconsistently per filesystem — False return OR an exception;
+        both normalize here). Atomic on ``file:``/``hdfs:``;
+        copy+delete on object stores."""
+        try:
+            ok = self._fs.rename(self._p(src), self._p(dst))
+        except Exception as e:  # Py4JJavaError et al.
+            raise IOError(f"rename failed: {src} -> {dst}: {e}") from e
+        if not ok:
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    # ---------------------------------------------------- listing
+    def list_status(self, path: str) -> List[Tuple[str, bool, int]]:
+        """One-level listing: ``(name, is_dir, byte_len)`` per child,
+        sorted by name. Empty for a missing path."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            out.append(
+                (st.getPath().getName(), st.isDirectory(), st.getLen())
+            )
+        return sorted(out)
+
+    def list_files(
+        self, path: str, suffix: Optional[str] = ".parquet"
+    ) -> List[str]:
+        """Recursive file listing as sorted paths RELATIVE to
+        ``path``, skipping hidden (``.``/``_``-prefixed) segments —
+        the discovery primitive the manifest diff keys on. One
+        ``listFiles`` scan (object stores serve this from the flat
+        key namespace: no per-directory round trips)."""
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        base = self._fs.makeQualified(p).toUri().getPath().rstrip("/")
+        it = self._fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            fp = it.next().getPath()
+            if suffix and not fp.getName().endswith(suffix):
+                continue
+            rel = fp.toUri().getPath()[len(base):].lstrip("/")
+            if any(s.startswith((".", "_")) for s in rel.split("/")):
+                continue
+            out.append(rel)
+        return sorted(out)
+
+    # ---------------------------------------------------- small files
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            data = self._ioutils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8")
+
+    def write_text(self, path: str, text: str) -> None:
+        """Write a small file so it appears fully-formed or not at
+        all: ``create`` + ``close`` on object stores (atomic PUT),
+        ``tmp`` + atomic rename elsewhere (readers of a half-written
+        local/HDFS file are otherwise possible)."""
+        if self.is_object_store:
+            self._create(path, text)
+            return
+        tmp = f"{path}.tmp-{os.getpid()}"
+        self._create(tmp, text)
+        self._fs.delete(self._p(path), False)
+        self.rename(tmp, path)
+
+    def _create(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()

@@ -4,9 +4,9 @@ Structured Streaming's ``foreachBatch``).
 
 This is the continuous form of the nightly merge: each micro-batch of
 change events (op/seq rows) merges into the current snapshot and the
-result replaces it via a crash-safe two-rename swap. ``foreachBatch``
-invocations are strictly sequential, so batch N+1 always reads the
-snapshot batch N produced; per-batch ordering comes from
+result becomes the new current version. ``foreachBatch`` invocations
+are strictly sequential, so batch N+1 always reads the snapshot batch
+N produced; per-batch ordering comes from
 :func:`~parq_tools_spark.operators.merge.apply_cdc`'s latest-wins
 pass, and CROSS-batch ordering from the persisted per-key seq
 (``track_seq=True``, the default): the snapshot carries a reserved
@@ -16,16 +16,23 @@ micro-batch delivering stale (lower-seq) events cannot overwrite
 newer state, and checkpoint-replayed batches are idempotent. With
 ``track_seq=False`` ordering degrades to arrival-order-wins and the
 stream MUST deliver events in seq order. Readers of the snapshot
-should drop ``__cdc_seq`` (or use :func:`read_snapshot`).
+should use :func:`read_snapshot` (resolves the current version and
+drops ``__cdc_seq``).
 
-Crash safety: the swap is write(tmp) -> rename(current, .old) ->
-rename(tmp, current) -> delete(.old). Both renames are atomic, and a
-full snapshot exists on disk at every instant — a crash between the
-renames leaves ``.old``, which the next batch (or restart) restores
-before Spark's checkpoint replays the interrupted micro-batch. There
-is still a brief reader-visible window where the primary path is
-absent during the swap; readers must tolerate a retry — a real
-deployment points readers at a manifest or uses a table format.
+Commit protocol — versioned manifest, no directory renames (the same
+protocol as ``operators/incremental_agg.py``, through the Hadoop
+``FileSystem`` API so it holds on ``file:``/``hdfs:``/``s3a:``
+alike): the initial snapshot is plain parquet at ``snapshot_path``
+(version 0); each batch writes a fresh ``v=<n>/`` parquet directory
+and then writes ``v=<n>/_COMMITTED`` LAST — a small marker file whose
+atomic appearance (tmp+rename where rename is atomic, single PUT on
+object stores) is the commit point. Readers resolve the highest
+committed version, so a crash mid-batch leaves an uncommitted v-dir
+that is simply invisible and is swept by the next batch; the
+previous version outlives its successor by one batch so in-flight
+readers finish. The marker also records the batch id + checkpoint, so
+a checkpoint replay of an already-committed batch is skipped outright
+(and would be harmless anyway under ``track_seq``).
 
 Scale shape: with ``broadcast_source=True`` (the default — a
 micro-batch is small by construction) the snapshot never shuffles:
@@ -38,43 +45,96 @@ a connector is available.
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
+import re
 from collections.abc import Sequence
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parq_tools_spark.sources.statefs import StateFS
 
 __all__ = ["start_cdc_apply", "read_snapshot", "SEQ_STATE_COL"]
 
 #: Reserved snapshot column recording the last applied seq per key.
 SEQ_STATE_COL = "__cdc_seq"
 
-
-def read_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
-    """Read a CDC-maintained snapshot without its bookkeeping column,
-    recovering a half-finished swap first if one is found."""
-    _recover_swap(snapshot_path)
-    df = spark.read.parquet(snapshot_path)
-    return df.drop(SEQ_STATE_COL) if SEQ_STATE_COL in df.columns else df
+_COMMIT = "_COMMITTED"
+_V_RE = re.compile(r"^v=(\d+)$")
 
 
-def _recover_swap(snapshot_path: str) -> None:
-    """Repair the on-disk state after a crash mid-swap. Idempotent.
+def _versions(fs: StateFS, path: str) -> list:
+    out = []
+    for name, is_dir, _ in fs.list_status(path):
+        m = _V_RE.match(name)
+        if m and is_dir:
+            n = int(m.group(1))
+            out.append((n, fs.exists(f"{path}/v={n}/{_COMMIT}")))
+    return sorted(out)
 
-    Invariant of the swap order: at most one of {primary missing,
-    stale ``.old`` present} can need fixing, and ``.old`` is always a
-    complete snapshot when the primary is absent.
-    """
-    old = snapshot_path + ".old"
-    if os.path.exists(snapshot_path):
-        # crash after the second rename but before cleanup: primary is
-        # complete and newer, the leftover .old just needs removing
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.exists(old):
-        # crash between the two renames: restore the previous snapshot;
-        # the checkpointed micro-batch will re-run against it
-        os.replace(old, snapshot_path)
+
+def _current_version(fs: StateFS, path: str) -> Optional[int]:
+    committed = [n for n, ok in _versions(fs, path) if ok]
+    return max(committed) if committed else None
+
+
+def _read_current(
+    spark: SparkSession, fs: StateFS, path: str, version: Optional[int]
+) -> DataFrame:
+    if version is not None:
+        return spark.read.parquet(f"{path}/v={version}")
+    # bootstrap: plain parquet at the root. If an aborted first batch
+    # left an uncommitted v-dir, a bare directory read would sweep it
+    # in as a partition — pin the read to the root-level files then.
+    status = fs.list_status(path)
+    if any(_V_RE.match(n) and d for n, d, _ in status):
+        files = [
+            f"{path}/{n}"
+            for n, d, _ in status
+            if not d and n.endswith(".parquet")
+        ]
+        return spark.read.parquet(*files)
+    return spark.read.parquet(path)
+
+
+def _clean_stale(fs: StateFS, path: str, current: Optional[int]) -> None:
+    """Sweep aborted batches (uncommitted v-dirs) and versions more
+    than one behind; the bootstrap root files count as version 0 and
+    are swept once two real versions exist."""
+    for n, committed in _versions(fs, path):
+        if (not committed and n != current) or (
+            committed and current is not None and n < current
+        ):
+            fs.delete(f"{path}/v={n}")
+    if current is not None and current >= 2:
+        for name, is_dir, _ in fs.list_status(path):
+            if not is_dir and not name.startswith((".", "_")):
+                fs.delete(f"{path}/{name}")
+
+
+def read_snapshot(
+    spark: SparkSession, snapshot_path: str, with_seq: bool = False
+) -> DataFrame:
+    """Read a CDC-maintained snapshot (current committed version, or
+    the bootstrap parquet before the first batch). The reserved
+    ``__cdc_seq`` bookkeeping column is dropped unless
+    ``with_seq=True``."""
+    fs = StateFS(spark, snapshot_path)
+    cur = _current_version(fs, snapshot_path)
+    df = _read_current(spark, fs, snapshot_path, cur)
+    if with_seq or SEQ_STATE_COL not in df.columns:
+        return df
+    return df.drop(SEQ_STATE_COL)
+
+
+def _last_marker(fs: StateFS, path: str, version: Optional[int]) -> dict:
+    if version is None:
+        return {}
+    try:
+        return json.loads(fs.read_text(f"{path}/v={version}/{_COMMIT}"))
+    except Exception:
+        return {}
 
 
 def start_cdc_apply(
@@ -114,9 +174,15 @@ def start_cdc_apply(
 
         if not batch_df.take(1):
             return
-        _recover_swap(snapshot_path)
         spark = batch_df.sparkSession
-        snapshot = spark.read.parquet(snapshot_path)
+        fs = StateFS(spark, snapshot_path)
+        ckpt = StateFS(spark, checkpoint_dir).qualify(checkpoint_dir)
+        cur = _current_version(fs, snapshot_path)
+        marker = _last_marker(fs, snapshot_path, cur)
+        if marker.get("checkpoint") == ckpt and marker.get("batch") == batch_id:
+            return  # replay of an already-committed batch
+        _clean_stale(fs, snapshot_path, cur)
+        snapshot = _read_current(spark, fs, snapshot_path, cur)
         if track_seq and SEQ_STATE_COL not in snapshot.columns:
             snapshot = snapshot.withColumn(
                 SEQ_STATE_COL, F.lit(None).cast(seq_type)
@@ -130,14 +196,16 @@ def start_cdc_apply(
             broadcast_source=broadcast_source,
             target_seq_col=SEQ_STATE_COL if track_seq else None,
         )
-        tmp = f"{snapshot_path}.b{batch_id}.tmp"
-        old = snapshot_path + ".old"
-        # materialize BEFORE touching the current snapshot — the merge
-        # plan lazily reads the files being replaced
-        updated.write.mode("overwrite").parquet(tmp)
-        os.replace(snapshot_path, old)
-        os.replace(tmp, snapshot_path)
-        shutil.rmtree(old, ignore_errors=True)
+        nxt = (cur or 0) + 1
+        vdir = f"{snapshot_path}/v={nxt}"
+        # the write materializes into a FRESH directory while the plan
+        # lazily reads the current version's files — which stay put
+        # until swept a batch later, so readers never see a gap
+        updated.write.mode("overwrite").parquet(vdir)
+        fs.write_text(  # commit point (atomic per scheme — statefs)
+            f"{vdir}/{_COMMIT}",
+            json.dumps({"batch": batch_id, "checkpoint": ckpt}),
+        )
 
     writer = (
         changes.writeStream.foreachBatch(_process)

@@ -41,17 +41,27 @@ made idempotent separately):
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["start_near_dedupe_stream"]
 
 _MARKER = "_stream_last_batch"
 
 
-def _last_applied(index_path: str, checkpoint_dir: str) -> int:
+def _marker_identity(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The checkpoint's scheme-stable identity (fully-qualified URI
+    via the Hadoop FileSystem — ``os.path.abspath`` only means
+    something on ``file:``)."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    return StateFS(spark, checkpoint_dir).qualify(checkpoint_dir)
+
+
+def _last_applied(
+    spark: SparkSession, index_path: str, checkpoint_dir: str
+) -> int:
     """Last fully-applied batch id FOR THIS QUERY. Batch ids are only
     meaningful relative to one checkpoint: a restart with a fresh
     checkpoint renumbers and re-partitions micro-batches, so a bare
@@ -60,27 +70,42 @@ def _last_applied(index_path: str, checkpoint_dir: str) -> int:
     checkpoint it belongs to and is ignored for any other."""
     import json
 
+    from parq_tools_spark.sources.statefs import StateFS
+
     try:
-        with open(os.path.join(index_path, _MARKER)) as f:
-            m = json.load(f)
-        if m.get("checkpoint") != os.path.abspath(checkpoint_dir):
+        m = json.loads(
+            StateFS(spark, index_path).read_text(f"{index_path}/{_MARKER}")
+        )
+        if m.get("checkpoint") != _marker_identity(spark, checkpoint_dir):
             return -1
         return int(m["batch"])
-    except (FileNotFoundError, ValueError, KeyError):
+    except Exception:
         return -1
 
 
-def _commit_marker(index_path: str, checkpoint_dir: str, batch_id: int) -> None:
+def _commit_marker(
+    spark: SparkSession,
+    index_path: str,
+    checkpoint_dir: str,
+    batch_id: int,
+) -> None:
+    """Atomic-per-scheme marker write (tmp+rename / object-store PUT
+    — ``statefs.write_text``)."""
     import json
 
-    os.makedirs(index_path, exist_ok=True)
-    tmp = os.path.join(index_path, _MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"checkpoint": os.path.abspath(checkpoint_dir), "batch": batch_id},
-            f,
-        )
-    os.replace(tmp, os.path.join(index_path, _MARKER))
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, index_path)
+    fs.mkdirs(index_path)
+    fs.write_text(
+        f"{index_path}/{_MARKER}",
+        json.dumps(
+            {
+                "checkpoint": _marker_identity(spark, checkpoint_dir),
+                "batch": batch_id,
+            }
+        ),
+    )
 
 
 def start_near_dedupe_stream(
@@ -132,14 +157,16 @@ def start_near_dedupe_stream(
             minhash_index_write,
         )
 
-        if batch_id <= _last_applied(index_path, checkpoint_dir):
+        from parq_tools_spark.sources.statefs import StateFS
+
+        spark = batch_df.sparkSession
+        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
             return  # replay of a batch this query already applied
         if not batch_df.take(1):
-            _commit_marker(index_path, checkpoint_dir, batch_id)
+            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
             return
-        spark = batch_df.sparkSession
-        if not os.path.exists(
-            os.path.join(index_path, "_minhash_params.json")
+        if not StateFS(spark, index_path).exists(
+            f"{index_path}/_minhash_params.json"
         ):
             # bootstrap an EMPTY index (params sidecar, zero band
             # rows — minhash_index_query returns a typed empty
@@ -164,9 +191,9 @@ def start_near_dedupe_stream(
             update_index=True,
         )
         survivors.write.mode("overwrite").parquet(
-            os.path.join(output_path, f"batch={batch_id}")
+            f"{output_path}/batch={batch_id}"
         )
-        _commit_marker(index_path, checkpoint_dir, batch_id)
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             minhash_index_compact(spark, index_path)
 

@@ -505,3 +505,51 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
         for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
     )
     assert after == before
+
+
+def test_minhash_index_compact_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between compaction's two renames leaves the band only
+    under .compact/old-band=N. The next params read must promote it
+    back, stray tmp dirs must vanish, and partition discovery must
+    never see phantom band values (the dot-prefixed dir is invisible
+    to Spark)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.dedup import (
+        _minhash_index_params,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(docs, path, num_hashes=32, bands=8)
+
+    bands = sorted(e for e in os.listdir(path) if e.startswith("band="))
+    victim = bands[0]
+    cdir = os.path.join(path, ".compact")
+    os.makedirs(cdir)
+    # crash between rename(band,old) and rename(tmp,band): the band
+    # dir is gone, old- holds the only copy, tmp- is a partial rewrite
+    os.replace(os.path.join(path, victim), os.path.join(cdir, f"old-{victim}"))
+    shutil.copytree(
+        os.path.join(cdir, f"old-{victim}"), os.path.join(cdir, f"tmp-{victim}")
+    )
+
+    p = _minhash_index_params(spark, path)  # triggers recovery
+    assert p["bands"] == 8
+    assert os.path.isdir(os.path.join(path, victim))  # band promoted back
+    assert not os.path.exists(cdir)  # tmp + scaffolding swept
+
+    # index fully usable, band column cleanly typed (no ".old"/".tmp"
+    # partition-value pollution)
+    idx = spark.read.parquet(path)
+    got_bands = sorted(r.band for r in idx.select("band").distinct().collect())
+    assert got_bands == list(range(8))
+    probe = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    assert minhash_index_query(spark, path, probe, threshold=0.5).count() >= 0

@@ -72,20 +72,81 @@ def test_no_new_files_skips_and_empty_input_errors(spark, sf_dir, tmp_path):
     assert s2.agg(F.sum("n_rows")).collect()[0][0] == n1 == 100
 
 
-def test_swap_crash_recovery(spark, sf_dir, tmp_path):
+def test_aborted_fold_invisible_and_cleaned(spark, sf_dir, tmp_path):
+    """Crash mid-fold = a v-dir whose manifest never appeared. Readers
+    must resolve the previous committed version; the next fold must
+    clean the aborted dir and re-fold the files (no drop, no double
+    count)."""
+    import shutil
+
     li = _lineitem(spark, sf_dir)
     inp, state = str(tmp_path / "in"), str(tmp_path / "state")
     li.limit(500).write.parquet(os.path.join(inp, "b0"))
     st = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
     total = st.agg(F.sum("n_rows")).collect()[0][0]
-    # interrupted swap: primary gone, .old holds the complete state
-    os.replace(state, state + ".old")
-    rec = read_aggregate(spark, state)
-    assert rec.agg(F.sum("n_rows")).collect()[0][0] == total
-    # and the next fold proceeds from the recovered state
-    li.limit(600).write.parquet(os.path.join(inp, "b1"))  # 600 new rows
+    # simulate: b1 arrives, a fold writes v=2/data then dies before
+    # the manifest (the commit marker)
+    li.limit(600).write.parquet(os.path.join(inp, "b1"))
+    shutil.copytree(
+        os.path.join(state, "v=1", "data"),
+        os.path.join(state, "v=2", "data"),
+    )
+    rec = read_aggregate(spark, state)  # aborted v=2 is invisible
+    assert rec.agg(F.sum("n_rows")).collect()[0][0] == total == 500
     st2 = incremental_aggregate(spark, inp, state, KEYS, MEASURES)
-    assert st2.agg(F.sum("n_rows")).collect()[0][0] == total + 600
+    assert st2.agg(F.sum("n_rows")).collect()[0][0] == 1100
+    # version hygiene: the aborted dir was replaced by the real v=2;
+    # only previous + current survive a later fold
+    li.limit(700).write.parquet(os.path.join(inp, "b2"))
+    incremental_aggregate(spark, inp, state, KEYS, MEASURES)
+    vdirs = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert vdirs == ["v=2", "v=3"]
+    assert read_aggregate(spark, state).agg(
+        F.sum("n_rows")
+    ).collect()[0][0] == 1800
+
+
+def test_retention_prunes_old_groups(spark, sf_dir, tmp_path):
+    """fold + retain == flat GROUP BY over the retained horizon, when
+    batches arrive in key order (the documented watermark contract)."""
+    li = _lineitem(spark, sf_dir).withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    splits = ["1994-01", "1996-01"]
+    batches = [
+        li.filter(F.col("ship_month") < splits[0]),
+        li.filter(
+            (F.col("ship_month") >= splits[0])
+            & (F.col("ship_month") < splits[1])
+        ),
+        li.filter(F.col("ship_month") >= splits[1]),
+    ]
+    horizon = "ship_month >= '1995-01'"
+    for i, b in enumerate(batches):
+        b.write.parquet(os.path.join(inp, f"b{i}"))
+        st = incremental_aggregate(
+            spark,
+            inp,
+            state,
+            ["ship_month"],
+            [("sum", "l_quantity", "decimal(27,2)")],
+            retain=horizon,
+        )
+    got = sorted(tuple(r) for r in st.collect())
+    exp = sorted(
+        tuple(r)
+        for r in li.filter(horizon)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(38,2)")
+            .alias("l_quantity_sum"),
+        )
+        .collect()
+    )
+    assert got == exp and len(got) > 0
 
 
 def test_measure_validation(spark, sf_dir, tmp_path):

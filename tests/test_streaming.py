@@ -380,7 +380,7 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
     assert got == expected
     assert got == [(1, "a", 10.0), (3, "c3", 33.0), (4, "d", 40.0)]
     # the raw snapshot carries the per-key applied-seq bookkeeping
-    raw = spark.read.parquet(snap_path)
+    raw = read_snapshot(spark, snap_path, with_seq=True)
     assert "__cdc_seq" in raw.columns
     seqs = {r["k"]: r["__cdc_seq"] for r in raw.collect()}
     assert seqs == {1: None, 3: 2, 4: 1}
@@ -423,29 +423,53 @@ def test_streaming_cdc_stale_batch_does_not_overwrite(spark, tmp_path):
     assert got == [(1, "new", 50.0), (2, "b", 2.0)]
 
 
-def test_cdc_swap_recovery(spark, tmp_path):
-    """A crash between the two swap renames leaves only '.old'; the
-    next read/batch must restore it. A leftover '.old' beside a
-    complete primary must be cleaned up, not restored."""
+def test_cdc_aborted_batch_invisible_and_swept(spark, tmp_path):
+    """A crash mid-batch leaves a v-dir without its _COMMITTED marker:
+    readers must keep resolving the previous version, and the marker's
+    appearance alone flips them to the new one. Old versions and the
+    bootstrap files are swept once two newer commits exist."""
+    import json
     import os
-    import shutil
 
-    from parq_tools_spark.streaming.cdc import _recover_swap, read_snapshot
+    from parq_tools_spark.streaming.cdc import read_snapshot
 
     snap = str(tmp_path / "snap")
-    spark.range(5).write.parquet(snap)
+    spark.range(5).write.parquet(snap)  # bootstrap = version 0
 
-    # crash between rename(current, .old) and rename(tmp, current)
-    os.replace(snap, snap + ".old")
-    assert not os.path.exists(snap)
-    assert read_snapshot(spark, snap).count() == 5
-    assert not os.path.exists(snap + ".old")
+    # batch writes v=1 data but dies before the commit marker
+    spark.range(9).write.parquet(os.path.join(snap, "v=1"))
+    assert read_snapshot(spark, snap).count() == 5  # still bootstrap
+    # the marker lands -> same files, new resolution
+    with open(os.path.join(snap, "v=1", "_COMMITTED"), "w") as f:
+        json.dump({"batch": 0, "checkpoint": "ck"}, f)
+    assert read_snapshot(spark, snap).count() == 9
 
-    # crash after the second rename, before deleting .old
-    shutil.copytree(snap, snap + ".old")
-    _recover_swap(snap)
-    assert not os.path.exists(snap + ".old")
-    assert spark.read.parquet(snap).count() == 5
+    # drive a real stream on top: its first batch becomes v=2, and the
+    # NEXT batch's sweep removes v=1 and the bootstrap root files
+    chg_dir = tmp_path / "chg"
+    chg_dir.mkdir()
+    chg_schema = "id long, op string, seq long"
+    spark.createDataFrame([(100, "I", 1)], chg_schema).coalesce(
+        1
+    ).write.parquet(str(chg_dir / "f1"))
+    spark.createDataFrame([(101, "I", 2)], chg_schema).coalesce(
+        1
+    ).write.parquet(str(chg_dir / "f2"))
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir / "*"))
+    )
+    from parq_tools_spark.streaming.cdc import start_cdc_apply
+
+    q = start_cdc_apply(
+        stream, snap, ["id"], str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, snap).count() == 11  # 9 + 2 inserts
+    entries = sorted(os.listdir(snap))
+    assert "v=1" not in entries and "v=3" in entries
+    assert not any(e.endswith(".parquet") for e in entries)  # bootstrap swept
 
 
 def test_streaming_cdc_apply_rejects_batch_input(spark, tmp_path):
