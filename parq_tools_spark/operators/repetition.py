@@ -166,6 +166,7 @@ def ngram_repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    max_tokens_per_doc: "int | None" = 1_000_000,
 ) -> DataFrame:
     """Per-document n-gram repetition report (Gopher Table A1 family):
 
@@ -186,11 +187,29 @@ def ngram_repetition_stats(
     size, which the token-budget sharding pass already bounds.
     Documents with fewer than ``n`` words are preserved with zero
     fractions and a NULL ``top_ngram``.
+
+    ``max_tokens_per_doc`` guards the per-document rank window (all
+    of one document's distinct grams land in one task): one
+    pathological multi-GB document would otherwise own a task for
+    hours. Tokens beyond the cap are TRUNCATED before gram
+    generation — the stats then describe the document's head, with
+    ``_nc`` (the char denominator) still the full document, so a
+    truncated giant reads as LOW repetition rather than silently
+    pretending full coverage. Pass ``None`` to disable.
     """
+    toks_src = F.col(text_col)
+    if max_tokens_per_doc is not None:
+        if max_tokens_per_doc <= 0:
+            raise ValueError("max_tokens_per_doc must be positive")
+        # re-join the capped token stream: grams never span the cut
+        toks_src = F.array_join(
+            F.slice(words_array(F.col(text_col)), 1, max_tokens_per_doc),
+            " ",
+        )
     grams = df.select(
         F.col(id_col),
         F.length(text_col).alias("_nc"),
-        F.explode_outer(ngrams_array(F.col(text_col), n)).alias("gram"),
+        F.explode_outer(ngrams_array(toks_src, n)).alias("gram"),
     )
     counts = grams.groupBy(id_col, "_nc", "gram").agg(
         F.count(F.lit(1)).alias("c")

@@ -331,6 +331,7 @@ def chunk_by_sentences(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_tokens: int = 128,
+    max_sentences_per_doc: "int | None" = 1_000_000,
 ) -> DataFrame:
     r"""Sentence-aware chunking: sentences stay intact, chunks tile
     the document at ~``max_tokens`` whitespace tokens. Returns
@@ -349,6 +350,15 @@ def chunk_by_sentences(
     running token count, then a partially-aggregated groupBy on
     (id, chunk) — both key on the document, so at 100 TB this is one
     repartition of the corpus with no skew beyond document length.
+    That per-document bound is exactly what ``max_sentences_per_doc``
+    caps: the running-count window puts ALL of one document's
+    sentences in one task, so a single pathological crawl artifact
+    (a multi-GB concatenation) would otherwise own a task for hours.
+    Sentences beyond the cap are TRUNCATED (dropped) — the guard is
+    for adversarial inputs, not a semantic feature; pass ``None`` to
+    disable, or pre-split giants upstream if their tails matter. The
+    cap slices the sentence array BEFORE the explode, so the excess
+    never enters the shuffle at all.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -361,6 +371,10 @@ def chunk_by_sentences(
     sentences = F.split(
         F.regexp_replace(text, r"([.!?])\s+", "$1" + sep), sep
     )
+    if max_sentences_per_doc is not None:
+        if max_sentences_per_doc <= 0:
+            raise ValueError("max_sentences_per_doc must be positive")
+        sentences = F.slice(sentences, 1, max_sentences_per_doc)
     s = df.select(
         F.col(id_col), F.posexplode(sentences).alias("idx", "sentence")
     ).withColumn("n_tok", F.regexp_count("sentence", F.lit(r"\S+")))

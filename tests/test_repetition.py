@@ -158,3 +158,21 @@ def test_dup_occurrence_count_matches_naive(spark):
     )
     bad = got.filter(F.col("naive") != F.col("linear")).collect()
     assert bad == []
+
+
+def test_ngram_stats_giant_doc_cap(spark):
+    """max_tokens_per_doc truncates the token stream before gram
+    generation: stats describe the head; grams never span the cut;
+    the char denominator stays the full document."""
+    from parq_tools_spark.operators.repetition import ngram_repetition_stats
+
+    # head = 10 tokens of 'a b', tail = pathological repetition of 'z z'
+    text = "a b " * 5 + "z z " * 50
+    df = spark.createDataFrame([(1, text.strip())], "doc_id long, text string")
+    capped = ngram_repetition_stats(df, n=2, max_tokens_per_doc=10).collect()[0]
+    full = ngram_repetition_stats(df, n=2, max_tokens_per_doc=None).collect()[0]
+    assert capped.top_ngram in ("a b", "b a")  # tail never seen
+    assert full.top_ngram == "z z"
+    # denominator is the full doc's chars: a truncated giant reads as
+    # LOW repetition, not as fully-covered
+    assert capped.top_ngram_char_frac < full.top_ngram_char_frac

@@ -319,3 +319,33 @@ def test_chunk_documents_null_text_kept_as_empty(spark):
     assert set(out) == {1, 2}  # NULL doc not dropped
     assert out[1].chunk_idx == 0 and out[1].chunk_text == ""
     assert out[2].chunk_text == "alpha beta gamma"
+
+
+def test_chunk_by_sentences_giant_doc_cap(spark):
+    """One pathological document cannot own a task: sentences beyond
+    max_sentences_per_doc are truncated BEFORE the explode, so the
+    excess never enters the shuffle. Normal docs are untouched."""
+    from parq_tools_spark.operators.text import chunk_by_sentences
+
+    giant = ("word one two. " * 50).strip()  # 50 sentences
+    df = spark.createDataFrame(
+        [(1, giant), (2, "small doc. two sentences.")],
+        "doc_id long, text string",
+    )
+    out = chunk_by_sentences(df, max_tokens=8, max_sentences_per_doc=5)
+    agg = {
+        r.doc_id: r.s
+        for r in out.groupBy("doc_id")
+        .agg(__import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+            "n_sentences"
+        ).alias("s"))
+        .collect()
+    }
+    assert agg[1] == 5  # truncated at the cap
+    assert agg[2] == 2  # untouched
+    # uncapped keeps everything
+    full = chunk_by_sentences(df, max_tokens=8, max_sentences_per_doc=None)
+    n1 = sum(
+        r.n_sentences for r in full.collect() if r.doc_id == 1
+    )
+    assert n1 == 50
