@@ -1487,6 +1487,57 @@ def q_incremental_revenue(spark, sf_dir):
     return out
 
 
+def q_incremental_retention(spark, sf_dir):
+    """Rollup retention: a month-keyed state folded over time-ordered
+    batches with a ``retain`` horizon prunes expired groups at fold
+    time — state stays O(live groups) instead of growing with every
+    time bucket ever seen. Under the watermark contract (batches
+    arrive in month order, so pruned months get no late rows) the
+    final state provably equals a flat GROUP BY over the retained
+    months, which is what the oracle checks."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.incremental_agg import (
+        incremental_aggregate,
+    )
+
+    work = tempfile.mkdtemp(prefix="incret_")
+    inp = os.path.join(work, "in")
+    state = os.path.join(work, "state")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_quantity",
+    )
+    horizon = "ship_month >= '1995-07'"
+    cuts = ["1994-01", "1996-01"]
+    batches = [
+        li.filter(F.col("ship_month") < cuts[0]),
+        li.filter(
+            (F.col("ship_month") >= cuts[0])
+            & (F.col("ship_month") < cuts[1])
+        ),
+        li.filter(F.col("ship_month") >= cuts[1]),
+    ]
+    for i, b in enumerate(batches):
+        b.write.parquet(os.path.join(inp, f"b{i}"))
+        st = incremental_aggregate(
+            spark,
+            inp,
+            state,
+            ["ship_month"],
+            [("sum", "l_quantity", "decimal(27,2)")],
+            retain=horizon,
+        )
+    out = st.select(
+        "ship_month",
+        "n_rows",
+        F.col("l_quantity_sum").cast("double").alias("sum_qty"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2275,26 +2326,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
-    with the least accumulated driver evidence first: the 8 TPC-H
-    shapes added in round 4 (never driver-checked — positions 1-8
-    this round), then the LLM-pipeline / similarity / multimodal /
-    events entries (all driver-green in CORRECTNESS_r04, kept in the
-    window because several were touched this round: key_skew,
-    ann_ivf_topk, ann_ivf_hash_topk). Everything past position 50 has
-    at least one green driver row from r01-r04 with code unchanged.
+    with the least accumulated driver evidence first: the six entries
+    that rotated out of the r6 window (last driver-checked r5) lead,
+    then every entry whose code changed in round 7 (the rollup
+    rewrite + retention, the statefs-backed MinHash index, chunking
+    NULL/cap changes, repetition caps) sits inside positions 1-50.
+    The TPC-H shapes checked green in r6 with unchanged code moved
+    past the window.
     """
     return {
-        # --- TPC-H shapes added r4, never driver-checked (r5 window head)
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        # --- round-5 additions (inside the driver's 50-query window so
-        # they get hard driver verification this round)
+        # --- rotated out of the r6 window, last driver-checked r5
+        "contamination": q_contamination,
+        "key_skew": q_key_skew,
+        "data_quality_checks": q_data_quality_checks,
+        "pipeline_e2e": q_pipeline_e2e,
+        "compare_tables": q_compare_tables,
+        "memory_report": q_memory_report,
+        # --- new in round 7
+        "incremental_retention": q_incremental_retention,
+        # --- round-5 additions (several touched in r7: repetition caps,
+        # cdc/merge path, minhash index statefs port)
         "word_repetition": q_word_repetition,
         "repetition_ngram": q_repetition_ngram,
         "paragraph_dedupe": q_paragraph_dedupe,
@@ -2341,12 +2392,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
-        "contamination": q_contamination,
-        "key_skew": q_key_skew,
-        "data_quality_checks": q_data_quality_checks,
-        "pipeline_e2e": q_pipeline_e2e,
-        "compare_tables": q_compare_tables,
-        "memory_report": q_memory_report,
+        # --- TPC-H shapes: driver-green r6, code unchanged in r7
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         # --- events analytics (red in r03 on the regenerated fixture;
         # dtype-robust reader landed this round)
         "events_hourly": q_events_hourly,
@@ -3785,6 +3839,15 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(SUM(n_tok) AS INT) AS n_tokens,
                    string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
             FROM tok GROUP BY 1, 2
+        """,
+        "incremental_retention": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   count(*) AS n_rows,
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(27,2)))
+                        AS VARCHAR) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE strftime(l_shipdate, '%Y-%m') >= '1995-07'
+            GROUP BY 1
         """,
         "incremental_revenue": """
             SELECT l_returnflag, l_linestatus,
