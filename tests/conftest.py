@@ -55,11 +55,18 @@ def wide_tables(spark, tmp_path):
 
 
 def pytest_collection_modifyitems(config, items):
-    """The oracle sweep only runs when explicitly selected with
-    `-m oracles` — it re-executes the whole query registry twice."""
-    if "oracles" in (config.getoption("-m") or ""):
-        return
+    """The oracle sweeps only run when explicitly selected with
+    `-m oracles` (sf0.001+sf0.01) or `-m oracles_sf01` (sf0.1, the
+    round-close tri-scale record) — each re-executes the whole query
+    registry."""
+    selected = config.getoption("-m") or ""
     skip = pytest.mark.skip(reason="oracle sweep: select with -m oracles")
+    skip01 = pytest.mark.skip(
+        reason="sf0.1 sweep: select with -m oracles_sf01"
+    )
     for item in items:
-        if "oracles" in item.keywords:
+        if "oracles_sf01" in item.keywords:
+            if "oracles_sf01" not in selected:
+                item.add_marker(skip01)
+        elif "oracles" in item.keywords and "oracles" not in selected:
             item.add_marker(skip)

@@ -31,3 +31,25 @@ def test_full_oracle_sweep(sf_dir):
     )
     tail = "\n".join(proc.stdout.splitlines()[-30:])
     assert proc.returncode == 0, f"oracle sweep failed at {sf_dir}:\n{tail}\n{proc.stderr[-2000:]}"
+
+
+@pytest.mark.oracles_sf01
+def test_full_oracle_sweep_sf01():
+    """Round-close sf0.1 sweep: same comparison as the driver gate at
+    the largest local scale, recording ORACLE_SWEEP_SF01.json at the
+    repo root so "tri-scale green" is a committed artifact, not a
+    session claim."""
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    env = dict(os.environ, ORACLE_SWEEP_OUT=os.path.join(REPO, "ORACLE_SWEEP_SF01.json"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracles.py"), sf_dir],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=5400,
+        env=env,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-30:])
+    assert proc.returncode == 0, f"oracle sweep failed at {sf_dir}:\n{tail}\n{proc.stderr[-2000:]}"
