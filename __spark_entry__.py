@@ -3882,8 +3882,13 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         "chunk_documents": r"""
             WITH t AS (
               SELECT doc_id,
-                     string_split_regex(trim(coalesce(text, '')), '\s+') AS w,
-                     len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS n
+                     CASE WHEN trim(coalesce(text, '')) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+                     END AS w,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                     END AS n
               FROM documents
             ), idx AS (
               SELECT doc_id, w, unnest(range(0,

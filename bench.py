@@ -106,6 +106,66 @@ def _bench_minhash_index(spark, sf_dir) -> "dict[str, float]":
     return out
 
 
+def _bench_stream_near_dedup(spark, sf_dir) -> "dict[str, float]":
+    """Steady-state cost of the streaming near-dedup path
+    (streaming/near_dedup.py): the documents table arrives as 4
+    micro-batches (file source, maxFilesPerTrigger=1) against a fresh
+    index with compact_every=2, so the timing covers the per-batch
+    overheads the batch-equivalent bench (minhash_index_ingest10pct)
+    does not: marker read/commit, per-batch overwrite dirs, index
+    bootstrap and mid-stream compaction. Lands in BENCH_FULL.json as
+    stream_near_dedup_4batches (total) and stream_near_dedup_per_batch
+    (total/4, the steady-state figure); not headline queries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.streaming.near_dedup import (
+        start_near_dedupe_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_nd_bench_")
+    src = os.path.join(tmp, "src")
+    # arrival files staged OUTSIDE the timer
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        q = start_near_dedupe_stream(
+            stream,
+            os.path.join(tmp, "idx"),
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ck"),
+            threshold=0.5,
+            num_hashes=64,
+            bands=16,
+            compact_every=2,
+            available_now=True,
+        )
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise TimeoutError("near-dedup stream did not drain in 600s")
+        total = time.perf_counter() - t0
+        out["stream_near_dedup_4batches"] = round(total, 3)
+        out["stream_near_dedup_per_batch"] = round(total / 4, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _bench_media_decode(spark, sf_dir) -> "dict[str, float]":
     """Real-decode throughput of the pure-numpy codec tier: fabricate
     one 64x64 PNG per document row (deterministic from doc_id, done
@@ -271,6 +331,7 @@ def main() -> None:
         for scenario, fn in (
             ("minhash_index_roundtrip", _bench_minhash_index),
             ("media_decode", _bench_media_decode),
+            ("stream_near_dedup", _bench_stream_near_dedup),
         ):
             try:
                 timings.update(fn(spark, SF_DIR))

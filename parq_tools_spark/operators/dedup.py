@@ -1192,7 +1192,10 @@ def _recover_compact(fs, path: str) -> None:
     between its two renames leaves ``.compact/old-band=N`` holding the
     only copy of that band — promote it back; any ``tmp-`` leftovers
     are partial rewrites of data still present elsewhere — drop them.
-    Idempotent, and a single exists() probe when nothing crashed."""
+    Idempotent. Called ONLY from the compaction entry point (the
+    single maintenance-writer slot): running it from a read path
+    would race a live compaction — promoting ``old-`` mid-swap or
+    deleting the tmp dir the compactor is writing into."""
     cdir = f"{path}/{_COMPACT_DIR}"
     if not fs.exists(cdir):
         return
@@ -1204,13 +1207,37 @@ def _recover_compact(fs, path: str) -> None:
     fs.delete(cdir)
 
 
+def _check_compact_state(fs, path: str) -> None:
+    """Read-path guard, NO mutation: if a crashed compaction left a
+    band present only under ``.compact/old-band=N``, queries against
+    the index would silently miss that band's rows — refuse loudly
+    and point at the repair (re-running compaction recovers). Leftover
+    ``tmp-`` entries alone are harmless (data still live) and may
+    belong to an in-flight compaction — ignored."""
+    cdir = f"{path}/{_COMPACT_DIR}"
+    if not fs.exists(cdir):
+        return
+    for entry, is_dir, _ in fs.list_status(cdir):
+        if (
+            is_dir
+            and entry.startswith("old-band=")
+            and not fs.exists(f"{path}/{entry[len('old-'):]}")
+        ):
+            raise RuntimeError(
+                f"minhash index at {path} has an interrupted compaction "
+                f"({entry} holds the only copy of its band); run "
+                "minhash_index_compact(spark, path) to repair before "
+                "querying"
+            )
+
+
 def _minhash_index_params(spark, path: str) -> dict:
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, path)
-    _recover_compact(fs, path)
+    _check_compact_state(fs, path)
     return json.loads(fs.read_text(f"{path}/{_PARAMS_FILE}"))
 
 

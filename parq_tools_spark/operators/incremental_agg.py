@@ -46,7 +46,7 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parq_tools_spark.sources.statefs import StateFS
+from parq_tools_spark.sources.statefs import StateFS, VersionedState
 
 __all__ = [
     "incremental_aggregate",
@@ -94,7 +94,6 @@ _PARTIAL_FN = {
 }
 _DATA = "data"
 _MANIFEST = "_manifest.json"
-_V_RE = re.compile(r"^v=(\d+)$")
 
 
 def _normalize_measures(measures: Sequence) -> list:
@@ -115,57 +114,49 @@ def _measure_alias(fn: str, col: str) -> str:
 
 
 # ------------------------------------------------- version protocol
-def _versions(fs: StateFS, state_path: str) -> list:
-    """Sorted ``(n, committed)`` for every ``v=<n>`` child: committed
-    means its manifest exists (the commit marker)."""
-    out = []
-    for name, is_dir, _ in fs.list_status(state_path):
-        m = _V_RE.match(name)
-        if m and is_dir:
-            n = int(m.group(1))
-            out.append(
-                (n, fs.exists(f"{state_path}/v={n}/{_MANIFEST}"))
-            )
-    return sorted(out)
-
-
-def _current_version(fs: StateFS, state_path: str) -> Optional[int]:
-    committed = [n for n, ok in _versions(fs, state_path) if ok]
-    return max(committed) if committed else None
-
-
-def _clean_stale_versions(
-    fs: StateFS, state_path: str, current: Optional[int]
-) -> None:
-    """Drop aborted folds (uncommitted v-dirs) and versions older
-    than the previous commit. The version just below ``current``
-    survives until the NEXT fold so in-flight readers of it finish."""
-    for n, committed in _versions(fs, state_path):
-        if (not committed and n != current) or (
-            committed and current is not None and n < current
-        ):
-            fs.delete(f"{state_path}/v={n}")
-
-
-def _read_manifest(fs: StateFS, state_path: str, version: int) -> list:
-    try:
-        doc = json.loads(
-            fs.read_text(f"{state_path}/v={version}/{_MANIFEST}")
-        )
-        return doc["files"]
-    except Exception:
-        return []
-
-
+# (VersionedState in sources/statefs.py — shared with streaming/cdc;
+# the manifest file doubles as the commit marker.)
 def _resolve_state(
     spark: SparkSession, state_path: str
-) -> Tuple[StateFS, Optional[int], Optional[DataFrame], set]:
-    fs = StateFS(spark, state_path)
-    cur = _current_version(fs, state_path)
-    if cur is None:
-        return fs, None, None, set()
-    state = spark.read.parquet(f"{state_path}/v={cur}/{_DATA}")
-    return fs, cur, state, set(_read_manifest(fs, state_path, cur))
+) -> Tuple[VersionedState, Optional[int], Optional[DataFrame], set]:
+    """Current committed state: ``(vs, version, state_df, done_files)``.
+
+    Manifest reads are STRICT (a committed version's manifest failing
+    to read raises) — treating a transient storage error as "no
+    manifest" would re-fold every historical file into the existing
+    state and commit permanent double counts.
+
+    A legacy pre-versioned layout (root ``data/`` + ``_manifest.json``
+    written by the two-rename protocol this module used before the
+    versioned one) is resolved as the current state with its manifest
+    honored, so an upgrade never re-folds (or silently drops) history;
+    the first post-upgrade fold commits ``v=1`` and later folds sweep
+    the root files."""
+    vs = VersionedState(spark, state_path, _MANIFEST)
+    cur = vs.current()
+    if cur is not None:
+        state = spark.read.parquet(f"{vs.version_dir(cur)}/{_DATA}")
+        done = set(json.loads(vs.read_marker(cur))["files"])
+        return vs, cur, state, done
+    legacy_data = f"{state_path}/{_DATA}"
+    if vs.fs.exists(f"{state_path}/{_MANIFEST}"):
+        state = spark.read.parquet(legacy_data)
+        done = set(
+            json.loads(vs.fs.read_text(f"{state_path}/{_MANIFEST}"))["files"]
+        )
+        return vs, None, state, done
+    return vs, None, None, set()
+
+
+def _sweep_legacy(vs: VersionedState, state_path: str) -> None:
+    """Drop the migrated-from legacy root files once a versioned
+    commit exists: legacy became "previous" at v=1's commit, so by
+    the NEXT fold's start it has had the same full-cycle reader grace
+    every superseded version gets (and it is invisible to version
+    resolution either way)."""
+    if vs.current() is not None:
+        vs.fs.delete(f"{state_path}/{_DATA}")
+        vs.fs.delete(f"{state_path}/{_MANIFEST}")
 
 
 def _partial_aggs(measures: Sequence) -> list:
@@ -234,12 +225,10 @@ def _stabilize(fn: str, cast, expr):
 def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
     """The current committed rollup state (partial-aggregate
     columns), or None before the first fold. Resolution = highest
-    version whose manifest exists; aborted folds are invisible."""
-    fs = StateFS(spark, state_path)
-    cur = _current_version(fs, state_path)
-    if cur is None:
-        return None
-    return spark.read.parquet(f"{state_path}/v={cur}/{_DATA}")
+    version whose manifest exists (legacy pre-versioned layouts
+    resolve too); aborted folds are invisible."""
+    _, _, state, _ = _resolve_state(spark, state_path)
+    return state
 
 
 def incremental_aggregate(
@@ -278,8 +267,9 @@ def incremental_aggregate(
     """
     keys = list(keys)
     measures = _normalize_measures(measures)
-    fs, cur, state, done = _resolve_state(spark, state_path)
-    _clean_stale_versions(fs, state_path, cur)
+    vs, cur, state, done = _resolve_state(spark, state_path)
+    vs.clean_stale(cur)
+    _sweep_legacy(vs, state_path)
 
     in_fs = StateFS(spark, input_path)
     all_files = in_fs.list_files(input_path)
@@ -305,13 +295,13 @@ def incremental_aggregate(
         )
 
     nxt = (cur or 0) + 1
-    vdir = f"{state_path}/v={nxt}"
+    vdir = vs.version_dir(nxt)
     # a fresh directory per fold: the merge plan lazily reads the
     # current version's files, which stay untouched until the NEXT
     # fold's cleanup — no self-overwrite, no reader-visible gap
     merged.write.mode("overwrite").parquet(f"{vdir}/{_DATA}")
-    fs.write_text(  # the commit point (atomic per scheme — statefs)
-        f"{vdir}/{_MANIFEST}",
+    vs.commit(  # the commit point (atomic per scheme — statefs)
+        nxt,
         json.dumps({"version": nxt, "files": sorted(done | set(new))}),
     )
     return spark.read.parquet(f"{vdir}/{_DATA}")
@@ -333,7 +323,7 @@ def read_aggregate_with_tail(
     untouched."""
     keys = list(keys)
     measures = _normalize_measures(measures)
-    fs, cur, state, done = _resolve_state(spark, state_path)
+    _, _, state, done = _resolve_state(spark, state_path)
     in_fs = StateFS(spark, input_path)
     new = [f for f in in_fs.list_files(input_path) if f not in done]
     if not new:

@@ -297,11 +297,15 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("overlap must be in [0, chunk_size)")
     stride = chunk_size - overlap
-    # NULL text behaves like empty text (one zero-ish chunk), the
-    # same contract as chunk_by_sentences — a bare split(NULL) would
-    # silently drop the document's rows through sequence/explode
+    # NULL text behaves like empty text — one chunk with ZERO tokens,
+    # the same contract as chunk_by_sentences. Both halves matter: a
+    # bare split(NULL) would silently drop the document's rows through
+    # sequence/explode, and split('') yields [''] which would count
+    # the empty string as one token.
     text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(text), r"\s+")
+    words = F.when(
+        F.trim(text) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
     n_extra_expr = (
         f"CASE WHEN _n <= {chunk_size} THEN 0 "
         f"ELSE CAST(ceil((_n - {chunk_size}) / {stride}.0) AS INT) END"

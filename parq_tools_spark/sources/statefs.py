@@ -35,11 +35,12 @@ object stores.
 from __future__ import annotations
 
 import os
+import re
 from typing import List, Optional, Tuple
 
 from pyspark.sql import SparkSession
 
-__all__ = ["StateFS"]
+__all__ = ["StateFS", "VersionedState"]
 
 #: Schemes where rename is copy+delete (non-atomic) but single-object
 #: PUT is atomic.
@@ -157,15 +158,24 @@ class StateFS:
     def write_text(self, path: str, text: str) -> None:
         """Write a small file so it appears fully-formed or not at
         all: ``create`` + ``close`` on object stores (atomic PUT),
-        ``tmp`` + atomic rename elsewhere (readers of a half-written
-        local/HDFS file are otherwise possible)."""
+        ``tmp`` + rename elsewhere (readers of a half-written
+        local/HDFS file are otherwise possible). The rename is tried
+        FIRST — on POSIX local filesystems it atomically replaces an
+        existing destination, so an overwrite never has a
+        no-file-visible window; only where rename refuses an existing
+        destination (HDFS) does the delete+rename fallback run, whose
+        brief absent-marker window readers must treat as "not
+        committed" (which every protocol here does)."""
         if self.is_object_store:
             self._create(path, text)
             return
         tmp = f"{path}.tmp-{os.getpid()}"
         self._create(tmp, text)
-        self._fs.delete(self._p(path), False)
-        self.rename(tmp, path)
+        try:
+            self.rename(tmp, path)
+        except IOError:
+            self._fs.delete(self._p(path), False)
+            self.rename(tmp, path)
 
     def _create(self, path: str, text: str) -> None:
         out = self._fs.create(self._p(path), True)
@@ -173,3 +183,79 @@ class StateFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+
+
+class VersionedState:
+    """The versioned-manifest commit protocol shared by the rollup
+    state (``operators/incremental_agg.py``) and CDC snapshots
+    (``streaming/cdc.py``) — ONE implementation so the on-disk
+    protocol cannot fork between them.
+
+    Layout: ``root/v=<n>/...`` version directories; a version is
+    committed iff its marker file (``marker_name``) exists inside it.
+    Writers build ``v=<n+1>`` fully, then write the marker LAST via
+    :meth:`StateFS.write_text` (atomic per scheme) — its appearance is
+    the commit point. Readers resolve the highest committed version;
+    uncommitted directories are invisible. :meth:`clean_stale` sweeps
+    aborted versions and versions older than the current one (the
+    previous version survives until the NEXT cycle, so in-flight
+    readers get a full cycle to finish). Single writer assumed.
+
+    Marker reads are STRICT: a transient storage error on a committed
+    marker propagates instead of reading as "absent" — treating it as
+    absent would silently re-process history (double counts) or
+    re-apply batches.
+    """
+
+    _V_RE = re.compile(r"^v=(\d+)$")
+
+    def __init__(self, spark: SparkSession, root: str, marker_name: str):
+        self.fs = StateFS(spark, root)
+        self.root = root
+        self.marker_name = marker_name
+
+    def version_dir(self, n: int) -> str:
+        return f"{self.root}/v={n}"
+
+    def marker_path(self, n: int) -> str:
+        return f"{self.version_dir(n)}/{self.marker_name}"
+
+    def versions(self) -> List[Tuple[int, bool]]:
+        """Sorted ``(n, committed)`` for every ``v=<n>`` child."""
+        out = []
+        for name, is_dir, _ in self.fs.list_status(self.root):
+            m = self._V_RE.match(name)
+            if m and is_dir:
+                n = int(m.group(1))
+                out.append((n, self.fs.exists(self.marker_path(n))))
+        return sorted(out)
+
+    def current(self) -> Optional[int]:
+        committed = [n for n, ok in self.versions() if ok]
+        return max(committed) if committed else None
+
+    def read_marker(self, n: int) -> str:
+        """The committed marker's content. Strict: errors propagate."""
+        return self.fs.read_text(self.marker_path(n))
+
+    def commit(self, n: int, marker_text: str) -> None:
+        """Commit version ``n`` by writing its marker (write LAST,
+        after the version directory's data is fully materialized)."""
+        self.fs.write_text(self.marker_path(n), marker_text)
+
+    def clean_stale(
+        self, current: Optional[int], sweep_root_files: bool = False
+    ) -> None:
+        """Sweep aborted versions (uncommitted) and versions older
+        than ``current``. With ``sweep_root_files=True``, loose
+        non-hidden files at the root (a plain-parquet bootstrap =
+        "version 0") are swept once two real versions exist."""
+        for n, committed in self.versions():
+            if (not committed and n != current) or (
+                committed and current is not None and n < current
+            ):
+                self.fs.delete(self.version_dir(n))
+        if sweep_root_files and current is not None and current >= 2:
+            for name, is_dir, _ in self.fs.list_status(self.root):
+                if not is_dir and not name.startswith((".", "_")):
+                    self.fs.delete(f"{self.root}/{name}")

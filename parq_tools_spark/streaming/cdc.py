@@ -46,14 +46,13 @@ a connector is available.
 from __future__ import annotations
 
 import json
-import re
 from collections.abc import Sequence
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parq_tools_spark.sources.statefs import StateFS
+from parq_tools_spark.sources.statefs import StateFS, VersionedState
 
 __all__ = ["start_cdc_apply", "read_snapshot", "SEQ_STATE_COL"]
 
@@ -61,56 +60,30 @@ __all__ = ["start_cdc_apply", "read_snapshot", "SEQ_STATE_COL"]
 SEQ_STATE_COL = "__cdc_seq"
 
 _COMMIT = "_COMMITTED"
-_V_RE = re.compile(r"^v=(\d+)$")
 
 
-def _versions(fs: StateFS, path: str) -> list:
-    out = []
-    for name, is_dir, _ in fs.list_status(path):
-        m = _V_RE.match(name)
-        if m and is_dir:
-            n = int(m.group(1))
-            out.append((n, fs.exists(f"{path}/v={n}/{_COMMIT}")))
-    return sorted(out)
-
-
-def _current_version(fs: StateFS, path: str) -> Optional[int]:
-    committed = [n for n, ok in _versions(fs, path) if ok]
-    return max(committed) if committed else None
+def _vstate(spark: SparkSession, path: str) -> VersionedState:
+    # shared versioned-manifest protocol (sources/statefs.py)
+    return VersionedState(spark, path, _COMMIT)
 
 
 def _read_current(
-    spark: SparkSession, fs: StateFS, path: str, version: Optional[int]
+    spark: SparkSession, vs: VersionedState, version: Optional[int]
 ) -> DataFrame:
     if version is not None:
-        return spark.read.parquet(f"{path}/v={version}")
+        return spark.read.parquet(vs.version_dir(version))
     # bootstrap: plain parquet at the root. If an aborted first batch
     # left an uncommitted v-dir, a bare directory read would sweep it
     # in as a partition — pin the read to the root-level files then.
-    status = fs.list_status(path)
-    if any(_V_RE.match(n) and d for n, d, _ in status):
+    status = vs.fs.list_status(vs.root)
+    if any(VersionedState._V_RE.match(n) and d for n, d, _ in status):
         files = [
-            f"{path}/{n}"
+            f"{vs.root}/{n}"
             for n, d, _ in status
             if not d and n.endswith(".parquet")
         ]
         return spark.read.parquet(*files)
-    return spark.read.parquet(path)
-
-
-def _clean_stale(fs: StateFS, path: str, current: Optional[int]) -> None:
-    """Sweep aborted batches (uncommitted v-dirs) and versions more
-    than one behind; the bootstrap root files count as version 0 and
-    are swept once two real versions exist."""
-    for n, committed in _versions(fs, path):
-        if (not committed and n != current) or (
-            committed and current is not None and n < current
-        ):
-            fs.delete(f"{path}/v={n}")
-    if current is not None and current >= 2:
-        for name, is_dir, _ in fs.list_status(path):
-            if not is_dir and not name.startswith((".", "_")):
-                fs.delete(f"{path}/{name}")
+    return spark.read.parquet(vs.root)
 
 
 def read_snapshot(
@@ -120,20 +93,22 @@ def read_snapshot(
     the bootstrap parquet before the first batch). The reserved
     ``__cdc_seq`` bookkeeping column is dropped unless
     ``with_seq=True``."""
-    fs = StateFS(spark, snapshot_path)
-    cur = _current_version(fs, snapshot_path)
-    df = _read_current(spark, fs, snapshot_path, cur)
+    vs = _vstate(spark, snapshot_path)
+    df = _read_current(spark, vs, vs.current())
     if with_seq or SEQ_STATE_COL not in df.columns:
         return df
     return df.drop(SEQ_STATE_COL)
 
 
-def _last_marker(fs: StateFS, path: str, version: Optional[int]) -> dict:
+def _last_marker(vs: VersionedState, version: Optional[int]) -> dict:
+    """The current version's commit record. Strict on read errors
+    (a transient failure must not read as "different batch" and
+    re-apply); tolerant only of a non-JSON body (old formats)."""
     if version is None:
         return {}
     try:
-        return json.loads(fs.read_text(f"{path}/v={version}/{_COMMIT}"))
-    except Exception:
+        return json.loads(vs.read_marker(version))
+    except ValueError:
         return {}
 
 
@@ -175,14 +150,14 @@ def start_cdc_apply(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        fs = StateFS(spark, snapshot_path)
+        vs = _vstate(spark, snapshot_path)
         ckpt = StateFS(spark, checkpoint_dir).qualify(checkpoint_dir)
-        cur = _current_version(fs, snapshot_path)
-        marker = _last_marker(fs, snapshot_path, cur)
+        cur = vs.current()
+        marker = _last_marker(vs, cur)
         if marker.get("checkpoint") == ckpt and marker.get("batch") == batch_id:
             return  # replay of an already-committed batch
-        _clean_stale(fs, snapshot_path, cur)
-        snapshot = _read_current(spark, fs, snapshot_path, cur)
+        vs.clean_stale(cur, sweep_root_files=True)
+        snapshot = _read_current(spark, vs, cur)
         if track_seq and SEQ_STATE_COL not in snapshot.columns:
             snapshot = snapshot.withColumn(
                 SEQ_STATE_COL, F.lit(None).cast(seq_type)
@@ -197,14 +172,12 @@ def start_cdc_apply(
             target_seq_col=SEQ_STATE_COL if track_seq else None,
         )
         nxt = (cur or 0) + 1
-        vdir = f"{snapshot_path}/v={nxt}"
         # the write materializes into a FRESH directory while the plan
         # lazily reads the current version's files — which stay put
         # until swept a batch later, so readers never see a gap
-        updated.write.mode("overwrite").parquet(vdir)
-        fs.write_text(  # commit point (atomic per scheme — statefs)
-            f"{vdir}/{_COMMIT}",
-            json.dumps({"batch": batch_id, "checkpoint": ckpt}),
+        updated.write.mode("overwrite").parquet(vs.version_dir(nxt))
+        vs.commit(  # commit point (atomic per scheme — statefs)
+            nxt, json.dumps({"batch": batch_id, "checkpoint": ckpt})
         )
 
     writer = (

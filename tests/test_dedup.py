@@ -509,17 +509,20 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
 
 def test_minhash_index_compact_crash_recovery(spark, sf_dir, tmp_path):
     """A crash between compaction's two renames leaves the band only
-    under .compact/old-band=N. The next params read must promote it
-    back, stray tmp dirs must vanish, and partition discovery must
-    never see phantom band values (the dot-prefixed dir is invisible
-    to Spark)."""
+    under .compact/old-band=N. Read paths must refuse LOUDLY (no
+    silent missing-band results, no mutation that could race a live
+    compaction); re-running compaction repairs, and partition
+    discovery never sees phantom band values (the dot-prefixed dir is
+    invisible to Spark)."""
     import os
     import shutil
 
+    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from parq_tools_spark.operators.dedup import (
         _minhash_index_params,
+        minhash_index_compact,
         minhash_index_query,
         minhash_index_write,
     )
@@ -541,7 +544,14 @@ def test_minhash_index_compact_crash_recovery(spark, sf_dir, tmp_path):
         os.path.join(cdir, f"old-{victim}"), os.path.join(cdir, f"tmp-{victim}")
     )
 
-    p = _minhash_index_params(spark, path)  # triggers recovery
+    # read path: loud refusal, no mutation
+    with _pytest.raises(RuntimeError, match="interrupted compaction"):
+        _minhash_index_params(spark, path)
+    assert os.path.isdir(os.path.join(cdir, f"old-{victim}"))  # untouched
+
+    # the maintenance entry point repairs
+    minhash_index_compact(spark, path)
+    p = _minhash_index_params(spark, path)
     assert p["bands"] == 8
     assert os.path.isdir(os.path.join(path, victim))  # band promoted back
     assert not os.path.exists(cdir)  # tmp + scaffolding swept

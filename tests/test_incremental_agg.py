@@ -358,3 +358,57 @@ def test_null_group_key_merges_across_folds(spark, tmp_path):
     assert len(rows) == 2  # exactly one NULL-key group
     assert rows[None] == (2, 15)
     assert rows["a"] == (2, 3)
+
+
+def test_legacy_layout_resolves_and_migrates(spark, sf_dir, tmp_path):
+    """A state dir written by the pre-versioned protocol (root data/ +
+    _manifest.json) must resolve as current state WITH its manifest
+    honored — an upgrade can neither re-fold already-processed files
+    (double count) nor drop their contribution when inputs were
+    retained away. The first post-upgrade folds commit v=N and later
+    sweep the legacy files."""
+    import json
+
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    li.limit(400).write.parquet(os.path.join(inp, "b0"))
+    # hand-build the legacy layout: aggregate of b0 + manifest at root
+    legacy = (
+        spark.read.parquet(os.path.join(inp, "b0"))
+        .groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(38,2)")
+            .alias("l_quantity_sum"),
+        )
+    )
+    legacy.write.parquet(os.path.join(state, "data"))
+    b0_files = sorted(
+        os.path.join("b0", f)
+        for f in os.listdir(os.path.join(inp, "b0"))
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(state, "_manifest.json"), "w") as f:
+        json.dump({"files": b0_files}, f)
+
+    meas = [("sum", "l_quantity", "decimal(27,2)")]
+    # resolves as state before any versioned commit
+    st0 = read_aggregate(spark, state)
+    assert st0.agg(F.sum("n_rows")).collect()[0][0] == 400
+    # no new files -> state unchanged (manifest honored, no re-fold)
+    assert (
+        incremental_aggregate(spark, inp, state, KEYS, meas)
+        .agg(F.sum("n_rows"))
+        .collect()[0][0]
+        == 400
+    )
+    # two more folds: totals exact, legacy root swept after cycle 2
+    li.limit(500).write.parquet(os.path.join(inp, "b1"))
+    s1 = incremental_aggregate(spark, inp, state, KEYS, meas)
+    assert s1.agg(F.sum("n_rows")).collect()[0][0] == 900
+    li.limit(600).write.parquet(os.path.join(inp, "b2"))
+    s2 = incremental_aggregate(spark, inp, state, KEYS, meas)
+    assert s2.agg(F.sum("n_rows")).collect()[0][0] == 1500
+    entries = os.listdir(state)
+    assert "data" not in entries and "_manifest.json" not in entries

@@ -202,8 +202,9 @@ def test_chunk_documents_tiling_and_overlap(spark):
     # short doc: one chunk, whole text
     assert sorted(k for k in out if k[0] == 2) == [(2, 0)]
     assert out[(2, 0)].chunk_text == "short doc" and out[(2, 0)].n_tokens == 2
-    # whitespace-only doc: one empty-token chunk (both engines agree)
-    assert out[(3, 0)].n_tokens == 1 and out[(3, 0)].chunk_text == ""
+    # whitespace-only doc: one chunk with ZERO tokens (split('')'s
+    # [''] artifact is normalized away; both engines agree)
+    assert out[(3, 0)].n_tokens == 0 and out[(3, 0)].chunk_text == ""
     # exactly chunk_size tokens: one chunk, no spill
     assert sorted(k for k in out if k[0] == 4) == [(4, 0)]
     assert out[(4, 0)].n_tokens == 4
@@ -286,7 +287,7 @@ def test_chunk_documents_tiling_invariants(spark, data):
     ref = _ref_chunks(words if words else [""], size, overlap)
     ref = [
         [w for w in chunk if w != ""] for chunk in ref
-    ]  # empty text tokenizes to [""] in both engines
+    ]  # empty text = one chunk with zero tokens in both engines
     assert sorted(got) == list(range(len(ref)))
     for i, chunk in enumerate(ref):
         assert got[i] == chunk
@@ -318,7 +319,9 @@ def test_chunk_documents_null_text_kept_as_empty(spark):
     out = {r.doc_id: r for r in chunk_documents(df, chunk_size=8).collect()}
     assert set(out) == {1, 2}  # NULL doc not dropped
     assert out[1].chunk_idx == 0 and out[1].chunk_text == ""
+    assert out[1].n_tokens == 0  # '' is zero tokens, not ['']
     assert out[2].chunk_text == "alpha beta gamma"
+    assert out[2].n_tokens == 3
 
 
 def test_chunk_by_sentences_giant_doc_cap(spark):
