@@ -2225,6 +2225,37 @@ def q_ann_pq_exact_equiv(spark, sf_dir):
     return only_pq.unionByName(only_bf)
 
 
+def q_ann_opq_exact_equiv(spark, sf_dir):
+    """OPQ invariant: under a LOSSLESS codebook (every corpus row a
+    seed) any orthogonal rotation preserves dot products exactly, so
+    OPQ-rotated ADC top-k must equal the brute-force baseline — which
+    checks the rotation is orthogonal, applied consistently to seeds,
+    corpus and queries, and round-trips the code path end to end.
+    Returns the symmetric difference; expected empty."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        opq_rotation,
+        pq_build,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rot = opq_rotation(emb, m=8, sample=64)
+    codes, cbs = pq_build(emb, m=8, n_codes=None, rotation=rot)
+    qs = emb.filter(F.col("vec_id") < 3)
+    pq = pq_topk(codes, cbs, qs, k=5, rotation=rot).select(
+        "query_id", "vec_id"
+    )
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    only_pq = pq.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("opq_only")
+    )
+    only_bf = bf.join(pq, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    return only_pq.unionByName(only_bf)
+
+
 def q_ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ layered ANN top-5: hash-seeded cells prune, PQ codes
     score by ADC — the full pipeline recomputed value-for-value by
@@ -2353,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": q_cdc_apply,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "semantic_dedupe": q_semantic_dedupe,
@@ -3455,6 +3487,12 @@ SELECT query_id, vec_id, pq_score FROM (
 WHERE rnk <= 5
         """,
         "ann_pq_exact_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "ann_opq_exact_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS VARCHAR) AS side

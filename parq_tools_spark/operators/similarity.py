@@ -43,6 +43,7 @@ __all__ = [
     "dedupe_embedding_near_duplicates",
     "pq_build",
     "pq_topk",
+    "opq_rotation",
     "ivf_pq_topk",
     "semantic_dedupe",
 ]
@@ -893,6 +894,71 @@ def ivf_hashseed_topk(
 
 
 # ---------------------------------------------------------------------- PQ
+def opq_rotation(
+    corpus: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 256,
+):
+    """Learn an OPQ-style orthogonal rotation (Ge et al. 2014,
+    "Optimized Product Quantization", the parametric/PCA variant):
+    PCA of a deterministic corpus sample + eigenvalue allocation
+    spreads variance evenly across the ``m`` PQ subspaces, so the
+    contiguous split after rotation stops wasting code bits on
+    low-variance subspaces (the classic PQ failure mode when energy
+    concentrates in a few dimensions).
+
+    Deterministic end to end: the sample is the ``sample`` corpus
+    rows ranked by md5 of their id (the same closed-form seeding as
+    the codebooks), eigenvectors come from ``numpy.linalg.eigh`` on
+    the sample covariance with a sign fix (largest-|component|
+    positive), and the allocation greedily balances the per-subspace
+    log-eigenvalue sums. Returns an orthogonal ``(dim, dim)`` matrix
+    ``R``; vectors rotate as ``x @ R.T`` (norms preserved, so cosine
+    scores are unchanged — only the quantization grid moves).
+
+    Scale shape: one O(sample) collect + an O(dim^3) driver
+    eigendecomposition; application is a matmul folded into the same
+    ``mapInPandas`` passes PQ already runs. Pass the result to
+    :func:`pq_build` and :func:`pq_topk` via ``rotation=``.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rows = np.asarray(
+        _hashseed_rows(corpus, sample, id_col, vec_col), dtype=np.float64
+    )
+    rows /= np.sqrt((rows * rows).sum(axis=1, keepdims=True))
+    centered = rows - rows.mean(axis=0, keepdims=True)
+    cov = centered.T @ centered / max(len(rows), 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    # sign fix: deterministic across LAPACK builds
+    for j in range(dim):
+        k_ = np.argmax(np.abs(eigvecs[:, j]))
+        if eigvecs[k_, j] < 0:
+            eigvecs[:, j] = -eigvecs[:, j]
+    # eigenvalue allocation: assign principal directions round-by-round
+    # to the subspace with the smallest accumulated log-variance, so
+    # every subspace ends up with a comparable energy budget
+    buckets: list = [[] for _ in range(m)]
+    budget = np.zeros(m)
+    eps = 1e-12
+    for j in range(dim):
+        open_ = [b for b in range(m) if len(buckets[b]) < sub]
+        tgt = min(open_, key=lambda b: (budget[b], b))
+        buckets[tgt].append(j)
+        budget[tgt] += float(np.log(max(eigvals[j], eps)))
+    perm = [j for b in buckets for j in b]
+    return eigvecs[:, perm].T  # rows = allocated principal directions
+
+
 def pq_build(
     corpus: DataFrame,
     m: int = 8,
@@ -900,6 +966,7 @@ def pq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    rotation=None,
 ):
     """Product-quantize an embedding column (Jégou et al. 2011).
 
@@ -920,6 +987,14 @@ def pq_build(
     Returns ``(codes_df, codebooks)``: ``codes_df`` is
     ``(id_col, codes array<int>)`` and ``codebooks`` a numpy array of
     shape ``(m, n_codes, dim // m)``.
+
+    ``rotation``: optional orthogonal matrix from
+    :func:`opq_rotation` — seeds and corpus vectors rotate before the
+    contiguous split (queries must score with the same ``rotation=``
+    in :func:`pq_topk`). Under a lossless codebook (``n_codes=None``)
+    any orthogonal rotation leaves PQ scores EXACTLY equal to cosine
+    (rotations preserve dot products), which is what the
+    ``ann_opq_exact_equiv`` correctness gate exercises.
 
     Scale shape: seeds are collected (``n_codes`` rows, not the
     corpus); encoding is one ``mapInPandas`` pass — map-only, one
@@ -943,12 +1018,19 @@ def pq_build(
         _hashseed_rows(corpus, n_codes, id_col, vec_col), dtype=np.float64
     )
     seeds /= np.sqrt((seeds * seeds).sum(axis=1, keepdims=True))
+    if rotation is not None:
+        seeds = seeds @ np.asarray(rotation, dtype=np.float64).T
     # (m, n_codes, sub): codebook j holds the seeds' j-th subvectors
     codebooks = np.stack(
         [seeds[:, j * sub : (j + 1) * sub] for j in range(m)]
     )
 
-    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    rot = (
+        None
+        if rotation is None
+        else np.asarray(rotation, dtype=np.float64)
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((codebooks, rot))
     scale = float(10**round_to)
     schema = T.StructType(
         [
@@ -958,13 +1040,15 @@ def pq_build(
     )
 
     def encode(batches):
-        cb = bc.value
+        cb, r = bc.value
         for b in batches:
             if not len(b):
                 yield pd.DataFrame({id_col: [], "codes": []})
                 continue
             mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            if r is not None:
+                mat = mat @ r.T
             codes = np.empty((len(b), cb.shape[0]), dtype=np.int32)
             for j in range(cb.shape[0]):
                 x = mat[:, j * sub : (j + 1) * sub]
@@ -998,6 +1082,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     round_to: int = 6,
+    rotation=None,
 ) -> DataFrame:
     """ANN top-k over PQ codes by asymmetric distance (ADC).
 
@@ -1032,6 +1117,10 @@ def pq_topk(
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r["_qvec"]] for r in q_rows])
     q_mat /= np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    if rotation is not None:
+        # same rotation the codes were built under (opq_rotation):
+        # orthogonal, so the scores still approximate plain cosine
+        q_mat = q_mat @ np.asarray(rotation, dtype=np.float64).T
     # tables[q, j, c] = dot(q_j, codebook[j][c])
     tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), m, sub), cb)
 
