@@ -148,13 +148,16 @@ def _resolve_state(
     return vs, None, None, set()
 
 
-def _sweep_legacy(vs: VersionedState, state_path: str) -> None:
+def _sweep_legacy(
+    vs: VersionedState, state_path: str, cur: Optional[int]
+) -> None:
     """Drop the migrated-from legacy root files once a versioned
     commit exists: legacy became "previous" at v=1's commit, so by
     the NEXT fold's start it has had the same full-cycle reader grace
     every superseded version gets (and it is invisible to version
-    resolution either way)."""
-    if vs.current() is not None:
+    resolution either way). ``cur`` is the already-resolved current
+    version; the common no-legacy path costs one exists() probe."""
+    if cur is not None and vs.fs.exists(f"{state_path}/{_MANIFEST}"):
         vs.fs.delete(f"{state_path}/{_DATA}")
         vs.fs.delete(f"{state_path}/{_MANIFEST}")
 
@@ -269,7 +272,7 @@ def incremental_aggregate(
     measures = _normalize_measures(measures)
     vs, cur, state, done = _resolve_state(spark, state_path)
     vs.clean_stale(cur)
-    _sweep_legacy(vs, state_path)
+    _sweep_legacy(vs, state_path, cur)
 
     in_fs = StateFS(spark, input_path)
     all_files = in_fs.list_files(input_path)

@@ -944,17 +944,26 @@ def opq_rotation(
         k_ = np.argmax(np.abs(eigvecs[:, j]))
         if eigvecs[k_, j] < 0:
             eigvecs[:, j] = -eigvecs[:, j]
-    # eigenvalue allocation: assign principal directions round-by-round
-    # to the subspace with the smallest accumulated log-variance, so
-    # every subspace ends up with a comparable energy budget
+    # eigenvalue allocation: LPT greedy — largest eigenvalue first,
+    # each assigned to the open subspace with the smallest accumulated
+    # weight, balancing per-subspace log-variance products. Weights
+    # are the logs SHIFTED to non-negative: unit-normalized data has
+    # every eigenvalue < 1, so raw logs are all negative and a naive
+    # min-budget greedy would INVERT (the fullest bucket has the most
+    # negative sum and keeps winning — a contiguous fill, maximal
+    # imbalance). Every bucket takes exactly ``sub`` items, so a
+    # constant shift moves all bucket totals equally and preserves
+    # which allocation is balanced.
+    eps = 1e-12
+    logs = np.log(np.maximum(eigvals, eps))
+    weights = logs - logs.min()  # >= 0, eigenvalues sorted desc
     buckets: list = [[] for _ in range(m)]
     budget = np.zeros(m)
-    eps = 1e-12
     for j in range(dim):
         open_ = [b for b in range(m) if len(buckets[b]) < sub]
         tgt = min(open_, key=lambda b: (budget[b], b))
         buckets[tgt].append(j)
-        budget[tgt] += float(np.log(max(eigvals[j], eps)))
+        budget[tgt] += float(weights[j])
     perm = [j for b in buckets for j in b]
     return eigvecs[:, perm].T  # rows = allocated principal directions
 

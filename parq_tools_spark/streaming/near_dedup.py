@@ -67,20 +67,25 @@ def _last_applied(
     checkpoint renumbers and re-partitions micro-batches, so a bare
     integer from a previous query could short-circuit batches holding
     never-processed files. The marker therefore records which
-    checkpoint it belongs to and is ignored for any other."""
+    checkpoint it belongs to and is ignored for any other.
+
+    Strict like every marker read (statefs convention): only a
+    genuinely ABSENT marker reads as "nothing applied"; a marker that
+    exists but fails to read or parse raises — treating a transient
+    storage error as -1 would re-append an already-applied batch's
+    band rows to the index (permanent duplicate rows and bloat)."""
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
 
-    try:
-        m = json.loads(
-            StateFS(spark, index_path).read_text(f"{index_path}/{_MARKER}")
-        )
-        if m.get("checkpoint") != _marker_identity(spark, checkpoint_dir):
-            return -1
-        return int(m["batch"])
-    except Exception:
+    fs = StateFS(spark, index_path)
+    marker = f"{index_path}/{_MARKER}"
+    if not fs.exists(marker):
         return -1
+    m = json.loads(fs.read_text(marker))
+    if m.get("checkpoint") != _marker_identity(spark, checkpoint_dir):
+        return -1
+    return int(m["batch"])
 
 
 def _commit_marker(
@@ -152,6 +157,7 @@ def start_near_dedupe_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.dedup import (
+            _recover_compact,
             incremental_dedupe,
             minhash_index_compact,
             minhash_index_write,
@@ -160,6 +166,12 @@ def start_near_dedupe_stream(
         from parq_tools_spark.sources.statefs import StateFS
 
         spark = batch_df.sparkSession
+        # the stream owns the index's single maintenance-writer slot,
+        # so it may (must) repair a compaction its own previous
+        # incarnation crashed mid-swap — otherwise the read path's
+        # interrupted-compaction guard would refuse every batch and
+        # wedge the query until a human ran the repair by hand
+        _recover_compact(StateFS(spark, index_path), index_path)
         if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
             return  # replay of a batch this query already applied
         if not batch_df.take(1):

@@ -487,8 +487,8 @@ def test_opq_improves_recall_on_imbalanced_data(spark):
 
     plain = recall(None)
     rotated = recall(opq_rotation(emb, m=4, sample=128))
-    # gains are modest here because codebooks are hash-seeded corpus
-    # rows (already in-distribution), but rotation must never hurt on
-    # the data it exists for — and must actually retrieve
-    assert rotated >= plain
-    assert rotated > 0.4
+    # measured: plain ~0.53, rotated ~0.84 — the allocation must beat
+    # the unrotated split OUTRIGHT on the data it exists for (a
+    # regression to contiguous fill shows up as rotated == plain-ish)
+    assert rotated > plain
+    assert rotated > 0.7

@@ -647,3 +647,39 @@ def test_streaming_near_dedupe_empty_first_batch(spark, tmp_path):
     out_path = str(tmp_path / "admitted")
     _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
     assert [r.doc_id for r in spark.read.parquet(out_path).collect()] == [1]
+
+
+def test_streaming_near_dedupe_self_heals_crashed_compaction(spark, tmp_path):
+    """A stream restart after a crash mid-compaction (band displaced
+    to .compact/old-band=N) must repair the index itself — the stream
+    owns the maintenance-writer slot — instead of wedging on the read
+    path's interrupted-compaction guard every batch."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert admitted == [1, 2, 4, 7]
+
+    # simulate the crash: one band survives only under .compact/old-
+    victim = sorted(
+        e for e in os.listdir(index_path) if e.startswith("band=")
+    )[0]
+    cdir = os.path.join(index_path, ".compact")
+    os.makedirs(cdir)
+    os.replace(
+        os.path.join(index_path, victim), os.path.join(cdir, f"old-{victim}")
+    )
+
+    # new arrival + restart (same checkpoint): must heal, then admit
+    spark.createDataFrame(
+        [(9, "a genuinely new document about versioned state commits")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(str(src), "f9"))
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
+    assert not os.path.exists(cdir)  # repaired
+    assert os.path.isdir(os.path.join(index_path, victim))
+    admitted2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert admitted2 == [1, 2, 4, 7, 9]
