@@ -1538,6 +1538,17 @@ def q_incremental_retention(spark, sf_dir):
     return out
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword top-k over the documents table: postings filtered
+    to the query terms BEFORE the one shuffle, broadcast idf map,
+    TakeOrderedAndProject top-k (never a global sort). The oracle
+    recomputes the identical Lucene-idf formula in SQL."""
+    from parq_tools_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "stream merge window", k=10)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2375,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         # --- new in round 7
         "incremental_retention": q_incremental_retention,
+        "bm25_search": q_bm25_search,
         # --- round-5 additions (several touched in r7: repetition caps,
         # cdc/merge path, minhash index statefs port)
         "word_repetition": q_word_repetition,
@@ -3877,6 +3889,57 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(SUM(n_tok) AS INT) AS n_tokens,
                    string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
             FROM tok GROUP BY 1, 2
+        """,
+        "bm25_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
         """,
         "incremental_retention": """
             SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

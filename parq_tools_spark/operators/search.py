@@ -1,0 +1,177 @@
+"""Keyword search over a document corpus: BM25 ranking and corpus
+term statistics (beyond-reference; the reference has no text search —
+this rounds out the training-data surface where `operators/dedup.py`
+finds near-duplicates and `operators/text.py` scores quality:
+retrieving the documents that MATCH a query is the remaining
+primitive an LLM-data pipeline needs, e.g. for decontamination
+spot-checks, corpus exploration, and targeted sampling).
+
+Spark-first shape (Robertson/Sparck-Jones BM25, the Lucene
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant that never goes
+negative):
+
+- **tokenization** is one codegen'd expression (lower + regexp split
+  + filter) shared verbatim with the DuckDB oracle;
+- **corpus statistics** (per-term document frequency, per-document
+  length, average length) are plain aggregations — and for a query
+  only the HANDFUL of query-term df rows are needed, so scoring never
+  materializes a full inverted index;
+- **scoring** filters the exploded postings to the query terms FIRST
+  (map-side, before any shuffle), aggregates term frequencies per
+  (doc, term), broadcast-joins the tiny idf table, and reduces to one
+  score row per matching document. The only shuffle carries postings
+  that match the query — at 100 TB that is O(matching docs x query
+  terms), not O(corpus tokens).
+
+Scores are rounded to the registry's 1e-6 grid and ranked by
+``(score desc, doc_id asc)`` — the portable total order every ANN
+operator here uses, so results are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tokenize", "term_stats", "bm25_topk"]
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(text: Union[str, Column]) -> Column:
+    """Lowercased alphanumeric terms of a string column, in order,
+    empty strings dropped. One codegen'd expression; the DuckDB
+    oracle spells the identical ``list_filter(string_split_regex(
+    lower(x), '[^a-z0-9]+'), t -> t <> '')``."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def term_stats(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-term corpus statistics: ``(term, df)`` — the number of
+    documents containing the term at least once. With ``terms`` given,
+    the explode is filtered to those terms map-side first (the scoring
+    path); without it this is the full vocabulary scan (one shuffle
+    keyed by term — the classic build-an-index pass).
+    """
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    if terms is not None:
+        toks = F.array_intersect(
+            toks, F.array(*[F.lit(t) for t in terms])
+        )
+    return (
+        corpus.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    query: Union[str, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25.
+
+    ``query`` is a string (tokenized like the corpus) or a term list;
+    duplicate query terms count once (bag-of-terms query, the standard
+    formulation). Returns ``(doc_id, score, rank)``, rank 1 = best,
+    ties broken by ascending id.
+
+    Cost shape: two tiny driver-side aggregates (N + avgdl in one
+    pass; the query terms' df rows in another, both O(|query|) not
+    O(vocabulary)) and ONE distributed pass over the corpus that
+    filters postings to the query terms before the per-document
+    aggregation — the single data shuffle carries only matching
+    (doc, term, tf) rows.
+    """
+    if isinstance(query, str):
+        terms = [
+            t for t in re.split(_TOKEN_SPLIT, query.lower()) if t != ""
+        ]
+    else:
+        terms = [str(t).lower() for t in query]
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("empty query")
+
+    toks = tokenize(F.col(text_col))
+    # one pass: corpus size + average document length
+    n_docs, avgdl = corpus.select(
+        F.count(F.lit(1)), F.avg(F.size(toks))
+    ).first()
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = float(avgdl) or 1.0
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats(corpus, id_col, text_col, terms).collect()
+    }
+    # Lucene-style idf: strictly positive, smooth at df in {0, N}
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+        )
+        for t in terms
+    }
+    idf_rows = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+
+    scale = float(10**round_to)
+    postings = corpus.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.explode(
+            # map-side filter: only query-term occurrences survive
+            # into the aggregation (the one shuffle of this plan)
+            F.filter(toks, lambda t: t.isin(*terms))
+        ).alias("term"),
+    )
+    tf = postings.groupBy(id_col, "_dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    contrib = (
+        idf_rows[F.col("term")]
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + norm)
+    )
+    scored = (
+        tf.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
+            .alias("score")
+        )
+    )
+    # orderBy().limit(k) plans as TakeOrderedAndProject — each task
+    # keeps its local top-k and only k rows per partition reach the
+    # driver-side merge. A global rank window here would instead drag
+    # EVERY matching document into one partition; the row_number runs
+    # after the limit, over at most k rows.
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

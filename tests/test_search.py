@@ -1,0 +1,109 @@
+"""BM25 keyword search (operators/search.py): hand-computed scores,
+tokenizer contract, and the no-full-index plan shape."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.search import bm25_topk, term_stats, tokenize
+
+
+@pytest.fixture()
+def tiny_corpus(spark):
+    rows = [
+        (1, "spark streams data. Spark merges data!"),
+        (2, "a tiny document about nothing in particular"),
+        (3, "data data data everywhere"),
+        (4, "spark SPARK Spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokenize_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World! 42x  ---  END")], "id long, t string"
+    )
+    toks = df.select(tokenize("t").alias("x")).collect()[0].x
+    assert toks == ["hello", "world", "42x", "end"]
+
+
+def test_term_stats_df_counts(tiny_corpus):
+    stats = {
+        r.term: r.df
+        for r in term_stats(tiny_corpus, terms=["spark", "data", "ghost"]).collect()
+    }
+    assert stats == {"spark": 2, "data": 2}  # absent term: no row
+
+
+def _bm25_ref(corpus_rows, terms, k1=1.2, b=0.75):
+    import re
+
+    docs = {
+        i: [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in corpus_rows
+    }
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs.values()) / n
+    out = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in set(terms):
+            df = sum(1 for d in docs.values() if t in d)
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            out[i] = math.floor(s * 1e6 + 0.5) / 1e6
+    return out
+
+
+def test_bm25_matches_reference_formula(spark, tiny_corpus):
+    rows = [(r.doc_id, r.text) for r in tiny_corpus.collect()]
+    ref = _bm25_ref(rows, ["spark", "data"])
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(tiny_corpus, "Spark data", k=10).collect()
+    }
+    assert got == ref
+    # ranking: ties by ascending id; doc 2 (no match) absent
+    ranked = [
+        r.doc_id
+        for r in bm25_topk(tiny_corpus, "spark data", k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert 2 not in ranked and set(ranked) == {1, 3, 4}
+    assert ranked == sorted(ref, key=lambda i: (-ref[i], i))
+
+
+def test_bm25_query_forms_and_validation(spark, tiny_corpus):
+    # string and list queries agree; duplicate terms count once
+    a = {(r.doc_id, r.score) for r in bm25_topk(tiny_corpus, "data spark").collect()}
+    b = {
+        (r.doc_id, r.score)
+        for r in bm25_topk(tiny_corpus, ["DATA", "spark", "data"]).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(tiny_corpus, "!!!")
+
+
+def test_bm25_plan_filters_before_shuffle(spark, tiny_corpus):
+    """The postings explode must filter to the query terms map-side —
+    no full-vocabulary shuffle, no global sort of scored docs (the
+    top-k is a TakeOrderedAndProject)."""
+    plan = (
+        bm25_topk(tiny_corpus, "spark data", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the filter() lambda lands inside the generator input, before any
+    # Exchange: no Exchange may appear below the Generate in the tree.
+    gen = plan.index("Generate")
+    assert "Exchange" not in plan[gen:]
