@@ -1549,6 +1549,20 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(docs, "stream merge window", k=10)
 
 
+def q_bm25_batch(spark, sf_dir):
+    """Many-queries BM25: one corpus pass + a broadcast
+    (query, term, idf) fan-out serves all three queries; per-query
+    top-5 via a query-partitioned rank window."""
+    from parq_tools_spark.operators.search import bm25_topk_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(1, "stream merge"), (2, "customer value table"), (3, "query window")],
+        "query_id long, query string",
+    )
+    return bm25_topk_batch(docs, qdf, k=5)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2387,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7
         "incremental_retention": q_incremental_retention,
         "bm25_search": q_bm25_search,
+        "bm25_batch": q_bm25_batch,
         # --- round-5 additions (several touched in r7: repetition caps,
         # cdc/merge path, minhash index statefs port)
         "word_repetition": q_word_repetition,
@@ -3940,6 +3955,62 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        "bm25_batch": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(query_id, term) AS (
+              VALUES (1, 'merge'), (1, 'stream'),
+                     (2, 'customer'), (2, 'table'), (2, 'value'),
+                     (3, 'query'), (3, 'window')
+            ),
+            dfs AS (
+              SELECT DISTINCT term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, term)) AS df
+              FROM qterms
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf
+              JOIN idf USING (term)
+              JOIN qterms q USING (term)
+              CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "incremental_retention": """
             SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

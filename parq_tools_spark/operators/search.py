@@ -37,7 +37,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize", "term_stats", "bm25_topk"]
+__all__ = ["tokenize", "term_stats", "bm25_topk", "bm25_topk_batch"]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -174,4 +174,108 @@ def bm25_topk(
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
+    )
+
+
+def bm25_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` per query for a whole QUERIES DataFrame — the
+    many-queries form: ONE corpus pass serves every query instead of
+    a rescan per query. Returns ``(query_id, doc_id, score, rank)``.
+
+    Shape: queries are collected (they are the small side, like every
+    ANN query set here), their term UNION drives one map-side postings
+    filter + one (doc, term) aggregation, a broadcast (query, term,
+    idf) table fans each posting out to the queries containing its
+    term, and a per-query window ranks — partitioned by query, so
+    top-k never funnels into a single task. At 100 TB the one corpus
+    scan amortizes across the full query batch; everything else is
+    O(matching postings x queries-per-term).
+    """
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_col).alias("q")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no queries")
+    q_terms = {}
+    for r in q_rows:
+        ts = sorted(
+            {t for t in re.split(_TOKEN_SPLIT, str(r.q).lower()) if t}
+        )
+        if not ts:
+            raise ValueError(f"empty query for {query_id_col}={r.qid!r}")
+        q_terms[r.qid] = ts
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+
+    toks = tokenize(F.col(text_col))
+    n_docs, avgdl = corpus.select(
+        F.count(F.lit(1)), F.avg(F.size(toks))
+    ).first()
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = float(avgdl) or 1.0
+    dfs = {
+        r["term"]: r["df"]
+        for r in term_stats(corpus, id_col, text_col, all_terms).collect()
+    }
+    spark = corpus.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (
+                qid,
+                t,
+                math.log(
+                    1.0
+                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+                ),
+            )
+            for qid, ts in q_terms.items()
+            for t in ts
+        ],
+        ["qid", "term", "idf"],
+    )
+
+    scale = float(10**round_to)
+    postings = corpus.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.explode(F.filter(toks, lambda t: t.isin(*all_terms))).alias(
+            "term"
+        ),
+    )
+    tf = postings.groupBy(id_col, "_dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    contrib = (
+        F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    )
+    scored = (
+        tf.join(F.broadcast(qt), on="term")
+        .select(F.col("qid"), F.col(id_col), contrib.alias("_c"))
+        .groupBy("qid", id_col)
+        .agg(
+            (F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id_col), id_col, "score", "rank")
     )

@@ -107,3 +107,43 @@ def test_bm25_plan_filters_before_shuffle(spark, tiny_corpus):
     # Exchange: no Exchange may appear below the Generate in the tree.
     gen = plan.index("Generate")
     assert "Exchange" not in plan[gen:]
+
+
+def test_bm25_batch_matches_single_query(spark, tiny_corpus):
+    """One corpus pass for many queries must score identically to the
+    per-query path."""
+    from parq_tools_spark.operators.search import bm25_topk_batch
+
+    qdf = spark.createDataFrame(
+        [(100, "spark data"), (200, "nothing particular"), (300, "data")],
+        "query_id long, query string",
+    )
+    batch = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk_batch(tiny_corpus, qdf, k=10).collect()
+    }
+    for qid, q in [(100, "spark data"), (200, "nothing particular"), (300, "data")]:
+        single = {
+            (qid, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk(tiny_corpus, q, k=10).collect()
+        }
+        assert {kk: v for kk, v in batch.items() if kk[0] == qid} == single
+
+
+def test_bm25_batch_validation(spark, tiny_corpus):
+    from parq_tools_spark.operators.search import bm25_topk_batch
+
+    with pytest.raises(ValueError, match="no queries"):
+        bm25_topk_batch(
+            tiny_corpus,
+            tiny_corpus.sparkSession.createDataFrame(
+                [], "query_id long, query string"
+            ),
+        )
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk_batch(
+            tiny_corpus,
+            tiny_corpus.sparkSession.createDataFrame(
+                [(1, "...")], "query_id long, query string"
+            ),
+        )
