@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "ngrams_from_tokens",
     "words_array",
     "ngrams_array",
     "dup_occurrence_count",
@@ -73,7 +74,13 @@ def ngrams_array(text: Column | str, n: int = 2) -> Column:
     empty array (no padding n-gram), so repetition fractions are
     well-defined zeros there.
     """
-    toks = words_array(text)
+    return ngrams_from_tokens(words_array(text), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """:func:`ngrams_array` over an ALREADY-tokenized array column —
+    the path for callers that pre-process the token stream (e.g. the
+    giant-doc cap), avoiding a re-join + re-split of the text."""
     cnt = F.size(toks)
     m = cnt - F.lit(n - 1)
     # chain of shifted zip_withs: n-1 linear passes instead of one
@@ -197,19 +204,17 @@ def ngram_repetition_stats(
     truncated giant reads as LOW repetition rather than silently
     pretending full coverage. Pass ``None`` to disable.
     """
-    toks_src = F.col(text_col)
+    toks = words_array(F.col(text_col))
     if max_tokens_per_doc is not None:
         if max_tokens_per_doc <= 0:
             raise ValueError("max_tokens_per_doc must be positive")
-        # re-join the capped token stream: grams never span the cut
-        toks_src = F.array_join(
-            F.slice(words_array(F.col(text_col)), 1, max_tokens_per_doc),
-            " ",
-        )
+        # slice the token stream directly (grams never span the cut);
+        # no re-join + re-split of the text
+        toks = F.slice(toks, 1, max_tokens_per_doc)
     grams = df.select(
         F.col(id_col),
         F.length(text_col).alias("_nc"),
-        F.explode_outer(ngrams_array(toks_src, n)).alias("gram"),
+        F.explode_outer(ngrams_from_tokens(toks, n)).alias("gram"),
     )
     counts = grams.groupBy(id_col, "_nc", "gram").agg(
         F.count(F.lit(1)).alias("c")
