@@ -1563,6 +1563,18 @@ def q_bm25_batch(spark, sf_dir):
     return bm25_topk_batch(docs, qdf, k=5)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential race, md5-deterministic): 50 documents with inclusion
+    probability proportional to n_chars. Map-only score projection +
+    TakeOrderedAndProject top-n; the oracle recomputes the identical
+    formula in SQL."""
+    from parq_tools_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 50)
+
+
 def q_mixture_sample(spark, sf_dir):
     """Corpus mixing: downsample sources to target proportions (one
     tiny count agg -> map-only hash filter; no data shuffle)."""
@@ -2402,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_retention": q_incremental_retention,
         "bm25_search": q_bm25_search,
         "bm25_batch": q_bm25_batch,
+        "weighted_sample": q_weighted_sample,
         # --- round-5 additions (several touched in r7: repetition caps,
         # cdc/merge path, minhash index statefs port)
         "word_repetition": q_word_repetition,
@@ -3955,6 +3968,20 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, sample_score FROM (
+              SELECT doc_id, n_chars,
+                     floor((-ln((CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           + 0.5) / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                         AS sample_score
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            ORDER BY sample_score ASC, doc_id ASC
+            LIMIT 50
         """,
         "bm25_batch": r"""
             WITH tok AS (

@@ -53,6 +53,7 @@ __all__ = [
     "read_aggregate",
     "read_aggregate_with_tail",
     "finalize_aggregate",
+    "list_versions",
 ]
 
 # binary state⊕partial merges (the fold combines exactly two rows per
@@ -225,11 +226,38 @@ def _stabilize(fn: str, cast, expr):
     return expr.cast(f"decimal(38,{scale})") if scale is not None else expr
 
 
-def read_aggregate(spark: SparkSession, state_path: str) -> Optional[DataFrame]:
+def list_versions(spark: SparkSession, state_path: str) -> list:
+    """Committed version numbers at ``state_path``, ascending. More
+    than one exists only when folds ran with ``keep_versions > 1``
+    (version travel) — pass one of these to
+    :func:`read_aggregate`'s ``version=``."""
+    vs = VersionedState(spark, state_path, _MANIFEST)
+    return [n for n, ok in vs.versions() if ok]
+
+
+def read_aggregate(
+    spark: SparkSession,
+    state_path: str,
+    version: Optional[int] = None,
+) -> Optional[DataFrame]:
     """The current committed rollup state (partial-aggregate
     columns), or None before the first fold. Resolution = highest
     version whose manifest exists (legacy pre-versioned layouts
-    resolve too); aborted folds are invisible."""
+    resolve too); aborted folds are invisible.
+
+    ``version=`` reads a specific RETAINED commit instead (fold with
+    ``keep_versions > 1`` to retain history): the state exactly as of
+    that fold — rollback and as-of auditing without replay. Raises
+    for a version that is absent, swept, or uncommitted."""
+    if version is not None:
+        vs = VersionedState(spark, state_path, _MANIFEST)
+        if not vs.fs.exists(vs.marker_path(version)):
+            raise ValueError(
+                f"version {version} not committed/retained at "
+                f"{state_path} (available: "
+                f"{list_versions(spark, state_path)})"
+            )
+        return spark.read.parquet(f"{vs.version_dir(version)}/{_DATA}")
     _, _, state, _ = _resolve_state(spark, state_path)
     return state
 
@@ -241,9 +269,16 @@ def incremental_aggregate(
     keys: Sequence[str],
     measures: Sequence,
     retain=None,
+    keep_versions: int = 1,
 ) -> DataFrame:
     """Fold newly-arrived parquet files under ``input_path`` into the
     rollup state at ``state_path`` and return the updated state.
+
+    ``keep_versions``: how many committed versions to retain (default
+    1 = current only, plus the protocol's one-cycle reader grace for
+    its predecessor). Larger values keep a rolling history readable
+    via :func:`read_aggregate`'s ``version=`` — as-of auditing and
+    rollback at the cost of O(groups) storage per retained version.
 
     ``measures``: ``(fn, col)`` or ``(fn, col, cast)`` tuples with
     ``fn`` in sum/count/min/max/approx_distinct/quantiles; ``cast``
@@ -271,7 +306,7 @@ def incremental_aggregate(
     keys = list(keys)
     measures = _normalize_measures(measures)
     vs, cur, state, done = _resolve_state(spark, state_path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=keep_versions)
     _sweep_legacy(vs, state_path, cur)
 
     in_fs = StateFS(spark, input_path)

@@ -22,6 +22,7 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "stratified_sample",
+    "weighted_sample",
     "mixture_sample",
     "pack_token_shards",
 ]
@@ -121,6 +122,53 @@ def stratified_sample(
             F.lit(math.floor(f * _BUCKETS)).cast("long"),
         ).otherwise(expr)
     return df.filter(hash_bucket(key) < expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: ``n``
+    rows where each row's inclusion probability is proportional to
+    ``weight_col`` (Efraimidis & Spirakis 2006, the exponential-race
+    form): draw ``u`` from the row's key hash, score ``-ln(u) / w``,
+    keep the ``n`` smallest scores. The same keys win every run, on
+    any partitioning, in any engine — the sampling analogue of
+    :func:`deterministic_sample`'s contract, for the common "sample
+    documents by length/quality weight" pass.
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    zero probability; the exponential race is undefined there).
+    Returns the surviving rows plus ``sample_score`` (ascending =
+    more preferred), rounded to the portable ``1e-round_to`` grid so
+    both engines rank identically; exact ties break by ascending key.
+
+    Scale shape: one map-only score projection, then
+    ``orderBy().limit(n)`` = TakeOrderedAndProject — each task keeps
+    its local n, only n rows per partition reach the merge. No full
+    sort, no shuffle of the corpus.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1): (bucket + 0.5) / 2^32 — never exactly 0 or 1, so
+    # ln is finite; identical spelling in the SQL oracle
+    u = (hash_bucket(key).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    scale = float(10**round_to)
+    score = F.floor((-F.log(u) / w) * F.lit(scale) + F.lit(0.5)) / F.lit(
+        scale
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").asc(), F.col(key).asc())
+        .limit(n)
+    )
 
 
 def pack_token_shards(

@@ -244,15 +244,27 @@ class VersionedState:
         self.fs.write_text(self.marker_path(n), marker_text)
 
     def clean_stale(
-        self, current: Optional[int], sweep_root_files: bool = False
+        self,
+        current: Optional[int],
+        sweep_root_files: bool = False,
+        keep_versions: int = 1,
     ) -> None:
-        """Sweep aborted versions (uncommitted) and versions older
-        than ``current``. With ``sweep_root_files=True``, loose
-        non-hidden files at the root (a plain-parquet bootstrap =
-        "version 0") are swept once two real versions exist."""
+        """Sweep aborted versions (uncommitted) and committed versions
+        older than the newest ``keep_versions`` (counted back from
+        ``current``) — ``keep_versions=1`` keeps only the current
+        commit (plus the implicit one-cycle grace the sweep timing
+        gives its predecessor); larger values retain history for
+        version-travel reads and rollback. With
+        ``sweep_root_files=True``, loose non-hidden files at the root
+        (a plain-parquet bootstrap = "version 0") are swept once two
+        real versions exist."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         for n, committed in self.versions():
             if (not committed and n != current) or (
-                committed and current is not None and n < current
+                committed
+                and current is not None
+                and n <= current - keep_versions
             ):
                 self.fs.delete(self.version_dir(n))
         if sweep_root_files and current is not None and current >= 2:

@@ -412,3 +412,39 @@ def test_legacy_layout_resolves_and_migrates(spark, sf_dir, tmp_path):
     assert s2.agg(F.sum("n_rows")).collect()[0][0] == 1500
     entries = os.listdir(state)
     assert "data" not in entries and "_manifest.json" not in entries
+
+
+def test_version_travel_with_keep_versions(spark, sf_dir, tmp_path):
+    """keep_versions > 1 retains a rolling history: each retained
+    version reads back as the state EXACTLY as of that fold; versions
+    beyond the horizon are swept; absent versions raise."""
+    from parq_tools_spark.operators.incremental_agg import list_versions
+
+    li = _lineitem(spark, sf_dir)
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    meas = [("sum", "l_quantity", "decimal(27,2)")]
+    totals = {}
+    for i, n in enumerate((100, 200, 300, 400)):
+        li.limit(n).write.parquet(os.path.join(inp, f"b{i}"))
+        st = incremental_aggregate(
+            spark, inp, state, KEYS, meas, keep_versions=3
+        )
+        totals[i + 1] = st.agg(F.sum("n_rows")).collect()[0][0]
+    assert totals == {1: 100, 2: 300, 3: 600, 4: 1000}
+    # cleanup runs at fold START against the pre-fold current, so
+    # right after fold 4 (pre-fold cur=3, nothing <= 0) all four
+    # versions still exist; fold 5's cleanup (pre-fold cur=4) sweeps
+    # v=1 — the newest keep_versions + the grace one survive
+    assert list_versions(spark, state) == [1, 2, 3, 4]
+    li.limit(500).write.parquet(os.path.join(inp, "b4"))
+    st = incremental_aggregate(
+        spark, inp, state, KEYS, meas, keep_versions=3
+    )
+    totals[5] = st.agg(F.sum("n_rows")).collect()[0][0]
+    assert totals[5] == 1500
+    assert list_versions(spark, state) == [2, 3, 4, 5]
+    for v in (2, 3, 4, 5):
+        as_of = read_aggregate(spark, state, version=v)
+        assert as_of.agg(F.sum("n_rows")).collect()[0][0] == totals[v]
+    with pytest.raises(ValueError, match="not committed/retained"):
+        read_aggregate(spark, state, version=1)

@@ -229,3 +229,60 @@ def test_mixture_sample_validation(spark):
         mixture_sample(df, "source", {"a": -0.1}, key="doc_id")
     with _pytest.raises(ValueError):
         mixture_sample(df, "source", {"absent": 1.0}, key="doc_id")
+
+
+def test_weighted_sample_matches_reference_and_is_stable(spark):
+    """Exact agreement with a numpy reference of the exponential-race
+    formula; stability under repartitioning; without-replacement."""
+    import hashlib
+    import math as m
+
+    import numpy as np
+
+    from parq_tools_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def ref_score(key, w):
+        bucket = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+        u = (bucket + 0.5) / 2**32
+        return m.floor((-m.log(u) / w) * 1e9 + 0.5) / 1e9
+
+    exp = sorted(((ref_score(i, w), i) for i, w in rows))[:25]
+    got = [
+        (r.sample_score, r.doc_id)
+        for r in weighted_sample(df, "doc_id", "w", 25)
+        .orderBy("sample_score", "doc_id")
+        .collect()
+    ]
+    assert got == exp
+    assert len({i for _, i in got}) == 25  # without replacement
+    # partitioning-independent
+    got2 = [
+        (r.sample_score, r.doc_id)
+        for r in weighted_sample(df.repartition(13), "doc_id", "w", 25)
+        .orderBy("sample_score", "doc_id")
+        .collect()
+    ]
+    assert got2 == got
+
+
+def test_weighted_sample_weight_semantics(spark):
+    """Proportionality direction: a huge-weight row virtually always
+    wins; zero/NULL weights are excluded; n validation."""
+    import pytest as _pytest
+
+    from parq_tools_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [
+        (1000, 1e9),
+        (1001, 0.0),
+        (1002, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert 1000 in picked  # weight 1e9 vs 1: p(miss) ~ 0
+    assert 1001 not in picked and 1002 not in picked
+    with _pytest.raises(ValueError, match="n must be positive"):
+        weighted_sample(df, "doc_id", "w", 0)
