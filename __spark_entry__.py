@@ -3972,8 +3972,8 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         "weighted_sample": """
             SELECT doc_id, n_chars, sample_score FROM (
               SELECT doc_id, n_chars,
-                     floor((-ln((CAST(('0x' || substr(md5(
-                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     floor((-ln((CAST(('0x' || substr(md5(COALESCE(
+                           CAST(doc_id AS VARCHAR), '')), 1, 8)) AS BIGINT)
                            + 0.5) / 4294967296.0)
                            / CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) / 1e9
                          AS sample_score

@@ -65,7 +65,9 @@ def term_stats(
     path); without it this is the full vocabulary scan (one shuffle
     keyed by term — the classic build-an-index pass).
     """
-    toks = F.array_distinct(tokenize(F.col(text_col)))
+    toks = F.array_distinct(
+        tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    )
     if terms is not None:
         toks = F.array_intersect(
             toks, F.array(*[F.lit(t) for t in terms])
@@ -75,6 +77,54 @@ def term_stats(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
+
+
+def _query_terms(query: Union[str, Sequence[str]]) -> list:
+    """Sorted distinct terms, TOKENIZED the same way as the corpus in
+    both forms: a list element like ``'data-base'`` splits into
+    ``data``/``base`` exactly like the string form would — otherwise
+    a term carrying any non-alphanumeric character could never match
+    a corpus token and would silently contribute nothing."""
+    parts = [query] if isinstance(query, str) else [str(t) for t in query]
+    terms = sorted(
+        {
+            t
+            for p in parts
+            for t in re.split(_TOKEN_SPLIT, p.lower())
+            if t != ""
+        }
+    )
+    if not terms:
+        raise ValueError("empty query")
+    return terms
+
+
+def _corpus_stats(corpus: DataFrame, text_col: str, terms: list):
+    """``(n_docs, avgdl, {term: idf})`` in ONE corpus pass: count,
+    average length and every query term's document frequency ride the
+    same aggregate, so the stats cost one tokenization scan instead
+    of two. NULL text counts as a zero-length document (the oracle's
+    ``sum(len)/count(*)`` semantics — the row stays in N and in the
+    avgdl denominator, contributes no tokens and no df)."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    aggs = [F.count(F.lit(1)), F.avg(F.size(toks))] + [
+        F.sum(F.array_contains(toks, t).cast("int")).alias(f"_df{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = corpus.select(*aggs).first()
+    n_docs = row[0]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = float(row[1]) or 1.0
+    # Lucene-style idf: strictly positive, smooth at df in {0, N}
+    idf = {
+        t: math.log(
+            1.0
+            + (n_docs - (row[i + 2] or 0) + 0.5) / ((row[i + 2] or 0) + 0.5)
+        )
+        for i, t in enumerate(terms)
+    }
+    return n_docs, avgdl, idf
 
 
 def bm25_topk(
@@ -89,47 +139,23 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` by BM25.
 
-    ``query`` is a string (tokenized like the corpus) or a term list;
-    duplicate query terms count once (bag-of-terms query, the standard
-    formulation). Returns ``(doc_id, score, rank)``, rank 1 = best,
-    ties broken by ascending id.
+    ``query`` is a string or a term list — both tokenized exactly like
+    the corpus; duplicate query terms count once (bag-of-terms query,
+    the standard formulation). NULL-text documents count as
+    zero-length (in N and avgdl, never matching). Returns
+    ``(doc_id, score, rank)``, rank 1 = best, ties broken by
+    ascending id.
 
-    Cost shape: two tiny driver-side aggregates (N + avgdl in one
-    pass; the query terms' df rows in another, both O(|query|) not
+    Cost shape: ONE tiny driver-side aggregate (N + avgdl + the query
+    terms' dfs in a single pass — O(|query|) columns, not
     O(vocabulary)) and ONE distributed pass over the corpus that
     filters postings to the query terms before the per-document
     aggregation — the single data shuffle carries only matching
     (doc, term, tf) rows.
     """
-    if isinstance(query, str):
-        terms = [
-            t for t in re.split(_TOKEN_SPLIT, query.lower()) if t != ""
-        ]
-    else:
-        terms = [str(t).lower() for t in query]
-    terms = sorted(set(terms))
-    if not terms:
-        raise ValueError("empty query")
-
-    toks = tokenize(F.col(text_col))
-    # one pass: corpus size + average document length
-    n_docs, avgdl = corpus.select(
-        F.count(F.lit(1)), F.avg(F.size(toks))
-    ).first()
-    if not n_docs:
-        raise ValueError("empty corpus")
-    avgdl = float(avgdl) or 1.0
-    dfs = {
-        r["term"]: r["df"]
-        for r in term_stats(corpus, id_col, text_col, terms).collect()
-    }
-    # Lucene-style idf: strictly positive, smooth at df in {0, N}
-    idf = {
-        t: math.log(
-            1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
-        )
-        for t in terms
-    }
+    terms = _query_terms(query)
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n_docs, avgdl, idf = _corpus_stats(corpus, text_col, terms)
     idf_rows = F.create_map(
         *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
     )
@@ -209,36 +235,26 @@ def bm25_topk_batch(
         raise ValueError("no queries")
     q_terms = {}
     for r in q_rows:
-        ts = sorted(
-            {t for t in re.split(_TOKEN_SPLIT, str(r.q).lower()) if t}
-        )
-        if not ts:
-            raise ValueError(f"empty query for {query_id_col}={r.qid!r}")
-        q_terms[r.qid] = ts
+        if r.qid in q_terms:
+            raise ValueError(
+                f"duplicate {query_id_col}={r.qid!r} in queries — ids "
+                "must be unique (a later row would silently shadow the "
+                "earlier query)"
+            )
+        try:
+            q_terms[r.qid] = _query_terms(str(r.q))
+        except ValueError:
+            raise ValueError(
+                f"empty query for {query_id_col}={r.qid!r}"
+            ) from None
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
 
-    toks = tokenize(F.col(text_col))
-    n_docs, avgdl = corpus.select(
-        F.count(F.lit(1)), F.avg(F.size(toks))
-    ).first()
-    if not n_docs:
-        raise ValueError("empty corpus")
-    avgdl = float(avgdl) or 1.0
-    dfs = {
-        r["term"]: r["df"]
-        for r in term_stats(corpus, id_col, text_col, all_terms).collect()
-    }
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n_docs, avgdl, idf = _corpus_stats(corpus, text_col, all_terms)
     spark = corpus.sparkSession
     qt = spark.createDataFrame(
         [
-            (
-                qid,
-                t,
-                math.log(
-                    1.0
-                    + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
-                ),
-            )
+            (qid, t, idf[t])
             for qid, ts in q_terms.items()
             for t in ts
         ],

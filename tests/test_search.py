@@ -147,3 +147,42 @@ def test_bm25_batch_validation(spark, tiny_corpus):
                 [(1, "...")], "query_id long, query string"
             ),
         )
+
+
+def test_bm25_null_text_and_term_tokenization(spark):
+    """NULL text = zero-length document (counted in N and the avgdl
+    denominator, never matching); list-form query terms tokenize like
+    the corpus (a hyphenated term splits instead of silently matching
+    nothing)."""
+    import math as m
+
+    rows = [(1, "data base systems"), (2, None), (3, "data data")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_topk(df, ["data-base"], k=10).collect()}
+    assert set(got) == {1, 3}  # 'data-base' -> {data, base}; doc 2 never matches
+
+    # reference with avgdl = sum(len)/N over N=3 docs incl. the NULL-as-0
+    docs = {1: ["data", "base", "systems"], 2: [], 3: ["data", "data"]}
+    n, avgdl = 3, (3 + 0 + 2) / 3
+    def s(i):
+        tot = 0.0
+        for t in ("data", "base"):
+            df_t = sum(1 for d in docs.values() if t in d)
+            tf = docs[i].count(t)
+            if not tf:
+                continue
+            idf = m.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+            tot += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(docs[i]) / avgdl))
+        return m.floor(tot * 1e6 + 0.5) / 1e6
+    assert got == {1: s(1), 3: s(3)}
+
+
+def test_bm25_batch_duplicate_query_id_raises(spark, tiny_corpus):
+    from parq_tools_spark.operators.search import bm25_topk_batch
+
+    qdf = spark.createDataFrame(
+        [(1, "spark streams"), (1, "data merge")],
+        "query_id long, query string",
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_topk_batch(tiny_corpus, qdf)
