@@ -148,46 +148,46 @@ def bm25_topk(
 
     Cost shape: ONE tiny driver-side aggregate (N + avgdl + the query
     terms' dfs in a single pass — O(|query|) columns, not
-    O(vocabulary)) and ONE distributed pass over the corpus that
-    filters postings to the query terms before the per-document
-    aggregation — the single data shuffle carries only matching
-    (doc, term, tf) rows.
+    O(vocabulary)) and ONE map-only scoring pass: each row's per-term
+    frequency is an array expression (``size(filter(toks, = term))``),
+    so the score is computed IN the scan with no explode and NO
+    shuffle at all — the only cross-partition movement is the top-k
+    merge (``TakeOrderedAndProject``, k rows per task). The
+    explode+aggregate shape lives in :func:`bm25_topk_batch`, where
+    many queries amortize it.
     """
     terms = _query_terms(query)
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     n_docs, avgdl, idf = _corpus_stats(corpus, text_col, terms)
-    idf_rows = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
-    )
-
     scale = float(10**round_to)
-    postings = corpus.select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        F.explode(
-            # map-side filter: only query-term occurrences survive
-            # into the aggregation (the one shuffle of this plan)
-            F.filter(toks, lambda t: t.isin(*terms))
-        ).alias("term"),
-    )
-    tf = postings.groupBy(id_col, "_dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
-    )
-    contrib = (
-        idf_rows[F.col("term")]
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (F.col("tf") + norm)
-    )
-    scored = (
-        tf.select(F.col(id_col), contrib.alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            (F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
-            .alias("score")
+    dl = F.size(toks)
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    # per-term tf as an array expression: |terms| linear passes over
+    # the token array inside the scan — no explode, no shuffle. Terms
+    # are sorted, so the left-to-right sum order is deterministic.
+    total = F.lit(0.0)
+    any_match = F.lit(False)
+    for t in terms:
+        tf_t = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast(
+            "double"
         )
+        any_match = any_match | (tf_t > 0)
+        total = total + F.when(
+            tf_t > 0,
+            F.lit(idf[t]) * (tf_t * F.lit(k1 + 1.0)) / (tf_t + norm),
+        ).otherwise(F.lit(0.0))
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            (
+                F.floor(total * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+            ).alias("score"),
+            any_match.alias("_m"),
+        )
+        # matched docs stay even if their tiny score rounds to 0.0
+        # (what the explode-form and the SQL oracle both produce)
+        .filter(F.col("_m"))
+        .drop("_m")
     )
     # orderBy().limit(k) plans as TakeOrderedAndProject — each task
     # keeps its local top-k and only k rows per partition reach the

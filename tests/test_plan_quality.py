@@ -199,3 +199,74 @@ def test_group_overlap_joins_only_sketch_rows(spark, sf_dir):
     assert _count(plan, "BroadcastNestedLoopJoin") == 1
     assert plan.count("theta_sketch_agg") >= 2  # partial + final
     assert _count(plan, "CartesianProduct") == 0
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Top-n selection must be TakeOrderedAndProject (per-task local
+    n, k rows per partition to the merge) — never a global sort or a
+    single-partition window over the corpus."""
+    plan = _plan(spark, "weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert _count(plan, "Sort") == 0  # no global sort node
+    assert _count(plan, "Window") == 0
+
+
+def test_bm25_search_is_map_only(spark, sf_dir):
+    """BM25 single-query plan: per-term tf computed as array
+    expressions IN the scan — zero exchanges, zero explodes; the only
+    cross-partition movement is the TakeOrderedAndProject top-k."""
+    plan = _plan(spark, "bm25_search", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert _count(plan, "Exchange") == 0
+    assert _count(plan, "Generate") == 0
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_bm25_batch_broadcast_fanout(spark, sf_dir):
+    """Batch BM25: the (query, term, idf) fan-out joins as a
+    BROADCAST (the corpus-side postings never shuffle for it); the
+    per-query rank window is partitioned (no single-partition
+    window)."""
+    plan = _plan(spark, "bm25_batch", sf_dir)
+    assert _count(plan, "BroadcastHashJoin") == 1
+    assert _count(plan, "SortMergeJoin") == 0
+    assert "partitionBy(qid)" in plan.replace(" ", "") or _count(
+        plan, "Window"
+    ) == 1
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_incremental_merge_is_equi_join(spark, sf_dir, tmp_path):
+    """The null-safe state merge must stay an EQUI join (SortMergeJoin
+    or broadcast hash on the <=> keys) — a naive null-safe condition
+    that degrades to BroadcastNestedLoopJoin would be quadratic in
+    groups."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.incremental_agg import (
+        _merge_state_partial,
+        _normalize_measures,
+        _partial_aggs,
+        incremental_aggregate,
+    )
+
+    li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    inp, state = str(tmp_path / "in"), str(tmp_path / "st")
+    li.limit(200).write.parquet(_os.path.join(inp, "b0"))
+    meas = _normalize_measures([("sum", "l_quantity", "decimal(27,2)")])
+    st = incremental_aggregate(
+        spark, inp, state, ["l_returnflag"], [("sum", "l_quantity", "decimal(27,2)")]
+    )
+    partial = li.limit(500).groupBy("l_returnflag").agg(*_partial_aggs(meas))
+    merged = _merge_state_partial(st, partial, ["l_returnflag"], meas)
+    plan = merged._sc._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted"
+    )
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert (
+        _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin")
+        >= 1
+    )

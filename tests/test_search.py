@@ -92,10 +92,11 @@ def test_bm25_query_forms_and_validation(spark, tiny_corpus):
         bm25_topk(tiny_corpus, "!!!")
 
 
-def test_bm25_plan_filters_before_shuffle(spark, tiny_corpus):
-    """The postings explode must filter to the query terms map-side —
-    no full-vocabulary shuffle, no global sort of scored docs (the
-    top-k is a TakeOrderedAndProject)."""
+def test_bm25_plan_is_map_only(spark, tiny_corpus):
+    """Single-query BM25 scores in the scan (per-term tf as array
+    expressions): NO explode, NO exchange anywhere — the only
+    cross-partition movement is the TakeOrderedAndProject top-k
+    merge."""
     plan = (
         bm25_topk(tiny_corpus, "spark data", k=5)
         ._jdf.queryExecution()
@@ -103,10 +104,8 @@ def test_bm25_plan_filters_before_shuffle(spark, tiny_corpus):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
-    # the filter() lambda lands inside the generator input, before any
-    # Exchange: no Exchange may appear below the Generate in the tree.
-    gen = plan.index("Generate")
-    assert "Exchange" not in plan[gen:]
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
 
 
 def test_bm25_batch_matches_single_query(spark, tiny_corpus):
