@@ -2115,6 +2115,7 @@ def q_repetition_ngram(spark, sf_dir):
         "top_ngram_count",
         _pround(F.col("top_ngram_char_frac")).alias("top_ngram_char_frac"),
         _pround(F.col("dup_ngram_char_frac")).alias("dup_ngram_char_frac"),
+        "truncated",
     )
 
 
@@ -3365,7 +3366,8 @@ SELECT d.doc_id,
        floor(coalesce(a.top_frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
          AS top_ngram_char_frac,
        floor(coalesce(a.dup_frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
-         AS dup_ngram_char_frac
+         AS dup_ngram_char_frac,
+       FALSE AS truncated
 FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "paragraph_dedupe": r"""
@@ -3915,7 +3917,8 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             SELECT doc_id, CAST(cum_before // 24 AS INT) AS chunk_idx,
                    CAST(count(*) AS INT) AS n_sentences,
                    CAST(SUM(n_tok) AS INT) AS n_tokens,
-                   string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
+                   string_agg(sentence, ' ' ORDER BY idx) AS chunk_text,
+                   FALSE AS truncated
             FROM tok GROUP BY 1, 2
         """,
         "bm25_search": r"""

@@ -202,21 +202,29 @@ def ngram_repetition_stats(
     generation — the stats then describe the document's head, with
     ``_nc`` (the char denominator) still the full document, so a
     truncated giant reads as LOW repetition rather than silently
-    pretending full coverage. Pass ``None`` to disable.
+    pretending full coverage. The output's ``truncated`` column flags
+    every capped document, so a filter downstream can quarantine them
+    instead of passing a repetitive giant on its head's low score.
+    Pass ``None`` to disable (``truncated`` is then always false).
     """
-    toks = words_array(F.col(text_col))
+    full_toks = words_array(F.col(text_col))
+    toks = full_toks
     if max_tokens_per_doc is not None:
         if max_tokens_per_doc <= 0:
             raise ValueError("max_tokens_per_doc must be positive")
         # slice the token stream directly (grams never span the cut);
         # no re-join + re-split of the text
-        toks = F.slice(toks, 1, max_tokens_per_doc)
+        toks = F.slice(full_toks, 1, max_tokens_per_doc)
+        trunc = F.size(full_toks) > max_tokens_per_doc
+    else:
+        trunc = F.lit(False)
     grams = df.select(
         F.col(id_col),
         F.length(text_col).alias("_nc"),
+        trunc.alias("_trunc"),
         F.explode_outer(ngrams_from_tokens(toks, n)).alias("gram"),
     )
-    counts = grams.groupBy(id_col, "_nc", "gram").agg(
+    counts = grams.groupBy(id_col, "_nc", "_trunc", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -243,4 +251,5 @@ def ngram_repetition_stats(
             / F.sum(F.when(is_gram, gram_chars)),
             F.lit(0.0),
         ).alias("dup_ngram_char_frac"),
+        F.max("_trunc").alias("truncated"),
     )

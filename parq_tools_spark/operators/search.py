@@ -60,10 +60,13 @@ def term_stats(
     terms: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Per-term corpus statistics: ``(term, df)`` — the number of
-    documents containing the term at least once. With ``terms`` given,
-    the explode is filtered to those terms map-side first (the scoring
-    path); without it this is the full vocabulary scan (one shuffle
-    keyed by term — the classic build-an-index pass).
+    DISTINCT ``id_col`` documents containing the term at least once
+    (a corpus carrying duplicate rows for one document id counts it
+    once, so the signature's id parameter is honored, not decorative).
+    With ``terms`` given, the explode is filtered to those terms
+    map-side first (the scoring path); without it this is the full
+    vocabulary scan (one shuffle keyed by term — the classic
+    build-an-index pass).
     """
     toks = F.array_distinct(
         tokenize(F.coalesce(F.col(text_col), F.lit("")))
@@ -73,9 +76,9 @@ def term_stats(
             toks, F.array(*[F.lit(t) for t in terms])
         )
     return (
-        corpus.select(F.explode(toks).alias("term"))
+        corpus.select(F.col(id_col).alias("_id"), F.explode(toks).alias("term"))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct("_id").alias("df"))
     )
 
 

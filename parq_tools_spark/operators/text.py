@@ -339,7 +339,10 @@ def chunk_by_sentences(
 ) -> DataFrame:
     r"""Sentence-aware chunking: sentences stay intact, chunks tile
     the document at ~``max_tokens`` whitespace tokens. Returns
-    ``(id, chunk_idx, n_sentences, n_tokens, chunk_text)``.
+    ``(id, chunk_idx, n_sentences, n_tokens, chunk_text, truncated)``
+    — ``truncated`` flags chunks of a document whose sentence count
+    exceeded ``max_sentences_per_doc``, so callers can detect capped
+    documents instead of relying on a docstring caveat.
 
     A sentence belongs to chunk ``floor(cum_tokens_before /
     max_tokens)`` — deterministic offset tiling, so a sentence
@@ -378,9 +381,14 @@ def chunk_by_sentences(
     if max_sentences_per_doc is not None:
         if max_sentences_per_doc <= 0:
             raise ValueError("max_sentences_per_doc must be positive")
+        trunc = F.size(sentences) > max_sentences_per_doc
         sentences = F.slice(sentences, 1, max_sentences_per_doc)
+    else:
+        trunc = F.lit(False)
     s = df.select(
-        F.col(id_col), F.posexplode(sentences).alias("idx", "sentence")
+        F.col(id_col),
+        trunc.alias("_trunc"),
+        F.posexplode(sentences).alias("idx", "sentence"),
     ).withColumn("n_tok", F.regexp_count("sentence", F.lit(r"\S+")))
     w = (
         Window.partitionBy(id_col)
@@ -404,4 +412,5 @@ def chunk_by_sentences(
         F.count(F.lit(1)).cast("int").alias("n_sentences"),
         F.sum("n_tok").cast("int").alias("n_tokens"),
         ordered_text.alias("chunk_text"),
+        F.max("_trunc").alias("truncated"),
     )

@@ -31,12 +31,21 @@ made idempotent separately):
   because the index query suppresses equal-id collisions
   (``exclude_same_id=True``): a half-indexed batch does not shadow
   itself on replay.
-- **marker**: ``_stream_last_batch`` in the index dir (written last,
-  atomic rename) short-circuits fully-applied batches — scoped to
-  ONE query's checkpoint (batch ids are only meaningful relative to
-  a checkpoint; a fresh-checkpoint restart renumbers batches, so the
-  marker is ignored then and the idempotent side effects above carry
-  the safety).
+- **marker**: ``_stream_last_batch.<ckpt>.<n>`` files in the index
+  dir short-circuit fully-applied batches — scoped to ONE query's
+  checkpoint (batch ids are only meaningful relative to a
+  checkpoint; a fresh-checkpoint restart renumbers batches, so
+  markers carrying another checkpoint's identity are ignored and the
+  idempotent side effects above carry the safety). Markers are
+  VERSIONED, never overwritten: each commit creates a brand-new file
+  (name = checkpoint digest + batch id, so no two commits ever share
+  a name) and sweeps older ones only AFTER the new one is durable.
+  An overwrite-in-place marker would have a crash window on HDFS
+  (rename refuses an existing destination, so overwrite = delete +
+  rename; dying between the two erases history and replays an
+  already-applied batch — duplicate band rows in the index); with
+  versioned files the worst crash outcome is a stale EXTRA marker,
+  and reads take the max batch id for the checkpoint.
 """
 
 from __future__ import annotations
@@ -59,6 +68,29 @@ def _marker_identity(spark: SparkSession, checkpoint_dir: str) -> str:
     return StateFS(spark, checkpoint_dir).qualify(checkpoint_dir)
 
 
+def _ckpt_digest(identity: str) -> str:
+    import hashlib
+
+    return hashlib.md5(identity.encode("utf-8")).hexdigest()[:8]
+
+
+def _marker_files(fs, index_path: str):
+    """``(name, batch_or_None)`` for every marker file present —
+    numbered ``_stream_last_batch.<ckpt>.<n>`` plus the legacy
+    unnumbered ``_stream_last_batch`` (pre-versioned protocol)."""
+    out = []
+    for name, is_dir, _ in fs.list_status(index_path):
+        if is_dir or not name.startswith(_MARKER):
+            continue
+        if name == _MARKER:
+            out.append((name, None))
+            continue
+        tail = name[len(_MARKER) + 1 :].rsplit(".", 1)
+        if len(tail) == 2 and tail[1].isdigit():
+            out.append((name, int(tail[1])))
+    return out
+
+
 def _last_applied(
     spark: SparkSession, index_path: str, checkpoint_dir: str
 ) -> int:
@@ -66,7 +98,7 @@ def _last_applied(
     meaningful relative to one checkpoint: a restart with a fresh
     checkpoint renumbers and re-partitions micro-batches, so a bare
     integer from a previous query could short-circuit batches holding
-    never-processed files. The marker therefore records which
+    never-processed files. Every marker therefore records which
     checkpoint it belongs to and is ignored for any other.
 
     Strict like every marker read (statefs convention): only a
@@ -79,13 +111,17 @@ def _last_applied(
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, index_path)
-    marker = f"{index_path}/{_MARKER}"
-    if not fs.exists(marker):
-        return -1
-    m = json.loads(fs.read_text(marker))
-    if m.get("checkpoint") != _marker_identity(spark, checkpoint_dir):
-        return -1
-    return int(m["batch"])
+    ident = _marker_identity(spark, checkpoint_dir)
+    digest = _ckpt_digest(ident)
+    last = -1
+    for name, batch in _marker_files(fs, index_path):
+        if batch is not None and f".{digest}." not in name:
+            continue  # another checkpoint's marker — not ours
+        m = json.loads(fs.read_text(f"{index_path}/{name}"))
+        if m.get("checkpoint") != ident:
+            continue
+        last = max(last, int(m["batch"]))
+    return last
 
 
 def _commit_marker(
@@ -94,23 +130,26 @@ def _commit_marker(
     checkpoint_dir: str,
     batch_id: int,
 ) -> None:
-    """Atomic-per-scheme marker write (tmp+rename / object-store PUT
-    — ``statefs.write_text``)."""
+    """Create a NEW versioned marker file (atomic per scheme —
+    ``statefs.write_text`` to a never-before-used name, so the
+    delete+rename overwrite fallback can't run), then sweep older
+    markers. A crash after the create leaves extra stale markers —
+    reads take the max for the checkpoint, so that is harmless."""
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, index_path)
     fs.mkdirs(index_path)
+    ident = _marker_identity(spark, checkpoint_dir)
+    new_name = f"{_MARKER}.{_ckpt_digest(ident)}.{batch_id}"
     fs.write_text(
-        f"{index_path}/{_MARKER}",
-        json.dumps(
-            {
-                "checkpoint": _marker_identity(spark, checkpoint_dir),
-                "batch": batch_id,
-            }
-        ),
+        f"{index_path}/{new_name}",
+        json.dumps({"checkpoint": ident, "batch": batch_id}),
     )
+    for name, _ in _marker_files(fs, index_path):
+        if name != new_name:
+            fs.delete(f"{index_path}/{name}")
 
 
 def start_near_dedupe_stream(

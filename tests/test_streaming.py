@@ -570,7 +570,17 @@ def test_streaming_near_dedupe_replay_is_idempotent(spark, tmp_path):
     _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck1"))
     import json
 
-    marker = os.path.join(index_path, "_stream_last_batch")
+    # versioned markers: a new file per commit, older ones swept after
+    # the new one is durable — never an in-place overwrite (which would
+    # have a delete+rename crash window on HDFS)
+    markers = [
+        os.path.join(index_path, f)
+        for f in os.listdir(index_path)
+        if f.startswith("_stream_last_batch.") and not f.endswith(".crc")
+    ]
+    assert len(markers) == 1
+    marker = markers[0]
+    assert marker.rsplit(".", 1)[1] == "2"
     assert json.load(open(marker))["batch"] == 2
 
     def index_files():
