@@ -184,6 +184,40 @@ class StateFS:
         finally:
             out.close()
 
+    def create_exclusive(self, path: str, text: str) -> None:
+        """Create ``path`` with ``text``, FAILING (``FileExistsError``)
+        if it already exists — ``FileSystem.create(overwrite=false)``,
+        the one conditional primitive every Hadoop filesystem offers.
+        This is the mutual-exclusion point for single-writer
+        protocols: of two concurrent writers racing to create the same
+        commit marker, exactly one succeeds and the loser fails
+        LOUDLY instead of silently clobbering the winner.
+
+        Unlike :meth:`write_text` there is no tmp+rename hop (a POSIX
+        rename overwrites an existing destination, so it cannot
+        enforce exclusivity) — the file is briefly visible before its
+        content lands. A concurrent reader in that window sees a
+        present-but-empty/partial marker and RAISES on parse (the
+        strict-marker convention), never a silent wrong read.
+        """
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception as e:  # Py4JJavaError
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            msg = str(jexc) if jexc is not None else str(e)
+            if "AlreadyExists" in name or "already exists" in msg:
+                raise FileExistsError(
+                    f"exclusive create failed, path exists: {path}"
+                ) from e
+            raise IOError(
+                f"exclusive create failed: {path}: {e}"
+            ) from e
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
 
 class VersionedState:
     """The versioned-manifest commit protocol shared by the rollup
@@ -194,12 +228,21 @@ class VersionedState:
     Layout: ``root/v=<n>/...`` version directories; a version is
     committed iff its marker file (``marker_name``) exists inside it.
     Writers build ``v=<n+1>`` fully, then write the marker LAST via
-    :meth:`StateFS.write_text` (atomic per scheme) — its appearance is
-    the commit point. Readers resolve the highest committed version;
-    uncommitted directories are invisible. :meth:`clean_stale` sweeps
-    aborted versions and versions older than the current one (the
-    previous version survives until the NEXT cycle, so in-flight
-    readers get a full cycle to finish). Single writer assumed.
+    :meth:`StateFS.create_exclusive` — its appearance is the commit
+    point. Readers resolve the highest committed version; uncommitted
+    directories are invisible. :meth:`clean_stale` sweeps aborted
+    versions and versions older than the current one (the previous
+    version survives until the NEXT cycle, so in-flight readers get a
+    full cycle to finish).
+
+    Single writer ENFORCED at the commit point: the marker is created
+    conditionally (``create(overwrite=false)``), so two concurrent
+    folds that both built ``v=n+1`` cannot both commit — the loser
+    raises ``FileExistsError`` instead of silently replacing the
+    winner's marker (which would drop the winner's fold from history
+    while its data directory still carried the winner's files). The
+    loser's correct move is to re-resolve the current version and
+    retry its fold on top of the winner's commit.
 
     Marker reads are STRICT: a transient storage error on a committed
     marker propagates instead of reading as "absent" — treating it as
@@ -239,9 +282,13 @@ class VersionedState:
         return self.fs.read_text(self.marker_path(n))
 
     def commit(self, n: int, marker_text: str) -> None:
-        """Commit version ``n`` by writing its marker (write LAST,
-        after the version directory's data is fully materialized)."""
-        self.fs.write_text(self.marker_path(n), marker_text)
+        """Commit version ``n`` by creating its marker (create LAST,
+        after the version directory's data is fully materialized).
+        The create is EXCLUSIVE: committing an already-committed
+        version raises ``FileExistsError`` — the enforced
+        single-writer invariant (a lost concurrent fold fails loudly
+        here rather than vanishing)."""
+        self.fs.create_exclusive(self.marker_path(n), marker_text)
 
     def clean_stale(
         self,

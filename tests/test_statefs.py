@@ -7,6 +7,7 @@ scheme — the same code path resolves ``hdfs:``/``s3a:`` on a cluster.
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from parq_tools_spark.sources.statefs import StateFS
 
@@ -51,6 +52,93 @@ def test_rename_and_delete_semantics(spark, tmp_path):
     assert fs.delete(f"{d}/b") is True  # recursive
     assert fs.delete(f"{d}/b") is False  # already gone
     assert not fs.exists(f"{d}/b")
+
+
+def test_create_exclusive_enforces_single_writer(spark, tmp_path):
+    """Two writers racing to create the same file: exactly one wins;
+    the loser raises FileExistsError and the winner's content is
+    untouched (the mutual-exclusion primitive VersionedState commits
+    through)."""
+    d = str(tmp_path)
+    fs = StateFS(spark, d)
+    p = f"{d}/commit.marker"
+    fs.create_exclusive(p, "winner")
+    with pytest.raises(FileExistsError, match="exists"):
+        fs.create_exclusive(p, "loser")
+    assert fs.read_text(p) == "winner"
+
+
+def test_versioned_commit_is_exclusive(spark, tmp_path):
+    """Committing an already-committed version fails loudly instead of
+    silently replacing the winner's marker."""
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    vs = VersionedState(spark, str(tmp_path / "state"), "_m.json")
+    vs.fs.mkdirs(vs.version_dir(1))
+    vs.commit(1, '{"who": "A"}')
+    with pytest.raises(FileExistsError):
+        vs.commit(1, '{"who": "B"}')
+    assert vs.current() == 1
+    assert vs.read_marker(1) == '{"who": "A"}'
+
+
+def test_concurrent_folds_exactly_one_commits(spark, tmp_path):
+    """Interleave two incremental_aggregate folds of the SAME new
+    batch: the one that commits second raises FileExistsError (no
+    silent fold loss), the surviving state equals one flat GROUP BY,
+    and a retry of the loser is a clean no-op on the winner's state."""
+    import json
+
+    import parq_tools_spark.sources.statefs as sfs
+    from parq_tools_spark.operators.incremental_agg import (
+        incremental_aggregate,
+    )
+
+    inp = str(tmp_path / "in")
+    state_path = str(tmp_path / "state")
+    keys, measures = ["k"], [("sum", "v")]
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+    df.filter("v % 2 = 0").write.parquet(f"{inp}/b0")
+    incremental_aggregate(spark, inp, state_path, keys, measures)
+    df.filter("v % 2 = 1").write.parquet(f"{inp}/b1")
+
+    real_commit = sfs.VersionedState.commit
+    fired = []
+
+    def racing_commit(self, n, text):
+        if not fired and n == 2:
+            fired.append(n)
+            # the competing fold of the same files wins the race first
+            incremental_aggregate(spark, inp, state_path, keys, measures)
+        return real_commit(self, n, text)
+
+    sfs.VersionedState.commit = racing_commit
+    try:
+        with pytest.raises(FileExistsError):
+            incremental_aggregate(spark, inp, state_path, keys, measures)
+    finally:
+        sfs.VersionedState.commit = real_commit
+
+    # winner's state == flat GROUP BY over everything ever ingested
+    got = {
+        (r["k"], r["v_sum"], r["n_rows"])
+        for r in incremental_aggregate(
+            spark, inp, state_path, keys, measures
+        ).collect()
+    }
+    want = {
+        (r["k"], r["v_sum"], r["n_rows"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("v_sum"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    # the winner's manifest names every input part file exactly once
+    vs = sfs.VersionedState(spark, state_path, "_manifest.json")
+    m = json.loads(vs.read_marker(vs.current()))
+    on_disk = sfs.StateFS(spark, inp).list_files(inp)
+    assert sorted(m["files"]) == sorted(on_disk)
+    assert len(m["files"]) == len(set(m["files"]))
 
 
 def test_write_text_survives_concurrent_read_of_old(spark, tmp_path):
