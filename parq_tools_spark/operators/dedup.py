@@ -1065,6 +1065,50 @@ def minhash_pairs_between(
     )
 
 
+_PARAMS_FILE = "_minhash_params.json"
+_INDEX_MARKER = "_index_manifest.json"
+
+
+def _index_vs(spark, path: str):
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    return VersionedState(spark, path, _INDEX_MARKER)
+
+
+def _index_manifest(spark, path: str):
+    """``(vs, current_version, segments)`` for an index at ``path`` —
+    segments are the manifest-listed immutable data directories
+    (relative names). Only COMMITTED manifests are visible: a crashed
+    write/add/compact leaves at worst an orphan segment directory no
+    manifest references (swept by the next compaction)."""
+    import json
+
+    vs = _index_vs(spark, path)
+    cur = vs.current()
+    if cur is None:
+        raise ValueError(
+            f"no committed minhash index at {path}; build one with "
+            "minhash_index_write"
+        )
+    m = json.loads(vs.read_marker(cur))
+    return vs, cur, list(m["segments"])
+
+
+def _new_segment_name(version: int) -> str:
+    import uuid
+
+    return f"seg-{version:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _segment_files(fs, path: str, segments) -> list:
+    """All parquet files across ``segments``, as paths relative to
+    ``path`` — one recursive listing per segment."""
+    out = []
+    for seg in segments:
+        out.extend(f"{seg}/{f}" for f in fs.list_files(f"{path}/{seg}"))
+    return out
+
+
 def minhash_index_write(
     df: DataFrame,
     path: str,
@@ -1075,21 +1119,42 @@ def minhash_index_write(
     k: int = 3,
     hash_family: str = "portable",
 ) -> None:
-    """Persist a corpus's banded MinHash index: band rows partitioned
-    by ``band`` + a params sidecar, so future batches dedupe against
-    the corpus WITHOUT recomputing its signatures. Index size is
-    ``bands`` small rows per document — for 100 TB of text, a few
-    hundred GB of longs. All sidecar/maintenance file operations go
-    through the Hadoop ``FileSystem`` API (``sources/statefs.py``),
-    so the index lives equally on ``file:``, ``hdfs:`` or ``s3a:``."""
+    """Persist a corpus's banded MinHash index so future batches
+    dedupe against the corpus WITHOUT recomputing its signatures.
+    Index size is ``bands`` small rows per document — for 100 TB of
+    text, a few hundred GB of longs.
+
+    On-disk protocol (``sources/statefs.py`` — the same
+    versioned-manifest commit the rollup state and CDC snapshots
+    use, so the index lives equally on ``file:``, ``hdfs:`` or
+    ``s3a:``):
+
+    - band rows land in immutable SEGMENT directories
+      (``seg-<version>-<tag>/band=<b>/...``), one per write/add;
+    - a committed manifest (``v=<n>/_index_manifest.json``, marker
+      created exclusively and LAST) lists exactly the segments a
+      reader may see — data of a crashed or in-flight operation is
+      invisible, never half-read, and nothing ever renames data in
+      place (object-store-clean: the commit is one marker PUT);
+    - a params sidecar pins the signature scheme.
+    """
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
 
+    fs = StateFS(df.sparkSession, path)
+    # overwrite semantics: a rebuild resets prior versions/segments
+    # (markers like the streaming checkpoint sidecar are left alone)
+    for entry, is_dir, _ in fs.list_status(path):
+        if is_dir and (entry.startswith("v=") or entry.startswith("seg-")):
+            fs.delete(f"{path}/{entry}")
     banded = banded_minhash(
         df, id_col, text_col, num_hashes, bands, k, hash_family
     )
-    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    seg = _new_segment_name(1)
+    banded.write.mode("errorifexists").partitionBy("band").parquet(
+        f"{path}/{seg}"
+    )
     params = {
         "id_col": id_col,
         "num_hashes": num_hashes,
@@ -1100,6 +1165,9 @@ def minhash_index_write(
     StateFS(df.sparkSession, path).write_text(
         f"{path}/{_PARAMS_FILE}", json.dumps(params)
     )
+    _index_vs(df.sparkSession, path).commit(
+        1, json.dumps({"version": 1, "segments": [seg]})
+    )
 
 
 def minhash_index_compact(
@@ -1108,127 +1176,121 @@ def minhash_index_compact(
     target_file_bytes: int = 128 << 20,
     min_files_per_band: int = 8,
 ) -> dict:
-    """Compact an index's band partitions after repeated
-    :func:`minhash_index_add` appends.
+    """Compact an index after repeated :func:`minhash_index_add`
+    appends.
 
-    Each append writes one small file set per ``band=`` partition, so
-    after K ingests query-scan cost creeps up with file COUNT (task
-    scheduling + footer reads), not data size. Compaction is an
-    embarrassingly parallel per-band rewrite — every band directory is
-    read and rewritten as ``ceil(bytes / target_file_bytes)`` files
-    with NO shuffle and no cross-band coordination (the partition
-    column is the directory; coalesce just concatenates row batches).
-    Only bands whose file count exceeds both ``min_files_per_band``
-    and their post-compaction count are touched: the trigger is a
-    directory listing, never a data scan. The rewrite goes through a
-    tmp-dir + atomic rename per band, so concurrent readers see either
-    the old or the new file set. On a table format (Delta/Iceberg)
-    this whole function is the built-in OPTIMIZE; plain parquet does
-    it by hand.
+    Each add commits one small segment, so after K ingests query-scan
+    cost creeps up with file COUNT (task scheduling + footer reads),
+    not data size. When any band's file count across the manifest's
+    segments exceeds both ``min_files_per_band`` and its
+    ``ceil(bytes / target_file_bytes)`` target, the index is rewritten
+    into ONE fresh segment — per band, a read of that band's files
+    and a ``coalesce`` write (no shuffle: the band is the directory),
+    embarrassingly parallel across bands — and a new manifest is
+    committed pointing at it. On a table format (Delta/Iceberg) this
+    whole function is the built-in OPTIMIZE; plain parquet does it by
+    hand.
 
-    Returns ``{band: (files_before, files_after)}`` for the bands
-    rewritten.
+    Crash safety needs NO repair path: the rewrite goes into a new
+    segment directory that no reader can see until the manifest
+    commit (exclusive marker create, the VersionedState protocol), so
+    an interrupted compaction leaves only an orphan directory —
+    queries keep serving the old manifest, never raise, and the next
+    compaction sweeps the orphan. There is no rename of live data
+    anywhere, so the protocol behaves identically on object stores.
+    Concurrent queries during compaction read whichever manifest they
+    resolved (the superseded version survives one further cycle —
+    ``clean_stale`` grace). Appends must not race compaction (the
+    single maintenance-writer slot both already share); a racing
+    committer fails loudly on the exclusive marker.
 
-    Crash safety: tmp and displaced-old directories live under
-    ``<path>/.compact/`` — a dot-prefixed name Spark's partition
-    discovery ignores, so leftovers from a crash can never surface as
-    phantom ``band`` values (they are also repaired/cleaned by
-    :func:`_recover_compact` on the next compact or params read). The
-    per-band swap is two renames: atomic on ``file:``/``hdfs:``; on
-    object stores rename is copy+delete, so a concurrent reader can
-    briefly see a band's rows missing — run compaction in the ingest
-    job's maintenance slot there (it is an optimization, never a
-    correctness step).
+    Returns ``{band: (files_before, files_after)}`` for bands whose
+    file count dropped; ``{}`` when no band met the trigger (nothing
+    is rewritten then).
     """
+    import json
     import math
 
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, path)
-    _recover_compact(fs, path)
-    compacted: dict = {}
-    for entry, is_dir, _ in fs.list_status(path):
-        if not (is_dir and entry.startswith("band=")):
-            continue
-        band_dir = f"{path}/{entry}"
-        files = [
-            (n, size)
-            for n, d, size in fs.list_status(band_dir)
-            if not d and n.endswith(".parquet")
+    params = _minhash_index_params(spark, path)
+    vs, cur, segments = _index_manifest(spark, path)
+    # sweep at cycle START (the rollup-state pattern): versions and
+    # segments superseded LAST cycle go now, so in-flight readers of
+    # the previous manifest always get a full cycle to finish
+    vs.clean_stale(cur)
+    _sweep_index_orphans(fs, path, vs, cur)
+
+    # listing-only trigger: per-band file count + bytes across segments
+    per_band: dict = {}
+    for seg in segments:
+        for entry, is_dir, _ in fs.list_status(f"{path}/{seg}"):
+            if not (is_dir and entry.startswith("band=")):
+                continue
+            b = int(entry.split("=", 1)[1])
+            files = [
+                size
+                for n, d, size in fs.list_status(f"{path}/{seg}/{entry}")
+                if not d and n.endswith(".parquet")
+            ]
+            cnt, tot = per_band.get(b, (0, 0))
+            per_band[b] = (cnt + len(files), tot + sum(files))
+    targets = {
+        b: max(1, math.ceil(tot / target_file_bytes))
+        for b, (cnt, tot) in per_band.items()
+    }
+    if not any(
+        cnt > min_files_per_band and cnt > targets[b]
+        for b, (cnt, tot) in per_band.items()
+    ):
+        return {}
+
+    new_seg = _new_segment_name(cur + 1)
+    for b, (cnt, tot) in sorted(per_band.items()):
+        srcs = [
+            f"{path}/{seg}/band={b}"
+            for seg in segments
+            if fs.exists(f"{path}/{seg}/band={b}")
         ]
-        if len(files) <= min_files_per_band:
+        if not srcs:
             continue
-        total_bytes = sum(size for _, size in files)
-        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        if len(files) <= n_out:
-            continue
-        tmp = f"{path}/{_COMPACT_DIR}/tmp-{entry}"
-        old = f"{path}/{_COMPACT_DIR}/old-{entry}"
-        fs.delete(tmp)
-        # band_dir files only — the partition column lives in the
-        # directory name, so the rewrite needs no shuffle at all
-        spark.read.parquet(band_dir).coalesce(n_out).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        fs.rename(band_dir, old)
-        fs.rename(tmp, band_dir)
-        fs.delete(old)
+        # per-band read -> coalesce -> write: the partition column is
+        # the directory name, so the rewrite needs no shuffle at all
+        spark.read.parquet(*srcs).coalesce(targets[b]).write.mode(
+            "errorifexists"
+        ).parquet(f"{path}/{new_seg}/band={b}")
+    vs.commit(
+        cur + 1, json.dumps({"version": cur + 1, "segments": [new_seg]})
+    )
+
+    compacted = {}
+    for b, (cnt, tot) in per_band.items():
         n_after = sum(
             1
-            for n, d, _ in fs.list_status(band_dir)
+            for n, d, _ in fs.list_status(f"{path}/{new_seg}/band={b}")
             if not d and n.endswith(".parquet")
         )
-        compacted[int(entry.split("=", 1)[1])] = (len(files), n_after)
-    fs.delete(f"{path}/{_COMPACT_DIR}")
+        if n_after < cnt:
+            compacted[b] = (cnt, n_after)
     return compacted
 
 
-_PARAMS_FILE = "_minhash_params.json"
-_COMPACT_DIR = ".compact"
+def _sweep_index_orphans(fs, path: str, vs, current: int) -> None:
+    """Delete segment directories no SURVIVING manifest references —
+    leftovers of crashed writes/adds/compactions and of superseded
+    versions past their reader grace. Runs only in the maintenance
+    slot (compaction), mirroring ``clean_stale``'s one-cycle grace:
+    segments of any still-present committed version are kept."""
+    import json
 
-
-def _recover_compact(fs, path: str) -> None:
-    """Repair a crashed :func:`minhash_index_compact`: a failure
-    between its two renames leaves ``.compact/old-band=N`` holding the
-    only copy of that band — promote it back; any ``tmp-`` leftovers
-    are partial rewrites of data still present elsewhere — drop them.
-    Idempotent. Called ONLY from the compaction entry point (the
-    single maintenance-writer slot): running it from a read path
-    would race a live compaction — promoting ``old-`` mid-swap or
-    deleting the tmp dir the compactor is writing into."""
-    cdir = f"{path}/{_COMPACT_DIR}"
-    if not fs.exists(cdir):
-        return
-    for entry, is_dir, _ in fs.list_status(cdir):
-        if is_dir and entry.startswith("old-band="):
-            band_dir = f"{path}/{entry[len('old-'):]}"
-            if not fs.exists(band_dir):
-                fs.rename(f"{cdir}/{entry}", band_dir)
-    fs.delete(cdir)
-
-
-def _check_compact_state(fs, path: str) -> None:
-    """Read-path guard, NO mutation: if a crashed compaction left a
-    band present only under ``.compact/old-band=N``, queries against
-    the index would silently miss that band's rows — refuse loudly
-    and point at the repair (re-running compaction recovers). Leftover
-    ``tmp-`` entries alone are harmless (data still live) and may
-    belong to an in-flight compaction — ignored."""
-    cdir = f"{path}/{_COMPACT_DIR}"
-    if not fs.exists(cdir):
-        return
-    for entry, is_dir, _ in fs.list_status(cdir):
-        if (
-            is_dir
-            and entry.startswith("old-band=")
-            and not fs.exists(f"{path}/{entry[len('old-'):]}")
-        ):
-            raise RuntimeError(
-                f"minhash index at {path} has an interrupted compaction "
-                f"({entry} holds the only copy of its band); run "
-                "minhash_index_compact(spark, path) to repair before "
-                "querying"
-            )
+    referenced = set()
+    for n, committed in vs.versions():
+        if committed:
+            referenced.update(json.loads(vs.read_marker(n))["segments"])
+    for entry, is_dir, _ in fs.list_status(path):
+        if is_dir and entry.startswith("seg-") and entry not in referenced:
+            fs.delete(f"{path}/{entry}")
 
 
 def _minhash_index_params(spark, path: str) -> dict:
@@ -1237,7 +1299,6 @@ def _minhash_index_params(spark, path: str) -> dict:
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, path)
-    _check_compact_state(fs, path)
     return json.loads(fs.read_text(f"{path}/{_PARAMS_FILE}"))
 
 
@@ -1246,8 +1307,20 @@ def minhash_index_add(
 ) -> None:
     """Append a new batch's band rows to an existing index (after
     deduping the batch with :func:`minhash_index_query` — the index
-    does not check for id collisions)."""
-    p = _minhash_index_params(df.sparkSession, path)
+    does not check for id collisions).
+
+    The append is ATOMIC: the batch's band rows land in a fresh
+    segment directory, then a new manifest version naming
+    ``old segments + [new]`` commits via exclusive marker create. A
+    crash mid-write leaves an invisible orphan (swept by compaction);
+    a concurrent committer fails loudly instead of silently dropping
+    either append."""
+    import json
+
+    spark = df.sparkSession
+    p = _minhash_index_params(spark, path)
+    vs, cur, segments = _index_manifest(spark, path)
+    vs.clean_stale(cur)
     banded = banded_minhash(
         df,
         p["id_col"],
@@ -1257,7 +1330,14 @@ def minhash_index_add(
         p["k"],
         p["hash_family"],
     )
-    banded.write.mode("append").partitionBy("band").parquet(path)
+    seg = _new_segment_name(cur + 1)
+    banded.write.mode("errorifexists").partitionBy("band").parquet(
+        f"{path}/{seg}"
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps({"version": cur + 1, "segments": segments + [seg]}),
+    )
 
 
 def minhash_index_query(
@@ -1278,13 +1358,22 @@ def minhash_index_query(
     (:func:`minhash_index_add` appends batch ids as-is), so equal-id
     collisions mean "this exact row is already indexed" and are
     suppressed by default; pass ``exclude_same_id=False`` to surface
-    them (e.g. to detect re-submissions)."""
+    them (e.g. to detect re-submissions).
+
+    Readers see exactly the segments the resolved manifest lists — an
+    in-flight or crashed add/compact is invisible, so this never
+    raises on maintenance state and never serves a partial band."""
+    from functools import reduce
+
     from pyspark.sql import types as T
 
     from parq_tools_spark.sources.statefs import StateFS
 
     p = _minhash_index_params(spark, path)
-    if not StateFS(spark, path).list_files(path):
+    fs = StateFS(spark, path)
+    _, _, segments = _index_manifest(spark, path)
+    live = [s for s in segments if fs.list_files(f"{path}/{s}")]
+    if not live:
         # freshly-bootstrapped index (params sidecar, zero band rows):
         # nothing can match — a typed empty relation keeps callers
         # (incremental_dedupe, the streaming admitter) branch-free
@@ -1299,7 +1388,10 @@ def minhash_index_query(
                 ]
             ),
         )
-    indexed_banded = spark.read.parquet(path)
+    indexed_banded = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{path}/{s}") for s in live],
+    )
     return minhash_pairs_between(
         None,
         new_docs,

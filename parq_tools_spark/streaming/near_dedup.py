@@ -196,7 +196,6 @@ def start_near_dedupe_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.dedup import (
-            _recover_compact,
             incremental_dedupe,
             minhash_index_compact,
             minhash_index_write,
@@ -205,12 +204,10 @@ def start_near_dedupe_stream(
         from parq_tools_spark.sources.statefs import StateFS
 
         spark = batch_df.sparkSession
-        # the stream owns the index's single maintenance-writer slot,
-        # so it may (must) repair a compaction its own previous
-        # incarnation crashed mid-swap — otherwise the read path's
-        # interrupted-compaction guard would refuse every batch and
-        # wedge the query until a human ran the repair by hand
-        _recover_compact(StateFS(spark, index_path), index_path)
+        # no crash-repair step needed: the index's versioned-manifest
+        # protocol leaves a crashed add/compact as an invisible orphan
+        # segment (swept by the next compaction), never as state a
+        # read path could refuse
         if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
             return  # replay of a batch this query already applied
         if not batch_df.take(1):

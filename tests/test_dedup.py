@@ -450,10 +450,35 @@ def test_minhash_pairs_between_independent_id_spaces(spark):
     assert none == []
 
 
+def _index_band_files(spark, path):
+    """{band: parquet-file-count} across the committed manifest's
+    segments — the reader-visible file inventory."""
+    import os
+
+    from parq_tools_spark.operators.dedup import _index_manifest
+
+    _, _, segments = _index_manifest(spark, path)
+    counts = {}
+    for seg in segments:
+        sp = os.path.join(path, seg)
+        for e in os.listdir(sp):
+            if e.startswith("band="):
+                n = len(
+                    [
+                        f
+                        for f in os.listdir(os.path.join(sp, e))
+                        if f.endswith(".parquet")
+                    ]
+                )
+                counts[e] = counts.get(e, 0) + n
+    return counts
+
+
 def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
-    """Compaction rewrites each band partition into fewer files with
-    identical content: query results must be byte-identical and file
-    counts must drop."""
+    """Compaction rewrites the manifest's segments into one fresh
+    segment with identical content: query results must be
+    byte-identical, file counts must drop, and superseded segments
+    are swept on the NEXT maintenance cycle (reader grace)."""
     import os
 
     from parq_tools_spark.operators.dedup import (
@@ -471,21 +496,15 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
     minhash_index_write(
         docs.filter(F.col("doc_id") % 5 == 0), path, num_hashes=32, bands=8
     )
-    # four appends -> each band dir accumulates small file sets
+    # four appends -> one small segment each
     for m in range(1, 5):
         minhash_index_add(docs.filter(F.col("doc_id") % 5 == m), path)
-
-    def count_files(p):
-        return {
-            e: len([f for f in os.listdir(os.path.join(p, e)) if f.endswith(".parquet")])
-            for e in os.listdir(p)
-            if e.startswith("band=")
-        }
+    assert len([e for e in os.listdir(path) if e.startswith("seg-")]) == 5
 
     probe = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
-    before_files = count_files(path)
+    before_files = _index_band_files(spark, path)
     before = sorted(
         (r.id_indexed, r.id_new, r.est_jaccard)
         for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
@@ -494,7 +513,7 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
 
     compacted = minhash_index_compact(path=path, spark=spark, min_files_per_band=2)
     assert compacted, "no band qualified for compaction"
-    after_files = count_files(path)
+    after_files = _index_band_files(spark, path)
     for band, (n_before, n_after) in compacted.items():
         assert n_after < n_before
         assert after_files[f"band={band}"] == n_after
@@ -506,22 +525,31 @@ def test_minhash_index_compact_preserves_queries(spark, sf_dir, tmp_path):
     )
     assert after == before
 
+    # superseded segments survive one cycle (readers mid-flight), then
+    # the next maintenance pass sweeps them and the index still serves
+    assert len([e for e in os.listdir(path) if e.startswith("seg-")]) == 6
+    assert minhash_index_compact(path=path, spark=spark) == {}
+    assert len([e for e in os.listdir(path) if e.startswith("seg-")]) == 1
+    again = sorted(
+        (r.id_indexed, r.id_new, r.est_jaccard)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
+    )
+    assert again == before
 
-def test_minhash_index_compact_crash_recovery(spark, sf_dir, tmp_path):
-    """A crash between compaction's two renames leaves the band only
-    under .compact/old-band=N. Read paths must refuse LOUDLY (no
-    silent missing-band results, no mutation that could race a live
-    compaction); re-running compaction repairs, and partition
-    discovery never sees phantom band values (the dot-prefixed dir is
-    invisible to Spark)."""
+
+def test_minhash_index_interrupted_compact_is_invisible(spark, sf_dir, tmp_path):
+    """A compaction (or add) that dies before its manifest commit
+    leaves only an orphan segment directory: queries NEVER raise and
+    keep serving the committed manifest unchanged; the next
+    maintenance pass sweeps the orphan. (The old rename-in-place
+    protocol needed a repair path and a read-path guard; the
+    versioned manifest needs neither.)"""
     import os
-    import shutil
 
-    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from parq_tools_spark.operators.dedup import (
-        _minhash_index_params,
+        _index_manifest,
         minhash_index_compact,
         minhash_index_query,
         minhash_index_write,
@@ -532,34 +560,29 @@ def test_minhash_index_compact_crash_recovery(spark, sf_dir, tmp_path):
     )
     path = str(tmp_path / "mh_index")
     minhash_index_write(docs, path, num_hashes=32, bands=8)
-
-    bands = sorted(e for e in os.listdir(path) if e.startswith("band="))
-    victim = bands[0]
-    cdir = os.path.join(path, ".compact")
-    os.makedirs(cdir)
-    # crash between rename(band,old) and rename(tmp,band): the band
-    # dir is gone, old- holds the only copy, tmp- is a partial rewrite
-    os.replace(os.path.join(path, victim), os.path.join(cdir, f"old-{victim}"))
-    shutil.copytree(
-        os.path.join(cdir, f"old-{victim}"), os.path.join(cdir, f"tmp-{victim}")
+    probe = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    before = sorted(
+        (r.id_indexed, r.id_new)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
     )
 
-    # read path: loud refusal, no mutation
-    with _pytest.raises(RuntimeError, match="interrupted compaction"):
-        _minhash_index_params(spark, path)
-    assert os.path.isdir(os.path.join(cdir, f"old-{victim}"))  # untouched
+    # simulate the crash: a half-written new segment, no commit
+    orphan = os.path.join(path, "seg-000002-deadbeef")
+    docs.limit(5).write.parquet(os.path.join(orphan, "band=0"))
 
-    # the maintenance entry point repairs
+    # reads: no raise, identical results, orphan invisible
+    after = sorted(
+        (r.id_indexed, r.id_new)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
+    )
+    assert after == before
+    _, _, segments = _index_manifest(spark, path)
+    assert "seg-000002-deadbeef" not in segments
+
+    # maintenance sweeps the orphan without touching live data
     minhash_index_compact(spark, path)
-    p = _minhash_index_params(spark, path)
-    assert p["bands"] == 8
-    assert os.path.isdir(os.path.join(path, victim))  # band promoted back
-    assert not os.path.exists(cdir)  # tmp + scaffolding swept
-
-    # index fully usable, band column cleanly typed (no ".old"/".tmp"
-    # partition-value pollution)
-    idx = spark.read.parquet(path)
-    got_bands = sorted(r.band for r in idx.select("band").distinct().collect())
-    assert got_bands == list(range(8))
-    probe = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    assert minhash_index_query(spark, path, probe, threshold=0.5).count() >= 0
+    assert not os.path.exists(orphan)
+    assert sorted(
+        (r.id_indexed, r.id_new)
+        for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
+    ) == before

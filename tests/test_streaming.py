@@ -659,11 +659,13 @@ def test_streaming_near_dedupe_empty_first_batch(spark, tmp_path):
     assert [r.doc_id for r in spark.read.parquet(out_path).collect()] == [1]
 
 
-def test_streaming_near_dedupe_self_heals_crashed_compaction(spark, tmp_path):
-    """A stream restart after a crash mid-compaction (band displaced
-    to .compact/old-band=N) must repair the index itself — the stream
-    owns the maintenance-writer slot — instead of wedging on the read
-    path's interrupted-compaction guard every batch."""
+def test_streaming_near_dedupe_ignores_crashed_maintenance(spark, tmp_path):
+    """A stream restart after a crash mid-add/compaction (an orphan
+    segment directory no manifest references) must proceed without any
+    repair step: orphans are invisible to the versioned manifest, so
+    batches keep admitting correctly and the orphan is swept by the
+    next compaction. (The old rename-in-place protocol wedged the read
+    path here until a repair ran.)"""
     src = tmp_path / "docs"
     src.mkdir()
     _dedup_docs_batches(spark, str(src))
@@ -673,23 +675,28 @@ def test_streaming_near_dedupe_self_heals_crashed_compaction(spark, tmp_path):
     admitted = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert admitted == [1, 2, 4, 7]
 
-    # simulate the crash: one band survives only under .compact/old-
-    victim = sorted(
-        e for e in os.listdir(index_path) if e.startswith("band=")
-    )[0]
-    cdir = os.path.join(index_path, ".compact")
-    os.makedirs(cdir)
-    os.replace(
-        os.path.join(index_path, victim), os.path.join(cdir, f"old-{victim}")
-    )
+    # simulate the crash: a half-written segment, never committed
+    orphan = os.path.join(index_path, "seg-000099-deadbeef")
+    spark.createDataFrame(
+        [(0, "junk")], "doc_id long, text string"
+    ).write.parquet(os.path.join(orphan, "band=0"))
 
-    # new arrival + restart (same checkpoint): must heal, then admit
+    # new arrival + restart (same checkpoint): admits with no wedging
     spark.createDataFrame(
         [(9, "a genuinely new document about versioned state commits")],
         "doc_id long, text string",
     ).coalesce(1).write.parquet(os.path.join(str(src), "f9"))
     _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
-    assert not os.path.exists(cdir)  # repaired
-    assert os.path.isdir(os.path.join(index_path, victim))
     admitted2 = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert admitted2 == [1, 2, 4, 7, 9]
+
+    # the orphan never entered the manifest; maintenance sweeps it
+    from parq_tools_spark.operators.dedup import (
+        _index_manifest,
+        minhash_index_compact,
+    )
+
+    _, _, segments = _index_manifest(spark, index_path)
+    assert "seg-000099-deadbeef" not in segments
+    minhash_index_compact(spark, index_path)
+    assert not os.path.exists(orphan)
