@@ -1630,6 +1630,108 @@ def q_chunk_sentences(spark, sf_dir):
     return chunk_by_sentences(docs, max_tokens=24)
 
 
+def q_bm25_from_index(spark, sf_dir):
+    """BM25 served from the PERSISTED index (built on the even-id
+    docs, extended with the odd-id batch — the incremental lifecycle)
+    must equal a from-scratch corpus scoring exactly; index_version
+    stamps the statistics snapshot (build=1, add=2) per the staleness
+    contract."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmidx_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs.filter(F.col("doc_id") % 2 == 0), path)
+    bm25_index_add(docs.filter(F.col("doc_id") % 2 == 1), path)
+    out = bm25_index_topk(
+        spark, path, "stream merge window", k=10
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_from_index_batch(spark, sf_dir):
+    """The batch serving path from the persisted index: one bucketed
+    postings read for the whole query set."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(1, "merge stream"), (2, "customer table value"), (3, "query window")],
+        "query_id long, query string",
+    )
+    work = tempfile.mkdtemp(prefix="bmidxb_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path)
+    out = bm25_index_topk_batch(spark, path, qdf, k=5).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_index_build(spark, sf_dir):
+    """The index's vocabulary snapshot: per-term document frequency
+    persisted at build time, value-checked against counting documents
+    in SQL."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        _bm25_manifest,
+        bm25_index_build,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmidxt_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path)
+    _, _, m = _bm25_manifest(spark, path)
+    out = (
+        spark.read.parquet(os.path.join(path, m["terms"]))
+        .filter(
+            F.col("term").isin("merge", "stream", "window", "customer", "data")
+        )
+        .select("term", "df")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_and_search(spark, sf_dir):
+    """Conjunctive (AND) retrieval: only documents containing EVERY
+    query term, still ranked by BM25 — a map-side predicate on the
+    same zero-exchange scan as bm25_search."""
+    from parq_tools_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "stream merge window", k=10, mode="all")
+
+
+def q_bm25_phrase_search(spark, sf_dir):
+    """Phrase-filtered retrieval: documents containing the contiguous
+    token sequence, ranked by BM25 over the phrase's terms — the
+    phrase test is an array expression inside the scan (no explode)."""
+    from parq_tools_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "window join", k=10, phrase="window join")
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -2404,6 +2506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     past the window.
     """
     return {
+        # --- new in round 8 (persisted BM25 index + search modes)
+        "bm25_from_index": q_bm25_from_index,
+        "bm25_from_index_batch": q_bm25_from_index_batch,
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_and_search": q_bm25_and_search,
+        "bm25_phrase_search": q_bm25_phrase_search,
         # --- rotated out of the r6 window, last driver-checked r5
         "contamination": q_contamination,
         "key_skew": q_key_skew,
@@ -3969,6 +4077,247 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                         AS INT) AS rank
             FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        # bm25_from_index: the index persists exactly the statistics a
+        # scan would compute (build on evens + add of odds = the whole
+        # corpus), so the oracle is the from-scratch scoring plus the
+        # deterministic version stamp (build=1, add=2)
+        "bm25_from_index": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank,
+                   CAST(2 AS INT) AS index_version
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        "bm25_from_index_batch": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(query_id, term) AS (
+              VALUES (1, 'merge'), (1, 'stream'),
+                     (2, 'customer'), (2, 'table'), (2, 'value'),
+                     (3, 'query'), (3, 'window')
+            ),
+            dfs AS (
+              SELECT DISTINCT term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, term)) AS df
+              FROM qterms
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf
+              JOIN idf USING (term)
+              JOIN qterms q USING (term)
+              CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            )
+            SELECT query_id, doc_id, score, rank,
+                   CAST(1 AS INT) AS index_version
+            FROM (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "bm25_index_build": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            q(term) AS (
+              VALUES ('merge'), ('stream'), ('window'),
+                     ('customer'), ('data')
+            )
+            SELECT term, df FROM (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM q
+            ) WHERE df > 0
+        """,
+        "bm25_and_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+              HAVING count(*) = 3
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        "bm25_phrase_search": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('join'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            ph AS (
+              SELECT doc_id FROM tok
+              WHERE len(toks) >= 2
+                AND len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = 'window' AND toks[i+1] = 'join')) > 0
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id, s.score,
+                   CAST(row_number() OVER (ORDER BY s.score DESC,
+                        s.doc_id ASC) AS INT) AS rank
+            FROM scored s JOIN ph USING (doc_id)
             ORDER BY rank
             LIMIT 10
         """,

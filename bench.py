@@ -166,6 +166,79 @@ def _bench_stream_near_dedup(spark, sf_dir) -> "dict[str, float]":
     return out
 
 
+def _bench_bm25_index(spark, sf_dir) -> "dict[str, float]":
+    """The serving case the persisted BM25 index exists for: REPEATED
+    queries. Build the index once on the documents table (timed as
+    bm25_index_build), then time 5 distinct single queries served
+    from the index vs the same 5 from a full corpus scan. Lands in
+    BENCH_FULL.json as bm25_index_build / bm25_query_from_index /
+    bm25_query_from_scan (each query figure = mean sec/query); the
+    index-vs-scan ratio is the amortization the staleness contract in
+    SCALE.md buys."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    queries = [
+        "stream merge window",
+        "customer table value",
+        "query window join",
+        "fast hash scan",
+        "spark group row data",
+    ]
+    tmp = tempfile.mkdtemp(prefix="bm25_bench_")
+    path = os.path.join(tmp, "idx")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        bm25_index_build(docs, path)
+        out["bm25_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        for q in queries:
+            bm25_index_topk(spark, path, q, k=10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        out["bm25_query_from_index"] = round(
+            (time.perf_counter() - t0) / len(queries), 3
+        )
+        t0 = time.perf_counter()
+        for q in queries:
+            bm25_topk(docs, q, k=10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        out["bm25_query_from_scan"] = round(
+            (time.perf_counter() - t0) / len(queries), 3
+        )
+        # the realistic serving shape: a batch amortizes the one
+        # postings read across queries — this is where the index's
+        # O(matching-postings) vs O(corpus) asymptotics show even at
+        # bench scale (both single-query figures above carry ~1 job
+        # of fixed local-mode overhead that dwarfs a small corpus)
+        from parq_tools_spark.operators.search import bm25_index_topk_batch
+
+        qdf = spark.createDataFrame(
+            list(enumerate(queries)), "query_id long, query string"
+        )
+        t0 = time.perf_counter()
+        bm25_index_topk_batch(spark, path, qdf, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["bm25_batch_from_index_per_query"] = round(
+            (time.perf_counter() - t0) / len(queries), 3
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _bench_media_decode(spark, sf_dir) -> "dict[str, float]":
     """Real-decode throughput of the pure-numpy codec tier: fabricate
     one 64x64 PNG per document row (deterministic from doc_id, done
@@ -330,6 +403,7 @@ def main() -> None:
     if not only:
         for scenario, fn in (
             ("minhash_index_roundtrip", _bench_minhash_index),
+            ("bm25_index", _bench_bm25_index),
             ("media_decode", _bench_media_decode),
             ("stream_near_dedup", _bench_stream_near_dedup),
         ):

@@ -63,6 +63,16 @@ from parq_tools_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from parq_tools_spark.operators.search import (  # noqa: F401
+    bm25_index_add,
+    bm25_index_build,
+    bm25_index_compact,
+    bm25_index_stats,
+    bm25_index_topk,
+    bm25_index_topk_batch,
+    bm25_topk,
+    bm25_topk_batch,
+)
 from parq_tools_spark.operators.merge import (  # noqa: F401
     apply_cdc,
     merge_upsert,
@@ -186,4 +196,12 @@ __all__ = [
     "minhash_index_add",
     "minhash_index_query",
     "incremental_dedupe",
+    "bm25_topk",
+    "bm25_topk_batch",
+    "bm25_index_build",
+    "bm25_index_add",
+    "bm25_index_compact",
+    "bm25_index_stats",
+    "bm25_index_topk",
+    "bm25_index_topk_batch",
 ]

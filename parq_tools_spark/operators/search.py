@@ -37,7 +37,18 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tokenize", "term_stats", "bm25_topk", "bm25_topk_batch"]
+__all__ = [
+    "tokenize",
+    "term_stats",
+    "bm25_topk",
+    "bm25_topk_batch",
+    "bm25_index_build",
+    "bm25_index_add",
+    "bm25_index_compact",
+    "bm25_index_stats",
+    "bm25_index_topk",
+    "bm25_index_topk_batch",
+]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -130,6 +141,39 @@ def _corpus_stats(corpus: DataFrame, text_col: str, terms: list):
     return n_docs, avgdl, idf
 
 
+def _phrase_tokens(phrase: Union[str, Sequence[str]]) -> list:
+    """Phrase tokens IN ORDER (unlike :func:`_query_terms`, no sort,
+    no dedup — a phrase is a sequence)."""
+    parts = (
+        [phrase] if isinstance(phrase, str) else [str(t) for t in phrase]
+    )
+    toks = [
+        t
+        for p in parts
+        for t in re.split(_TOKEN_SPLIT, p.lower())
+        if t != ""
+    ]
+    if not toks:
+        raise ValueError("empty phrase")
+    return toks
+
+
+def _phrase_match(toks: Column, phrase_toks: list) -> Column:
+    """True when the token array contains ``phrase_toks`` as a
+    CONTIGUOUS subsequence — an array expression (slice-compare at
+    every feasible offset), evaluated inside the scan like the tf
+    expressions: no explode, no shuffle, no Python."""
+    n = len(phrase_toks)
+    target = F.array(*[F.lit(t) for t in phrase_toks])
+    return F.when(
+        F.size(toks) >= n,
+        F.exists(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.slice(toks, i, n) == target,
+        ),
+    ).otherwise(F.lit(False))
+
+
 def bm25_topk(
     corpus: DataFrame,
     query: Union[str, Sequence[str]],
@@ -139,6 +183,8 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 6,
+    mode: str = "any",
+    phrase: Optional[Union[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` by BM25.
 
@@ -148,6 +194,12 @@ def bm25_topk(
     zero-length (in N and avgdl, never matching). Returns
     ``(doc_id, score, rank)``, rank 1 = best, ties broken by
     ascending id.
+
+    ``mode="all"`` keeps only documents containing EVERY query term
+    (conjunctive retrieval); ``phrase=`` additionally requires the
+    given token sequence to appear contiguously (ranking stays plain
+    BM25 over the query terms). Both are extra map-side predicates on
+    the same scan — the plan shape below is unchanged.
 
     Cost shape: ONE tiny driver-side aggregate (N + avgdl + the query
     terms' dfs in a single pass — O(|query|) columns, not
@@ -159,6 +211,8 @@ def bm25_topk(
     explode+aggregate shape lives in :func:`bm25_topk_batch`, where
     many queries amortize it.
     """
+    if mode not in ("any", "all"):
+        raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     n_docs, avgdl, idf = _corpus_stats(corpus, text_col, terms)
@@ -170,22 +224,27 @@ def bm25_topk(
     # are sorted, so the left-to-right sum order is deterministic.
     total = F.lit(0.0)
     any_match = F.lit(False)
+    all_match = F.lit(True)
     for t in terms:
         tf_t = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast(
             "double"
         )
         any_match = any_match | (tf_t > 0)
+        all_match = all_match & (tf_t > 0)
         total = total + F.when(
             tf_t > 0,
             F.lit(idf[t]) * (tf_t * F.lit(k1 + 1.0)) / (tf_t + norm),
         ).otherwise(F.lit(0.0))
+    keep = any_match if mode == "any" else all_match
+    if phrase is not None:
+        keep = keep & _phrase_match(toks, _phrase_tokens(phrase))
     scored = (
         corpus.select(
             F.col(id_col),
             (
                 F.floor(total * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
             ).alias("score"),
-            any_match.alias("_m"),
+            keep.alias("_m"),
         )
         # matched docs stay even if their tiny score rounds to 0.0
         # (what the explode-form and the SQL oracle both produce)
@@ -297,4 +356,569 @@ def bm25_topk_batch(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(query_id_col), id_col, "score", "rank")
+    )
+
+
+# =====================================================================
+# Persisted BM25 index (versioned-manifest protocol, statefs)
+# =====================================================================
+#
+# Repeated queries must not pay a full corpus rescan each call (the
+# scan paths above are O(corpus) per invocation — right for one-shot
+# sweeps, wrong for a serving surface at 100 TB). The index persists
+# exactly the statistics scoring needs:
+#
+#   path/
+#     v=<n>/_bm25_manifest.json   commit marker (created exclusively,
+#                                 LAST): n_docs, sum_dl (exact int),
+#                                 params, the segment list and the
+#                                 terms snapshot for this version
+#     terms-<n>-<tag>/            (term, df) parquet — the vocabulary,
+#                                 range-partitioned+sorted by term so
+#                                 a query's handful of df lookups
+#                                 prune to a few files
+#     seg-<n>-<tag>/tbucket=<b>/  postings (doc_id, dl, term, tf),
+#                                 bucketed by crc32(term) so a query
+#                                 partition-prunes to its terms'
+#                                 buckets, term-sorted within files
+#                                 for row-group skipping
+#
+# Same lifecycle as the MinHash band index (operators/dedup.py):
+# appends commit new immutable segments plus a merged vocabulary
+# snapshot (O(vocab), never O(corpus)); compaction rewrites postings
+# segments into one and commits; a crashed or in-flight operation is
+# an orphan directory no manifest references — readers never raise,
+# nothing renames live data, object-store-clean.
+#
+# Staleness contract: a query scores with the statistics of the
+# manifest version it resolved (idf, avgdl, postings all from ONE
+# committed version — never a torn mix), and stamps that version in
+# the output's ``index_version`` column.
+
+_BM25_MARKER = "_bm25_manifest.json"
+
+
+def _bm25_vs(spark, path: str):
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    return VersionedState(spark, path, _BM25_MARKER)
+
+
+def _bm25_manifest(spark, path: str):
+    import json
+
+    vs = _bm25_vs(spark, path)
+    cur = vs.current()
+    if cur is None:
+        raise ValueError(
+            f"no committed bm25 index at {path}; build one with "
+            "bm25_index_build"
+        )
+    return vs, cur, json.loads(vs.read_marker(cur))
+
+
+def _tag(n: int, prefix: str) -> str:
+    import uuid
+
+    return f"{prefix}-{n:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _tbucket_col(n_buckets: int) -> Column:
+    # crc32: computable engine-side AND in plain Python (zlib.crc32),
+    # so the query plans its partition pruning without a Spark job
+    return F.pmod(
+        F.crc32(F.encode(F.col("term"), "UTF-8")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _tbucket_py(term: str, n_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl, term, tf) — one row per distinct (document, term).
+    Duplicate corpus rows for one id are NOT merged (the id-unique
+    corpus contract every index here shares); NULL text yields no
+    postings (zero-length doc — present only in n_docs/sum_dl)."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def _write_postings_segment(
+    postings: DataFrame, seg_path: str, n_buckets: int
+) -> None:
+    (
+        postings.withColumn("tbucket", _tbucket_col(n_buckets))
+        .repartition("tbucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("errorifexists")
+        .partitionBy("tbucket")
+        .parquet(seg_path)
+    )
+
+
+def _write_terms(terms: DataFrame, terms_path: str) -> None:
+    # range-partitioned + sorted: a df lookup for a handful of terms
+    # prunes to few files, then to few row groups
+    (
+        terms.repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("errorifexists")
+        .parquet(terms_path)
+    )
+
+
+def _corpus_counts(corpus: DataFrame, text_col: str):
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    row = corpus.select(
+        F.count(F.lit(1)), F.coalesce(F.sum(F.size(toks)), F.lit(0))
+    ).first()
+    return int(row[0]), int(row[1])
+
+
+def bm25_index_build(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Build a persistent BM25 index over ``corpus`` at ``path``.
+
+    Two corpus passes (a count/length aggregate and the postings
+    aggregation — both one shuffle, keyed small), then the manifest
+    commits. ``k1``/``b`` are query-time knobs, not index state.
+    Rebuilding over an existing index resets it."""
+    import json
+
+    spark = corpus.sparkSession
+    vs = _bm25_vs(spark, path)
+    for entry, is_dir, _ in vs.fs.list_status(path):
+        if is_dir and entry.startswith(("v=", "seg-", "terms-")):
+            vs.fs.delete(f"{path}/{entry}")
+
+    n_docs, sum_dl = _corpus_counts(corpus, text_col)
+    post = _postings(corpus, id_col, text_col)
+    seg = _tag(1, "seg")
+    _write_postings_segment(post, f"{path}/{seg}", n_buckets)
+    terms_dir = _tag(1, "terms")
+    # (doc, term) is unique after the postings aggregate, so df is a
+    # plain count — no second distinct pass over the corpus
+    _write_terms(
+        spark.read.parquet(f"{path}/{seg}")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df")),
+        f"{path}/{terms_dir}",
+    )
+    vs.commit(
+        1,
+        json.dumps(
+            {
+                "version": 1,
+                "params": {
+                    "id_col": id_col,
+                    "text_col": text_col,
+                    "n_buckets": n_buckets,
+                },
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "segments": [seg],
+                "terms": terms_dir,
+            }
+        ),
+    )
+
+
+def bm25_index_add(new_docs: DataFrame, path: str) -> None:
+    """Fold a new batch into the index: one new postings segment, a
+    merged vocabulary snapshot (old terms UNION batch terms, summed —
+    O(vocab), the corpus is never rescanned), updated counts, one
+    manifest commit. Ids must be new to the index (the same
+    id-unique contract as minhash_index_add); a concurrent committer
+    fails loudly on the exclusive marker."""
+    import json
+
+    spark = new_docs.sparkSession
+    vs, cur, m = _bm25_manifest(spark, path)
+    vs.clean_stale(cur)
+    _bm25_sweep_orphans(vs, path)
+    p = m["params"]
+
+    n_new, dl_new = _corpus_counts(new_docs, p["text_col"])
+    post = _postings(new_docs, p["id_col"], p["text_col"])
+    seg = _tag(cur + 1, "seg")
+    _write_postings_segment(post, f"{path}/{seg}", p["n_buckets"])
+    batch_terms = (
+        spark.read.parquet(f"{path}/{seg}")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    terms_dir = _tag(cur + 1, "terms")
+    _write_terms(
+        spark.read.parquet(f"{path}/{m['terms']}")
+        .unionByName(batch_terms)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df")),
+        f"{path}/{terms_dir}",
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                "version": cur + 1,
+                "params": p,
+                "n_docs": m["n_docs"] + n_new,
+                "sum_dl": m["sum_dl"] + dl_new,
+                "segments": m["segments"] + [seg],
+                "terms": terms_dir,
+            }
+        ),
+    )
+
+
+def _bm25_sweep_orphans(vs, path: str) -> None:
+    """Drop seg-/terms- directories no surviving manifest references
+    (crashed operations, superseded versions past reader grace)."""
+    import json
+
+    referenced = set()
+    for n, committed in vs.versions():
+        if committed:
+            m = json.loads(vs.read_marker(n))
+            referenced.update(m["segments"])
+            referenced.add(m["terms"])
+    for entry, is_dir, _ in vs.fs.list_status(path):
+        if (
+            is_dir
+            and entry.startswith(("seg-", "terms-"))
+            and entry not in referenced
+        ):
+            vs.fs.delete(f"{path}/{entry}")
+
+
+def bm25_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_per_bucket: int = 8,
+) -> dict:
+    """Rewrite the manifest's postings segments into one (per-bucket
+    read + coalesce, no shuffle — the bucket is the directory) when
+    any bucket's file count exceeds both ``min_files_per_bucket`` and
+    its byte-target, then commit. Crash-safe with no repair path for
+    the same reason as ``minhash_index_compact``: readers only ever
+    see committed manifests. Returns ``{tbucket: (files_before,
+    files_after)}`` for buckets whose file count dropped."""
+    import json
+    import math
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    vs.clean_stale(cur)
+    _bm25_sweep_orphans(vs, path)
+    fs = vs.fs
+
+    per_bucket: dict = {}
+    for seg in m["segments"]:
+        for entry, is_dir, _ in fs.list_status(f"{path}/{seg}"):
+            if not (is_dir and entry.startswith("tbucket=")):
+                continue
+            b = int(entry.split("=", 1)[1])
+            files = [
+                size
+                for n_, d, size in fs.list_status(f"{path}/{seg}/{entry}")
+                if not d and n_.endswith(".parquet")
+            ]
+            cnt, tot = per_bucket.get(b, (0, 0))
+            per_bucket[b] = (cnt + len(files), tot + sum(files))
+    targets = {
+        b: max(1, math.ceil(tot / target_file_bytes))
+        for b, (cnt, tot) in per_bucket.items()
+    }
+    if not any(
+        cnt > min_files_per_bucket and cnt > targets[b]
+        for b, (cnt, tot) in per_bucket.items()
+    ):
+        return {}
+
+    new_seg = _tag(cur + 1, "seg")
+    for b in sorted(per_bucket):
+        srcs = [
+            f"{path}/{seg}/tbucket={b}"
+            for seg in m["segments"]
+            if fs.exists(f"{path}/{seg}/tbucket={b}")
+        ]
+        if not srcs:
+            continue
+        (
+            spark.read.parquet(*srcs)
+            .coalesce(targets[b])
+            .write.mode("errorifexists")
+            .parquet(f"{path}/{new_seg}/tbucket={b}")
+        )
+    vs.commit(
+        cur + 1,
+        json.dumps({**m, "version": cur + 1, "segments": [new_seg]}),
+    )
+
+    compacted = {}
+    for b, (cnt, tot) in per_bucket.items():
+        n_after = sum(
+            1
+            for n_, d, _ in fs.list_status(f"{path}/{new_seg}/tbucket={b}")
+            if not d and n_.endswith(".parquet")
+        )
+        if n_after < cnt:
+            compacted[b] = (cnt, n_after)
+    return compacted
+
+
+def bm25_index_stats(spark, path: str) -> dict:
+    """The resolved manifest's statistics — ``version``, ``n_docs``,
+    ``sum_dl``, ``avgdl``, ``params`` — the staleness contract's
+    inspection point (compare ``version`` against a query result's
+    ``index_version`` column)."""
+    _, cur, m = _bm25_manifest(spark, path)
+    return {
+        "version": cur,
+        "n_docs": m["n_docs"],
+        "sum_dl": m["sum_dl"],
+        "avgdl": (m["sum_dl"] / m["n_docs"]) if m["n_docs"] else 0.0,
+        "params": m["params"],
+    }
+
+
+def _read_postings(spark, path: str, m: dict, terms: list) -> DataFrame:
+    from functools import reduce
+
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, path)
+    n_buckets = m["params"]["n_buckets"]
+    buckets = sorted({_tbucket_py(t, n_buckets) for t in terms})
+    live = [
+        s for s in m["segments"] if fs.list_files(f"{path}/{s}")
+    ]
+    if not live:
+        return None
+    scans = [
+        spark.read.parquet(f"{path}/{s}").filter(
+            F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        for s in live
+    ]
+    return reduce(DataFrame.unionByName, scans)
+
+
+def _empty_topk(spark, batch: bool):
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("index_version", T.IntegerType()),
+    ]
+    if batch:
+        fields.insert(0, T.StructField("query_id", T.LongType()))
+    return spark.createDataFrame([], T.StructType(fields))
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    query: Union[str, Sequence[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    mode: str = "any",
+) -> DataFrame:
+    """Top-``k`` by BM25 served FROM the index — no corpus scan, no
+    tokenization: the plan reads the query terms' df rows from the
+    vocabulary snapshot (file-pruned) and their postings from the
+    term-bucketed segments (partition-pruned to the terms' buckets,
+    term filter pushed into the parquet scan), aggregates one score
+    row per matching document and top-k-merges. Cost is O(postings of
+    the query's terms) — at 100 TB that is the difference between a
+    serving call and a batch job.
+
+    Scores are IDENTICAL to :func:`bm25_topk` over the same corpus at
+    the index's current version (same idf/avgdl/tf arithmetic, same
+    rounding). ``mode="all"`` keeps only documents matching EVERY
+    query term (conjunctive retrieval — a post-aggregation filter on
+    the matched-term count; no new shuffle shape). Output carries
+    ``index_version`` (see :func:`bm25_index_stats`)."""
+    if mode not in ("any", "all"):
+        raise ValueError("mode must be 'any' or 'all'")
+    terms = _query_terms(query)
+    vs, cur, m = _bm25_manifest(spark, path)
+    n_docs = m["n_docs"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = (m["sum_dl"] / n_docs) or 1.0
+    df_rows = (
+        spark.read.parquet(f"{path}/{m['terms']}")
+        .filter(F.col("term").isin(terms))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in df_rows}
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+        )
+        for t in terms
+    }
+
+    post = _read_postings(spark, path, m, terms)
+    if post is None:
+        return _empty_topk(spark, batch=False)
+    scale = float(10**round_to)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    idf_col = F.element_at(
+        F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+        ),
+        F.col("term"),
+    )
+    contrib = idf_col * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    grouped = post.groupBy("doc_id").agg(
+        (
+            F.floor(F.sum(contrib) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        ).alias("score"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    if mode == "all":
+        grouped = grouped.filter(F.col("_nt") == len(terms))
+    topk = (
+        grouped.drop("_nt")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).withColumn(
+        "index_version", F.lit(cur)
+    )
+
+
+def bm25_index_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    mode: str = "any",
+) -> DataFrame:
+    """Per-query top-``k`` for a whole queries DataFrame served from
+    the index: ONE postings read covers the union of all query terms
+    (still bucket-pruned), a broadcast (query, term, idf) table fans
+    postings out, and a per-query window ranks. Like
+    :func:`bm25_topk_batch` but with the corpus pass replaced by the
+    index read — O(matching postings), not O(corpus tokens)."""
+    if mode not in ("any", "all"):
+        raise ValueError("mode must be 'any' or 'all'")
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_col).alias("q")
+    ).collect()
+    if not q_rows:
+        raise ValueError("no queries")
+    q_terms = {}
+    for r in q_rows:
+        if r.qid in q_terms:
+            raise ValueError(
+                f"duplicate {query_id_col}={r.qid!r} in queries"
+            )
+        try:
+            q_terms[r.qid] = _query_terms(str(r.q))
+        except ValueError:
+            raise ValueError(
+                f"empty query for {query_id_col}={r.qid!r}"
+            ) from None
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    n_docs = m["n_docs"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    avgdl = (m["sum_dl"] / n_docs) or 1.0
+    df_rows = (
+        spark.read.parquet(f"{path}/{m['terms']}")
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in df_rows}
+    idf = {
+        t: math.log(
+            1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5)
+        )
+        for t in all_terms
+    }
+    qt = spark.createDataFrame(
+        [
+            (qid, t, idf[t], len(ts))
+            for qid, ts in q_terms.items()
+            for t in ts
+        ],
+        ["qid", "term", "idf", "n_terms"],
+    )
+
+    post = _read_postings(spark, path, m, all_terms)
+    if post is None:
+        return _empty_topk(spark, batch=True).withColumnRenamed(
+            "query_id", query_id_col
+        )
+    scale = float(10**round_to)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = (
+        F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    )
+    grouped = (
+        post.join(F.broadcast(qt), on="term")
+        .select(
+            F.col("qid"),
+            F.col("doc_id"),
+            F.col("n_terms"),
+            contrib.alias("_c"),
+        )
+        .groupBy("qid", "doc_id", "n_terms")
+        .agg(
+            (
+                F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5))
+                / F.lit(scale)
+            ).alias("score"),
+            F.count(F.lit(1)).alias("_nt"),
+        )
+    )
+    if mode == "all":
+        grouped = grouped.filter(F.col("_nt") == F.col("n_terms"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            "doc_id",
+            "score",
+            "rank",
+            F.lit(cur).alias("index_version"),
+        )
     )

@@ -185,3 +185,195 @@ def test_bm25_batch_duplicate_query_id_raises(spark, tiny_corpus):
     )
     with pytest.raises(ValueError, match="duplicate query_id"):
         bm25_topk_batch(tiny_corpus, qdf)
+
+
+# ------------------------------------------------ persisted BM25 index
+def test_bm25_index_equals_scan_path(spark, tiny_corpus, tmp_path):
+    """Query-from-index must reproduce the scan path's scores, ranks
+    and filters EXACTLY (same idf/avgdl/tf arithmetic at the index's
+    committed statistics), including mode='all'."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus.filter("doc_id <= 2"), path, n_buckets=8)
+    bm25_index_add(tiny_corpus.filter("doc_id > 2"), path)
+    for mode in ("any", "all"):
+        scan = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_topk(tiny_corpus, "spark data", k=10, mode=mode).collect()
+        ]
+        idx = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(spark, path, "spark data", k=10, mode=mode).collect()
+        ]
+        assert scan == idx and len(scan) > 0
+    # version stamped in every row (build=1, add=2)
+    vers = {
+        r.index_version
+        for r in bm25_index_topk(spark, path, "spark data").collect()
+    }
+    assert vers == {2}
+
+
+def test_bm25_index_batch_equals_scan_batch(spark, tiny_corpus, tmp_path):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk_batch,
+        bm25_topk_batch,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus, path, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(100, "spark data"), (300, "data")], "query_id long, query string"
+    )
+    scan = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk_batch(tiny_corpus, qdf, k=10).collect()
+    )
+    idx = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk_batch(spark, path, qdf, k=10).collect()
+    )
+    assert scan == idx and len(scan) > 0
+
+
+def test_bm25_index_stats_and_staleness_contract(spark, tiny_corpus, tmp_path):
+    """Stats reflect exactly the committed manifest; a query stamps the
+    version it scored against, so a caller can detect staleness by
+    comparing with bm25_index_stats."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus.filter("doc_id = 1"), path)
+    s1 = bm25_index_stats(spark, path)
+    assert (s1["version"], s1["n_docs"]) == (1, 1)
+    r1 = bm25_index_topk(spark, path, "spark").collect()
+    assert all(r.index_version == 1 for r in r1)
+    bm25_index_add(tiny_corpus.filter("doc_id > 1"), path)
+    s2 = bm25_index_stats(spark, path)
+    assert (s2["version"], s2["n_docs"]) == (2, 4)
+    assert s2["sum_dl"] > s1["sum_dl"]
+    r2 = bm25_index_topk(spark, path, "spark").collect()
+    assert all(r.index_version == 2 for r in r2)
+    # df changed between versions -> scores for the same query differ
+    assert {x.doc_id: x.score for x in r1} != {x.doc_id: x.score for x in r2}
+
+
+def test_bm25_index_crash_is_invisible_and_compact_preserves(
+    spark, tiny_corpus, tmp_path
+):
+    """An orphan segment (crashed add/compact) is invisible to queries
+    — no raise, identical results; compaction rewrites into one
+    segment, sweeps orphans, results unchanged."""
+    import os
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus.filter("doc_id <= 2"), path, n_buckets=4)
+    bm25_index_add(tiny_corpus.filter("doc_id > 2"), path)
+    before = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    orphan = os.path.join(path, "seg-000099-deadbeef")
+    spark.createDataFrame(
+        [(99, 3, "spark", 1)], "doc_id long, dl int, term string, tf int"
+    ).write.parquet(os.path.join(orphan, "tbucket=0"))
+    mid = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    assert mid == before  # orphan invisible
+
+    compacted = bm25_index_compact(spark, path, min_files_per_bucket=1)
+    assert compacted
+    assert not os.path.exists(orphan)
+    after = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    assert after == before
+    segs = [e for e in os.listdir(path) if e.startswith("seg-")]
+    # superseded segments keep one cycle of reader grace
+    assert len(segs) == 3
+    assert bm25_index_compact(spark, path) == {}
+    assert len([e for e in os.listdir(path) if e.startswith("seg-")]) == 1
+
+
+def test_bm25_index_query_plan_never_scans_corpus(spark, tiny_corpus, tmp_path):
+    """The index-serving plan must contain NO tokenization (no regexp
+    split, no Generate/explode) and must push the term filter into the
+    postings scan with tbucket partition pruning — the O(query-terms)
+    serving shape, not an O(corpus) rescan."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus, path, n_buckets=8)
+    q = bm25_index_topk(spark, path, "spark data", k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode anywhere
+    assert "regexp" not in plan.lower() and "StringSplit" not in plan
+    assert "PushedFilters" in plan or "DataFilters" in plan
+    assert "term" in plan and "tbucket" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_phrase_filter(spark, tmp_path):
+    """phrase= requires the contiguous token sequence; ranking stays
+    BM25 over the query terms."""
+    from parq_tools_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "stream processing with window join semantics"),
+        (2, "join the window later"),          # both terms, NOT contiguous
+        (3, "window join window join"),         # phrase twice
+        (4, "nothing relevant"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id
+        for r in bm25_topk(df, "window join", k=10, phrase="window join").collect()
+    }
+    assert got == {1, 3}
+    # phrase-as-filter: same scores as the unfiltered query for kept docs
+    base = {
+        r.doc_id: r.score for r in bm25_topk(df, "window join", k=10).collect()
+    }
+    ph = {
+        r.doc_id: r.score
+        for r in bm25_topk(df, "window join", k=10, phrase="window join").collect()
+    }
+    assert all(ph[d] == base[d] for d in ph)
+    with pytest.raises(ValueError, match="empty phrase"):
+        bm25_topk(df, "window join", phrase="!!!")
+
+
+def test_bm25_mode_all_and_validation(spark, tiny_corpus):
+    from parq_tools_spark.operators.search import bm25_topk
+
+    any_ids = {r.doc_id for r in bm25_topk(tiny_corpus, "spark data", mode="any").collect()}
+    all_ids = {r.doc_id for r in bm25_topk(tiny_corpus, "spark data", mode="all").collect()}
+    assert all_ids == {1} and any_ids == {1, 3, 4}
+    with pytest.raises(ValueError, match="mode"):
+        bm25_topk(tiny_corpus, "spark", mode="phrase")
