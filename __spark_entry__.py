@@ -2434,6 +2434,36 @@ def q_ann_ivfpq_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_ann_opq_ivfpq_equiv(spark, sf_dir):
+    """OPQ composed with the layered IVF-PQ index: under full probe
+    (nprobe=n_cells) and a lossless codebook (n_codes=None), an
+    orthogonal OPQ rotation must leave IVF-PQ top-k exactly equal to
+    brute force — the composition of the full-probe, lossless-encoding
+    and rotation-invariance oracles, exercising rotation end to end
+    through pq_build, the query ADC tables and the cell-probe join.
+    Returns the symmetric difference; expected empty."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        opq_rotation,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    rot = opq_rotation(emb, m=8, sample=64)
+    ivfpq = ivf_pq_topk(
+        emb, qs, k=5, n_cells=8, nprobe=8, m=8, n_codes=None, rotation=rot
+    ).select("query_id", "vec_id")
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    only_a = ivfpq.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("opq_ivfpq_only")
+    )
+    only_b = bf.join(ivfpq, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_semantic_dedupe(spark, sf_dir):
     """SemDeDup-style semantic dedup: within hash-seeded cells, drop
     every vector with a lower-id neighbor at rounded cosine >= 0.35
@@ -2512,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_build": q_bm25_index_build,
         "bm25_and_search": q_bm25_and_search,
         "bm25_phrase_search": q_bm25_phrase_search,
+        "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
         # --- rotated out of the r6 window, last driver-checked r5
         "contamination": q_contamination,
         "key_skew": q_key_skew,
@@ -3729,6 +3760,12 @@ SELECT query_id, vec_id, pq_score FROM (
 WHERE rnk <= 5
         """,
         "ann_ivfpq_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "ann_opq_ivfpq_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS VARCHAR) AS side

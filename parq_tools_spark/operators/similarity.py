@@ -1264,6 +1264,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
     round_to: int = 6,
+    rotation=None,
 ) -> DataFrame:
     """IVF-PQ layered ANN (the standard billion-scale index layout):
     hash-seeded coarse cells prune the corpus to ~nprobe/n_cells, then
@@ -1282,6 +1283,17 @@ def ivf_pq_topk(
     only (query, id, score) triples reach the group-limited top-k
     window. With :func:`ivf_write`'s cell-partitioned layout the cell
     filter becomes partition pruning at the source.
+
+    ``rotation``: optional OPQ orthogonal matrix
+    (:func:`opq_rotation`) applied to the PQ stage only — seeds,
+    corpus vectors and query vectors rotate before the contiguous
+    subvector split, exactly as in :func:`pq_build`/:func:`pq_topk`;
+    coarse cell assignment stays in the original space (rotations
+    preserve the dot products it ranks by, so rotating there would
+    only reshuffle floating-point tie-breaks). Under the degenerate
+    configuration (``nprobe=n_cells``, ``n_codes=None``) any
+    orthogonal rotation leaves results EXACTLY equal to brute force —
+    the ``ann_opq_ivfpq_equiv`` correctness gate.
     """
     import pandas as pd
 
@@ -1292,7 +1304,12 @@ def ivf_pq_topk(
 
     centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
     codes_df, codebooks = pq_build(
-        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        corpus,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        rotation=rotation,
     )
     assigned = _with_centroid_cells(
         corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
@@ -1324,6 +1341,9 @@ def ivf_pq_topk(
     q_ids = [r["query_id"] for r in q_rows]
     q_mat = np.asarray([[float(x) for x in r["_qvec"]] for r in q_rows])
     q_mat /= np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    if rotation is not None:
+        # same rotation the codes were built under (opq_rotation)
+        q_mat = q_mat @ np.asarray(rotation, dtype=np.float64).T
     tables = np.einsum(
         "qjs,jcs->qjc", q_mat.reshape(len(q_ids), m_, sub), cb
     )

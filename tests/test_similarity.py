@@ -459,6 +459,41 @@ def test_opq_lossless_codebook_equals_brute_force(spark):
     assert pq == bf and len(pq) == 15
 
 
+def test_opq_composes_with_ivfpq(spark):
+    """rotation= threads through the layered IVF-PQ index: degenerate
+    configuration (full probe + lossless codebook) stays exactly equal
+    to brute force under any orthogonal rotation (the
+    ann_opq_ivfpq_equiv registry gate's invariant), and a REAL
+    configuration still returns k well-formed rows per query."""
+    from parq_tools_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        opq_rotation,
+    )
+
+    emb = _imbalanced_embeddings(spark, n=60)
+    rot = opq_rotation(emb, m=4, sample=32)
+    qs = emb.filter("vec_id < 3")
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_pq_topk(
+            emb, qs, k=5, n_cells=4, nprobe=4, m=4, n_codes=None,
+            rotation=rot,
+        ).collect()
+    }
+    bf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    assert got == bf and len(got) == 15
+
+    real = ivf_pq_topk(
+        emb, qs, k=5, n_cells=4, nprobe=2, m=4, n_codes=8, rotation=rot
+    ).collect()
+    assert len(real) == 15
+    assert all(r.pq_score is not None and r.rank <= 5 for r in real)
+
+
 def test_opq_improves_recall_on_imbalanced_data(spark):
     """With a small real codebook on variance-concentrated data, the
     rotated quantizer must recall at least as many true neighbors as
