@@ -1080,12 +1080,27 @@ def _index_manifest(spark, path: str):
     segments are the manifest-listed immutable data directories
     (relative names). Only COMMITTED manifests are visible: a crashed
     write/add/compact leaves at worst an orphan segment directory no
-    manifest references (swept by the next compaction)."""
+    manifest references (swept by the next compaction).
+
+    A pre-manifest LEGACY layout (``band=`` directories at the root,
+    written by the old rename-in-place protocol) is refused LOUDLY —
+    silently ignoring those rows would let every past document's
+    near-duplicates through; rebuild with :func:`minhash_index_write`
+    over the original corpus to migrate."""
     import json
 
     vs = _index_vs(spark, path)
     cur = vs.current()
     if cur is None:
+        if any(
+            is_dir and name.startswith("band=")
+            for name, is_dir, _ in vs.fs.list_status(path)
+        ):
+            raise ValueError(
+                f"minhash index at {path} uses the legacy band-directory "
+                "layout (no committed manifest); rebuild it with "
+                "minhash_index_write to migrate"
+            )
         raise ValueError(
             f"no committed minhash index at {path}; build one with "
             "minhash_index_write"
@@ -1094,19 +1109,18 @@ def _index_manifest(spark, path: str):
     return vs, cur, list(m["segments"])
 
 
+def minhash_index_is_committed(spark, path: str) -> bool:
+    """True iff ``path`` holds a committed index manifest — the
+    bootstrap gate (a params sidecar alone proves nothing: a crash
+    between the sidecar write and the manifest commit must read as
+    "no index yet" so the writer retries, never as a wedge)."""
+    return _index_vs(spark, path).current() is not None
+
+
 def _new_segment_name(version: int) -> str:
     import uuid
 
     return f"seg-{version:06d}-{uuid.uuid4().hex[:8]}"
-
-
-def _segment_files(fs, path: str, segments) -> list:
-    """All parquet files across ``segments``, as paths relative to
-    ``path`` — one recursive listing per segment."""
-    out = []
-    for seg in segments:
-        out.extend(f"{seg}/{f}" for f in fs.list_files(f"{path}/{seg}"))
-    return out
 
 
 def minhash_index_write(
@@ -1143,10 +1157,11 @@ def minhash_index_write(
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(df.sparkSession, path)
-    # overwrite semantics: a rebuild resets prior versions/segments
+    # overwrite semantics: a rebuild resets prior versions/segments —
+    # including legacy band= directories from the pre-manifest layout
     # (markers like the streaming checkpoint sidecar are left alone)
     for entry, is_dir, _ in fs.list_status(path):
-        if is_dir and (entry.startswith("v=") or entry.startswith("seg-")):
+        if is_dir and entry.startswith(("v=", "seg-", "band=")):
             fs.delete(f"{path}/{entry}")
     banded = banded_minhash(
         df, id_col, text_col, num_hashes, bands, k, hash_family
@@ -1214,7 +1229,6 @@ def minhash_index_compact(
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, path)
-    params = _minhash_index_params(spark, path)
     vs, cur, segments = _index_manifest(spark, path)
     # sweep at cycle START (the rollup-state pattern): versions and
     # segments superseded LAST cycle go now, so in-flight readers of

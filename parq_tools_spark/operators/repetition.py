@@ -215,7 +215,12 @@ def ngram_repetition_stats(
         # slice the token stream directly (grams never span the cut);
         # no re-join + re-split of the text
         toks = F.slice(full_toks, 1, max_tokens_per_doc)
-        trunc = F.size(full_toks) > max_tokens_per_doc
+        # NULL text -> NULL token array -> size() is NULL: coalesce so
+        # the flag is a real boolean (a NULL here would silently drop
+        # such docs from a `~truncated` quarantine filter)
+        trunc = F.coalesce(
+            F.size(full_toks) > max_tokens_per_doc, F.lit(False)
+        )
     else:
         trunc = F.lit(False)
     grams = df.select(

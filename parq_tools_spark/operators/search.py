@@ -486,6 +486,53 @@ def _corpus_counts(corpus: DataFrame, text_col: str):
     return int(row[0]), int(row[1])
 
 
+def _empty_terms(spark) -> DataFrame:
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("df", T.LongType()),
+            ]
+        ),
+    )
+
+
+def _segment_terms(spark, path: str, seg: str) -> DataFrame:
+    """(term, df) of one postings segment. A segment written from a
+    batch of only zero-token documents holds no data files (just
+    _SUCCESS) — reading it back would raise UNABLE_TO_INFER_SCHEMA,
+    so such segments read as an empty typed relation: the batch still
+    contributes to n_docs/sum_dl, just no postings."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    if not StateFS(spark, path).list_files(f"{path}/{seg}"):
+        return _empty_terms(spark)
+    return (
+        spark.read.parquet(f"{path}/{seg}")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+
+def _read_terms(spark, path: str, m: dict) -> DataFrame:
+    """The manifest's vocabulary snapshot; empty typed relation when
+    the snapshot has no data files (an all-zero-token corpus)."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    if not StateFS(spark, path).list_files(f"{path}/{m['terms']}"):
+        return _empty_terms(spark)
+    return spark.read.parquet(f"{path}/{m['terms']}")
+
+
+def _id_field_json(corpus: DataFrame, id_col: str) -> str:
+    from pyspark.sql import types as T
+
+    return T.StructType([corpus.schema[id_col]]).json()
+
+
 def bm25_index_build(
     corpus: DataFrame,
     path: str,
@@ -514,12 +561,7 @@ def bm25_index_build(
     terms_dir = _tag(1, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
     # plain count — no second distinct pass over the corpus
-    _write_terms(
-        spark.read.parquet(f"{path}/{seg}")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df")),
-        f"{path}/{terms_dir}",
-    )
+    _write_terms(_segment_terms(spark, path, seg), f"{path}/{terms_dir}")
     vs.commit(
         1,
         json.dumps(
@@ -530,6 +572,7 @@ def bm25_index_build(
                     "text_col": text_col,
                     "n_buckets": n_buckets,
                 },
+                "id_type": _id_field_json(corpus, id_col),
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
                 "segments": [seg],
@@ -558,14 +601,10 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     post = _postings(new_docs, p["id_col"], p["text_col"])
     seg = _tag(cur + 1, "seg")
     _write_postings_segment(post, f"{path}/{seg}", p["n_buckets"])
-    batch_terms = (
-        spark.read.parquet(f"{path}/{seg}")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
+    batch_terms = _segment_terms(spark, path, seg)
     terms_dir = _tag(cur + 1, "terms")
     _write_terms(
-        spark.read.parquet(f"{path}/{m['terms']}")
+        _read_terms(spark, path, m)
         .unionByName(batch_terms)
         .groupBy("term")
         .agg(F.sum("df").alias("df")),
@@ -577,6 +616,9 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
             {
                 "version": cur + 1,
                 "params": p,
+                "id_type": m.get(
+                    "id_type", _id_field_json(new_docs, p["id_col"])
+                ),
                 "n_docs": m["n_docs"] + n_new,
                 "sum_dl": m["sum_dl"] + dl_new,
                 "segments": m["segments"] + [seg],
@@ -719,11 +761,23 @@ def _read_postings(spark, path: str, m: dict, terms: list) -> DataFrame:
     return reduce(DataFrame.unionByName, scans)
 
 
-def _empty_topk(spark, batch: bool):
+def _id_field(m: dict):
+    """The indexed id column's StructField (name + type) recovered
+    from the manifest — so the empty-index path returns the SAME
+    schema as the populated path (a caller unioning results across
+    index states must never hit a type flip)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(_json.loads(m["id_type"])).fields[0]
+
+
+def _empty_topk(spark, m: dict, batch: bool):
     from pyspark.sql import types as T
 
     fields = [
-        T.StructField("doc_id", T.LongType()),
+        _id_field(m),
         T.StructField("score", T.DoubleType()),
         T.StructField("rank", T.IntegerType()),
         T.StructField("index_version", T.IntegerType()),
@@ -762,12 +816,13 @@ def bm25_index_topk(
         raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
     vs, cur, m = _bm25_manifest(spark, path)
+    id_col = m["params"]["id_col"]
     n_docs = m["n_docs"]
     if not n_docs:
         raise ValueError("empty corpus")
     avgdl = (m["sum_dl"] / n_docs) or 1.0
     df_rows = (
-        spark.read.parquet(f"{path}/{m['terms']}")
+        _read_terms(spark, path, m)
         .filter(F.col("term").isin(terms))
         .collect()
     )
@@ -781,7 +836,7 @@ def bm25_index_topk(
 
     post = _read_postings(spark, path, m, terms)
     if post is None:
-        return _empty_topk(spark, batch=False)
+        return _empty_topk(spark, m, batch=False)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -807,8 +862,10 @@ def bm25_index_topk(
         .limit(k)
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return topk.withColumn("rank", F.row_number().over(w)).withColumn(
-        "index_version", F.lit(cur)
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .withColumn("index_version", F.lit(cur))
+        .withColumnRenamed("doc_id", id_col)
     )
 
 
@@ -852,12 +909,13 @@ def bm25_index_topk_batch(
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
 
     vs, cur, m = _bm25_manifest(spark, path)
+    id_col = m["params"]["id_col"]
     n_docs = m["n_docs"]
     if not n_docs:
         raise ValueError("empty corpus")
     avgdl = (m["sum_dl"] / n_docs) or 1.0
     df_rows = (
-        spark.read.parquet(f"{path}/{m['terms']}")
+        _read_terms(spark, path, m)
         .filter(F.col("term").isin(all_terms))
         .collect()
     )
@@ -879,7 +937,7 @@ def bm25_index_topk_batch(
 
     post = _read_postings(spark, path, m, all_terms)
     if post is None:
-        return _empty_topk(spark, batch=True).withColumnRenamed(
+        return _empty_topk(spark, m, batch=True).withColumnRenamed(
             "query_id", query_id_col
         )
     scale = float(10**round_to)
@@ -916,7 +974,7 @@ def bm25_index_topk_batch(
         .filter(F.col("rank") <= k)
         .select(
             F.col("qid").alias(query_id_col),
-            "doc_id",
+            F.col("doc_id").alias(id_col),
             "score",
             "rank",
             F.lit(cur).alias("index_version"),

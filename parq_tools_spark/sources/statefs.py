@@ -193,6 +193,19 @@ class StateFS:
         commit marker, exactly one succeeds and the loser fails
         LOUDLY instead of silently clobbering the winner.
 
+        Exclusivity is ATOMIC on ``file:`` and ``hdfs:`` (the
+        namenode/kernel arbitrates the create). On object stores the
+        s3a/abfs connectors implement ``overwrite=false`` as an
+        existence probe followed by a PUT, so two writers passing the
+        probe simultaneously can both "succeed" — the guarantee
+        degrades to best-effort there (the race narrows to the probe
+        window but is not closed; hard serialization on S3-class
+        stores needs a conditional-PUT-aware connector or an external
+        lock service, the same limitation Delta's LogStore documents).
+        Still strictly better than unconditional write: the common
+        misuse (a second committer arriving AFTER a completed commit)
+        always fails loudly on every scheme.
+
         Unlike :meth:`write_text` there is no tmp+rename hop (a POSIX
         rename overwrites an existing destination, so it cannot
         enforce exclusivity) — the file is briefly visible before its

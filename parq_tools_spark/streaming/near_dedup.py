@@ -198,10 +198,9 @@ def start_near_dedupe_stream(
         from parq_tools_spark.operators.dedup import (
             incremental_dedupe,
             minhash_index_compact,
+            minhash_index_is_committed,
             minhash_index_write,
         )
-
-        from parq_tools_spark.sources.statefs import StateFS
 
         spark = batch_df.sparkSession
         # no crash-repair step needed: the index's versioned-manifest
@@ -213,13 +212,16 @@ def start_near_dedupe_stream(
         if not batch_df.take(1):
             _commit_marker(spark, index_path, checkpoint_dir, batch_id)
             return
-        if not StateFS(spark, index_path).exists(
-            f"{index_path}/_minhash_params.json"
-        ):
-            # bootstrap an EMPTY index (params sidecar, zero band
+        if not minhash_index_is_committed(spark, index_path):
+            # bootstrap an EMPTY index (committed manifest, zero band
             # rows — minhash_index_query returns a typed empty
             # relation for it), so every batch, including the first,
-            # takes the one incremental_dedupe path
+            # takes the one incremental_dedupe path. The gate is the
+            # COMMITTED MANIFEST, not the params sidecar: a writer
+            # crash between the sidecar write and the manifest commit
+            # must re-enter this bootstrap (minhash_index_write resets
+            # the partial state), not wedge every later batch on
+            # "no committed index"
             minhash_index_write(
                 batch_df.limit(0),
                 index_path,

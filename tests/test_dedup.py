@@ -586,3 +586,49 @@ def test_minhash_index_interrupted_compact_is_invisible(spark, sf_dir, tmp_path)
         (r.id_indexed, r.id_new)
         for r in minhash_index_query(spark, path, probe, threshold=0.5).collect()
     ) == before
+
+
+def test_minhash_index_legacy_layout_refused_and_rebuildable(spark, tmp_path):
+    """A pre-manifest index (band= dirs at the root, params sidecar,
+    no committed manifest) must be refused LOUDLY — silently ignoring
+    its rows would admit every past document's near-duplicates — and a
+    rebuild must clear the legacy dirs."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from parq_tools_spark.operators.dedup import (
+        _index_manifest,
+        minhash_index_is_committed,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from parq_tools_spark.sources.statefs import StateFS
+
+    path = str(tmp_path / "legacy_idx")
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "other text there")],
+        "doc_id long, text string",
+    )
+    # fabricate the legacy layout: band dirs + params, NO manifest
+    spark.createDataFrame(
+        [(1, [1, 2], 3)], "doc_id long, signature array<long>, bhash long"
+    ).write.parquet(os.path.join(path, "band=0"))
+    StateFS(spark, path).write_text(
+        os.path.join(path, "_minhash_params.json"),
+        json.dumps({"id_col": "doc_id", "num_hashes": 32, "bands": 8,
+                    "k": 3, "hash_family": "portable"}),
+    )
+    assert not minhash_index_is_committed(spark, path)
+    with _pytest.raises(ValueError, match="legacy band-directory layout"):
+        _index_manifest(spark, path)
+    with _pytest.raises(ValueError, match="legacy band-directory layout"):
+        minhash_index_query(spark, path, docs)
+
+    # the documented migration: rebuild clears the legacy dirs
+    minhash_index_write(docs, path, num_hashes=32, bands=8)
+    assert minhash_index_is_committed(spark, path)
+    assert not os.path.exists(os.path.join(path, "band=0"))
+    probe = docs.withColumn("doc_id", docs.doc_id + 100)
+    assert minhash_index_query(spark, path, probe, threshold=0.99).count() == 2

@@ -176,3 +176,20 @@ def test_ngram_stats_giant_doc_cap(spark):
     # denominator is the full doc's chars: a truncated giant reads as
     # LOW repetition, not as fully-covered
     assert capped.top_ngram_char_frac < full.top_ngram_char_frac
+
+
+def test_ngram_repetition_truncated_flag_null_text(spark):
+    """truncated is a real boolean for every row — a NULL-text doc
+    must read False, not NULL (a NULL would silently escape both
+    `truncated` and `~truncated` quarantine filters)."""
+    from parq_tools_spark.operators.repetition import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b " * 50), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.truncated
+        for r in ngram_repetition_stats(df, n=2, max_tokens_per_doc=10).collect()
+    }
+    assert got == {1: False, 2: True, 3: False}

@@ -377,3 +377,77 @@ def test_bm25_mode_all_and_validation(spark, tiny_corpus):
     assert all_ids == {1} and any_ids == {1, 3, 4}
     with pytest.raises(ValueError, match="mode"):
         bm25_topk(tiny_corpus, "spark", mode="phrase")
+
+
+def test_bm25_index_zero_token_batches(spark, tiny_corpus, tmp_path):
+    """A batch (or whole build) of only NULL/zero-token documents
+    yields an empty postings segment: build and add must not crash on
+    read-back, the docs still count in n_docs/avgdl, and queries keep
+    serving (the review-found UNABLE_TO_INFER_SCHEMA path)."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_stats,
+        bm25_index_topk,
+        bm25_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus, path)
+    empties = spark.createDataFrame(
+        [(10, None), (11, "!!! ...")], "doc_id long, text string"
+    )
+    bm25_index_add(empties, path)
+    st = bm25_index_stats(spark, path)
+    assert st["n_docs"] == 6 and st["version"] == 2
+    idx = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    scan = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            tiny_corpus.unionByName(empties), "spark data", k=10
+        ).collect()
+    ]
+    assert idx == scan and len(idx) > 0
+
+    # an index built ENTIRELY from zero-token docs: queries return the
+    # typed empty relation, never raise
+    p2 = str(tmp_path / "bmidx2")
+    bm25_index_build(empties, p2)
+    out = bm25_index_topk(spark, p2, "anything", k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score", "rank", "index_version"]
+
+
+def test_bm25_index_string_ids_schema_stable(spark, tmp_path):
+    """id_col with a non-long type: the output column keeps the
+    indexed name and type on BOTH the populated and the empty path (a
+    caller unioning across index states must never hit a type flip)."""
+    from pyspark.sql import types as T
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "spark data"), ("b", "data data"), ("c", None)],
+        "uid string, text string",
+    )
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(df, path, id_col="uid")
+    got = bm25_index_topk(spark, path, "data", k=10)
+    assert got.columns == ["uid", "score", "rank", "index_version"]
+    assert isinstance(got.schema["uid"].dataType, T.StringType)
+    assert {r.uid for r in got.collect()} == {"a", "b"}
+
+    empty_path = str(tmp_path / "bmidx_empty")
+    bm25_index_build(df.filter("text IS NULL"), empty_path, id_col="uid")
+    empty = bm25_index_topk(spark, empty_path, "data", k=10)
+    # same names and types (nullability flags may differ; unions coerce)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in got.schema.fields
+    ]
+    assert empty.count() == 0

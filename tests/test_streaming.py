@@ -700,3 +700,31 @@ def test_streaming_near_dedupe_ignores_crashed_maintenance(spark, tmp_path):
     assert "seg-000099-deadbeef" not in segments
     minhash_index_compact(spark, index_path)
     assert not os.path.exists(orphan)
+
+
+def test_streaming_near_dedupe_rebootstraps_after_crashed_write(spark, tmp_path):
+    """A writer crash between the params-sidecar write and the manifest
+    commit leaves params but NO committed index. The bootstrap gate
+    keys on the COMMITTED MANIFEST, so the stream re-enters bootstrap
+    (which resets the partial state) instead of wedging every batch on
+    'no committed minhash index' (review-found failure mode)."""
+    import json
+
+    from parq_tools_spark.sources.statefs import StateFS
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "index")
+    out_path = str(tmp_path / "admitted")
+    # the crash artifact: params sidecar only
+    fs = StateFS(spark, index_path)
+    fs.mkdirs(index_path)
+    fs.write_text(
+        os.path.join(index_path, "_minhash_params.json"),
+        json.dumps({"id_col": "doc_id", "num_hashes": 64, "bands": 16,
+                    "k": 3, "hash_family": "portable"}),
+    )
+    _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert admitted == [1, 2, 4, 7]
