@@ -2527,122 +2527,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
-    with the least accumulated driver evidence first: the six entries
-    that rotated out of the r6 window (last driver-checked r5) lead,
-    then every entry whose code changed in round 7 (the rollup
-    rewrite + retention, the statefs-backed MinHash index, chunking
-    NULL/cap changes, repetition caps) sits inside positions 1-50.
-    The TPC-H shapes checked green in r6 with unchanged code moved
-    past the window.
+    with the least accumulated driver evidence first: every entry
+    whose code changed in round 8 (the persisted BM25 index family,
+    search modes, OPQ x IVF-PQ, truncation flags, exclusive-commit
+    fold/CDC paths) leads, then the entries with the OLDEST driver
+    evidence (last checked r01-r04, then r6). Everything past
+    position 50 was driver-green in r7 with unchanged code — except
+    the events family (last checked r6), placed first in line for
+    the r9 rotation.
     """
     return {
-        # --- new in round 8 (persisted BM25 index + search modes)
+        # --- positions 1-50 = the driver check window for r8:
+        # every entry whose code changed this round (the BM25 index
+        # family + search modes, OPQ x IVF-PQ, truncation flags in
+        # repetition/chunking, the exclusive-commit fold/CDC paths,
+        # minhash incremental) ...
         "bm25_from_index": q_bm25_from_index,
         "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_index_build": q_bm25_index_build,
         "bm25_and_search": q_bm25_and_search,
         "bm25_phrase_search": q_bm25_phrase_search,
         "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
-        # --- rotated out of the r6 window, last driver-checked r5
-        "contamination": q_contamination,
-        "key_skew": q_key_skew,
-        "data_quality_checks": q_data_quality_checks,
-        "pipeline_e2e": q_pipeline_e2e,
-        "compare_tables": q_compare_tables,
-        "memory_report": q_memory_report,
-        # --- new in round 7
-        "incremental_retention": q_incremental_retention,
         "bm25_search": q_bm25_search,
         "bm25_batch": q_bm25_batch,
-        "weighted_sample": q_weighted_sample,
-        # --- round-5 additions (several touched in r7: repetition caps,
-        # cdc/merge path, minhash index statefs port)
-        "word_repetition": q_word_repetition,
         "repetition_ngram": q_repetition_ngram,
-        "paragraph_dedupe": q_paragraph_dedupe,
-        "merge_upsert": q_merge_upsert,
-        "cdc_apply": q_cdc_apply,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
-        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
-        "semantic_dedupe": q_semantic_dedupe,
-        "minhash_incremental": q_minhash_incremental,
+        "word_repetition": q_word_repetition,
         "repetition_lines": q_repetition_lines,
-        # --- LLM pipeline: dedup / similarity (driver-green r04)
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "near_dedupe_cc": q_near_dedupe_cc,
-        "dedupe_pairwise": q_dedupe_pairwise,
-        "embedding_sim_pairs": q_embedding_sim_pairs,
-        "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
-        # property checks (violations of an invariant; oracle = typed
-        # empty relation, so these DO hash-match like value oracles)
-        "minhash_precision_check": q_minhash_precision_check,
-        "simhash_precision_check": q_simhash_precision_check,
-        "ann_lsh_recall_check": q_ann_lsh_recall_check,
-        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        # --- LLM pipeline: multimodal / sampling / quality / e2e
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "video_pipeline": q_video_pipeline,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "incremental_revenue": q_incremental_revenue,
-        "chunk_documents": q_chunk_documents,
         "chunk_sentences": q_chunk_sentences,
-        "group_overlap": q_group_overlap,
-        "deterministic_sample": q_deterministic_sample,
-        "clean_text": q_clean_text,
-        "pii_redact": q_pii_redact,
-        "zorder_cells": q_zorder_cells,
-        "pack_shards": q_pack_shards,
-        # --- TPC-H shapes: driver-green r6, code unchanged in r7
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        # --- events analytics (red in r03 on the regenerated fixture;
-        # dtype-robust reader landed this round)
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "pivot_events": q_pivot_events,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        # --- reference parity core
-        "filter_dsl": q_filter_dsl,
-        "filter_in_list": q_filter_in_list,
-        "concat_tall": q_concat_tall,
-        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
-        "concat_wide": q_concat_wide,
-        "concat_with_dataframe": q_concat_with_dataframe,
-        "sort_multi": q_sort_multi,
-        "reindex": q_reindex,
-        "dedupe_keep_first": q_dedupe_keep_first,
-        "dedupe_exact": q_dedupe_exact,
-        "profile": q_profile,
-        "rename": q_rename,
-        "calculated_column": q_calculated_column,
-        "blockmodel": q_blockmodel,
-        # --- analytics (window ends at position 50)
-        "tpch_q1": q_tpch_q1,
-        "tpch_q5": q_tpch_q5,
-        "window_analytics": q_window_analytics,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "salted_join": q_salted_join,
-        # --- multiply driver-verified in r01-r04 (past the 50-row window)
+        "chunk_documents": q_chunk_documents,
+        "incremental_revenue": q_incremental_revenue,
+        "incremental_retention": q_incremental_retention,
+        "cdc_apply": q_cdc_apply,
+        "minhash_incremental": q_minhash_incremental,
+        # ... then the longest-unchecked entries: last driver-checked
+        # in r01-r04 ...
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -2668,6 +2586,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "dedupe_text_exact": q_dedupe_text_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        # ... and last driver-checked in r6 (window ends at 50)
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        # --- past the window; events family (last checked r6) leads
+        # the r9 rotation, everything after it is driver-green r7
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "pivot_events": q_pivot_events,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "filter_dsl": q_filter_dsl,
+        "filter_in_list": q_filter_in_list,
+        "concat_tall": q_concat_tall,
+        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
+        "concat_wide": q_concat_wide,
+        "concat_with_dataframe": q_concat_with_dataframe,
+        "sort_multi": q_sort_multi,
+        "reindex": q_reindex,
+        "dedupe_keep_first": q_dedupe_keep_first,
+        "dedupe_exact": q_dedupe_exact,
+        "profile": q_profile,
+        "rename": q_rename,
+        "calculated_column": q_calculated_column,
+        "blockmodel": q_blockmodel,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
+        "window_analytics": q_window_analytics,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "salted_join": q_salted_join,
+        "contamination": q_contamination,
+        "key_skew": q_key_skew,
+        "data_quality_checks": q_data_quality_checks,
+        "pipeline_e2e": q_pipeline_e2e,
+        "compare_tables": q_compare_tables,
+        "memory_report": q_memory_report,
+        "weighted_sample": q_weighted_sample,
+        "paragraph_dedupe": q_paragraph_dedupe,
+        "merge_upsert": q_merge_upsert,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
+        "semantic_dedupe": q_semantic_dedupe,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dedupe_cc": q_near_dedupe_cc,
+        "dedupe_pairwise": q_dedupe_pairwise,
+        "embedding_sim_pairs": q_embedding_sim_pairs,
+        "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
+        "minhash_precision_check": q_minhash_precision_check,
+        "simhash_precision_check": q_simhash_precision_check,
+        "ann_lsh_recall_check": q_ann_lsh_recall_check,
+        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "video_pipeline": q_video_pipeline,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "group_overlap": q_group_overlap,
+        "deterministic_sample": q_deterministic_sample,
+        "clean_text": q_clean_text,
+        "pii_redact": q_pii_redact,
+        "zorder_cells": q_zorder_cells,
+        "pack_shards": q_pack_shards,
     }
 
 
