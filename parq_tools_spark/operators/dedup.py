@@ -1109,6 +1109,33 @@ def _index_manifest(spark, path: str):
     return vs, cur, list(m["segments"])
 
 
+def _index_manifest_full(spark, path: str):
+    """``(vs, current_version, manifest_dict)`` — the single-read
+    resolution point for paths that need params AND segments from the
+    SAME committed version (resolving them separately could tear
+    across a concurrent rebuild-with-new-params commit)."""
+    import json
+
+    vs, cur, _ = _index_manifest(spark, path)
+    return vs, cur, json.loads(vs.read_marker(cur))
+
+
+def _manifest_params(spark, path: str, m: dict) -> dict:
+    """The signature params of a resolved manifest: carried IN the
+    manifest since round 9 (atomic with the segment list); indexes
+    written earlier fall back to the params sidecar (safe there — the
+    sidecar was written once at build and never changed)."""
+    import json
+
+    from parq_tools_spark.sources.statefs import StateFS
+
+    if "params" in m:
+        return m["params"]
+    return json.loads(
+        StateFS(spark, path).read_text(f"{path}/{_PARAMS_FILE}")
+    )
+
+
 def minhash_index_is_committed(spark, path: str) -> bool:
     """True iff ``path`` holds a committed index manifest — the
     bootstrap gate (a params sidecar alone proves nothing: a crash
@@ -1151,22 +1178,41 @@ def minhash_index_write(
       invisible, never half-read, and nothing ever renames data in
       place (object-store-clean: the commit is one marker PUT);
     - a params sidecar pins the signature scheme.
+
+    Rebuilding over an existing index is NON-DESTRUCTIVE: the new
+    generation's segment is built alongside the live state and a new
+    manifest version (listing ONLY it, carrying the new params)
+    commits last — readers of the previous manifest keep their files
+    for one maintenance cycle, and a crash mid-rebuild leaves the old
+    index fully committed with the half-built data as an invisible
+    orphan. Only the pre-manifest LEGACY ``band=`` layout (nothing
+    committed under this protocol) is still reset in place.
     """
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
 
-    fs = StateFS(df.sparkSession, path)
-    # overwrite semantics: a rebuild resets prior versions/segments —
-    # including legacy band= directories from the pre-manifest layout
-    # (markers like the streaming checkpoint sidecar are left alone)
-    for entry, is_dir, _ in fs.list_status(path):
-        if is_dir and entry.startswith(("v=", "seg-", "band=")):
-            fs.delete(f"{path}/{entry}")
+    spark = df.sparkSession
+    fs = StateFS(spark, path)
+    vs = _index_vs(spark, path)
+    cur = vs.current()
+    if cur is None:
+        # legacy band= dirs from the pre-manifest layout: no manifest
+        # ever committed them, so the rebuild-migration resets them
+        # (markers like the streaming checkpoint sidecar are left)
+        for entry, is_dir, _ in fs.list_status(path):
+            if is_dir and entry.startswith("band="):
+                fs.delete(f"{path}/{entry}")
+    else:
+        # sweep at cycle START: state superseded LAST cycle goes now,
+        # never the live generation (reader grace)
+        vs.clean_stale(cur)
+        _sweep_index_orphans(fs, path, vs, cur)
+    new = (cur or 0) + 1
     banded = banded_minhash(
         df, id_col, text_col, num_hashes, bands, k, hash_family
     )
-    seg = _new_segment_name(1)
+    seg = _new_segment_name(new)
     banded.write.mode("errorifexists").partitionBy("band").parquet(
         f"{path}/{seg}"
     )
@@ -1177,11 +1223,13 @@ def minhash_index_write(
         "k": k,
         "hash_family": hash_family,
     }
-    StateFS(df.sparkSession, path).write_text(
-        f"{path}/{_PARAMS_FILE}", json.dumps(params)
-    )
-    _index_vs(df.sparkSession, path).commit(
-        1, json.dumps({"version": 1, "segments": [seg]})
+    # sidecar kept for pre-round-9 readers; the manifest copy is
+    # authoritative (atomic with the segment list, so a rebuild with
+    # NEW params can never tear an in-flight reader of the old one)
+    fs.write_text(f"{path}/{_PARAMS_FILE}", json.dumps(params))
+    vs.commit(
+        new,
+        json.dumps({"version": new, "segments": [seg], "params": params}),
     )
 
 
@@ -1229,7 +1277,8 @@ def minhash_index_compact(
     from parq_tools_spark.sources.statefs import StateFS
 
     fs = StateFS(spark, path)
-    vs, cur, segments = _index_manifest(spark, path)
+    vs, cur, m = _index_manifest_full(spark, path)
+    segments = list(m["segments"])
     # sweep at cycle START (the rollup-state pattern): versions and
     # segments superseded LAST cycle go now, so in-flight readers of
     # the previous manifest always get a full cycle to finish
@@ -1275,7 +1324,16 @@ def minhash_index_compact(
             "errorifexists"
         ).parquet(f"{path}/{new_seg}/band={b}")
     vs.commit(
-        cur + 1, json.dumps({"version": cur + 1, "segments": [new_seg]})
+        cur + 1,
+        json.dumps(
+            {
+                "version": cur + 1,
+                "segments": [new_seg],
+                **(
+                    {"params": m["params"]} if "params" in m else {}
+                ),
+            }
+        ),
     )
 
     compacted = {}
@@ -1308,12 +1366,8 @@ def _sweep_index_orphans(fs, path: str, vs, current: int) -> None:
 
 
 def _minhash_index_params(spark, path: str) -> dict:
-    import json
-
-    from parq_tools_spark.sources.statefs import StateFS
-
-    fs = StateFS(spark, path)
-    return json.loads(fs.read_text(f"{path}/{_PARAMS_FILE}"))
+    _, _, m = _index_manifest_full(spark, path)
+    return _manifest_params(spark, path, m)
 
 
 def minhash_index_add(
@@ -1332,8 +1386,9 @@ def minhash_index_add(
     import json
 
     spark = df.sparkSession
-    p = _minhash_index_params(spark, path)
-    vs, cur, segments = _index_manifest(spark, path)
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    segments = list(m["segments"])
     vs.clean_stale(cur)
     banded = banded_minhash(
         df,
@@ -1350,7 +1405,9 @@ def minhash_index_add(
     )
     vs.commit(
         cur + 1,
-        json.dumps({"version": cur + 1, "segments": segments + [seg]}),
+        json.dumps(
+            {"version": cur + 1, "segments": segments + [seg], "params": p}
+        ),
     )
 
 
@@ -1383,9 +1440,12 @@ def minhash_index_query(
 
     from parq_tools_spark.sources.statefs import StateFS
 
-    p = _minhash_index_params(spark, path)
+    # ONE manifest resolution covers params + segments (resolving
+    # them separately could tear across a rebuild-with-new-params)
+    _, _, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
     fs = StateFS(spark, path)
-    _, _, segments = _index_manifest(spark, path)
+    segments = list(m["segments"])
     live = [s for s in segments if fs.list_files(f"{path}/{s}")]
     if not live:
         # freshly-bootstrapped index (params sidecar, zero band rows):

@@ -119,7 +119,14 @@ def _corpus_stats(corpus: DataFrame, text_col: str, terms: list):
     same aggregate, so the stats cost one tokenization scan instead
     of two. NULL text counts as a zero-length document (the oracle's
     ``sum(len)/count(*)`` semantics — the row stays in N and in the
-    avgdl denominator, contributes no tokens and no df)."""
+    avgdl denominator, contributes no tokens and no df).
+
+    ID-UNIQUE CORPUS CONTRACT: every scoring path counts ROWS (one
+    row = one document), the same contract the persisted index
+    enforces on append. On a corpus carrying duplicate rows for one
+    document id these df/N counts would diverge from
+    :func:`term_stats` (which counts DISTINCT ids) — dedupe first
+    (e.g. ``dedupe_keep_first``) if ids can repeat."""
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     aggs = [F.count(F.lit(1)), F.avg(F.size(toks))] + [
         F.sum(F.array_contains(toks, t).cast("int")).alias(f"_df{i}")
@@ -139,6 +146,26 @@ def _corpus_stats(corpus: DataFrame, text_col: str, terms: list):
         for i, t in enumerate(terms)
     }
     return n_docs, avgdl, idf
+
+
+def _det_contrib_sum(contrib: Column) -> Column:
+    """Aggregate per-term BM25 contributions in SORTED-TERM order —
+    the exact left-to-right order :func:`bm25_topk`'s expression
+    chain adds them in — by collecting ``(term, contrib)`` structs,
+    sorting, and folding. An unordered ``F.sum`` can differ from the
+    scan path by 1 ulp on 3+-term queries, which the 1e-6 floor
+    rounding can flip; this makes every aggregate-form score
+    bit-identical to the scan form, not merely ulp-close. The
+    collected list is at most |query terms| elements per group."""
+    return F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("term").alias("t"), contrib.alias("c"))
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c"],
+    )
 
 
 def _phrase_tokens(phrase: Union[str, Sequence[str]]) -> list:
@@ -342,11 +369,12 @@ def bm25_topk_batch(
     )
     scored = (
         tf.join(F.broadcast(qt), on="term")
-        .select(F.col("qid"), F.col(id_col), contrib.alias("_c"))
         .groupBy("qid", id_col)
         .agg(
-            (F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
-            .alias("score")
+            (
+                F.floor(_det_contrib_sum(contrib) * F.lit(scale) + F.lit(0.5))
+                / F.lit(scale)
+            ).alias("score")
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -545,28 +573,40 @@ def bm25_index_build(
     Two corpus passes (a count/length aggregate and the postings
     aggregation — both one shuffle, keyed small), then the manifest
     commits. ``k1``/``b`` are query-time knobs, not index state.
-    Rebuilding over an existing index resets it."""
+
+    Rebuilding over an existing index is NON-DESTRUCTIVE: the new
+    generation's segment and vocabulary snapshot are built alongside
+    the live state and a new manifest version (listing ONLY the new
+    segment) commits last — in-flight readers of the previous
+    manifest keep their files for one maintenance cycle (the same
+    ``clean_stale`` grace adds and compaction give), and a crash
+    anywhere mid-rebuild leaves the OLD index fully committed with
+    the half-built data as an invisible orphan."""
     import json
 
     spark = corpus.sparkSession
     vs = _bm25_vs(spark, path)
-    for entry, is_dir, _ in vs.fs.list_status(path):
-        if is_dir and entry.startswith(("v=", "seg-", "terms-")):
-            vs.fs.delete(f"{path}/{entry}")
+    cur = vs.current()
+    if cur is not None:
+        # sweep at cycle START (the rollup-state pattern): state
+        # superseded LAST cycle goes now, never the live generation
+        vs.clean_stale(cur)
+        _bm25_sweep_orphans(vs, path)
+    new = (cur or 0) + 1
 
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
     post = _postings(corpus, id_col, text_col)
-    seg = _tag(1, "seg")
+    seg = _tag(new, "seg")
     _write_postings_segment(post, f"{path}/{seg}", n_buckets)
-    terms_dir = _tag(1, "terms")
+    terms_dir = _tag(new, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
     # plain count — no second distinct pass over the corpus
     _write_terms(_segment_terms(spark, path, seg), f"{path}/{terms_dir}")
     vs.commit(
-        1,
+        new,
         json.dumps(
             {
-                "version": 1,
+                "version": new,
                 "params": {
                     "id_col": id_col,
                     "text_col": text_col,
@@ -773,7 +813,12 @@ def _id_field(m: dict):
     return T.StructType.fromJson(_json.loads(m["id_type"])).fields[0]
 
 
-def _empty_topk(spark, m: dict, batch: bool):
+def _empty_topk(spark, m: dict, qid_field=None):
+    """Typed empty result. ``qid_field`` (batch paths) is the
+    caller's query-id StructField — derived from the queries
+    DataFrame, never hardcoded, so string query ids keep their type
+    across index states exactly like the manifest's ``id_type``
+    mechanism keeps the doc-id column's."""
     from pyspark.sql import types as T
 
     fields = [
@@ -782,8 +827,8 @@ def _empty_topk(spark, m: dict, batch: bool):
         T.StructField("rank", T.IntegerType()),
         T.StructField("index_version", T.IntegerType()),
     ]
-    if batch:
-        fields.insert(0, T.StructField("query_id", T.LongType()))
+    if qid_field is not None:
+        fields.insert(0, qid_field)
     return spark.createDataFrame([], T.StructType(fields))
 
 
@@ -807,8 +852,10 @@ def bm25_index_topk(
     serving call and a batch job.
 
     Scores are IDENTICAL to :func:`bm25_topk` over the same corpus at
-    the index's current version (same idf/avgdl/tf arithmetic, same
-    rounding). ``mode="all"`` keeps only documents matching EVERY
+    the index's current version — same idf/avgdl/tf arithmetic, same
+    rounding, and the SAME float summation order
+    (:func:`_det_contrib_sum` folds contributions in sorted-term
+    order, matching the scan path's expression chain bit-for-bit). ``mode="all"`` keeps only documents matching EVERY
     query term (conjunctive retrieval — a post-aggregation filter on
     the matched-term count; no new shuffle shape). Output carries
     ``index_version`` (see :func:`bm25_index_stats`)."""
@@ -836,7 +883,7 @@ def bm25_index_topk(
 
     post = _read_postings(spark, path, m, terms)
     if post is None:
-        return _empty_topk(spark, m, batch=False)
+        return _empty_topk(spark, m)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -850,7 +897,8 @@ def bm25_index_topk(
     contrib = idf_col * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
     grouped = post.groupBy("doc_id").agg(
         (
-            F.floor(F.sum(contrib) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+            F.floor(_det_contrib_sum(contrib) * F.lit(scale) + F.lit(0.5))
+            / F.lit(scale)
         ).alias("score"),
         F.count(F.lit(1)).alias("_nt"),
     )
@@ -937,8 +985,14 @@ def bm25_index_topk_batch(
 
     post = _read_postings(spark, path, m, all_terms)
     if post is None:
-        return _empty_topk(spark, m, batch=True).withColumnRenamed(
-            "query_id", query_id_col
+        from pyspark.sql import types as T
+
+        return _empty_topk(
+            spark,
+            m,
+            qid_field=T.StructField(
+                query_id_col, queries.schema[query_id_col].dataType
+            ),
         )
     scale = float(10**round_to)
     norm = F.lit(k1) * (
@@ -949,16 +1003,10 @@ def bm25_index_topk_batch(
     )
     grouped = (
         post.join(F.broadcast(qt), on="term")
-        .select(
-            F.col("qid"),
-            F.col("doc_id"),
-            F.col("n_terms"),
-            contrib.alias("_c"),
-        )
         .groupBy("qid", "doc_id", "n_terms")
         .agg(
             (
-                F.floor(F.sum("_c") * F.lit(scale) + F.lit(0.5))
+                F.floor(_det_contrib_sum(contrib) * F.lit(scale) + F.lit(0.5))
                 / F.lit(scale)
             ).alias("score"),
             F.count(F.lit(1)).alias("_nt"),

@@ -632,3 +632,64 @@ def test_minhash_index_legacy_layout_refused_and_rebuildable(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "band=0"))
     probe = docs.withColumn("doc_id", docs.doc_id + 100)
     assert minhash_index_query(spark, path, probe, threshold=0.99).count() == 2
+
+
+def test_minhash_index_rebuild_nondestructive_params_in_manifest(
+    spark, tmp_path
+):
+    """A rebuild over a live index commits a NEW version (new params
+    carried IN the manifest, atomic with its segment list): a crash at
+    the commit point leaves the old index serving with its old params;
+    a completed rebuild serves the new params; the superseded
+    generation survives one maintenance cycle."""
+    import os
+
+    from parq_tools_spark.operators.dedup import (
+        _minhash_index_params,
+        minhash_index_compact,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from parq_tools_spark.sources import statefs
+
+    path = str(tmp_path / "mhidx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    minhash_index_write(docs, path, num_hashes=32, bands=8)
+    assert _minhash_index_params(spark, path)["num_hashes"] == 32
+    probe = docs.withColumn("doc_id", docs.doc_id + 100)
+    before = minhash_index_query(spark, path, probe, threshold=0.99).count()
+    assert before == 2
+
+    # crash injection at the commit point: old index unharmed
+    real_commit = statefs.VersionedState.commit
+
+    def boom(self, n, text):
+        raise RuntimeError("injected crash before commit")
+
+    statefs.VersionedState.commit = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected"):
+            minhash_index_write(docs, path, num_hashes=64, bands=16)
+    finally:
+        statefs.VersionedState.commit = real_commit
+    assert _minhash_index_params(spark, path)["num_hashes"] == 32
+    assert (
+        minhash_index_query(spark, path, probe, threshold=0.99).count() == 2
+    )
+
+    # completed rebuild: new params live, old generation graced
+    minhash_index_write(docs, path, num_hashes=64, bands=16)
+    assert _minhash_index_params(spark, path)["num_hashes"] == 64
+    assert os.path.exists(os.path.join(path, "v=1"))
+    assert (
+        minhash_index_query(spark, path, probe, threshold=0.99).count() == 2
+    )
+    # next maintenance cycle sweeps the superseded generation
+    minhash_index_compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "v=1"))

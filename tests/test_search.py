@@ -451,3 +451,89 @@ def test_bm25_index_string_ids_schema_stable(spark, tmp_path):
         (f.name, f.dataType) for f in got.schema.fields
     ]
     assert empty.count() == 0
+
+
+def test_bm25_index_rebuild_nondestructive(spark, tiny_corpus, tmp_path):
+    """A rebuild commits a NEW version alongside the live one: a crash
+    mid-rebuild (injected at the commit point) leaves the OLD index
+    serving identical results; a completed rebuild serves the new
+    corpus while the previous generation survives one maintenance
+    cycle (reader grace), and the next cycle sweeps it."""
+    import os
+
+    from parq_tools_spark.sources import statefs
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus.filter("doc_id <= 2"), path, n_buckets=4)
+    before = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+
+    # crash injection: the rebuild dies between building the new
+    # generation and committing its manifest
+    real_commit = statefs.VersionedState.commit
+
+    def boom(self, n, text):
+        raise RuntimeError("injected crash before commit")
+
+    statefs.VersionedState.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            bm25_index_build(tiny_corpus, path, n_buckets=4)
+    finally:
+        statefs.VersionedState.commit = real_commit
+    # the OLD index still serves, bit-identically
+    assert [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ] == before
+    assert bm25_index_stats(spark, path)["version"] == 1
+
+    # a completed rebuild: new stats, old version survives this cycle
+    bm25_index_build(tiny_corpus, path, n_buckets=4)
+    st = bm25_index_stats(spark, path)
+    assert (st["version"], st["n_docs"]) == (2, 4)
+    assert os.path.exists(os.path.join(path, "v=1"))
+    after = bm25_index_topk(spark, path, "spark data", k=10).collect()
+    assert {r.index_version for r in after} == {2}
+    assert len(after) > len(before)
+
+    # next maintenance cycle sweeps the superseded generation
+    bm25_index_compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert [
+        e
+        for e in os.listdir(path)
+        if e.startswith(("seg-", "terms-")) and "-000001-" in e
+    ] == []
+
+
+def test_bm25_index_batch_empty_index_string_query_ids(spark, tmp_path):
+    """The empty-index batch path derives the query-id column's type
+    from the queries DataFrame — string query ids must not flip to
+    long between index states."""
+    from pyspark.sql import types as T
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk_batch,
+    )
+
+    empties = spark.createDataFrame(
+        [(10, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(empties, path)
+    qdf = spark.createDataFrame(
+        [("qa", "anything")], "query_id string, query string"
+    )
+    out = bm25_index_topk_batch(spark, path, qdf, k=5)
+    assert out.count() == 0
+    assert isinstance(out.schema["query_id"].dataType, T.StringType)
