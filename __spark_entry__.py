@@ -2464,6 +2464,80 @@ def q_ann_opq_ivfpq_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_ann_from_index(spark, sf_dir):
+    """ANN served from the PERSISTED IVF-PQ index through its full
+    lifecycle (built on the even-id vectors — the model freezes
+    there — then extended with the odd-id batch under the frozen
+    model): the DuckDB oracle re-derives the entire pipeline with
+    centroid/codebook seeds ranked from the EVEN ids only, encoding
+    and probing over the full corpus; index_version stamps the
+    statistics snapshot (build=1, add=2)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annidx_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=8, m=8, n_codes=16
+    )
+    ann_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(spark, path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "index_version")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_ann_index_equiv(spark, sf_dir):
+    """The persisted index's equivalence gate: under full probe
+    (nprobe=n_cells), a lossless identity codebook (n_codes=None) and
+    an OPQ rotation, index-SERVED top-k must equal brute-force cosine
+    top-k exactly — the same invariant stack as ann_opq_ivfpq_equiv,
+    but exercised through the on-disk model (JSON round-trip of
+    centroids/codebooks/rotation) and the partition-pruned codes
+    read. Returns the symmetric difference; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annidxeq_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=None, opq=True, opq_sample=64
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    idx = (
+        ann_index_topk(spark, path, qs, k=5, nprobe=8)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    bf = brute_force_topk(emb, qs, k=5).select("query_id", "vec_id")
+    only_a = idx.join(bf, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("index_only")
+    )
+    only_b = bf.join(idx, ["query_id", "vec_id"], "left_anti").withColumn(
+        "side", F.lit("brute_force_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_semantic_dedupe(spark, sf_dir):
     """SemDeDup-style semantic dedup: within hash-seeded cells, drop
     every vector with a lower-id neighbor at rounded cosine >= 0.35
@@ -2542,6 +2616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family + search modes, OPQ x IVF-PQ, truncation flags in
         # repetition/chunking, the exclusive-commit fold/CDC paths,
         # minhash incremental) ...
+        "ann_from_index": q_ann_from_index,
+        "ann_index_equiv": q_ann_index_equiv,
         "bm25_from_index": q_bm25_from_index,
         "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_index_build": q_bm25_index_build,
@@ -3762,6 +3838,94 @@ WHERE rnk <= 5
             WHERE FALSE
         """,
         "ann_opq_ivfpq_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        # ann_from_index: the persisted-index lifecycle (build on even
+        # ids, add odd ids under the frozen model) — identical to the
+        # ann_ivfpq_topk recompute except the seed ranking draws from
+        # the EVEN ids only (the build corpus froze the model), and
+        # the result carries the index_version stamp (build=1, add=2).
+        "ann_from_index": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings WHERE vec_id % 2 = 0
+), cents AS (
+  SELECT ridx AS cidx, embedding FROM ranked_ids WHERE ridx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         floor(sum(list_inner_product(q.xs, cs.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN csub cs ON cs.j = e.j AND cs.code = e.code
+  JOIN qsub q ON q.query_id = c.query_id AND q.j = e.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, pq_score, CAST(2 AS INT) AS index_version
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
+        "ann_index_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS VARCHAR) AS side

@@ -1,0 +1,552 @@
+"""Persisted IVF-PQ vector-ANN index under the versioned-manifest
+commit protocol (beyond-reference; the reference has no vector
+search — this gives the embedding surface the same serving-shaped
+index the BM25 and MinHash families already have, so repeated ANN
+queries over a 100 TB corpus stop paying a full re-encode per call,
+which is what the per-call :func:`~parq_tools_spark.operators.
+similarity.ivf_pq_topk` costs).
+
+On-disk layout (``sources/statefs.py`` — the exact protocol of the
+BM25 index, ``operators/search.py:362``):
+
+- ``path/v=<n>/_ann_manifest.json`` — commit marker (created
+  exclusively, LAST): params, the id column's type, ``n_vecs``, the
+  model file and segment list of this version;
+- ``path/model-<n>-<tag>.json`` — the frozen quantization model:
+  coarse centroids, PQ codebooks, optional OPQ rotation. Written via
+  ``StateFS.write_text`` BEFORE the commit, so it lives on the same
+  filesystem as the data (``file:``/``hdfs:``/``s3a:`` alike — never
+  the driver's local disk). Size is ``O(n_cells*dim + m*n_codes*sub
+  + dim^2)`` floats — a few hundred KB at typical settings;
+- ``path/seg-<n>-<tag>/cell=<c>/`` — ``(id, codes array<int>)``
+  parquet partitioned by coarse cell, id-sorted within files. The
+  partitioning is the scale payoff: a query's probed cells are known
+  at PLANNING time (the probe list is computed driver-side against
+  the broadcast-small centroid table), so the scan prunes to
+  ~nprobe/n_cells of the index directories before reading a byte.
+
+Lifecycle (same semantics as the BM25 index): ``build`` commits a
+fresh generation NON-destructively alongside any live one (readers
+of the previous manifest get a one-cycle grace); ``add`` encodes a
+new batch under the FROZEN model (the standard IVF-PQ ingest — the
+quantization grid never moves between rebuilds, so old and new codes
+score identically) and commits one new immutable segment; ``compact``
+rewrites the segment list per cell with no shuffle; a crash anywhere
+is an invisible orphan no manifest references — readers never raise,
+nothing renames live data, object-store-clean.
+
+Staleness contract: a query scores with ONE committed version's model
+and segments (never a torn mix) and stamps that version in the
+output's ``index_version`` column (see :func:`ann_index_stats`).
+
+Equivalence contract: with matching params, :func:`ann_index_topk`
+returns results BIT-IDENTICAL to the per-call
+:func:`~parq_tools_spark.operators.similarity.ivf_pq_topk` — the
+probe lists replicate ``_with_centroid_cells``'s rounded-cosine
+stable ordering and scoring runs through the SHARED
+:func:`~parq_tools_spark.operators.similarity.adc_score` pass — and
+under the degenerate configuration (``nprobe = n_cells``, lossless
+``n_codes=None`` codebook, any orthogonal OPQ rotation) both equal
+the brute-force baseline exactly (the ``ann_index_equiv`` gate).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ann_index_build",
+    "ann_index_add",
+    "ann_index_compact",
+    "ann_index_stats",
+    "ann_index_topk",
+]
+
+_ANN_MARKER = "_ann_manifest.json"
+
+
+def _ann_vs(spark, path: str):
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    return VersionedState(spark, path, _ANN_MARKER)
+
+
+def _ann_manifest(spark, path: str):
+    import json
+
+    vs = _ann_vs(spark, path)
+    cur = vs.current()
+    if cur is None:
+        raise ValueError(
+            f"no committed ann index at {path}; build one with "
+            "ann_index_build"
+        )
+    return vs, cur, json.loads(vs.read_marker(cur))
+
+
+def _tag(n: int, prefix: str) -> str:
+    import uuid
+
+    return f"{prefix}-{n:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _ann_sweep_orphans(vs, path: str) -> None:
+    """Drop seg-/model- entries no surviving manifest references
+    (crashed operations, superseded generations past reader grace)."""
+    import json
+
+    referenced = set()
+    for n, committed in vs.versions():
+        if committed:
+            m = json.loads(vs.read_marker(n))
+            referenced.update(m["segments"])
+            referenced.add(m["model"])
+    for entry, is_dir, _ in vs.fs.list_status(path):
+        if entry.startswith("seg-") and is_dir and entry not in referenced:
+            vs.fs.delete(f"{path}/{entry}")
+        if entry.startswith("model-") and not is_dir and entry not in referenced:
+            vs.fs.delete(f"{path}/{entry}")
+
+
+def _write_model(fs, path: str, name: str, centroids, codebooks, rotation):
+    import json
+
+    fs.write_text(
+        f"{path}/{name}",
+        json.dumps(
+            {
+                "centroids": [[float(x) for x in c] for c in centroids],
+                "codebooks": np.asarray(codebooks, dtype=np.float64).tolist(),
+                "rotation": (
+                    None
+                    if rotation is None
+                    else np.asarray(rotation, dtype=np.float64).tolist()
+                ),
+            }
+        ),
+    )
+
+
+def _read_model(fs, path: str, m: dict):
+    import json
+
+    mdl = json.loads(fs.read_text(f"{path}/{m['model']}"))
+    rot = mdl["rotation"]
+    return (
+        mdl["centroids"],
+        np.asarray(mdl["codebooks"], dtype=np.float64),
+        None if rot is None else np.asarray(rot, dtype=np.float64),
+    )
+
+
+def _id_field_json(df: DataFrame, id_col: str) -> str:
+    from pyspark.sql import types as T
+
+    return T.StructType([df.schema[id_col]]).json()
+
+
+def _id_field(m: dict):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(_json.loads(m["id_type"])).fields[0]
+
+
+def _write_codes_segment(coded: DataFrame, seg_path: str, id_col: str) -> None:
+    (
+        coded.repartition("cell")
+        .sortWithinPartitions(id_col)
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(seg_path)
+    )
+
+
+def ann_index_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: Optional[int] = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    opq: bool = False,
+    opq_sample: int = 256,
+) -> None:
+    """Build a persistent IVF-PQ index over an embedding column.
+
+    The model is CLOSED-FORM deterministic (hash-seeded centroids and
+    codebooks, the :func:`~parq_tools_spark.operators.similarity.
+    ivf_pq_topk` scheme; ``opq=True`` additionally learns the
+    deterministic PCA-based OPQ rotation), so the whole index is
+    engine-recomputable — the driver's DuckDB oracle re-derives it
+    value-for-value. ``n_codes=None`` uses every corpus row as a
+    codeword (the lossless identity codebook, the equivalence-gate
+    configuration).
+
+    Cost shape: one ``O(n_cells + n_codes)`` seed collect, two
+    map-only broadcast-matmul passes (assignment + encoding) fused
+    into one segment write (shuffled only by the cell key), one count
+    aggregate, one model PUT, one manifest commit. The corpus'
+    embeddings are read twice (assign + encode) and never shuffled.
+
+    Rebuilding over a live index is NON-DESTRUCTIVE: the new
+    generation commits alongside the old one, which survives one
+    maintenance cycle for in-flight readers; a crash mid-rebuild
+    leaves the old index fully committed (the new data is an
+    invisible orphan)."""
+    import json
+
+    from parq_tools_spark.operators.similarity import (
+        _hashseed_rows,
+        _with_centroid_cells,
+        opq_rotation,
+        pq_build,
+    )
+
+    spark = corpus.sparkSession
+    vs = _ann_vs(spark, path)
+    cur = vs.current()
+    if cur is not None:
+        # sweep at cycle START: state superseded LAST cycle goes now,
+        # never the live generation (reader grace)
+        vs.clean_stale(cur)
+        _ann_sweep_orphans(vs, path)
+    new = (cur or 0) + 1
+
+    centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
+    rot = opq_rotation(corpus, m, id_col, vec_col, opq_sample) if opq else None
+    codes_df, codebooks = pq_build(
+        corpus,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        rotation=rot,
+    )
+    assigned = _with_centroid_cells(
+        corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
+    ).select(id_col, "cell")
+    n_vecs = corpus.count()
+
+    seg = _tag(new, "seg")
+    _write_codes_segment(
+        codes_df.join(assigned, on=id_col), f"{path}/{seg}", id_col
+    )
+    model = _tag(new, "model") + ".json"
+    _write_model(vs.fs, path, model, centroids, codebooks, rot)
+    vs.commit(
+        new,
+        json.dumps(
+            {
+                "version": new,
+                "params": {
+                    "n_cells": n_cells,
+                    "m": m,
+                    "n_codes": int(np.asarray(codebooks).shape[1]),
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "round_to": round_to,
+                    "opq": opq,
+                },
+                "id_type": _id_field_json(corpus, id_col),
+                "n_vecs": n_vecs,
+                "model": model,
+                "segments": [seg],
+            }
+        ),
+    )
+
+
+def ann_index_add(new_vecs: DataFrame, path: str) -> None:
+    """Encode a new batch under the index's FROZEN model (centroids,
+    codebooks and rotation are read back, never re-derived — the
+    standard IVF-PQ ingest, so old and new codes live on one
+    quantization grid and score identically) and commit it as one new
+    immutable segment. Ids must be new to the index (the id-unique
+    contract every index here shares); a concurrent committer fails
+    loudly on the exclusive marker."""
+    import json
+
+    from parq_tools_spark.operators.similarity import (
+        _with_centroid_cells,
+        pq_encode,
+    )
+
+    spark = new_vecs.sparkSession
+    vs, cur, m = _ann_manifest(spark, path)
+    vs.clean_stale(cur)
+    _ann_sweep_orphans(vs, path)
+    p = m["params"]
+    centroids, codebooks, rot = _read_model(vs.fs, path, m)
+
+    codes_df = pq_encode(
+        new_vecs, codebooks, p["id_col"], p["vec_col"], p["round_to"], rot
+    )
+    assigned = _with_centroid_cells(
+        new_vecs.select(p["id_col"], p["vec_col"]),
+        centroids,
+        p["vec_col"],
+        p["round_to"],
+        None,
+        "cell",
+    ).select(p["id_col"], "cell")
+    n_new = new_vecs.count()
+
+    seg = _tag(cur + 1, "seg")
+    _write_codes_segment(
+        codes_df.join(assigned, on=p["id_col"]), f"{path}/{seg}", p["id_col"]
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "n_vecs": m["n_vecs"] + n_new,
+                "segments": m["segments"] + [seg],
+            }
+        ),
+    )
+
+
+def ann_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_per_cell: int = 8,
+) -> dict:
+    """Rewrite the manifest's segments into one (per-cell read +
+    coalesce, no shuffle — the cell is the directory) when any cell's
+    file count exceeds both ``min_files_per_cell`` and its
+    byte-target, then commit. Crash-safe with no repair path: readers
+    only ever see committed manifests. Returns ``{cell:
+    (files_before, files_after)}`` for cells whose count dropped."""
+    import json
+    import math
+
+    vs, cur, m = _ann_manifest(spark, path)
+    vs.clean_stale(cur)
+    _ann_sweep_orphans(vs, path)
+    fs = vs.fs
+
+    per_cell: dict = {}
+    for seg in m["segments"]:
+        for entry, is_dir, _ in fs.list_status(f"{path}/{seg}"):
+            if not (is_dir and entry.startswith("cell=")):
+                continue
+            c = int(entry.split("=", 1)[1])
+            files = [
+                size
+                for n_, d, size in fs.list_status(f"{path}/{seg}/{entry}")
+                if not d and n_.endswith(".parquet")
+            ]
+            cnt, tot = per_cell.get(c, (0, 0))
+            per_cell[c] = (cnt + len(files), tot + sum(files))
+    targets = {
+        c: max(1, math.ceil(tot / target_file_bytes))
+        for c, (cnt, tot) in per_cell.items()
+    }
+    if not any(
+        cnt > min_files_per_cell and cnt > targets[c]
+        for c, (cnt, tot) in per_cell.items()
+    ):
+        return {}
+
+    new_seg = _tag(cur + 1, "seg")
+    for c in sorted(per_cell):
+        srcs = [
+            f"{path}/{seg}/cell={c}"
+            for seg in m["segments"]
+            if fs.exists(f"{path}/{seg}/cell={c}")
+        ]
+        if not srcs:
+            continue
+        (
+            spark.read.parquet(*srcs)
+            .coalesce(targets[c])
+            .write.mode("errorifexists")
+            .parquet(f"{path}/{new_seg}/cell={c}")
+        )
+    vs.commit(
+        cur + 1,
+        json.dumps({**m, "version": cur + 1, "segments": [new_seg]}),
+    )
+
+    compacted = {}
+    for c, (cnt, tot) in per_cell.items():
+        n_after = sum(
+            1
+            for n_, d, _ in fs.list_status(f"{path}/{new_seg}/cell={c}")
+            if not d and n_.endswith(".parquet")
+        )
+        if n_after < cnt:
+            compacted[c] = (cnt, n_after)
+    return compacted
+
+
+def ann_index_stats(spark, path: str) -> dict:
+    """The resolved manifest's statistics — ``version``, ``n_vecs``,
+    ``params`` — the staleness contract's inspection point (compare
+    ``version`` against a query result's ``index_version``)."""
+    _, cur, m = _ann_manifest(spark, path)
+    return {"version": cur, "n_vecs": m["n_vecs"], "params": m["params"]}
+
+
+def _probe_lists(q_mat, centroids, nprobe: int, round_to: int):
+    """Per-query probed cells by ROUNDED cosine, replicating
+    ``_with_centroid_cells``'s contract exactly (float64, portable
+    floor rounding, stable argsort on negated sims → ties to the
+    lower cell) — but driver-side: the queries were already collected
+    for the ADC tables, and knowing the probed-cell union BEFORE the
+    plan is built is what turns the cell filter into PLANNING-TIME
+    partition pruning instead of a runtime join."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    vnorm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    scale = float(10**round_to)
+    sims = (q_mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+    sims = np.floor(sims * scale + 0.5) / scale
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    return [r.tolist() for r in order.astype(int)]
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "vec_id",
+    query_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """ANN top-``k`` served FROM the index — no corpus access, no
+    re-encoding: the model (centroids + codebooks + rotation) is read
+    back, each query's probe list is computed against the
+    broadcast-small centroid table, and the plan reads ONLY the
+    probed ``cell=`` directories of the committed segments (static
+    partition pruning — at 100 TB each query touches ~nprobe/n_cells
+    of the index, which itself is ``m`` small ints per vector, not
+    ``dim`` floats). ADC scoring is the shared
+    :func:`~parq_tools_spark.operators.similarity.adc_score` pass;
+    only (query, id, score) triples reach the per-query top-k window.
+
+    Results are BIT-IDENTICAL to the per-call
+    :func:`~parq_tools_spark.operators.similarity.ivf_pq_topk` with
+    the same params over the same corpus (same rounded-cosine probes,
+    same ADC arithmetic and rounding, same ``(score desc, id asc)``
+    order). Returns ``(query_id, <id_col>, pq_score, rank,
+    index_version)``."""
+    from functools import reduce
+
+    from parq_tools_spark.operators.similarity import adc_score
+
+    vs, cur, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+    query_vec_col = query_vec_col or p["vec_col"]
+    centroids, codebooks, rot = _read_model(vs.fs, path, m)
+    m_, n_codes_, sub = codebooks.shape
+
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qvec"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("no queries")
+    q_ids = [r["query_id"] for r in q_rows]
+    if len(set(q_ids)) != len(q_ids):
+        raise ValueError(
+            f"duplicate {query_id_col} in queries — ids must be unique"
+        )
+    q_raw = np.asarray(
+        [[float(x) for x in r["_qvec"]] for r in q_rows], dtype=np.float64
+    )
+    # probes rank by cosine of the RAW query (scale-invariant), ADC
+    # tables use the normalized-and-rotated query — the exact split
+    # ivf_pq_topk uses
+    probes = _probe_lists(q_raw, centroids, nprobe, p["round_to"])
+    q_mat = q_raw / np.sqrt((q_raw * q_raw).sum(axis=1, keepdims=True))
+    if rot is not None:
+        q_mat = q_mat @ rot.T
+    tables = np.einsum(
+        "qjs,jcs->qjc", q_mat.reshape(len(q_ids), m_, sub), codebooks
+    )
+
+    probed_cells = sorted({c for cells in probes for c in cells})
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    id_field = _id_field(m)
+    if not live:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[query_id_col].dataType
+                    ),
+                    id_field,
+                    T.StructField("pq_score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("index_version", T.IntegerType()),
+                ]
+            ),
+        )
+    # the isin filter is a LITERAL predicate on the partition column,
+    # so every segment scan prunes to the probed directories at
+    # planning time (PartitionFilters, locked by test)
+    scans = [
+        spark.read.parquet(f"{path}/{s}").filter(
+            F.col("cell").isin(probed_cells)
+        )
+        for s in live
+    ]
+    coded = reduce(DataFrame.unionByName, scans)
+
+    probe_df = spark.createDataFrame(
+        [(qid, c) for qid, cells in zip(q_ids, probes) for c in cells],
+        schema=_probe_schema(queries, query_id_col),
+    )
+    cand = coded.join(
+        F.broadcast(probe_df),
+        (coded.cell == probe_df.cell) & (F.col(id_col) != F.col("query_id")),
+    ).select("query_id", id_col, "codes")
+
+    scored = adc_score(
+        cand,
+        q_ids,
+        tables,
+        id_col,
+        id_field.dataType,
+        p["round_to"],
+        qid_type=queries.schema[query_id_col].dataType,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("index_version", F.lit(cur))
+    )
+
+
+def _probe_schema(queries: DataFrame, query_id_col: str):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )

@@ -41,7 +41,9 @@ __all__ = [
     "ivf_topk",
     "embedding_near_duplicate_pairs",
     "dedupe_embedding_near_duplicates",
+    "adc_score",
     "pq_build",
+    "pq_encode",
     "pq_topk",
     "opq_rotation",
     "ivf_pq_topk",
@@ -364,26 +366,42 @@ def ivf_write(
     frame carries a ``subcell`` column (see
     :func:`ivf_rebalance_subcells`), the layout is additionally split
     by it so no skewed cell produces an unbounded partition.
+
+    The centroids sidecar rides :class:`~parq_tools_spark.sources.
+    statefs.StateFS`, so the whole layout lands on whatever filesystem
+    ``path`` names (``file:``, ``hdfs:``, ``s3a:``) — never split
+    between cluster storage and the driver's local disk. NOTE: this is
+    the plain one-shot layout (``mode("overwrite")``, no manifest) —
+    a crash mid-write leaves a torn directory. For a crash-safe,
+    incrementally-maintained index use the versioned
+    ``ann_index_build`` family (``operators/ann_index.py``), which
+    puts centroids, codebooks and codes under the same
+    versioned-manifest commit protocol as the BM25/MinHash indexes.
     """
     import json
-    import os
+
+    from parq_tools_spark.sources.statefs import StateFS
 
     part_cols = ["cell"]
     if "subcell" in assigned_corpus.columns:
         part_cols.append("subcell")
     assigned_corpus.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    StateFS(assigned_corpus.sparkSession, path).write_text(
+        f"{path}/_centroids.json", json.dumps(centroids)
+    )
 
 
 def ivf_read(spark, path: str):
     """Load an IVF index written by :func:`ivf_write` ->
-    (assigned_corpus_df, centroids)."""
+    (assigned_corpus_df, centroids). Sidecar read via StateFS (same
+    filesystem as the parquet, not the driver's local disk)."""
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        centroids = json.load(f)
+    from parq_tools_spark.sources.statefs import StateFS
+
+    centroids = json.loads(
+        StateFS(spark, path).read_text(f"{path}/_centroids.json")
+    )
     return spark.read.parquet(path), centroids
 
 
@@ -1034,12 +1052,45 @@ def pq_build(
         [seeds[:, j * sub : (j + 1) * sub] for j in range(m)]
     )
 
+    return (
+        pq_encode(corpus, codebooks, id_col, vec_col, round_to, rotation),
+        codebooks,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    rotation=None,
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks — the shared encoder of
+    :func:`pq_build` (which derives the codebooks first) and the
+    persisted ANN index's add path (``ann_index_add``, which must
+    encode new batches under the index's FROZEN model rather than
+    re-deriving seeds from the batch).
+
+    Returns ``(id_col, codes array<int>)``. Map-only: one numpy
+    distance matrix per (Arrow batch, subspace), codebooks broadcast,
+    no shuffle. Per-subspace L2 distances are rounded to the
+    ``10^-round_to`` grid BEFORE argmin (ties to the lower code index)
+    so near-tied codewords resolve identically across engines
+    regardless of float summation order — the SQL oracles round the
+    same way."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cb_arr = np.asarray(codebooks, dtype=np.float64)
+    sub = cb_arr.shape[2]
     rot = (
         None
         if rotation is None
         else np.asarray(rotation, dtype=np.float64)
     )
-    bc = corpus.sparkSession.sparkContext.broadcast((codebooks, rot))
+    bc = corpus.sparkSession.sparkContext.broadcast((cb_arr, rot))
     scale = float(10**round_to)
     schema = T.StructType(
         [
@@ -1061,13 +1112,7 @@ def pq_build(
             codes = np.empty((len(b), cb.shape[0]), dtype=np.int32)
             for j in range(cb.shape[0]):
                 x = mat[:, j * sub : (j + 1) * sub]
-                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ties
-                # go to the lower code index (numpy first-min). The
-                # distance is rounded to the registry's 10^-round_to
-                # grid BEFORE argmin (the _with_centroid_cells
-                # convention) so near-tied codewords resolve the same
-                # way across engines regardless of float summation
-                # order — the SQL oracle rounds identically.
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2
                 d = (
                     (x * x).sum(axis=1)[:, None]
                     - 2.0 * (x @ cb[j].T)
@@ -1079,7 +1124,7 @@ def pq_build(
                 {id_col: b[id_col], "codes": [r.tolist() for r in codes]}
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode, schema), codebooks
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
 def pq_topk(
@@ -1295,12 +1340,7 @@ def ivf_pq_topk(
     orthogonal rotation leaves results EXACTLY equal to brute force —
     the ``ann_opq_ivfpq_equiv`` correctness gate.
     """
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
     query_id_col = query_id_col or id_col
-    scale = float(10**round_to)
 
     centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
     codes_df, codebooks = pq_build(
@@ -1347,18 +1387,51 @@ def ivf_pq_topk(
     tables = np.einsum(
         "qjs,jcs->qjc", q_mat.reshape(len(q_ids), m_, sub), cb
     )
-    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, tables))
 
     cand = coded.join(
         F.broadcast(probes),
         (coded.cell == probes.cell) & (F.col(id_col) != F.col("query_id")),
     ).select("query_id", id_col, "codes")
 
-    id_field = corpus.schema[id_col]
+    scored = adc_score(
+        cand, q_ids, tables, id_col, corpus.schema[id_col].dataType, round_to
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def adc_score(
+    cand: DataFrame,
+    q_ids: list,
+    tables,
+    id_col: str,
+    id_type,
+    round_to: int = 6,
+    qid_type=None,
+) -> DataFrame:
+    """Asymmetric-distance scoring of ``(query_id, id, codes)``
+    candidate rows: each row's score is ``m`` lookups into its query's
+    precomputed ``(m, n_codes)`` dot-product table, summed and rounded
+    to the ``10^-round_to`` grid — one map-only ``mapInPandas`` pass,
+    tables broadcast, no shuffle. Shared by :func:`ivf_pq_topk` and
+    the persisted index's serving path (``ann_index_topk``), so the
+    two can never drift in arithmetic or rounding."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    tabs_arr = np.asarray(tables, dtype=np.float64)
+    m_ = tabs_arr.shape[1]
+    scale = float(10**round_to)
+    bc = cand.sparkSession.sparkContext.broadcast((list(q_ids), tabs_arr))
     schema = T.StructType(
         [
-            T.StructField("query_id", id_field.dataType),
-            T.StructField(id_col, id_field.dataType),
+            T.StructField("query_id", qid_type or id_type),
+            T.StructField(id_col, id_type),
             T.StructField("pq_score", T.DoubleType()),
         ]
     )
@@ -1384,10 +1457,4 @@ def ivf_pq_topk(
                 }
             )
 
-    scored = cand.mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_score").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return cand.mapInPandas(score, schema)

@@ -1,0 +1,213 @@
+"""Persisted IVF-PQ ANN index (operators/ann_index.py): equivalence
+with the per-call path, the lossless/full-probe brute-force gate, the
+versioned-manifest lifecycle, and the partition-pruned serving plan."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.ann_index import (
+    ann_index_add,
+    ann_index_build,
+    ann_index_compact,
+    ann_index_stats,
+    ann_index_topk,
+)
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, r.pq_score, r.rank) for r in df.collect()
+    )
+
+
+def test_index_served_equals_per_call_ivfpq(spark, emb, tmp_path):
+    """Index-served top-k must be BIT-IDENTICAL to the per-call
+    ivf_pq_topk with the same params (same probes, same ADC tables,
+    same rounding, same order)."""
+    from parq_tools_spark.operators.similarity import ivf_pq_topk
+
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    idx = ann_index_topk(spark, path, qs, k=5, nprobe=2)
+    per_call = ivf_pq_topk(emb, qs, k=5, n_cells=8, nprobe=2, m=8, n_codes=16)
+    got = _rows(idx.select("query_id", "vec_id", "pq_score", "rank"))
+    want = _rows(per_call.select("query_id", "vec_id", "pq_score", "rank"))
+    assert got == want and len(got) == 15
+    assert {r.index_version for r in idx.collect()} == {1}
+
+
+def test_lossless_fullprobe_opq_equals_brute_force(spark, emb, tmp_path):
+    """The equivalence gate: nprobe=n_cells + identity codebook + OPQ
+    rotation -> index-served result set equals brute-force cosine
+    top-k exactly."""
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=None, opq=True,
+                    opq_sample=64)
+    qs = emb.filter(F.col("vec_id") < 3)
+    idx = {
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(spark, path, qs, k=5, nprobe=8).collect()
+    }
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    assert idx == bf and len(idx) == 15
+
+
+def test_add_uses_frozen_model_and_lifecycle(spark, emb, tmp_path):
+    """ann_index_add encodes under the model frozen at build (codes
+    of the added batch match pq_encode against the stored codebooks),
+    versions/n_vecs advance, and added vectors are served."""
+    from parq_tools_spark.operators.ann_index import (
+        _ann_manifest,
+        _read_model,
+    )
+    from parq_tools_spark.operators.similarity import pq_encode
+
+    path = str(tmp_path / "annidx")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    ann_index_build(evens, path, n_cells=8, m=8, n_codes=16)
+    s1 = ann_index_stats(spark, path)
+    ann_index_add(odds, path)
+    s2 = ann_index_stats(spark, path)
+    assert s2["version"] == s1["version"] + 1
+    assert s2["n_vecs"] == emb.count()
+
+    vs, _, m = _ann_manifest(spark, path)
+    _, codebooks, rot = _read_model(vs.fs, path, m)
+    want = {
+        r.vec_id: r.codes
+        for r in pq_encode(odds, codebooks, rotation=rot).collect()
+    }
+    stored = {
+        r.vec_id: r.codes
+        for seg in m["segments"]
+        for r in spark.read.parquet(f"{path}/{seg}").collect()
+        if r.vec_id % 2 == 1
+    }
+    assert stored == want and len(stored) > 0
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    served = ann_index_topk(spark, path, qs, k=10, nprobe=8)
+    assert served.filter(F.col("vec_id") % 2 == 1).count() > 0
+    assert {r.index_version for r in served.collect()} == {2}
+
+
+def test_crash_invisible_rebuild_nondestructive_compact(
+    spark, emb, tmp_path
+):
+    """A crash at the commit point (injected) leaves the old index
+    serving identical results; a completed rebuild grace-keeps the
+    previous generation one cycle; compaction folds segments and
+    preserves results bit-for-bit."""
+    from parq_tools_spark.sources import statefs
+
+    path = str(tmp_path / "annidx")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(evens, path, n_cells=4, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    before = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=2).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+
+    real_commit = statefs.VersionedState.commit
+
+    def boom(self, n, text):
+        raise RuntimeError("injected crash before commit")
+
+    statefs.VersionedState.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            ann_index_build(emb, path, n_cells=4, m=8, n_codes=16)
+    finally:
+        statefs.VersionedState.commit = real_commit
+    assert (
+        _rows(
+            ann_index_topk(spark, path, qs, k=5, nprobe=2).select(
+                "query_id", "vec_id", "pq_score", "rank"
+            )
+        )
+        == before
+    )
+    assert ann_index_stats(spark, path)["version"] == 1
+
+    # completed rebuild: old generation survives this cycle
+    ann_index_build(emb, path, n_cells=4, m=8, n_codes=16)
+    assert ann_index_stats(spark, path)["version"] == 2
+    assert os.path.exists(os.path.join(path, "v=1"))
+
+    # two more segments, then compaction
+    # (adds of fresh ids keep the id-unique contract)
+    extra1 = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    extra2 = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 200000
+    )
+    ann_index_add(extra1, path)
+    ann_index_add(extra2, path)
+    pre = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=4).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+    compacted = ann_index_compact(spark, path, min_files_per_cell=1)
+    assert compacted
+    post = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=4).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+    assert post == pre
+    # old generations swept by the following cycle
+    assert ann_index_compact(spark, path) == {}
+    segs = [e for e in os.listdir(path) if e.startswith("seg-")]
+    assert len(segs) == 1
+    assert not os.path.exists(os.path.join(path, "v=1"))
+
+
+def test_serving_plan_prunes_partitions_never_reads_vectors(
+    spark, emb, tmp_path
+):
+    """The serving plan must (a) prune the codes scan to the probed
+    cell directories at PLANNING time (PartitionFilters on cell) and
+    (b) never touch the corpus or any embedding column — the index
+    reads m small ints per candidate, not dim floats."""
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 2).localCheckpoint(eager=True)
+    q = ann_index_topk(spark, path, qs, k=5, nprobe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "cell#" in plan.split("PartitionFilters", 1)[1][:400] or (
+        "cell IN" in plan
+    )
+    assert "embedding" not in plan
+    assert "embeddings.parquet" not in plan
+
+
+def test_validation_and_missing_index(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="no committed ann index"):
+        ann_index_stats(spark, str(tmp_path / "nope"))
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb.limit(50), path, n_cells=4, m=8, n_codes=8)
+    with pytest.raises(ValueError, match="no queries"):
+        ann_index_topk(spark, path, emb.filter("vec_id < 0"), k=5)
+    dup = emb.limit(1).unionByName(emb.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_index_topk(spark, path, dup, k=5)
