@@ -1683,6 +1683,65 @@ def q_bm25_from_index_batch(spark, sf_dir):
     return out
 
 
+def q_bm25_index_phrase(spark, sf_dir):
+    """Phrase retrieval SERVED FROM the persisted index's positional
+    postings (store_positions=True, exercised across both the build
+    and the add write path): offset-adjacency checked as one JVM
+    array expression over the stored position arrays — no corpus
+    access, no tokenization. Values equal the scan path's
+    bm25_topk(phrase=) exactly."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmidxp_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0), path, store_positions=True
+    )
+    bm25_index_add(docs.filter(F.col("doc_id") % 2 == 1), path)
+    out = bm25_index_topk(
+        spark, path, "window join", k=10, phrase="window join"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_index_delete(spark, sf_dir):
+    """The CDC-shaped index maintenance path: build, tombstone-delete
+    every doc_id divisible by 7, query — must equal a from-scratch
+    BM25 over the surviving corpus exactly (the delete decrements
+    n_docs/avgdl/df from the deleted docs' own postings, so the
+    DuckDB oracle just filters the corpus)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmidxd_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path)
+    bm25_index_delete(
+        spark, path, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    )
+    out = bm25_index_topk(
+        spark, path, "stream merge window", k=10
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bm25_index_build(spark, sf_dir):
     """The index's vocabulary snapshot: per-term document frequency
     persisted at build time, value-checked against counting documents
@@ -2618,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash incremental) ...
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
+        "bm25_index_phrase": q_bm25_index_phrase,
+        "bm25_index_delete": q_bm25_index_delete,
         "bm25_from_index": q_bm25_from_index,
         "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_index_build": q_bm25_index_build,
@@ -4391,6 +4452,63 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
               FROM scored
             ) WHERE rank <= 5
         """,
+        # bm25_index_delete: the tombstone path must score EXACTLY as
+        # a from-scratch BM25 over the surviving corpus — the oracle
+        # is the bm25_from_index recompute with the deleted ids
+        # filtered out at the source (stats included).
+        "bm25_index_delete": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+              WHERE doc_id % 7 <> 0
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank,
+                   CAST(2 AS INT) AS index_version
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
         "bm25_index_build": r"""
             WITH tok AS (
               SELECT doc_id,
@@ -4514,6 +4632,67 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             SELECT s.doc_id, s.score,
                    CAST(row_number() OVER (ORDER BY s.score DESC,
                         s.doc_id ASC) AS INT) AS rank
+            FROM scored s JOIN ph USING (doc_id)
+            ORDER BY rank
+            LIMIT 10
+        """,
+        # bm25_index_phrase: identical semantics to bm25_phrase_search
+        # (the index path must equal the scan path bit-for-bit), plus
+        # the staleness stamp (build=1, add=2).
+        "bm25_index_phrase": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('join'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            ph AS (
+              SELECT doc_id FROM tok
+              WHERE len(toks) >= 2
+                AND len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = 'window' AND toks[i+1] = 'join')) > 0
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id, s.score,
+                   CAST(row_number() OVER (ORDER BY s.score DESC,
+                        s.doc_id ASC) AS INT) AS rank,
+                   CAST(2 AS INT) AS index_version
             FROM scored s JOIN ph USING (doc_id)
             ORDER BY rank
             LIMIT 10

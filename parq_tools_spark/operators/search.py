@@ -44,6 +44,7 @@ __all__ = [
     "bm25_topk_batch",
     "bm25_index_build",
     "bm25_index_add",
+    "bm25_index_delete",
     "bm25_index_compact",
     "bm25_index_stats",
     "bm25_index_topk",
@@ -465,20 +466,44 @@ def _tbucket_py(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def _postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, dl, term, tf) — one row per distinct (document, term).
-    Duplicate corpus rows for one id are NOT merged (the id-unique
-    corpus contract every index here shares); NULL text yields no
-    postings (zero-length doc — present only in n_docs/sum_dl)."""
+def _postings(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_positions: bool = False,
+) -> DataFrame:
+    """(doc_id, dl, term, tf[, positions]) — one row per distinct
+    (document, term). Duplicate corpus rows for one id are NOT merged
+    (the id-unique corpus contract every index here shares); NULL
+    text yields no postings (zero-length doc — present only in
+    n_docs/sum_dl). With ``store_positions`` each row also carries
+    the term's sorted 0-based token offsets — what turns the index
+    into a phrase/proximity-capable one (tf stays the array length,
+    so scoring is unchanged; postings grow by one int per token)."""
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    if not store_positions:
+        return (
+            corpus.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("term"),
+            )
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
     return (
         corpus.select(
             F.col(id_col).alias("doc_id"),
             F.size(toks).alias("dl"),
-            F.explode(toks).alias("term"),
+            F.posexplode(toks).alias("pos", "term"),
         )
         .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
     )
 
 
@@ -567,6 +592,7 @@ def bm25_index_build(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 32,
+    store_positions: bool = False,
 ) -> None:
     """Build a persistent BM25 index over ``corpus`` at ``path``.
 
@@ -595,7 +621,7 @@ def bm25_index_build(
     new = (cur or 0) + 1
 
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
-    post = _postings(corpus, id_col, text_col)
+    post = _postings(corpus, id_col, text_col, store_positions)
     seg = _tag(new, "seg")
     _write_postings_segment(post, f"{path}/{seg}", n_buckets)
     terms_dir = _tag(new, "terms")
@@ -611,6 +637,7 @@ def bm25_index_build(
                     "id_col": id_col,
                     "text_col": text_col,
                     "n_buckets": n_buckets,
+                    "store_positions": store_positions,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_docs": n_docs,
@@ -637,8 +664,29 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     _bm25_sweep_orphans(vs, path)
     p = m["params"]
 
+    dels = _read_deletes(spark, path, m)
+    if dels is not None:
+        hit = (
+            new_docs.select(F.col(p["id_col"]).alias("doc_id"))
+            .join(F.broadcast(dels), on="doc_id")
+            .limit(1)
+            .count()
+        )
+        if hit:
+            raise ValueError(
+                "batch re-adds tombstoned document id(s): run "
+                "bm25_index_compact first (it folds pending deletes "
+                "into the postings), then re-add — appending now "
+                "would leave the new rows hidden behind the tombstone"
+            )
+
     n_new, dl_new = _corpus_counts(new_docs, p["text_col"])
-    post = _postings(new_docs, p["id_col"], p["text_col"])
+    post = _postings(
+        new_docs,
+        p["id_col"],
+        p["text_col"],
+        p.get("store_positions", False),
+    )
     seg = _tag(cur + 1, "seg")
     _write_postings_segment(post, f"{path}/{seg}", p["n_buckets"])
     batch_terms = _segment_terms(spark, path, seg)
@@ -669,8 +717,9 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
 
 
 def _bm25_sweep_orphans(vs, path: str) -> None:
-    """Drop seg-/terms- directories no surviving manifest references
-    (crashed operations, superseded versions past reader grace)."""
+    """Drop seg-/terms-/del- directories no surviving manifest
+    references (crashed operations, superseded versions past reader
+    grace)."""
     import json
 
     referenced = set()
@@ -679,13 +728,147 @@ def _bm25_sweep_orphans(vs, path: str) -> None:
             m = json.loads(vs.read_marker(n))
             referenced.update(m["segments"])
             referenced.add(m["terms"])
+            referenced.update(m.get("deletes", []))
     for entry, is_dir, _ in vs.fs.list_status(path):
         if (
             is_dir
-            and entry.startswith(("seg-", "terms-"))
+            and entry.startswith(("seg-", "terms-", "del-"))
             and entry not in referenced
         ):
             vs.fs.delete(f"{path}/{entry}")
+
+
+def _read_deletes(spark, path: str, m: dict) -> Optional[DataFrame]:
+    """The manifest's pending tombstones as one ``(doc_id)`` relation,
+    or None when the version carries none. Tombstones are bounded:
+    compaction folds them into the postings and clears the list, so
+    the anti-join side stays broadcast-small between compactions."""
+    from functools import reduce
+
+    from parq_tools_spark.sources.statefs import StateFS
+
+    dirs = m.get("deletes") or []
+    if not dirs:
+        return None
+    fs = StateFS(spark, path)
+    live = [d for d in dirs if fs.list_files(f"{path}/{d}")]
+    if not live:
+        return None
+    return reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{path}/{d}") for d in live],
+    )
+
+
+def bm25_index_delete(spark, path: str, ids) -> dict:
+    """Delete documents from the index by id — the CDC-shaped
+    maintenance path (``streaming/cdc.py`` upserts become delete +
+    :func:`bm25_index_add`).
+
+    Tombstone design: the ids land in an immutable ``del-`` directory
+    the new manifest references; query paths anti-join pending
+    tombstones against the postings read (broadcast — compaction
+    bounds them), and the NEXT :func:`bm25_index_compact` folds them
+    into the rewritten postings and clears the list. Statistics
+    (``n_docs``, ``sum_dl``, the vocabulary's per-term df) are
+    decremented AT DELETE TIME from the deleted docs' own postings —
+    one segment scan filtered to the ids (a maintenance cost, not a
+    query cost) — so post-delete scores are EXACTLY what a
+    from-scratch build over the surviving corpus produces.
+
+    ``ids`` is a sequence of ids or a one-column DataFrame. Deletes
+    are idempotent (already-tombstoned ids are skipped), but every id
+    MUST currently be in the index: a never-indexed id is
+    indistinguishable from a zero-token document (which has no
+    postings) and would silently corrupt ``n_docs``. Re-adding a
+    tombstoned id is refused by :func:`bm25_index_add` until a
+    compaction folds the tombstone.
+
+    Returns ``{"deleted": n, "version": v}``."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    vs.clean_stale(cur)
+    _bm25_sweep_orphans(vs, path)
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(
+            F.col(ids.columns[0]).alias("doc_id")
+        ).distinct()
+    else:
+        id_type = _id_field(m).dataType
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField("doc_id", id_type)]),
+        ).distinct()
+    existing = _read_deletes(spark, path, m)
+    if existing is not None:
+        ids_df = ids_df.join(existing, on="doc_id", how="left_anti")
+    # materialized once: the same id set drives the stats decrements,
+    # the tombstone write and the count below
+    ids_df = ids_df.localCheckpoint(eager=True)
+    n_del = ids_df.count()
+    if n_del == 0:
+        return {"deleted": 0, "version": cur}
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if live:
+        del_post = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{path}/{s}") for s in live],
+        ).join(F.broadcast(ids_df), on="doc_id")
+        # one pass: per-term df decrements; dl rides along distinct
+        row = (
+            del_post.select("doc_id", "dl")
+            .distinct()
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+        dl_del = int(row[0])
+        dec = del_post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("_dec")
+        )
+    else:
+        dl_del = 0
+        dec = None
+
+    terms_dir = _tag(cur + 1, "terms")
+    old_terms = _read_terms(spark, path, m)
+    if dec is not None:
+        new_terms = (
+            old_terms.join(dec, on="term", how="left")
+            .select(
+                "term",
+                (F.col("df") - F.coalesce(F.col("_dec"), F.lit(0))).alias(
+                    "df"
+                ),
+            )
+            .filter(F.col("df") > 0)
+        )
+    else:
+        new_terms = old_terms
+    _write_terms(new_terms, f"{path}/{terms_dir}")
+
+    del_dir = _tag(cur + 1, "del")
+    ids_df.write.mode("errorifexists").parquet(f"{path}/{del_dir}")
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "n_docs": m["n_docs"] - n_del,
+                "sum_dl": m["sum_dl"] - dl_del,
+                "terms": terms_dir,
+                "deletes": m.get("deletes", []) + [del_dir],
+            }
+        ),
+    )
+    return {"deleted": n_del, "version": cur + 1}
 
 
 def bm25_index_compact(
@@ -726,7 +909,11 @@ def bm25_index_compact(
         b: max(1, math.ceil(tot / target_file_bytes))
         for b, (cnt, tot) in per_bucket.items()
     }
-    if not any(
+    # pending tombstones force a rewrite regardless of file counts —
+    # folding them into the postings (and clearing the list) is the
+    # point of the delete protocol's compaction step
+    dels = _read_deletes(spark, path, m)
+    if dels is None and not any(
         cnt > min_files_per_bucket and cnt > targets[b]
         for b, (cnt, tot) in per_bucket.items()
     ):
@@ -741,15 +928,23 @@ def bm25_index_compact(
         ]
         if not srcs:
             continue
+        bucket = spark.read.parquet(*srcs)
+        if dels is not None:
+            # broadcast anti-join: the per-bucket rewrite stays
+            # map-only (no shuffle — the bucket is the directory)
+            bucket = bucket.join(
+                F.broadcast(dels), on="doc_id", how="left_anti"
+            )
         (
-            spark.read.parquet(*srcs)
-            .coalesce(targets[b])
+            bucket.coalesce(targets[b])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/tbucket={b}")
         )
     vs.commit(
         cur + 1,
-        json.dumps({**m, "version": cur + 1, "segments": [new_seg]}),
+        json.dumps(
+            {**m, "version": cur + 1, "segments": [new_seg], "deletes": []}
+        ),
     )
 
     compacted = {}
@@ -776,6 +971,7 @@ def bm25_index_stats(spark, path: str) -> dict:
         "sum_dl": m["sum_dl"],
         "avgdl": (m["sum_dl"] / m["n_docs"]) if m["n_docs"] else 0.0,
         "params": m["params"],
+        "pending_delete_batches": len(m.get("deletes", [])),
     }
 
 
@@ -832,6 +1028,49 @@ def _empty_topk(spark, m: dict, qid_field=None):
     return spark.createDataFrame([], T.StructType(fields))
 
 
+def _phrase_docs_from_positions(
+    post: DataFrame, phrase_toks: list
+) -> DataFrame:
+    """Documents whose stored positional postings contain
+    ``phrase_toks`` as a CONTIGUOUS token sequence: the phrase terms'
+    position arrays fold into one per-document map
+    (``map_from_entries`` over the distinct (term, positions) rows),
+    then a single JVM array expression checks offset adjacency —
+    ``exists p in pos(t0): pos(t_i) contains p+i for every i``.
+    Repeated phrase tokens need no special case (one map entry serves
+    every offset). No explode, no Python; the input is the already
+    bucket-pruned postings read, so cost is O(phrase-term postings)."""
+    from functools import reduce as _reduce
+
+    n = len(phrase_toks)
+    pset = sorted(set(phrase_toks))
+    pmap = (
+        post.filter(F.col("term").isin(pset))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("_pm")
+        )
+    )
+
+    def pos_of(t: str):
+        return F.coalesce(
+            F.col("_pm")[F.lit(t)], F.array().cast("array<int>")
+        )
+
+    match = F.exists(
+        pos_of(phrase_toks[0]),
+        lambda p: _reduce(
+            lambda acc, i: acc
+            & F.array_contains(pos_of(phrase_toks[i]), p + F.lit(i)),
+            range(1, n),
+            F.lit(True),
+        ),
+    )
+    return pmap.filter(match).select("doc_id")
+
+
 def bm25_index_topk(
     spark,
     path: str,
@@ -841,6 +1080,7 @@ def bm25_index_topk(
     b: float = 0.75,
     round_to: int = 6,
     mode: str = "any",
+    phrase: Optional[Union[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Top-``k`` by BM25 served FROM the index — no corpus scan, no
     tokenization: the plan reads the query terms' df rows from the
@@ -858,12 +1098,32 @@ def bm25_index_topk(
     order, matching the scan path's expression chain bit-for-bit). ``mode="all"`` keeps only documents matching EVERY
     query term (conjunctive retrieval — a post-aggregation filter on
     the matched-term count; no new shuffle shape). Output carries
-    ``index_version`` (see :func:`bm25_index_stats`)."""
+    ``index_version`` (see :func:`bm25_index_stats`).
+
+    ``phrase=`` (needs an index built with ``store_positions=True``)
+    additionally requires the given token sequence to appear
+    contiguously, exactly like the scan path's ``bm25_topk(phrase=)``
+    — served from the stored positions: per candidate document the
+    phrase terms' position arrays fold into a map and one JVM array
+    expression checks offset adjacency (``exists p in pos(t0):
+    p+i in pos(t_i)``). No corpus access, no tokenization — the
+    postings read widens to the phrase's terms (still bucket-pruned)
+    and ranking stays plain BM25 over the query terms."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
     vs, cur, m = _bm25_manifest(spark, path)
     id_col = m["params"]["id_col"]
+    phrase_toks = None
+    if phrase is not None:
+        if not m["params"].get("store_positions", False):
+            raise ValueError(
+                f"bm25 index at {path} was built without "
+                "store_positions=True; phrase queries serve from "
+                "positional postings — rebuild with "
+                "bm25_index_build(..., store_positions=True)"
+            )
+        phrase_toks = _phrase_tokens(phrase)
     n_docs = m["n_docs"]
     if not n_docs:
         raise ValueError("empty corpus")
@@ -881,9 +1141,13 @@ def bm25_index_topk(
         for t in terms
     }
 
-    post = _read_postings(spark, path, m, terms)
+    read_terms = sorted(set(terms) | set(phrase_toks or []))
+    post = _read_postings(spark, path, m, read_terms)
     if post is None:
         return _empty_topk(spark, m)
+    dels = _read_deletes(spark, path, m)
+    if dels is not None:
+        post = post.join(F.broadcast(dels), on="doc_id", how="left_anti")
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -895,7 +1159,11 @@ def bm25_index_topk(
         F.col("term"),
     )
     contrib = idf_col * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
-    grouped = post.groupBy("doc_id").agg(
+    score_post = (
+        post if set(read_terms) == set(terms)
+        else post.filter(F.col("term").isin(terms))
+    )
+    grouped = score_post.groupBy("doc_id").agg(
         (
             F.floor(_det_contrib_sum(contrib) * F.lit(scale) + F.lit(0.5))
             / F.lit(scale)
@@ -904,6 +1172,12 @@ def bm25_index_topk(
     )
     if mode == "all":
         grouped = grouped.filter(F.col("_nt") == len(terms))
+    if phrase_toks is not None:
+        grouped = grouped.join(
+            _phrase_docs_from_positions(post, phrase_toks),
+            on="doc_id",
+            how="left_semi",
+        )
     topk = (
         grouped.drop("_nt")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -994,6 +1268,9 @@ def bm25_index_topk_batch(
                 query_id_col, queries.schema[query_id_col].dataType
             ),
         )
+    dels = _read_deletes(spark, path, m)
+    if dels is not None:
+        post = post.join(F.broadcast(dels), on="doc_id", how="left_anti")
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)

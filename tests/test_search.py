@@ -537,3 +537,128 @@ def test_bm25_index_batch_empty_index_string_query_ids(spark, tmp_path):
     out = bm25_index_topk_batch(spark, path, qdf, k=5)
     assert out.count() == 0
     assert isinstance(out.schema["query_id"].dataType, T.StringType)
+
+
+def test_bm25_index_phrase_serves_from_positions(spark, tiny_corpus, tmp_path):
+    """Phrase retrieval on the index path (positional postings) must
+    equal the scan path's bm25_topk(phrase=) exactly — across build +
+    add batches, with repeated-token phrases, and raise cleanly on an
+    index built without positions."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_topk,
+    )
+
+    path = str(tmp_path / "bmidxp")
+    bm25_index_build(
+        tiny_corpus.filter("doc_id <= 2"), path, n_buckets=4,
+        store_positions=True,
+    )
+    bm25_index_add(tiny_corpus.filter("doc_id > 2"), path)
+
+    for query, phrase in [
+        ("spark data", "merges data"),     # crosses a posting pair
+        ("spark data", "spark streams"),   # doc 1 only
+        ("data", "data data"),             # repeated token (doc 3)
+        ("spark data", ["spark", "spark"]),  # adjacency in doc 4
+        ("spark", "no such phrase here"),  # no match -> empty
+    ]:
+        scan = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_topk(
+                tiny_corpus, query, k=10, phrase=phrase
+            ).collect()
+        ]
+        idx = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(
+                spark, path, query, k=10, phrase=phrase
+            ).collect()
+        ]
+        assert idx == scan, (query, phrase, idx, scan)
+    # at least one of the cases above must be non-empty
+    assert bm25_index_topk(
+        spark, path, "spark data", k=10, phrase="merges data"
+    ).count() > 0
+
+    # non-positional index: loud, actionable error
+    p2 = str(tmp_path / "bmidx_nopos")
+    bm25_index_build(tiny_corpus, p2)
+    with pytest.raises(ValueError, match="store_positions"):
+        bm25_index_topk(spark, p2, "spark", phrase="spark streams")
+
+
+def test_bm25_index_delete_equals_fresh_build_on_survivors(
+    spark, tiny_corpus, tmp_path
+):
+    """build -> delete -> query must equal a from-scratch build over
+    the surviving docs EXACTLY (n_docs, avgdl and per-term df are
+    decremented from the deleted docs' own postings at delete time);
+    deletes are idempotent; re-adding a tombstoned id is refused
+    until compaction folds the tombstone, after which it works."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    extras = spark.createDataFrame(
+        [(10, None), (11, "data sparkles with spark data")],
+        "doc_id long, text string",
+    )
+    bm25_index_build(tiny_corpus, path, n_buckets=4)
+    bm25_index_add(extras, path)
+
+    out = bm25_index_delete(spark, path, [1, 3, 10])  # incl. a NULL-text doc
+    assert out == {"deleted": 3, "version": 3}
+    st = bm25_index_stats(spark, path)
+    assert st["n_docs"] == 3 and st["pending_delete_batches"] == 1
+
+    fresh_path = str(tmp_path / "fresh")
+    survivors = tiny_corpus.unionByName(extras).filter(
+        "doc_id NOT IN (1, 3, 10)"
+    )
+    bm25_index_build(survivors, fresh_path, n_buckets=4)
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, fresh_path, "spark data", k=10
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    assert 1 not in {d for d, _, _ in got} and 3 not in {d for d, _, _ in got}
+
+    # idempotent: re-deleting tombstoned ids is a no-op
+    assert bm25_index_delete(spark, path, [1, 3])["deleted"] == 0
+
+    # re-adding a tombstoned id is refused pre-compaction
+    readd = spark.createDataFrame(
+        [(1, "spark streams data again")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tombstoned"):
+        bm25_index_add(readd, path)
+
+    # compaction folds tombstones: results unchanged, list cleared,
+    # the id becomes re-addable
+    compacted = bm25_index_compact(spark, path, min_files_per_bucket=1)
+    assert compacted or True  # forced rewrite may or may not shrink files
+    assert bm25_index_stats(spark, path)["pending_delete_batches"] == 0
+    assert [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ] == want
+    bm25_index_add(readd, path)
+    assert 1 in {
+        r.doc_id
+        for r in bm25_index_topk(spark, path, "spark", k=10).collect()
+    }
