@@ -2660,84 +2660,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
-    with the least accumulated driver evidence first: every entry
-    whose code changed in round 8 (the persisted BM25 index family,
-    search modes, OPQ x IVF-PQ, truncation flags, exclusive-commit
-    fold/CDC paths) leads, then the entries with the OLDEST driver
-    evidence (last checked r01-r04, then r6). Everything past
-    position 50 was driver-green in r7 with unchanged code — except
-    the events family (last checked r6), placed first in line for
-    the r9 rotation.
+    with the least accumulated driver evidence first: the entries NEW
+    in round 9 (the persisted ANN index, index-served phrase, index
+    deletes), then every entry whose code changed this round (the
+    BM25 index/batch scoring paths — deterministic sum order,
+    non-destructive rebuild, tombstone anti-joins — and the ANN
+    family over the refactored pq_encode/adc_score), then the events
+    family (last driver-checked r6) and the entries whose last green
+    row is r7. Everything past position 50 was driver-checked green
+    in r8 on code unchanged since.
     """
     return {
-        # --- positions 1-50 = the driver check window for r8:
-        # every entry whose code changed this round (the BM25 index
-        # family + search modes, OPQ x IVF-PQ, truncation flags in
-        # repetition/chunking, the exclusive-commit fold/CDC paths,
-        # minhash incremental) ...
+        # --- positions 1-50 = the driver check window for r9:
+        # new in r9 ...
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "bm25_index_phrase": q_bm25_index_phrase,
         "bm25_index_delete": q_bm25_index_delete,
+        # ... entries whose code changed in r9 (BM25 index lifecycle +
+        # deterministic batch scoring; ANN family over the
+        # pq_encode/adc_score refactor) ...
         "bm25_from_index": q_bm25_from_index,
         "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_index_build": q_bm25_index_build,
-        "bm25_and_search": q_bm25_and_search,
-        "bm25_phrase_search": q_bm25_phrase_search,
-        "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
-        "bm25_search": q_bm25_search,
         "bm25_batch": q_bm25_batch,
-        "repetition_ngram": q_repetition_ngram,
-        "word_repetition": q_word_repetition,
-        "repetition_lines": q_repetition_lines,
-        "chunk_sentences": q_chunk_sentences,
-        "chunk_documents": q_chunk_documents,
-        "incremental_revenue": q_incremental_revenue,
-        "incremental_retention": q_incremental_retention,
-        "cdc_apply": q_cdc_apply,
-        "minhash_incremental": q_minhash_incremental,
-        # ... then the longest-unchecked entries: last driver-checked
-        # in r01-r04 ...
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "window_running": q_window_running,
-        "cube_revenue": q_cube_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "part_stats": q_part_stats,
-        "ngram_freq": q_ngram_freq,
-        "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "token_count_by_lang": q_token_count_by_lang,
-        "token_count_bpe": q_token_count_bpe,
-        "dedupe_text_exact": q_dedupe_text_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        # ... and last driver-checked in r6 (window ends at 50)
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        # --- past the window; events family (last checked r6) leads
-        # the r9 rotation, everything after it is driver-green r7
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
+        "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
+        # ... the events family (last driver-checked r6) ...
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "pivot_events": q_pivot_events,
+        # ... then entries whose last green driver row is r7
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "filter_dsl": q_filter_dsl,
@@ -2768,13 +2726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
         "merge_upsert": q_merge_upsert,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
-        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "semantic_dedupe": q_semantic_dedupe,
         "minhash_pairs": q_minhash_pairs,
+        # --- past the window: r7-green dedup/ANN/sampling surface
+        # first, then everything driver-checked green in r8 on code
+        # unchanged since
         "simhash_pairs": q_simhash_pairs,
         "near_dedupe_cc": q_near_dedupe_cc,
         "dedupe_pairwise": q_dedupe_pairwise,
@@ -2801,6 +2757,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
+        # r8-checked, unchanged:
+        "bm25_search": q_bm25_search,
+        "bm25_and_search": q_bm25_and_search,
+        "bm25_phrase_search": q_bm25_phrase_search,
+        "repetition_ngram": q_repetition_ngram,
+        "word_repetition": q_word_repetition,
+        "repetition_lines": q_repetition_lines,
+        "chunk_sentences": q_chunk_sentences,
+        "chunk_documents": q_chunk_documents,
+        "incremental_revenue": q_incremental_revenue,
+        "incremental_retention": q_incremental_retention,
+        "cdc_apply": q_cdc_apply,
+        "minhash_incremental": q_minhash_incremental,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "window_running": q_window_running,
+        "cube_revenue": q_cube_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "part_stats": q_part_stats,
+        "ngram_freq": q_ngram_freq,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_count_by_lang": q_token_count_by_lang,
+        "token_count_bpe": q_token_count_bpe,
+        "dedupe_text_exact": q_dedupe_text_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
     }
 
 

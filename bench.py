@@ -234,6 +234,88 @@ def _bench_bm25_index(spark, sf_dir) -> "dict[str, float]":
         out["bm25_batch_from_index_per_query"] = round(
             (time.perf_counter() - t0) / len(queries), 3
         )
+
+        # index MAINTENANCE lifecycle: one 10%-sized append (fresh
+        # ids), a forced compaction folding the segments, and the
+        # same query served post-compaction — so regressions in the
+        # add/compact paths and in post-compaction serving are
+        # visible round-over-round
+        from pyspark.sql import functions as F
+
+        from parq_tools_spark.operators.search import bm25_index_add
+        from parq_tools_spark.operators.search import bm25_index_compact
+
+        batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+        t0 = time.perf_counter()
+        bm25_index_add(batch, path)
+        out["bm25_index_add10pct"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_index_compact(spark, path, min_files_per_bucket=1)
+        out["bm25_index_compact"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bm25_index_topk(spark, path, queries[0], k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["bm25_query_post_compact"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _bench_ann_index(spark, sf_dir) -> "dict[str, float]":
+    """The persisted vector-ANN index lifecycle at bench scale: build
+    (model + cell-partitioned codes + manifest), a 10%-sized append
+    under the frozen model, serving 8 queries from the index, and the
+    same 8 through the per-call ivf_pq_topk (which re-derives the
+    model every invocation — the cost the index amortizes away).
+    Lands in BENCH_FULL.json as ann_index_build / ann_index_add10pct
+    / ann_query_from_index / ann_query_per_call (per-query means for
+    the last two)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < 8).localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="ann_index_bench_")
+    path = os.path.join(tmp, "idx")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+        out["ann_index_build"] = round(time.perf_counter() - t0, 3)
+        batch = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 10_000_000
+        )
+        t0 = time.perf_counter()
+        ann_index_add(batch, path)
+        out["ann_index_add10pct"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ann_index_topk(spark, path, qs, k=10, nprobe=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["ann_query_from_index"] = round(
+            (time.perf_counter() - t0) / 8, 3
+        )
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            emb, qs, k=10, n_cells=8, nprobe=2, m=8, n_codes=16
+        ).write.format("noop").mode("overwrite").save()
+        out["ann_query_per_call"] = round(
+            (time.perf_counter() - t0) / 8, 3
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -404,6 +486,7 @@ def main() -> None:
         for scenario, fn in (
             ("minhash_index_roundtrip", _bench_minhash_index),
             ("bm25_index", _bench_bm25_index),
+            ("ann_index", _bench_ann_index),
             ("media_decode", _bench_media_decode),
             ("stream_near_dedup", _bench_stream_near_dedup),
         ):
