@@ -89,10 +89,11 @@ def _ann_manifest(spark, path: str):
     return vs, cur, json.loads(vs.read_marker(cur))
 
 
-def _tag(n: int, prefix: str) -> str:
-    import uuid
-
-    return f"{prefix}-{n:06d}-{uuid.uuid4().hex[:8]}"
+from parq_tools_spark.operators._index_common import (  # noqa: E402
+    id_field as _id_field,
+    id_field_json as _id_field_json,
+    tag as _tag,
+)
 
 
 def _ann_sweep_orphans(vs, path: str) -> None:
@@ -142,20 +143,6 @@ def _read_model(fs, path: str, m: dict):
         np.asarray(mdl["codebooks"], dtype=np.float64),
         None if rot is None else np.asarray(rot, dtype=np.float64),
     )
-
-
-def _id_field_json(df: DataFrame, id_col: str) -> str:
-    from pyspark.sql import types as T
-
-    return T.StructType([df.schema[id_col]]).json()
-
-
-def _id_field(m: dict):
-    import json as _json
-
-    from pyspark.sql import types as T
-
-    return T.StructType.fromJson(_json.loads(m["id_type"])).fields[0]
 
 
 def _write_codes_segment(coded: DataFrame, seg_path: str, id_col: str) -> None:

@@ -1113,10 +1113,15 @@ def _index_manifest_full(spark, path: str):
     """``(vs, current_version, manifest_dict)`` — the single-read
     resolution point for paths that need params AND segments from the
     SAME committed version (resolving them separately could tear
-    across a concurrent rebuild-with-new-params commit)."""
+    across a concurrent rebuild-with-new-params commit). One marker
+    read total (an object-store GET each on s3a), not two."""
     import json
 
-    vs, cur, _ = _index_manifest(spark, path)
+    vs = _index_vs(spark, path)
+    cur = vs.current()
+    if cur is None:
+        # delegate the legacy-layout / no-index error messages
+        _index_manifest(spark, path)
     return vs, cur, json.loads(vs.read_marker(cur))
 
 
@@ -1223,14 +1228,19 @@ def minhash_index_write(
         "k": k,
         "hash_family": hash_family,
     }
-    # sidecar kept for pre-round-9 readers; the manifest copy is
-    # authoritative (atomic with the segment list, so a rebuild with
-    # NEW params can never tear an in-flight reader of the old one)
-    fs.write_text(f"{path}/{_PARAMS_FILE}", json.dumps(params))
     vs.commit(
         new,
         json.dumps({"version": new, "segments": [seg], "params": params}),
     )
+    # sidecar kept for pre-round-9 readers, written AFTER the commit:
+    # the manifest copy is authoritative (atomic with the segment
+    # list), and on a LEGACY index (old manifest without params, read
+    # through the sidecar fallback) overwriting the sidecar before
+    # the new manifest lands would hand the old generation's readers
+    # the NEW signature params — garbage matches with no error. A
+    # crash in between leaves the sidecar stale, which no reader of a
+    # params-carrying manifest ever consults.
+    fs.write_text(f"{path}/{_PARAMS_FILE}", json.dumps(params))
 
 
 def minhash_index_compact(

@@ -446,10 +446,11 @@ def _bm25_manifest(spark, path: str):
     return vs, cur, json.loads(vs.read_marker(cur))
 
 
-def _tag(n: int, prefix: str) -> str:
-    import uuid
-
-    return f"{prefix}-{n:06d}-{uuid.uuid4().hex[:8]}"
+from parq_tools_spark.operators._index_common import (  # noqa: E402
+    id_field as _id_field_impl,
+    id_field_json as _id_field_json_impl,
+    tag as _tag,
+)
 
 
 def _tbucket_col(n_buckets: int) -> Column:
@@ -581,9 +582,7 @@ def _read_terms(spark, path: str, m: dict) -> DataFrame:
 
 
 def _id_field_json(corpus: DataFrame, id_col: str) -> str:
-    from pyspark.sql import types as T
-
-    return T.StructType([corpus.schema[id_col]]).json()
+    return _id_field_json_impl(corpus, id_col)
 
 
 def bm25_index_build(
@@ -698,12 +697,15 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
         .agg(F.sum("df").alias("df")),
         f"{path}/{terms_dir}",
     )
+    # {**m} carries every untouched manifest field forward — params,
+    # id_type AND the pending "deletes" list (dropping the latter
+    # would resurrect tombstoned docs while stats still exclude them)
     vs.commit(
         cur + 1,
         json.dumps(
             {
+                **m,
                 "version": cur + 1,
-                "params": p,
                 "id_type": m.get(
                     "id_type", _id_field_json(new_docs, p["id_col"])
                 ),
@@ -760,7 +762,7 @@ def _read_deletes(spark, path: str, m: dict) -> Optional[DataFrame]:
     )
 
 
-def bm25_index_delete(spark, path: str, ids) -> dict:
+def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dict:
     """Delete documents from the index by id — the CDC-shaped
     maintenance path (``streaming/cdc.py`` upserts become delete +
     :func:`bm25_index_add`).
@@ -777,12 +779,16 @@ def bm25_index_delete(spark, path: str, ids) -> dict:
     from-scratch build over the surviving corpus produces.
 
     ``ids`` is a sequence of ids or a one-column DataFrame. Deletes
-    are idempotent (already-tombstoned ids are skipped), but every id
-    MUST currently be in the index: a never-indexed id is
-    indistinguishable from a zero-token document (which has no
-    postings) and would silently corrupt ``n_docs``. Re-adding a
-    tombstoned id is refused by :func:`bm25_index_add` until a
-    compaction folds the tombstone.
+    are idempotent (already-tombstoned ids are skipped), and every id
+    MUST currently be in the index — ``n_docs`` decrements by the
+    requested count, so a never-indexed id would skew every later
+    idf/avgdl. The guard: an id with NO postings raises by default
+    (the typo case is loud). It is indistinguishable from a
+    legitimately-indexed ZERO-TOKEN document (NULL/empty text — in
+    ``n_docs``, no postings), so deleting those requires
+    ``allow_missing=True``, which trusts the caller's id set.
+    Re-adding a tombstoned id is refused by :func:`bm25_index_add`
+    until a compaction folds the tombstone.
 
     Returns ``{"deleted": n, "version": v}``."""
     import json
@@ -822,19 +828,34 @@ def bm25_index_delete(spark, path: str, ids) -> dict:
             [spark.read.parquet(f"{path}/{s}") for s in live],
         ).join(F.broadcast(ids_df), on="doc_id")
         # one pass: per-term df decrements; dl rides along distinct
-        row = (
-            del_post.select("doc_id", "dl")
-            .distinct()
-            .agg(F.coalesce(F.sum("dl"), F.lit(0)))
-            .first()
-        )
-        dl_del = int(row[0])
+        found_dl = del_post.select("doc_id", "dl").distinct()
+        row = found_dl.agg(
+            F.coalesce(F.sum("dl"), F.lit(0)), F.count(F.lit(1))
+        ).first()
+        dl_del, n_found = int(row[0]), int(row[1])
         dec = del_post.groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("_dec")
         )
     else:
-        dl_del = 0
+        dl_del, n_found = 0, 0
         dec = None
+    if n_found < n_del and not allow_missing:
+        missing = (
+            ids_df.join(
+                del_post.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).limit(5).collect()
+            if live
+            else ids_df.limit(5).collect()
+        )
+        raise ValueError(
+            f"bm25_index_delete: {n_del - n_found} of {n_del} requested "
+            f"id(s) have no postings in the index (first few: "
+            f"{[r['doc_id'] for r in missing]}). Each is either a typo "
+            "(deleting it would silently corrupt n_docs and every "
+            "later idf/avgdl) or a legitimately-indexed ZERO-TOKEN "
+            "document — pass allow_missing=True only if you know the "
+            "ids are the latter."
+        )
 
     terms_dir = _tag(cur + 1, "terms")
     old_terms = _read_terms(spark, path, m)
@@ -998,15 +1019,7 @@ def _read_postings(spark, path: str, m: dict, terms: list) -> DataFrame:
 
 
 def _id_field(m: dict):
-    """The indexed id column's StructField (name + type) recovered
-    from the manifest — so the empty-index path returns the SAME
-    schema as the populated path (a caller unioning results across
-    index states must never hit a type flip)."""
-    import json as _json
-
-    from pyspark.sql import types as T
-
-    return T.StructType.fromJson(_json.loads(m["id_type"])).fields[0]
+    return _id_field_impl(m)
 
 
 def _empty_topk(spark, m: dict, qid_field=None):

@@ -1349,6 +1349,7 @@ def ivf_pq_topk(
         n_codes=n_codes,
         id_col=id_col,
         vec_col=vec_col,
+        round_to=round_to,
         rotation=rotation,
     )
     assigned = _with_centroid_cells(

@@ -211,3 +211,25 @@ def test_validation_and_missing_index(spark, emb, tmp_path):
     dup = emb.limit(1).unionByName(emb.limit(1))
     with pytest.raises(ValueError, match="duplicate"):
         ann_index_topk(spark, path, dup, k=5)
+
+
+def test_round_to_forwarded_everywhere(spark, emb, tmp_path):
+    """Regression (review r9): ivf_pq_topk must forward round_to to
+    the PQ encoding, so the index/per-call bit-identity holds on
+    non-default grids too."""
+    from parq_tools_spark.operators.similarity import ivf_pq_topk
+
+    path = str(tmp_path / "annidx5")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16, round_to=4)
+    qs = emb.filter(F.col("vec_id") < 3)
+    idx = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=2).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+    per_call = _rows(
+        ivf_pq_topk(
+            emb, qs, k=5, n_cells=8, nprobe=2, m=8, n_codes=16, round_to=4
+        ).select("query_id", "vec_id", "pq_score", "rank")
+    )
+    assert idx == per_call and len(idx) == 15

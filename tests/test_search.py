@@ -615,7 +615,14 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
     bm25_index_build(tiny_corpus, path, n_buckets=4)
     bm25_index_add(extras, path)
 
-    out = bm25_index_delete(spark, path, [1, 3, 10])  # incl. a NULL-text doc
+    # id 10 is a NULL-text (zero-token) doc: no postings, so the
+    # typo guard fires unless the caller vouches for the id set
+    with pytest.raises(ValueError, match="no postings"):
+        bm25_index_delete(spark, path, [1, 3, 10])
+    # a genuinely never-indexed id is the same loud error
+    with pytest.raises(ValueError, match="no postings"):
+        bm25_index_delete(spark, path, [999_999])
+    out = bm25_index_delete(spark, path, [1, 3, 10], allow_missing=True)
     assert out == {"deleted": 3, "version": 3}
     st = bm25_index_stats(spark, path)
     assert st["n_docs"] == 3 and st["pending_delete_batches"] == 1
@@ -659,6 +666,60 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
     ] == want
     bm25_index_add(readd, path)
     assert 1 in {
+        r.doc_id
+        for r in bm25_index_topk(spark, path, "spark", k=10).collect()
+    }
+
+
+def test_bm25_index_add_preserves_pending_tombstones(
+    spark, tiny_corpus, tmp_path
+):
+    """Regression (review r9): an add between a delete and its
+    compaction must carry the pending tombstone list through its
+    manifest — dropping it would resurrect the deleted docs while the
+    statistics still exclude them."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_delete,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus, path, n_buckets=4)
+    bm25_index_delete(spark, path, [4])  # the "spark SPARK Spark" doc
+    fresh = spark.createDataFrame(
+        [(20, "spark sparkles brightly")], "doc_id long, text string"
+    )
+    bm25_index_add(fresh, path)
+    st = bm25_index_stats(spark, path)
+    assert st["pending_delete_batches"] == 1
+    hits = {
+        r.doc_id
+        for r in bm25_index_topk(spark, path, "spark", k=10).collect()
+    }
+    assert 4 not in hits and 20 in hits
+    # scores equal a fresh build over (corpus - doc4 + doc20)
+    want_corpus = tiny_corpus.filter("doc_id <> 4").unionByName(fresh)
+    fresh_path = str(tmp_path / "fresh")
+    bm25_index_build(want_corpus, fresh_path, n_buckets=4)
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(
+            spark, fresh_path, "spark data", k=10
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    # and the compaction after the add still folds the tombstone
+    bm25_index_compact(spark, path, min_files_per_bucket=1)
+    assert bm25_index_stats(spark, path)["pending_delete_batches"] == 0
+    assert 4 not in {
         r.doc_id
         for r in bm25_index_topk(spark, path, "spark", k=10).collect()
     }
