@@ -1742,6 +1742,77 @@ def q_bm25_index_delete(spark, sf_dir):
     return out
 
 
+def q_bm25_index_upsert(spark, sf_dir):
+    """Version-scoped upsert: build the index over a corpus whose
+    doc_id%5==0 rows carry WRONG text, then upsert the true rows —
+    the tombstone hides only the old segments' postings while the
+    re-added rows (newer segment) are immediately visible, no
+    compaction in between, so the final index must score exactly as
+    a from-scratch build over the true corpus. index_version stamps
+    build=1, tombstone=2, append=3."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_upsert,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("zzqq wrongtext filler "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    work = tempfile.mkdtemp(prefix="bmidxu_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(mangled, path)
+    bm25_index_upsert(docs.filter(F.col("doc_id") % 5 == 0), path)
+    out = bm25_index_topk(
+        spark, path, "stream merge window", k=10
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_ann_index_delete(spark, sf_dir):
+    """Tombstone deletes on the persisted ANN index: build over the
+    full corpus (the model freezes there), delete every vec_id%5==0,
+    serve — the DuckDB oracle recomputes the full-corpus model and
+    drops the deleted ids from the candidate set only (deletion never
+    retrains). index_version stamps build=1, delete=2."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_delete,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annidxd_")
+    path = os.path.join(work, "idx")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    ann_index_delete(
+        spark,
+        path,
+        emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") >= 3))
+        .select("vec_id"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(spark, path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "index_version")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bm25_index_build(spark, sf_dir):
     """The index's vocabulary snapshot: per-term document frequency
     persisted at build time, value-checked against counting documents
@@ -2675,8 +2746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9 ...
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
+        "ann_index_delete": q_ann_index_delete,
         "bm25_index_phrase": q_bm25_index_phrase,
         "bm25_index_delete": q_bm25_index_delete,
+        "bm25_index_upsert": q_bm25_index_upsert,
         # ... entries whose code changed in r9 (BM25 index lifecycle +
         # deterministic batch scoring; ANN family over the
         # pq_encode/adc_score refactor) ...
@@ -2726,11 +2799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
         "merge_upsert": q_merge_upsert,
+        # --- past the window (123 entries, window = first 50):
+        # r7-green dedup/ANN/sampling surface first, then everything
+        # driver-checked green in r8 on code unchanged since
         "semantic_dedupe": q_semantic_dedupe,
         "minhash_pairs": q_minhash_pairs,
-        # --- past the window: r7-green dedup/ANN/sampling surface
-        # first, then everything driver-checked green in r8 on code
-        # unchanged since
         "simhash_pairs": q_simhash_pairs,
         "near_dedupe_cc": q_near_dedupe_cc,
         "dedupe_pairwise": q_dedupe_pairwise,
@@ -3994,6 +4067,86 @@ WHERE rnk <= 5
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,
+        # ann_index_delete: full-corpus model (deletion never
+        # retrains), deleted ids dropped from the CANDIDATE set only.
+        "ann_index_delete": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings
+), cents AS (
+  SELECT ridx AS cidx, embedding FROM ranked_ids WHERE ridx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+    AND NOT (a.vec_id % 5 = 0 AND a.vec_id >= 3)
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         floor(sum(list_inner_product(q.xs, cs.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN csub cs ON cs.j = e.j AND cs.code = e.code
+  JOIN qsub q ON q.query_id = c.query_id AND q.j = e.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, pq_score, CAST(2 AS INT) AS index_version
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
         # semantic_dedupe: survivors after the within-cell lower-id
         # drop rule, cells from the same hash-seeded assignment the
         # ann_ivf_hash_topk oracle recomputes.
@@ -4453,6 +4606,63 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # bm25_index_upsert: after replacing the mangled rows with the
+        # true ones, the index must score exactly as a from-scratch
+        # build over the TRUE corpus — the oracle is the plain BM25
+        # recompute; only the version stamp differs (build=1,
+        # tombstone=2, append=3).
+        "bm25_index_upsert": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank,
+                   CAST(3 AS INT) AS index_version
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
         """,
         # bm25_index_delete: the tombstone path must score EXACTLY as
         # a from-scratch BM25 over the surviving corpus — the oracle

@@ -9,7 +9,14 @@ not policy."""
 
 from __future__ import annotations
 
-__all__ = ["tag", "id_field_json", "id_field"]
+__all__ = ["tag", "seg_version", "id_field_json", "id_field"]
+
+
+def seg_version(name: str) -> int:
+    """The committing version baked into a segment/tombstone name by
+    :func:`tag` (``<prefix>-<version>-<random>``) — what the
+    version-scoped tombstone visibility rule compares against."""
+    return int(name.split("-")[1])
 
 
 def tag(n: int, prefix: str) -> str:

@@ -62,6 +62,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ann_index_build",
     "ann_index_add",
+    "ann_index_delete",
+    "ann_index_upsert",
     "ann_index_compact",
     "ann_index_stats",
     "ann_index_topk",
@@ -97,7 +99,7 @@ from parq_tools_spark.operators._index_common import (  # noqa: E402
 
 
 def _ann_sweep_orphans(vs, path: str) -> None:
-    """Drop seg-/model- entries no surviving manifest references
+    """Drop seg-/del-/model- entries no surviving manifest references
     (crashed operations, superseded generations past reader grace)."""
     import json
 
@@ -107,11 +109,52 @@ def _ann_sweep_orphans(vs, path: str) -> None:
             m = json.loads(vs.read_marker(n))
             referenced.update(m["segments"])
             referenced.add(m["model"])
+            referenced.update(e["dir"] for e in m.get("deletes", []))
     for entry, is_dir, _ in vs.fs.list_status(path):
-        if entry.startswith("seg-") and is_dir and entry not in referenced:
+        if (
+            entry.startswith(("seg-", "del-"))
+            and is_dir
+            and entry not in referenced
+        ):
             vs.fs.delete(f"{path}/{entry}")
         if entry.startswith("model-") and not is_dir and entry not in referenced:
             vs.fs.delete(f"{path}/{entry}")
+
+
+def _ann_delete_batches(spark, path: str, m: dict, id_col: str) -> list:
+    """Pending tombstones as ``[(upto, ids_df), ...]`` — the same
+    VERSION-SCOPED (LSM) semantics as the BM25 index: a tombstone
+    hides an id's code rows only in segments committed at or before
+    its ``upto`` version, so a later re-add/upsert is immediately
+    visible with no compaction in between."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    entries = m.get("deletes") or []
+    if not entries:
+        return []
+    fs = StateFS(spark, path)
+    return [
+        (e["upto"], spark.read.parquet(f"{path}/{e['dir']}"))
+        for e in entries
+        if fs.list_files(f"{path}/{e['dir']}")
+    ]
+
+
+def _ann_visible_scan(
+    spark, path: str, seg: str, batches: list, id_col: str
+) -> DataFrame:
+    """One segment's code rows with every applicable tombstone batch
+    (``upto`` >= the segment's version) anti-joined away."""
+    from functools import reduce
+
+    from parq_tools_spark.operators._index_common import seg_version
+
+    scan = spark.read.parquet(f"{path}/{seg}")
+    applicable = [df for upto, df in batches if upto >= seg_version(seg)]
+    if not applicable:
+        return scan
+    dels = reduce(DataFrame.unionByName, applicable)
+    return scan.join(F.broadcast(dels), on=id_col, how="left_anti")
 
 
 def _write_model(fs, path: str, name: str, centroids, codebooks, rotation):
@@ -305,6 +348,126 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     )
 
 
+def ann_index_delete(spark, path: str, ids) -> dict:
+    """Delete vectors from the index by id — VERSION-SCOPED
+    tombstones, the same LSM semantics as ``bm25_index_delete``: the
+    ids land in an immutable ``del-`` directory recorded with the
+    version it was committed at; serving anti-joins each segment
+    against only the tombstones covering its version, so a later
+    :func:`ann_index_add` of the same id is immediately visible (no
+    compaction needed — upserts stay O(batch)). The next
+    :func:`ann_index_compact` folds pending tombstones into the code
+    rows and clears the list. ``n_vecs`` decrements by the requested
+    count; every id MUST be a currently-visible vector (every indexed
+    vector has exactly one code row, so missing ids always raise —
+    there is no zero-token analogue here).
+
+    Returns ``{"deleted": n, "version": v}``."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    vs, cur, m = _ann_manifest(spark, path)
+    vs.clean_stale(cur)
+    _ann_sweep_orphans(vs, path)
+    id_col = m["params"]["id_col"]
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([_id_field(m)]),
+        ).distinct()
+    ids_df = ids_df.localCheckpoint(eager=True)
+    n_del = ids_df.count()
+    if n_del == 0:
+        return {"deleted": 0, "version": cur}
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _ann_delete_batches(spark, path, m, id_col)
+    n_found = 0
+    if live:
+        visible_ids = reduce(
+            DataFrame.unionByName,
+            [
+                _ann_visible_scan(spark, path, s, batches, id_col).select(
+                    id_col
+                )
+                for s in live
+            ],
+        ).join(F.broadcast(ids_df), on=id_col)
+        n_found = visible_ids.distinct().count()
+    if n_found < n_del:
+        raise ValueError(
+            f"ann_index_delete: {n_del - n_found} of {n_del} requested "
+            "id(s) are not visible in the index (typo, never indexed, "
+            "or already deleted) — deleting them would corrupt n_vecs"
+        )
+
+    del_dir = _tag(cur + 1, "del")
+    ids_df.write.mode("errorifexists").parquet(f"{path}/{del_dir}")
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "n_vecs": m["n_vecs"] - n_del,
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"deleted": n_del, "version": cur + 1}
+
+
+def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
+    """Insert-or-replace a batch of vectors: ids already visible are
+    tombstoned (one :func:`ann_index_delete` commit), then the whole
+    batch encodes under the frozen model and appends
+    (:func:`ann_index_add`) — O(batch + tombstone scan), never an
+    index rewrite. Returns ``{"updated": u, "inserted": i,
+    "version": v}``."""
+    from functools import reduce
+
+    spark = new_vecs.sparkSession
+    vs, cur, m = _ann_manifest(spark, path)
+    id_col = m["params"]["id_col"]
+    ids_df = new_vecs.select(F.col(id_col)).distinct()
+    n_batch = ids_df.count()
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    updated = 0
+    if live:
+        batches = _ann_delete_batches(spark, path, m, id_col)
+        existing = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    _ann_visible_scan(spark, path, s, batches, id_col)
+                    .select(id_col)
+                    for s in live
+                ],
+            )
+            .join(F.broadcast(ids_df), on=id_col)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        updated = existing.count()
+        if updated:
+            ann_index_delete(spark, path, existing)
+    ann_index_add(new_vecs, path)
+    return {
+        "updated": updated,
+        "inserted": n_batch - updated,
+        "version": _ann_vs(spark, path).current(),
+    }
+
+
 def ann_index_compact(
     spark,
     path: str,
@@ -342,30 +505,45 @@ def ann_index_compact(
         c: max(1, math.ceil(tot / target_file_bytes))
         for c, (cnt, tot) in per_cell.items()
     }
-    if not any(
+    # pending tombstones force a rewrite regardless of file counts —
+    # folding them into the code rows (and clearing the list) bounds
+    # the serving-time anti-join side
+    id_col = m["params"]["id_col"]
+    batches = _ann_delete_batches(spark, path, m, id_col)
+    if not batches and not any(
         cnt > min_files_per_cell and cnt > targets[c]
         for c, (cnt, tot) in per_cell.items()
     ):
         return {}
 
+    from functools import reduce
+
     new_seg = _tag(cur + 1, "seg")
     for c in sorted(per_cell):
-        srcs = [
-            f"{path}/{seg}/cell={c}"
+        # per-segment reads so each segment folds only the tombstones
+        # whose upto covers its version; the cell filter is partition
+        # pruning, so the rewrite stays map-only per cell
+        parts = [
+            _ann_visible_scan(spark, path, seg, batches, id_col).filter(
+                F.col("cell") == c
+            )
             for seg in m["segments"]
             if fs.exists(f"{path}/{seg}/cell={c}")
         ]
-        if not srcs:
+        if not parts:
             continue
         (
-            spark.read.parquet(*srcs)
+            reduce(DataFrame.unionByName, parts)
+            .drop("cell")
             .coalesce(targets[c])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/cell={c}")
         )
     vs.commit(
         cur + 1,
-        json.dumps({**m, "version": cur + 1, "segments": [new_seg]}),
+        json.dumps(
+            {**m, "version": cur + 1, "segments": [new_seg], "deletes": []}
+        ),
     )
 
     compacted = {}
@@ -385,7 +563,12 @@ def ann_index_stats(spark, path: str) -> dict:
     ``params`` — the staleness contract's inspection point (compare
     ``version`` against a query result's ``index_version``)."""
     _, cur, m = _ann_manifest(spark, path)
-    return {"version": cur, "n_vecs": m["n_vecs"], "params": m["params"]}
+    return {
+        "version": cur,
+        "n_vecs": m["n_vecs"],
+        "params": m["params"],
+        "pending_delete_batches": len(m.get("deletes", [])),
+    }
 
 
 def _probe_lists(q_mat, centroids, nprobe: int, round_to: int):
@@ -491,9 +674,11 @@ def ann_index_topk(
         )
     # the isin filter is a LITERAL predicate on the partition column,
     # so every segment scan prunes to the probed directories at
-    # planning time (PartitionFilters, locked by test)
+    # planning time (PartitionFilters, locked by test); pending
+    # tombstones apply per segment (version-scoped, broadcast)
+    batches = _ann_delete_batches(spark, path, m, id_col)
     scans = [
-        spark.read.parquet(f"{path}/{s}").filter(
+        _ann_visible_scan(spark, path, s, batches, id_col).filter(
             F.col("cell").isin(probed_cells)
         )
         for s in live

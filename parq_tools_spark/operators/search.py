@@ -45,6 +45,8 @@ __all__ = [
     "bm25_index_build",
     "bm25_index_add",
     "bm25_index_delete",
+    "bm25_index_upsert",
+    "bm25_index_apply_cdc",
     "bm25_index_compact",
     "bm25_index_stats",
     "bm25_index_topk",
@@ -663,22 +665,10 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     _bm25_sweep_orphans(vs, path)
     p = m["params"]
 
-    dels = _read_deletes(spark, path, m)
-    if dels is not None:
-        hit = (
-            new_docs.select(F.col(p["id_col"]).alias("doc_id"))
-            .join(F.broadcast(dels), on="doc_id")
-            .limit(1)
-            .count()
-        )
-        if hit:
-            raise ValueError(
-                "batch re-adds tombstoned document id(s): run "
-                "bm25_index_compact first (it folds pending deletes "
-                "into the postings), then re-add — appending now "
-                "would leave the new rows hidden behind the tombstone"
-            )
-
+    # re-adding a TOMBSTONED id is legal and immediately visible: the
+    # batch's postings land in segment version cur+1, beyond every
+    # pending tombstone's upto (= the version it was committed at) —
+    # the version-scoped visibility that makes upserts O(batch)
     n_new, dl_new = _corpus_counts(new_docs, p["text_col"])
     post = _postings(
         new_docs,
@@ -730,7 +720,7 @@ def _bm25_sweep_orphans(vs, path: str) -> None:
             m = json.loads(vs.read_marker(n))
             referenced.update(m["segments"])
             referenced.add(m["terms"])
-            referenced.update(m.get("deletes", []))
+            referenced.update(e["dir"] for e in m.get("deletes", []))
     for entry, is_dir, _ in vs.fs.list_status(path):
         if (
             is_dir
@@ -740,26 +730,50 @@ def _bm25_sweep_orphans(vs, path: str) -> None:
             vs.fs.delete(f"{path}/{entry}")
 
 
-def _read_deletes(spark, path: str, m: dict) -> Optional[DataFrame]:
-    """The manifest's pending tombstones as one ``(doc_id)`` relation,
-    or None when the version carries none. Tombstones are bounded:
-    compaction folds them into the postings and clears the list, so
-    the anti-join side stays broadcast-small between compactions."""
-    from functools import reduce
+from parq_tools_spark.operators._index_common import (  # noqa: E402
+    seg_version as _seg_version,
+)
 
+
+def _delete_batches(spark, path: str, m: dict) -> list:
+    """The manifest's pending tombstones as ``[(upto, ids_df), ...]``.
+
+    VERSION-SCOPED (LSM semantics): a tombstone hides an id's
+    postings only in segments committed at or before the tombstone's
+    ``upto`` version — postings in LATER segments are visible. That
+    is what makes upserts O(batch): delete + re-add needs no
+    compaction in between (the re-added rows land in a newer segment
+    the tombstone does not reach), so a CDC stream never pays an
+    O(index) rewrite per batch. Compaction still folds tombstones
+    into the rewritten postings and clears the list, which bounds the
+    anti-join side between compactions."""
     from parq_tools_spark.sources.statefs import StateFS
 
-    dirs = m.get("deletes") or []
-    if not dirs:
-        return None
+    entries = m.get("deletes") or []
+    if not entries:
+        return []
     fs = StateFS(spark, path)
-    live = [d for d in dirs if fs.list_files(f"{path}/{d}")]
-    if not live:
-        return None
-    return reduce(
-        DataFrame.unionByName,
-        [spark.read.parquet(f"{path}/{d}") for d in live],
-    )
+    return [
+        (e["upto"], spark.read.parquet(f"{path}/{e['dir']}"))
+        for e in entries
+        if fs.list_files(f"{path}/{e['dir']}")
+    ]
+
+
+def _visible_scan(spark, path: str, seg: str, batches: list) -> DataFrame:
+    """One segment's postings with every APPLICABLE tombstone batch
+    anti-joined away (those whose ``upto`` >= the segment's version —
+    later segments are out of a tombstone's reach). Broadcast
+    anti-joins: map-only on the already-pruned scan."""
+    from functools import reduce
+
+    v = _seg_version(seg)
+    scan = spark.read.parquet(f"{path}/{seg}")
+    applicable = [df for upto, df in batches if upto >= v]
+    if not applicable:
+        return scan
+    dels = reduce(DataFrame.unionByName, applicable)
+    return scan.join(F.broadcast(dels), on="doc_id", how="left_anti")
 
 
 def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dict:
@@ -767,28 +781,33 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     maintenance path (``streaming/cdc.py`` upserts become delete +
     :func:`bm25_index_add`).
 
-    Tombstone design: the ids land in an immutable ``del-`` directory
-    the new manifest references; query paths anti-join pending
-    tombstones against the postings read (broadcast — compaction
-    bounds them), and the NEXT :func:`bm25_index_compact` folds them
-    into the rewritten postings and clears the list. Statistics
+    Tombstone design — VERSION-SCOPED (LSM semantics): the ids land
+    in an immutable ``del-`` directory the new manifest references
+    together with the version it was committed at (``upto``); query
+    paths anti-join each segment against only the tombstones whose
+    ``upto`` covers that segment's version. A later
+    :func:`bm25_index_add` of the SAME id is therefore immediately
+    visible (its postings live in a newer segment the tombstone does
+    not reach) — delete + re-add needs NO compaction in between,
+    which is what keeps a CDC upsert stream O(batch) instead of
+    O(index rewrite) per batch. The next :func:`bm25_index_compact`
+    still folds pending tombstones into the rewritten postings and
+    clears the list (bounding the anti-join side). Statistics
     (``n_docs``, ``sum_dl``, the vocabulary's per-term df) are
-    decremented AT DELETE TIME from the deleted docs' own postings —
-    one segment scan filtered to the ids (a maintenance cost, not a
-    query cost) — so post-delete scores are EXACTLY what a
-    from-scratch build over the surviving corpus produces.
+    decremented AT DELETE TIME from the deleted docs' own VISIBLE
+    postings — one segment scan filtered to the ids (a maintenance
+    cost, not a query cost) — so post-delete scores are EXACTLY what
+    a from-scratch build over the surviving corpus produces.
 
-    ``ids`` is a sequence of ids or a one-column DataFrame. Deletes
-    are idempotent (already-tombstoned ids are skipped), and every id
-    MUST currently be in the index — ``n_docs`` decrements by the
-    requested count, so a never-indexed id would skew every later
-    idf/avgdl. The guard: an id with NO postings raises by default
-    (the typo case is loud). It is indistinguishable from a
-    legitimately-indexed ZERO-TOKEN document (NULL/empty text — in
-    ``n_docs``, no postings), so deleting those requires
-    ``allow_missing=True``, which trusts the caller's id set.
-    Re-adding a tombstoned id is refused by :func:`bm25_index_add`
-    until a compaction folds the tombstone.
+    ``ids`` is a sequence of ids or a one-column DataFrame. Every id
+    MUST be a currently-VISIBLE document — ``n_docs`` decrements by
+    the requested count, so a never-indexed (or already-deleted) id
+    would skew every later idf/avgdl. The guard: an id with no
+    visible postings raises by default (the typo and double-delete
+    cases are loud). A visible ZERO-TOKEN document (NULL/empty text —
+    in ``n_docs``, no postings) is indistinguishable from those, so
+    deleting one requires ``allow_missing=True``, which trusts the
+    caller's id set.
 
     Returns ``{"deleted": n, "version": v}``."""
     import json
@@ -810,9 +829,6 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
             [(i,) for i in ids],
             T.StructType([T.StructField("doc_id", id_type)]),
         ).distinct()
-    existing = _read_deletes(spark, path, m)
-    if existing is not None:
-        ids_df = ids_df.join(existing, on="doc_id", how="left_anti")
     # materialized once: the same id set drives the stats decrements,
     # the tombstone write and the count below
     ids_df = ids_df.localCheckpoint(eager=True)
@@ -822,10 +838,13 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
 
     fs = vs.fs
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _delete_batches(spark, path, m)
     if live:
+        # only VISIBLE postings count: a tombstoned-then-not-re-added
+        # id contributes nothing here and trips the guard below
         del_post = reduce(
             DataFrame.unionByName,
-            [spark.read.parquet(f"{path}/{s}") for s in live],
+            [_visible_scan(spark, path, s, batches) for s in live],
         ).join(F.broadcast(ids_df), on="doc_id")
         # one pass: per-term df decrements; dl rides along distinct
         found_dl = del_post.select("doc_id", "dl").distinct()
@@ -849,12 +868,13 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
         )
         raise ValueError(
             f"bm25_index_delete: {n_del - n_found} of {n_del} requested "
-            f"id(s) have no postings in the index (first few: "
-            f"{[r['doc_id'] for r in missing]}). Each is either a typo "
-            "(deleting it would silently corrupt n_docs and every "
-            "later idf/avgdl) or a legitimately-indexed ZERO-TOKEN "
-            "document — pass allow_missing=True only if you know the "
-            "ids are the latter."
+            f"id(s) have no VISIBLE postings in the index (first few: "
+            f"{[r['doc_id'] for r in missing]}). Each is a typo, an "
+            "already-deleted id (deleting it again would corrupt "
+            "n_docs and every later idf/avgdl), or a "
+            "legitimately-indexed ZERO-TOKEN document — pass "
+            "allow_missing=True only if you know the ids are visible "
+            "zero-token docs."
         )
 
     terms_dir = _tag(cur + 1, "terms")
@@ -885,11 +905,131 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
                 "n_docs": m["n_docs"] - n_del,
                 "sum_dl": m["sum_dl"] - dl_del,
                 "terms": terms_dir,
-                "deletes": m.get("deletes", []) + [del_dir],
+                # upto = cur: every live segment has version <= cur,
+                # and any LATER add lands outside this tombstone's
+                # reach — the scoping that makes re-adds legal
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
             }
         ),
     )
     return {"deleted": n_del, "version": cur + 1}
+
+
+def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
+    """Insert-or-replace a batch of documents: ids already VISIBLE in
+    the index are tombstoned (one :func:`bm25_index_delete` commit),
+    then the whole batch appends as one new segment
+    (:func:`bm25_index_add`) — immediately visible past the
+    tombstone's version scope, so the whole operation is O(batch +
+    tombstone scan), never an index rewrite. This is the primitive a
+    CDC 'U' op maps onto (:func:`bm25_index_apply_cdc`).
+
+    Probe caveat: a currently-indexed ZERO-TOKEN document has no
+    postings, so the visibility probe cannot see it — upserting such
+    an id would double-count it in ``n_docs``. If the corpus can
+    contain zero-token docs, delete those ids explicitly with
+    ``allow_missing=True`` first.
+
+    Returns ``{"updated": u, "inserted": i, "version": v}``."""
+    from functools import reduce
+
+    spark = new_docs.sparkSession
+    vs, cur, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    ids_df = new_docs.select(
+        F.col(p["id_col"]).alias("doc_id")
+    ).distinct()
+    n_batch = ids_df.count()
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    updated = 0
+    if live:
+        batches = _delete_batches(spark, path, m)
+        existing = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    _visible_scan(spark, path, s, batches).select("doc_id")
+                    for s in live
+                ],
+            )
+            .join(F.broadcast(ids_df), on="doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        updated = existing.count()
+        if updated:
+            bm25_index_delete(spark, path, existing)
+    bm25_index_add(new_docs, path)
+    new_version = _bm25_vs(spark, path).current()
+    return {
+        "updated": updated,
+        "inserted": n_batch - updated,
+        "version": new_version,
+    }
+
+
+def bm25_index_apply_cdc(
+    spark,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+) -> dict:
+    """Apply a CDC batch (the ``streaming/cdc.py`` convention:
+    ``op_col`` in 'I'/'U'/'D', optional ``seq_col`` ordering multiple
+    ops per id) to the index: the LAST op per id wins (by ``seq_col``
+    when given, else ids must be unique in the batch), final 'D' ids
+    are tombstoned and final 'I'/'U' rows upserted — two commits,
+    O(batch + tombstone scan) total, no compaction required.
+
+    Returns ``{"deleted": d, "updated": u, "inserted": i,
+    "version": v}``."""
+    _, _, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+
+    if seq_col is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+        final = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dup = (
+            changes.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"multiple ops per {id_col} in the CDC batch but no "
+                "seq_col to order them — pass seq_col"
+            )
+        final = changes
+    final = final.localCheckpoint(eager=True)
+
+    deletes = final.filter(F.col(op_col) == "D").select(id_col)
+    upserts = final.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+    if seq_col is not None and seq_col in upserts.columns:
+        upserts = upserts.drop(seq_col)
+
+    n_deleted = 0
+    if deletes.limit(1).count():
+        n_deleted = bm25_index_delete(spark, path, deletes)["deleted"]
+    out = {"deleted": n_deleted, "updated": 0, "inserted": 0}
+    if upserts.limit(1).count():
+        res = bm25_index_upsert(upserts, path)
+        out.update(
+            {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out["version"] = _bm25_vs(spark, path).current()
+    return out
 
 
 def bm25_index_compact(
@@ -933,31 +1073,34 @@ def bm25_index_compact(
     # pending tombstones force a rewrite regardless of file counts —
     # folding them into the postings (and clearing the list) is the
     # point of the delete protocol's compaction step
-    dels = _read_deletes(spark, path, m)
-    if dels is None and not any(
+    batches = _delete_batches(spark, path, m)
+    if not batches and not any(
         cnt > min_files_per_bucket and cnt > targets[b]
         for b, (cnt, tot) in per_bucket.items()
     ):
         return {}
 
+    from functools import reduce
+
     new_seg = _tag(cur + 1, "seg")
     for b in sorted(per_bucket):
-        srcs = [
-            f"{path}/{seg}/tbucket={b}"
+        # per-segment reads so each segment folds only the tombstones
+        # whose upto covers its version (broadcast anti-joins — the
+        # per-bucket rewrite stays map-only: the bucket is the
+        # directory, no shuffle)
+        parts = [
+            _visible_scan(spark, path, seg, batches).filter(
+                F.col("tbucket") == b
+            )
             for seg in m["segments"]
             if fs.exists(f"{path}/{seg}/tbucket={b}")
         ]
-        if not srcs:
+        if not parts:
             continue
-        bucket = spark.read.parquet(*srcs)
-        if dels is not None:
-            # broadcast anti-join: the per-bucket rewrite stays
-            # map-only (no shuffle — the bucket is the directory)
-            bucket = bucket.join(
-                F.broadcast(dels), on="doc_id", how="left_anti"
-            )
         (
-            bucket.coalesce(targets[b])
+            reduce(DataFrame.unionByName, parts)
+            .drop("tbucket")
+            .coalesce(targets[b])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/tbucket={b}")
         )
@@ -997,6 +1140,10 @@ def bm25_index_stats(spark, path: str) -> dict:
 
 
 def _read_postings(spark, path: str, m: dict, terms: list) -> DataFrame:
+    """The query terms' VISIBLE postings across the manifest's
+    segments: bucket-pruned, term-filter pushed, and per-segment
+    version-scoped tombstone anti-joins applied (so every serving
+    path shares one visibility definition)."""
     from functools import reduce
 
     from parq_tools_spark.sources.statefs import StateFS
@@ -1009,8 +1156,9 @@ def _read_postings(spark, path: str, m: dict, terms: list) -> DataFrame:
     ]
     if not live:
         return None
+    batches = _delete_batches(spark, path, m)
     scans = [
-        spark.read.parquet(f"{path}/{s}").filter(
+        _visible_scan(spark, path, s, batches).filter(
             F.col("tbucket").isin(buckets) & F.col("term").isin(terms)
         )
         for s in live
@@ -1158,9 +1306,6 @@ def bm25_index_topk(
     post = _read_postings(spark, path, m, read_terms)
     if post is None:
         return _empty_topk(spark, m)
-    dels = _read_deletes(spark, path, m)
-    if dels is not None:
-        post = post.join(F.broadcast(dels), on="doc_id", how="left_anti")
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -1281,9 +1426,6 @@ def bm25_index_topk_batch(
                 query_id_col, queries.schema[query_id_col].dataType
             ),
         )
-    dels = _read_deletes(spark, path, m)
-    if dels is not None:
-        post = post.join(F.broadcast(dels), on="doc_id", how="left_anti")
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)

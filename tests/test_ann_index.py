@@ -12,8 +12,10 @@ from parq_tools_spark.operators.ann_index import (
     ann_index_add,
     ann_index_build,
     ann_index_compact,
+    ann_index_delete,
     ann_index_stats,
     ann_index_topk,
+    ann_index_upsert,
 )
 
 
@@ -233,3 +235,61 @@ def test_round_to_forwarded_everywhere(spark, emb, tmp_path):
         ).select("query_id", "vec_id", "pq_score", "rank")
     )
     assert idx == per_call and len(idx) == 15
+
+
+def test_ann_index_delete_upsert_lifecycle(spark, emb, tmp_path):
+    """Version-scoped tombstones on the ANN index: delete hides a
+    vector from serving; upsert (replace embedding) is immediately
+    visible without compaction; compaction folds tombstones and
+    preserves results; invalid deletes raise."""
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3).localCheckpoint(eager=True)
+    full = ann_index_topk(spark, path, qs, k=50, nprobe=8)
+    victim = int(
+        full.filter(F.col("rank") == 1).first()["vec_id"]
+    )
+
+    out = ann_index_delete(spark, path, [victim])
+    assert out["deleted"] == 1
+    st = ann_index_stats(spark, path)
+    assert st["n_vecs"] == emb.count() - 1
+    assert st["pending_delete_batches"] == 1
+    served = ann_index_topk(spark, path, qs, k=50, nprobe=8)
+    assert served.filter(F.col("vec_id") == victim).count() == 0
+
+    # double delete: loud
+    with pytest.raises(ValueError, match="not visible"):
+        ann_index_delete(spark, path, [victim])
+    # never-indexed id: loud
+    with pytest.raises(ValueError, match="not visible"):
+        ann_index_delete(spark, path, [987654321])
+
+    # upsert the victim back with a DIFFERENT embedding: visible at
+    # once (no compaction), codes re-encoded under the frozen model
+    replacement = emb.filter(F.col("vec_id") == victim + 7).withColumn(
+        "vec_id", F.lit(victim).cast("long")
+    ).select("vec_id", "embedding")
+    res = ann_index_upsert(replacement, path)
+    assert (res["updated"], res["inserted"]) == (0, 1)  # was deleted -> insert
+    # a second upsert of the same id IS an update
+    res2 = ann_index_upsert(replacement, path)
+    assert (res2["updated"], res2["inserted"]) == (1, 0)
+    assert ann_index_stats(spark, path)["n_vecs"] == emb.count()
+    back = ann_index_topk(spark, path, qs, k=200, nprobe=8)
+    assert back.filter(F.col("vec_id") == victim).count() > 0
+
+    # compaction folds, results bit-identical before/after
+    pre = _rows(
+        ann_index_topk(spark, path, qs, k=10, nprobe=8).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+    ann_index_compact(spark, path, min_files_per_cell=1)
+    assert ann_index_stats(spark, path)["pending_delete_batches"] == 0
+    post = _rows(
+        ann_index_topk(spark, path, qs, k=10, nprobe=8).select(
+            "query_id", "vec_id", "pq_score", "rank"
+        )
+    )
+    assert post == pre

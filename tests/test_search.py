@@ -617,10 +617,10 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
 
     # id 10 is a NULL-text (zero-token) doc: no postings, so the
     # typo guard fires unless the caller vouches for the id set
-    with pytest.raises(ValueError, match="no postings"):
+    with pytest.raises(ValueError, match="no VISIBLE postings"):
         bm25_index_delete(spark, path, [1, 3, 10])
     # a genuinely never-indexed id is the same loud error
-    with pytest.raises(ValueError, match="no postings"):
+    with pytest.raises(ValueError, match="no VISIBLE postings"):
         bm25_index_delete(spark, path, [999_999])
     out = bm25_index_delete(spark, path, [1, 3, 10], allow_missing=True)
     assert out == {"deleted": 3, "version": 3}
@@ -645,30 +645,45 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
     assert got == want and len(got) > 0
     assert 1 not in {d for d, _, _ in got} and 3 not in {d for d, _, _ in got}
 
-    # idempotent: re-deleting tombstoned ids is a no-op
-    assert bm25_index_delete(spark, path, [1, 3])["deleted"] == 0
+    # re-deleting an already-tombstoned id: no visible postings ->
+    # the guard fires (silent double-decrement would corrupt n_docs)
+    with pytest.raises(ValueError, match="no VISIBLE postings"):
+        bm25_index_delete(spark, path, [1, 3])
 
-    # re-adding a tombstoned id is refused pre-compaction
+    # version-scoped tombstones: re-adding a tombstoned id is legal
+    # and IMMEDIATELY visible (its postings land in a newer segment,
+    # beyond the tombstone's upto) — no compaction needed
     readd = spark.createDataFrame(
         [(1, "spark streams data again")], "doc_id long, text string"
     )
-    with pytest.raises(ValueError, match="tombstoned"):
-        bm25_index_add(readd, path)
-
-    # compaction folds tombstones: results unchanged, list cleared,
-    # the id becomes re-addable
-    compacted = bm25_index_compact(spark, path, min_files_per_bucket=1)
-    assert compacted or True  # forced rewrite may or may not shrink files
-    assert bm25_index_stats(spark, path)["pending_delete_batches"] == 0
-    assert [
-        (r.doc_id, r.score, r.rank)
-        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
-    ] == want
     bm25_index_add(readd, path)
-    assert 1 in {
+    hits = {
         r.doc_id
         for r in bm25_index_topk(spark, path, "spark", k=10).collect()
     }
+    assert 1 in hits and 3 not in hits
+    # ...and equals a fresh build over (survivors + the re-added row)
+    fresh2 = str(tmp_path / "fresh2")
+    bm25_index_build(survivors.unionByName(readd), fresh2, n_buckets=4)
+    assert [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ] == [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, fresh2, "spark data", k=10
+        ).collect()
+    ]
+
+    # compaction folds tombstones: results unchanged, list cleared,
+    # and the re-added row survives the fold
+    bm25_index_compact(spark, path, min_files_per_bucket=1)
+    assert bm25_index_stats(spark, path)["pending_delete_batches"] == 0
+    after = {
+        r.doc_id
+        for r in bm25_index_topk(spark, path, "spark", k=10).collect()
+    }
+    assert 1 in after and 3 not in after
 
 
 def test_bm25_index_add_preserves_pending_tombstones(
@@ -723,3 +738,81 @@ def test_bm25_index_add_preserves_pending_tombstones(
         r.doc_id
         for r in bm25_index_topk(spark, path, "spark", k=10).collect()
     }
+
+
+def test_bm25_index_upsert_and_cdc_apply(spark, tiny_corpus, tmp_path):
+    """Upsert = version-scoped tombstone + append, O(batch): mixed
+    update/insert batches must leave the index scoring exactly as a
+    from-scratch build over the final corpus; bm25_index_apply_cdc
+    maps I/U/D (last op per id by seq) onto delete + upsert."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_apply_cdc,
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_upsert,
+    )
+
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(tiny_corpus, path, n_buckets=4)
+    # doc 1 gets new text (update), doc 50 is new (insert)
+    batch = spark.createDataFrame(
+        [(1, "spark rewrites its own data"), (50, "fresh spark document")],
+        "doc_id long, text string",
+    )
+    out = bm25_index_upsert(batch, path)
+    assert (out["updated"], out["inserted"]) == (1, 1)
+
+    final_corpus = tiny_corpus.filter("doc_id <> 1").unionByName(batch)
+    fresh = str(tmp_path / "fresh")
+    bm25_index_build(final_corpus, fresh, n_buckets=4)
+    got = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, path, "spark data", k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, fresh, "spark data", k=10).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # CDC batch: delete doc 2, update doc 3 twice (seq orders them),
+    # insert doc 60
+    changes = spark.createDataFrame(
+        [
+            (2, None, "D", 1),
+            (3, "intermediate text", "U", 1),
+            (3, "final data text", "U", 2),
+            (60, "brand new data entry", "I", 1),
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    res = bm25_index_apply_cdc(spark, path, changes, seq_col="seq")
+    assert (res["deleted"], res["updated"], res["inserted"]) == (1, 1, 1)
+
+    final2 = (
+        final_corpus.filter("doc_id NOT IN (2, 3)")
+        .unionByName(
+            spark.createDataFrame(
+                [(3, "final data text"), (60, "brand new data entry")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    fresh2 = str(tmp_path / "fresh_cdc")
+    bm25_index_build(final2, fresh2, n_buckets=4)
+    got2 = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, path, "data text", k=10).collect()
+    ]
+    want2 = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(spark, fresh2, "data text", k=10).collect()
+    ]
+    assert got2 == want2 and len(got2) > 0
+
+    # unordered duplicate ops without seq_col: loud error
+    dup = spark.createDataFrame(
+        [(5, "a", "I"), (5, "b", "U")], "doc_id long, text string, op string"
+    )
+    with pytest.raises(ValueError, match="seq_col"):
+        bm25_index_apply_cdc(spark, path, dup)
