@@ -9,7 +9,80 @@ not policy."""
 
 from __future__ import annotations
 
-__all__ = ["tag", "seg_version", "id_field_json", "id_field"]
+__all__ = [
+    "tag",
+    "seg_version",
+    "id_field_json",
+    "id_field",
+    "delete_entries",
+    "delete_batches",
+    "visible_scan",
+]
+
+#: Legacy (pre-version-scoped) tombstones hid EVERY segment — an
+#: upto above any real version reproduces that exactly.
+_LEGACY_UPTO = 1 << 62
+
+
+def delete_entries(m: dict) -> list:
+    """The manifest's tombstone entries normalized to
+    ``[{"dir", "upto"}, ...]``. Entries written by the brief
+    pre-version-scoped format (plain directory-name strings, global
+    scope) normalize to ``upto`` = +inf-like — under the old contract
+    no re-add could land after such a tombstone, so hiding every
+    segment reproduces its semantics; the next compaction folds and
+    clears them into the new format."""
+    out = []
+    for e in m.get("deletes") or []:
+        if isinstance(e, str):
+            out.append({"dir": e, "upto": _LEGACY_UPTO})
+        else:
+            out.append(e)
+    return out
+
+
+def delete_batches(spark, path: str, m: dict) -> list:
+    """Pending tombstones as ``[(upto, ids_df), ...]``.
+
+    VERSION-SCOPED (LSM semantics): a tombstone hides an id's rows
+    only in segments committed at or before the tombstone's ``upto``
+    version — rows in LATER segments are visible. That is what makes
+    upserts O(batch): delete + re-add needs no compaction in between
+    (the re-added rows land in a newer segment the tombstone does
+    not reach), so a CDC stream never pays an O(index) rewrite per
+    batch. Compaction still folds tombstones into the rewritten rows
+    and clears the list, which bounds the anti-join side between
+    compactions. ONE definition shared by every index family — the
+    visibility rule is protocol and must never fork."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    entries = delete_entries(m)
+    if not entries:
+        return []
+    fs = StateFS(spark, path)
+    return [
+        (e["upto"], spark.read.parquet(f"{path}/{e['dir']}"))
+        for e in entries
+        if fs.list_files(f"{path}/{e['dir']}")
+    ]
+
+
+def visible_scan(spark, path: str, seg: str, batches: list, id_col: str):
+    """One segment's rows with every APPLICABLE tombstone batch
+    anti-joined away (those whose ``upto`` >= the segment's version —
+    later segments are out of a tombstone's reach). Broadcast
+    anti-joins: map-only on the already-pruned scan."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    scan = spark.read.parquet(f"{path}/{seg}")
+    applicable = [df for upto, df in batches if upto >= seg_version(seg)]
+    if not applicable:
+        return scan
+    dels = reduce(DataFrame.unionByName, applicable)
+    return scan.join(F.broadcast(dels), on=id_col, how="left_anti")
 
 
 def seg_version(name: str) -> int:

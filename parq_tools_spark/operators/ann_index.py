@@ -109,7 +109,7 @@ def _ann_sweep_orphans(vs, path: str) -> None:
             m = json.loads(vs.read_marker(n))
             referenced.update(m["segments"])
             referenced.add(m["model"])
-            referenced.update(e["dir"] for e in m.get("deletes", []))
+            referenced.update(e["dir"] for e in _delete_entries(m))
     for entry, is_dir, _ in vs.fs.list_status(path):
         if (
             entry.startswith(("seg-", "del-"))
@@ -121,40 +121,21 @@ def _ann_sweep_orphans(vs, path: str) -> None:
             vs.fs.delete(f"{path}/{entry}")
 
 
+from parq_tools_spark.operators._index_common import (  # noqa: E402
+    delete_batches as _ann_delete_batches_impl,
+    delete_entries as _delete_entries,
+    visible_scan as _ann_visible_scan,
+)
+
+
 def _ann_delete_batches(spark, path: str, m: dict, id_col: str) -> list:
-    """Pending tombstones as ``[(upto, ids_df), ...]`` — the same
-    VERSION-SCOPED (LSM) semantics as the BM25 index: a tombstone
-    hides an id's code rows only in segments committed at or before
-    its ``upto`` version, so a later re-add/upsert is immediately
-    visible with no compaction in between."""
-    from parq_tools_spark.sources.statefs import StateFS
-
-    entries = m.get("deletes") or []
-    if not entries:
-        return []
-    fs = StateFS(spark, path)
-    return [
-        (e["upto"], spark.read.parquet(f"{path}/{e['dir']}"))
-        for e in entries
-        if fs.list_files(f"{path}/{e['dir']}")
-    ]
-
-
-def _ann_visible_scan(
-    spark, path: str, seg: str, batches: list, id_col: str
-) -> DataFrame:
-    """One segment's code rows with every applicable tombstone batch
-    (``upto`` >= the segment's version) anti-joined away."""
-    from functools import reduce
-
-    from parq_tools_spark.operators._index_common import seg_version
-
-    scan = spark.read.parquet(f"{path}/{seg}")
-    applicable = [df for upto, df in batches if upto >= seg_version(seg)]
-    if not applicable:
-        return scan
-    dels = reduce(DataFrame.unionByName, applicable)
-    return scan.join(F.broadcast(dels), on=id_col, how="left_anti")
+    """Pending tombstones, version-scoped — ONE shared definition
+    with the BM25 index (:func:`~parq_tools_spark.operators.
+    _index_common.delete_batches`): a tombstone hides an id's code
+    rows only in segments committed at or before its ``upto``
+    version, so a later re-add/upsert is immediately visible with no
+    compaction in between."""
+    return _ann_delete_batches_impl(spark, path, m)
 
 
 def _write_model(fs, path: str, name: str, centroids, codebooks, rotation):
@@ -348,7 +329,7 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     )
 
 
-def ann_index_delete(spark, path: str, ids) -> dict:
+def ann_index_delete(spark, path: str, ids, _verified: bool = False) -> dict:
     """Delete vectors from the index by id — VERSION-SCOPED
     tombstones, the same LSM semantics as ``bm25_index_delete``: the
     ids land in an immutable ``del-`` directory recorded with the
@@ -385,27 +366,32 @@ def ann_index_delete(spark, path: str, ids) -> dict:
     if n_del == 0:
         return {"deleted": 0, "version": cur}
 
-    fs = vs.fs
-    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
-    batches = _ann_delete_batches(spark, path, m, id_col)
-    n_found = 0
-    if live:
-        visible_ids = reduce(
-            DataFrame.unionByName,
-            [
-                _ann_visible_scan(spark, path, s, batches, id_col).select(
-                    id_col
-                )
-                for s in live
-            ],
-        ).join(F.broadcast(ids_df), on=id_col)
-        n_found = visible_ids.distinct().count()
-    if n_found < n_del:
-        raise ValueError(
-            f"ann_index_delete: {n_del - n_found} of {n_del} requested "
-            "id(s) are not visible in the index (typo, never indexed, "
-            "or already deleted) — deleting them would corrupt n_vecs"
-        )
+    if not _verified:
+        # _verified=True is the upsert fast path: the caller just
+        # derived ``ids`` FROM the visible rows, so re-scanning to
+        # prove visibility would read the code rows twice per batch
+        fs = vs.fs
+        live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+        batches = _ann_delete_batches(spark, path, m, id_col)
+        n_found = 0
+        if live:
+            visible_ids = reduce(
+                DataFrame.unionByName,
+                [
+                    _ann_visible_scan(
+                        spark, path, s, batches, id_col
+                    ).select(id_col)
+                    for s in live
+                ],
+            ).join(F.broadcast(ids_df), on=id_col)
+            n_found = visible_ids.distinct().count()
+        if n_found < n_del:
+            raise ValueError(
+                f"ann_index_delete: {n_del - n_found} of {n_del} "
+                "requested id(s) are not visible in the index (typo, "
+                "never indexed, or already deleted) — deleting them "
+                "would corrupt n_vecs"
+            )
 
     del_dir = _tag(cur + 1, "del")
     ids_df.write.mode("errorifexists").parquet(f"{path}/{del_dir}")
@@ -436,8 +422,15 @@ def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
     spark = new_vecs.sparkSession
     vs, cur, m = _ann_manifest(spark, path)
     id_col = m["params"]["id_col"]
+    n_rows = new_vecs.count()
     ids_df = new_vecs.select(F.col(id_col)).distinct()
     n_batch = ids_df.count()
+    if n_batch < n_rows:
+        raise ValueError(
+            f"ann_index_upsert: batch carries {n_rows - n_batch} "
+            f"duplicate {id_col} row(s) — one vector per id (a "
+            "duplicate would append twice and corrupt n_vecs)"
+        )
 
     fs = vs.fs
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
@@ -459,7 +452,8 @@ def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
         )
         updated = existing.count()
         if updated:
-            ann_index_delete(spark, path, existing)
+            # ids came FROM the visible rows — skip the re-scan
+            ann_index_delete(spark, path, existing, _verified=True)
     ann_index_add(new_vecs, path)
     return {
         "updated": updated,

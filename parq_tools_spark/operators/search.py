@@ -625,6 +625,7 @@ def bm25_index_build(
     post = _postings(corpus, id_col, text_col, store_positions)
     seg = _tag(new, "seg")
     _write_postings_segment(post, f"{path}/{seg}", n_buckets)
+    _write_segment_docs(corpus, id_col, text_col, f"{path}/{seg}")
     terms_dir = _tag(new, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
     # plain count — no second distinct pass over the corpus
@@ -678,6 +679,7 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     )
     seg = _tag(cur + 1, "seg")
     _write_postings_segment(post, f"{path}/{seg}", p["n_buckets"])
+    _write_segment_docs(new_docs, p["id_col"], p["text_col"], f"{path}/{seg}")
     batch_terms = _segment_terms(spark, path, seg)
     terms_dir = _tag(cur + 1, "terms")
     _write_terms(
@@ -720,7 +722,7 @@ def _bm25_sweep_orphans(vs, path: str) -> None:
             m = json.loads(vs.read_marker(n))
             referenced.update(m["segments"])
             referenced.add(m["terms"])
-            referenced.update(e["dir"] for e in m.get("deletes", []))
+            referenced.update(e["dir"] for e in _delete_entries(m))
     for entry, is_dir, _ in vs.fs.list_status(path):
         if (
             is_dir
@@ -731,49 +733,95 @@ def _bm25_sweep_orphans(vs, path: str) -> None:
 
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
-    seg_version as _seg_version,
+    delete_batches as _delete_batches_impl,
+    delete_entries as _delete_entries,
+    visible_scan as _visible_scan_impl,
 )
 
 
 def _delete_batches(spark, path: str, m: dict) -> list:
-    """The manifest's pending tombstones as ``[(upto, ids_df), ...]``.
-
-    VERSION-SCOPED (LSM semantics): a tombstone hides an id's
-    postings only in segments committed at or before the tombstone's
-    ``upto`` version — postings in LATER segments are visible. That
-    is what makes upserts O(batch): delete + re-add needs no
-    compaction in between (the re-added rows land in a newer segment
-    the tombstone does not reach), so a CDC stream never pays an
-    O(index) rewrite per batch. Compaction still folds tombstones
-    into the rewritten postings and clears the list, which bounds the
-    anti-join side between compactions."""
-    from parq_tools_spark.sources.statefs import StateFS
-
-    entries = m.get("deletes") or []
-    if not entries:
-        return []
-    fs = StateFS(spark, path)
-    return [
-        (e["upto"], spark.read.parquet(f"{path}/{e['dir']}"))
-        for e in entries
-        if fs.list_files(f"{path}/{e['dir']}")
-    ]
+    """Pending tombstones, version-scoped — see
+    :func:`~parq_tools_spark.operators._index_common.delete_batches`
+    (ONE shared definition across the index families)."""
+    return _delete_batches_impl(spark, path, m)
 
 
 def _visible_scan(spark, path: str, seg: str, batches: list) -> DataFrame:
-    """One segment's postings with every APPLICABLE tombstone batch
-    anti-joined away (those whose ``upto`` >= the segment's version —
-    later segments are out of a tombstone's reach). Broadcast
-    anti-joins: map-only on the already-pruned scan."""
+    return _visible_scan_impl(spark, path, seg, batches, "doc_id")
+
+
+def _write_segment_docs(
+    corpus: DataFrame, id_col: str, text_col: str, seg_path: str
+) -> None:
+    """Write the segment's DOC-LEVEL sidecar ``<seg>/_docs`` —
+    ``(doc_id, dl)`` for EVERY batch document, including zero-token
+    ones (NULL/empty text), which have no postings and would
+    otherwise be invisible to membership probes. The underscore
+    prefix keeps Spark's partition discovery from mixing it into the
+    postings reads; only maintenance paths (delete/upsert guards and
+    stats) touch it."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    (
+        corpus.select(
+            F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+        )
+        .write.mode("errorifexists")
+        .parquet(f"{seg_path}/_docs")
+    )
+
+
+def _segment_docs(spark, path: str, seg: str) -> Optional[DataFrame]:
+    """One segment's ``(doc_id, dl)`` doc table: the ``_docs``
+    sidecar when present, else (legacy segments written before the
+    sidecar existed) the distinct doc rows of its postings — exact
+    except that legacy zero-token docs are invisible, the documented
+    ``allow_missing`` escape."""
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, path)
+    files = fs.list_files(f"{path}/{seg}/_docs")
+    if files:
+        # the part-files are passed EXPLICITLY: handing Spark the
+        # `_docs` directory itself trips the hidden-path filter (an
+        # "All paths were ignored" warning and behavior that only
+        # works by accident); explicit leaf files bypass it cleanly
+        return spark.read.parquet(
+            *[f"{path}/{seg}/_docs/{f}" for f in files]
+        )
+    if fs.list_files(f"{path}/{seg}"):
+        return (
+            spark.read.parquet(f"{path}/{seg}")
+            .select("doc_id", "dl")
+            .distinct()
+        )
+    return None
+
+
+def _visible_docs(spark, path: str, m: dict) -> Optional[DataFrame]:
+    """All VISIBLE documents ``(doc_id, dl)`` across the manifest's
+    segments (per-segment version-scoped tombstone anti-joins) — the
+    exact membership relation the delete guard and the upsert probe
+    key on."""
     from functools import reduce
 
-    v = _seg_version(seg)
-    scan = spark.read.parquet(f"{path}/{seg}")
-    applicable = [df for upto, df in batches if upto >= v]
-    if not applicable:
-        return scan
-    dels = reduce(DataFrame.unionByName, applicable)
-    return scan.join(F.broadcast(dels), on="doc_id", how="left_anti")
+    from parq_tools_spark.operators._index_common import seg_version
+
+    batches = _delete_batches(spark, path, m)
+    parts = []
+    for seg in m["segments"]:
+        docs = _segment_docs(spark, path, seg)
+        if docs is None:
+            continue
+        applicable = [
+            df for upto, df in batches if upto >= seg_version(seg)
+        ]
+        if applicable:
+            dels = reduce(DataFrame.unionByName, applicable)
+            docs = docs.join(F.broadcast(dels), on="doc_id", how="left_anti")
+        parts.append(docs)
+    if not parts:
+        return None
+    return reduce(DataFrame.unionByName, parts)
 
 
 def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dict:
@@ -802,12 +850,13 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     ``ids`` is a sequence of ids or a one-column DataFrame. Every id
     MUST be a currently-VISIBLE document — ``n_docs`` decrements by
     the requested count, so a never-indexed (or already-deleted) id
-    would skew every later idf/avgdl. The guard: an id with no
-    visible postings raises by default (the typo and double-delete
-    cases are loud). A visible ZERO-TOKEN document (NULL/empty text —
-    in ``n_docs``, no postings) is indistinguishable from those, so
-    deleting one requires ``allow_missing=True``, which trusts the
-    caller's id set.
+    would skew every later idf/avgdl. The guard keys on the
+    per-segment ``_docs`` doc table, which records ZERO-TOKEN
+    documents too, so it is exact: missing ids raise by default (the
+    typo and double-delete cases are loud). ``allow_missing=True``
+    exists only for LEGACY segments written before the sidecar
+    (there a zero-token doc has no doc row and is invisible to the
+    probe).
 
     Returns ``{"deleted": n, "version": v}``."""
     import json
@@ -837,45 +886,56 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
         return {"deleted": 0, "version": cur}
 
     fs = vs.fs
-    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
-    batches = _delete_batches(spark, path, m)
-    if live:
-        # only VISIBLE postings count: a tombstoned-then-not-re-added
-        # id contributes nothing here and trips the guard below
-        del_post = reduce(
-            DataFrame.unionByName,
-            [_visible_scan(spark, path, s, batches) for s in live],
-        ).join(F.broadcast(ids_df), on="doc_id")
-        # one pass: per-term df decrements; dl rides along distinct
-        found_dl = del_post.select("doc_id", "dl").distinct()
-        row = found_dl.agg(
+    # membership + dl from the VISIBLE doc table (the _docs sidecar
+    # sees zero-token docs too, so the guard is exact on segments
+    # written since it exists); a tombstoned-then-not-re-added id is
+    # not visible and trips the guard
+    vdocs = _visible_docs(spark, path, m)
+    if vdocs is not None:
+        found = (
+            vdocs.join(F.broadcast(ids_df), on="doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = found.agg(
             F.coalesce(F.sum("dl"), F.lit(0)), F.count(F.lit(1))
         ).first()
         dl_del, n_found = int(row[0]), int(row[1])
-        dec = del_post.groupBy("term").agg(
-            F.count(F.lit(1)).cast("long").alias("_dec")
-        )
     else:
         dl_del, n_found = 0, 0
-        dec = None
     if n_found < n_del and not allow_missing:
         missing = (
             ids_df.join(
-                del_post.select("doc_id").distinct(), "doc_id", "left_anti"
+                found.select("doc_id"), "doc_id", "left_anti"
             ).limit(5).collect()
-            if live
+            if vdocs is not None
             else ids_df.limit(5).collect()
         )
         raise ValueError(
             f"bm25_index_delete: {n_del - n_found} of {n_del} requested "
-            f"id(s) have no VISIBLE postings in the index (first few: "
-            f"{[r['doc_id'] for r in missing]}). Each is a typo, an "
-            "already-deleted id (deleting it again would corrupt "
-            "n_docs and every later idf/avgdl), or a "
-            "legitimately-indexed ZERO-TOKEN document — pass "
-            "allow_missing=True only if you know the ids are visible "
-            "zero-token docs."
+            f"id(s) are not VISIBLE in the index (first few: "
+            f"{[r['doc_id'] for r in missing]}). Each is a typo, never "
+            "indexed, or already deleted — deleting it would corrupt "
+            "n_docs and every later idf/avgdl. (On LEGACY segments "
+            "written before the _docs sidecar, a zero-token document "
+            "is also invisible here — pass allow_missing=True only "
+            "for that case.)"
         )
+    # per-term df decrements from the deleted docs' visible postings
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _delete_batches(spark, path, m)
+    if live:
+        dec = (
+            reduce(
+                DataFrame.unionByName,
+                [_visible_scan(spark, path, s, batches) for s in live],
+            )
+            .join(F.broadcast(ids_df), on="doc_id")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("_dec"))
+        )
+    else:
+        dec = None
 
     terms_dir = _tag(cur + 1, "terms")
     old_terms = _read_terms(spark, path, m)
@@ -922,39 +982,35 @@ def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
     then the whole batch appends as one new segment
     (:func:`bm25_index_add`) — immediately visible past the
     tombstone's version scope, so the whole operation is O(batch +
-    tombstone scan), never an index rewrite. This is the primitive a
+    doc-table scan), never an index rewrite. This is the primitive a
     CDC 'U' op maps onto (:func:`bm25_index_apply_cdc`).
 
-    Probe caveat: a currently-indexed ZERO-TOKEN document has no
-    postings, so the visibility probe cannot see it — upserting such
-    an id would double-count it in ``n_docs``. If the corpus can
-    contain zero-token docs, delete those ids explicitly with
-    ``allow_missing=True`` first.
+    The probe keys on the ``_docs`` doc table, which records
+    zero-token documents too — replacing a NULL-text doc works and
+    counts as an update. Batch ids must be UNIQUE (one text per id;
+    duplicate rows would double-count statistics and raise here).
 
     Returns ``{"updated": u, "inserted": i, "version": v}``."""
-    from functools import reduce
-
     spark = new_docs.sparkSession
     vs, cur, m = _bm25_manifest(spark, path)
     p = m["params"]
+    n_rows = new_docs.count()
     ids_df = new_docs.select(
         F.col(p["id_col"]).alias("doc_id")
     ).distinct()
     n_batch = ids_df.count()
+    if n_batch < n_rows:
+        raise ValueError(
+            f"bm25_index_upsert: batch carries {n_rows - n_batch} "
+            f"duplicate {p['id_col']} row(s) — one text per id (a "
+            "duplicate would append twice and corrupt n_docs/df)"
+        )
 
-    fs = vs.fs
-    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    vdocs = _visible_docs(spark, path, m)
     updated = 0
-    if live:
-        batches = _delete_batches(spark, path, m)
+    if vdocs is not None:
         existing = (
-            reduce(
-                DataFrame.unionByName,
-                [
-                    _visible_scan(spark, path, s, batches).select("doc_id")
-                    for s in live
-                ],
-            )
+            vdocs.select("doc_id")
             .join(F.broadcast(ids_df), on="doc_id")
             .distinct()
             .localCheckpoint(eager=True)
@@ -980,19 +1036,27 @@ def bm25_index_apply_cdc(
 ) -> dict:
     """Apply a CDC batch (the ``streaming/cdc.py`` convention:
     ``op_col`` in 'I'/'U'/'D', optional ``seq_col`` ordering multiple
-    ops per id) to the index: the LAST op per id wins (by ``seq_col``
-    when given, else ids must be unique in the batch), final 'D' ids
-    are tombstoned and final 'I'/'U' rows upserted — two commits,
-    O(batch + tombstone scan) total, no compaction required.
+    ops per id) to the index: the LAST op per id wins — ordered by
+    ``(seq desc, op desc)``, the same tiebreak as
+    ``operators/merge.py``'s ``apply_cdc`` (a same-sequence 'U' beats
+    'D'), so index state and snapshot state cannot diverge on an
+    identical change log. Final 'D' ids that are currently visible
+    are tombstoned — a 'D' for an id not in the index (e.g. the
+    I-then-D short-lived-row pattern resolving to 'D') is a NO-OP,
+    never an error, matching ``merge.apply_cdc``; final 'I'/'U' rows
+    upsert. Two commits, O(batch + doc-table scan) total, no
+    compaction required.
 
-    Returns ``{"deleted": d, "updated": u, "inserted": i,
-    "version": v}``."""
+    Returns ``{"deleted": d, "delete_noops": n, "updated": u,
+    "inserted": i, "version": v}``."""
     _, _, m = _bm25_manifest(spark, path)
     p = m["params"]
     id_col = p["id_col"]
 
     if seq_col is not None:
-        w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
         final = (
             changes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -1014,15 +1078,40 @@ def bm25_index_apply_cdc(
         final = changes
     final = final.localCheckpoint(eager=True)
 
-    deletes = final.filter(F.col(op_col) == "D").select(id_col)
+    deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     upserts = final.filter(F.col(op_col).isin("I", "U")).drop(op_col)
     if seq_col is not None and seq_col in upserts.columns:
         upserts = upserts.drop(seq_col)
 
-    n_deleted = 0
-    if deletes.limit(1).count():
-        n_deleted = bm25_index_delete(spark, path, deletes)["deleted"]
-    out = {"deleted": n_deleted, "updated": 0, "inserted": 0}
+    n_deleted, n_noop = 0, 0
+    n_d = deletes.count()
+    if n_d:
+        # D of an id not in the index is a no-op (the I-then-D
+        # short-lived-row pattern), never an error — only visible
+        # ids reach the delete's strict guard
+        vdocs = _visible_docs(spark, path, m)
+        if vdocs is not None:
+            visible_d = (
+                vdocs.select("doc_id")
+                .join(
+                    F.broadcast(
+                        deletes.withColumnRenamed(id_col, "doc_id")
+                    ),
+                    on="doc_id",
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_vis = visible_d.count()
+            if n_vis:
+                n_deleted = bm25_index_delete(spark, path, visible_d)[
+                    "deleted"
+                ]
+            n_noop = n_d - n_vis
+        else:
+            n_noop = n_d
+    out = {"deleted": n_deleted, "delete_noops": n_noop,
+           "updated": 0, "inserted": 0}
     if upserts.limit(1).count():
         res = bm25_index_upsert(upserts, path)
         out.update(
@@ -1103,6 +1192,13 @@ def bm25_index_compact(
             .coalesce(targets[b])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/tbucket={b}")
+        )
+    # carry the doc table forward (tombstones folded), so membership
+    # probes stay exact across compactions
+    vdocs = _visible_docs(spark, path, m)
+    if vdocs is not None:
+        vdocs.write.mode("errorifexists").parquet(
+            f"{path}/{new_seg}/_docs"
         )
     vs.commit(
         cur + 1,

@@ -615,14 +615,13 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
     bm25_index_build(tiny_corpus, path, n_buckets=4)
     bm25_index_add(extras, path)
 
-    # id 10 is a NULL-text (zero-token) doc: no postings, so the
-    # typo guard fires unless the caller vouches for the id set
-    with pytest.raises(ValueError, match="no VISIBLE postings"):
-        bm25_index_delete(spark, path, [1, 3, 10])
-    # a genuinely never-indexed id is the same loud error
-    with pytest.raises(ValueError, match="no VISIBLE postings"):
+    # a never-indexed id is a loud error (the _docs doc table makes
+    # membership exact, including zero-token docs)
+    with pytest.raises(ValueError, match="not VISIBLE"):
         bm25_index_delete(spark, path, [999_999])
-    out = bm25_index_delete(spark, path, [1, 3, 10], allow_missing=True)
+    # id 10 is a NULL-text (zero-token) doc: visible via _docs, so
+    # deleting it needs no allow_missing escape
+    out = bm25_index_delete(spark, path, [1, 3, 10])
     assert out == {"deleted": 3, "version": 3}
     st = bm25_index_stats(spark, path)
     assert st["n_docs"] == 3 and st["pending_delete_batches"] == 1
@@ -647,7 +646,7 @@ def test_bm25_index_delete_equals_fresh_build_on_survivors(
 
     # re-deleting an already-tombstoned id: no visible postings ->
     # the guard fires (silent double-decrement would corrupt n_docs)
-    with pytest.raises(ValueError, match="no VISIBLE postings"):
+    with pytest.raises(ValueError, match="not VISIBLE"):
         bm25_index_delete(spark, path, [1, 3])
 
     # version-scoped tombstones: re-adding a tombstoned id is legal
@@ -816,3 +815,87 @@ def test_bm25_index_upsert_and_cdc_apply(spark, tiny_corpus, tmp_path):
     )
     with pytest.raises(ValueError, match="seq_col"):
         bm25_index_apply_cdc(spark, path, dup)
+
+
+def test_bm25_index_cdc_noop_tiebreak_and_guards(spark, tiny_corpus, tmp_path):
+    """CDC semantics match merge.apply_cdc: a final 'D' for an id not
+    in the index is a NO-OP (I-then-D short-lived rows), a
+    same-sequence 'U' beats 'D', zero-token docs upsert cleanly (the
+    _docs doc table sees them), and duplicate-id upsert batches
+    raise."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_apply_cdc,
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_upsert,
+        bm25_index_stats,
+        bm25_topk,
+    )
+
+    path = str(tmp_path / "bmidx")
+    corpus = tiny_corpus.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    bm25_index_build(corpus, path, n_buckets=4)
+
+    # short-lived row: I then D for an id the index never saw -> no-op
+    ch = spark.createDataFrame(
+        [(77, "ephemeral row", "I", 1), (77, None, "D", 2)],
+        "doc_id long, text string, op string, seq long",
+    )
+    res = bm25_index_apply_cdc(spark, path, ch, seq_col="seq")
+    assert res["deleted"] == 0 and res["delete_noops"] == 1
+    assert res["updated"] == 0 and res["inserted"] == 0
+    assert bm25_index_stats(spark, path)["n_docs"] == 5
+
+    # same-seq tie: U beats D (the merge.apply_cdc convention)
+    tie = spark.createDataFrame(
+        [(3, None, "D", 7), (3, "data survives the tie", "U", 7)],
+        "doc_id long, text string, op string, seq long",
+    )
+    res2 = bm25_index_apply_cdc(spark, path, tie, seq_col="seq")
+    assert res2["deleted"] == 0 and res2["updated"] == 1
+    hits = {
+        r.doc_id
+        for r in bm25_index_topk(spark, path, "survives", k=10).collect()
+    }
+    assert 3 in hits
+
+    # zero-token doc (9) upserts as an UPDATE: _docs membership sees
+    # it, n_docs stays constant and the new text is served
+    res3 = bm25_index_upsert(
+        spark.createDataFrame(
+            [(9, "formerly empty now data")], "doc_id long, text string"
+        ),
+        path,
+    )
+    assert (res3["updated"], res3["inserted"]) == (1, 0)
+    st = bm25_index_stats(spark, path)
+    assert st["n_docs"] == 5
+    # full-state check against a from-scratch scan
+    final = (
+        tiny_corpus.filter("doc_id <> 3")
+        .unionByName(
+            spark.createDataFrame(
+                [(3, "data survives the tie"), (9, "formerly empty now data")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    got = [
+        (r.doc_id, r.score)
+        for r in bm25_index_topk(spark, path, "data", k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.score) for r in bm25_topk(final, "data", k=10).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # duplicate ids in one upsert batch: loud
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_index_upsert(
+            spark.createDataFrame(
+                [(5, "a"), (5, "b")], "doc_id long, text string"
+            ),
+            path,
+        )
