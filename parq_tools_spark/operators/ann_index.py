@@ -514,22 +514,35 @@ def ann_index_compact(
 
     new_seg = _tag(cur + 1, "seg")
     for c in sorted(per_cell):
-        # per-segment reads so each segment folds only the tombstones
-        # whose upto covers its version; the cell filter is partition
-        # pruning, so the rewrite stays map-only per cell
-        parts = [
-            _ann_visible_scan(spark, path, seg, batches, id_col).filter(
-                F.col("cell") == c
-            )
-            for seg in m["segments"]
-            if fs.exists(f"{path}/{seg}/cell={c}")
-        ]
-        if not parts:
-            continue
+        if not batches:
+            # no pending tombstones: one multi-path read of the cell
+            # subdirectories (per-segment plans exist only to scope
+            # anti-joins)
+            srcs = [
+                f"{path}/{seg}/cell={c}"
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/cell={c}")
+            ]
+            if not srcs:
+                continue
+            cell_df = spark.read.parquet(*srcs)
+        else:
+            # per-segment reads so each segment folds only the
+            # tombstones whose upto covers its version; the cell
+            # filter is partition pruning, so the rewrite stays
+            # map-only per cell
+            parts = [
+                _ann_visible_scan(spark, path, seg, batches, id_col).filter(
+                    F.col("cell") == c
+                )
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/cell={c}")
+            ]
+            if not parts:
+                continue
+            cell_df = reduce(DataFrame.unionByName, parts).drop("cell")
         (
-            reduce(DataFrame.unionByName, parts)
-            .drop("cell")
-            .coalesce(targets[c])
+            cell_df.coalesce(targets[c])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/cell={c}")
         )

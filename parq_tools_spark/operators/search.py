@@ -1173,23 +1173,35 @@ def bm25_index_compact(
 
     new_seg = _tag(cur + 1, "seg")
     for b in sorted(per_bucket):
-        # per-segment reads so each segment folds only the tombstones
-        # whose upto covers its version (broadcast anti-joins — the
-        # per-bucket rewrite stays map-only: the bucket is the
-        # directory, no shuffle)
-        parts = [
-            _visible_scan(spark, path, seg, batches).filter(
-                F.col("tbucket") == b
-            )
-            for seg in m["segments"]
-            if fs.exists(f"{path}/{seg}/tbucket={b}")
-        ]
-        if not parts:
-            continue
+        if not batches:
+            # no pending tombstones: one multi-path read of the
+            # bucket subdirectories (the cheap pre-delete shape —
+            # per-segment plans exist only to scope anti-joins)
+            srcs = [
+                f"{path}/{seg}/tbucket={b}"
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/tbucket={b}")
+            ]
+            if not srcs:
+                continue
+            bucket = spark.read.parquet(*srcs)
+        else:
+            # per-segment reads so each segment folds only the
+            # tombstones whose upto covers its version (broadcast
+            # anti-joins — the per-bucket rewrite stays map-only:
+            # the bucket is the directory, no shuffle)
+            parts = [
+                _visible_scan(spark, path, seg, batches).filter(
+                    F.col("tbucket") == b
+                )
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/tbucket={b}")
+            ]
+            if not parts:
+                continue
+            bucket = reduce(DataFrame.unionByName, parts).drop("tbucket")
         (
-            reduce(DataFrame.unionByName, parts)
-            .drop("tbucket")
-            .coalesce(targets[b])
+            bucket.coalesce(targets[b])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/tbucket={b}")
         )
