@@ -1683,6 +1683,56 @@ def q_bm25_from_index_batch(spark, sf_dir):
     return out
 
 
+def q_minhash_index_delete(spark, sf_dir):
+    """Version-scoped tombstones on the persisted MinHash index:
+    after deleting every doc_id%4==0, querying a probe batch must
+    produce EXACTLY the pairs a fresh index over the surviving docs
+    produces (same signatures, same bands) — deleted docs' band rows
+    are invisible, so no new doc can be dropped as a duplicate of
+    removed content. Returns the symmetric difference of the two
+    pair sets; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_delete,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    work = tempfile.mkdtemp(prefix="mhidxd_")
+    p1, p2 = os.path.join(work, "full"), os.path.join(work, "surv")
+    minhash_index_write(docs, p1, num_hashes=64, bands=16)
+    minhash_index_delete(
+        spark, p1, docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    )
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 4 != 0), p2, num_hashes=64, bands=16
+    )
+    a = (
+        minhash_index_query(spark, p1, probe, threshold=0.5)
+        .select("id_indexed", "id_new")
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        minhash_index_query(spark, p2, probe, threshold=0.5)
+        .select("id_indexed", "id_new")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    only_a = a.join(b, ["id_indexed", "id_new"], "left_anti").withColumn(
+        "side", F.lit("deleted_index_only")
+    )
+    only_b = b.join(a, ["id_indexed", "id_new"], "left_anti").withColumn(
+        "side", F.lit("fresh_index_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_bm25_index_phrase(spark, sf_dir):
     """Phrase retrieval SERVED FROM the persisted index's positional
     postings (store_positions=True, exercised across both the build
@@ -2747,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
+        "minhash_index_delete": q_minhash_index_delete,
         "bm25_index_phrase": q_bm25_index_phrase,
         "bm25_index_delete": q_bm25_index_delete,
         "bm25_index_upsert": q_bm25_index_upsert,
@@ -2798,10 +2849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
+        # --- past the window (124 entries, window = first 50):
+        # r7-green entries continue, then the dedup/ANN/sampling
+        # surface, then everything driver-checked green in r8 on
+        # code unchanged since
         "merge_upsert": q_merge_upsert,
-        # --- past the window (123 entries, window = first 50):
-        # r7-green dedup/ANN/sampling surface first, then everything
-        # driver-checked green in r8 on code unchanged since
         "semantic_dedupe": q_semantic_dedupe,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -4064,6 +4116,12 @@ WHERE rnk <= 5
         "ann_index_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "minhash_index_delete": """
+            SELECT CAST(NULL AS BIGINT) AS id_indexed,
+                   CAST(NULL AS BIGINT) AS id_new,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,

@@ -59,6 +59,7 @@ __all__ = [
     "banded_minhash",
     "minhash_pairs_between",
     "minhash_index_write",
+    "minhash_index_delete",
     "minhash_index_add",
     "minhash_index_query",
     "minhash_index_compact",
@@ -1313,24 +1314,51 @@ def minhash_index_compact(
         b: max(1, math.ceil(tot / target_file_bytes))
         for b, (cnt, tot) in per_band.items()
     }
-    if not any(
+    # pending tombstones (minhash_index_delete) force a rewrite
+    # regardless of file counts — folding them into the band rows
+    # (and clearing the list) bounds the query-time anti-join side
+    from functools import reduce as _reduce
+
+    from parq_tools_spark.operators._index_common import (
+        delete_batches,
+        visible_scan,
+    )
+
+    batches = delete_batches(spark, path, m)
+    if not batches and not any(
         cnt > min_files_per_band and cnt > targets[b]
         for b, (cnt, tot) in per_band.items()
     ):
         return {}
 
+    id_col = _manifest_params(spark, path, m)["id_col"]
     new_seg = _new_segment_name(cur + 1)
     for b, (cnt, tot) in sorted(per_band.items()):
-        srcs = [
-            f"{path}/{seg}/band={b}"
-            for seg in segments
-            if fs.exists(f"{path}/{seg}/band={b}")
-        ]
-        if not srcs:
-            continue
-        # per-band read -> coalesce -> write: the partition column is
-        # the directory name, so the rewrite needs no shuffle at all
-        spark.read.parquet(*srcs).coalesce(targets[b]).write.mode(
+        if not batches:
+            srcs = [
+                f"{path}/{seg}/band={b}"
+                for seg in segments
+                if fs.exists(f"{path}/{seg}/band={b}")
+            ]
+            if not srcs:
+                continue
+            # per-band read -> coalesce -> write: the partition column
+            # is the directory name, so the rewrite needs no shuffle
+            band_df = spark.read.parquet(*srcs)
+        else:
+            # per-segment reads so each segment folds only the
+            # tombstones whose upto covers its version
+            parts = [
+                visible_scan(spark, path, seg, batches, id_col).filter(
+                    F.col("band") == b
+                )
+                for seg in segments
+                if fs.exists(f"{path}/{seg}/band={b}")
+            ]
+            if not parts:
+                continue
+            band_df = _reduce(DataFrame.unionByName, parts).drop("band")
+        band_df.coalesce(targets[b]).write.mode(
             "errorifexists"
         ).parquet(f"{path}/{new_seg}/band={b}")
     vs.commit(
@@ -1339,6 +1367,7 @@ def minhash_index_compact(
             {
                 "version": cur + 1,
                 "segments": [new_seg],
+                "deletes": [],
                 **(
                     {"params": m["params"]} if "params" in m else {}
                 ),
@@ -1366,12 +1395,20 @@ def _sweep_index_orphans(fs, path: str, vs, current: int) -> None:
     segments of any still-present committed version are kept."""
     import json
 
+    from parq_tools_spark.operators._index_common import delete_entries
+
     referenced = set()
     for n, committed in vs.versions():
         if committed:
-            referenced.update(json.loads(vs.read_marker(n))["segments"])
+            mm = json.loads(vs.read_marker(n))
+            referenced.update(mm["segments"])
+            referenced.update(e["dir"] for e in delete_entries(mm))
     for entry, is_dir, _ in fs.list_status(path):
-        if is_dir and entry.startswith("seg-") and entry not in referenced:
+        if (
+            is_dir
+            and entry.startswith(("seg-", "del-"))
+            and entry not in referenced
+        ):
             fs.delete(f"{path}/{entry}")
 
 
@@ -1413,12 +1450,121 @@ def minhash_index_add(
     banded.write.mode("errorifexists").partitionBy("band").parquet(
         f"{path}/{seg}"
     )
+    # {**m} carries every untouched manifest field forward — params
+    # AND any pending tombstone list (dropping the latter would
+    # resurrect deleted docs' band rows)
     vs.commit(
         cur + 1,
         json.dumps(
-            {"version": cur + 1, "segments": segments + [seg], "params": p}
+            {
+                **m,
+                "version": cur + 1,
+                "segments": segments + [seg],
+                "params": p,
+            }
         ),
     )
+
+
+def minhash_index_delete(spark, path: str, ids) -> dict:
+    """Delete documents' band rows from the index by id —
+    VERSION-SCOPED tombstones, the same LSM protocol as the BM25/ANN
+    indexes (``operators/_index_common.py``): the ids land in an
+    immutable ``del-`` directory recorded with the version it was
+    committed at; :func:`minhash_index_query` anti-joins each
+    segment against only the tombstones covering its version, so a
+    later :func:`minhash_index_add` of the same id is immediately
+    visible with no compaction in between. The next compaction folds
+    tombstones into the rewritten band rows and clears the list.
+
+    Why this matters for DEDUP specifically: a stale band row is not
+    just wasted work — a new document colliding with a REMOVED
+    corpus doc's bands gets verified against its signature and
+    dropped as a duplicate of content that no longer exists, so
+    unremoved deletions silently shrink the corpus.
+
+    Every id must be currently visible (every indexed doc has band
+    rows, so membership via the band rows is exact); missing ids
+    raise. Returns ``{"deleted": n, "version": v}``."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    from parq_tools_spark.operators._index_common import (
+        delete_batches,
+        tag,
+        visible_scan,
+    )
+
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    id_col = p["id_col"]
+    vs.clean_stale(cur)
+    _sweep_index_orphans(vs.fs, path, vs, cur)
+
+    fs = vs.fs
+    live = [
+        s for s in m["segments"] if fs.list_files(f"{path}/{s}")
+    ]
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        # id type from the live band rows (the minhash manifest
+        # carries no id_type field); an empty index has nothing to
+        # delete and the guard below raises for any requested id
+        id_type = (
+            spark.read.parquet(f"{path}/{live[0]}").schema[id_col].dataType
+            if live
+            else T.LongType()
+        )
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField(id_col, id_type)]),
+        ).distinct()
+    ids_df = ids_df.localCheckpoint(eager=True)
+    n_del = ids_df.count()
+    if n_del == 0:
+        return {"deleted": 0, "version": cur}
+
+    batches = delete_batches(spark, path, m)
+    n_found = 0
+    if live:
+        n_found = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    visible_scan(spark, path, s, batches, id_col).select(
+                        id_col
+                    )
+                    for s in live
+                ],
+            )
+            .join(F.broadcast(ids_df), on=id_col)
+            .distinct()
+            .count()
+        )
+    if n_found < n_del:
+        raise ValueError(
+            f"minhash_index_delete: {n_del - n_found} of {n_del} "
+            "requested id(s) are not visible in the index (typo, never "
+            "indexed, or already deleted)"
+        )
+
+    del_dir = tag(cur + 1, "del")
+    ids_df.write.mode("errorifexists").parquet(f"{path}/{del_dir}")
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"deleted": n_del, "version": cur + 1}
 
 
 def minhash_index_query(
@@ -1472,9 +1618,22 @@ def minhash_index_query(
                 ]
             ),
         )
+    # per-segment version-scoped tombstone anti-joins (shared
+    # protocol, operators/_index_common.py): deleted docs' band rows
+    # are invisible, so a new doc can never be dropped as a
+    # duplicate of removed content
+    from parq_tools_spark.operators._index_common import (
+        delete_batches,
+        visible_scan,
+    )
+
+    batches = delete_batches(spark, path, m)
     indexed_banded = reduce(
         DataFrame.unionByName,
-        [spark.read.parquet(f"{path}/{s}") for s in live],
+        [
+            visible_scan(spark, path, s, batches, p["id_col"])
+            for s in live
+        ],
     )
     return minhash_pairs_between(
         None,

