@@ -1151,9 +1151,11 @@ def minhash_index_is_committed(spark, path: str) -> bool:
 
 
 def _new_segment_name(version: int) -> str:
-    import uuid
+    # ONE tag definition across the index families (_index_common):
+    # seg_version()-based tombstone scoping parses this format
+    from parq_tools_spark.operators._index_common import tag
 
-    return f"seg-{version:06d}-{uuid.uuid4().hex[:8]}"
+    return tag(version, "seg")
 
 
 def minhash_index_write(
@@ -1279,8 +1281,12 @@ def minhash_index_compact(
     committer fails loudly on the exclusive marker.
 
     Returns ``{band: (files_before, files_after)}`` for bands whose
-    file count dropped; ``{}`` when no band met the trigger (nothing
-    is rewritten then).
+    file count dropped. ``{}`` means no band's file count shrank —
+    with NO tombstones pending that also means nothing was rewritten;
+    with tombstones pending a rewrite ALWAYS runs and commits (the
+    fold is the point), even when per-band file counts are unchanged,
+    so check the manifest version (``_index_manifest``) rather than
+    this map to detect whether a new generation committed.
     """
     import json
     import math
@@ -1530,13 +1536,16 @@ def minhash_index_delete(spark, path: str, ids) -> dict:
     batches = delete_batches(spark, path, m)
     n_found = 0
     if live:
+        # every indexed doc has exactly one row PER BAND, so a single
+        # band (partition-pruned to one directory per segment) gives
+        # exact membership at 1/bands of the scan
         n_found = (
             reduce(
                 DataFrame.unionByName,
                 [
-                    visible_scan(spark, path, s, batches, id_col).select(
-                        id_col
-                    )
+                    visible_scan(spark, path, s, batches, id_col)
+                    .filter(F.col("band") == 0)
+                    .select(id_col)
                     for s in live
                 ],
             )
