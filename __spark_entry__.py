@@ -1912,6 +1912,74 @@ def q_bm25_phrase_search(spark, sf_dir):
     return bm25_topk(docs, "window join", k=10, phrase="window join")
 
 
+def _query_vec(emb, vec_id: int):
+    """One embedding row as the (tiny, driver-side) query vector —
+    query acquisition, not data movement."""
+    row = emb.filter(F.col("vec_id") == vec_id).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval, Reciprocal Rank Fusion: BM25 top-50 over
+    documents fused with cosine top-50 over embeddings (query vector =
+    embedding of vec_id 0). Both legs are TakeOrderedAndProject top-N
+    (no global sort, corpus never reshuffled); fusion is a full-outer
+    join of 2x50 rows. The fused score is rank-arithmetic only
+    (0.5/(60+r_text) + 0.5/(60+r_vec)), bit-reproducible in SQL."""
+    from parq_tools_spark.operators.hybrid import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hybrid_topk(
+        docs,
+        "stream merge window",
+        _query_vec(emb, 0),
+        embeddings=emb,
+        k=10,
+        n_candidates=50,
+    )
+
+
+def q_hybrid_wsum_topk(spark, sf_dir):
+    """Hybrid retrieval, weighted score fusion (CombSUM): each leg's
+    scores min-max normalized over its own 50-candidate list, then
+    0.5*bm25_norm + 0.5*cos_norm; docs missing from a leg contribute
+    0 for it. Leg stats are two one-row aggregates broadcast back —
+    never a window over the corpus."""
+    from parq_tools_spark.operators.hybrid import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hybrid_topk(
+        docs,
+        "stream merge window",
+        _query_vec(emb, 0),
+        embeddings=emb,
+        k=10,
+        n_candidates=50,
+        method="wsum",
+    )
+
+
+def q_hybrid_batch_rrf(spark, sf_dir):
+    """Batched hybrid retrieval: ONE corpus pass serves both text legs
+    (bm25_topk_batch), ONE embeddings pass both vector legs (queries
+    broadcast), then RRF groups by query id — per-query cost is
+    amortized exactly like the leg batch paths."""
+    from parq_tools_spark.operators.hybrid import hybrid_topk_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = spark.createDataFrame(
+        [
+            (1, "stream merge", _query_vec(emb, 0)),
+            (2, "customer value table", _query_vec(emb, 1)),
+        ],
+        "query_id long, query string, query_vec array<double>",
+    )
+    return hybrid_topk_batch(docs, emb, qdf, k=5, n_candidates=20)
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -2782,8 +2850,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
     with the least accumulated driver evidence first: the entries NEW
-    in round 9 (the persisted ANN index, index-served phrase, index
-    deletes), then every entry whose code changed this round (the
+    in round 9 (hybrid retrieval fusion, the persisted ANN index,
+    index-served phrase, index deletes), then every entry whose code
+    changed this round (the
     BM25 index/batch scoring paths — deterministic sum order,
     non-destructive rebuild, tombstone anti-joins — and the ANN
     family over the refactored pq_encode/adc_score), then the events
@@ -2794,6 +2863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- positions 1-50 = the driver check window for r9:
         # new in r9 ...
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_wsum_topk": q_hybrid_wsum_topk,
+        "hybrid_batch_rrf": q_hybrid_batch_rrf,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -2849,7 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (124 entries, window = first 50):
+        # --- past the window (127 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -5035,6 +5107,286 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                      CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
               FROM scored
+            ) WHERE rank <= 5
+        """,
+        # hybrid fusion: both legs re-derived exactly as their own
+        # oracles do (rounded-score ranks, id tie-breaks), then the
+        # fused score is pure rank arithmetic (RRF) or a division of
+        # already-rounded doubles (wsum) — identical IEEE ops in the
+        # same order on both engines
+        "hybrid_rrf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tscored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            tleg AS (
+              SELECT doc_id, text_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC,
+                            doc_id ASC) AS INT) AS text_rank
+                FROM tscored
+              ) WHERE text_rank <= 50
+            ),
+            qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            vscored AS (
+              SELECT c.vec_id AS doc_id,
+                     floor(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[]))
+                           * 1e6 + 0.5) / 1e6 AS sim
+              FROM embeddings c CROSS JOIN qv q
+            ),
+            vleg AS (
+              SELECT doc_id, vec_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY sim DESC,
+                            doc_id ASC) AS INT) AS vec_rank
+                FROM vscored
+              ) WHERE vec_rank <= 50
+            ),
+            fused AS (
+              SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                     t.text_rank, v.vec_rank,
+                     floor((COALESCE(0.5 / (60.0 + t.text_rank), 0.0)
+                          + COALESCE(0.5 / (60.0 + v.vec_rank), 0.0))
+                          * 1e9 + 0.5) / 1e9 AS score
+              FROM tleg t FULL OUTER JOIN vleg v ON t.doc_id = v.doc_id
+            )
+            SELECT doc_id, text_rank, vec_rank, score,
+                   CAST(row_number() OVER (ORDER BY score DESC,
+                        doc_id ASC) AS INT) AS rank
+            FROM fused
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "hybrid_wsum_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tscored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            tleg AS (
+              SELECT doc_id, score AS tscore, text_rank FROM (
+                SELECT doc_id, score,
+                       CAST(row_number() OVER (ORDER BY score DESC,
+                            doc_id ASC) AS INT) AS text_rank
+                FROM tscored
+              ) WHERE text_rank <= 50
+            ),
+            qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            vscored AS (
+              SELECT c.vec_id AS doc_id,
+                     floor(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[]))
+                           * 1e6 + 0.5) / 1e6 AS sim
+              FROM embeddings c CROSS JOIN qv q
+            ),
+            vleg AS (
+              SELECT doc_id, sim AS vscore, vec_rank FROM (
+                SELECT doc_id, sim,
+                       CAST(row_number() OVER (ORDER BY sim DESC,
+                            doc_id ASC) AS INT) AS vec_rank
+                FROM vscored
+              ) WHERE vec_rank <= 50
+            ),
+            tstats AS (SELECT min(tscore) AS tlo, max(tscore) AS thi
+                       FROM tleg),
+            vstats AS (SELECT min(vscore) AS vlo, max(vscore) AS vhi
+                       FROM vleg),
+            fused AS (
+              SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                     t.text_rank, v.vec_rank,
+                     floor((COALESCE(0.5 * (CASE
+                              WHEN t.tscore IS NULL THEN NULL
+                              WHEN thi > tlo THEN (t.tscore - tlo) / (thi - tlo)
+                              ELSE 1.0 END), 0.0)
+                          + COALESCE(0.5 * (CASE
+                              WHEN v.vscore IS NULL THEN NULL
+                              WHEN vhi > vlo THEN (v.vscore - vlo) / (vhi - vlo)
+                              ELSE 1.0 END), 0.0))
+                          * 1e9 + 0.5) / 1e9 AS score
+              FROM tleg t
+              FULL OUTER JOIN vleg v ON t.doc_id = v.doc_id
+              CROSS JOIN tstats CROSS JOIN vstats
+            )
+            SELECT doc_id, text_rank, vec_rank, score,
+                   CAST(row_number() OVER (ORDER BY score DESC,
+                        doc_id ASC) AS INT) AS rank
+            FROM fused
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "hybrid_batch_rrf": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(query_id, term) AS (
+              VALUES (1, 'merge'), (1, 'stream'),
+                     (2, 'customer'), (2, 'table'), (2, 'value')
+            ),
+            dfs AS (
+              SELECT DISTINCT term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, term)) AS df
+              FROM qterms
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tscored AS (
+              SELECT q.query_id, tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf
+              JOIN idf USING (term)
+              JOIN qterms q USING (term)
+              CROSS JOIN stats
+              GROUP BY q.query_id, tf.doc_id
+            ),
+            tleg AS (
+              SELECT query_id, doc_id, trank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS trank
+                FROM tscored
+              ) WHERE trank <= 20
+            ),
+            qv AS (
+              SELECT 1 AS query_id, embedding FROM embeddings
+              WHERE vec_id = 0
+              UNION ALL
+              SELECT 2 AS query_id, embedding FROM embeddings
+              WHERE vec_id = 1
+            ),
+            vscored AS (
+              SELECT q.query_id, c.vec_id AS doc_id,
+                     floor(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[]))
+                           * 1e6 + 0.5) / 1e6 AS sim
+              FROM embeddings c CROSS JOIN qv q
+            ),
+            vleg AS (
+              SELECT query_id, doc_id, vrank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS vrank
+                FROM vscored
+              ) WHERE vrank <= 20
+            ),
+            fused AS (
+              SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+                     COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                     floor((COALESCE(0.5 / (60.0 + t.trank), 0.0)
+                          + COALESCE(0.5 / (60.0 + v.vrank), 0.0))
+                          * 1e9 + 0.5) / 1e9 AS score
+              FROM tleg t FULL OUTER JOIN vleg v
+                ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+              SELECT query_id, doc_id, score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM fused
             ) WHERE rank <= 5
         """,
         "incremental_retention": """

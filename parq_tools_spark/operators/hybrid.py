@@ -1,0 +1,355 @@
+"""Hybrid retrieval — fuse keyword (BM25) and vector (cosine) rankings.
+
+Beyond-reference surface: the reference (elphick/parq-tools) has no
+retrieval layer at all; this module composes the oracled BM25 legs
+(``operators/search.py``) with cosine vector legs
+(``operators/similarity.py``) into the fusion every RAG / training-data
+retrieval stack runs — Reciprocal Rank Fusion (Cormack, Clarke &
+Buettcher, SIGIR 2009) and min-max-normalized weighted score fusion
+(CombSUM, Fox & Shaw, TREC-2).
+
+Scale shape: both legs are top-``n_candidates`` retrievals — the text
+leg is a map-only scored scan + ``TakeOrderedAndProject`` (or an index
+read), the vector leg broadcasts the query vector(s) and never shuffles
+the corpus. Fusion then operates on at most ``legs x n_candidates``
+rows per query: a full-outer join (single-query) or a tiny keyed
+aggregate (batch) — the corpus is never touched again. At 100 TB the
+fusion stage is O(k), not O(data).
+
+Determinism (what makes these oracle-able in DuckDB):
+- leg ranks derive from ROUNDED scores (the legs already floor-round to
+  ``10^-round_to``) with ascending-id tie-breaks;
+- the RRF score is a function of INTEGER ranks only, summed in fixed
+  leg order (``w_t/(K+r_t) + w_v/(K+r_v)``, one expression — no
+  aggregate reordering), so it is bit-reproducible anywhere IEEE
+  doubles are;
+- min-max normalization divides two already-rounded doubles, again in
+  fixed expression order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rrf_fuse",
+    "hybrid_topk",
+    "hybrid_topk_batch",
+]
+
+
+def _round_col(c: Column, round_to: int) -> Column:
+    scale = float(10**round_to)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: Optional[Sequence[float]] = None,
+    group_cols: Sequence[str] = (),
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N ranked lists.
+
+    Each input carries ``group_cols + (id_col, rank)``; a document's
+    fused score is ``sum_i weights[i] / (rrf_k + rank_i)`` over the
+    lists that retrieved it (missing lists contribute 0 — the standard
+    RRF convention). Returns ``group_cols + (id_col, score, rank)``,
+    rank 1 = best per group, ties broken by ascending id.
+
+    The per-document sum folds ``(leg, contribution)`` structs in
+    sorted-leg order (the ``_det_contrib_sum`` pattern from
+    ``operators/search.py``), so the float result never depends on
+    aggregation order. Each list is a top-N, so the unioned relation is
+    at most ``N x len(rankings)`` rows per group — the groupBy here is
+    a small shuffle of id/rank pairs, never of corpus data.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    gcols = list(group_cols)
+    tagged = []
+    for i, (r, w_i) in enumerate(zip(rankings, weights)):
+        tagged.append(
+            r.select(
+                *gcols,
+                F.col(id_col),
+                F.lit(i).alias("_leg"),
+                (
+                    F.lit(float(w_i))
+                    / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))
+                ).alias("_contrib"),
+            )
+        )
+    from functools import reduce
+
+    unioned = reduce(DataFrame.unionByName, tagged)
+    det_sum = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_leg"), F.col("_contrib")))
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["_contrib"],
+    )
+    fused = unioned.groupBy(*gcols, id_col).agg(
+        _round_col(det_sum, round_to).alias("score")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*gcols, id_col, "score", "rank")
+    )
+
+
+def _vector_leg(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    n: int,
+    id_col: str,
+    vec_col: str,
+    sim_round_to: int,
+) -> DataFrame:
+    """Top-``n`` by cosine against one literal query vector:
+    map-only similarity expression inside the scan, rounded BEFORE
+    ranking (rank ties must not hinge on the last ulp), then
+    ``orderBy().limit(n)`` — ``TakeOrderedAndProject``, no global
+    sort, no shuffle of vectors."""
+    from parq_tools_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+        "array<double>"
+    )
+    sims = embeddings.select(
+        F.col(id_col),
+        _round_col(
+            cosine_similarity_col(F.col(vec_col), qv), sim_round_to
+        ).alias("cosine_sim"),
+    )
+    topn = sims.orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(n)
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return topn.withColumn("rank", F.row_number().over(w))
+
+
+def _minmax(score: Column, lo: Column, hi: Column) -> Column:
+    """Min-max normalize an already-rounded score to [0, 1]; a
+    degenerate leg (all scores equal) normalizes to 1.0 — every
+    retrieved doc keeps full leg weight rather than all collapsing
+    to 0. NULL (doc missing from this leg) stays NULL in every
+    branch, so the caller's coalesce-to-0 still applies when the leg
+    is degenerate."""
+    return (
+        F.when(score.isNull(), F.lit(None).cast("double"))
+        .when(hi > lo, (score - lo) / (hi - lo))
+        .otherwise(F.lit(1.0))
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    query: Union[str, Sequence[str]],
+    query_vec: Sequence[float],
+    embeddings: Optional[DataFrame] = None,
+    k: int = 10,
+    n_candidates: int = 50,
+    method: str = "rrf",
+    rrf_k: int = 60,
+    w_text: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    sim_round_to: int = 6,
+    round_to: int = 9,
+) -> DataFrame:
+    """Hybrid top-``k``: BM25 over ``docs`` fused with cosine over
+    ``embeddings`` (ids shared across the two tables; ``embeddings``
+    defaults to ``docs`` itself when it carries the vector column).
+
+    ``method="rrf"``: score = ``w_text/(rrf_k + text_rank) +
+    (1-w_text)/(rrf_k + vec_rank)`` — rank-only, the robust default
+    (no score-scale tuning). ``method="wsum"``: min-max normalizes
+    each leg's scores over its candidate list, then
+    ``w_text * bm25_norm + (1-w_text) * cos_norm`` (CombSUM); a doc
+    missing from a leg contributes 0 for that leg either way.
+
+    Returns ``(id_col, text_rank, vec_rank, score, rank)`` — leg ranks
+    are kept (NULL when a leg did not retrieve the doc) because every
+    downstream debugging question is "which leg put this here?".
+
+    Both legs retrieve ``n_candidates`` (fusion depth; recall of docs
+    ranked just past k in both legs is why depth > k matters), so the
+    fusion join touches at most ``2 x n_candidates`` rows.
+    """
+    if method not in ("rrf", "wsum"):
+        raise ValueError("method must be 'rrf' or 'wsum'")
+    if not 0.0 <= w_text <= 1.0:
+        raise ValueError("w_text must be in [0, 1]")
+    from parq_tools_spark.operators.search import bm25_topk
+
+    if embeddings is None:
+        embeddings = docs
+        vec_id_col = id_col
+
+    text = bm25_topk(
+        docs,
+        query,
+        k=n_candidates,
+        id_col=id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        round_to=sim_round_to,
+    ).select(
+        F.col(id_col),
+        F.col("score").alias("_tscore"),
+        F.col("rank").alias("text_rank"),
+    )
+    vec = _vector_leg(
+        embeddings, query_vec, n_candidates, vec_id_col, vec_col,
+        sim_round_to,
+    ).select(
+        F.col(vec_id_col).alias(id_col),
+        F.col("cosine_sim").alias("_vscore"),
+        F.col("rank").alias("vec_rank"),
+    )
+    both = text.join(vec, on=id_col, how="full_outer")
+    w_vec = 1.0 - w_text
+    if method == "rrf":
+        fused_score = F.coalesce(
+            F.lit(w_text)
+            / (F.lit(float(rrf_k)) + F.col("text_rank").cast("double")),
+            F.lit(0.0),
+        ) + F.coalesce(
+            F.lit(w_vec)
+            / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
+            F.lit(0.0),
+        )
+    else:
+        # per-leg min/max over the candidate lists: two one-row
+        # aggregates, broadcast back — never a window over the corpus
+        tstats = text.agg(
+            F.min("_tscore").alias("_tlo"), F.max("_tscore").alias("_thi")
+        )
+        vstats = vec.agg(
+            F.min("_vscore").alias("_vlo"), F.max("_vscore").alias("_vhi")
+        )
+        both = both.crossJoin(F.broadcast(tstats)).crossJoin(
+            F.broadcast(vstats)
+        )
+        fused_score = F.coalesce(
+            F.lit(w_text)
+            * _minmax(F.col("_tscore"), F.col("_tlo"), F.col("_thi")),
+            F.lit(0.0),
+        ) + F.coalesce(
+            F.lit(w_vec)
+            * _minmax(F.col("_vscore"), F.col("_vlo"), F.col("_vhi")),
+            F.lit(0.0),
+        )
+    scored = both.select(
+        F.col(id_col),
+        F.col("text_rank"),
+        F.col("vec_rank"),
+        _round_col(fused_score, round_to).alias("score"),
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_topk_batch(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    w_text: float = 0.5,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    query_vec_col: str = "query_vec",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    sim_round_to: int = 6,
+    round_to: int = 9,
+) -> DataFrame:
+    """RRF hybrid retrieval for a whole queries DataFrame
+    (``query_id, query text, query vector``): ONE corpus pass serves
+    every text leg (:func:`bm25_topk_batch`), ONE embeddings pass
+    serves every vector leg (queries broadcast, per-query rounded-sim
+    rank window), then :func:`rrf_fuse` groups by query id. Returns
+    ``(query_id, id_col, score, rank)``.
+    """
+    from parq_tools_spark.operators.search import bm25_topk_batch
+
+    text = bm25_topk_batch(
+        docs,
+        queries.select(query_id_col, query_col),
+        k=n_candidates,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        id_col=id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        round_to=sim_round_to,
+    ).select(query_id_col, id_col, "rank")
+
+    from parq_tools_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    )
+    sims = embeddings.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(vec_id_col).alias(id_col),
+        _round_col(
+            cosine_similarity_col(F.col(vec_col), F.col("_qvec")),
+            sim_round_to,
+        ).alias("cosine_sim"),
+    )
+    wv = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    vec = (
+        sims.withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= n_candidates)
+        .select(query_id_col, id_col, "rank")
+    )
+    return rrf_fuse(
+        [text, vec],
+        id_col=id_col,
+        k=k,
+        rrf_k=rrf_k,
+        weights=[w_text, 1.0 - w_text],
+        group_cols=[query_id_col],
+        round_to=round_to,
+    )

@@ -1,0 +1,257 @@
+"""Hybrid retrieval (RRF + weighted score fusion) — operators/hybrid.py.
+
+The reference has no retrieval surface; these tests pin the fusion
+math against hand-computed values and against the legs they compose
+(bm25_topk / cosine ranking), which carry their own DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parq_tools_spark.operators.hybrid import (
+    hybrid_topk,
+    hybrid_topk_batch,
+    rrf_fuse,
+)
+
+DOCS = [
+    (1, "spark streams merge windows in a stream engine"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "stream processing with watermark windows"),
+    (4, "merge sort is a classic algorithm"),
+    (5, "vector search finds nearest neighbors"),
+]
+# 2-d embeddings: cosine ordering vs query [1, 0] is deterministic
+VECS = [
+    (1, [1.0, 0.0]),
+    (2, [0.9, 0.1]),
+    (3, [0.0, 1.0]),
+    (4, [0.7, 0.7]),
+    (5, [-1.0, 0.2]),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank int")
+
+
+class TestRrfFuse:
+    def test_hand_computed_two_lists(self, spark):
+        a = _ranking(spark, [(10, 1), (11, 2), (12, 3)])
+        b = _ranking(spark, [(11, 1), (10, 2), (13, 3)])
+        out = {
+            r["doc_id"]: (r["score"], r["rank"])
+            for r in rrf_fuse([a, b], k=10, rrf_k=60).collect()
+        }
+        # both lists: 1/(60+r1) + 1/(60+r2)
+        assert out[10][0] == pytest.approx(1 / 61 + 1 / 62, abs=1e-9)
+        assert out[11][0] == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+        # single-list docs
+        assert out[12][0] == pytest.approx(1 / 63, abs=1e-9)
+        assert out[13][0] == pytest.approx(1 / 63, abs=1e-9)
+        # 10 and 11 tie exactly (same rank multiset) -> id breaks it
+        assert out[10][1] == 1 and out[11][1] == 2
+        # 12 and 13 tie -> id order
+        assert out[12][1] == 3 and out[13][1] == 4
+
+    def test_weights(self, spark):
+        a = _ranking(spark, [(1, 1)])
+        b = _ranking(spark, [(2, 1)])
+        out = {
+            r["doc_id"]: r["score"]
+            for r in rrf_fuse(
+                [a, b], k=10, rrf_k=60, weights=[0.75, 0.25]
+            ).collect()
+        }
+        assert out[1] == pytest.approx(0.75 / 61, abs=1e-9)
+        assert out[2] == pytest.approx(0.25 / 61, abs=1e-9)
+
+    def test_k_truncates(self, spark):
+        a = _ranking(spark, [(i, i) for i in range(1, 8)])
+        got = rrf_fuse([a], k=3).collect()
+        assert [r["doc_id"] for r in got] == [1, 2, 3]
+        assert [r["rank"] for r in got] == [1, 2, 3]
+
+    def test_grouped(self, spark):
+        a = spark.createDataFrame(
+            [("q1", 1, 1), ("q2", 2, 1)],
+            "query_id string, doc_id long, rank int",
+        )
+        b = spark.createDataFrame(
+            [("q1", 1, 2), ("q2", 3, 1)],
+            "query_id string, doc_id long, rank int",
+        )
+        got = {
+            (r["query_id"], r["doc_id"]): r["rank"]
+            for r in rrf_fuse(
+                [a, b], k=5, group_cols=["query_id"]
+            ).collect()
+        }
+        assert got[("q1", 1)] == 1
+        assert got[("q2", 2)] == 1 and got[("q2", 3)] == 2
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        a = _ranking(spark, [(1, 1)])
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse([a, a], weights=[1.0])
+
+
+class TestHybridTopk:
+    def test_rrf_promotes_doc_strong_in_both(self, docs, vecs):
+        # doc 1 is top in BOTH legs ("stream merge" text, vec [1,0])
+        got = hybrid_topk(
+            docs,
+            "stream merge",
+            [1.0, 0.0],
+            embeddings=vecs,
+            k=5,
+            n_candidates=5,
+        ).collect()
+        assert got[0]["doc_id"] == 1
+        assert got[0]["text_rank"] == 1 and got[0]["vec_rank"] == 1
+        ranks = [r["rank"] for r in got]
+        assert ranks == sorted(ranks) and ranks[0] == 1
+
+    def test_rrf_score_is_rank_arithmetic(self, docs, vecs):
+        got = {
+            r["doc_id"]: r
+            for r in hybrid_topk(
+                docs, "stream merge", [1.0, 0.0],
+                embeddings=vecs, k=5, n_candidates=5,
+            ).collect()
+        }
+        for r in got.values():
+            expect = 0.0
+            if r["text_rank"] is not None:
+                expect += 0.5 / (60 + r["text_rank"])
+            if r["vec_rank"] is not None:
+                expect += 0.5 / (60 + r["vec_rank"])
+            assert r["score"] == pytest.approx(expect, abs=1e-9)
+
+    def test_missing_leg_contributes_zero(self, docs, vecs):
+        # doc 2 matches no query term -> text_rank NULL, vec leg only
+        got = {
+            r["doc_id"]: r
+            for r in hybrid_topk(
+                docs, "stream merge", [1.0, 0.0],
+                embeddings=vecs, k=5, n_candidates=5,
+            ).collect()
+        }
+        assert got[2]["text_rank"] is None
+        assert got[2]["score"] == pytest.approx(
+            0.5 / (60 + got[2]["vec_rank"]), abs=1e-9
+        )
+
+    def test_wsum_normalizes_each_leg(self, docs, vecs):
+        got = hybrid_topk(
+            docs, "stream merge", [1.0, 0.0],
+            embeddings=vecs, k=5, n_candidates=5, method="wsum",
+        ).collect()
+        top = got[0]
+        # doc 1 is the max of both legs -> 0.5*1 + 0.5*1 = 1.0
+        assert top["doc_id"] == 1
+        assert top["score"] == pytest.approx(1.0, abs=1e-9)
+        for r in got:
+            assert 0.0 <= r["score"] <= 1.0 + 1e-9
+
+    def test_wsum_degenerate_leg_keeps_missing_docs_at_zero(self, spark):
+        # text leg degenerate (both matches score identically); doc 3
+        # is vec-only and must NOT inherit the degenerate leg's 1.0
+        docs = spark.createDataFrame(
+            [(1, "alpha x"), (2, "alpha y"), (3, "gamma z")],
+            "doc_id long, text string",
+        )
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in hybrid_topk(
+                docs, "alpha", [1.0, 0.0],
+                embeddings=vecs, k=3, n_candidates=3, method="wsum",
+            ).collect()
+        }
+        assert got[1]["score"] == pytest.approx(1.0, abs=1e-9)  # max both
+        assert got[3]["text_rank"] is None
+        # doc 3: text contributes 0; vec norm = (sim3-lo)/(hi-lo)
+        assert got[3]["score"] < 0.5 + 1e-9
+
+    def test_w_text_one_is_text_only_order(self, docs, vecs):
+        got = hybrid_topk(
+            docs, "stream merge", [1.0, 0.0],
+            embeddings=vecs, k=3, n_candidates=5, w_text=1.0,
+        ).collect()
+        with_text = [r for r in got if r["text_rank"] is not None]
+        # fused order of text-retrieved docs == text leg order
+        assert [r["text_rank"] for r in with_text] == sorted(
+            r["text_rank"] for r in with_text
+        )
+
+    def test_embeddings_default_to_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta", [1.0, 0.0]), (2, "beta gamma", [0.0, 1.0])],
+            "doc_id long, text string, embedding array<double>",
+        )
+        got = hybrid_topk(df, "alpha", [1.0, 0.0], k=2, n_candidates=2)
+        assert got.collect()[0]["doc_id"] == 1
+
+    def test_validation(self, docs, vecs):
+        with pytest.raises(ValueError, match="method"):
+            hybrid_topk(docs, "x", [1.0, 0.0], embeddings=vecs, method="max")
+        with pytest.raises(ValueError, match="w_text"):
+            hybrid_topk(docs, "x", [1.0, 0.0], embeddings=vecs, w_text=1.5)
+
+
+class TestHybridBatch:
+    def test_batch_matches_single(self, spark, docs, vecs):
+        queries = spark.createDataFrame(
+            [
+                (1, "stream merge", [1.0, 0.0]),
+                (2, "vector search", [0.0, 1.0]),
+            ],
+            "query_id long, query string, query_vec array<double>",
+        )
+        batch = hybrid_topk_batch(
+            docs, vecs, queries, k=5, n_candidates=5
+        ).collect()
+        for qid, qtext, qvec in [
+            (1, "stream merge", [1.0, 0.0]),
+            (2, "vector search", [0.0, 1.0]),
+        ]:
+            single = hybrid_topk(
+                docs, qtext, qvec, embeddings=vecs, k=5, n_candidates=5
+            ).collect()
+            got = sorted(
+                (
+                    (r["doc_id"], r["score"], r["rank"])
+                    for r in batch
+                    if r["query_id"] == qid
+                ),
+                key=lambda t: t[2],
+            )
+            want = [(r["doc_id"], r["score"], r["rank"]) for r in single]
+            assert got == want
+
+    def test_output_columns(self, spark, docs, vecs):
+        queries = spark.createDataFrame(
+            [(7, "stream", [1.0, 0.0])],
+            "query_id long, query string, query_vec array<double>",
+        )
+        out = hybrid_topk_batch(docs, vecs, queries, k=3, n_candidates=5)
+        assert out.columns == ["query_id", "doc_id", "score", "rank"]
+        assert out.filter(F.col("query_id") == 7).count() > 0
