@@ -1792,6 +1792,45 @@ def q_bm25_index_delete(spark, sf_dir):
     return out
 
 
+def q_bm25_index_time_travel(spark, sf_dir):
+    """Index time-travel: build on the even ids with keep_versions=3,
+    add the odds (v2), tombstone-delete doc_id%10==0 (v3) — then the
+    SAME index serves all three states via version=: each retained
+    manifest replays its exact statistics, segment list and tombstone
+    scope, so every historical top-k equals a from-scratch scoring of
+    that version's corpus. Output = the three top-5s unioned,
+    distinguished by the index_version stamp."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmidxtt_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(
+        docs.filter(F.col("doc_id") % 2 == 0), path, keep_versions=3
+    )
+    bm25_index_add(docs.filter(F.col("doc_id") % 2 == 1), path)
+    bm25_index_delete(
+        spark, path, docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    )
+    q = "stream merge window"
+    out = (
+        bm25_index_topk(spark, path, q, k=5, version=1)
+        .unionByName(bm25_index_topk(spark, path, q, k=5, version=2))
+        .unionByName(bm25_index_topk(spark, path, q, k=5))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bm25_index_upsert(spark, sf_dir):
     """Version-scoped upsert: build the index over a corpus whose
     doc_id%5==0 rows carry WRONG text, then upsert the true rows —
@@ -2866,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
+        "bm25_index_time_travel": q_bm25_index_time_travel,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -2921,7 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (127 entries, window = first 50):
+        # --- past the window (128 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -4850,6 +4890,138 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        # time-travel: each retained version must score exactly like a
+        # from-scratch BM25 over THAT version's corpus (v1 = evens,
+        # v2 = all, v3 = all minus the tombstoned %10 ids)
+        "bm25_index_time_travel": r"""
+            WITH
+            tok1 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            stats1 AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok1
+            ),
+            tok2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats2 AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok2
+            ),
+            tok3 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            stats3 AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok3
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            idf1 AS (
+              SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM (SELECT q.term,
+                           (SELECT count(*) FROM tok1
+                            WHERE list_contains(toks, q.term)) AS df
+                    FROM qterms q) CROSS JOIN stats1
+            ),
+            idf2 AS (
+              SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM (SELECT q.term,
+                           (SELECT count(*) FROM tok2
+                            WHERE list_contains(toks, q.term)) AS df
+                    FROM qterms q) CROSS JOIN stats2
+            ),
+            idf3 AS (
+              SELECT term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM (SELECT q.term,
+                           (SELECT count(*) FROM tok3
+                            WHERE list_contains(toks, q.term)) AS df
+                    FROM qterms q) CROSS JOIN stats3
+            ),
+            tf1 AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM tok1)
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tf2 AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM tok2)
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tf3 AS (
+              SELECT doc_id, dl, term, count(*) AS tf FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM tok3)
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            top1 AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC,
+                          doc_id ASC) AS INT) AS rank,
+                     CAST(1 AS INT) AS index_version
+              FROM (
+                SELECT tf1.doc_id,
+                       floor(sum(idf1.idf * (tf1.tf * 2.2)
+                             / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl
+                                / stats1.avgdl)))
+                             * 1e6 + 0.5) / 1e6 AS score
+                FROM tf1 JOIN idf1 USING (term) CROSS JOIN stats1
+                GROUP BY tf1.doc_id
+              ) ORDER BY rank LIMIT 5
+            ),
+            top2 AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC,
+                          doc_id ASC) AS INT) AS rank,
+                     CAST(2 AS INT) AS index_version
+              FROM (
+                SELECT tf2.doc_id,
+                       floor(sum(idf2.idf * (tf2.tf * 2.2)
+                             / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl
+                                / stats2.avgdl)))
+                             * 1e6 + 0.5) / 1e6 AS score
+                FROM tf2 JOIN idf2 USING (term) CROSS JOIN stats2
+                GROUP BY tf2.doc_id
+              ) ORDER BY rank LIMIT 5
+            ),
+            top3 AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC,
+                          doc_id ASC) AS INT) AS rank,
+                     CAST(3 AS INT) AS index_version
+              FROM (
+                SELECT tf3.doc_id,
+                       floor(sum(idf3.idf * (tf3.tf * 2.2)
+                             / (tf3.tf + 1.2 * (0.25 + 0.75 * tf3.dl
+                                / stats3.avgdl)))
+                             * 1e6 + 0.5) / 1e6 AS score
+                FROM tf3 JOIN idf3 USING (term) CROSS JOIN stats3
+                GROUP BY tf3.doc_id
+              ) ORDER BY rank LIMIT 5
+            )
+            SELECT * FROM top1
+            UNION ALL SELECT * FROM top2
+            UNION ALL SELECT * FROM top3
         """,
         "bm25_index_build": r"""
             WITH tok AS (

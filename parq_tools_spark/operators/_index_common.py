@@ -17,11 +17,55 @@ __all__ = [
     "delete_entries",
     "delete_batches",
     "visible_scan",
+    "resolve_manifest",
+    "retention",
 ]
 
 #: Legacy (pre-version-scoped) tombstones hid EVERY segment — an
 #: upto above any real version reproduces that exactly.
 _LEGACY_UPTO = 1 << 62
+
+
+def resolve_manifest(vs, path: str, version=None, what: str = "index",
+                     build_hint: str = ""):
+    """Resolve a committed manifest: the NEWEST one (``version=None``,
+    the serving default), or an explicit still-retained ``version`` —
+    the time-travel read. Returns ``(version, manifest_dict)``.
+
+    Time-travel contract (shared by every index family): a manifest
+    version is readable for as long as it survives the maintenance
+    sweeps — ``keep_versions`` (a build parameter, carried in the
+    manifest and honored by every subsequent maintenance cycle's
+    ``clean_stale``) pins how many committed versions each sweep
+    retains; segment/terms/tombstone directories live exactly as long
+    as some surviving manifest references them (the orphan sweeps keep
+    anything referenced), so a retained manifest is always fully
+    servable, never torn."""
+    import json
+
+    if version is None:
+        cur = vs.current()
+        if cur is None:
+            raise ValueError(f"no committed {what} at {path}{build_hint}")
+        return cur, json.loads(vs.read_marker(cur))
+    committed = [n for n, ok in vs.versions() if ok]
+    if version not in committed:
+        raise ValueError(
+            f"version {version} of the {what} at {path} is not committed"
+            f" or no longer retained (committed: {committed or '[]'});"
+            " version history is pinned by the keep_versions= build"
+            " parameter"
+        )
+    return version, json.loads(vs.read_marker(version))
+
+
+def retention(m: dict) -> int:
+    """The index's version-retention policy: ``params.keep_versions``
+    from the manifest (default 1 — only the current version, plus the
+    implicit one-cycle grace the sweep timing gives its predecessor).
+    Maintenance paths pass this to ``VersionedState.clean_stale`` so
+    retention set at build time is honored for the index's life."""
+    return int(m.get("params", {}).get("keep_versions", 1))
 
 
 def delete_entries(m: dict) -> list:

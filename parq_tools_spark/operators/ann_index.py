@@ -78,22 +78,23 @@ def _ann_vs(spark, path: str):
     return VersionedState(spark, path, _ANN_MARKER)
 
 
-def _ann_manifest(spark, path: str):
-    import json
-
+def _ann_manifest(spark, path: str, version=None):
     vs = _ann_vs(spark, path)
-    cur = vs.current()
-    if cur is None:
-        raise ValueError(
-            f"no committed ann index at {path}; build one with "
-            "ann_index_build"
-        )
-    return vs, cur, json.loads(vs.read_marker(cur))
+    cur, m = _resolve_manifest(
+        vs,
+        path,
+        version,
+        what="ann index",
+        build_hint="; build one with ann_index_build",
+    )
+    return vs, cur, m
 
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
     id_field as _id_field,
     id_field_json as _id_field_json,
+    resolve_manifest as _resolve_manifest,
+    retention as _retention,
     tag as _tag,
 )
 
@@ -190,6 +191,7 @@ def ann_index_build(
     round_to: int = 6,
     opq: bool = False,
     opq_sample: int = 256,
+    keep_versions: int = 1,
 ) -> None:
     """Build a persistent IVF-PQ index over an embedding column.
 
@@ -212,8 +214,17 @@ def ann_index_build(
     generation commits alongside the old one, which survives one
     maintenance cycle for in-flight readers; a crash mid-rebuild
     leaves the old index fully committed (the new data is an
-    invisible orphan)."""
+    invisible orphan).
+
+    ``keep_versions`` pins how many committed versions the
+    maintenance sweeps retain; retained versions stay fully servable
+    via the ``version=`` parameter on :func:`ann_index_topk` /
+    :func:`ann_index_stats` (the shared index time-travel
+    contract)."""
     import json
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
 
     from parq_tools_spark.operators.similarity import (
         _hashseed_rows,
@@ -227,8 +238,12 @@ def ann_index_build(
     cur = vs.current()
     if cur is not None:
         # sweep at cycle START: state superseded LAST cycle goes now,
-        # never the live generation (reader grace)
-        vs.clean_stale(cur)
+        # never the live generation (reader grace). Retention follows
+        # the PREVIOUS generation's policy; this build's keep_versions
+        # governs from its own commit forward.
+        vs.clean_stale(
+            cur, keep_versions=_retention(json.loads(vs.read_marker(cur)))
+        )
         _ann_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
@@ -267,6 +282,7 @@ def ann_index_build(
                     "vec_col": vec_col,
                     "round_to": round_to,
                     "opq": opq,
+                    "keep_versions": keep_versions,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_vecs": n_vecs,
@@ -294,7 +310,7 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
 
     spark = new_vecs.sparkSession
     vs, cur, m = _ann_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _ann_sweep_orphans(vs, path)
     p = m["params"]
     centroids, codebooks, rot = _read_model(vs.fs, path, m)
@@ -350,7 +366,7 @@ def ann_index_delete(spark, path: str, ids, _verified: bool = False) -> dict:
     from pyspark.sql import types as T
 
     vs, cur, m = _ann_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _ann_sweep_orphans(vs, path)
     id_col = m["params"]["id_col"]
 
@@ -478,7 +494,7 @@ def ann_index_compact(
     import math
 
     vs, cur, m = _ann_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _ann_sweep_orphans(vs, path)
     fs = vs.fs
 
@@ -565,11 +581,15 @@ def ann_index_compact(
     return compacted
 
 
-def ann_index_stats(spark, path: str) -> dict:
+def ann_index_stats(
+    spark, path: str, version: Optional[int] = None
+) -> dict:
     """The resolved manifest's statistics — ``version``, ``n_vecs``,
     ``params`` — the staleness contract's inspection point (compare
-    ``version`` against a query result's ``index_version``)."""
-    _, cur, m = _ann_manifest(spark, path)
+    ``version`` against a query result's ``index_version``).
+    ``version=`` inspects a retained historical version (see
+    :func:`ann_index_build`'s ``keep_versions``)."""
+    _, cur, m = _ann_manifest(spark, path, version)
     return {
         "version": cur,
         "n_vecs": m["n_vecs"],
@@ -604,6 +624,7 @@ def ann_index_topk(
     nprobe: int = 2,
     query_id_col: str = "vec_id",
     query_vec_col: Optional[str] = None,
+    version: Optional[int] = None,
 ) -> DataFrame:
     """ANN top-``k`` served FROM the index — no corpus access, no
     re-encoding: the model (centroids + codebooks + rotation) is read
@@ -621,12 +642,16 @@ def ann_index_topk(
     the same params over the same corpus (same rounded-cosine probes,
     same ADC arithmetic and rounding, same ``(score desc, id asc)``
     order). Returns ``(query_id, <id_col>, pq_score, rank,
-    index_version)``."""
+    index_version)``.
+
+    ``version=`` time-travels: serving reads that RETAINED manifest's
+    model, segments and tombstone scope exactly as committed
+    (retention is :func:`ann_index_build`'s ``keep_versions``)."""
     from functools import reduce
 
     from parq_tools_spark.operators.similarity import adc_score
 
-    vs, cur, m = _ann_manifest(spark, path)
+    vs, cur, m = _ann_manifest(spark, path, version)
     p = m["params"]
     id_col = p["id_col"]
     query_vec_col = query_vec_col or p["vec_col"]

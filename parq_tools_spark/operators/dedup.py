@@ -1110,15 +1110,30 @@ def _index_manifest(spark, path: str):
     return vs, cur, list(m["segments"])
 
 
-def _index_manifest_full(spark, path: str):
+def _index_manifest_full(spark, path: str, version=None):
     """``(vs, current_version, manifest_dict)`` — the single-read
     resolution point for paths that need params AND segments from the
     SAME committed version (resolving them separately could tear
     across a concurrent rebuild-with-new-params commit). One marker
-    read total (an object-store GET each on s3a), not two."""
+    read total (an object-store GET each on s3a), not two.
+    ``version=`` resolves a retained historical manifest instead (the
+    shared index time-travel contract)."""
     import json
 
     vs = _index_vs(spark, path)
+    if version is not None:
+        from parq_tools_spark.operators._index_common import (
+            resolve_manifest,
+        )
+
+        cur, m = resolve_manifest(
+            vs,
+            path,
+            version,
+            what="minhash index",
+            build_hint="; build one with minhash_index_write",
+        )
+        return vs, cur, m
     cur = vs.current()
     if cur is None:
         # delegate the legacy-layout / no-index error messages
@@ -1167,6 +1182,7 @@ def minhash_index_write(
     bands: int = 32,
     k: int = 3,
     hash_family: str = "portable",
+    keep_versions: int = 1,
 ) -> None:
     """Persist a corpus's banded MinHash index so future batches
     dedupe against the corpus WITHOUT recomputing its signatures.
@@ -1200,6 +1216,8 @@ def minhash_index_write(
 
     from parq_tools_spark.sources.statefs import StateFS
 
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
     spark = df.sparkSession
     fs = StateFS(spark, path)
     vs = _index_vs(spark, path)
@@ -1213,8 +1231,15 @@ def minhash_index_write(
                 fs.delete(f"{path}/{entry}")
     else:
         # sweep at cycle START: state superseded LAST cycle goes now,
-        # never the live generation (reader grace)
-        vs.clean_stale(cur)
+        # never the live generation (reader grace). Retention follows
+        # the PREVIOUS generation's policy; this rebuild's
+        # keep_versions governs from its own commit forward.
+        from parq_tools_spark.operators._index_common import retention
+
+        vs.clean_stale(
+            cur,
+            keep_versions=retention(json.loads(vs.read_marker(cur))),
+        )
         _sweep_index_orphans(fs, path, vs, cur)
     new = (cur or 0) + 1
     banded = banded_minhash(
@@ -1230,6 +1255,7 @@ def minhash_index_write(
         "bands": bands,
         "k": k,
         "hash_family": hash_family,
+        "keep_versions": keep_versions,
     }
     vs.commit(
         new,
@@ -1299,7 +1325,9 @@ def minhash_index_compact(
     # sweep at cycle START (the rollup-state pattern): versions and
     # segments superseded LAST cycle go now, so in-flight readers of
     # the previous manifest always get a full cycle to finish
-    vs.clean_stale(cur)
+    from parq_tools_spark.operators._index_common import retention
+
+    vs.clean_stale(cur, keep_versions=retention(m))
     _sweep_index_orphans(fs, path, vs, cur)
 
     # listing-only trigger: per-band file count + bytes across segments
@@ -1442,7 +1470,9 @@ def minhash_index_add(
     vs, cur, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
     segments = list(m["segments"])
-    vs.clean_stale(cur)
+    from parq_tools_spark.operators._index_common import retention
+
+    vs.clean_stale(cur, keep_versions=retention(m))
     banded = banded_minhash(
         df,
         p["id_col"],
@@ -1506,7 +1536,9 @@ def minhash_index_delete(spark, path: str, ids) -> dict:
     vs, cur, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
     id_col = p["id_col"]
-    vs.clean_stale(cur)
+    from parq_tools_spark.operators._index_common import retention
+
+    vs.clean_stale(cur, keep_versions=retention(m))
     _sweep_index_orphans(vs.fs, path, vs, cur)
 
     fs = vs.fs
@@ -1583,6 +1615,7 @@ def minhash_index_query(
     text_col: str = "text",
     threshold: float = 0.7,
     exclude_same_id: bool = True,
+    version: Optional[int] = None,
 ) -> DataFrame:
     """Pairs between an on-disk index and a new batch:
     ``(id_indexed, id_new, est_jaccard)``. The index side is read as
@@ -1607,7 +1640,7 @@ def minhash_index_query(
 
     # ONE manifest resolution covers params + segments (resolving
     # them separately could tear across a rebuild-with-new-params)
-    _, _, m = _index_manifest_full(spark, path)
+    _, _, m = _index_manifest_full(spark, path, version)
     p = _manifest_params(spark, path, m)
     fs = StateFS(spark, path)
     segments = list(m["segments"])

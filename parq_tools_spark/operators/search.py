@@ -435,22 +435,23 @@ def _bm25_vs(spark, path: str):
     return VersionedState(spark, path, _BM25_MARKER)
 
 
-def _bm25_manifest(spark, path: str):
-    import json
-
+def _bm25_manifest(spark, path: str, version=None):
     vs = _bm25_vs(spark, path)
-    cur = vs.current()
-    if cur is None:
-        raise ValueError(
-            f"no committed bm25 index at {path}; build one with "
-            "bm25_index_build"
-        )
-    return vs, cur, json.loads(vs.read_marker(cur))
+    cur, m = _resolve_manifest(
+        vs,
+        path,
+        version,
+        what="bm25 index",
+        build_hint="; build one with bm25_index_build",
+    )
+    return vs, cur, m
 
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
     id_field as _id_field_impl,
     id_field_json as _id_field_json_impl,
+    resolve_manifest as _resolve_manifest,
+    retention as _retention,
     tag as _tag,
 )
 
@@ -594,12 +595,20 @@ def bm25_index_build(
     text_col: str = "text",
     n_buckets: int = 32,
     store_positions: bool = False,
+    keep_versions: int = 1,
 ) -> None:
     """Build a persistent BM25 index over ``corpus`` at ``path``.
 
     Two corpus passes (a count/length aggregate and the postings
     aggregation — both one shuffle, keyed small), then the manifest
     commits. ``k1``/``b`` are query-time knobs, not index state.
+
+    ``keep_versions`` pins how many committed manifest versions every
+    maintenance sweep retains (default 1 = current only, plus the
+    one-cycle grace). Retained versions stay fully servable — the
+    ``version=`` parameter on the query paths reads the index exactly
+    as it was at that commit (its statistics, segments AND tombstone
+    scope), the same time-travel contract as the rollup state.
 
     Rebuilding over an existing index is NON-DESTRUCTIVE: the new
     generation's segment and vocabulary snapshot are built alongside
@@ -611,13 +620,19 @@ def bm25_index_build(
     the half-built data as an invisible orphan."""
     import json
 
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
     spark = corpus.sparkSession
     vs = _bm25_vs(spark, path)
     cur = vs.current()
     if cur is not None:
         # sweep at cycle START (the rollup-state pattern): state
-        # superseded LAST cycle goes now, never the live generation
-        vs.clean_stale(cur)
+        # superseded LAST cycle goes now, never the live generation —
+        # honoring the PREVIOUS generation's retention (this rebuild's
+        # keep_versions only governs from its own commit forward)
+        vs.clean_stale(
+            cur, keep_versions=_retention(json.loads(vs.read_marker(cur)))
+        )
         _bm25_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
@@ -640,6 +655,7 @@ def bm25_index_build(
                     "text_col": text_col,
                     "n_buckets": n_buckets,
                     "store_positions": store_positions,
+                    "keep_versions": keep_versions,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_docs": n_docs,
@@ -662,7 +678,7 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
 
     spark = new_docs.sparkSession
     vs, cur, m = _bm25_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _bm25_sweep_orphans(vs, path)
     p = m["params"]
 
@@ -865,7 +881,7 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     from pyspark.sql import types as T
 
     vs, cur, m = _bm25_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _bm25_sweep_orphans(vs, path)
 
     if isinstance(ids, DataFrame):
@@ -1138,7 +1154,7 @@ def bm25_index_compact(
     import math
 
     vs, cur, m = _bm25_manifest(spark, path)
-    vs.clean_stale(cur)
+    vs.clean_stale(cur, keep_versions=_retention(m))
     _bm25_sweep_orphans(vs, path)
     fs = vs.fs
 
@@ -1231,12 +1247,16 @@ def bm25_index_compact(
     return compacted
 
 
-def bm25_index_stats(spark, path: str) -> dict:
+def bm25_index_stats(
+    spark, path: str, version: Optional[int] = None
+) -> dict:
     """The resolved manifest's statistics — ``version``, ``n_docs``,
     ``sum_dl``, ``avgdl``, ``params`` — the staleness contract's
     inspection point (compare ``version`` against a query result's
-    ``index_version`` column)."""
-    _, cur, m = _bm25_manifest(spark, path)
+    ``index_version`` column). ``version=`` inspects a retained
+    historical version (see :func:`bm25_index_build`'s
+    ``keep_versions``)."""
+    _, cur, m = _bm25_manifest(spark, path, version)
     return {
         "version": cur,
         "n_docs": m["n_docs"],
@@ -1350,6 +1370,7 @@ def bm25_index_topk(
     round_to: int = 6,
     mode: str = "any",
     phrase: Optional[Union[str, Sequence[str]]] = None,
+    version: Optional[int] = None,
 ) -> DataFrame:
     """Top-``k`` by BM25 served FROM the index — no corpus scan, no
     tokenization: the plan reads the query terms' df rows from the
@@ -1359,6 +1380,11 @@ def bm25_index_topk(
     row per matching document and top-k-merges. Cost is O(postings of
     the query's terms) — at 100 TB that is the difference between a
     serving call and a batch job.
+
+    ``version=`` time-travels: the query serves from that RETAINED
+    manifest exactly as committed — its statistics, segment list and
+    tombstone scope — so build -> add -> delete histories replay
+    faithfully (retention is the ``keep_versions`` build parameter).
 
     Scores are IDENTICAL to :func:`bm25_topk` over the same corpus at
     the index's current version — same idf/avgdl/tf arithmetic, same
@@ -1381,7 +1407,7 @@ def bm25_index_topk(
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
-    vs, cur, m = _bm25_manifest(spark, path)
+    vs, cur, m = _bm25_manifest(spark, path, version)
     id_col = m["params"]["id_col"]
     phrase_toks = None
     if phrase is not None:
@@ -1468,6 +1494,7 @@ def bm25_index_topk_batch(
     b: float = 0.75,
     round_to: int = 6,
     mode: str = "any",
+    version: Optional[int] = None,
 ) -> DataFrame:
     """Per-query top-``k`` for a whole queries DataFrame served from
     the index: ONE postings read covers the union of all query terms
@@ -1496,7 +1523,7 @@ def bm25_index_topk_batch(
             ) from None
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
 
-    vs, cur, m = _bm25_manifest(spark, path)
+    vs, cur, m = _bm25_manifest(spark, path, version)
     id_col = m["params"]["id_col"]
     n_docs = m["n_docs"]
     if not n_docs:
