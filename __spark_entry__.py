@@ -1831,6 +1831,64 @@ def q_bm25_index_time_travel(spark, sf_dir):
     return out
 
 
+def q_bm25_index_stream(spark, sf_dir):
+    """Streaming index maintenance end-to-end: a 3-micro-batch CDC
+    stream (insert evens, insert odds, then update %10==4 / delete
+    %10==0) folds into the persisted BM25 index via foreachBatch +
+    exactly-once markers; the final index must score exactly like a
+    from-scratch scan over the CDC-resolved corpus."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import bm25_index_topk
+    from parq_tools_spark.streaming.index_sink import (
+        start_bm25_index_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmstream_")
+    src = os.path.join(work, "cdc")
+    k = F.col("doc_id")
+    b0 = docs.filter(k % 2 == 0).select(
+        "doc_id", "text", F.lit("I").alias("op"), F.lit(0).alias("seq")
+    )
+    b1 = docs.filter(k % 2 == 1).select(
+        "doc_id", "text", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    b2 = docs.filter(k % 10 == 4).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" streamrefresh")).alias("text"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    ).unionByName(
+        docs.filter(k % 10 == 0).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    index_path = os.path.join(work, "idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = start_bm25_index_stream(
+        stream, index_path, os.path.join(work, "ck"), seq_col="seq"
+    )
+    q.awaitTermination(300)
+    out = (
+        bm25_index_topk(spark, index_path, "stream merge window", k=10)
+        .drop("index_version")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bm25_index_upsert(spark, sf_dir):
     """Version-scoped upsert: build the index over a corpus whose
     doc_id%5==0 rows carry WRONG text, then upsert the true rows —
@@ -2906,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
         "bm25_index_time_travel": q_bm25_index_time_travel,
+        "bm25_index_stream": q_bm25_index_stream,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -2961,7 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (128 entries, window = first 50):
+        # --- past the window (129 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -4887,6 +4946,68 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
                         AS INT) AS rank,
                    CAST(2 AS INT) AS index_version
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        # streaming CDC maintenance: the final index equals a
+        # from-scratch scoring over the CDC-resolved corpus (all docs,
+        # %10==4 refreshed, %10==0 deleted)
+        "bm25_index_stream": r"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 4
+                          THEN text || ' streamrefresh'
+                          ELSE text END AS text
+              FROM documents
+              WHERE doc_id % 10 <> 0
+            ),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM corpus
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank
             FROM scored
             ORDER BY rank
             LIMIT 10

@@ -56,100 +56,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["start_near_dedupe_stream"]
 
-_MARKER = "_stream_last_batch"
-
-
-def _marker_identity(spark: SparkSession, checkpoint_dir: str) -> str:
-    """The checkpoint's scheme-stable identity (fully-qualified URI
-    via the Hadoop FileSystem — ``os.path.abspath`` only means
-    something on ``file:``)."""
-    from parq_tools_spark.sources.statefs import StateFS
-
-    return StateFS(spark, checkpoint_dir).qualify(checkpoint_dir)
-
-
-def _ckpt_digest(identity: str) -> str:
-    import hashlib
-
-    return hashlib.md5(identity.encode("utf-8")).hexdigest()[:8]
-
-
-def _marker_files(fs, index_path: str):
-    """``(name, batch_or_None)`` for every marker file present —
-    numbered ``_stream_last_batch.<ckpt>.<n>`` plus the legacy
-    unnumbered ``_stream_last_batch`` (pre-versioned protocol)."""
-    out = []
-    for name, is_dir, _ in fs.list_status(index_path):
-        if is_dir or not name.startswith(_MARKER):
-            continue
-        if name == _MARKER:
-            out.append((name, None))
-            continue
-        tail = name[len(_MARKER) + 1 :].rsplit(".", 1)
-        if len(tail) == 2 and tail[1].isdigit():
-            out.append((name, int(tail[1])))
-    return out
-
-
-def _last_applied(
-    spark: SparkSession, index_path: str, checkpoint_dir: str
-) -> int:
-    """Last fully-applied batch id FOR THIS QUERY. Batch ids are only
-    meaningful relative to one checkpoint: a restart with a fresh
-    checkpoint renumbers and re-partitions micro-batches, so a bare
-    integer from a previous query could short-circuit batches holding
-    never-processed files. Every marker therefore records which
-    checkpoint it belongs to and is ignored for any other.
-
-    Strict like every marker read (statefs convention): only a
-    genuinely ABSENT marker reads as "nothing applied"; a marker that
-    exists but fails to read or parse raises — treating a transient
-    storage error as -1 would re-append an already-applied batch's
-    band rows to the index (permanent duplicate rows and bloat)."""
-    import json
-
-    from parq_tools_spark.sources.statefs import StateFS
-
-    fs = StateFS(spark, index_path)
-    ident = _marker_identity(spark, checkpoint_dir)
-    digest = _ckpt_digest(ident)
-    last = -1
-    for name, batch in _marker_files(fs, index_path):
-        if batch is not None and f".{digest}." not in name:
-            continue  # another checkpoint's marker — not ours
-        m = json.loads(fs.read_text(f"{index_path}/{name}"))
-        if m.get("checkpoint") != ident:
-            continue
-        last = max(last, int(m["batch"]))
-    return last
-
-
-def _commit_marker(
-    spark: SparkSession,
-    index_path: str,
-    checkpoint_dir: str,
-    batch_id: int,
-) -> None:
-    """Create a NEW versioned marker file (atomic per scheme —
-    ``statefs.write_text`` to a never-before-used name, so the
-    delete+rename overwrite fallback can't run), then sweep older
-    markers. A crash after the create leaves extra stale markers —
-    reads take the max for the checkpoint, so that is harmless."""
-    import json
-
-    from parq_tools_spark.sources.statefs import StateFS
-
-    fs = StateFS(spark, index_path)
-    fs.mkdirs(index_path)
-    ident = _marker_identity(spark, checkpoint_dir)
-    new_name = f"{_MARKER}.{_ckpt_digest(ident)}.{batch_id}"
-    fs.write_text(
-        f"{index_path}/{new_name}",
-        json.dumps({"checkpoint": ident, "batch": batch_id}),
-    )
-    for name, _ in _marker_files(fs, index_path):
-        if name != new_name:
-            fs.delete(f"{index_path}/{name}")
+# the checkpoint-scoped versioned marker protocol lives in
+# streaming/_markers.py — ONE implementation shared with the BM25
+# index sink (streaming/index_sink.py); the invariants derived here
+# (versioned files, strict reads, checkpoint identity) are documented
+# there and must not fork
+from parq_tools_spark.streaming._markers import (  # noqa: E402
+    commit_marker as _commit_marker,
+    last_applied as _last_applied,
+)
 
 
 def start_near_dedupe_stream(
