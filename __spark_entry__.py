@@ -1879,7 +1879,10 @@ def q_bm25_index_stream(spark, sf_dir):
     q = start_bm25_index_stream(
         stream, index_path, os.path.join(work, "ck"), seq_col="seq"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # never read a half-fed index or rmtree a live query's source
+        q.stop()
+        raise TimeoutError("bm25 index stream did not drain in 300s")
     out = (
         bm25_index_topk(spark, index_path, "stream merge window", k=10)
         .drop("index_version")

@@ -10,11 +10,13 @@ Buettcher, SIGIR 2009) and min-max-normalized weighted score fusion
 
 Scale shape: both legs are top-``n_candidates`` retrievals — the text
 leg is a map-only scored scan + ``TakeOrderedAndProject`` (or an index
-read), the vector leg broadcasts the query vector(s) and never shuffles
-the corpus. Fusion then operates on at most ``legs x n_candidates``
-rows per query: a full-outer join (single-query) or a tiny keyed
-aggregate (batch) — the corpus is never touched again. At 100 TB the
-fusion stage is O(k), not O(data).
+read), the vector leg broadcasts the query vector(s) and never
+shuffles the corpus VECTORS (only narrow ``(query, id, sim)`` triples
+move, two-phase-pruned to ``n_candidates`` per input partition in the
+batch path before the per-query rank). Fusion then operates on at
+most ``legs x n_candidates`` rows per query: a full-outer join
+(single-query) or a tiny keyed aggregate (batch) — the corpus is
+never touched again. At 100 TB the fusion stage is O(k), not O(data).
 
 Determinism (what makes these oracle-able in DuckDB):
 - leg ranks derive from ROUNDED scores (the legs already floor-round to
@@ -245,24 +247,29 @@ def hybrid_topk(
             F.lit(0.0),
         )
     else:
-        # per-leg min/max over the candidate lists: two one-row
-        # aggregates, broadcast back — never a window over the corpus
-        tstats = text.agg(
-            F.min("_tscore").alias("_tlo"), F.max("_tscore").alias("_thi")
+        # per-leg min/max over the candidate lists, computed as
+        # null-ignoring window aggregates over the JOINED relation:
+        # the full-outer join keeps every leg row, so min/max over the
+        # joined column equal min/max over the leg — and the legs'
+        # heavy scans stay single-execution (separate .agg() branches
+        # would re-run the BM25 corpus scan and the embeddings scan,
+        # Spark does not dedupe common subplans). The window is
+        # unpartitioned but runs over <= 2*n_candidates fused rows,
+        # never the corpus.
+        w_all = Window.partitionBy()
+        tlo, thi = (
+            F.min("_tscore").over(w_all),
+            F.max("_tscore").over(w_all),
         )
-        vstats = vec.agg(
-            F.min("_vscore").alias("_vlo"), F.max("_vscore").alias("_vhi")
-        )
-        both = both.crossJoin(F.broadcast(tstats)).crossJoin(
-            F.broadcast(vstats)
+        vlo, vhi = (
+            F.min("_vscore").over(w_all),
+            F.max("_vscore").over(w_all),
         )
         fused_score = F.coalesce(
-            F.lit(w_text)
-            * _minmax(F.col("_tscore"), F.col("_tlo"), F.col("_thi")),
+            F.lit(w_text) * _minmax(F.col("_tscore"), tlo, thi),
             F.lit(0.0),
         ) + F.coalesce(
-            F.lit(w_vec)
-            * _minmax(F.col("_vscore"), F.col("_vlo"), F.col("_vhi")),
+            F.lit(w_vec) * _minmax(F.col("_vscore"), vlo, vhi),
             F.lit(0.0),
         )
     scored = both.select(
@@ -336,11 +343,28 @@ def hybrid_topk_batch(
             sim_round_to,
         ).alias("cosine_sim"),
     )
+    # two-phase top-n: a straight per-query rank window would drag
+    # EVERY (doc, query, sim) triple of one query into a single task
+    # (n_queries tasks each sorting the whole corpus's rows — the
+    # skew/OOM shape at scale). Phase 1 ranks within
+    # (query, input-partition) slices — any global top-n row is
+    # necessarily in its slice's top-n, so the prefilter is lossless —
+    # leaving <= n_candidates * n_partitions rows per query for the
+    # tiny phase-2 global rank. Only narrow triples ever shuffle; the
+    # corpus vectors never do.
+    w_local = Window.partitionBy(
+        query_id_col, F.spark_partition_id()
+    ).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    pruned = (
+        sims.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= n_candidates)
+        .drop("_lr")
+    )
     wv = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
     vec = (
-        sims.withColumn("rank", F.row_number().over(wv))
+        pruned.withColumn("rank", F.row_number().over(wv))
         .filter(F.col("rank") <= n_candidates)
         .select(query_id_col, id_col, "rank")
     )

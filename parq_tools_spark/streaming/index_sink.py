@@ -117,9 +117,17 @@ def start_bm25_index_stream(
             op_col=op_col,
             seq_col=seq_col,
         )
-        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+        # compaction BEFORE the marker (unlike the near-dedup stream,
+        # which treats compaction as best-effort after its marker): a
+        # compaction crash here fails the batch un-marked, so the
+        # restart re-applies the CDC batch (final-state idempotent,
+        # only segment churn) and RETRIES the compaction — marker-first
+        # would permanently skip this trigger's fold on a crash, and
+        # unlike the near-dedup replay, the retry costs no duplicate
+        # rows.
         if compact_every and (batch_id + 1) % compact_every == 0:
             bm25_index_compact(spark, index_path)
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
 
     writer = changes.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

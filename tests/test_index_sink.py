@@ -60,7 +60,7 @@ def _run(spark, src_dir, index_path, ckpt, **kw):
     q = start_bm25_index_stream(
         stream, index_path, ckpt, seq_col="seq", **kw
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
 
 
 def _topk(spark, index_path, k=8):

@@ -180,10 +180,6 @@ class TestAnnTimeTravel:
             for r in ann_index_topk(spark, path, queries, k=5).collect()
         ]
         ann_index_add(emb.filter(F.col("vec_id") >= 30), path)
-        after = [
-            tuple(r)
-            for r in ann_index_topk(spark, path, queries, k=5).collect()
-        ]
         travel = [
             tuple(r)
             for r in ann_index_topk(
@@ -191,7 +187,25 @@ class TestAnnTimeTravel:
             ).collect()
         ]
         assert travel == before
-        assert after != before or len(after) == len(before)
+        # the ADDED vectors serve at the current version but are
+        # invisible at v1: with every cell probed and k = corpus size
+        # the result set IS the visible id set (no quantization
+        # ranking luck involved). Probing with added ids 30/31: the
+        # query's own id is excluded by design (the shared
+        # brute_force/ivf_pq self-exclusion), so each sees the OTHER
+        # added vector at the current version and neither at v1.
+        probe = emb.filter(F.col("vec_id").isin(30, 31)).select(
+            "vec_id", "embedding"
+        )
+        cur = ann_index_topk(spark, path, probe, k=40, nprobe=4).collect()
+        old = ann_index_topk(
+            spark, path, probe, k=40, nprobe=4, version=1
+        ).collect()
+        for qid in (30, 31):
+            cur_ids = {r[1] for r in cur if r["query_id"] == qid}
+            old_ids = {r[1] for r in old if r["query_id"] == qid}
+            assert cur_ids == set(range(40)) - {qid}
+            assert old_ids == set(range(30))
         assert ann_index_stats(spark, path, version=1)["n_vecs"] == 30
         assert ann_index_stats(spark, path)["n_vecs"] == 40
 
