@@ -2886,6 +2886,120 @@ def q_ann_index_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_ann_index_stream_equiv(spark, sf_dir):
+    """Streaming ANN index maintenance gate: a 3-micro-batch CDC
+    stream (bootstrap-build on the even ids' inserts, insert odds,
+    then update %10==4 / delete %10==0) must leave an index serving
+    BIT-IDENTICALLY to the batch path (ann_index_build on the same
+    seed + ann_index_apply_cdc of the same changes) — same bootstrap
+    corpus => same frozen hash-seeded model => same codes, scores and
+    ranks. Returns the symmetric difference of the two served top-k
+    result sets; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_apply_cdc,
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_ann_index_stream,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = F.col("vec_id")
+    schema = "vec_id long, embedding array<double>, op string, seq long"
+    b0 = emb.filter(k % 2 == 0).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("I").alias("op"),
+        F.lit(0).alias("seq"),
+    )
+    b1 = emb.filter(k % 2 == 1).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    b2 = emb.filter(k % 10 == 4).select(
+        "vec_id",
+        F.reverse(F.col("embedding").cast("array<double>")).alias(
+            "embedding"
+        ),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    ).unionByName(
+        emb.filter(k % 10 == 0).select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="annstream_")
+    src = os.path.join(work, "cdc")
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+
+    stream_idx = os.path.join(work, "sidx")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = start_ann_index_stream(
+        stream,
+        stream_idx,
+        os.path.join(work, "ck"),
+        seq_col="seq",
+        n_cells=8,
+        m=8,
+        n_codes=16,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ann index stream did not drain in 300s")
+
+    batch_idx = os.path.join(work, "bidx")
+    ann_index_build(
+        spark.read.parquet(os.path.join(src, "f0")).select(
+            "vec_id", "embedding"
+        ),
+        batch_idx,
+        n_cells=8,
+        m=8,
+        n_codes=16,
+    )
+    for f in ("f1", "f2"):
+        ann_index_apply_cdc(
+            spark,
+            batch_idx,
+            spark.read.parquet(os.path.join(src, f)),
+            seq_col="seq",
+        )
+    qs = emb.filter(k < 3)
+    cols = ["query_id", "vec_id", "pq_score", "rank"]
+    a = (
+        ann_index_topk(spark, stream_idx, qs, k=5, nprobe=2)
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        ann_index_topk(spark, batch_idx, qs, k=5, nprobe=2)
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    only_a = a.join(b, cols, "left_anti").withColumn(
+        "side", F.lit("stream_only")
+    )
+    only_b = b.join(a, cols, "left_anti").withColumn(
+        "side", F.lit("batch_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_semantic_dedupe(spark, sf_dir):
     """SemDeDup-style semantic dedup: within hash-seeded cells, drop
     every vector with a lower-id neighbor at rounded cosine >= 0.35
@@ -2968,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
         "bm25_index_time_travel": q_bm25_index_time_travel,
         "bm25_index_stream": q_bm25_index_stream,
+        "ann_index_stream_equiv": q_ann_index_stream_equiv,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -3023,7 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (129 entries, window = first 50):
+        # --- past the window (130 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -4290,6 +4405,14 @@ WHERE rnk <= 5
         "ann_index_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "ann_index_stream_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS DOUBLE) AS pq_score,
+                   CAST(NULL AS INT) AS rank,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,

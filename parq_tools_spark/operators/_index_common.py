@@ -19,7 +19,46 @@ __all__ = [
     "visible_scan",
     "resolve_manifest",
     "retention",
+    "resolve_cdc",
 ]
+
+
+def resolve_cdc(changes, id_col: str, op_col: str, seq_col):
+    """The LAST op per id of a CDC batch, materialized: ordered by
+    ``(seq desc, op desc)`` — a same-sequence 'U' beats 'D', the exact
+    tiebreak of ``operators/merge.py``'s ``apply_cdc``, so index state
+    and snapshot state cannot diverge on an identical change log.
+    Without ``seq_col`` the batch must carry at most one op per id
+    (ambiguity raises instead of applying in arbitrary order). ONE
+    definition shared by every index family's ``apply_cdc`` and the
+    streaming sinks' bootstrap path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if seq_col is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        final = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        dup = (
+            changes.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"multiple ops per {id_col} in the CDC batch but no "
+                "seq_col to order them — pass seq_col"
+            )
+        final = changes
+    return final.localCheckpoint(eager=True)
 
 #: Legacy (pre-version-scoped) tombstones hid EVERY segment — an
 #: upto above any real version reproduces that exactly.

@@ -64,6 +64,7 @@ __all__ = [
     "ann_index_add",
     "ann_index_delete",
     "ann_index_upsert",
+    "ann_index_apply_cdc",
     "ann_index_compact",
     "ann_index_stats",
     "ann_index_topk",
@@ -476,6 +477,86 @@ def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
         "inserted": n_batch - updated,
         "version": _ann_vs(spark, path).current(),
     }
+
+
+def ann_index_apply_cdc(
+    spark,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+) -> dict:
+    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D', optional
+    ``seq_col`` ordering multiple ops per id) to the vector index —
+    the exact contract of :func:`~parq_tools_spark.operators.search.
+    bm25_index_apply_cdc` so one change log can feed every index
+    family identically: the LAST op per id wins, ordered by
+    ``(seq desc, op desc)`` (a same-sequence 'U' beats 'D', matching
+    ``operators/merge.py``'s ``apply_cdc``); a final 'D' for an id not
+    visible in the index is a NO-OP, never an error (the I-then-D
+    short-lived-row pattern); final 'I'/'U' rows upsert under the
+    frozen model. O(batch + one visible-id scan), no compaction
+    required.
+
+    Returns ``{"deleted": d, "delete_noops": n, "updated": u,
+    "inserted": i, "version": v}``."""
+    from functools import reduce
+
+    from parq_tools_spark.operators._index_common import resolve_cdc
+
+    _, _, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col, vec_col = p["id_col"], p["vec_col"]
+
+    final = resolve_cdc(changes, id_col, op_col, seq_col)
+
+    deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
+    upserts = final.filter(F.col(op_col).isin("I", "U")).select(
+        id_col, vec_col
+    )
+
+    n_deleted, n_noop = 0, 0
+    n_d = deletes.count()
+    if n_d:
+        fs = _ann_vs(spark, path).fs
+        live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+        n_vis = 0
+        if live:
+            batches = _ann_delete_batches(spark, path, m, id_col)
+            visible_d = (
+                reduce(
+                    DataFrame.unionByName,
+                    [
+                        _ann_visible_scan(spark, path, s, batches, id_col)
+                        .select(id_col)
+                        for s in live
+                    ],
+                )
+                .join(F.broadcast(deletes), on=id_col)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_vis = visible_d.count()
+            if n_vis:
+                # ids came FROM the visible rows — the delete's
+                # visibility re-scan is redundant
+                n_deleted = ann_index_delete(
+                    spark, path, visible_d, _verified=True
+                )["deleted"]
+        n_noop = n_d - n_vis
+    out = {
+        "deleted": n_deleted,
+        "delete_noops": n_noop,
+        "updated": 0,
+        "inserted": 0,
+    }
+    if upserts.limit(1).count():
+        res = ann_index_upsert(upserts, path)
+        out.update(
+            {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out["version"] = _ann_vs(spark, path).current()
+    return out
 
 
 def ann_index_compact(

@@ -1065,34 +1065,13 @@ def bm25_index_apply_cdc(
 
     Returns ``{"deleted": d, "delete_noops": n, "updated": u,
     "inserted": i, "version": v}``."""
+    from parq_tools_spark.operators._index_common import resolve_cdc
+
     _, _, m = _bm25_manifest(spark, path)
     p = m["params"]
     id_col = p["id_col"]
 
-    if seq_col is not None:
-        w = Window.partitionBy(id_col).orderBy(
-            F.col(seq_col).desc(), F.col(op_col).desc()
-        )
-        final = (
-            changes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    else:
-        dup = (
-            changes.groupBy(id_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                f"multiple ops per {id_col} in the CDC batch but no "
-                "seq_col to order them — pass seq_col"
-            )
-        final = changes
-    final = final.localCheckpoint(eager=True)
+    final = resolve_cdc(changes, id_col, op_col, seq_col)
 
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     upserts = final.filter(F.col(op_col).isin("I", "U")).drop(op_col)

@@ -38,7 +38,7 @@ from parq_tools_spark.streaming._markers import (
     last_applied as _last_applied,
 )
 
-__all__ = ["start_bm25_index_stream"]
+__all__ = ["start_bm25_index_stream", "start_ann_index_stream"]
 
 
 def start_bm25_index_stream(
@@ -127,6 +127,107 @@ def start_bm25_index_stream(
         # rows.
         if compact_every and (batch_id + 1) % compact_every == 0:
             bm25_index_compact(spark, index_path)
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+
+    writer = changes.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_ann_index_stream(
+    changes: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: Optional[int] = 16,
+    opq: bool = False,
+    keep_versions: int = 1,
+    compact_every: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Start a streaming query folding CDC rows into the IVF-PQ vector
+    index — the embedding-side twin of :func:`start_bm25_index_stream`
+    (same markers, same replay convergence, same
+    ``apply_cdc`` semantics via :func:`~parq_tools_spark.operators.
+    ann_index.ann_index_apply_cdc`).
+
+    Bootstrap differs in one forced way: an IVF-PQ model cannot train
+    on zero rows (centroids/codebooks are hash-seeded FROM corpus
+    vectors), so the first batch's resolved I/U rows BUILD the index —
+    the model freezes on that batch, the standard train-on-sample
+    IVF-PQ deployment. To train on a better sample, pre-build with
+    :func:`~parq_tools_spark.operators.ann_index.ann_index_build`;
+    an existing index's stored parameters then govern and
+    ``id_col``..``keep_versions`` here are ignored. 'D' ops in the
+    bootstrap batch resolve against an empty index — all no-ops.
+    """
+    if not changes.isStreaming:
+        raise ValueError(
+            "start_ann_index_stream needs a streaming DataFrame; use "
+            "operators.ann_index.ann_index_apply_cdc for batch CDC"
+        )
+    from pyspark.sql import functions as F
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from parq_tools_spark.operators._index_common import resolve_cdc
+        from parq_tools_spark.operators.ann_index import (
+            _ann_vs,
+            ann_index_apply_cdc,
+            ann_index_build,
+            ann_index_compact,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
+            return
+        if not batch_df.take(1):
+            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+            return
+        if _ann_vs(spark, index_path).current() is None:
+            final = resolve_cdc(batch_df, id_col, op_col, seq_col)
+            seed = final.filter(F.col(op_col).isin("I", "U")).select(
+                id_col, vec_col
+            )
+            if not seed.take(1):
+                # a delete-only batch against no index: all no-ops
+                _commit_marker(
+                    spark, index_path, checkpoint_dir, batch_id
+                )
+                return
+            ann_index_build(
+                seed,
+                index_path,
+                n_cells=n_cells,
+                m=m,
+                n_codes=n_codes,
+                id_col=id_col,
+                vec_col=vec_col,
+                opq=opq,
+                keep_versions=keep_versions,
+            )
+        else:
+            ann_index_apply_cdc(
+                spark,
+                index_path,
+                batch_df,
+                op_col=op_col,
+                seq_col=seq_col,
+            )
+        # before the marker — a compaction crash retries on replay
+        # (CDC re-application converges), never skips the fold
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            ann_index_compact(spark, index_path)
         _commit_marker(spark, index_path, checkpoint_dir, batch_id)
 
     writer = changes.writeStream.foreachBatch(_process).option(

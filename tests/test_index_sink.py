@@ -166,9 +166,182 @@ def test_existing_index_params_govern(spark, tmp_path):
 
 def test_rejects_batch_dataframe(spark):
     from parq_tools_spark.streaming.index_sink import (
+        start_ann_index_stream,
         start_bm25_index_stream,
     )
 
     df = spark.createDataFrame([(1, "x", "I", 0)], CDC_SCHEMA)
     with pytest.raises(ValueError, match="streaming DataFrame"):
         start_bm25_index_stream(df, "/tmp/nope", "/tmp/nope_ck")
+    vdf = spark.createDataFrame(
+        [(1, [1.0], "I", 0)],
+        "vec_id long, embedding array<double>, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        start_ann_index_stream(vdf, "/tmp/nope2", "/tmp/nope2_ck")
+
+
+# ------------------------------------------------------------------ ANN
+ANN_CDC_SCHEMA = "vec_id long, embedding array<double>, op string, seq long"
+
+
+def _ann_vecs(n, seed=11, dim=8):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return {i: [float(x) for x in rng.standard_normal(dim)] for i in range(n)}
+
+
+def _ann_write_batches(spark, src_dir, vecs):
+    """b0: I ids 0..29; b1: I ids 30..39; b2: U ids {1, 2} (replaced
+    vectors) + D ids {0, 5, 35}."""
+    b0 = [(i, vecs[i], "I", 0) for i in range(30)]
+    b1 = [(i, vecs[i], "I", 1) for i in range(30, 40)]
+    repl = _ann_vecs(3, seed=99)
+    b2 = [(1, repl[0], "U", 2), (2, repl[1], "U", 2)] + [
+        (i, None, "D", 2) for i in (0, 5, 35)
+    ]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, ANN_CDC_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(src_dir, f"f{i}"))
+    return [b0, b1, b2]
+
+
+def _ann_run(spark, src_dir, index_path, ckpt, **kw):
+    from parq_tools_spark.streaming.index_sink import (
+        start_ann_index_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(ANN_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = start_ann_index_stream(
+        stream, index_path, ckpt, seq_col="seq",
+        n_cells=4, m=4, n_codes=8, **kw
+    )
+    assert q.awaitTermination(180), "ann stream did not drain in 180s"
+
+
+def _ann_full(spark, index_path, vecs, qid=7):
+    from parq_tools_spark.operators.ann_index import ann_index_topk
+
+    probe = spark.createDataFrame(
+        [(qid, vecs[qid])], "vec_id long, embedding array<double>"
+    )
+    return sorted(
+        tuple(r)
+        for r in ann_index_topk(
+            spark, index_path, probe, k=100, nprobe=4
+        ).collect()
+    )
+
+
+def test_ann_apply_cdc_semantics(spark, tmp_path):
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_apply_cdc,
+        ann_index_build,
+        ann_index_stats,
+    )
+
+    vecs = _ann_vecs(10)
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    ann_index_build(emb, path, n_cells=2, m=4, n_codes=8)
+    repl = _ann_vecs(1, seed=50)
+    changes = spark.createDataFrame(
+        [
+            (3, repl[0], "U", 1),     # update
+            (0, None, "D", 1),        # delete
+            (99, None, "D", 1),       # delete of never-indexed: no-op
+            (11, vecs[5], "I", 1),    # insert (new id, reused vector)
+            (12, vecs[6], "I", 1),    # I then D in one batch -> D, noop
+            (12, None, "D", 2),
+        ],
+        ANN_CDC_SCHEMA,
+    )
+    res = ann_index_apply_cdc(spark, path, changes, seq_col="seq")
+    assert res["deleted"] == 1
+    assert res["delete_noops"] == 2
+    assert res["updated"] == 1
+    assert res["inserted"] == 1
+    assert ann_index_stats(spark, path)["n_vecs"] == 10  # 10 -1 +1
+
+
+def test_ann_stream_equals_batch_cdc_path(spark, tmp_path):
+    """Stream-fed index must serve bit-identically to the batch path
+    (build on b0's inserts, apply_cdc b1 and b2) — same bootstrap
+    corpus => same frozen model => same codes and scores."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_apply_cdc,
+        ann_index_build,
+        ann_index_stats,
+    )
+
+    vecs = _ann_vecs(40)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    batches = _ann_write_batches(spark, str(src), vecs)
+    stream_idx = str(tmp_path / "sidx")
+    _ann_run(spark, str(src), stream_idx, str(tmp_path / "ck"))
+
+    batch_idx = str(tmp_path / "bidx")
+    seed = spark.createDataFrame(batches[0], ANN_CDC_SCHEMA).select(
+        "vec_id", "embedding"
+    )
+    ann_index_build(seed, batch_idx, n_cells=4, m=4, n_codes=8)
+    for rows in batches[1:]:
+        ann_index_apply_cdc(
+            spark,
+            batch_idx,
+            spark.createDataFrame(rows, ANN_CDC_SCHEMA),
+            seq_col="seq",
+        )
+    assert _ann_full(spark, stream_idx, vecs) == _ann_full(
+        spark, batch_idx, vecs
+    )
+    # 40 inserted, 3 deleted; updates replace in place
+    assert ann_index_stats(spark, stream_idx)["n_vecs"] == 37
+    visible = {t[1] for t in _ann_full(spark, stream_idx, vecs)}
+    assert visible == set(range(40)) - {0, 5, 35, 7}  # 7 = probe self
+
+
+def test_ann_stream_same_checkpoint_rerun_is_noop(spark, tmp_path):
+    from parq_tools_spark.operators.ann_index import ann_index_stats
+
+    vecs = _ann_vecs(40)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    _ann_write_batches(spark, str(src), vecs)
+    index_path = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    _ann_run(spark, str(src), index_path, ck)
+    v = ann_index_stats(spark, index_path)["version"]
+    before = _ann_full(spark, index_path, vecs)
+    _ann_run(spark, str(src), index_path, ck)
+    assert ann_index_stats(spark, index_path)["version"] == v
+    assert _ann_full(spark, index_path, vecs) == before
+
+
+def test_ann_stream_delete_only_first_batch_is_noop(spark, tmp_path):
+    """A delete-only bootstrap batch resolves against no index: all
+    no-ops, marker committed, the NEXT batch bootstraps."""
+    from parq_tools_spark.operators.ann_index import ann_index_stats
+
+    vecs = _ann_vecs(5)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    b0 = [(9, None, "D", 0)]
+    b1 = [(i, vecs[i], "I", 1) for i in range(5)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, ANN_CDC_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(str(src), f"f{i}"))
+    index_path = str(tmp_path / "idx")
+    _ann_run(spark, str(src), index_path, str(tmp_path / "ck"))
+    assert ann_index_stats(spark, index_path)["n_vecs"] == 5
