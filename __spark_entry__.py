@@ -2080,6 +2080,44 @@ def q_hybrid_batch_rrf(spark, sf_dir):
     return hybrid_topk_batch(docs, emb, qdf, k=5, n_candidates=20)
 
 
+def q_hybrid_from_index(spark, sf_dir):
+    """Hybrid retrieval served entirely from the PERSISTED indexes:
+    the BM25 leg reads term-bucket-pruned postings, the ANN leg reads
+    cell-pruned PQ codes — neither touches the corpus. Built lossless
+    (full probe, identity codebook, OPQ rotation), the index-served
+    vector ranks equal brute-force cosine ranks (the ann_index_equiv
+    invariant), so the fused output is bit-identical to the scan-path
+    hybrid and shares its from-scratch SQL oracle."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="hybidx_")
+    bp = os.path.join(work, "bm25")
+    ap = os.path.join(work, "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(
+        emb, ap, n_cells=8, m=8, n_codes=None, opq=True, opq_sample=64
+    )
+    out = hybrid_index_topk(
+        spark,
+        bp,
+        ap,
+        "stream merge window",
+        _query_vec(emb, 0),
+        k=10,
+        n_candidates=50,
+        nprobe=8,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -3080,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
+        "hybrid_from_index": q_hybrid_from_index,
         "bm25_index_time_travel": q_bm25_index_time_travel,
         "bm25_index_stream": q_bm25_index_stream,
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
@@ -3138,7 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (130 entries, window = first 50):
+        # --- past the window (131 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -5534,6 +5573,93 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         # already-rounded doubles (wsum) — identical IEEE ops in the
         # same order on both engines
         "hybrid_rrf_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+              GROUP BY doc_id, dl, term
+            ),
+            tscored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            tleg AS (
+              SELECT doc_id, text_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC,
+                            doc_id ASC) AS INT) AS text_rank
+                FROM tscored
+              ) WHERE text_rank <= 50
+            ),
+            qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            vscored AS (
+              SELECT c.vec_id AS doc_id,
+                     floor(list_cosine_similarity(
+                           CAST(c.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[]))
+                           * 1e6 + 0.5) / 1e6 AS sim
+              FROM embeddings c CROSS JOIN qv q
+            ),
+            vleg AS (
+              SELECT doc_id, vec_rank FROM (
+                SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY sim DESC,
+                            doc_id ASC) AS INT) AS vec_rank
+                FROM vscored
+              ) WHERE vec_rank <= 50
+            ),
+            fused AS (
+              SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                     t.text_rank, v.vec_rank,
+                     floor((COALESCE(0.5 / (60.0 + t.text_rank), 0.0)
+                          + COALESCE(0.5 / (60.0 + v.vec_rank), 0.0))
+                          * 1e9 + 0.5) / 1e9 AS score
+              FROM tleg t FULL OUTER JOIN vleg v ON t.doc_id = v.doc_id
+            )
+            SELECT doc_id, text_rank, vec_rank, score,
+                   CAST(row_number() OVER (ORDER BY score DESC,
+                        doc_id ASC) AS INT) AS rank
+            FROM fused
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        # index-served hybrid: lossless ANN config makes the
+        # vector ranks equal brute-force cosine ranks, so the oracle
+        # is the identical from-scratch fusion the scan path uses
+        "hybrid_from_index": r"""
             WITH tok AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text),

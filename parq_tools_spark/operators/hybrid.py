@@ -40,6 +40,7 @@ __all__ = [
     "rrf_fuse",
     "hybrid_topk",
     "hybrid_topk_batch",
+    "hybrid_index_topk",
 ]
 
 
@@ -272,6 +273,111 @@ def hybrid_topk(
             F.lit(w_vec) * _minmax(F.col("_vscore"), vlo, vhi),
             F.lit(0.0),
         )
+    scored = both.select(
+        F.col(id_col),
+        F.col("text_rank"),
+        F.col("vec_rank"),
+        _round_col(fused_score, round_to).alias("score"),
+    )
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def hybrid_index_topk(
+    spark,
+    bm25_path: str,
+    ann_path: str,
+    query: Union[str, Sequence[str]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    rrf_k: int = 60,
+    w_text: float = 0.5,
+    nprobe: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 9,
+    bm25_version: Optional[int] = None,
+    ann_version: Optional[int] = None,
+) -> DataFrame:
+    """RRF hybrid retrieval served entirely FROM the persisted
+    indexes — the serving shape: the text leg reads the query terms'
+    postings from the BM25 index (term-bucket partition pruning, no
+    corpus scan), the vector leg reads the probed cells' PQ codes from
+    the ANN index (cell partition pruning, no embedding scan), and the
+    fusion joins 2 x ``n_candidates`` rows. At 100 TB neither leg
+    touches the data — total cost is O(query-term postings +
+    probed-cell codes), which is what makes hybrid search a serving
+    call instead of two batch jobs.
+
+    The two indexes share one id space by contract (the same
+    ``docs``/``embeddings`` pairing :func:`hybrid_topk` assumes); the
+    output id column is the BM25 index's. The vector leg queries with
+    a sentinel query id of -1 so the ANN path's self-exclusion never
+    hides a corpus vector. ``bm25_version=`` / ``ann_version=``
+    time-travel each leg independently (see the indexes'
+    ``keep_versions``). Returns ``(id_col, text_rank, vec_rank,
+    score, rank)`` — the same rank-arithmetic RRF score as
+    :func:`hybrid_topk`, so with a losslessly-configured ANN index the
+    result is bit-identical to the scan-path hybrid."""
+    from pyspark.sql import types as T
+
+    from parq_tools_spark.operators.ann_index import ann_index_topk
+    from parq_tools_spark.operators.search import bm25_index_topk
+
+    text = bm25_index_topk(
+        spark,
+        bm25_path,
+        query,
+        k=n_candidates,
+        k1=k1,
+        b=b,
+        version=bm25_version,
+    )
+    id_col = text.columns[0]
+    text = text.select(
+        F.col(id_col), F.col("rank").alias("text_rank")
+    )
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField(
+                    "embedding", T.ArrayType(T.DoubleType())
+                ),
+            ]
+        ),
+    )
+    vec_raw = ann_index_topk(
+        spark,
+        ann_path,
+        qdf,
+        k=n_candidates,
+        nprobe=nprobe,
+        query_id_col="query_id",
+        query_vec_col="embedding",
+        version=ann_version,
+    )
+    ann_id_col = vec_raw.columns[1]
+    vec = vec_raw.select(
+        F.col(ann_id_col).alias(id_col),
+        F.col("rank").alias("vec_rank"),
+    )
+    both = text.join(vec, on=id_col, how="full_outer")
+    w_vec = 1.0 - w_text
+    fused_score = F.coalesce(
+        F.lit(w_text)
+        / (F.lit(float(rrf_k)) + F.col("text_rank").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(w_vec)
+        / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
+        F.lit(0.0),
+    )
     scored = both.select(
         F.col(id_col),
         F.col("text_rank"),

@@ -217,6 +217,70 @@ class TestHybridTopk:
             hybrid_topk(docs, "x", [1.0, 0.0], embeddings=vecs, w_text=1.5)
 
 
+class TestHybridFromIndex:
+    @pytest.fixture()
+    def paths(self, spark, docs, vecs, tmp_path):
+        import os
+
+        from parq_tools_spark.operators.ann_index import ann_index_build
+        from parq_tools_spark.operators.search import bm25_index_build
+
+        bp = os.path.join(str(tmp_path), "bm25")
+        ap = os.path.join(str(tmp_path), "ann")
+        bm25_index_build(docs, bp, keep_versions=2)
+        ann_index_build(
+            vecs, ap, n_cells=2, m=2, n_codes=None, opq=True, opq_sample=8
+        )
+        return bp, ap
+
+    def test_lossless_equals_scan_path(self, spark, docs, vecs, paths):
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+
+        bp, ap = paths
+        idx = hybrid_index_topk(
+            spark, bp, ap, "stream merge", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2,
+        ).collect()
+        scan = hybrid_topk(
+            docs, "stream merge", [1.0, 0.0],
+            embeddings=vecs, k=5, n_candidates=5,
+        ).collect()
+        assert [tuple(r) for r in idx] == [tuple(r) for r in scan]
+
+    def test_no_self_exclusion_on_sentinel_qid(
+        self, spark, docs, vecs, paths
+    ):
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+
+        bp, ap = paths
+        # query vector == vec 1's embedding; vec 1 must still appear
+        got = hybrid_index_topk(
+            spark, bp, ap, "quick fox", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2,
+        ).collect()
+        assert 1 in {r["doc_id"] for r in got}
+
+    def test_text_leg_time_travel(self, spark, docs, vecs, paths):
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+        from parq_tools_spark.operators.search import bm25_index_delete
+
+        bp, ap = paths
+        bm25_index_delete(spark, bp, [1])
+        cur = hybrid_index_topk(
+            spark, bp, ap, "stream merge", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2,
+        ).collect()
+        old = hybrid_index_topk(
+            spark, bp, ap, "stream merge", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2, bm25_version=1,
+        ).collect()
+        # doc 1 keeps its text rank only in the v1 read
+        cur_1 = [r for r in cur if r["doc_id"] == 1]
+        old_1 = [r for r in old if r["doc_id"] == 1]
+        assert old_1 and old_1[0]["text_rank"] is not None
+        assert not cur_1 or cur_1[0]["text_rank"] is None
+
+
 class TestHybridBatch:
     def test_batch_matches_single(self, spark, docs, vecs):
         queries = spark.createDataFrame(
