@@ -270,3 +270,63 @@ def test_incremental_merge_is_equi_join(spark, sf_dir, tmp_path):
         _count(plan, "SortMergeJoin") + _count(plan, "BroadcastHashJoin")
         >= 1
     )
+
+
+def test_hybrid_rrf_two_scans_legs_top_n(spark, sf_dir):
+    """Each fusion leg reads its table exactly once (no duplicated
+    subplans) and enters the fusion join as a TakeOrderedAndProject
+    top-n — the one SortMergeJoin is the full-outer fusion of two
+    <=n_candidates-row legs (full outer cannot broadcast), which is
+    O(k), not O(corpus)."""
+    plan = _plan(spark, "hybrid_rrf_topk", sf_dir)
+    assert _count(plan, "Scan parquet") == 2  # documents + embeddings
+    assert _count(plan, "SortMergeJoin") <= 1
+    assert _count(plan, "TakeOrderedAndProject") >= 2  # both legs top-n
+
+
+def test_hybrid_wsum_single_scan_per_leg(spark, sf_dir):
+    """wsum's min-max stats come from window aggregates over the
+    joined candidates — a separate .agg() branch would re-execute the
+    corpus and embeddings scans (the round-9 review finding)."""
+    plan = _plan(spark, "hybrid_wsum_topk", sf_dir)
+    assert _count(plan, "Scan parquet") == 2
+
+
+def test_hybrid_batch_vector_leg_two_phase(spark, sf_dir):
+    """The batch vector leg pre-ranks within (query, input-partition)
+    slices (spark_partition_id in the plan) so no single task ever
+    sorts one query's whole corpus of sim triples."""
+    plan = _plan(spark, "hybrid_batch_rrf", sf_dir)
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_hybrid_from_index_never_scans_corpus(spark, sf_dir, tmp_path):
+    """Index-served hybrid must read ONLY the two indexes: postings
+    partition-pruned to the query terms' buckets, codes pruned to the
+    probed cells — never documents.parquet / embeddings.parquet."""
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    bp = str(tmp_path / "bm25")
+    ap = str(tmp_path / "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(emb, ap, n_cells=4, m=4, n_codes=8)
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    df = hybrid_index_topk(
+        spark, bp, ap, "stream merge window", qvec, k=5, nprobe=2
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
