@@ -3070,6 +3070,84 @@ def q_repetition_lines(spark, sf_dir):
     )
 
 
+def q_minhash_index_cdc(spark, sf_dir):
+    """CDC symmetry gate for the MinHash index: build over a corpus
+    where the %10==4 docs carry corrupted text and the odd ids are
+    missing, then apply ONE change log (U the corrupted, D the
+    %10==0, I the odds) via minhash_index_apply_cdc — the maintained
+    index must answer a probe batch EXACTLY like a from-scratch index
+    on the resolved corpus (signatures are deterministic md5, so row
+    equality, not just set overlap). Returns the symmetric
+    difference; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    corrupted = docs.filter(k % 2 == 0).select(
+        "doc_id",
+        F.when(
+            k % 10 == 4, F.concat(F.lit("zz zz zz "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    changes = (
+        docs.filter(k % 10 == 4).select(
+            "doc_id", "text", F.lit("U").alias("op"), F.lit(1).alias("seq")
+        )
+        .unionByName(
+            docs.filter(k % 10 == 0).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit("D").alias("op"),
+                F.lit(1).alias("seq"),
+            )
+        )
+        .unionByName(
+            docs.filter(k % 2 == 1).select(
+                "doc_id", "text", F.lit("I").alias("op"), F.lit(1).alias("seq")
+            )
+        )
+    )
+    resolved = docs.filter(k % 10 != 0)
+    probe = docs.filter(k % 7 == 1).select(
+        (k + F.lit(1000000)).alias("doc_id"), "text"
+    )
+
+    work = tempfile.mkdtemp(prefix="mhcdc_")
+    maintained = os.path.join(work, "cdc_idx")
+    fresh = os.path.join(work, "fresh_idx")
+    minhash_index_write(corrupted, maintained, num_hashes=64, bands=16)
+    minhash_index_apply_cdc(spark, maintained, changes, seq_col="seq")
+    minhash_index_write(resolved, fresh, num_hashes=64, bands=16)
+
+    def q(path):
+        return minhash_index_query(
+            spark, path, probe, threshold=0.8
+        ).select(
+            "id_indexed",
+            "id_new",
+            _pround(F.col("est_jaccard")).alias("est_jaccard"),
+        )
+
+    cols = ["id_indexed", "id_new", "est_jaccard"]
+    a = q(maintained).localCheckpoint(eager=True)
+    b = q(fresh).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    only_a = a.join(b, cols, "left_anti").withColumn(
+        "side", F.lit("cdc_only")
+    )
+    only_b = b.join(a, cols, "left_anti").withColumn(
+        "side", F.lit("fresh_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup primitive: MinHash pairs BETWEEN an indexed
     corpus (even doc_ids) and a new batch (odd doc_ids) — the indexed
@@ -3122,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_time_travel": q_bm25_index_time_travel,
         "bm25_index_stream": q_bm25_index_stream,
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
+        "minhash_index_cdc": q_minhash_index_cdc,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -3177,7 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (131 entries, window = first 50):
+        # --- past the window (132 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -4452,6 +4531,13 @@ WHERE rnk <= 5
                    CAST(NULL AS BIGINT) AS vec_id,
                    CAST(NULL AS DOUBLE) AS pq_score,
                    CAST(NULL AS INT) AS rank,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "minhash_index_cdc": """
+            SELECT CAST(NULL AS BIGINT) AS id_indexed,
+                   CAST(NULL AS BIGINT) AS id_new,
+                   CAST(NULL AS DOUBLE) AS est_jaccard,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,

@@ -61,6 +61,8 @@ __all__ = [
     "minhash_index_write",
     "minhash_index_delete",
     "minhash_index_add",
+    "minhash_index_upsert",
+    "minhash_index_apply_cdc",
     "minhash_index_query",
     "minhash_index_compact",
     "incremental_dedupe",
@@ -1502,7 +1504,9 @@ def minhash_index_add(
     )
 
 
-def minhash_index_delete(spark, path: str, ids) -> dict:
+def minhash_index_delete(
+    spark, path: str, ids, _verified: bool = False
+) -> dict:
     """Delete documents' band rows from the index by id —
     VERSION-SCOPED tombstones, the same LSM protocol as the BM25/ANN
     indexes (``operators/_index_common.py``): the ids land in an
@@ -1566,9 +1570,12 @@ def minhash_index_delete(spark, path: str, ids) -> dict:
         return {"deleted": 0, "version": cur}
 
     batches = delete_batches(spark, path, m)
-    n_found = 0
-    if live:
-        # every indexed doc has exactly one row PER BAND, so a single
+    n_found = n_del if _verified else 0
+    if live and not _verified:
+        # _verified=True is the upsert/apply_cdc fast path: the caller
+        # just derived ``ids`` FROM the visible band rows, so
+        # re-scanning to prove visibility would read band 0 twice.
+        # Every indexed doc has exactly one row PER BAND, so a single
         # band (partition-pruned to one directory per segment) gives
         # exact membership at 1/bands of the scan
         n_found = (
@@ -1606,6 +1613,139 @@ def minhash_index_delete(spark, path: str, ids) -> dict:
         ),
     )
     return {"deleted": n_del, "version": cur + 1}
+
+
+def _minhash_visible_ids(spark, path: str, m: dict, id_col: str):
+    """DISTINCT visible doc ids, read from band 0 only (every indexed
+    doc has exactly one row per band, so one partition-pruned band
+    directory per segment gives exact membership at 1/bands of the
+    scan) — the same relation the delete guard keys on."""
+    from functools import reduce
+
+    from parq_tools_spark.operators._index_common import (
+        delete_batches,
+        visible_scan,
+    )
+
+    fs = _index_vs(spark, path).fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        return None
+    batches = delete_batches(spark, path, m)
+    return reduce(
+        DataFrame.unionByName,
+        [
+            visible_scan(spark, path, s, batches, id_col)
+            .filter(F.col("band") == 0)
+            .select(id_col)
+            for s in live
+        ],
+    ).distinct()
+
+
+def minhash_index_upsert(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> dict:
+    """Insert-or-replace a batch of documents: ids already visible
+    are tombstoned (one :func:`minhash_index_delete` commit,
+    visibility pre-verified from the band rows), then the whole
+    batch's band rows append (:func:`minhash_index_add`) — the
+    version-scoped tombstones make the re-added rows immediately
+    visible with no compaction in between, the same O(batch) upsert
+    contract as the BM25/ANN indexes. Returns ``{"updated": u,
+    "inserted": i, "version": v}``."""
+    spark = df.sparkSession
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    id_col = p["id_col"]
+    n_rows = df.count()
+    ids_df = df.select(F.col(id_col)).distinct()
+    n_batch = ids_df.count()
+    if n_batch < n_rows:
+        raise ValueError(
+            f"minhash_index_upsert: batch carries {n_rows - n_batch} "
+            f"duplicate {id_col} row(s) — one document per id (a "
+            "duplicate would append two signature sets for one id)"
+        )
+    visible = _minhash_visible_ids(spark, path, m, id_col)
+    updated = 0
+    if visible is not None:
+        existing = (
+            visible.join(F.broadcast(ids_df), on=id_col)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        updated = existing.count()
+        if updated:
+            minhash_index_delete(spark, path, existing, _verified=True)
+    minhash_index_add(df, path, text_col=text_col)
+    return {
+        "updated": updated,
+        "inserted": n_batch - updated,
+        "version": _index_vs(spark, path).current(),
+    }
+
+
+def minhash_index_apply_cdc(
+    spark,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    text_col: str = "text",
+) -> dict:
+    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D', optional
+    ``seq_col``) to the MinHash index — the exact contract of
+    ``bm25_index_apply_cdc`` / ``ann_index_apply_cdc`` (shared
+    ``_index_common.resolve_cdc``), so ONE change log keeps all
+    three index families in lockstep with a mutable corpus: last op
+    per id wins, D-of-missing is a no-op, I/U upsert. This is what
+    keeps near-dup suppression honest under updates — a stale band
+    row would drop new documents as duplicates of content that no
+    longer exists. Returns ``{"deleted": d, "delete_noops": n,
+    "updated": u, "inserted": i, "version": v}``."""
+    from parq_tools_spark.operators._index_common import resolve_cdc
+
+    _, _, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    id_col = p["id_col"]
+
+    final = resolve_cdc(changes, id_col, op_col, seq_col)
+    deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
+    upserts = final.filter(F.col(op_col).isin("I", "U")).select(
+        id_col, text_col
+    )
+
+    n_deleted, n_noop = 0, 0
+    n_d = deletes.count()
+    if n_d:
+        visible = _minhash_visible_ids(spark, path, m, id_col)
+        n_vis = 0
+        if visible is not None:
+            visible_d = (
+                visible.join(F.broadcast(deletes), on=id_col)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_vis = visible_d.count()
+            if n_vis:
+                n_deleted = minhash_index_delete(
+                    spark, path, visible_d, _verified=True
+                )["deleted"]
+        n_noop = n_d - n_vis
+    out = {
+        "deleted": n_deleted,
+        "delete_noops": n_noop,
+        "updated": 0,
+        "inserted": 0,
+    }
+    if upserts.limit(1).count():
+        res = minhash_index_upsert(upserts, path, text_col=text_col)
+        out.update(
+            {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out["version"] = _index_vs(spark, path).current()
+    return out
 
 
 def minhash_index_query(

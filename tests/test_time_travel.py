@@ -267,3 +267,92 @@ class TestMinhashTimeTravel:
             minhash_index_query(
                 spark, path, base, threshold=0.5, version=5
             )
+
+
+class TestMinhashCdc:
+    """CDC symmetry: the MinHash index absorbs the same change log the
+    BM25/ANN indexes do (shared resolve_cdc), and the maintained index
+    answers exactly like a from-scratch index on the resolved corpus."""
+
+    BASE = {
+        1: "the quick brown fox jumps over the lazy dog " * 3,
+        2: "pack my box with five dozen liquor jugs tonight " * 3,
+        3: "sphinx of black quartz judge my vow again " * 3,
+    }
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_apply_cdc_matches_from_scratch(self, spark, tmp_path):
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_apply_cdc,
+            minhash_index_query,
+            minhash_index_write,
+        )
+
+        path = str(tmp_path / "idx")
+        minhash_index_write(
+            self._df(spark, list(self.BASE.items())),
+            path,
+            num_hashes=64,
+            bands=16,
+        )
+        new_2 = "a completely different text about spark engines " * 3
+        changes = spark.createDataFrame(
+            [
+                (2, new_2, "U", 1),             # replace doc 2
+                (3, None, "D", 1),              # remove doc 3
+                (9, None, "D", 1),              # never indexed: no-op
+                (4, self.BASE[1] + "tail", "I", 1),  # insert near-dup of 1
+            ],
+            "doc_id long, text string, op string, seq long",
+        )
+        res = minhash_index_apply_cdc(spark, path, changes, seq_col="seq")
+        assert res["deleted"] == 1 and res["delete_noops"] == 1
+        assert res["updated"] == 1 and res["inserted"] == 1
+
+        fresh = str(tmp_path / "fresh")
+        minhash_index_write(
+            self._df(
+                spark,
+                [(1, self.BASE[1]), (2, new_2), (4, self.BASE[1] + "tail")],
+            ),
+            fresh,
+            num_hashes=64,
+            bands=16,
+        )
+        probe = self._df(
+            spark,
+            [(101, self.BASE[1]), (102, new_2), (103, self.BASE[3])],
+        )
+
+        def pairs(p):
+            return sorted(
+                (r["id_indexed"], r["id_new"], round(r["est_jaccard"], 6))
+                for r in minhash_index_query(
+                    spark, p, probe, threshold=0.5
+                ).collect()
+            )
+
+        got, want = pairs(path), pairs(fresh)
+        assert got == want
+        ids = {t[0] for t in got}
+        assert 3 not in ids          # deleted content gone
+        assert {1, 2, 4} <= ids      # survivor, replacement, insert
+
+    def test_upsert_guards_duplicate_ids(self, spark, tmp_path):
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_upsert,
+            minhash_index_write,
+        )
+
+        path = str(tmp_path / "idx")
+        minhash_index_write(
+            self._df(spark, [(1, "alpha beta gamma delta epsilon")]),
+            path,
+            num_hashes=32,
+            bands=8,
+        )
+        dup = self._df(spark, [(5, "x y z"), (5, "x y z")])
+        with pytest.raises(ValueError, match="duplicate"):
+            minhash_index_upsert(dup, path)
