@@ -427,13 +427,17 @@ def ann_index_delete(spark, path: str, ids, _verified: bool = False) -> dict:
     return {"deleted": n_del, "version": cur + 1}
 
 
-def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
+def ann_index_upsert(
+    new_vecs: DataFrame, path: str, _visible_ids=None
+) -> dict:
     """Insert-or-replace a batch of vectors: ids already visible are
     tombstoned (one :func:`ann_index_delete` commit), then the whole
     batch encodes under the frozen model and appends
     (:func:`ann_index_add`) — O(batch + tombstone scan), never an
-    index rewrite. Returns ``{"updated": u, "inserted": i,
-    "version": v}``."""
+    index rewrite. ``_visible_ids`` is the apply_cdc fast path: a
+    pre-materialized superset of the batch's visible ids, so the CDC
+    path never scans the index twice per batch. Returns
+    ``{"updated": u, "inserted": i, "version": v}``."""
     from functools import reduce
 
     spark = new_vecs.sparkSession
@@ -452,10 +456,12 @@ def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
     fs = vs.fs
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
     updated = 0
-    if live:
-        batches = _ann_delete_batches(spark, path, m, id_col)
-        existing = (
-            reduce(
+    if _visible_ids is not None or live:
+        if _visible_ids is not None:
+            visible = _visible_ids
+        else:
+            batches = _ann_delete_batches(spark, path, m, id_col)
+            visible = reduce(
                 DataFrame.unionByName,
                 [
                     _ann_visible_scan(spark, path, s, batches, id_col)
@@ -463,7 +469,8 @@ def ann_index_upsert(new_vecs: DataFrame, path: str) -> dict:
                     for s in live
                 ],
             )
-            .join(F.broadcast(ids_df), on=id_col)
+        existing = (
+            visible.join(F.broadcast(ids_df), on=id_col)
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -511,19 +518,30 @@ def ann_index_apply_cdc(
     final = resolve_cdc(changes, id_col, op_col, seq_col)
 
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
-    upserts = final.filter(F.col(op_col).isin("I", "U")).select(
-        id_col, vec_col
-    )
+    # the value column is selected LAZILY: a delete-only change log
+    # (no vec_col in its schema) must apply cleanly, exactly like the
+    # BM25 contract — the column is only required if I/U rows exist
+    ups_rows = final.filter(F.col(op_col).isin("I", "U"))
+    has_ups = bool(ups_rows.take(1))
 
-    n_deleted, n_noop = 0, 0
+    # ONE visible-id scan serves both the delete no-op filter and the
+    # upsert's updated/inserted probe (their ids are disjoint after
+    # resolve_cdc, and the tombstone commit between them cannot change
+    # the upsert ids' visibility) — restricted to the batch's touched
+    # ids before materializing, so the checkpoint is O(batch)
     n_d = deletes.count()
-    if n_d:
+    visible_touched = None
+    if n_d or has_ups:
+        touched = deletes
+        if has_ups:
+            touched = touched.unionByName(
+                ups_rows.select(id_col)
+            ).distinct()
         fs = _ann_vs(spark, path).fs
         live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
-        n_vis = 0
         if live:
             batches = _ann_delete_batches(spark, path, m, id_col)
-            visible_d = (
+            visible_touched = (
                 reduce(
                     DataFrame.unionByName,
                     [
@@ -532,8 +550,17 @@ def ann_index_apply_cdc(
                         for s in live
                     ],
                 )
-                .join(F.broadcast(deletes), on=id_col)
+                .join(F.broadcast(touched), on=id_col)
                 .distinct()
+                .localCheckpoint(eager=True)
+            )
+
+    n_deleted, n_noop = 0, 0
+    if n_d:
+        n_vis = 0
+        if visible_touched is not None:
+            visible_d = (
+                visible_touched.join(F.broadcast(deletes), on=id_col)
                 .localCheckpoint(eager=True)
             )
             n_vis = visible_d.count()
@@ -550,8 +577,12 @@ def ann_index_apply_cdc(
         "updated": 0,
         "inserted": 0,
     }
-    if upserts.limit(1).count():
-        res = ann_index_upsert(upserts, path)
+    if has_ups:
+        res = ann_index_upsert(
+            ups_rows.select(id_col, vec_col),
+            path,
+            _visible_ids=visible_touched,
+        )
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
         )

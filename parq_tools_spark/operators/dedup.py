@@ -1644,7 +1644,7 @@ def _minhash_visible_ids(spark, path: str, m: dict, id_col: str):
 
 
 def minhash_index_upsert(
-    df: DataFrame, path: str, text_col: str = "text"
+    df: DataFrame, path: str, text_col: str = "text", _visible_ids=None
 ) -> dict:
     """Insert-or-replace a batch of documents: ids already visible
     are tombstoned (one :func:`minhash_index_delete` commit,
@@ -1652,8 +1652,10 @@ def minhash_index_upsert(
     batch's band rows append (:func:`minhash_index_add`) — the
     version-scoped tombstones make the re-added rows immediately
     visible with no compaction in between, the same O(batch) upsert
-    contract as the BM25/ANN indexes. Returns ``{"updated": u,
-    "inserted": i, "version": v}``."""
+    contract as the BM25/ANN indexes. ``_visible_ids`` is the
+    apply_cdc fast path: a pre-materialized superset of the batch's
+    visible ids, so the CDC path never scans band 0 twice per batch.
+    Returns ``{"updated": u, "inserted": i, "version": v}``."""
     spark = df.sparkSession
     vs, cur, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
@@ -1667,7 +1669,11 @@ def minhash_index_upsert(
             f"duplicate {id_col} row(s) — one document per id (a "
             "duplicate would append two signature sets for one id)"
         )
-    visible = _minhash_visible_ids(spark, path, m, id_col)
+    visible = (
+        _visible_ids
+        if _visible_ids is not None
+        else _minhash_visible_ids(spark, path, m, id_col)
+    )
     updated = 0
     if visible is not None:
         existing = (
@@ -1712,21 +1718,39 @@ def minhash_index_apply_cdc(
 
     final = resolve_cdc(changes, id_col, op_col, seq_col)
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
-    upserts = final.filter(F.col(op_col).isin("I", "U")).select(
-        id_col, text_col
-    )
+    # the text column is selected LAZILY: a delete-only change log
+    # (no text_col in its schema) must apply cleanly, exactly like
+    # the BM25 contract — the column is only required for I/U rows
+    ups_rows = final.filter(F.col(op_col).isin("I", "U"))
+    has_ups = bool(ups_rows.take(1))
 
-    n_deleted, n_noop = 0, 0
+    # ONE band-0 visibility scan serves both the delete no-op filter
+    # and the upsert's updated/inserted probe (their ids are disjoint
+    # after resolve_cdc) — restricted to the batch's touched ids
+    # before materializing, so the checkpoint is O(batch)
     n_d = deletes.count()
-    if n_d:
+    visible_touched = None
+    if n_d or has_ups:
+        touched = deletes
+        if has_ups:
+            touched = touched.unionByName(
+                ups_rows.select(id_col)
+            ).distinct()
         visible = _minhash_visible_ids(spark, path, m, id_col)
-        n_vis = 0
         if visible is not None:
-            visible_d = (
-                visible.join(F.broadcast(deletes), on=id_col)
+            visible_touched = (
+                visible.join(F.broadcast(touched), on=id_col)
                 .distinct()
                 .localCheckpoint(eager=True)
             )
+
+    n_deleted, n_noop = 0, 0
+    if n_d:
+        n_vis = 0
+        if visible_touched is not None:
+            visible_d = visible_touched.join(
+                F.broadcast(deletes), on=id_col
+            ).localCheckpoint(eager=True)
             n_vis = visible_d.count()
             if n_vis:
                 n_deleted = minhash_index_delete(
@@ -1739,8 +1763,13 @@ def minhash_index_apply_cdc(
         "updated": 0,
         "inserted": 0,
     }
-    if upserts.limit(1).count():
-        res = minhash_index_upsert(upserts, path, text_col=text_col)
+    if has_ups:
+        res = minhash_index_upsert(
+            ups_rows.select(id_col, text_col),
+            path,
+            text_col=text_col,
+            _visible_ids=visible_touched,
+        )
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
         )

@@ -323,6 +323,8 @@ def hybrid_index_topk(
     score, rank)`` — the same rank-arithmetic RRF score as
     :func:`hybrid_topk`, so with a losslessly-configured ANN index the
     result is bit-identical to the scan-path hybrid."""
+    if not 0.0 <= w_text <= 1.0:
+        raise ValueError("w_text must be in [0, 1]")
     from pyspark.sql import types as T
 
     from parq_tools_spark.operators.ann_index import ann_index_topk

@@ -41,6 +41,49 @@ from parq_tools_spark.streaming._markers import (
 __all__ = ["start_bm25_index_stream", "start_ann_index_stream"]
 
 
+def _run_index_stream(
+    changes: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    process_batch,
+    compact_fn,
+    compact_every: int,
+    available_now: bool,
+    query_name: Optional[str],
+):
+    """The ONE foreachBatch recovery skeleton both sinks run (the
+    _markers.py rationale, one layer up): marker short-circuit, empty
+    batches marked and skipped, ``process_batch(spark, batch_df)``
+    does the index fold, compaction BEFORE the marker — a compaction
+    crash fails the batch un-marked so the restart re-applies the CDC
+    batch (final-state idempotent, only segment churn) and RETRIES
+    the fold; marker-first would permanently skip this trigger's
+    compaction (unlike the near-dedup stream, whose replay appends
+    duplicate band rows, so it commits marker-first and treats
+    compaction as best-effort)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
+            return  # replay of a batch this query already applied
+        if not batch_df.take(1):
+            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+            return
+        process_batch(spark, batch_df)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_fn(spark, index_path)
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+
+    writer = changes.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_bm25_index_stream(
     changes: DataFrame,
     index_path: str,
@@ -86,20 +129,13 @@ def start_bm25_index_stream(
             "operators.search.bm25_index_apply_cdc for batch CDC"
         )
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(spark, batch_df: DataFrame) -> None:
         from parq_tools_spark.operators.search import (
+            _bm25_vs,
             bm25_index_apply_cdc,
             bm25_index_build,
-            bm25_index_compact,
         )
-        from parq_tools_spark.operators.search import _bm25_vs
 
-        spark = batch_df.sparkSession
-        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
-            return  # replay of a batch this query already applied
-        if not batch_df.take(1):
-            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
-            return
         if _bm25_vs(spark, index_path).current() is None:
             bm25_index_build(
                 batch_df.limit(0).select(id_col, text_col),
@@ -111,32 +147,24 @@ def start_bm25_index_stream(
                 keep_versions=keep_versions,
             )
         bm25_index_apply_cdc(
-            spark,
-            index_path,
-            batch_df,
-            op_col=op_col,
-            seq_col=seq_col,
+            spark, index_path, batch_df, op_col=op_col, seq_col=seq_col
         )
-        # compaction BEFORE the marker (unlike the near-dedup stream,
-        # which treats compaction as best-effort after its marker): a
-        # compaction crash here fails the batch un-marked, so the
-        # restart re-applies the CDC batch (final-state idempotent,
-        # only segment churn) and RETRIES the compaction — marker-first
-        # would permanently skip this trigger's fold on a crash, and
-        # unlike the near-dedup replay, the retry costs no duplicate
-        # rows.
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            bm25_index_compact(spark, index_path)
-        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
 
-    writer = changes.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", checkpoint_dir
+    def _compact(spark, path):
+        from parq_tools_spark.operators.search import bm25_index_compact
+
+        bm25_index_compact(spark, path)
+
+    return _run_index_stream(
+        changes,
+        index_path,
+        checkpoint_dir,
+        _apply,
+        _compact,
+        compact_every,
+        available_now,
+        query_name,
     )
-    if query_name:
-        writer = writer.queryName(query_name)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_ann_index_stream(
@@ -177,23 +205,17 @@ def start_ann_index_stream(
             "start_ann_index_stream needs a streaming DataFrame; use "
             "operators.ann_index.ann_index_apply_cdc for batch CDC"
         )
-    from pyspark.sql import functions as F
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(spark, batch_df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
         from parq_tools_spark.operators._index_common import resolve_cdc
         from parq_tools_spark.operators.ann_index import (
             _ann_vs,
             ann_index_apply_cdc,
             ann_index_build,
-            ann_index_compact,
         )
 
-        spark = batch_df.sparkSession
-        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
-            return
-        if not batch_df.take(1):
-            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
-            return
         if _ann_vs(spark, index_path).current() is None:
             final = resolve_cdc(batch_df, id_col, op_col, seq_col)
             seed = final.filter(F.col(op_col).isin("I", "U")).select(
@@ -201,9 +223,6 @@ def start_ann_index_stream(
             )
             if not seed.take(1):
                 # a delete-only batch against no index: all no-ops
-                _commit_marker(
-                    spark, index_path, checkpoint_dir, batch_id
-                )
                 return
             ann_index_build(
                 seed,
@@ -216,25 +235,23 @@ def start_ann_index_stream(
                 opq=opq,
                 keep_versions=keep_versions,
             )
-        else:
-            ann_index_apply_cdc(
-                spark,
-                index_path,
-                batch_df,
-                op_col=op_col,
-                seq_col=seq_col,
-            )
-        # before the marker — a compaction crash retries on replay
-        # (CDC re-application converges), never skips the fold
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            ann_index_compact(spark, index_path)
-        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+            return
+        ann_index_apply_cdc(
+            spark, index_path, batch_df, op_col=op_col, seq_col=seq_col
+        )
 
-    writer = changes.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", checkpoint_dir
+    def _compact(spark, path):
+        from parq_tools_spark.operators.ann_index import ann_index_compact
+
+        ann_index_compact(spark, path)
+
+    return _run_index_stream(
+        changes,
+        index_path,
+        checkpoint_dir,
+        _apply,
+        _compact,
+        compact_every,
+        available_now,
+        query_name,
     )
-    if query_name:
-        writer = writer.queryName(query_name)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -345,3 +345,55 @@ def test_ann_stream_delete_only_first_batch_is_noop(spark, tmp_path):
     index_path = str(tmp_path / "idx")
     _ann_run(spark, str(src), index_path, str(tmp_path / "ck"))
     assert ann_index_stats(spark, index_path)["n_vecs"] == 5
+
+
+def test_delete_only_cdc_batch_without_value_column(spark, tmp_path):
+    """A change log of pure deletes carries no text/embedding column;
+    all three apply_cdc paths must apply it cleanly (the BM25
+    contract) instead of failing on a missing-column select."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_apply_cdc,
+        ann_index_build,
+    )
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_write,
+    )
+    from parq_tools_spark.operators.search import (
+        bm25_index_apply_cdc,
+        bm25_index_build,
+    )
+
+    vecs = _ann_vecs(6)
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    ap = str(tmp_path / "ann")
+    ann_index_build(emb, ap, n_cells=2, m=4, n_codes=8)
+    dels = spark.createDataFrame(
+        [(0, "D"), (99, "D")], "vec_id long, op string"
+    )
+    r = ann_index_apply_cdc(spark, ap, dels)
+    assert r["deleted"] == 1 and r["delete_noops"] == 1
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i]) for i in range(6)], "doc_id long, text string"
+    )
+    bp = str(tmp_path / "bm25")
+    bm25_index_build(docs, bp)
+    r = bm25_index_apply_cdc(
+        spark,
+        bp,
+        spark.createDataFrame([(0, "D"), (99, "D")], "doc_id long, op string"),
+    )
+    assert r["deleted"] == 1 and r["delete_noops"] == 1
+
+    mp = str(tmp_path / "mh")
+    minhash_index_write(docs, mp, num_hashes=32, bands=8)
+    r = minhash_index_apply_cdc(
+        spark,
+        mp,
+        spark.createDataFrame([(0, "D"), (99, "D")], "doc_id long, op string"),
+    )
+    assert r["deleted"] == 1 and r["delete_noops"] == 1
