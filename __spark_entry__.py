@@ -2118,6 +2118,31 @@ def q_hybrid_from_index(spark, sf_dir):
     return out
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality-rule filter (Rae et al. 2021 A1.1): per-rule
+    signal columns + composite verdict, one map-only codegen'd pass.
+    Every ratio divides two integer counts, so DuckDB reproduces the
+    doubles bit-for-bit. The required-word rule is disabled here
+    (min_required_words=0): the synthetic corpus has no English
+    function words, so the paper's default would reject 100% of it —
+    the unit tests pin the default-inventory behavior instead."""
+    from parq_tools_spark.operators.text import with_gopher_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_gopher_filter(docs, min_required_words=0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _pround(F.col("mean_word_len")).alias("mean_word_len"),
+        _pround(F.col("symbol_word_ratio")).alias("symbol_word_ratio"),
+        _pround(F.col("bullet_line_ratio")).alias("bullet_line_ratio"),
+        _pround(F.col("ellipsis_line_ratio")).alias("ellipsis_line_ratio"),
+        _pround(F.col("alpha_word_ratio")).alias("alpha_word_ratio"),
+        "n_required_words",
+        "gopher_pass",
+    )
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -3201,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_stream": q_bm25_index_stream,
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
         "minhash_index_cdc": q_minhash_index_cdc,
+        "gopher_filter": q_gopher_filter,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -3256,7 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (132 entries, window = first 50):
+        # --- past the window (133 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -5658,6 +5684,65 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         # fused score is pure rank arithmetic (RRF) or a division of
         # already-rounded doubles (wsum) — identical IEEE ops in the
         # same order on both engines
+        "gopher_filter": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                         '\s+'), x -> x <> '') AS words,
+                     list_filter(string_split(coalesce(text, ''),
+                         chr(10)), x -> x <> '') AS lines,
+                     lower(coalesce(text, '')) AS low,
+                     coalesce(text, '') AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(words,
+                          x -> length(x))), 0) AS DOUBLE)
+                       / greatest(len(words), 1) AS mean_word_len,
+                     CAST(len(regexp_extract_all(t, '#'))
+                          + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+                       / greatest(len(words), 1) AS symbol_word_ratio,
+                     CAST(len(list_filter(lines, l ->
+                          regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS bullet_line_ratio,
+                     CAST(len(list_filter(lines, l ->
+                          regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                       / greatest(len(lines), 1) AS ellipsis_line_ratio,
+                     CAST(len(list_filter(words, x ->
+                          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / greatest(len(words), 1) AS alpha_word_ratio,
+                     CAST(regexp_matches(low, '\bthe\b') AS INT)
+                     + CAST(regexp_matches(low, '\bbe\b') AS INT)
+                     + CAST(regexp_matches(low, '\bto\b') AS INT)
+                     + CAST(regexp_matches(low, '\bof\b') AS INT)
+                     + CAST(regexp_matches(low, '\band\b') AS INT)
+                     + CAST(regexp_matches(low, '\bthat\b') AS INT)
+                     + CAST(regexp_matches(low, '\bhave\b') AS INT)
+                     + CAST(regexp_matches(low, '\bwith\b') AS INT) AS n_required_words
+              FROM base
+            )
+            SELECT doc_id, n_words,
+                   floor(mean_word_len * 1e6 + 0.5) / 1e6 AS mean_word_len,
+                   floor(symbol_word_ratio * 1e6 + 0.5) / 1e6
+                     AS symbol_word_ratio,
+                   floor(bullet_line_ratio * 1e6 + 0.5) / 1e6
+                     AS bullet_line_ratio,
+                   floor(ellipsis_line_ratio * 1e6 + 0.5) / 1e6
+                     AS ellipsis_line_ratio,
+                   floor(alpha_word_ratio * 1e6 + 0.5) / 1e6
+                     AS alpha_word_ratio,
+                   n_required_words,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND alpha_word_ratio >= 0.8
+                    AND n_required_words >= 0) AS gopher_pass
+            FROM s
+        """,
         "hybrid_rrf_topk": r"""
             WITH tok AS (
               SELECT doc_id,

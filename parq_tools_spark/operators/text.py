@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "STOPWORDS_EN",
+    "GOPHER_REQUIRED_WORDS",
+    "with_gopher_filter",
     "LANG_MARKERS",
     "token_count",
     "BPE_PRETOKEN_REGEX",
@@ -46,6 +48,112 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def _word_regex(words: tuple[str, ...]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
+
+
+#: Gopher's "required word" inventory (Rae et al. 2021, appendix A1.1:
+#: a document must contain at least 2 of these to survive filtering)
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def with_gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_required_words: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+) -> DataFrame:
+    """Gopher-style document-quality rule flags (Rae et al. 2021,
+    appendix A1.1 — the QUALITY half; the repetition half, Table A1,
+    lives in ``operators/repetition.py``). One map-only pass, every
+    signal a codegen'd expression over the token/line arrays — no
+    shuffle, no Python — so at 100 TB this is a pure scan the
+    optimizer fuses with neighboring projections.
+
+    Adds per-rule columns and the composite verdict:
+
+    - ``n_words`` (whitespace tokens), rule: 50 <= n <= 100,000
+    - ``mean_word_len``, rule: 3 <= mean <= 10
+    - ``symbol_word_ratio`` ('#' + '...' occurrences per word) <= 0.1
+    - ``bullet_line_ratio`` (lines starting with a bullet) <= 0.9
+    - ``ellipsis_line_ratio`` (lines ending with an ellipsis) <= 0.3
+    - ``alpha_word_ratio`` (words containing a letter) >= 0.8
+    - ``n_required_words`` (distinct hits from
+      :data:`GOPHER_REQUIRED_WORDS`) >= 2
+    - ``gopher_pass`` — every rule holds
+
+    All counts are integers and every ratio divides two of them, so
+    the DuckDB oracle reproduces each double bit-for-bit.
+
+    The word-count bounds and the required-word rule are the knobs
+    real pipelines tune (Gopher's defaults assume English web text —
+    on a corpus without English function words the required-word rule
+    rejects everything, correctly per the paper but often not what a
+    non-English pipeline wants; pass ``required_words=`` for another
+    language or ``min_required_words=0`` to disable the rule).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / safe_w
+    )
+    symbol_ratio = (
+        F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("double") / safe_w
+    lines = F.filter(F.split(t, r"\n"), lambda ln: ln != "")
+    safe_l = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))
+        ).cast("double")
+        / safe_l
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / safe_l
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast(
+            "double"
+        )
+        / safe_w
+    )
+    low = F.lower(t)
+    n_required = F.lit(0)
+    for w in required_words:
+        n_required = n_required + (
+            F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0
+        ).cast("int")
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("bullet_line_ratio", bullet_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_ratio)
+        .withColumn("alpha_word_ratio", alpha_ratio)
+        .withColumn("n_required_words", n_required)
+    )
+    gopher_pass = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("n_required_words") >= min_required_words)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)
 
 
 def token_count(text: Column | str) -> Column:

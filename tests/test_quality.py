@@ -112,3 +112,77 @@ def test_unique_approx_catches_moderate_duplication(spark):
     assert not r.passed
     # ~1,999 true duplicates; floor at rsd=0.01 is 600
     assert r.n_violations > 600
+
+
+class TestGopherFilter:
+    """Gopher A1.1 quality rules (operators/text.py
+    with_gopher_filter): each rule trips independently."""
+
+    def _run(self, spark, text):
+        from parq_tools_spark.operators.text import with_gopher_filter
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return with_gopher_filter(df).collect()[0]
+
+    def _good_text(self):
+        # 60 plain words incl. several required words, mean len in range
+        return (
+            "the quick brown fox jumps over that lazy dog and have "
+            "some more words to keep the count up with good text "
+        ) * 3
+
+    def test_good_document_passes(self, spark):
+        r = self._run(spark, self._good_text())
+        assert r["gopher_pass"] is True
+        assert 50 <= r["n_words"] <= 100000
+        assert r["n_required_words"] >= 2
+
+    def test_too_short_fails(self, spark):
+        r = self._run(spark, "the cat sat on the mat with that be of")
+        assert r["gopher_pass"] is False
+        assert r["n_words"] < 50
+
+    def test_symbol_ratio_fails(self, spark):
+        text = self._good_text() + " #" * 20
+        r = self._run(spark, text)
+        assert r["symbol_word_ratio"] > 0.1
+        assert r["gopher_pass"] is False
+
+    def test_bullet_lines_fail(self, spark):
+        words = self._good_text()
+        bullets = "\n".join(f"- item {i}" for i in range(40))
+        r = self._run(spark, words + "\n" + bullets)
+        assert r["bullet_line_ratio"] > 0.9
+        assert r["gopher_pass"] is False
+
+    def test_ellipsis_lines_fail(self, spark):
+        head = self._good_text()
+        lines = "\n".join(
+            [head] + [f"to be continued number {i} ..." for i in range(9)]
+        )
+        r = self._run(spark, lines)
+        assert r["ellipsis_line_ratio"] > 0.3
+        assert r["gopher_pass"] is False
+
+    def test_non_alpha_words_fail(self, spark):
+        text = self._good_text() + " 123 456" * 30
+        r = self._run(spark, text)
+        assert r["alpha_word_ratio"] < 0.8
+        assert r["gopher_pass"] is False
+
+    def test_required_words_rule(self, spark):
+        # 60 words, none from the required inventory
+        text = ("zebra quokka lemur gecko panda otter walrus ibex "
+                "koala dingo ") * 6
+        r = self._run(spark, text)
+        assert r["n_required_words"] == 0
+        assert r["gopher_pass"] is False
+
+    def test_null_text_fails_cleanly(self, spark):
+        from parq_tools_spark.operators.text import with_gopher_filter
+
+        df = spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"
+        )
+        r = with_gopher_filter(df).collect()[0]
+        assert r["n_words"] == 0 and r["gopher_pass"] is False
