@@ -2143,6 +2143,36 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4-style page cleaning (Raffel et al. 2020 SS2.2): line-level
+    retention (terminal punctuation, >=3 words, no javascript) plus
+    the page verdict (>=3 sentences, no lorem ipsum / braces). The
+    fixture text is single-line and unpunctuated, so the entry first
+    derives a multi-line punctuated page deterministically (every
+    ' line ' token becomes a sentence break — the identical transform
+    in the SQL), then one map-only pass; the oracle reproduces the
+    cleaned text and every count exactly."""
+    from parq_tools_spark.operators.text import with_c4_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), F.lit(" line "), F.lit(".\n")),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return with_c4_filter(docs, min_sentences=3).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "c4_text",
+        "c4_pass",
+    )
+
+
 def q_data_quality_checks(spark, sf_dir):
     """Declarative constraint checks in ONE aggregation pass."""
     from parq_tools_spark.operators.quality import (
@@ -3227,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
         "minhash_index_cdc": q_minhash_index_cdc,
         "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
@@ -3282,7 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (133 entries, window = first 50):
+        # --- past the window (134 entries, window = first 50):
         # r7-green entries continue, then the dedup/ANN/sampling
         # surface, then everything driver-checked green in r8 on
         # code unchanged since
@@ -5684,6 +5715,48 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
         # fused score is pure rank arithmetic (RRF) or a division of
         # already-rounded doubles (wsum) — identical IEEE ops in the
         # same order on both engines
+        "c4_filter": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''), ' line ',
+                         '.' || chr(10), 'g') || '.' AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     text AS t,
+                     list_filter(string_split(text, chr(10)),
+                         x -> x <> '') AS lines
+              FROM pages
+            ),
+            k AS (
+              SELECT doc_id, t, lines,
+                     list_filter(lines, l ->
+                         regexp_matches(l, '[.!?"]\s*$')
+                         AND len(list_filter(string_split_regex(l,
+                             '\s+'), w -> w <> '')) >= 3
+                         AND NOT regexp_matches(lower(l),
+                             '\bjavascript\b')) AS kept
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     len(kept) AS n_kept_lines,
+                     coalesce(array_to_string(kept, chr(10)), '')
+                       AS c4_text,
+                     contains(lower(t), 'lorem ipsum') AS has_lorem,
+                     contains(t, '{') AS has_brace
+              FROM k
+            )
+            SELECT doc_id, n_lines, n_kept_lines,
+                   len(regexp_extract_all(c4_text, '[.!?]'))
+                     AS n_sentences,
+                   has_lorem, has_brace, c4_text,
+                   (len(regexp_extract_all(c4_text, '[.!?]')) >= 3
+                    AND NOT has_lorem AND NOT has_brace) AS c4_pass
+            FROM s
+        """,
         "gopher_filter": r"""
             WITH base AS (
               SELECT doc_id,

@@ -20,6 +20,7 @@ __all__ = [
     "STOPWORDS_EN",
     "GOPHER_REQUIRED_WORDS",
     "with_gopher_filter",
+    "with_c4_filter",
     "LANG_MARKERS",
     "token_count",
     "BPE_PRETOKEN_REGEX",
@@ -154,6 +155,59 @@ def with_gopher_filter(
         & (F.col("n_required_words") >= min_required_words)
     )
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def with_c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), one map-only
+    codegen'd pass — line-level retention plus page-level verdict:
+
+    - a LINE is kept iff it ends in terminal punctuation (``. ! ? "``),
+      carries at least ``min_words_per_line`` words, and does not
+      mention "javascript";
+    - ``out_col`` is the kept lines rejoined (the cleaned page);
+    - a PAGE passes iff its cleaned text has at least
+      ``min_sentences`` sentence-terminal marks and the ORIGINAL text
+      contains neither "lorem ipsum" nor a curly brace.
+
+    Adds ``n_lines``, ``n_kept_lines``, ``n_sentences``,
+    ``has_lorem``, ``has_brace``, ``c4_pass`` and ``out_col``. Every
+    signal is an integer count or a substring test, so the DuckDB
+    oracle reproduces the verdicts and the cleaned text exactly."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, r"\n"), lambda ln: ln != "")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"]\s*$')
+        & (
+            F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        & ~F.lower(ln).rlike(r"\bjavascript\b"),
+    )
+    c4_text = F.array_join(kept, "\n")
+    low = F.lower(t)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn(
+            "n_sentences", F.regexp_count(c4_text, F.lit(r"[.!?]"))
+        )
+        .withColumn("has_lorem", low.contains("lorem ipsum"))
+        .withColumn("has_brace", t.contains("{"))
+        .withColumn(out_col, c4_text)
+        .withColumn(
+            "c4_pass",
+            (F.col("n_sentences") >= min_sentences)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace"),
+        )
+    )
 
 
 def token_count(text: Column | str) -> Column:

@@ -186,3 +186,50 @@ class TestGopherFilter:
         )
         r = with_gopher_filter(df).collect()[0]
         assert r["n_words"] == 0 and r["gopher_pass"] is False
+
+
+class TestC4Filter:
+    """C4 line/page cleaning (operators/text.py with_c4_filter)."""
+
+    def _run(self, spark, text, **kw):
+        from parq_tools_spark.operators.text import with_c4_filter
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return with_c4_filter(df, **kw).collect()[0]
+
+    def test_line_retention_rules(self, spark):
+        text = "\n".join(
+            [
+                "This line ends with a period and has words.",   # kept
+                "no terminal punctuation here",                   # dropped
+                "Too short.",                                     # dropped (<3 words)
+                "Enable javascript to view this page.",           # dropped
+                'A quoted line ends well, he said."',             # kept
+            ]
+        )
+        r = self._run(spark, text)
+        assert r["n_lines"] == 5
+        assert r["n_kept_lines"] == 2
+        kept = r["c4_text"].split("\n")
+        assert kept[0].startswith("This line") and "javascript" not in r["c4_text"]
+
+    def test_page_verdict(self, spark):
+        good = "\n".join(
+            f"Sentence number {i} is a complete line." for i in range(6)
+        )
+        assert self._run(spark, good)["c4_pass"] is True
+        assert self._run(spark, good + "\nvar x = {1};")["has_brace"]
+        assert self._run(spark, good + "\nvar x = {1};")["c4_pass"] is False
+        assert self._run(spark, good + "\nLorem ipsum dolor sit amet.")[
+            "c4_pass"
+        ] is False
+        few = "Only one good sentence here."
+        assert self._run(spark, few)["c4_pass"] is False
+
+    def test_thresholds_are_knobs(self, spark):
+        text = "One good sentence right here."
+        assert self._run(spark, text, min_sentences=1)["c4_pass"] is True
+
+    def test_null_text(self, spark):
+        r = self._run(spark, None)
+        assert r["n_lines"] == 0 and r["c4_text"] == "" and r["c4_pass"] is False
