@@ -2157,7 +2157,11 @@ def q_c4_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
-            F.regexp_replace(F.col("text"), F.lit(" line "), F.lit(".\n")),
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" line "),
+                F.lit(".\n"),
+            ),
             F.lit("."),
         ).alias("text"),
     )

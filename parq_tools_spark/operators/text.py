@@ -128,11 +128,22 @@ def with_gopher_filter(
         )
         / safe_w
     )
+    import re as _re
+
     low = F.lower(t)
     n_required = F.lit(0)
     for w in required_words:
+        # escape metacharacters ("c++", abbreviations) and anchor a
+        # word boundary only where the word's edge IS a word char —
+        # \b between two non-word chars never matches, and RE2 (the
+        # oracle engine) has no lookbehind to emulate it with
+        pat = _re.escape(w)
+        if _re.match(r"\w", w[:1] or " "):
+            pat = r"\b" + pat
+        if _re.match(r"\w", w[-1:] or " "):
+            pat = pat + r"\b"
         n_required = n_required + (
-            F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0
+            F.regexp_count(low, F.lit(pat)) > 0
         ).cast("int")
     out = (
         df.withColumn("n_words", n_words)

@@ -241,8 +241,16 @@ def start_ann_index_stream(
         )
 
     def _compact(spark, path):
-        from parq_tools_spark.operators.ann_index import ann_index_compact
+        from parq_tools_spark.operators.ann_index import (
+            _ann_vs,
+            ann_index_compact,
+        )
 
+        # a delete-only bootstrap batch commits no index (all no-ops);
+        # compacting nothing must be a no-op too, not a crash loop
+        # (the batch would fail un-marked and replay forever)
+        if _ann_vs(spark, path).current() is None:
+            return
         ann_index_compact(spark, path)
 
     return _run_index_stream(

@@ -397,3 +397,39 @@ def test_delete_only_cdc_batch_without_value_column(spark, tmp_path):
         spark.createDataFrame([(0, "D"), (99, "D")], "doc_id long, op string"),
     )
     assert r["deleted"] == 1 and r["delete_noops"] == 1
+
+
+def test_ann_stream_delete_only_bootstrap_with_compaction(spark, tmp_path):
+    """compact_every must not crash-loop on a delete-only bootstrap
+    batch (no index committed yet): compaction of nothing is a no-op
+    and the stream proceeds to bootstrap on the next batch."""
+    from parq_tools_spark.operators.ann_index import ann_index_stats
+
+    vecs = _ann_vecs(5)
+    src = tmp_path / "cdc"
+    src.mkdir()
+    b0 = [(9, None, "D", 0)]
+    b1 = [(i, vecs[i], "I", 1) for i in range(5)]
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, ANN_CDC_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(str(src), f"f{i}"))
+    index_path = str(tmp_path / "idx")
+    _ann_run(
+        spark, str(src), index_path, str(tmp_path / "ck"), compact_every=1
+    )
+    assert ann_index_stats(spark, index_path)["n_vecs"] == 5
+
+
+def test_gopher_required_words_with_metacharacters(spark):
+    """The custom-inventory knob must survive regex metacharacters."""
+    from parq_tools_spark.operators.text import with_gopher_filter
+
+    df = spark.createDataFrame(
+        [(1, "we write c++ code and c++ tests " * 10)],
+        "doc_id long, text string",
+    )
+    r = with_gopher_filter(
+        df, required_words=("c++", "code"), min_required_words=2
+    ).collect()[0]
+    assert r["n_required_words"] == 2
