@@ -2118,6 +2118,85 @@ def q_hybrid_from_index(spark, sf_dir):
     return out
 
 
+def q_hybrid_index_wsum(spark, sf_dir):
+    """Index-served hybrid with WEIGHTED SCORE fusion (CombSUM):
+    both persisted legs emit scores (BM25's rounded score; the ANN
+    index's pq_score, which under the lossless config IS the rounded
+    cosine), min-max normalized per leg over the joined candidate
+    relation — the identical _fuse_joined expression the scan path
+    uses, so the result is bit-identical to hybrid_topk(method=
+    'wsum') and shares its from-scratch SQL oracle. Neither leg
+    touches the corpus (tbucket/cell partition pruning)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="hybwsum_")
+    bp = os.path.join(work, "bm25")
+    ap = os.path.join(work, "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(
+        emb, ap, n_cells=8, m=8, n_codes=None, opq=True, opq_sample=64
+    )
+    out = hybrid_index_topk(
+        spark,
+        bp,
+        ap,
+        "stream merge window",
+        _query_vec(emb, 0),
+        k=10,
+        n_candidates=50,
+        nprobe=8,
+        method="wsum",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_hybrid_index_batch(spark, sf_dir):
+    """BATCHED hybrid retrieval served entirely from the persisted
+    indexes — the offline-retrieval / RAG-eval shape: every text leg
+    is one bucket-pruned postings read (bm25_index_topk_batch), every
+    vector leg one cell-pruned codes read (ann_index_topk with a
+    queries DataFrame, exclude_self=False), RRF fusion grouped by
+    query id. Built lossless, bit-identical to the scan-path
+    hybrid_topk_batch, so it shares that entry's SQL oracle; the
+    plan-lock test proves neither corpus file is scanned."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk_batch
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="hybbatch_")
+    bp = os.path.join(work, "bm25")
+    ap = os.path.join(work, "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(
+        emb, ap, n_cells=8, m=8, n_codes=None, opq=True, opq_sample=64
+    )
+    qdf = spark.createDataFrame(
+        [
+            (1, "stream merge", _query_vec(emb, 0)),
+            (2, "customer value table", _query_vec(emb, 1)),
+        ],
+        "query_id long, query string, query_vec array<double>",
+    )
+    out = hybrid_index_topk_batch(
+        spark, bp, ap, qdf, k=5, n_candidates=20, nprobe=8
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality-rule filter (Rae et al. 2021 A1.1): per-rule
     signal columns + composite verdict, one map-only codegen'd pass.
@@ -3250,6 +3329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in r8 on code unchanged since.
     """
     return {
+        # --- new in r10 (window rotation finalized at round close)
+        "hybrid_index_wsum": q_hybrid_index_wsum,
+        "hybrid_index_batch": q_hybrid_index_batch,
         # --- positions 1-50 = the driver check window for r9:
         # new in r9 ...
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -3445,7 +3527,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
-    return {
+    out = {
         "filter_dsl": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_discount
             FROM lineitem
@@ -6555,3 +6637,10 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
             FROM footer f JOIN mem m USING ("column")
         """,
     }
+    # index-served variants are value-identical to their scan-path
+    # twins under the lossless ANN config (the ann_index_equiv
+    # invariant); ONE SQL definition serves both so the oracles
+    # cannot drift
+    out["hybrid_index_wsum"] = out["hybrid_wsum_topk"]
+    out["hybrid_index_batch"] = out["hybrid_batch_rrf"]
+    return out

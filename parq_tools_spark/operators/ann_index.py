@@ -737,6 +737,8 @@ def ann_index_topk(
     query_id_col: str = "vec_id",
     query_vec_col: Optional[str] = None,
     version: Optional[int] = None,
+    exclude_self: bool = True,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """ANN top-``k`` served FROM the index — no corpus access, no
     re-encoding: the model (centroids + codebooks + rotation) is read
@@ -758,7 +760,22 @@ def ann_index_topk(
 
     ``version=`` time-travels: serving reads that RETAINED manifest's
     model, segments and tombstone scope exactly as committed
-    (retention is :func:`ann_index_build`'s ``keep_versions``)."""
+    (retention is :func:`ann_index_build`'s ``keep_versions``).
+
+    ``exclude_self=True`` (the default) drops candidates whose index
+    id EQUALS the query id — the brute-force-parity convention for
+    "query the corpus with its own vectors". It requires the query-id
+    type to be join-compatible with the index's id column; callers
+    whose query ids live in a DIFFERENT id space (e.g. the hybrid
+    fusion layer) pass ``exclude_self=False`` and the predicate is
+    skipped entirely — no sentinel ids, no cross-type comparison.
+
+    Driver contract: this is a SERVING call — the queries DataFrame is
+    collected to the driver (one ``(m, n_codes)`` float64 ADC table
+    per query), bounded by ``max_queries`` (default 10,000 ≈ a few
+    hundred MB of tables at typical settings). A larger offline job
+    should batch through repeated calls or use the scan-path
+    :func:`~parq_tools_spark.operators.similarity.ivf_pq_topk`."""
     from functools import reduce
 
     from parq_tools_spark.operators.similarity import adc_score
@@ -770,12 +787,24 @@ def ann_index_topk(
     centroids, codebooks, rot = _read_model(vs.fs, path, m)
     m_, n_codes_, sub = codebooks.shape
 
+    if exclude_self:
+        _check_self_exclusion_types(
+            queries.schema[query_id_col].dataType, _id_field(m).dataType
+        )
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("_qvec"),
-    ).collect()
+    ).limit(max_queries + 1).collect()
     if not q_rows:
         raise ValueError("no queries")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ann_index_topk collects the queries to the driver (one "
+            f"(m, n_codes) ADC table per query) and caps at "
+            f"max_queries={max_queries}; got more. Batch through "
+            "repeated calls, raise max_queries deliberately, or use "
+            "the scan-path ivf_pq_topk for offline fan-out."
+        )
     q_ids = [r["query_id"] for r in q_rows]
     if len(set(q_ids)) != len(q_ids):
         raise ValueError(
@@ -833,10 +862,12 @@ def ann_index_topk(
         [(qid, c) for qid, cells in zip(q_ids, probes) for c in cells],
         schema=_probe_schema(queries, query_id_col),
     )
-    cand = coded.join(
-        F.broadcast(probe_df),
-        (coded.cell == probe_df.cell) & (F.col(id_col) != F.col("query_id")),
-    ).select("query_id", id_col, "codes")
+    join_cond = coded.cell == probe_df.cell
+    if exclude_self:
+        join_cond = join_cond & (F.col(id_col) != F.col("query_id"))
+    cand = coded.join(F.broadcast(probe_df), join_cond).select(
+        "query_id", id_col, "codes"
+    )
 
     scored = adc_score(
         cand,
@@ -854,6 +885,31 @@ def ann_index_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("index_version", F.lit(cur))
+    )
+
+
+def _check_self_exclusion_types(query_type, index_type) -> None:
+    """The self-exclusion predicate compares the query-id column
+    against the index's id column; an incompatible pair (string vs
+    bigint) would throw CAST_INVALID_INPUT under ANSI mode — or,
+    under non-ANSI, cast to NULL and silently drop EVERY candidate.
+    Fail loudly up front instead."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if query_type == index_type or (
+        isinstance(query_type, numeric) and isinstance(index_type, numeric)
+    ):
+        return
+    raise ValueError(
+        f"ann_index_topk: exclude_self=True compares the query id "
+        f"column ({query_type.simpleString()}) against the index id "
+        f"column ({index_type.simpleString()}), which are not "
+        "join-compatible. If the query ids are not corpus ids, pass "
+        "exclude_self=False."
     )
 
 

@@ -41,12 +41,98 @@ __all__ = [
     "hybrid_topk",
     "hybrid_topk_batch",
     "hybrid_index_topk",
+    "hybrid_index_topk_batch",
 ]
 
 
 def _round_col(c: Column, round_to: int) -> Column:
     scale = float(10**round_to)
     return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def _fuse_joined(
+    both: DataFrame,
+    id_col: str,
+    k: int,
+    method: str,
+    rrf_k: int,
+    w_text: float,
+    round_to: int,
+    group_cols: Sequence[str] = (),
+    keep_leg_ranks: bool = True,
+) -> DataFrame:
+    """Shared fusion tail over the full-outer-joined legs — the ONE
+    definition of the hybrid score, so the scan paths, the index
+    paths and the batch variants can never drift in arithmetic.
+
+    ``both`` carries ``group_cols + (id_col, _tscore, text_rank,
+    _vscore, vec_rank)``; scores/ranks are NULL where a leg did not
+    retrieve the doc.
+
+    ``method="rrf"``: ``w_text/(rrf_k+text_rank) +
+    (1-w_text)/(rrf_k+vec_rank)`` with missing legs coalesced to 0 —
+    bit-identical to :func:`rrf_fuse`'s sorted-leg fold (the fold's
+    ``(0.0 + c_text) + c_vec`` is the same IEEE expression, and a
+    positive contribution plus literal 0.0 is exact).
+
+    ``method="wsum"``: per-group min-max normalization of each leg's
+    scores as NULL-ignoring window aggregates over the JOINED
+    relation (min/max over the joined column equal min/max over the
+    leg because the full-outer join keeps every leg row — and the
+    legs' heavy scans stay single-execution; separate ``.agg()``
+    branches would re-run them, Spark does not dedupe common
+    subplans). The window runs over <= 2*n_candidates fused rows per
+    group, never the corpus.
+    """
+    gcols = list(group_cols)
+    w_vec = 1.0 - w_text
+    if method == "rrf":
+        fused_score = F.coalesce(
+            F.lit(w_text)
+            / (F.lit(float(rrf_k)) + F.col("text_rank").cast("double")),
+            F.lit(0.0),
+        ) + F.coalesce(
+            F.lit(w_vec)
+            / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
+            F.lit(0.0),
+        )
+    else:
+        w_all = Window.partitionBy(*gcols)
+        tlo, thi = (
+            F.min("_tscore").over(w_all),
+            F.max("_tscore").over(w_all),
+        )
+        vlo, vhi = (
+            F.min("_vscore").over(w_all),
+            F.max("_vscore").over(w_all),
+        )
+        fused_score = F.coalesce(
+            F.lit(w_text) * _minmax(F.col("_tscore"), tlo, thi),
+            F.lit(0.0),
+        ) + F.coalesce(
+            F.lit(w_vec) * _minmax(F.col("_vscore"), vlo, vhi),
+            F.lit(0.0),
+        )
+    leg_cols = ["text_rank", "vec_rank"] if keep_leg_ranks else []
+    scored = both.select(
+        *gcols,
+        F.col(id_col),
+        *leg_cols,
+        _round_col(fused_score, round_to).alias("score"),
+    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    # single query: orderBy().limit() plans as TakeOrderedAndProject
+    topk = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def rrf_fuse(
@@ -236,54 +322,9 @@ def hybrid_topk(
         F.col("rank").alias("vec_rank"),
     )
     both = text.join(vec, on=id_col, how="full_outer")
-    w_vec = 1.0 - w_text
-    if method == "rrf":
-        fused_score = F.coalesce(
-            F.lit(w_text)
-            / (F.lit(float(rrf_k)) + F.col("text_rank").cast("double")),
-            F.lit(0.0),
-        ) + F.coalesce(
-            F.lit(w_vec)
-            / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
-            F.lit(0.0),
-        )
-    else:
-        # per-leg min/max over the candidate lists, computed as
-        # null-ignoring window aggregates over the JOINED relation:
-        # the full-outer join keeps every leg row, so min/max over the
-        # joined column equal min/max over the leg — and the legs'
-        # heavy scans stay single-execution (separate .agg() branches
-        # would re-run the BM25 corpus scan and the embeddings scan,
-        # Spark does not dedupe common subplans). The window is
-        # unpartitioned but runs over <= 2*n_candidates fused rows,
-        # never the corpus.
-        w_all = Window.partitionBy()
-        tlo, thi = (
-            F.min("_tscore").over(w_all),
-            F.max("_tscore").over(w_all),
-        )
-        vlo, vhi = (
-            F.min("_vscore").over(w_all),
-            F.max("_vscore").over(w_all),
-        )
-        fused_score = F.coalesce(
-            F.lit(w_text) * _minmax(F.col("_tscore"), tlo, thi),
-            F.lit(0.0),
-        ) + F.coalesce(
-            F.lit(w_vec) * _minmax(F.col("_vscore"), vlo, vhi),
-            F.lit(0.0),
-        )
-    scored = both.select(
-        F.col(id_col),
-        F.col("text_rank"),
-        F.col("vec_rank"),
-        _round_col(fused_score, round_to).alias("score"),
+    return _fuse_joined(
+        both, id_col, k, method, rrf_k, w_text, round_to
     )
-    topk = scored.orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    ).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def hybrid_index_topk(
@@ -294,6 +335,7 @@ def hybrid_index_topk(
     query_vec: Sequence[float],
     k: int = 10,
     n_candidates: int = 50,
+    method: str = "rrf",
     rrf_k: int = 60,
     w_text: float = 0.5,
     nprobe: int = 2,
@@ -303,7 +345,7 @@ def hybrid_index_topk(
     bm25_version: Optional[int] = None,
     ann_version: Optional[int] = None,
 ) -> DataFrame:
-    """RRF hybrid retrieval served entirely FROM the persisted
+    """Hybrid retrieval served entirely FROM the persisted
     indexes — the serving shape: the text leg reads the query terms'
     postings from the BM25 index (term-bucket partition pruning, no
     corpus scan), the vector leg reads the probed cells' PQ codes from
@@ -313,16 +355,27 @@ def hybrid_index_topk(
     probed-cell codes), which is what makes hybrid search a serving
     call instead of two batch jobs.
 
+    ``method`` is the same knob as :func:`hybrid_topk`: ``"rrf"``
+    (rank arithmetic) or ``"wsum"`` (per-leg min-max score fusion —
+    the index legs both emit scores: BM25's rounded score and the
+    ANN index's ``pq_score``, which under the lossless configuration
+    IS the rounded cosine the scan path normalizes).
+
     The two indexes share one id space by contract (the same
     ``docs``/``embeddings`` pairing :func:`hybrid_topk` assumes); the
-    output id column is the BM25 index's. The vector leg queries with
-    a sentinel query id of -1 so the ANN path's self-exclusion never
-    hides a corpus vector. ``bm25_version=`` / ``ann_version=``
-    time-travel each leg independently (see the indexes'
-    ``keep_versions``). Returns ``(id_col, text_rank, vec_rank,
-    score, rank)`` — the same rank-arithmetic RRF score as
-    :func:`hybrid_topk`, so with a losslessly-configured ANN index the
-    result is bit-identical to the scan-path hybrid."""
+    output id column is the BM25 index's. The vector leg passes
+    ``exclude_self=False`` — hybrid query ids are not corpus ids, so
+    the ANN path's self-exclusion predicate is skipped entirely (it
+    would otherwise hide a corpus vector that happens to share the
+    id, or fail outright on a string-id index). ``bm25_version=`` /
+    ``ann_version=`` time-travel each leg independently (see the
+    indexes' ``keep_versions``). Returns ``(id_col, text_rank,
+    vec_rank, score, rank)`` — the same fused score expression as
+    :func:`hybrid_topk` (one shared ``_fuse_joined`` definition), so
+    with a losslessly-configured ANN index the result is
+    bit-identical to the scan-path hybrid under EITHER method."""
+    if method not in ("rrf", "wsum"):
+        raise ValueError("method must be 'rrf' or 'wsum'")
     if not 0.0 <= w_text <= 1.0:
         raise ValueError("w_text must be in [0, 1]")
     from pyspark.sql import types as T
@@ -341,10 +394,12 @@ def hybrid_index_topk(
     )
     id_col = text.columns[0]
     text = text.select(
-        F.col(id_col), F.col("rank").alias("text_rank")
+        F.col(id_col),
+        F.col("score").alias("_tscore"),
+        F.col("rank").alias("text_rank"),
     )
     qdf = spark.createDataFrame(
-        [(-1, [float(x) for x in query_vec])],
+        [(0, [float(x) for x in query_vec])],
         T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -363,34 +418,18 @@ def hybrid_index_topk(
         query_id_col="query_id",
         query_vec_col="embedding",
         version=ann_version,
+        exclude_self=False,
     )
     ann_id_col = vec_raw.columns[1]
     vec = vec_raw.select(
         F.col(ann_id_col).alias(id_col),
+        F.col("pq_score").alias("_vscore"),
         F.col("rank").alias("vec_rank"),
     )
     both = text.join(vec, on=id_col, how="full_outer")
-    w_vec = 1.0 - w_text
-    fused_score = F.coalesce(
-        F.lit(w_text)
-        / (F.lit(float(rrf_k)) + F.col("text_rank").cast("double")),
-        F.lit(0.0),
-    ) + F.coalesce(
-        F.lit(w_vec)
-        / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
-        F.lit(0.0),
+    return _fuse_joined(
+        both, id_col, k, method, rrf_k, w_text, round_to
     )
-    scored = both.select(
-        F.col(id_col),
-        F.col("text_rank"),
-        F.col("vec_rank"),
-        _round_col(fused_score, round_to).alias("score"),
-    )
-    topk = scored.orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    ).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return topk.withColumn("rank", F.row_number().over(w))
 
 
 def hybrid_topk_batch(
@@ -399,6 +438,7 @@ def hybrid_topk_batch(
     queries: DataFrame,
     k: int = 10,
     n_candidates: int = 50,
+    method: str = "rrf",
     rrf_k: int = 60,
     w_text: float = 0.5,
     query_id_col: str = "query_id",
@@ -413,13 +453,19 @@ def hybrid_topk_batch(
     sim_round_to: int = 6,
     round_to: int = 9,
 ) -> DataFrame:
-    """RRF hybrid retrieval for a whole queries DataFrame
+    """Hybrid retrieval for a whole queries DataFrame
     (``query_id, query text, query vector``): ONE corpus pass serves
     every text leg (:func:`bm25_topk_batch`), ONE embeddings pass
     serves every vector leg (queries broadcast, per-query rounded-sim
-    rank window), then :func:`rrf_fuse` groups by query id. Returns
-    ``(query_id, id_col, score, rank)``.
+    rank window), then the shared fusion groups by query id
+    (``method`` as in :func:`hybrid_topk` — per-query min-max
+    normalization for ``"wsum"``). Returns ``(query_id, id_col,
+    score, rank)``.
     """
+    if method not in ("rrf", "wsum"):
+        raise ValueError("method must be 'rrf' or 'wsum'")
+    if not 0.0 <= w_text <= 1.0:
+        raise ValueError("w_text must be in [0, 1]")
     from parq_tools_spark.operators.search import bm25_topk_batch
 
     text = bm25_topk_batch(
@@ -433,7 +479,12 @@ def hybrid_topk_batch(
         k1=k1,
         b=b,
         round_to=sim_round_to,
-    ).select(query_id_col, id_col, "rank")
+    ).select(
+        query_id_col,
+        id_col,
+        F.col("score").alias("_tscore"),
+        F.col("rank").alias("text_rank"),
+    )
 
     from parq_tools_spark.operators.similarity import (
         cosine_similarity_col,
@@ -474,14 +525,162 @@ def hybrid_topk_batch(
     vec = (
         pruned.withColumn("rank", F.row_number().over(wv))
         .filter(F.col("rank") <= n_candidates)
-        .select(query_id_col, id_col, "rank")
+        .select(
+            query_id_col,
+            id_col,
+            F.col("cosine_sim").alias("_vscore"),
+            F.col("rank").alias("vec_rank"),
+        )
     )
-    return rrf_fuse(
-        [text, vec],
-        id_col=id_col,
-        k=k,
-        rrf_k=rrf_k,
-        weights=[w_text, 1.0 - w_text],
+    return _fuse_batch_legs(
+        text, vec, query_id_col, id_col, k, method, rrf_k, w_text,
+        round_to,
+    )
+
+
+def _fuse_batch_legs(
+    text: DataFrame,
+    vec: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    method: str,
+    rrf_k: int,
+    w_text: float,
+    round_to: int,
+) -> DataFrame:
+    """Batch fusion tail shared by the scan- and index-served batch
+    paths. Legs carry ``(query_id, id, _tscore/_vscore,
+    text_rank/vec_rank)``.
+
+    ``method="rrf"`` goes through :func:`rrf_fuse` — a union +
+    keyed aggregate of the per-query top-n rows, NO join at all (the
+    fused relation is at most ``2 * n_candidates`` rows per query,
+    and a full-outer join here would plan as a SortMergeJoin since
+    full outer cannot broadcast; the union-aggregate shape is one
+    small shuffle instead). ``rrf_fuse``'s sorted-leg fold is
+    bit-identical to :func:`_fuse_joined`'s coalesce expression, so
+    the two fusion shapes can never disagree on values.
+
+    ``method="wsum"`` needs each leg's scores for the per-query
+    min-max, so it full-outer joins on (query, id) — two per-query
+    top-n legs, plan-locked tiny — and normalizes over the joined
+    relation (:func:`_fuse_joined`)."""
+    if method == "rrf":
+        return rrf_fuse(
+            [
+                text.select(
+                    query_id_col,
+                    id_col,
+                    F.col("text_rank").alias("rank"),
+                ),
+                vec.select(
+                    query_id_col,
+                    id_col,
+                    F.col("vec_rank").alias("rank"),
+                ),
+            ],
+            id_col=id_col,
+            k=k,
+            rrf_k=rrf_k,
+            weights=[w_text, 1.0 - w_text],
+            group_cols=[query_id_col],
+            round_to=round_to,
+        )
+    both = text.join(vec, on=[query_id_col, id_col], how="full_outer")
+    return _fuse_joined(
+        both,
+        id_col,
+        k,
+        method,
+        rrf_k,
+        w_text,
+        round_to,
         group_cols=[query_id_col],
-        round_to=round_to,
+        keep_leg_ranks=False,
+    )
+
+
+def hybrid_index_topk_batch(
+    spark,
+    bm25_path: str,
+    ann_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    method: str = "rrf",
+    rrf_k: int = 60,
+    w_text: float = 0.5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    query_vec_col: str = "query_vec",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 9,
+    bm25_version: Optional[int] = None,
+    ann_version: Optional[int] = None,
+) -> DataFrame:
+    """Batched hybrid retrieval served entirely FROM the persisted
+    indexes — the offline-retrieval / RAG-eval shape: thousands of
+    queries, zero corpus scans. The text legs are ONE bucket-pruned
+    postings read fanned out by a broadcast (query, term, idf) table
+    (:func:`~parq_tools_spark.operators.search.bm25_index_topk_batch`);
+    the vector legs are ONE cell-pruned codes read over the union of
+    all probe lists (:func:`~parq_tools_spark.operators.ann_index.
+    ann_index_topk`, ``exclude_self=False`` — query ids are not
+    corpus ids). Fusion is the shared :func:`_fuse_joined` grouped by
+    query id, so with a losslessly-configured ANN index the result is
+    bit-identical to the scan-path :func:`hybrid_topk_batch` under
+    either ``method``. At 100 TB total cost is O(sum of query-term
+    postings + probed-cell codes) — the whole job never touches
+    ``docs`` or ``embeddings``.
+
+    Returns ``(query_id, <bm25 id col>, score, rank)``."""
+    if method not in ("rrf", "wsum"):
+        raise ValueError("method must be 'rrf' or 'wsum'")
+    if not 0.0 <= w_text <= 1.0:
+        raise ValueError("w_text must be in [0, 1]")
+    from parq_tools_spark.operators.ann_index import ann_index_topk
+    from parq_tools_spark.operators.search import bm25_index_topk_batch
+
+    text_raw = bm25_index_topk_batch(
+        spark,
+        bm25_path,
+        queries.select(query_id_col, query_col),
+        k=n_candidates,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+        version=bm25_version,
+    )
+    id_col = text_raw.columns[1]
+    text = text_raw.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("score").alias("_tscore"),
+        F.col("rank").alias("text_rank"),
+    )
+    vec_raw = ann_index_topk(
+        spark,
+        ann_path,
+        queries,
+        k=n_candidates,
+        nprobe=nprobe,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        version=ann_version,
+        exclude_self=False,
+    )
+    ann_id_col = vec_raw.columns[1]
+    vec = vec_raw.select(
+        F.col("query_id").alias(query_id_col),
+        F.col(ann_id_col).alias(id_col),
+        F.col("pq_score").alias("_vscore"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return _fuse_batch_legs(
+        text, vec, query_id_col, id_col, k, method, rrf_k, w_text,
+        round_to,
     )

@@ -872,7 +872,10 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     typo and double-delete cases are loud). ``allow_missing=True``
     exists only for LEGACY segments written before the sidecar
     (there a zero-token doc has no doc row and is invisible to the
-    probe).
+    probe); when every live segment carries the sidecar the probe is
+    exact, so the flag is IGNORED and missing ids still raise — a
+    blanket escape would let genuinely-never-indexed ids skew the
+    statistics.
 
     Returns ``{"deleted": n, "version": v}``."""
     import json
@@ -919,6 +922,20 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
         dl_del, n_found = int(row[0]), int(row[1])
     else:
         dl_del, n_found = 0, 0
+    if n_found < n_del and allow_missing:
+        # allow_missing exists ONLY for legacy segments written before
+        # the _docs sidecar (their zero-token docs are invisible to
+        # the probe). If every live segment HAS the sidecar, the probe
+        # is exact and the missing ids are genuinely not in the index
+        # — honoring the escape would decrement n_docs/sum_dl for
+        # docs that never existed, silently corrupting idf/avgdl.
+        has_legacy = any(
+            fs.list_files(f"{path}/{s}")
+            and not fs.list_files(f"{path}/{s}/_docs")
+            for s in m["segments"]
+        )
+        if not has_legacy:
+            allow_missing = False
     if n_found < n_del and not allow_missing:
         missing = (
             ids_df.join(
@@ -935,7 +952,8 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
             "n_docs and every later idf/avgdl. (On LEGACY segments "
             "written before the _docs sidecar, a zero-token document "
             "is also invisible here — pass allow_missing=True only "
-            "for that case.)"
+            "for that case; it is IGNORED when every live segment "
+            "carries the sidecar, because the probe is then exact.)"
         )
     # per-term df decrements from the deleted docs' visible postings
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]

@@ -100,8 +100,17 @@ def commit_marker(
     """Create a NEW versioned marker file (atomic per scheme —
     ``statefs.write_text`` to a never-before-used name, so the
     delete+rename overwrite fallback can't run), then sweep older
-    markers. A crash after the create leaves extra stale markers —
-    reads take the max for the checkpoint, so that is harmless."""
+    markers OF THIS CHECKPOINT ONLY. A crash after the create leaves
+    extra stale markers — reads take the max for the checkpoint, so
+    that is harmless.
+
+    The sweep is digest-scoped: if two streaming queries with
+    DISTINCT checkpoints maintain the same index path, each commit
+    must leave the other query's progress marker untouched — a
+    blanket sweep would erase it every batch and force that query
+    into perpetual replays. The legacy unnumbered marker (pre-digest
+    protocol) is swept only when its recorded checkpoint identity IS
+    this checkpoint's."""
     import json
 
     from parq_tools_spark.sources.statefs import StateFS
@@ -109,11 +118,20 @@ def commit_marker(
     fs = StateFS(spark, index_path)
     fs.mkdirs(index_path)
     ident = marker_identity(spark, checkpoint_dir)
-    new_name = f"{MARKER}.{ckpt_digest(ident)}.{batch_id}"
+    digest = ckpt_digest(ident)
+    new_name = f"{MARKER}.{digest}.{batch_id}"
     fs.write_text(
         f"{index_path}/{new_name}",
         json.dumps({"checkpoint": ident, "batch": batch_id}),
     )
-    for name, _ in marker_files(fs, index_path):
-        if name != new_name:
-            fs.delete(f"{index_path}/{name}")
+    for name, batch in marker_files(fs, index_path):
+        if name == new_name:
+            continue
+        if batch is not None and f".{digest}." not in name:
+            continue  # another checkpoint's marker — not ours to sweep
+        if batch is None:
+            # legacy unnumbered marker: sweep only if it is OURS
+            m = json.loads(fs.read_text(f"{index_path}/{name}"))
+            if m.get("checkpoint") != ident:
+                continue
+        fs.delete(f"{index_path}/{name}")

@@ -293,3 +293,64 @@ def test_ann_index_delete_upsert_lifecycle(spark, emb, tmp_path):
         )
     )
     assert post == pre
+
+
+def test_exclude_self_type_guard_on_string_id_index(spark, tmp_path):
+    """Long query ids vs a string-id index: exclude_self=True must
+    fail loudly UP FRONT (ANSI mode would throw CAST_INVALID_INPUT
+    mid-query; non-ANSI would cast to NULL and silently drop every
+    candidate); exclude_self=False skips the predicate entirely and
+    serves normally."""
+    svecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    path = str(tmp_path / "sidx")
+    ann_index_build(svecs, path, n_cells=2, m=2, n_codes=None)
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="exclude_self"):
+        ann_index_topk(
+            spark, path, qs, k=2, nprobe=2,
+            query_id_col="query_id", query_vec_col="embedding",
+        )
+    got = sorted(
+        ann_index_topk(
+            spark, path, qs, k=2, nprobe=2,
+            query_id_col="query_id", query_vec_col="embedding",
+            exclude_self=False,
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in got] == ["a", "b"]
+
+
+def test_exclude_self_false_keeps_matching_id(spark, emb, tmp_path):
+    """exclude_self=False must surface the corpus vector even when
+    its id equals the query id (lossless config: it is the exact
+    query vector, so it ranks first with sim 1.0)."""
+    path = str(tmp_path / "annidx")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=None, opq=True, opq_sample=64
+    )
+    qs = emb.filter(F.col("vec_id") == 0)
+    with_self = sorted(
+        ann_index_topk(
+            spark, path, qs, k=3, nprobe=8, exclude_self=False
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert with_self[0].vec_id == 0 and with_self[0].pq_score == 1.0
+    without = ann_index_topk(spark, path, qs, k=3, nprobe=8).collect()
+    assert 0 not in {r.vec_id for r in without}
+
+
+def test_max_queries_caps_driver_collect(spark, emb, tmp_path):
+    path = str(tmp_path / "annidx")
+    ann_index_build(emb, path, n_cells=4, m=8, n_codes=8)
+    qs = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="max_queries"):
+        ann_index_topk(spark, path, qs, k=2, nprobe=2, max_queries=3)
+    ok = ann_index_topk(spark, path, qs, k=2, nprobe=2, max_queries=5)
+    assert ok.count() == 10

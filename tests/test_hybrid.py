@@ -319,3 +319,154 @@ class TestHybridBatch:
         out = hybrid_topk_batch(docs, vecs, queries, k=3, n_candidates=5)
         assert out.columns == ["query_id", "doc_id", "score", "rank"]
         assert out.filter(F.col("query_id") == 7).count() > 0
+
+
+class TestStringIdIndexes:
+    def test_string_id_hybrid_from_index_equals_scan(self, spark, tmp_path):
+        """The r9 ADVICE repro: a string-id ANN index used to hit the
+        sentinel-id cast (ANSI CAST_INVALID_INPUT, or a silently
+        text-only hybrid under non-ANSI). With exclude_self=False the
+        vector leg never compares ids across spaces, so string-id
+        corpora serve bit-identically to the scan path."""
+        import os
+
+        from parq_tools_spark.operators.ann_index import ann_index_build
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+        from parq_tools_spark.operators.search import bm25_index_build
+
+        sdocs = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in DOCS], "doc_id string, text string"
+        )
+        svecs = spark.createDataFrame(
+            [(f"d{i}", v) for i, v in VECS],
+            "vec_id string, embedding array<double>",
+        )
+        bp = os.path.join(str(tmp_path), "bm25")
+        ap = os.path.join(str(tmp_path), "ann")
+        bm25_index_build(sdocs, bp)
+        ann_index_build(
+            svecs, ap, n_cells=2, m=2, n_codes=None, opq=True, opq_sample=8
+        )
+        idx = hybrid_index_topk(
+            spark, bp, ap, "stream merge", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2,
+        ).collect()
+        scan = hybrid_topk(
+            sdocs, "stream merge", [1.0, 0.0],
+            embeddings=svecs, k=5, n_candidates=5,
+        ).collect()
+        assert [tuple(r) for r in idx] == [tuple(r) for r in scan]
+        assert len(idx) == 5
+
+
+class TestHybridIndexWsumAndBatch:
+    @pytest.fixture()
+    def paths(self, spark, docs, vecs, tmp_path):
+        import os
+
+        from parq_tools_spark.operators.ann_index import ann_index_build
+        from parq_tools_spark.operators.search import bm25_index_build
+
+        bp = os.path.join(str(tmp_path), "bm25")
+        ap = os.path.join(str(tmp_path), "ann")
+        bm25_index_build(docs, bp)
+        ann_index_build(
+            vecs, ap, n_cells=2, m=2, n_codes=None, opq=True, opq_sample=8
+        )
+        return bp, ap
+
+    def test_index_wsum_equals_scan_wsum(self, spark, docs, vecs, paths):
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+
+        bp, ap = paths
+        idx = hybrid_index_topk(
+            spark, bp, ap, "stream merge", [1.0, 0.0],
+            k=5, n_candidates=5, nprobe=2, method="wsum",
+        ).collect()
+        scan = hybrid_topk(
+            docs, "stream merge", [1.0, 0.0],
+            embeddings=vecs, k=5, n_candidates=5, method="wsum",
+        ).collect()
+        assert [tuple(r) for r in idx] == [tuple(r) for r in scan]
+        assert len(idx) == 5
+
+    @pytest.mark.parametrize("method", ["rrf", "wsum"])
+    def test_index_batch_equals_scan_batch(
+        self, spark, docs, vecs, paths, method
+    ):
+        from parq_tools_spark.operators.hybrid import (
+            hybrid_index_topk_batch,
+        )
+
+        bp, ap = paths
+        queries = spark.createDataFrame(
+            [
+                (1, "stream merge", [1.0, 0.0]),
+                (2, "vector search", [0.0, 1.0]),
+            ],
+            "query_id long, query string, query_vec array<double>",
+        )
+        idx = sorted(
+            tuple(r)
+            for r in hybrid_index_topk_batch(
+                spark, bp, ap, queries,
+                k=5, n_candidates=5, nprobe=2, method=method,
+            ).collect()
+        )
+        scan = sorted(
+            tuple(r)
+            for r in hybrid_topk_batch(
+                docs, vecs, queries, k=5, n_candidates=5, method=method,
+            ).collect()
+        )
+        assert idx == scan and len(idx) == 10
+
+    def test_batch_wsum_matches_singles(self, spark, docs, vecs):
+        queries = spark.createDataFrame(
+            [
+                (1, "stream merge", [1.0, 0.0]),
+                (2, "vector search", [0.0, 1.0]),
+            ],
+            "query_id long, query string, query_vec array<double>",
+        )
+        batch = hybrid_topk_batch(
+            docs, vecs, queries, k=5, n_candidates=5, method="wsum"
+        ).collect()
+        for qid, qtext, qvec in [
+            (1, "stream merge", [1.0, 0.0]),
+            (2, "vector search", [0.0, 1.0]),
+        ]:
+            single = hybrid_topk(
+                docs, qtext, qvec, embeddings=vecs,
+                k=5, n_candidates=5, method="wsum",
+            ).collect()
+            got = sorted(
+                (
+                    (r["doc_id"], r["score"], r["rank"])
+                    for r in batch
+                    if r["query_id"] == qid
+                ),
+                key=lambda t: t[2],
+            )
+            want = [(r["doc_id"], r["score"], r["rank"]) for r in single]
+            assert got == want
+
+    def test_validation(self, spark, paths):
+        from parq_tools_spark.operators.hybrid import (
+            hybrid_index_topk,
+            hybrid_index_topk_batch,
+        )
+
+        bp, ap = paths
+        with pytest.raises(ValueError, match="method"):
+            hybrid_index_topk(
+                spark, bp, ap, "x", [1.0, 0.0], method="max"
+            )
+        qdf = spark.createDataFrame(
+            [(1, "x", [1.0, 0.0])],
+            "query_id long, query string, query_vec array<double>",
+        )
+        with pytest.raises(ValueError, match="w_text"):
+            hybrid_index_topk_batch(
+                spark, bp, ap, qdf, w_text=-0.1
+            )

@@ -433,3 +433,54 @@ def test_gopher_required_words_with_metacharacters(spark):
         df, required_words=("c++", "code"), min_required_words=2
     ).collect()[0]
     assert r["n_required_words"] == 2
+
+
+def test_commit_marker_sweep_is_checkpoint_scoped(spark, tmp_path):
+    """Two streaming queries with DISTINCT checkpoints maintaining
+    the same index path: each commit must leave the other query's
+    progress marker untouched (a blanket sweep would erase it every
+    batch and force perpetual replays)."""
+    from parq_tools_spark.streaming._markers import (
+        commit_marker,
+        last_applied,
+    )
+
+    idx = str(tmp_path / "idx")
+    ck_a = str(tmp_path / "ck_a")
+    ck_b = str(tmp_path / "ck_b")
+    commit_marker(spark, idx, ck_a, 3)
+    commit_marker(spark, idx, ck_b, 7)
+    assert last_applied(spark, idx, ck_a) == 3
+    assert last_applied(spark, idx, ck_b) == 7
+    # a same-checkpoint recommit sweeps only its OWN older marker
+    commit_marker(spark, idx, ck_a, 4)
+    assert last_applied(spark, idx, ck_a) == 4
+    assert last_applied(spark, idx, ck_b) == 7
+
+
+def test_commit_marker_sweeps_legacy_only_when_own(spark, tmp_path):
+    """The legacy unnumbered marker carries a checkpoint identity in
+    its JSON: another checkpoint's commit must leave it; its own
+    checkpoint's commit retires it."""
+    import json
+
+    from parq_tools_spark.streaming._markers import (
+        MARKER,
+        commit_marker,
+        last_applied,
+        marker_identity,
+    )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx, exist_ok=True)
+    ck_a = str(tmp_path / "ck_a")
+    ck_b = str(tmp_path / "ck_b")
+    with open(os.path.join(idx, MARKER), "w") as f:
+        json.dump(
+            {"checkpoint": marker_identity(spark, ck_a), "batch": 5}, f
+        )
+    commit_marker(spark, idx, ck_b, 1)
+    assert last_applied(spark, idx, ck_a) == 5  # legacy survived B
+    commit_marker(spark, idx, ck_a, 6)
+    assert last_applied(spark, idx, ck_a) == 6
+    assert not os.path.exists(os.path.join(idx, MARKER))

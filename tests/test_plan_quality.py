@@ -330,3 +330,45 @@ def test_hybrid_from_index_never_scans_corpus(spark, sf_dir, tmp_path):
     assert "embeddings.parquet" not in plan
     assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
     assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+
+
+def test_hybrid_index_batch_never_scans_corpus(spark, sf_dir, tmp_path):
+    """Batched index-served hybrid (the offline-retrieval shape) must
+    read ONLY the two indexes: one bucket-pruned postings read for
+    every text leg, one cell-pruned codes read for every vector leg —
+    never documents.parquet / embeddings.parquet."""
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk_batch
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    bp = str(tmp_path / "bm25")
+    ap = str(tmp_path / "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(emb, ap, n_cells=4, m=4, n_codes=8)
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(2).collect()
+    ]
+    queries = spark.createDataFrame(
+        [
+            (1, "stream merge window", qvecs[0]),
+            (2, "customer value table", qvecs[1]),
+        ],
+        "query_id long, query string, query_vec array<double>",
+    )
+    df = hybrid_index_topk_batch(
+        spark, bp, ap, queries, k=5, nprobe=2
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert "embeddings.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)

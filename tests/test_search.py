@@ -899,3 +899,52 @@ def test_bm25_index_cdc_noop_tiebreak_and_guards(spark, tiny_corpus, tmp_path):
             ),
             path,
         )
+
+
+def test_allow_missing_ignored_when_doc_table_exact(spark, tmp_path):
+    """allow_missing exists only for legacy sidecar-less segments; on
+    an index where every segment carries _docs the membership probe
+    is exact, so the escape is IGNORED and a never-indexed id still
+    raises (honoring it would decrement n_docs/sum_dl for docs that
+    never existed, corrupting every later idf/avgdl)."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(corpus, path, n_buckets=2)
+    with pytest.raises(ValueError, match="not VISIBLE"):
+        bm25_index_delete(spark, path, [1, 999], allow_missing=True)
+    assert bm25_index_stats(spark, path)["n_docs"] == 2
+
+
+def test_allow_missing_still_honored_on_legacy_segment(spark, tmp_path):
+    """With a genuinely legacy (sidecar-less) segment a zero-token doc
+    is invisible to the probe — the documented allow_missing case
+    keeps working."""
+    import glob
+    import shutil
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bmidx")
+    bm25_index_build(corpus, path, n_buckets=2)
+    for d in glob.glob(f"{path}/seg-*/_docs"):
+        shutil.rmtree(d)
+    with pytest.raises(ValueError, match="not VISIBLE"):
+        bm25_index_delete(spark, path, [2])
+    out = bm25_index_delete(spark, path, [2], allow_missing=True)
+    assert out["deleted"] == 1
+    assert bm25_index_stats(spark, path)["n_docs"] == 1
