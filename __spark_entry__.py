@@ -2197,6 +2197,41 @@ def q_hybrid_index_batch(spark, sf_dir):
     return out
 
 
+def q_ann_refine_topk(spark, sf_dir):
+    """ANN serving with EXACT re-rank (the standard IVF-PQ
+    refinement): the index persists exact vectors next to the PQ
+    codes (store_vectors=True), serving takes the top-R ADC
+    candidates (cell-pruned, O(R) per query) and re-scores them with
+    rounded exact cosine. Built LOSSY (16 codewords — ADC alone is
+    provably wrong on this config, pinned by pytest) with full probe
+    and R >= corpus, the refined result EQUALS exact cosine top-k,
+    which is what the from-scratch SQL oracle computes."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="annref_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=16, store_vectors=True
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=8, refine=2_000_000_000
+        )
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality-rule filter (Rae et al. 2021 A1.1): per-rule
     signal columns + composite verdict, one map-only codegen'd pass.
@@ -3332,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10 (window rotation finalized at round close)
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
+        "ann_refine_topk": q_ann_refine_topk,
         # --- positions 1-50 = the driver check window for r9:
         # new in r9 ...
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -6643,4 +6679,28 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
     # cannot drift
     out["hybrid_index_wsum"] = out["hybrid_wsum_topk"]
     out["hybrid_index_batch"] = out["hybrid_batch_rrf"]
+    # lossy PQ + full probe + refine >= corpus: the exact re-rank
+    # provably equals exact rounded cosine top-k (excluding self)
+    out["ann_refine_topk"] = r"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding
+          FROM embeddings WHERE vec_id < 3
+        ),
+        sc AS (
+          SELECT q.query_id, c.vec_id,
+                 floor(list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[]))
+                       * 1e6 + 0.5) / 1e6 AS cosine_sim
+          FROM embeddings c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT query_id, vec_id, cosine_sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, vec_id ASC) AS INT)
+                   AS rank
+          FROM sc
+        ) WHERE rank <= 5
+    """
     return out

@@ -193,6 +193,7 @@ def ann_index_build(
     opq: bool = False,
     opq_sample: int = 256,
     keep_versions: int = 1,
+    store_vectors: bool = False,
 ) -> None:
     """Build a persistent IVF-PQ index over an embedding column.
 
@@ -221,7 +222,18 @@ def ann_index_build(
     maintenance sweeps retain; retained versions stay fully servable
     via the ``version=`` parameter on :func:`ann_index_topk` /
     :func:`ann_index_stats` (the shared index time-travel
-    contract)."""
+    contract).
+
+    ``store_vectors=True`` additionally persists each vector's exact
+    embedding (column ``vec``, ``array<double>``) alongside its PQ
+    codes in the cell-partitioned segments — the standard
+    IVF-PQ-with-refinement deployment: serving can then re-score the
+    top ADC candidates against exact vectors
+    (:func:`ann_index_topk`'s ``refine=``), lifting accuracy past the
+    quantization ceiling without touching the source corpus. Cost:
+    the index stores ``dim`` doubles per vector next to the ``m``
+    code bytes (build-time segment shuffle carries them once;
+    serving reads them only inside the probed cells)."""
     import json
 
     if keep_versions < 1:
@@ -261,7 +273,16 @@ def ann_index_build(
     )
     assigned = _with_centroid_cells(
         corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
-    ).select(id_col, "cell")
+    )
+    assigned = (
+        assigned.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            "cell",
+        )
+        if store_vectors
+        else assigned.select(id_col, "cell")
+    )
     n_vecs = corpus.count()
 
     seg = _tag(new, "seg")
@@ -284,6 +305,7 @@ def ann_index_build(
                     "round_to": round_to,
                     "opq": opq,
                     "keep_versions": keep_versions,
+                    "store_vectors": store_vectors,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_vecs": n_vecs,
@@ -326,7 +348,18 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
         p["round_to"],
         None,
         "cell",
-    ).select(p["id_col"], "cell")
+    )
+    # segment schema is an index-wide invariant: new batches store (or
+    # don't store) exact vectors exactly as the build did
+    assigned = (
+        assigned.select(
+            p["id_col"],
+            F.col(p["vec_col"]).cast("array<double>").alias("vec"),
+            "cell",
+        )
+        if p.get("store_vectors")
+        else assigned.select(p["id_col"], "cell")
+    )
     n_new = new_vecs.count()
 
     seg = _tag(cur + 1, "seg")
@@ -739,6 +772,7 @@ def ann_index_topk(
     version: Optional[int] = None,
     exclude_self: bool = True,
     max_queries: int = 10_000,
+    refine: Optional[int] = None,
 ) -> DataFrame:
     """ANN top-``k`` served FROM the index — no corpus access, no
     re-encoding: the model (centroids + codebooks + rotation) is read
@@ -775,7 +809,20 @@ def ann_index_topk(
     per query), bounded by ``max_queries`` (default 10,000 ≈ a few
     hundred MB of tables at typical settings). A larger offline job
     should batch through repeated calls or use the scan-path
-    :func:`~parq_tools_spark.operators.similarity.ivf_pq_topk`."""
+    :func:`~parq_tools_spark.operators.similarity.ivf_pq_topk`.
+
+    ``refine=R`` (needs an index built with ``store_vectors=True``)
+    re-scores each query's top-``R`` ADC candidates against their
+    EXACT stored vectors — rounded cosine, the standard IVF-PQ
+    refinement step that recovers the accuracy the product
+    quantizer's ADC approximation gives up. The candidates are
+    already cell-pruned and O(R) per query, so the re-rank join
+    broadcasts ``R x n_queries`` id pairs into the probed cells'
+    vector rows — never a corpus or full-index scan. The output's
+    score column is then ``cosine_sim`` (exact, rounded to the
+    index's grid) instead of ``pq_score``; with ``R >= `` the probed
+    candidate count the result EQUALS exact cosine top-k over the
+    probed cells even under a lossy codebook."""
     from functools import reduce
 
     from parq_tools_spark.operators.similarity import adc_score
@@ -787,6 +834,16 @@ def ann_index_topk(
     centroids, codebooks, rot = _read_model(vs.fs, path, m)
     m_, n_codes_, sub = codebooks.shape
 
+    if refine is not None:
+        if refine < k:
+            raise ValueError(f"refine={refine} must be >= k={k}")
+        if not p.get("store_vectors"):
+            raise ValueError(
+                f"ann index at {path} was built without "
+                "store_vectors=True; exact re-ranking needs the "
+                "stored vectors — rebuild with "
+                "ann_index_build(..., store_vectors=True)"
+            )
     if exclude_self:
         _check_self_exclusion_types(
             queries.schema[query_id_col].dataType, _id_field(m).dataType
@@ -839,7 +896,10 @@ def ann_index_topk(
                         "query_id", queries.schema[query_id_col].dataType
                     ),
                     id_field,
-                    T.StructField("pq_score", T.DoubleType()),
+                    T.StructField(
+                        "pq_score" if refine is None else "cosine_sim",
+                        T.DoubleType(),
+                    ),
                     T.StructField("rank", T.IntegerType()),
                     T.StructField("index_version", T.IntegerType()),
                 ]
@@ -881,8 +941,61 @@ def ann_index_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_score").desc(), F.col(id_col).asc()
     )
-    return (
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("index_version", F.lit(cur))
+        )
+    # exact re-rank: top-R ADC candidate ids (O(R) per query)
+    # broadcast into the probed cells' stored-vector rows, rounded
+    # exact cosine against the RAW query vector (cosine is
+    # scale-invariant, matching brute_force_topk), re-ranked
+    from pyspark.sql import types as T
+
+    from parq_tools_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    adc_top = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= refine)
+        .select("query_id", id_col)
+    )
+    qv_df = spark.createDataFrame(
+        [(qid, vec.tolist()) for qid, vec in zip(q_ids, q_raw)],
+        T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType
+                ),
+                T.StructField("_qvec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    scale = float(10 ** p["round_to"])
+    exact = (
+        coded.select(id_col, "vec")
+        .join(F.broadcast(adc_top), on=id_col)
+        .join(F.broadcast(qv_df), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.floor(
+                    cosine_similarity_col(F.col("vec"), F.col("_qvec"))
+                    * F.lit(scale)
+                    + F.lit(0.5)
+                )
+                / F.lit(scale)
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .withColumn("index_version", F.lit(cur))
     )

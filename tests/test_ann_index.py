@@ -354,3 +354,110 @@ def test_max_queries_caps_driver_collect(spark, emb, tmp_path):
         ann_index_topk(spark, path, qs, k=2, nprobe=2, max_queries=3)
     ok = ann_index_topk(spark, path, qs, k=2, nprobe=2, max_queries=5)
     assert ok.count() == 10
+
+
+def test_refine_recovers_brute_force_on_lossy_codebook(spark, emb, tmp_path):
+    """The refine gate: on a LOSSY codebook (the config where ADC
+    alone provably differs from exact cosine), full-probe serving
+    with refine >= corpus re-scores every candidate against its
+    stored exact vector — the result set EQUALS brute-force top-k.
+    A partial refine lands strictly between (recall improves
+    monotonically with R)."""
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "annidx")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=16, store_vectors=True
+    )
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, qs, k=10).collect()
+    }
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(spark, path, qs, k=10, nprobe=8).collect()
+    }
+    assert adc != bf  # quantization error is real on this config
+    part = {
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(
+            spark, path, qs, k=10, nprobe=8, refine=40
+        ).collect()
+    }
+    assert len(part & bf) > len(adc & bf)
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(
+            spark, path, qs, k=10, nprobe=8, refine=n
+        ).collect()
+    }
+    assert full == bf
+
+
+def test_refine_validation_and_add_path(spark, emb, tmp_path):
+    """refine < k and a no-vectors index raise; a batch added AFTER
+    the build stores its vectors too, so refined serving sees it."""
+    path = str(tmp_path / "annidx")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    ann_index_build(
+        base, path, n_cells=4, m=8, n_codes=16, store_vectors=True
+    )
+    ann_index_add(extra, path)
+    qs = emb.filter(F.col("vec_id") == 450)  # an added-batch vector
+    got = sorted(
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=4, refine=1000
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(got) == 5 and all(r.cosine_sim <= 1.0 for r in got)
+
+    with pytest.raises(ValueError, match="refine.*must be >= k"):
+        ann_index_topk(spark, path, qs, k=10, refine=5)
+    path2 = str(tmp_path / "novec")
+    ann_index_build(base, path2, n_cells=4, m=8, n_codes=16)
+    with pytest.raises(ValueError, match="store_vectors"):
+        ann_index_topk(spark, path2, qs, k=5, refine=50)
+
+
+def test_refine_survives_delete_and_compaction(spark, emb, tmp_path):
+    """Stored vectors ride the same segment lifecycle as codes:
+    tombstoned ids drop out of refined serving, and compaction
+    preserves the vec column so refine keeps working after the
+    rewrite."""
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "annidx")
+    ann_index_build(
+        emb, path, n_cells=4, m=8, n_codes=16, store_vectors=True
+    )
+    n = emb.count()
+    qs = emb.filter(F.col("vec_id") == 0)
+    victim = ann_index_topk(
+        spark, path, qs, k=1, nprobe=4, refine=n
+    ).first()["vec_id"]
+    ann_index_delete(spark, path, [int(victim)])
+    after = {
+        r.vec_id
+        for r in ann_index_topk(
+            spark, path, qs, k=10, nprobe=4, refine=n
+        ).collect()
+    }
+    assert victim not in after
+    def snap():
+        # index_version legitimately bumps on compaction — compare
+        # the served values only
+        return sorted(
+            (r.query_id, r.vec_id, r.cosine_sim, r.rank)
+            for r in ann_index_topk(
+                spark, path, qs, k=10, nprobe=4, refine=n
+            ).collect()
+        )
+
+    pre = snap()
+    ann_index_compact(spark, path, min_files_per_cell=1)
+    post = snap()
+    assert post == pre

@@ -372,3 +372,32 @@ def test_hybrid_index_batch_never_scans_corpus(spark, sf_dir, tmp_path):
     assert "embeddings.parquet" not in plan
     assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
     assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+
+
+def test_ann_refine_plan_pruned_and_broadcast(spark, sf_dir, tmp_path):
+    """The exact re-rank must stay index-local: stored-vector rows
+    read only from the probed cell= directories (PartitionFilters),
+    the O(R x queries) candidate id set broadcast into them (no
+    shuffle of the vector rows), and the source embeddings parquet
+    never scanned."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "annref")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=16, store_vectors=True
+    )
+    qs = emb.filter("vec_id < 3")
+    df = ann_index_topk(spark, path, qs, k=5, nprobe=2, refine=50)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "embeddings.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
