@@ -2257,6 +2257,58 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_gopher_full_filter(spark, sf_dir):
+    """The COMPLETE Gopher filter (Rae et al. 2021): A1.1 quality
+    rules AND every Table-A1 repetition threshold, one map-only scan
+    (zero shuffles — the n-gram counts come from linear folds over
+    sorted gram arrays, not explode+groupBy). Line structure is
+    derived deterministically (newline after every 3rd token, the
+    repetition_lines chunking) because the fixture text is
+    single-line; the required-word rule is disabled as in
+    gopher_filter (the synthetic corpus has no English function
+    words). Every ratio divides integer counts, so DuckDB reproduces
+    the doubles bit-for-bit."""
+    from parq_tools_spark.operators.text import gopher_full_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"((?:\S+ ){2}\S+) ",
+            "$1\n",
+        ),
+    )
+    out = gopher_full_filter(chunked, min_required_words=0)
+    rep_cols = [
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac",
+        "dup_6gram_char_frac",
+        "dup_7gram_char_frac",
+        "dup_8gram_char_frac",
+        "dup_9gram_char_frac",
+        "dup_10gram_char_frac",
+    ]
+    return out.select(
+        "doc_id",
+        "n_words",
+        _pround(F.col("mean_word_len")).alias("mean_word_len"),
+        _pround(F.col("symbol_word_ratio")).alias("symbol_word_ratio"),
+        _pround(F.col("bullet_line_ratio")).alias("bullet_line_ratio"),
+        _pround(F.col("ellipsis_line_ratio")).alias("ellipsis_line_ratio"),
+        _pround(F.col("alpha_word_ratio")).alias("alpha_word_ratio"),
+        *[_pround(F.col(c)).alias(c) for c in rep_cols],
+        "gopher_pass",
+        "gopher_full_pass",
+    )
+
+
 def q_c4_filter(spark, sf_dir):
     """C4-style page cleaning (Raffel et al. 2020 SS2.2): line-level
     retention (terminal punctuation, >=3 words, no javascript) plus
@@ -3368,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
         "ann_refine_topk": q_ann_refine_topk,
+        "gopher_full_filter": q_gopher_full_filter,
         # --- positions 1-50 = the driver check window for r9:
         # new in r9 ...
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -3541,6 +3594,213 @@ WITH toks AS (
   JOIN sizes s1 ON s1.doc_id = id1
   JOIN sizes s2 ON s2.doc_id = id2
 )
+"""
+
+
+def _gopher_full_sql() -> str:
+    """The gopher_full_filter oracle: quality half (the gopher_filter
+    expressions over the line-chunked text) + every Table-A1
+    repetition signal. The dup-char signals mirror the Spark side's
+    linear sorted-neighbor lambdas (DuckDB indexed list_filter is
+    1-based where Spark's is 0-based); the three top-n-gram counts
+    use unnest + groupBy + rank, whose (count desc, gram asc) order
+    equals the Spark fold's first-max-in-sorted-order tie-break."""
+
+    def dup_cond(arr: str) -> str:
+        return (
+            f"(i > 1 AND {arr}[i-1] = x) OR "
+            f"(i < len({arr}) AND {arr}[i+1] = x)"
+        )
+
+    def dup_count(arr: str) -> str:
+        return f"len(list_filter({arr}, (x, i) -> {dup_cond(arr)}))"
+
+    def dup_chars(arr: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform(list_filter({arr}, "
+            f"(x, i) -> {dup_cond(arr)}), x -> length(x))), 0)"
+        )
+
+    def all_chars(arr: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({arr}, "
+            f"x -> length(x))), 0)"
+        )
+
+    def dup_frac_expr(arr: str, alias: str) -> str:
+        return (
+            f"CASE WHEN {all_chars(arr)} > 0 THEN "
+            f"CAST({dup_chars(arr)} AS DOUBLE) / "
+            f"CAST({all_chars(arr)} AS DOUBLE) ELSE 0.0 END AS {alias}"
+        )
+
+    gram_ctes = []
+    for n in range(2, 11):
+        terms = " || ' ' || ".join(
+            "toks[i]" if j == 0 else f"toks[i+{j}]" for j in range(n)
+        )
+        gram_ctes.append(
+            f"g{n} AS (SELECT doc_id, CASE WHEN len(toks) >= {n} THEN"
+            f" list_sort([{terms} FOR i IN"
+            f" range(1, len(toks) - {n - 2})])"
+            f" ELSE CAST([] AS VARCHAR[]) END AS s FROM base)"
+        )
+    top_ctes = []
+    for n in (2, 3, 4):
+        top_ctes.append(
+            f"e{n} AS (SELECT doc_id, unnest(s) AS gram FROM g{n}),\n"
+            f"c{n} AS (SELECT doc_id, gram, count(*) AS c FROM e{n}"
+            f" GROUP BY 1, 2),\n"
+            f"r{n} AS (SELECT doc_id, c * length(gram) AS tc,"
+            f" row_number() OVER (PARTITION BY doc_id"
+            f" ORDER BY c DESC, gram ASC) AS rn FROM c{n}),\n"
+            f"t{n} AS (SELECT doc_id, max(tc) FILTER (rn = 1)"
+            f" AS topchars FROM r{n} GROUP BY doc_id)"
+        )
+    dup_ctes = [
+        f"d{n} AS (SELECT doc_id, "
+        + dup_frac_expr("s", f"dup_{n}gram_char_frac")
+        + f" FROM g{n})"
+        for n in (5, 6, 7, 8, 9, 10)
+    ]
+    req = " + ".join(
+        f"CAST(regexp_matches(low, '\\b{w}\\b') AS INT)"
+        for w in (
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        )
+    )
+    rep_bounds = [
+        ("dup_line_frac", 0.30),
+        ("dup_para_frac", 0.30),
+        ("dup_line_char_frac", 0.20),
+        ("dup_para_char_frac", 0.20),
+        ("top_2gram_char_frac", 0.20),
+        ("top_3gram_char_frac", 0.18),
+        ("top_4gram_char_frac", 0.16),
+        ("dup_5gram_char_frac", 0.15),
+        ("dup_6gram_char_frac", 0.14),
+        ("dup_7gram_char_frac", 0.13),
+        ("dup_8gram_char_frac", 0.12),
+        ("dup_9gram_char_frac", 0.11),
+        ("dup_10gram_char_frac", 0.10),
+    ]
+    rep_pass = " AND ".join(f"{c} <= {b}" for c, b in rep_bounds)
+    rep_names = [c for c, _ in rep_bounds]
+    ratio_cols = [
+        "mean_word_len", "symbol_word_ratio", "bullet_line_ratio",
+        "ellipsis_line_ratio", "alpha_word_ratio",
+    ]
+    rounded = ",\n       ".join(
+        f"floor({c} * 1e6 + 0.5) / 1e6 AS {c}"
+        for c in ratio_cols
+        + [
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+        ]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+    )
+    return f"""
+WITH chunked AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '((?:\\S+ ){{2}}\\S+) ',
+             '\\1' || chr(10), 'g') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t,
+         greatest(length(t), 1) AS nc,
+         CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(t), '\\s+') END AS toks,
+         list_filter(string_split_regex(t, '\\s+'),
+             x -> x <> '') AS words,
+         list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(t, '\\n{{2,}}'),
+             x -> x <> '') AS paras,
+         lower(t) AS low
+  FROM chunked
+),
+q AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words,
+              x -> length(x))), 0) AS DOUBLE)
+           / greatest(len(words), 1) AS mean_word_len,
+         CAST(len(regexp_extract_all(t, '#'))
+              + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)
+           / greatest(len(words), 1) AS symbol_word_ratio,
+         CAST(len(list_filter(lines, l ->
+              regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS bullet_line_ratio,
+         CAST(len(list_filter(lines, l ->
+              regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+           / greatest(len(lines), 1) AS ellipsis_line_ratio,
+         CAST(len(list_filter(words, x ->
+              regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           / greatest(len(words), 1) AS alpha_word_ratio,
+         {req} AS n_required_words
+  FROM base
+),
+lp0 AS (
+  SELECT doc_id,
+         list_sort(lines) AS sl, len(lines) AS nl,
+         list_sort(paras) AS sp, len(paras) AS np
+  FROM base
+),
+lpm AS (
+  SELECT doc_id,
+         CAST({dup_count('sl')} AS DOUBLE)
+           / greatest(nl, 1) AS dup_line_frac,
+         {dup_frac_expr('sl', 'dup_line_char_frac')},
+         CAST({dup_count('sp')} AS DOUBLE)
+           / greatest(np, 1) AS dup_para_frac,
+         {dup_frac_expr('sp', 'dup_para_char_frac')}
+  FROM lp0
+),
+{','.join(gram_ctes)},
+{','.join(top_ctes)},
+{','.join(dup_ctes)},
+vals AS (
+  SELECT b.doc_id, q.n_words, q.mean_word_len, q.symbol_word_ratio,
+         q.bullet_line_ratio, q.ellipsis_line_ratio,
+         q.alpha_word_ratio, q.n_required_words,
+         lpm.dup_line_frac, lpm.dup_line_char_frac,
+         lpm.dup_para_frac, lpm.dup_para_char_frac,
+         coalesce(CAST(t2.topchars AS DOUBLE) / b.nc, 0.0)
+           AS top_2gram_char_frac,
+         coalesce(CAST(t3.topchars AS DOUBLE) / b.nc, 0.0)
+           AS top_3gram_char_frac,
+         coalesce(CAST(t4.topchars AS DOUBLE) / b.nc, 0.0)
+           AS top_4gram_char_frac,
+         d5.dup_5gram_char_frac, d6.dup_6gram_char_frac,
+         d7.dup_7gram_char_frac, d8.dup_8gram_char_frac,
+         d9.dup_9gram_char_frac, d10.dup_10gram_char_frac
+  FROM base b
+  JOIN q USING (doc_id)
+  JOIN lpm USING (doc_id)
+  JOIN d5 USING (doc_id) JOIN d6 USING (doc_id)
+  JOIN d7 USING (doc_id) JOIN d8 USING (doc_id)
+  JOIN d9 USING (doc_id) JOIN d10 USING (doc_id)
+  LEFT JOIN t2 USING (doc_id)
+  LEFT JOIN t3 USING (doc_id)
+  LEFT JOIN t4 USING (doc_id)
+),
+flags AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_word_ratio <= 0.1
+          AND bullet_line_ratio <= 0.9
+          AND ellipsis_line_ratio <= 0.3
+          AND alpha_word_ratio >= 0.8
+          AND n_required_words >= 0) AS gopher_pass
+  FROM vals
+)
+SELECT doc_id, n_words,
+       {rounded},
+       gopher_pass,
+       (gopher_pass AND {rep_pass}) AS gopher_full_pass
+FROM flags
 """
 
 
@@ -6679,6 +6939,7 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
     # cannot drift
     out["hybrid_index_wsum"] = out["hybrid_wsum_topk"]
     out["hybrid_index_batch"] = out["hybrid_batch_rrf"]
+    out["gopher_full_filter"] = _gopher_full_sql()
     # lossy PQ + full probe + refine >= corpus: the exact re-rank
     # provably equals exact rounded cosine top-k (excluding self)
     out["ann_refine_topk"] = r"""

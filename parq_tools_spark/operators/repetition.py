@@ -258,3 +258,187 @@ def ngram_repetition_stats(
         ).alias("dup_ngram_char_frac"),
         F.max("_trunc").alias("truncated"),
     )
+
+
+#: Rae et al. 2021 Table A1 — the repetition-filter thresholds: a
+#: document passes the repetition half of the Gopher filter iff every
+#: signal is <= its bound.
+GOPHER_REPETITION_THRESHOLDS: "dict[str, float]" = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+__all__.append("GOPHER_REPETITION_THRESHOLDS")
+__all__.append("with_gopher_repetition_stats")
+
+
+def _dup_occurrence_chars(sorted_arr: Column) -> Column:
+    """Characters covered by occurrences whose value appears >= 2
+    times in ``sorted_arr`` — :func:`dup_occurrence_count` weighted by
+    element length (same linear neighbor comparison; same 0-based
+    Spark / 1-based DuckDB indexed-lambda portability)."""
+    n = F.size(sorted_arr)
+    dups = F.filter(
+        sorted_arr,
+        lambda x, i: ((i > 0) & (F.get(sorted_arr, i - 1) == x))
+        | ((i < n - 1) & (F.get(sorted_arr, i + 1) == x)),
+    )
+    return F.aggregate(
+        dups, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _total_chars(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """``struct(best long, bg string)`` — the longest run's length and
+    value in a SORTED array (= the most frequent element's count), in
+    ONE linear ``aggregate`` fold instead of an explode + groupBy:
+    the accumulator tracks (previous value, current run, best run,
+    best value) and ``best`` advances only on a STRICTLY longer run,
+    so ties resolve to the first (lexicographically smallest, since
+    sorted) maximum — the same (count desc, gram asc) total order the
+    SQL oracle's row_number uses. Empty array -> (0, NULL)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["bg"].alias("bg")),
+    )
+
+
+def with_gopher_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens_per_doc: "int | None" = 200_000,
+) -> DataFrame:
+    """ALL of Gopher's Table-A1 repetition signals (Rae et al. 2021)
+    in ONE map-only pass — no explode, no groupBy, no shuffle, every
+    signal a codegen'd array expression, so at 100 TB this fuses into
+    the scan exactly like the quality half (``text.py``):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of line
+      occurrences (resp. their characters) whose exact text repeats
+      within the document (non-empty ``\\n`` lines);
+    - ``dup_para_frac`` / ``dup_para_char_frac``: same over
+      blank-line-separated paragraphs;
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram (``count * len(gram) / doc chars``, the
+      paper's simple form — ties to the smallest gram);
+    - ``dup_{5..10}gram_char_frac``: characters in n-gram occurrences
+      appearing >= 2 times over characters in all n-gram occurrences.
+
+    The per-n-gram counts come from a linear fold over the SORTED
+    gram array (:func:`_top_run` / neighbor comparisons) instead of
+    the explode -> groupBy -> rank shape
+    (:func:`ngram_repetition_stats`) — O(L log L) per document with
+    zero exchanges, which is what makes the COMPOSITE filter a single
+    scan.
+
+    Every sorted array (and each top-run fold) is MATERIALIZED as a
+    temporary column before the lambdas that index into it — the
+    ``_rep_sorted`` discipline from :func:`with_word_repetition_stats`:
+    higher-order functions are interpreted, so a lambda referencing
+    the sort EXPRESSION would re-evaluate it per element (O(L^2 log
+    L) per document); referencing the materialized attribute is O(1).
+
+    ``max_tokens_per_doc`` slices the token stream before gram
+    generation (linear cost bound per task; the n-gram fractions of a
+    truncated giant describe its head). The default 200k sits above
+    the Gopher quality rule's ``max_words`` default of 100k, so under
+    default settings truncation can only hit documents the composite
+    filter already rejects for length. Empty/NULL text yields zeros.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    nc = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    toks = words_array(t)
+    if max_tokens_per_doc is not None:
+        if max_tokens_per_doc <= 0:
+            raise ValueError("max_tokens_per_doc must be positive")
+        toks = F.slice(toks, 1, max_tokens_per_doc)
+
+    arrays: "dict[str, Column]" = {
+        "_grs_l": F.array_sort(
+            F.filter(F.split(t, r"\n"), lambda x: x != "")
+        ),
+        "_grs_p": F.array_sort(
+            F.filter(F.split(t, r"\n{2,}"), lambda x: x != "")
+        ),
+    }
+    for n in range(2, 11):
+        arrays[f"_grs_{n}"] = F.array_sort(ngrams_from_tokens(toks, n))
+    out = df.withColumns(arrays)
+    # top-run folds in their own stage so the WHEN branches below
+    # read the struct attribute instead of re-running the fold
+    out = out.withColumns(
+        {f"_grt_{n}": _top_run(F.col(f"_grs_{n}")) for n in (2, 3, 4)}
+    )
+
+    cols: "dict[str, Column]" = {}
+    for name, key in (("line", "_grs_l"), ("para", "_grs_p")):
+        arr = F.col(key)
+        n_el = F.greatest(F.size(arr), F.lit(1)).cast("double")
+        total = _total_chars(arr)
+        cols[f"dup_{name}_frac"] = (
+            dup_occurrence_count(arr).cast("double") / n_el
+        )
+        cols[f"dup_{name}_char_frac"] = F.when(
+            total > 0,
+            _dup_occurrence_chars(arr).cast("double")
+            / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+    for n in (2, 3, 4):
+        top = F.col(f"_grt_{n}")
+        cols[f"top_{n}gram_char_frac"] = F.when(
+            top["best"] > 0,
+            (top["best"] * F.length(top["bg"])).cast("double") / nc,
+        ).otherwise(F.lit(0.0))
+    for n in (5, 6, 7, 8, 9, 10):
+        arr = F.col(f"_grs_{n}")
+        total = _total_chars(arr)
+        cols[f"dup_{n}gram_char_frac"] = F.when(
+            total > 0,
+            _dup_occurrence_chars(arr).cast("double")
+            / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        out.withColumns(cols)
+        .drop(*arrays)
+        .drop(*[f"_grt_{n}" for n in (2, 3, 4)])
+    )

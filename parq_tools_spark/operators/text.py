@@ -20,6 +20,7 @@ __all__ = [
     "STOPWORDS_EN",
     "GOPHER_REQUIRED_WORDS",
     "with_gopher_filter",
+    "gopher_full_filter",
     "with_c4_filter",
     "LANG_MARKERS",
     "token_count",
@@ -166,6 +167,58 @@ def with_gopher_filter(
         & (F.col("n_required_words") >= min_required_words)
     )
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def gopher_full_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_required_words: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    max_tokens_per_doc: "int | None" = 200_000,
+) -> DataFrame:
+    """The COMPLETE Gopher document filter (Rae et al. 2021): the
+    A1.1 quality rules (:func:`with_gopher_filter`) conjoined with
+    every Table-A1 repetition threshold
+    (:func:`~parq_tools_spark.operators.repetition.
+    with_gopher_repetition_stats`) — the paper's actual filter is
+    this conjunction, and a real pipeline wants it as ONE scan.
+
+    Adds all 8 quality columns + all 13 repetition columns +
+    ``gopher_full_pass``. Still map-only end to end: both halves are
+    codegen'd array expressions, so the composite costs one pass over
+    the text column with zero shuffles — at 100 TB the filter IS the
+    scan.
+
+    Quality knobs as in :func:`with_gopher_filter`; the repetition
+    thresholds are the paper's (``GOPHER_REPETITION_THRESHOLDS``).
+    ``max_tokens_per_doc`` bounds the n-gram expressions per document
+    (its 200k default sits above ``max_words``'s 100k, so with
+    default settings truncation only ever hits documents the length
+    rule already rejects)."""
+    from parq_tools_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+        with_gopher_repetition_stats,
+    )
+
+    out = with_gopher_filter(
+        df,
+        text_col=text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_required_words=min_required_words,
+        required_words=required_words,
+    )
+    out = with_gopher_repetition_stats(
+        out, text_col=text_col, max_tokens_per_doc=max_tokens_per_doc
+    )
+    rep_pass = F.lit(True)
+    for col_name, bound in GOPHER_REPETITION_THRESHOLDS.items():
+        rep_pass = rep_pass & (F.col(col_name) <= F.lit(bound))
+    return out.withColumn(
+        "gopher_full_pass", F.col("gopher_pass") & rep_pass
+    )
 
 
 def with_c4_filter(

@@ -401,3 +401,12 @@ def test_ann_refine_plan_pruned_and_broadcast(spark, sf_dir, tmp_path):
     assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_full_filter_single_scan_no_shuffle(spark, sf_dir):
+    """The composite Gopher filter (quality + all Table-A1 repetition
+    signals) must stay ONE map-only scan: zero exchanges — the n-gram
+    counts are linear folds over materialized sorted arrays, never an
+    explode + groupBy."""
+    plan = _plan(spark, "gopher_full_filter", sf_dir)
+    assert "Exchange" not in plan

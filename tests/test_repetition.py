@@ -193,3 +193,121 @@ def test_ngram_repetition_truncated_flag_null_text(spark):
         for r in ngram_repetition_stats(df, n=2, max_tokens_per_doc=10).collect()
     }
     assert got == {1: False, 2: True, 3: False}
+
+
+class TestGopherRepetitionStats:
+    def _one(self, spark, text, **kw):
+        from parq_tools_spark.operators.repetition import (
+            with_gopher_repetition_stats,
+        )
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return with_gopher_repetition_stats(df, **kw).collect()[0]
+
+    def test_top_ngram_char_frac_hand_computed(self, spark):
+        import pytest as pt
+
+        # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] ->
+        # top = "x y" (3 occurrences, 3 chars); text is 11 chars
+        r = self._one(spark, "x y x y x y")
+        assert r["top_2gram_char_frac"] == pt.approx(9 / 11)
+        # 3-grams: [x y x, y x y, x y x, y x y] -> top "x y x" x2
+        assert r["top_3gram_char_frac"] == pt.approx(10 / 11)
+        # 5-grams: [x y x y x, y x y x y] both unique -> dup 0
+        assert r["dup_5gram_char_frac"] == 0.0
+
+    def test_dup_ngram_char_frac_hand_computed(self, spark):
+        import pytest as pt
+
+        # "a b a b a b": 5-grams = [a b a b a, b a b a b] unique;
+        # "a b c a b c a b c": 5-grams = [a b c a b, b c a b c,
+        # c a b c a, a b c a b, b c a b c] -> 4 of 5 occurrences
+        # duplicated, all grams 9 chars -> 36/45
+        r = self._one(spark, "a b c a b c a b c")
+        assert r["dup_5gram_char_frac"] == pt.approx(36 / 45)
+
+    def test_line_and_paragraph_dups(self, spark):
+        import pytest as pt
+
+        r = self._one(spark, "dup\ndup\nother")
+        assert r["dup_line_frac"] == pt.approx(2 / 3)
+        assert r["dup_line_char_frac"] == pt.approx(6 / 11)
+        # paragraphs split on blank lines
+        r2 = self._one(spark, "p1\n\np1\n\npX")
+        assert r2["dup_para_frac"] == pt.approx(2 / 3)
+        assert r2["dup_para_char_frac"] == pt.approx(4 / 6)
+        assert r2["dup_line_frac"] == pt.approx(2 / 3)
+
+    def test_empty_and_null_are_zero(self, spark):
+        from parq_tools_spark.operators.repetition import (
+            GOPHER_REPETITION_THRESHOLDS,
+            with_gopher_repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        for r in with_gopher_repetition_stats(df).collect():
+            for c in GOPHER_REPETITION_THRESHOLDS:
+                assert r[c] == 0.0, (r["doc_id"], c)
+
+    def test_token_cap_bounds_grams(self, spark):
+        # 10-token doc with a 4-token cap: grams computed on the head
+        r = self._one(
+            spark, "a b a b c d e f g h", max_tokens_per_doc=4
+        )
+        # head "a b a b": 2-grams [a b, b a, a b] -> top "a b" x2
+        assert r["top_2gram_char_frac"] == 2 * 3 / len("a b a b c d e f g h")
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        import pytest as pt
+
+        # "b c b c a d a d": 2-grams [b c, c b, b c, c a, a d, d a,
+        # a d] -> "a d" x2 and "b c" x2 tie; smallest gram "a d" wins
+        from parq_tools_spark.operators.repetition import _top_run
+
+        df = spark.createDataFrame(
+            [(1, ["b c", "c b", "b c", "c a", "a d", "d a", "a d"])],
+            "doc_id long, g array<string>",
+        )
+        r = df.select(
+            _top_run(F.array_sort(F.col("g"))).alias("t")
+        ).collect()[0]["t"]
+        assert r["best"] == 2 and r["bg"] == "a d"
+
+
+class TestGopherFullFilter:
+    def test_conjunction_and_repetition_rejection(self, spark):
+        from parq_tools_spark.operators.text import gopher_full_filter
+
+        # doc 1: 60 diverse words with required words -> passes both
+        diverse = (
+            "the quick brown fox jumps over one lazy dog and then "
+            "walks to be near of that have with some other distinct "
+            "words appear here making this document look quite "
+            "natural for a filter test since every token differs "
+            "from its neighbors keeping repetition metrics low and "
+            "quality metrics comfortably inside their bounds today"
+        )
+        # doc 2: passes the QUALITY half (length, required words) but
+        # is one 2-gram repeated -> repetition half rejects
+        repetitive = "the cat " * 30 + "to be of and that have with"
+        df = spark.createDataFrame(
+            [(1, diverse), (2, repetitive)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r for r in gopher_full_filter(df).collect()
+        }
+        assert got[1]["gopher_pass"] and got[1]["gopher_full_pass"]
+        assert got[2]["gopher_pass"]  # quality half alone would keep it
+        assert got[2]["top_2gram_char_frac"] > 0.2
+        assert not got[2]["gopher_full_pass"]
+
+    def test_quality_failure_fails_composite(self, spark):
+        from parq_tools_spark.operators.text import gopher_full_filter
+
+        df = spark.createDataFrame(
+            [(1, "too short")], "doc_id long, text string"
+        )
+        r = gopher_full_filter(df).collect()[0]
+        assert not r["gopher_pass"] and not r["gopher_full_pass"]
