@@ -206,11 +206,12 @@ def ann_index_build(
     codeword (the lossless identity codebook, the equivalence-gate
     configuration).
 
-    Cost shape: one ``O(n_cells + n_codes)`` seed collect, two
-    map-only broadcast-matmul passes (assignment + encoding) fused
-    into one segment write (shuffled only by the cell key), one count
-    aggregate, one model PUT, one manifest commit. The corpus'
-    embeddings are read twice (assign + encode) and never shuffled.
+    Cost shape: one ``O(n_cells + n_codes)`` seed collect, ONE fused
+    map-only broadcast-matmul pass (assignment + encoding share each
+    Arrow batch — :func:`~parq_tools_spark.operators.similarity.
+    pq_encode_with_cells`), one segment write shuffled only by the
+    cell key, one count aggregate, one model PUT, one manifest
+    commit. The corpus' embeddings are read once and never shuffled.
 
     Rebuilding over a live index is NON-DESTRUCTIVE: the new
     generation commits alongside the old one, which survives one
@@ -241,9 +242,9 @@ def ann_index_build(
 
     from parq_tools_spark.operators.similarity import (
         _hashseed_rows,
-        _with_centroid_cells,
         opq_rotation,
-        pq_build,
+        pq_codebooks,
+        pq_encode_with_cells,
     )
 
     spark = corpus.sparkSession
@@ -262,33 +263,26 @@ def ann_index_build(
 
     centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
     rot = opq_rotation(corpus, m, id_col, vec_col, opq_sample) if opq else None
-    codes_df, codebooks = pq_build(
+    codebooks = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        rotation=rot,
+    )
+    # ONE fused encode+assign pass over the embedding column (codes
+    # and cell share the batch, so no id-join glues them back)
+    coded = pq_encode_with_cells(
         corpus,
-        m=m,
-        n_codes=n_codes,
+        centroids,
+        codebooks,
         id_col=id_col,
         vec_col=vec_col,
         round_to=round_to,
         rotation=rot,
-    )
-    assigned = _with_centroid_cells(
-        corpus.select(id_col, vec_col), centroids, vec_col, round_to, None, "cell"
-    )
-    assigned = (
-        assigned.select(
-            id_col,
-            F.col(vec_col).cast("array<double>").alias("vec"),
-            "cell",
-        )
-        if store_vectors
-        else assigned.select(id_col, "cell")
+        keep_vec=store_vectors,
     )
     n_vecs = corpus.count()
 
     seg = _tag(new, "seg")
-    _write_codes_segment(
-        codes_df.join(assigned, on=id_col), f"{path}/{seg}", id_col
-    )
+    _write_codes_segment(coded, f"{path}/{seg}", id_col)
     model = _tag(new, "model") + ".json"
     _write_model(vs.fs, path, model, centroids, codebooks, rot)
     vs.commit(
@@ -327,8 +321,7 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     import json
 
     from parq_tools_spark.operators.similarity import (
-        _with_centroid_cells,
-        pq_encode,
+        pq_encode_with_cells,
     )
 
     spark = new_vecs.sparkSession
@@ -338,34 +331,23 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     p = m["params"]
     centroids, codebooks, rot = _read_model(vs.fs, path, m)
 
-    codes_df = pq_encode(
-        new_vecs, codebooks, p["id_col"], p["vec_col"], p["round_to"], rot
-    )
-    assigned = _with_centroid_cells(
-        new_vecs.select(p["id_col"], p["vec_col"]),
+    # one fused encode+assign pass under the frozen model; the
+    # segment schema is an index-wide invariant, so the batch stores
+    # (or doesn't store) exact vectors exactly as the build did
+    coded = pq_encode_with_cells(
+        new_vecs,
         centroids,
-        p["vec_col"],
-        p["round_to"],
-        None,
-        "cell",
-    )
-    # segment schema is an index-wide invariant: new batches store (or
-    # don't store) exact vectors exactly as the build did
-    assigned = (
-        assigned.select(
-            p["id_col"],
-            F.col(p["vec_col"]).cast("array<double>").alias("vec"),
-            "cell",
-        )
-        if p.get("store_vectors")
-        else assigned.select(p["id_col"], "cell")
+        codebooks,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+        round_to=p["round_to"],
+        rotation=rot,
+        keep_vec=bool(p.get("store_vectors")),
     )
     n_new = new_vecs.count()
 
     seg = _tag(cur + 1, "seg")
-    _write_codes_segment(
-        codes_df.join(assigned, on=p["id_col"]), f"{path}/{seg}", p["id_col"]
-    )
+    _write_codes_segment(coded, f"{path}/{seg}", p["id_col"])
     vs.commit(
         cur + 1,
         json.dumps(

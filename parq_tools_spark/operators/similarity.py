@@ -48,6 +48,8 @@ __all__ = [
     "opq_rotation",
     "ivf_pq_topk",
     "semantic_dedupe",
+    "pq_codebooks",
+    "pq_encode_with_cells",
 ]
 
 
@@ -379,9 +381,21 @@ def ivf_write(
     versioned-manifest commit protocol as the BM25/MinHash indexes.
     """
     import json
+    import warnings
 
     from parq_tools_spark.sources.statefs import StateFS
 
+    warnings.warn(
+        "ivf_write writes a plain one-shot layout (overwrite, no "
+        "manifest): a crash mid-write leaves a torn directory and "
+        "there is no versioning, retention or incremental "
+        "maintenance. Use ann_index_build "
+        "(parq_tools_spark.operators.ann_index) — the crash-safe "
+        "versioned-manifest index with the same cell-pruned serving "
+        "shape.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     part_cols = ["cell"]
     if "subcell" in assigned_corpus.columns:
         part_cols.append("subcell")
@@ -394,8 +408,20 @@ def ivf_write(
 def ivf_read(spark, path: str):
     """Load an IVF index written by :func:`ivf_write` ->
     (assigned_corpus_df, centroids). Sidecar read via StateFS (same
-    filesystem as the parquet, not the driver's local disk)."""
+    filesystem as the parquet, not the driver's local disk).
+
+    DEPRECATED with :func:`ivf_write` — see ``ann_index_build`` /
+    ``ann_index_topk`` for the versioned, crash-safe replacement."""
     import json
+    import warnings
+
+    warnings.warn(
+        "ivf_read reads the deprecated one-shot IVF layout; see "
+        "ann_index_build/ann_index_topk for the versioned, "
+        "crash-safe replacement",
+        DeprecationWarning,
+        stacklevel=2,
+    )
 
     from parq_tools_spark.sources.statefs import StateFS
 
@@ -1027,10 +1053,27 @@ def pq_build(
     corpus); encoding is one ``mapInPandas`` pass — map-only, one
     numpy distance matrix per (batch, subspace), no shuffle.
     """
-    import pandas as pd
+    codebooks = pq_codebooks(corpus, m, n_codes, id_col, vec_col, rotation)
+    return (
+        pq_encode(corpus, codebooks, id_col, vec_col, round_to, rotation),
+        codebooks,
+    )
 
-    from pyspark.sql import types as T
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: "Optional[int]" = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation=None,
+):
+    """Derive :func:`pq_build`'s deterministic codebooks WITHOUT the
+    encoding pass — ``(m, n_codes, dim//m)`` numpy array from the
+    hash-seeded rows. Split out so callers that fuse encoding with
+    other per-row work (``ann_index_build``'s single-pass
+    encode+assign) can get the model without paying a corpus scan
+    here."""
     first = corpus.select(vec_col).first()
     if first is None:
         raise ValueError("empty corpus")
@@ -1048,13 +1091,102 @@ def pq_build(
     if rotation is not None:
         seeds = seeds @ np.asarray(rotation, dtype=np.float64).T
     # (m, n_codes, sub): codebook j holds the seeds' j-th subvectors
-    codebooks = np.stack(
-        [seeds[:, j * sub : (j + 1) * sub] for j in range(m)]
-    )
+    return np.stack([seeds[:, j * sub : (j + 1) * sub] for j in range(m)])
 
-    return (
-        pq_encode(corpus, codebooks, id_col, vec_col, round_to, rotation),
-        codebooks,
+
+def pq_encode_with_cells(
+    corpus: DataFrame,
+    centroids: list,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    rotation=None,
+    keep_vec: bool = False,
+):
+    """:func:`pq_encode` and :func:`_with_centroid_cells` FUSED into
+    one ``mapInPandas`` pass — the persisted ANN index's ingest shape
+    (``ann_index_build`` / ``ann_index_add``), where running them
+    separately would read the embedding column twice and then pay an
+    id-equi-join to glue codes to cells.
+
+    Bit-parity contract: the cell comes from the RAW vector's rounded
+    cosine exactly as ``_with_centroid_cells`` computes it (same
+    matmul, same ``vnorm`` product, same portable rounding, argmax
+    ties to the lower cell), and the codes from the NORMALIZED
+    (+rotated) vector exactly as ``pq_encode`` computes them — the
+    shared-arithmetic guarantee that keeps the index bit-identical to
+    the per-call scan paths (the ``ann_index_equiv`` gate).
+
+    Returns ``(id_col, codes array<int>, cell int[, vec
+    array<double>])`` — ``keep_vec=True`` carries the raw vector
+    through for indexes built with ``store_vectors=True``."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cb_arr = np.asarray(codebooks, dtype=np.float64)
+    sub = cb_arr.shape[2]
+    rot = (
+        None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cb_arr, rot, cmat, cnorm)
+    )
+    scale = float(10**round_to)
+    fields = [
+        corpus.schema[id_col],
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("cell", T.IntegerType()),
+    ]
+    if keep_vec:
+        fields.append(
+            T.StructField("vec", T.ArrayType(T.DoubleType()))
+        )
+    schema = T.StructType(fields)
+
+    def encode_assign(batches):
+        cb, r, cm, cn = bc.value
+        for b in batches:
+            if not len(b):
+                out = {id_col: [], "codes": [], "cell": []}
+                if keep_vec:
+                    out["vec"] = []
+                yield pd.DataFrame(out)
+                continue
+            raw = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            # cell: _with_centroid_cells' exact ops on the RAW matrix
+            vnorm = np.sqrt((raw * raw).sum(axis=1))
+            sims = (raw @ cm.T) / (vnorm[:, None] * cn[None, :])
+            sims = np.floor(sims * scale + 0.5) / scale
+            cells = sims.argmax(axis=1).astype(np.int32)
+            # codes: pq_encode's exact ops on the NORMALIZED matrix
+            mat = raw / np.sqrt((raw * raw).sum(axis=1, keepdims=True))
+            if r is not None:
+                mat = mat @ r.T
+            codes = np.empty((len(b), cb.shape[0]), dtype=np.int32)
+            for j in range(cb.shape[0]):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
+                d = np.floor(d * scale + 0.5) / scale
+                codes[:, j] = d.argmin(axis=1)
+            out = {
+                id_col: b[id_col],
+                "codes": [c.tolist() for c in codes],
+                "cell": cells,
+            }
+            if keep_vec:
+                out["vec"] = [v.tolist() for v in raw]
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode_assign, schema
     )
 
 

@@ -527,3 +527,86 @@ def test_opq_improves_recall_on_imbalanced_data(spark):
     # regression to contiguous fill shows up as rotated == plain-ish)
     assert rotated > plain
     assert rotated > 0.7
+
+
+def test_legacy_ivf_layout_is_deprecated(spark, embeddings, tmp_path):
+    """The one-shot unversioned layout warns loudly and names the
+    versioned replacement — no public API silently writes a torn-able
+    index."""
+    import warnings
+
+    from parq_tools_spark.operators.similarity import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+
+    assigned, centroids = ivf_build(embeddings, n_cells=2)
+    path = str(tmp_path / "legacy")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ivf_write(assigned, path, centroids)
+        ivf_read(spark, path)
+    deps = [x for x in w if issubclass(x.category, DeprecationWarning)]
+    assert len(deps) == 2
+    assert "ann_index_build" in str(deps[0].message)
+
+
+def test_pq_encode_with_cells_matches_separate_passes(spark, embeddings):
+    """The fused encode+assign kernel (one mapInPandas pass, the ANN
+    index's ingest shape) must be BIT-IDENTICAL to pq_encode joined
+    with _with_centroid_cells — the shared-arithmetic contract that
+    keeps the persisted index equal to the per-call scan paths. The
+    fused plan reads the corpus once and contains no join."""
+    from parq_tools_spark.operators.similarity import (
+        _hashseed_rows,
+        _with_centroid_cells,
+        pq_codebooks,
+        pq_encode,
+        pq_encode_with_cells,
+    )
+
+    cents = _hashseed_rows(embeddings, 4, "vec_id", "embedding")
+    cbs = pq_codebooks(embeddings, m=4, n_codes=8)
+    fused = pq_encode_with_cells(
+        embeddings, cents, cbs, id_col="vec_id", vec_col="embedding",
+        keep_vec=True,
+    )
+    sep = pq_encode(embeddings, cbs, id_col="vec_id").join(
+        _with_centroid_cells(
+            embeddings.select("vec_id", "embedding"),
+            cents,
+            "embedding",
+            6,
+            None,
+            "cell",
+        ).select("vec_id", "cell"),
+        on="vec_id",
+    )
+    got = sorted(
+        (r.vec_id, tuple(r.codes), r.cell) for r in fused.collect()
+    )
+    want = sorted(
+        (r.vec_id, tuple(r.codes), r.cell) for r in sep.collect()
+    )
+    assert got == want and len(got) == embeddings.count()
+    # stored vectors round-trip exactly
+    one = fused.first()
+    src = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in embeddings.collect()
+    }
+    assert one.vec == src[one.vec_id]
+
+    import re
+
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    # exactly one leaf source in the plan TREE (node ids are unique;
+    # the details section repeats names, so count tree nodes)
+    leaves = re.findall(
+        r"(?:Scan parquet|InMemoryTableScan) \(\d+\)", plan
+    )
+    assert len(set(leaves)) == 1, leaves
