@@ -620,6 +620,7 @@ def hybrid_index_topk_batch(
     round_to: int = 9,
     bm25_version: Optional[int] = None,
     ann_version: Optional[int] = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Batched hybrid retrieval served entirely FROM the persisted
     indexes — the offline-retrieval / RAG-eval shape: thousands of
@@ -635,6 +636,13 @@ def hybrid_index_topk_batch(
     either ``method``. At 100 TB total cost is O(sum of query-term
     postings + probed-cell codes) — the whole job never touches
     ``docs`` or ``embeddings``.
+
+    Both legs collect the queries to the driver (the text leg for
+    term/idf tables, the vector leg for ADC tables); ``max_queries``
+    is the vector leg's documented collect cap, passed through to
+    :func:`~parq_tools_spark.operators.ann_index.ann_index_topk` —
+    raise it deliberately for a larger eval set, or chunk the queries
+    DataFrame across calls.
 
     Returns ``(query_id, <bm25 id col>, score, rank)``."""
     if method not in ("rrf", "wsum"):
@@ -672,6 +680,7 @@ def hybrid_index_topk_batch(
         query_vec_col=query_vec_col,
         version=ann_version,
         exclude_self=False,
+        max_queries=max_queries,
     )
     ann_id_col = vec_raw.columns[1]
     vec = vec_raw.select(

@@ -37,6 +37,20 @@ __all__ = [
 ]
 
 
+def _dup_neighbors(sorted_arr: Column) -> Column:
+    """The occurrences of ``sorted_arr`` whose value appears >= 2
+    times — ONE definition of the neighbor-duplicate predicate
+    (including the 0-based-Spark / 1-based-DuckDB indexed-lambda
+    portability contract) shared by the count- and char-weighted
+    metrics so they cannot drift."""
+    n = F.size(sorted_arr)
+    return F.filter(
+        sorted_arr,
+        lambda x, i: ((i > 0) & (F.get(sorted_arr, i - 1) == x))
+        | ((i < n - 1) & (F.get(sorted_arr, i + 1) == x)),
+    )
+
+
 def dup_occurrence_count(sorted_arr: Column) -> Column:
     """Occurrences whose value appears >= 2 times in ``sorted_arr``
     (which MUST be sorted so equal values are adjacent).
@@ -49,14 +63,7 @@ def dup_occurrence_count(sorted_arr: Column) -> Column:
     total sort groups equal values adjacently, so collation
     differences cannot change the count.
     """
-    n = F.size(sorted_arr)
-    return F.size(
-        F.filter(
-            sorted_arr,
-            lambda x, i: ((i > 0) & (F.get(sorted_arr, i - 1) == x))
-            | ((i < n - 1) & (F.get(sorted_arr, i + 1) == x)),
-        )
-    )
+    return F.size(_dup_neighbors(sorted_arr))
 
 
 def words_array(text: Column | str) -> Column:
@@ -286,16 +293,11 @@ __all__.append("with_gopher_repetition_stats")
 def _dup_occurrence_chars(sorted_arr: Column) -> Column:
     """Characters covered by occurrences whose value appears >= 2
     times in ``sorted_arr`` — :func:`dup_occurrence_count` weighted by
-    element length (same linear neighbor comparison; same 0-based
-    Spark / 1-based DuckDB indexed-lambda portability)."""
-    n = F.size(sorted_arr)
-    dups = F.filter(
-        sorted_arr,
-        lambda x, i: ((i > 0) & (F.get(sorted_arr, i - 1) == x))
-        | ((i < n - 1) & (F.get(sorted_arr, i + 1) == x)),
-    )
+    element length (the shared :func:`_dup_neighbors` predicate)."""
     return F.aggregate(
-        dups, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        _dup_neighbors(sorted_arr),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
     )
 
 
@@ -378,19 +380,28 @@ def with_gopher_repetition_stats(
 
     ``max_tokens_per_doc`` slices the token stream before gram
     generation (linear cost bound per task; the n-gram fractions of a
-    truncated giant describe its head). The default 200k sits above
-    the Gopher quality rule's ``max_words`` default of 100k, so under
-    default settings truncation can only hit documents the composite
-    filter already rejects for length. Empty/NULL text yields zeros.
+    truncated giant describe its head — such documents are flagged in
+    the ``truncated`` column, mirroring :func:`ngram_repetition_stats`,
+    so a caller with a raised ``max_words`` can quarantine them
+    instead of trusting head-only fractions). The default 200k sits
+    above the Gopher quality rule's ``max_words`` default of 100k, so
+    under default settings truncation can only hit documents the
+    composite filter already rejects for length. Empty/NULL text
+    yields zeros.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     nc = F.greatest(F.length(t), F.lit(1)).cast("double")
 
-    toks = words_array(t)
+    full_toks = words_array(t)
+    toks = full_toks
+    trunc = F.lit(False)
     if max_tokens_per_doc is not None:
         if max_tokens_per_doc <= 0:
             raise ValueError("max_tokens_per_doc must be positive")
-        toks = F.slice(toks, 1, max_tokens_per_doc)
+        toks = F.slice(full_toks, 1, max_tokens_per_doc)
+        trunc = F.coalesce(
+            F.size(full_toks) > max_tokens_per_doc, F.lit(False)
+        )
 
     arrays: "dict[str, Column]" = {
         "_grs_l": F.array_sort(
@@ -403,17 +414,23 @@ def with_gopher_repetition_stats(
     for n in range(2, 11):
         arrays[f"_grs_{n}"] = F.array_sort(ngrams_from_tokens(toks, n))
     out = df.withColumns(arrays)
-    # top-run folds in their own stage so the WHEN branches below
-    # read the struct attribute instead of re-running the fold
-    out = out.withColumns(
-        {f"_grt_{n}": _top_run(F.col(f"_grs_{n}")) for n in (2, 3, 4)}
-    )
+    # second stage: top-run folds AND total-char folds materialized,
+    # so the WHEN branches below read attributes instead of
+    # re-running an interpreted fold (HOFs get no codegen and no
+    # common-subexpression elimination — a condition + denominator
+    # pair would run the O(L) fold twice per row)
+    folds = {
+        f"_grt_{n}": _top_run(F.col(f"_grs_{n}")) for n in (2, 3, 4)
+    }
+    for key in ("_grs_l", "_grs_p", *[f"_grs_{n}" for n in range(5, 11)]):
+        folds[f"_grc{key[4:]}"] = _total_chars(F.col(key))
+    out = out.withColumns(folds)
 
     cols: "dict[str, Column]" = {}
     for name, key in (("line", "_grs_l"), ("para", "_grs_p")):
         arr = F.col(key)
         n_el = F.greatest(F.size(arr), F.lit(1)).cast("double")
-        total = _total_chars(arr)
+        total = F.col(f"_grc{key[4:]}")
         cols[f"dup_{name}_frac"] = (
             dup_occurrence_count(arr).cast("double") / n_el
         )
@@ -430,15 +447,16 @@ def with_gopher_repetition_stats(
         ).otherwise(F.lit(0.0))
     for n in (5, 6, 7, 8, 9, 10):
         arr = F.col(f"_grs_{n}")
-        total = _total_chars(arr)
+        total = F.col(f"_grc_{n}")
         cols[f"dup_{n}gram_char_frac"] = F.when(
             total > 0,
             _dup_occurrence_chars(arr).cast("double")
             / total.cast("double"),
         ).otherwise(F.lit(0.0))
+    cols["truncated"] = trunc
 
     return (
         out.withColumns(cols)
         .drop(*arrays)
-        .drop(*[f"_grt_{n}" for n in (2, 3, 4)])
+        .drop(*folds)
     )

@@ -130,8 +130,17 @@ def commit_marker(
         if batch is not None and f".{digest}." not in name:
             continue  # another checkpoint's marker — not ours to sweep
         if batch is None:
-            # legacy unnumbered marker: sweep only if it is OURS
-            m = json.loads(fs.read_text(f"{index_path}/{name}"))
+            # legacy unnumbered marker: sweep only if it is provably
+            # OURS. A failed read (swept concurrently by its owner, or
+            # unreadable content) means ownership can't be proven —
+            # skip it rather than crash the commit; leaving a foreign
+            # file is always safe (the strict-read protocol surfaces
+            # real corruption in the OWNER's last_applied, where a
+            # wrong answer would actually replay a batch).
+            try:
+                m = json.loads(fs.read_text(f"{index_path}/{name}"))
+            except Exception:
+                continue
             if m.get("checkpoint") != ident:
                 continue
         fs.delete(f"{index_path}/{name}")

@@ -258,6 +258,8 @@ class TestGopherRepetitionStats:
         )
         # head "a b a b": 2-grams [a b, b a, a b] -> top "a b" x2
         assert r["top_2gram_char_frac"] == 2 * 3 / len("a b a b c d e f g h")
+        assert r["truncated"]
+        assert not self._one(spark, "a b a b")["truncated"]
 
     def test_tie_breaks_to_smallest_gram(self, spark):
         import pytest as pt
