@@ -2575,6 +2575,36 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=6)
 
 
+def q_simhash_index_query(spark, sf_dir):
+    """Index-served SimHash near-dup pairs: the even-id half of the
+    corpus is persisted as a banded fingerprint index (the fourth
+    index family — same versioned-manifest protocol as BM25/MinHash/
+    ANN), then the odd-id half queries it: the batch's banded keys
+    broadcast into the index's band rows, candidates verified with
+    bit_count(xor). The corpus half is fingerprinted ONCE at build —
+    the batch never re-reads it. Portable per-bit hashes make the
+    whole result SQL-recomputable (the simhash_pairs oracle family),
+    and max_hamming < n_bands makes the banded candidates EXACTLY
+    the cross pairs within the bound."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="shidx_")
+    path = os.path.join(work, "idx")
+    simhash_index_write(docs.filter("doc_id % 2 = 0"), path)
+    out = simhash_index_query(
+        spark, path, docs.filter("doc_id % 2 = 1"), max_hamming=3
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_near_dedupe_cc(spark, sf_dir):
     """Connected-components near-dedup (iterative; no SQL oracle)."""
     from parq_tools_spark.operators.dedup import (
@@ -3421,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_index_batch": q_hybrid_index_batch,
         "ann_refine_topk": q_ann_refine_topk,
         "gopher_full_filter": q_gopher_full_filter,
+        "simhash_index_query": q_simhash_index_query,
         # --- positions 1-50 = the driver check window for r9:
         # new in r9 ...
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -6940,6 +6971,39 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
     out["hybrid_index_wsum"] = out["hybrid_wsum_topk"]
     out["hybrid_index_batch"] = out["hybrid_batch_rrf"]
     out["gopher_full_filter"] = _gopher_full_sql()
+    # index-served SimHash: same fingerprint/band/verify pipeline as
+    # the simhash_pairs oracle, restricted to (even corpus, odd batch)
+    # cross pairs — the index changes WHERE the band rows live, not
+    # what they are
+    out["simhash_index_query"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), seeds(seed, a, b) AS (VALUES {SIMHASH_SEEDS}
+), bitsum AS (
+  SELECT doc_id, seed,
+         sum(c * (2 * (((a * base + b) % 2147483647) & 1) - 1)) AS sgn
+  FROM cnt CROSS JOIN seeds GROUP BY doc_id, seed
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn > 0 THEN (1::BIGINT << seed) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bval
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval
+   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT id_indexed, id_new, hamming FROM cand WHERE hamming <= 3
+    """.replace("{SIMHASH_SEEDS}", _seed_values("simhash", 63))
     # lossy PQ + full probe + refine >= corpus: the exact re-rank
     # provably equals exact rounded cosine top-k (excluding self)
     out["ann_refine_topk"] = r"""

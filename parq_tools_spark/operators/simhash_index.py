@@ -1,0 +1,612 @@
+"""Persisted SimHash band index under the versioned-manifest commit
+protocol — the fourth index family (BM25 `operators/search.py`,
+MinHash `operators/dedup.py`, vector-ANN `operators/ann_index.py`),
+sharing their lifecycle machinery (`operators/_index_common.py`) so
+one change log and one maintenance discipline serve all of them.
+
+Beyond-reference surface: the reference (elphick/parq-tools) has no
+dedup stack; this gives the Hamming-distance near-dup path
+(`dedup.simhash_pairs`) the same serving-shaped index the MinHash
+family already has, so streaming admission / incremental dedupe can
+use SimHash without re-fingerprinting the corpus per batch.
+
+On-disk layout (the MinHash index's, bit for bit the same protocol):
+
+- ``path/v=<n>/_simhash_manifest.json`` — commit marker (created
+  exclusively, LAST): params, id type, the segment list, pending
+  tombstones;
+- ``path/seg-<n>-<tag>/band=<b>/`` — ``(id, simhash, bval)`` rows
+  partitioned by band: 63-bit fingerprints banded into ``n_bands``
+  disjoint bit-slices (pigeonhole: any pair within ``max_hamming <
+  n_bands`` bits agrees exactly on at least one band, so candidate
+  generation is an equi-join on (band, bval) — never all-pairs);
+- ``path/del-<n>-<tag>/`` — version-scoped tombstones (LSM
+  semantics shared with the other families: a tombstone hides an
+  id's rows only in segments committed at or before its ``upto``,
+  so delete + re-add needs no compaction in between).
+
+Scale shape: the index is ``n_bands`` small rows per document; a
+query batch computes ITS fingerprints (one shuffle of (doc,
+token-hash, count) triples), broadcasts its banded keys into the
+index's band rows, and verifies candidates with ``bit_count(xor)`` —
+the corpus text is never re-read, never re-fingerprinted, never
+shuffled. At 100 TB the per-batch cost is O(batch + matching band
+rows).
+
+Determinism: the "portable" hash family makes fingerprints (and
+therefore pairs) recomputable in ANSI SQL — the driver's DuckDB
+oracle re-derives the index-served result value-for-value.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "simhash_index_write",
+    "simhash_index_add",
+    "simhash_index_delete",
+    "simhash_index_upsert",
+    "simhash_index_apply_cdc",
+    "simhash_index_compact",
+    "simhash_index_stats",
+    "simhash_index_query",
+]
+
+_SH_MARKER = "_simhash_manifest.json"
+
+from parq_tools_spark.operators._index_common import (  # noqa: E402
+    delete_batches as _delete_batches,
+    id_field as _id_field,
+    id_field_json as _id_field_json,
+    resolve_cdc as _resolve_cdc,
+    resolve_manifest as _resolve_manifest,
+    retention as _retention,
+    tag as _tag,
+    visible_scan as _visible_scan,
+)
+
+
+def _sh_vs(spark, path: str):
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    return VersionedState(spark, path, _SH_MARKER)
+
+
+def _sh_manifest(spark, path: str, version=None):
+    vs = _sh_vs(spark, path)
+    cur, m = _resolve_manifest(
+        vs,
+        path,
+        version,
+        what="simhash index",
+        build_hint="; build one with simhash_index_write",
+    )
+    return vs, cur, m
+
+
+def _banded_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int,
+    n_bands: int,
+    hash_family: str,
+) -> DataFrame:
+    """``(id, simhash, band, bval)`` rows — the fingerprint
+    (:func:`~parq_tools_spark.operators.dedup.simhash`) exploded into
+    the SAME disjoint bit-bands ``hamming_pairs`` uses (``width =
+    (bits-1)//n_bands + 1``, low band first), so index-served pairs
+    and the batch path can never disagree on candidates."""
+    from parq_tools_spark.operators.dedup import simhash
+
+    fps = simhash(
+        df, id_col, text_col, bits=bits, hash_family=hash_family
+    )
+    width = (bits - 1) // n_bands + 1
+    mask = (1 << width) - 1
+    return fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bval")
+
+
+def simhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 63,
+    n_bands: int = 4,
+    hash_family: str = "portable",
+    keep_versions: int = 1,
+) -> None:
+    """Build (or non-destructively REBUILD) the persisted SimHash
+    index: one fingerprint pass over the corpus, band rows written to
+    an immutable segment, one manifest commit. Readers of a previous
+    generation keep their files for one maintenance cycle; a crash
+    mid-rebuild leaves the old index fully committed (the new data is
+    an invisible orphan). ``keep_versions`` pins how many committed
+    versions the maintenance sweeps retain — retained versions stay
+    servable via ``version=`` on :func:`simhash_index_query` /
+    :func:`simhash_index_stats` (the shared time-travel contract)."""
+    import json
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    spark = df.sparkSession
+    vs = _sh_vs(spark, path)
+    cur = vs.current()
+    if cur is not None:
+        vs.clean_stale(
+            cur, keep_versions=_retention(json.loads(vs.read_marker(cur)))
+        )
+        _sh_sweep_orphans(vs, path)
+    new = (cur or 0) + 1
+
+    banded = _banded_simhash(
+        df, id_col, text_col, bits, n_bands, hash_family
+    )
+    seg = _tag(new, "seg")
+    banded.write.mode("errorifexists").partitionBy("band").parquet(
+        f"{path}/{seg}"
+    )
+    vs.commit(
+        new,
+        json.dumps(
+            {
+                "version": new,
+                "params": {
+                    "id_col": id_col,
+                    "bits": bits,
+                    "n_bands": n_bands,
+                    "hash_family": hash_family,
+                    "keep_versions": keep_versions,
+                },
+                "id_type": _id_field_json(df, id_col),
+                "segments": [seg],
+            }
+        ),
+    )
+
+
+def _sh_sweep_orphans(vs, path: str) -> None:
+    """Drop seg-/del- directories no surviving manifest references —
+    the shared orphan rule (crashed operations, superseded
+    generations past reader grace)."""
+    from parq_tools_spark.operators.dedup import _sweep_index_orphans
+
+    _sweep_index_orphans(vs.fs, path, vs, vs.current())
+
+
+def simhash_index_add(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Append a new batch's band rows as one immutable segment under
+    the index's FROZEN params (atomic manifest commit; ids must be
+    new — the id-unique contract every index family shares)."""
+    import json
+
+    spark = df.sparkSession
+    vs, cur, m = _sh_manifest(spark, path)
+    p = m["params"]
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    banded = _banded_simhash(
+        df,
+        p["id_col"],
+        text_col,
+        p["bits"],
+        p["n_bands"],
+        p["hash_family"],
+    )
+    seg = _tag(cur + 1, "seg")
+    banded.write.mode("errorifexists").partitionBy("band").parquet(
+        f"{path}/{seg}"
+    )
+    # {**m} carries pending tombstones forward — dropping them would
+    # resurrect deleted docs' band rows
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {**m, "version": cur + 1, "segments": m["segments"] + [seg]}
+        ),
+    )
+
+
+def _sh_visible_ids(spark, path: str, m: dict, id_col: str):
+    """DISTINCT visible doc ids from band 0 only (every indexed doc
+    has exactly one row per band, so one partition-pruned directory
+    per segment gives exact membership at 1/n_bands of the scan)."""
+    from functools import reduce
+
+    fs = _sh_vs(spark, path).fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        return None
+    batches = _delete_batches(spark, path, m)
+    return reduce(
+        DataFrame.unionByName,
+        [
+            _visible_scan(spark, path, s, batches, id_col)
+            .filter(F.col("band") == 0)
+            .select(id_col)
+            for s in live
+        ],
+    ).distinct()
+
+
+def simhash_index_delete(
+    spark, path: str, ids, _verified: bool = False
+) -> dict:
+    """Delete documents' band rows by id — VERSION-SCOPED tombstones
+    (the shared LSM protocol): a later re-add of the same id is
+    immediately visible with no compaction in between. Stale band
+    rows are not just waste — a new document colliding with a REMOVED
+    doc's bands would be dropped as a duplicate of content that no
+    longer exists. Missing ids raise (membership via band rows is
+    exact). Returns ``{"deleted": n, "version": v}``."""
+    import json
+
+    from pyspark.sql import types as T
+
+    vs, cur, m = _sh_manifest(spark, path)
+    id_col = m["params"]["id_col"]
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _sh_sweep_orphans(vs, path)
+
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], T.StructType([_id_field(m)])
+        ).distinct()
+    ids_df = ids_df.localCheckpoint(eager=True)
+    n_del = ids_df.count()
+    if n_del == 0:
+        return {"deleted": 0, "version": cur}
+
+    if not _verified:
+        visible = _sh_visible_ids(spark, path, m, id_col)
+        n_found = (
+            visible.join(F.broadcast(ids_df), on=id_col).distinct().count()
+            if visible is not None
+            else 0
+        )
+        if n_found < n_del:
+            raise ValueError(
+                f"simhash_index_delete: {n_del - n_found} of {n_del} "
+                "requested id(s) are not visible in the index (typo, "
+                "never indexed, or already deleted)"
+            )
+
+    del_dir = _tag(cur + 1, "del")
+    ids_df.write.mode("errorifexists").parquet(f"{path}/{del_dir}")
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"deleted": n_del, "version": cur + 1}
+
+
+def simhash_index_upsert(
+    df: DataFrame, path: str, text_col: str = "text", _visible_ids=None
+) -> dict:
+    """Insert-or-replace: visible batch ids are tombstoned (one
+    commit, visibility pre-verified from the band rows), then the
+    whole batch appends — O(batch), never an index rewrite.
+    ``_visible_ids`` is the apply_cdc fast path. Returns
+    ``{"updated": u, "inserted": i, "version": v}``."""
+    spark = df.sparkSession
+    vs, cur, m = _sh_manifest(spark, path)
+    id_col = m["params"]["id_col"]
+    n_rows = df.count()
+    ids_df = df.select(F.col(id_col)).distinct()
+    n_batch = ids_df.count()
+    if n_batch < n_rows:
+        raise ValueError(
+            f"simhash_index_upsert: batch carries {n_rows - n_batch} "
+            f"duplicate {id_col} row(s) — one document per id"
+        )
+    visible = (
+        _visible_ids
+        if _visible_ids is not None
+        else _sh_visible_ids(spark, path, m, id_col)
+    )
+    updated = 0
+    if visible is not None:
+        existing = (
+            visible.join(F.broadcast(ids_df), on=id_col)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        updated = existing.count()
+        if updated:
+            simhash_index_delete(spark, path, existing, _verified=True)
+    simhash_index_add(df, path, text_col=text_col)
+    return {
+        "updated": updated,
+        "inserted": n_batch - updated,
+        "version": _sh_vs(spark, path).current(),
+    }
+
+
+def simhash_index_apply_cdc(
+    spark,
+    path: str,
+    changes: DataFrame,
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    text_col: str = "text",
+) -> dict:
+    """Apply a CDC batch — the exact contract of the other three
+    families (shared ``resolve_cdc``): last op per id wins, a final
+    'D' for an id not in the index is a NO-OP, final 'I'/'U' rows
+    upsert. ONE band-0 visibility scan serves both the delete no-op
+    filter and the upsert probe. Returns ``{"deleted": d,
+    "delete_noops": n, "updated": u, "inserted": i, "version": v}``."""
+    _, _, m = _sh_manifest(spark, path)
+    id_col = m["params"]["id_col"]
+
+    final = _resolve_cdc(changes, id_col, op_col, seq_col)
+    deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
+    # text selected LAZILY: a delete-only change log applies cleanly
+    ups_rows = final.filter(F.col(op_col).isin("I", "U"))
+    has_ups = bool(ups_rows.take(1))
+
+    n_d = deletes.count()
+    visible_touched = None
+    if n_d or has_ups:
+        touched = deletes
+        if has_ups:
+            touched = touched.unionByName(
+                ups_rows.select(id_col)
+            ).distinct()
+        visible = _sh_visible_ids(spark, path, m, id_col)
+        if visible is not None:
+            visible_touched = (
+                visible.join(F.broadcast(touched), on=id_col)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+
+    n_deleted, n_noop = 0, 0
+    if n_d:
+        n_vis = 0
+        if visible_touched is not None:
+            visible_d = visible_touched.join(
+                F.broadcast(deletes), on=id_col
+            ).localCheckpoint(eager=True)
+            n_vis = visible_d.count()
+            if n_vis:
+                n_deleted = simhash_index_delete(
+                    spark, path, visible_d, _verified=True
+                )["deleted"]
+        n_noop = n_d - n_vis
+    out = {
+        "deleted": n_deleted,
+        "delete_noops": n_noop,
+        "updated": 0,
+        "inserted": 0,
+    }
+    if has_ups:
+        res = simhash_index_upsert(
+            ups_rows.select(id_col, text_col),
+            path,
+            text_col=text_col,
+            _visible_ids=visible_touched,
+        )
+        out.update(
+            {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out["version"] = _sh_vs(spark, path).current()
+    return out
+
+
+def simhash_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files_per_band: int = 8,
+) -> dict:
+    """Rewrite the manifest's segments into one (per-band read +
+    coalesce — the band is the directory, so no shuffle) when any
+    band's file count exceeds both ``min_files_per_band`` and its
+    byte-target; pending tombstones force the rewrite regardless
+    (folding them bounds the query-time anti-join side). Crash-safe
+    with no repair path. Returns ``{band: (files_before,
+    files_after)}`` for bands whose count dropped."""
+    import json
+    import math
+    from functools import reduce
+
+    vs, cur, m = _sh_manifest(spark, path)
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _sh_sweep_orphans(vs, path)
+    fs = vs.fs
+
+    per_band: dict = {}
+    for seg in m["segments"]:
+        for entry, is_dir, _ in fs.list_status(f"{path}/{seg}"):
+            if not (is_dir and entry.startswith("band=")):
+                continue
+            b = int(entry.split("=", 1)[1])
+            files = [
+                size
+                for n_, d, size in fs.list_status(f"{path}/{seg}/{entry}")
+                if not d and n_.endswith(".parquet")
+            ]
+            cnt, tot = per_band.get(b, (0, 0))
+            per_band[b] = (cnt + len(files), tot + sum(files))
+    targets = {
+        b: max(1, math.ceil(tot / target_file_bytes))
+        for b, (cnt, tot) in per_band.items()
+    }
+    id_col = m["params"]["id_col"]
+    batches = _delete_batches(spark, path, m)
+    if not batches and not any(
+        cnt > min_files_per_band and cnt > targets[b]
+        for b, (cnt, tot) in per_band.items()
+    ):
+        return {}
+
+    new_seg = _tag(cur + 1, "seg")
+    for b in sorted(per_band):
+        if not batches:
+            srcs = [
+                f"{path}/{seg}/band={b}"
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/band={b}")
+            ]
+            if not srcs:
+                continue
+            band_df = spark.read.parquet(*srcs)
+        else:
+            parts = [
+                _visible_scan(spark, path, seg, batches, id_col).filter(
+                    F.col("band") == b
+                )
+                for seg in m["segments"]
+                if fs.exists(f"{path}/{seg}/band={b}")
+            ]
+            if not parts:
+                continue
+            band_df = reduce(DataFrame.unionByName, parts).drop("band")
+        band_df.coalesce(targets[b]).write.mode("errorifexists").parquet(
+            f"{path}/{new_seg}/band={b}"
+        )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {**m, "version": cur + 1, "segments": [new_seg], "deletes": []}
+        ),
+    )
+
+    compacted = {}
+    for b, (cnt, tot) in per_band.items():
+        n_after = sum(
+            1
+            for n_, d, _ in fs.list_status(f"{path}/{new_seg}/band={b}")
+            if not d and n_.endswith(".parquet")
+        )
+        if n_after < cnt:
+            compacted[b] = (cnt, n_after)
+    return compacted
+
+
+def simhash_index_stats(
+    spark, path: str, version: Optional[int] = None
+) -> dict:
+    """The resolved manifest's statistics — the staleness-contract
+    inspection point; ``version=`` inspects a retained historical
+    version."""
+    _, cur, m = _sh_manifest(spark, path, version)
+    return {
+        "version": cur,
+        "params": m["params"],
+        "n_segments": len(m["segments"]),
+        "pending_delete_batches": len(m.get("deletes", [])),
+    }
+
+
+def simhash_index_query(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    exclude_same_id: bool = True,
+    version: Optional[int] = None,
+) -> DataFrame:
+    """Hamming near-dup pairs between the on-disk index and a new
+    batch: ``(id_indexed, id_new, hamming)``. The batch's
+    fingerprints are computed once, its banded keys BROADCAST into
+    the index's visible band rows (per-segment version-scoped
+    tombstone anti-joins), candidates verified with
+    ``bit_count(xor) <= max_hamming`` — the corpus is never re-read
+    or re-fingerprinted, and the pigeonhole guarantee makes the
+    result EXACTLY the set of cross pairs within ``max_hamming``
+    (``max_hamming < n_bands``), identical to running
+    :func:`~parq_tools_spark.operators.dedup.hamming_pairs` over the
+    union (the ``simhash_index_equiv`` gate).
+
+    ``exclude_same_id=True`` suppresses equal-id collisions (index
+    and batches share one id space by construction); ``version=``
+    time-travels to a retained manifest."""
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    _, _, m = _sh_manifest(spark, path, version)
+    p = m["params"]
+    id_col = p["id_col"]
+    if max_hamming >= p["n_bands"]:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more bands: the "
+            f"pigeonhole guarantee requires max_hamming < n_bands "
+            f"(index built with n_bands={p['n_bands']})"
+        )
+    fs = _sh_vs(spark, path).fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        id_type = new_docs.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_indexed", _id_field(m).dataType),
+                    T.StructField("id_new", id_type),
+                    T.StructField("hamming", T.IntegerType()),
+                ]
+            ),
+        )
+    batches = _delete_batches(spark, path, m)
+    indexed = reduce(
+        DataFrame.unionByName,
+        [_visible_scan(spark, path, s, batches, id_col) for s in live],
+    )
+    fresh = _banded_simhash(
+        new_docs, id_col, text_col, p["bits"], p["n_bands"],
+        p["hash_family"],
+    )
+    a = indexed.alias("a")
+    b = fresh.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.bval") == F.col("b.bval")
+    )
+    if exclude_same_id:
+        cond = cond & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    return (
+        a.join(F.broadcast(b), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_indexed"),
+            F.col(f"b.{id_col}").alias("id_new"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_indexed", "id_new"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
