@@ -2232,6 +2232,45 @@ def q_ann_refine_topk(spark, sf_dir):
     return out
 
 
+def q_hybrid_refined_lossy(spark, sf_dir):
+    """The compression headline: the ANN index here stores only a
+    LOSSY 16-codeword PQ code per vector (ADC alone is provably wrong
+    on this config — the ann_refine_topk gate), yet with refine= the
+    vector leg exact-re-ranks against the stored vectors, so the
+    fused hybrid output is bit-identical to the scan-path RRF hybrid
+    and shares its from-scratch SQL oracle. Full probe + refine >=
+    corpus makes the equality exact rather than approximate."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="hybref_")
+    bp = os.path.join(work, "bm25")
+    ap = os.path.join(work, "ann")
+    bm25_index_build(docs, bp)
+    ann_index_build(
+        emb, ap, n_cells=8, m=8, n_codes=16, store_vectors=True
+    )
+    out = hybrid_index_topk(
+        spark,
+        bp,
+        ap,
+        "stream merge window",
+        _query_vec(emb, 0),
+        k=10,
+        n_candidates=50,
+        nprobe=8,
+        refine=2_000_000_000,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality-rule filter (Rae et al. 2021 A1.1): per-rule
     signal columns + composite verdict, one map-only codegen'd pass.
@@ -3435,61 +3474,95 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
     with the least accumulated driver evidence first: the entries NEW
-    in round 9 (hybrid retrieval fusion, the persisted ANN index,
-    index-served phrase, index deletes), then every entry whose code
-    changed this round (the
-    BM25 index/batch scoring paths — deterministic sum order,
-    non-destructive rebuild, tombstone anti-joins — and the ANN
-    family over the refactored pq_encode/adc_score), then the events
-    family (last driver-checked r6) and the entries whose last green
-    row is r7. Everything past position 50 was driver-checked green
-    in r8 on code unchanged since.
+    in round 10 (index-served wsum + batched hybrid, ANN exact
+    re-rank, the composite Gopher filter, the persisted SimHash
+    index), then every entry whose code changed this round (the
+    shared fusion rewrite under all hybrid entries; the ANN family
+    over the fused encode+assign build and the exclude_self/refine
+    serving changes; the BM25 delete path; the pq_build/pq_codebooks
+    refactor under the ANN scan entries; the shared dup-neighbor
+    predicate under the repetition entries), then the entries whose
+    last green driver row is r8 (multimodal/codecs, the bm25 scan
+    family, the remaining TPC-H adaptations). Everything past
+    position 50 was driver-checked green in r9 on code unchanged
+    since.
     """
     return {
-        # --- new in r10 (window rotation finalized at round close)
+        # --- positions 1-50 = the driver check window for r10:
+        # new in r10 ...
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
+        "hybrid_refined_lossy": q_hybrid_refined_lossy,
         "ann_refine_topk": q_ann_refine_topk,
         "gopher_full_filter": q_gopher_full_filter,
         "simhash_index_query": q_simhash_index_query,
-        # --- positions 1-50 = the driver check window for r9:
-        # new in r9 ...
+        # ... r10-changed code: hybrid fusion rewrite,
+        # ANN index (fused build, exclude_self, refine),
+        # BM25 delete path, pq_build refactor, shared
+        # dup-neighbor predicate ...
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
         "hybrid_from_index": q_hybrid_from_index,
-        "bm25_index_time_travel": q_bm25_index_time_travel,
-        "bm25_index_stream": q_bm25_index_stream,
-        "ann_index_stream_equiv": q_ann_index_stream_equiv,
-        "minhash_index_cdc": q_minhash_index_cdc,
-        "gopher_filter": q_gopher_filter,
-        "c4_filter": q_c4_filter,
         "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
-        "minhash_index_delete": q_minhash_index_delete,
-        "bm25_index_phrase": q_bm25_index_phrase,
+        "ann_index_stream_equiv": q_ann_index_stream_equiv,
         "bm25_index_delete": q_bm25_index_delete,
         "bm25_index_upsert": q_bm25_index_upsert,
-        # ... entries whose code changed in r9 (BM25 index lifecycle +
-        # deterministic batch scoring; ANN family over the
-        # pq_encode/adc_score refactor) ...
-        "bm25_from_index": q_bm25_from_index,
-        "bm25_from_index_batch": q_bm25_from_index_batch,
-        "bm25_index_build": q_bm25_index_build,
-        "bm25_batch": q_bm25_batch,
+        "bm25_index_time_travel": q_bm25_index_time_travel,
+        "bm25_index_stream": q_bm25_index_stream,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
         "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
-        # ... the events family (last driver-checked r6) ...
+        "word_repetition": q_word_repetition,
+        "repetition_lines": q_repetition_lines,
+        # ... oldest driver evidence (last green r8 on
+        # unchanged code) ...
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "video_pipeline": q_video_pipeline,
+        "bm25_search": q_bm25_search,
+        "bm25_and_search": q_bm25_and_search,
+        "bm25_phrase_search": q_bm25_phrase_search,
+        "chunk_sentences": q_chunk_sentences,
+        "chunk_documents": q_chunk_documents,
+        "incremental_revenue": q_incremental_revenue,
+        "incremental_retention": q_incremental_retention,
+        "cdc_apply": q_cdc_apply,
+        "minhash_incremental": q_minhash_incremental,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "window_running": q_window_running,
+        "cube_revenue": q_cube_revenue,
+        "rollup_revenue": q_rollup_revenue,
+        "part_stats": q_part_stats,
+        # --- past the window: everything below was
+        # driver-checked green in r9 on code unchanged
+        # since (r9-new entries and the r9 rotation set)
+        "minhash_index_cdc": q_minhash_index_cdc,
+        "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
+        "minhash_index_delete": q_minhash_index_delete,
+        "bm25_index_phrase": q_bm25_index_phrase,
+        "bm25_from_index": q_bm25_from_index,
+        "bm25_from_index_batch": q_bm25_from_index_batch,
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_batch": q_bm25_batch,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
         "pivot_events": q_pivot_events,
-        # ... then entries whose last green driver row is r7
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "filter_dsl": q_filter_dsl,
@@ -3519,10 +3592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_report": q_memory_report,
         "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
-        # --- past the window (134 entries, window = first 50):
-        # r7-green entries continue, then the dedup/ANN/sampling
-        # surface, then everything driver-checked green in r8 on
-        # code unchanged since
         "merge_upsert": q_merge_upsert,
         "semantic_dedupe": q_semantic_dedupe,
         "minhash_pairs": q_minhash_pairs,
@@ -3539,10 +3608,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_precision_check": q_simhash_precision_check,
         "ann_lsh_recall_check": q_ann_lsh_recall_check,
         "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "video_pipeline": q_video_pipeline,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -3552,19 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
-        # r8-checked, unchanged:
-        "bm25_search": q_bm25_search,
-        "bm25_and_search": q_bm25_and_search,
-        "bm25_phrase_search": q_bm25_phrase_search,
         "repetition_ngram": q_repetition_ngram,
-        "word_repetition": q_word_repetition,
-        "repetition_lines": q_repetition_lines,
-        "chunk_sentences": q_chunk_sentences,
-        "chunk_documents": q_chunk_documents,
-        "incremental_revenue": q_incremental_revenue,
-        "incremental_retention": q_incremental_retention,
-        "cdc_apply": q_cdc_apply,
-        "minhash_incremental": q_minhash_incremental,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -3577,10 +3630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
-        "window_running": q_window_running,
-        "cube_revenue": q_cube_revenue,
-        "rollup_revenue": q_rollup_revenue,
-        "part_stats": q_part_stats,
         "ngram_freq": q_ngram_freq,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -3590,14 +3639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "dedupe_text_exact": q_dedupe_text_exact,
         "ngram_jaccard": q_ngram_jaccard,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
     }
 
 
@@ -6970,6 +7011,9 @@ SELECT id1, id2, hamming FROM cand WHERE hamming <= 6
     # cannot drift
     out["hybrid_index_wsum"] = out["hybrid_wsum_topk"]
     out["hybrid_index_batch"] = out["hybrid_batch_rrf"]
+    # lossy index + exact refine == the scan-path hybrid (full probe,
+    # refine >= corpus) — same SQL, different (compressed) serving
+    out["hybrid_refined_lossy"] = out["hybrid_rrf_topk"]
     out["gopher_full_filter"] = _gopher_full_sql()
     # index-served SimHash: same fingerprint/band/verify pipeline as
     # the simhash_pairs oracle, restricted to (even corpus, odd batch)

@@ -339,6 +339,7 @@ def hybrid_index_topk(
     rrf_k: int = 60,
     w_text: float = 0.5,
     nprobe: int = 2,
+    refine: Optional[int] = None,
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 9,
@@ -360,6 +361,16 @@ def hybrid_index_topk(
     the index legs both emit scores: BM25's rounded score and the
     ANN index's ``pq_score``, which under the lossless configuration
     IS the rounded cosine the scan path normalizes).
+
+    ``refine=R`` passes through to the vector leg
+    (:func:`~parq_tools_spark.operators.ann_index.ann_index_topk`,
+    needs ``store_vectors=True``): the leg's top-``n_candidates``
+    then come from EXACT rounded cosine over the top-R ADC
+    candidates, so a LOSSY (compressed) index serves scan-quality
+    hybrid results — with ``R`` large enough that the exact
+    re-ranked candidates match brute force, the fused output equals
+    the scan-path hybrid under BOTH methods even though the index
+    stores only a fraction of the vectors' bytes as codes.
 
     The two indexes share one id space by contract (the same
     ``docs``/``embeddings`` pairing :func:`hybrid_topk` assumes); the
@@ -419,11 +430,14 @@ def hybrid_index_topk(
         query_vec_col="embedding",
         version=ann_version,
         exclude_self=False,
+        refine=max(refine, n_candidates) if refine is not None else None,
     )
     ann_id_col = vec_raw.columns[1]
+    # with refine the leg's score column is the exact rounded cosine
+    vec_score = "pq_score" if refine is None else "cosine_sim"
     vec = vec_raw.select(
         F.col(ann_id_col).alias(id_col),
-        F.col("pq_score").alias("_vscore"),
+        F.col(vec_score).alias("_vscore"),
         F.col("rank").alias("vec_rank"),
     )
     both = text.join(vec, on=id_col, how="full_outer")
@@ -612,6 +626,7 @@ def hybrid_index_topk_batch(
     rrf_k: int = 60,
     w_text: float = 0.5,
     nprobe: int = 2,
+    refine: Optional[int] = None,
     query_id_col: str = "query_id",
     query_col: str = "query",
     query_vec_col: str = "query_vec",
@@ -642,7 +657,10 @@ def hybrid_index_topk_batch(
     is the vector leg's documented collect cap, passed through to
     :func:`~parq_tools_spark.operators.ann_index.ann_index_topk` —
     raise it deliberately for a larger eval set, or chunk the queries
-    DataFrame across calls.
+    DataFrame across calls. ``refine=R`` (index built with
+    ``store_vectors=True``) exact-re-ranks each vector leg's top-R
+    ADC candidates, giving scan-quality results from a lossy
+    compressed index (see :func:`hybrid_index_topk`).
 
     Returns ``(query_id, <bm25 id col>, score, rank)``."""
     if method not in ("rrf", "wsum"):
@@ -681,12 +699,14 @@ def hybrid_index_topk_batch(
         version=ann_version,
         exclude_self=False,
         max_queries=max_queries,
+        refine=max(refine, n_candidates) if refine is not None else None,
     )
     ann_id_col = vec_raw.columns[1]
+    vec_score = "pq_score" if refine is None else "cosine_sim"
     vec = vec_raw.select(
         F.col("query_id").alias(query_id_col),
         F.col(ann_id_col).alias(id_col),
-        F.col("pq_score").alias("_vscore"),
+        F.col(vec_score).alias("_vscore"),
         F.col("rank").alias("vec_rank"),
     )
     return _fuse_batch_legs(

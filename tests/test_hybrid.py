@@ -470,3 +470,74 @@ class TestHybridIndexWsumAndBatch:
             hybrid_index_topk_batch(
                 spark, bp, ap, qdf, w_text=-0.1
             )
+
+
+class TestHybridRefine:
+    def test_lossy_index_plus_refine_equals_scan(self, spark, docs, vecs, tmp_path):
+        """The compression win: a LOSSY (PQ-coded) index alone gives
+        degraded vector ranks, but refine= re-ranks against the
+        stored exact vectors — the fused result then equals the
+        scan-path hybrid under BOTH methods, while the serving codes
+        stay m bytes per vector."""
+        import os
+
+        from parq_tools_spark.operators.ann_index import ann_index_build
+        from parq_tools_spark.operators.hybrid import hybrid_index_topk
+
+        bp = os.path.join(str(tmp_path), "bm25")
+        ap = os.path.join(str(tmp_path), "ann")
+        from parq_tools_spark.operators.search import bm25_index_build
+
+        bm25_index_build(docs, bp)
+        # lossy: 2 codewords over 2 subspaces — ADC is provably wrong
+        ann_index_build(
+            vecs, ap, n_cells=2, m=2, n_codes=2, store_vectors=True
+        )
+        for method in ("rrf", "wsum"):
+            idx = hybrid_index_topk(
+                spark, bp, ap, "stream merge", [1.0, 0.0],
+                k=5, n_candidates=5, nprobe=2, method=method,
+                refine=100,
+            ).collect()
+            scan = hybrid_topk(
+                docs, "stream merge", [1.0, 0.0],
+                embeddings=vecs, k=5, n_candidates=5, method=method,
+            ).collect()
+            assert [tuple(r) for r in idx] == [tuple(r) for r in scan], method
+
+    def test_batch_refine_equals_scan_batch(self, spark, docs, vecs, tmp_path):
+        import os
+
+        from parq_tools_spark.operators.ann_index import ann_index_build
+        from parq_tools_spark.operators.hybrid import (
+            hybrid_index_topk_batch,
+        )
+        from parq_tools_spark.operators.search import bm25_index_build
+
+        bp = os.path.join(str(tmp_path), "bm25")
+        ap = os.path.join(str(tmp_path), "ann")
+        bm25_index_build(docs, bp)
+        ann_index_build(
+            vecs, ap, n_cells=2, m=2, n_codes=2, store_vectors=True
+        )
+        queries = spark.createDataFrame(
+            [
+                (1, "stream merge", [1.0, 0.0]),
+                (2, "vector search", [0.0, 1.0]),
+            ],
+            "query_id long, query string, query_vec array<double>",
+        )
+        idx = sorted(
+            tuple(r)
+            for r in hybrid_index_topk_batch(
+                spark, bp, ap, queries,
+                k=5, n_candidates=5, nprobe=2, refine=100,
+            ).collect()
+        )
+        scan = sorted(
+            tuple(r)
+            for r in hybrid_topk_batch(
+                docs, vecs, queries, k=5, n_candidates=5
+            ).collect()
+        )
+        assert idx == scan and len(idx) == 10
