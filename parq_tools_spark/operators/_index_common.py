@@ -202,3 +202,30 @@ def id_field(m: dict):
     from pyspark.sql import types as T
 
     return T.StructType.fromJson(json.loads(m["id_type"])).fields[0]
+
+
+def check_self_exclusion_types(query_type, index_type, fn: str) -> None:
+    """Self/same-id exclusion predicates compare a caller-supplied id
+    column against the index's persisted id column; an incompatible
+    pair (string vs bigint) would throw CAST_INVALID_INPUT under ANSI
+    mode — or, under non-ANSI, cast to NULL and silently drop EVERY
+    candidate. Fail loudly up front instead. Numeric widths are
+    mutually join-compatible (Spark widens); anything else must match
+    exactly."""
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if query_type == index_type or (
+        isinstance(query_type, numeric) and isinstance(index_type, numeric)
+    ):
+        return
+    raise ValueError(
+        f"{fn}: the supplied id column ({query_type.simpleString()}) "
+        f"is compared against the index id column "
+        f"({index_type.simpleString()}) for same-id exclusion, and "
+        "the two are not join-compatible. If the new ids are not "
+        "corpus ids, disable the exclusion flag."
+    )

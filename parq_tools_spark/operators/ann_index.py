@@ -984,27 +984,17 @@ def ann_index_topk(
 
 
 def _check_self_exclusion_types(query_type, index_type) -> None:
-    """The self-exclusion predicate compares the query-id column
-    against the index's id column; an incompatible pair (string vs
-    bigint) would throw CAST_INVALID_INPUT under ANSI mode — or,
-    under non-ANSI, cast to NULL and silently drop EVERY candidate.
-    Fail loudly up front instead."""
-    from pyspark.sql import types as T
-
-    numeric = (
-        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.FloatType, T.DoubleType, T.DecimalType,
+    """Shared guard (see :func:`_index_common.check_self_exclusion_types`):
+    exclude_self compares the query-id column against the index id
+    column — incompatible pairs fail loudly up front instead of
+    silently null-dropping every candidate (non-ANSI) or throwing
+    mid-job (ANSI)."""
+    from parq_tools_spark.operators._index_common import (
+        check_self_exclusion_types,
     )
-    if query_type == index_type or (
-        isinstance(query_type, numeric) and isinstance(index_type, numeric)
-    ):
-        return
-    raise ValueError(
-        f"ann_index_topk: exclude_self=True compares the query id "
-        f"column ({query_type.simpleString()}) against the index id "
-        f"column ({index_type.simpleString()}), which are not "
-        "join-compatible. If the query ids are not corpus ids, pass "
-        "exclude_self=False."
+
+    check_self_exclusion_types(
+        query_type, index_type, "ann_index_topk: exclude_self=True"
     )
 
 

@@ -102,6 +102,16 @@ def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(grams)
 
 
+def _free_temp_name(df: DataFrame, base: str) -> str:
+    """A temp-column name guaranteed absent from ``df`` — withColumn
+    on an existing name silently REPLACES it and the trailing drop
+    would then delete caller data."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Map-only word-level repetition columns (no shuffle):
 
@@ -120,8 +130,9 @@ def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFra
     toks = words_array(text_col)
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
-    df = df.withColumn("_rep_sorted", F.array_sort(toks))
-    dup_occurrences = dup_occurrence_count(F.col("_rep_sorted"))
+    tmp = _free_temp_name(df, "_rep_sorted")
+    df = df.withColumn(tmp, F.array_sort(toks))
+    dup_occurrences = dup_occurrence_count(F.col(tmp))
     safe_n = F.greatest(n, F.lit(1)).cast("double")
     return (
         df.withColumn("n_words", n)
@@ -131,7 +142,7 @@ def with_word_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFra
             F.when(n == 0, F.lit(1.0)).otherwise(uniq.cast("double") / safe_n),
         )
         .withColumn("frac_dup_words", dup_occurrences.cast("double") / safe_n)
-        .drop("_rep_sorted")
+        .drop(tmp)
     )
 
 
@@ -155,8 +166,9 @@ def with_line_repetition_stats(
     lines = F.split(F.col(text_col), re.escape(sep), -1)
     n = F.size(lines)
     safe_n = F.greatest(n, F.lit(1)).cast("double")
-    df = df.withColumn("_rep_sorted", F.array_sort(lines))
-    dup = dup_occurrence_count(F.col("_rep_sorted"))
+    tmp = _free_temp_name(df, "_rep_sorted")
+    df = df.withColumn(tmp, F.array_sort(lines))
+    dup = dup_occurrence_count(F.col(tmp))
     bullet = F.size(
         F.filter(
             lines,
@@ -171,7 +183,7 @@ def with_line_repetition_stats(
         .withColumn("frac_dup_lines", dup.cast("double") / safe_n)
         .withColumn("frac_bullet_lines", bullet.cast("double") / safe_n)
         .withColumn("frac_ellipsis_lines", ellipsis.cast("double") / safe_n)
-        .drop("_rep_sorted")
+        .drop(tmp)
     )
 
 
@@ -403,34 +415,41 @@ def with_gopher_repetition_stats(
             F.size(full_toks) > max_tokens_per_doc, F.lit(False)
         )
 
+    # Temp names must not collide with caller columns: withColumns
+    # would silently OVERWRITE (and the trailing drops then remove) a
+    # pre-existing "_grs_3". Lengthen the prefix until it's free.
+    pfx = "_gr"
+    while any(c.startswith(pfx) for c in df.columns):
+        pfx += "_"
     arrays: "dict[str, Column]" = {
-        "_grs_l": F.array_sort(
+        f"{pfx}s_l": F.array_sort(
             F.filter(F.split(t, r"\n"), lambda x: x != "")
         ),
-        "_grs_p": F.array_sort(
+        f"{pfx}s_p": F.array_sort(
             F.filter(F.split(t, r"\n{2,}"), lambda x: x != "")
         ),
     }
     for n in range(2, 11):
-        arrays[f"_grs_{n}"] = F.array_sort(ngrams_from_tokens(toks, n))
+        arrays[f"{pfx}s_{n}"] = F.array_sort(ngrams_from_tokens(toks, n))
     out = df.withColumns(arrays)
     # second stage: top-run folds AND total-char folds materialized,
     # so the WHEN branches below read attributes instead of
     # re-running an interpreted fold (HOFs get no codegen and no
     # common-subexpression elimination — a condition + denominator
     # pair would run the O(L) fold twice per row)
+    ns = len(pfx) + 1  # chars before the per-array suffix ("_l", "_3")
     folds = {
-        f"_grt_{n}": _top_run(F.col(f"_grs_{n}")) for n in (2, 3, 4)
+        f"{pfx}t_{n}": _top_run(F.col(f"{pfx}s_{n}")) for n in (2, 3, 4)
     }
-    for key in ("_grs_l", "_grs_p", *[f"_grs_{n}" for n in range(5, 11)]):
-        folds[f"_grc{key[4:]}"] = _total_chars(F.col(key))
+    for key in (f"{pfx}s_l", f"{pfx}s_p", *[f"{pfx}s_{n}" for n in range(5, 11)]):
+        folds[f"{pfx}c{key[ns:]}"] = _total_chars(F.col(key))
     out = out.withColumns(folds)
 
     cols: "dict[str, Column]" = {}
-    for name, key in (("line", "_grs_l"), ("para", "_grs_p")):
+    for name, key in (("line", f"{pfx}s_l"), ("para", f"{pfx}s_p")):
         arr = F.col(key)
         n_el = F.greatest(F.size(arr), F.lit(1)).cast("double")
-        total = F.col(f"_grc{key[4:]}")
+        total = F.col(f"{pfx}c{key[ns:]}")
         cols[f"dup_{name}_frac"] = (
             dup_occurrence_count(arr).cast("double") / n_el
         )
@@ -440,14 +459,14 @@ def with_gopher_repetition_stats(
             / total.cast("double"),
         ).otherwise(F.lit(0.0))
     for n in (2, 3, 4):
-        top = F.col(f"_grt_{n}")
+        top = F.col(f"{pfx}t_{n}")
         cols[f"top_{n}gram_char_frac"] = F.when(
             top["best"] > 0,
             (top["best"] * F.length(top["bg"])).cast("double") / nc,
         ).otherwise(F.lit(0.0))
     for n in (5, 6, 7, 8, 9, 10):
-        arr = F.col(f"_grs_{n}")
-        total = F.col(f"_grc_{n}")
+        arr = F.col(f"{pfx}s_{n}")
+        total = F.col(f"{pfx}c_{n}")
         cols[f"dup_{n}gram_char_frac"] = F.when(
             total > 0,
             _dup_occurrence_chars(arr).cast("double")

@@ -59,6 +59,7 @@ __all__ = [
 _SH_MARKER = "_simhash_manifest.json"
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
+    check_self_exclusion_types as _check_excl_types,
     delete_batches as _delete_batches,
     id_field as _id_field,
     id_field_json as _id_field_json,
@@ -150,6 +151,20 @@ def simhash_index_write(
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if not 0 < bits <= 63:
+        raise ValueError("bits must be in (0, 63]")
+    if not 1 <= n_bands <= bits:
+        # n_bands > bits makes the high bands' bval a constant 0 for
+        # EVERY document (shiftright past the fingerprint width), so
+        # those bands pair every doc with every doc — cross-product
+        # candidate generation — and the max_hamming < n_bands
+        # pigeonhole check in simhash_index_query becomes vacuous
+        # for max_hamming > bits.
+        raise ValueError(
+            f"n_bands={n_bands} must be in [1, bits={bits}]: bands "
+            "beyond the fingerprint width are constant-zero keys "
+            "that pair every document with every document"
+        )
     spark = df.sparkSession
     vs = _sh_vs(spark, path)
     cur = vs.current()
@@ -562,6 +577,12 @@ def simhash_index_query(
     _, _, m = _sh_manifest(spark, path, version)
     p = m["params"]
     id_col = p["id_col"]
+    if exclude_same_id:
+        _check_excl_types(
+            new_docs.schema[id_col].dataType,
+            _id_field(m).dataType,
+            "simhash_index_query: exclude_same_id=True",
+        )
     if max_hamming >= p["n_bands"]:
         raise ValueError(
             f"max_hamming={max_hamming} needs more bands: the "

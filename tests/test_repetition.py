@@ -313,3 +313,30 @@ class TestGopherFullFilter:
         )
         r = gopher_full_filter(df).collect()[0]
         assert not r["gopher_pass"] and not r["gopher_full_pass"]
+
+
+def test_gopher_stats_temp_names_never_clobber_caller_columns(spark):
+    """Caller columns spelled like the internal temporaries
+    (_grs_*/_grt_*/_grc_*/_rep_sorted) must survive every stats
+    helper unchanged — the temp prefix is derived, not fixed."""
+    from parq_tools_spark.operators.repetition import (
+        with_gopher_repetition_stats,
+        with_line_repetition_stats,
+        with_word_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b", "keep1", "keep2", "keep3")],
+        "doc_id long, text string, _grs_3 string, _grt_2 string, "
+        "_rep_sorted string",
+    )
+    for fn in (
+        with_gopher_repetition_stats,
+        with_line_repetition_stats,
+        with_word_repetition_stats,
+    ):
+        out = fn(df)
+        row = out.collect()[0]
+        assert (row["_grs_3"], row["_grt_2"], row["_rep_sorted"]) == (
+            "keep1", "keep2", "keep3"
+        ), fn.__name__

@@ -173,3 +173,32 @@ def test_validation(spark, docs, tmp_path):
         simhash_index_query(spark, path, docs, max_hamming=4)
     with pytest.raises(ValueError, match="keep_versions"):
         simhash_index_write(docs, str(tmp_path / "x"), keep_versions=0)
+
+
+def test_band_param_validation(spark, docs, tmp_path):
+    """n_bands beyond the fingerprint width would make the high
+    bands constant-zero keys (every doc pairs with every doc) and
+    the pigeonhole check vacuous — rejected at write time."""
+    for bad in ({"n_bands": 64}, {"n_bands": 0}, {"bits": 0},
+                {"bits": 64}, {"bits": 8, "n_bands": 9}):
+        with pytest.raises(ValueError):
+            simhash_index_write(
+                docs.limit(5), str(tmp_path / "bad"), **bad
+            )
+
+
+def test_exclude_same_id_type_guard(spark, docs, tmp_path):
+    """A string-id batch against a long-id index must fail loudly up
+    front (the predicate would otherwise null-drop every candidate
+    under non-ANSI or throw mid-job under ANSI)."""
+    path = str(tmp_path / "shidx")
+    simhash_index_write(docs.limit(10), path, n_bands=4)
+    stringy = docs.limit(5).withColumn(
+        "doc_id", F.format_string("d%s", F.col("doc_id"))
+    )
+    with pytest.raises(ValueError, match="exclude_same_id"):
+        simhash_index_query(spark, path, stringy)
+    # disabling the exclusion skips the incompatible predicate
+    simhash_index_query(
+        spark, path, stringy, exclude_same_id=False
+    ).collect()
