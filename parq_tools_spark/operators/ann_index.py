@@ -68,6 +68,7 @@ __all__ = [
     "ann_index_compact",
     "ann_index_stats",
     "ann_index_topk",
+    "semantic_dedupe_incremental",
 ]
 
 _ANN_MARKER = "_ann_manifest.json"
@@ -1007,3 +1008,196 @@ def _probe_schema(queries: DataFrame, query_id_col: str):
             T.StructField("cell", T.IntegerType()),
         ]
     )
+
+
+def _assign_frozen_cells(
+    spark, path: str, vecs: DataFrame, m: dict
+):
+    """The batch's rows with their cell under THIS index's frozen
+    model — the exact :func:`~parq_tools_spark.operators.similarity.
+    _with_centroid_cells` arithmetic the segments were encoded with
+    (same rounded cosine, same lower-cell ties), so a batch row and
+    its indexed copy can never land in different cells."""
+    from parq_tools_spark.operators.similarity import (
+        _with_centroid_cells,
+    )
+
+    p = m["params"]
+    centroids, _, _ = _read_model(_ann_vs(spark, path).fs, path, m)
+    return _with_centroid_cells(
+        vecs.select(p["id_col"], p["vec_col"]),
+        centroids,
+        p["vec_col"],
+        p["round_to"],
+        None,
+        "cell",
+    )
+
+
+def _semantic_in_batch_drops(
+    assigned: DataFrame, id_col: str, vec_col: str, thr: float,
+    scale: float,
+) -> DataFrame:
+    """SemDeDup's within-batch rule under a frozen cell model: drop a
+    row iff a LOWER-id same-cell sibling has rounded cosine >=
+    threshold — the sibling counts whether or not it is itself
+    dropped (exactly :func:`~parq_tools_spark.operators.similarity.
+    semantic_dedupe`'s lower-id rule, so batch-order ingestion of an
+    id-ordered corpus reproduces the batch operator's drop set).
+    Both sides are the micro-batch: a broadcast self-join on the cell
+    key, never a shuffle of anything corpus-sized."""
+    from parq_tools_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    rounded = (
+        F.floor(
+            cosine_similarity_col(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            )
+            * F.lit(scale)
+            + F.lit(0.5)
+        )
+        / F.lit(scale)
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(rounded >= F.lit(thr))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+
+
+def semantic_dedupe_incremental(
+    spark,
+    index_path: str,
+    new_vecs: DataFrame,
+    threshold: float = 0.95,
+    update_index: bool = False,
+) -> DataFrame:
+    """Incremental SemDeDup admission served FROM the persisted ANN
+    index (the embedding twin of :func:`~parq_tools_spark.operators.
+    dedup.incremental_dedupe`): drop new vectors that have (a) an
+    ADMITTED same-cell neighbor in the index or (b) a lower-id
+    same-cell sibling within the batch, both at rounded exact cosine
+    >= ``threshold`` under the index's FROZEN cell model; return the
+    survivors, optionally appending them to the index.
+
+    The cell-locality is SemDeDup's own tractability rule
+    (:func:`~parq_tools_spark.operators.similarity.semantic_dedupe`):
+    comparisons never cross cell boundaries, so per batch the work is
+    exactly ``sum_cell |cell ∩ index| * |cell ∩ batch|``. Scale
+    shape: the batch assigns cells map-side (centroids broadcast),
+    the index side reads ONLY the stored-vector rows of the batch's
+    touched ``cell=`` directories (planning-time partition pruning,
+    the :func:`ann_index_topk` shape), the batch broadcasts into that
+    pruned scan, and the corpus is never re-read or re-encoded.
+
+    Decisions use the EXACT stored vectors (the index must be built
+    with ``store_vectors=True``), not the lossy ADC approximation —
+    admission is a correctness decision, so it gets the rounded exact
+    cosine (:func:`~parq_tools_spark.operators.similarity.
+    cosine_similarity_col` with the index's rounding grid).
+
+    Replay contract (what the streaming sink leans on): the index
+    query drops equal-id collisions, and admitted survivors are
+    pairwise non-duplicate at the threshold, so recomputing a batch
+    whose survivors were already appended (a crash between the append
+    and the marker) reproduces the identical survivor set; with
+    ``update_index=True`` the append is an
+    :func:`ann_index_upsert` (tombstone-then-add), so the replayed
+    append converges instead of double-inserting.
+    """
+    from functools import reduce
+
+    from parq_tools_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    vs, cur, m = _ann_manifest(spark, index_path)
+    p = m["params"]
+    if not p.get("store_vectors"):
+        raise ValueError(
+            f"ann index at {index_path} was built without "
+            "store_vectors=True; semantic admission decides on exact "
+            "stored vectors — rebuild with "
+            "ann_index_build(..., store_vectors=True)"
+        )
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    from parq_tools_spark.operators._index_common import (
+        check_self_exclusion_types,
+    )
+
+    check_self_exclusion_types(
+        new_vecs.schema[id_col].dataType,
+        _id_field(m).dataType,
+        "semantic_dedupe_incremental",
+    )
+    thr = float(threshold)
+    scale = float(10 ** p["round_to"])
+
+    assigned = _assign_frozen_cells(
+        spark, index_path, new_vecs, m
+    ).localCheckpoint(eager=True)
+    touched = [
+        r.cell for r in assigned.select("cell").distinct().collect()
+    ]
+
+    fs = vs.fs
+    live = [
+        s for s in m["segments"] if fs.list_files(f"{index_path}/{s}")
+    ]
+    dup_ids = _semantic_in_batch_drops(
+        assigned, id_col, vec_col, thr, scale
+    )
+    if live and touched:
+        batches = _ann_delete_batches(spark, index_path, m, id_col)
+        # literal cell predicate => planning-time partition pruning:
+        # only the batch's touched cell= directories are read
+        idx = reduce(
+            DataFrame.unionByName,
+            [
+                _ann_visible_scan(spark, index_path, s, batches, id_col)
+                .filter(F.col("cell").isin(touched))
+                .select(
+                    F.col(id_col).alias("_idx_id"),
+                    F.col("cell").alias("_idx_cell"),
+                    F.col("vec").alias("_idx_vec"),
+                )
+                for s in live
+            ],
+        )
+        rounded = (
+            F.floor(
+                cosine_similarity_col(F.col("_idx_vec"), F.col(vec_col))
+                * F.lit(scale)
+                + F.lit(0.5)
+            )
+            / F.lit(scale)
+        )
+        dup_vs_index = (
+            idx.join(
+                F.broadcast(assigned),
+                (F.col("_idx_cell") == F.col("cell"))
+                & (F.col("_idx_id") != F.col(id_col)),
+            )
+            .filter(rounded >= F.lit(thr))
+            .select(id_col)
+            .distinct()
+        )
+        dup_ids = dup_ids.unionByName(dup_vs_index).distinct()
+
+    survivors = new_vecs.join(dup_ids, on=id_col, how="left_anti")
+    if update_index:
+        survivors = survivors.localCheckpoint(eager=True)
+        if survivors.take(1):
+            ann_index_upsert(
+                survivors.select(id_col, vec_col), index_path
+            )
+    return survivors

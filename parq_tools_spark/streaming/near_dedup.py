@@ -54,7 +54,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["start_near_dedupe_stream"]
+__all__ = ["start_near_dedupe_stream", "start_semantic_dedupe_stream"]
 
 # the checkpoint-scoped versioned marker protocol lives in
 # streaming/_markers.py — ONE implementation shared with the BM25
@@ -163,6 +163,143 @@ def start_near_dedupe_stream(
             minhash_index_compact(spark, index_path)
 
     writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_semantic_dedupe_stream(
+    vecs: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: Optional[int] = 16,
+    opq: bool = False,
+    keep_versions: int = 1,
+    compact_every: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Streaming SEMANTIC admission: admit only vectors that are not
+    SemDeDup duplicates (rounded exact cosine >= ``threshold`` within
+    the same frozen cell) of anything previously admitted — the
+    embedding-based twin of :func:`start_near_dedupe_stream`, served
+    from the persisted ANN index so the admitted corpus is never
+    re-read or re-encoded (each micro-batch pays one cell-pruned
+    stored-vector read + a broadcast of the batch; see
+    :func:`~parq_tools_spark.operators.ann_index.
+    semantic_dedupe_incremental` for the exact rule and scale shape).
+
+    If ``index_path`` holds an existing ANN index it must have been
+    built with ``store_vectors=True``; its stored parameters govern
+    and the stream admits against that corpus from the first batch
+    (``id_col``..``keep_versions`` are ignored). Otherwise the first
+    non-empty batch BOOTSTRAPS the index: an IVF-PQ model cannot
+    train on zero rows (centroids/codebooks are hash-seeded FROM
+    corpus vectors — the :func:`~parq_tools_spark.streaming.
+    index_sink.start_ann_index_stream` rationale), so the model
+    freezes on the full first batch, the within-batch lower-id rule
+    runs under that model, and the dropped ids are tombstoned out —
+    leaving exactly the batch's survivors admitted. To freeze the
+    model on a better training sample, pre-build with
+    :func:`~parq_tools_spark.operators.ann_index.ann_index_build`.
+
+    Recovery is the :func:`start_near_dedupe_stream` contract:
+    exactly-once output via per-batch directory overwrite, the
+    checkpoint-scoped versioned markers of ``_markers.py``, survivor
+    recomputation stable under replay (admitted survivors are
+    pairwise non-duplicate and the index query drops equal-id
+    collisions), and the index append an UPSERT so a replayed batch
+    converges instead of double-inserting.
+
+    Returns the started ``StreamingQuery``; admitted vectors are at
+    ``output_path`` (partitioned by ``batch``).
+    """
+    if not vecs.isStreaming:
+        raise ValueError(
+            "start_semantic_dedupe_stream needs a streaming "
+            "DataFrame; use operators.ann_index."
+            "semantic_dedupe_incremental for batch ingests"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from parq_tools_spark.operators.ann_index import (
+            _ann_manifest,
+            _ann_vs,
+            _semantic_in_batch_drops,
+            _assign_frozen_cells,
+            ann_index_build,
+            ann_index_compact,
+            ann_index_delete,
+            semantic_dedupe_incremental,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
+            return  # replay of a batch this query already applied
+        if not batch_df.take(1):
+            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+            return
+        seed = batch_df.select(id_col, vec_col)
+        if _ann_vs(spark, index_path).current() is None:
+            # bootstrap: freeze the model on the full batch, then
+            # apply ONLY the within-batch rule (the index holds
+            # exactly this batch, so an index query would mark both
+            # members of every duplicate pair) and tombstone the
+            # dropped ids — the committed state is the survivors
+            ann_index_build(
+                seed,
+                index_path,
+                n_cells=n_cells,
+                m=m,
+                n_codes=n_codes,
+                id_col=id_col,
+                vec_col=vec_col,
+                opq=opq,
+                keep_versions=keep_versions,
+                store_vectors=True,
+            )
+            _, _, man = _ann_manifest(spark, index_path)
+            assigned = _assign_frozen_cells(
+                spark, index_path, seed, man
+            ).localCheckpoint(eager=True)
+            dropped = _semantic_in_batch_drops(
+                assigned,
+                id_col,
+                vec_col,
+                float(threshold),
+                float(10 ** man["params"]["round_to"]),
+            ).localCheckpoint(eager=True)
+            if dropped.take(1):
+                ann_index_delete(spark, index_path, dropped)
+            survivors = batch_df.join(
+                dropped, on=id_col, how="left_anti"
+            )
+        else:
+            survivors = semantic_dedupe_incremental(
+                spark,
+                index_path,
+                batch_df,
+                threshold=threshold,
+                update_index=True,
+            )
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            ann_index_compact(spark, index_path)
+
+    writer = vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
     if query_name:
