@@ -204,7 +204,9 @@ def id_field(m: dict):
     return T.StructType.fromJson(json.loads(m["id_type"])).fields[0]
 
 
-def check_self_exclusion_types(query_type, index_type, fn: str) -> None:
+def check_self_exclusion_types(
+    query_type, index_type, fn: str, remedy: str = None
+) -> None:
     """Self/same-id exclusion predicates compare a caller-supplied id
     column against the index's persisted id column; an incompatible
     pair (string vs bigint) would throw CAST_INVALID_INPUT under ANSI
@@ -226,6 +228,11 @@ def check_self_exclusion_types(query_type, index_type, fn: str) -> None:
         f"{fn}: the supplied id column ({query_type.simpleString()}) "
         f"is compared against the index id column "
         f"({index_type.simpleString()}) for same-id exclusion, and "
-        "the two are not join-compatible. If the new ids are not "
-        "corpus ids, disable the exclusion flag."
+        "the two are not join-compatible. "
+        + (
+            remedy
+            if remedy is not None
+            else "If the new ids are not corpus ids, disable the "
+            "exclusion flag."
+        )
     )

@@ -195,6 +195,7 @@ def ann_index_build(
     opq_sample: int = 256,
     keep_versions: int = 1,
     store_vectors: bool = False,
+    train_corpus: Optional[DataFrame] = None,
 ) -> None:
     """Build a persistent IVF-PQ index over an embedding column.
 
@@ -235,7 +236,17 @@ def ann_index_build(
     quantization ceiling without touching the source corpus. Cost:
     the index stores ``dim`` doubles per vector next to the ``m``
     code bytes (build-time segment shuffle carries them once;
-    serving reads them only inside the probed cells)."""
+    serving reads them only inside the probed cells).
+
+    ``train_corpus`` (optional) decouples model fitting from segment
+    content: centroids, codebooks and the OPQ rotation derive from
+    ``train_corpus`` while only ``corpus`` rows are encoded into
+    segment v1 — still ONE atomic manifest commit. This is how
+    :func:`~parq_tools_spark.streaming.near_dedup.
+    start_semantic_dedupe_stream` bootstraps replay-safely: the model
+    freezes on the full first batch but only the batch's admitted
+    survivors are committed, so no post-build tombstone (and no crash
+    window between two commits) is ever needed."""
     import json
 
     if keep_versions < 1:
@@ -262,10 +273,11 @@ def ann_index_build(
         _ann_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
-    centroids = _hashseed_rows(corpus, n_cells, id_col, vec_col)
-    rot = opq_rotation(corpus, m, id_col, vec_col, opq_sample) if opq else None
+    train = train_corpus if train_corpus is not None else corpus
+    centroids = _hashseed_rows(train, n_cells, id_col, vec_col)
+    rot = opq_rotation(train, m, id_col, vec_col, opq_sample) if opq else None
     codebooks = pq_codebooks(
-        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        train, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
         rotation=rot,
     )
     # ONE fused encode+assign pass over the embedding column (codes
@@ -1034,6 +1046,28 @@ def _assign_frozen_cells(
     )
 
 
+def _check_batch_size(
+    batch: DataFrame, max_batch_rows: int, fn: str
+) -> None:
+    """Both semantic-admission joins ride a broadcast of the batch
+    (the self-join and the vs-index join) — cheap for micro-batches,
+    a driver/executor OOM for a corpus-sized frame. Probe the first
+    ``max_batch_rows + 1`` rows (the batch is localCheckpointed, so
+    this reads materialized blocks, not the source) and fail loudly
+    past the cap — the :func:`ann_index_topk` ``max_queries``
+    discipline."""
+    if batch.limit(max_batch_rows + 1).count() > max_batch_rows:
+        raise ValueError(
+            f"{fn} broadcasts the batch into the cell-pruned index "
+            f"read and caps it at max_batch_rows={max_batch_rows} "
+            "(broadcast size is rows * (dim doubles + id)); got "
+            "more. Split the ingest into smaller batches (streaming: "
+            "size the trigger), raise max_batch_rows deliberately if "
+            "the vectors are small, or run the offline corpus-scale "
+            "path similarity.semantic_dedupe instead."
+        )
+
+
 def _semantic_in_batch_drops(
     assigned: DataFrame, id_col: str, vec_col: str, thr: float,
     scale: float,
@@ -1042,8 +1076,8 @@ def _semantic_in_batch_drops(
     row iff a LOWER-id same-cell sibling has rounded cosine >=
     threshold — the sibling counts whether or not it is itself
     dropped (exactly :func:`~parq_tools_spark.operators.similarity.
-    semantic_dedupe`'s lower-id rule, so batch-order ingestion of an
-    id-ordered corpus reproduces the batch operator's drop set).
+    semantic_dedupe`'s lower-id rule, so rows ingested in ONE batch
+    get the batch operator's drop set for that batch).
     Both sides are the micro-batch: a broadcast self-join on the cell
     key, never a shuffle of anything corpus-sized."""
     from parq_tools_spark.operators.similarity import (
@@ -1080,6 +1114,7 @@ def semantic_dedupe_incremental(
     new_vecs: DataFrame,
     threshold: float = 0.95,
     update_index: bool = False,
+    max_batch_rows: int = 100_000,
 ) -> DataFrame:
     """Incremental SemDeDup admission served FROM the persisted ANN
     index (the embedding twin of :func:`~parq_tools_spark.operators.
@@ -1098,6 +1133,22 @@ def semantic_dedupe_incremental(
     touched ``cell=`` directories (planning-time partition pruning,
     the :func:`ann_index_topk` shape), the batch broadcasts into that
     pruned scan, and the corpus is never re-read or re-encoded.
+    ``max_batch_rows`` caps that broadcast (rows * (dim doubles +
+    id) must fit comfortably in executor memory) — oversized ingests
+    fail loudly with guidance instead of OOMing mid-join.
+
+    Equivalence scope: rows ingested in ONE batch get exactly
+    :func:`~parq_tools_spark.operators.similarity.semantic_dedupe`'s
+    drop set for that batch (under the index's frozen model).
+    ACROSS batches, admission compares only against ADMITTED
+    survivors — the batch operator's lower-id rule also counts
+    dropped neighbors, so a duplicate chain split across batches can
+    admit a row the one-shot operator would drop (1~2, 2~3, 1!~3
+    ingested as [1,2] then [3]: the stream admits 3 because its only
+    neighbor 2 was never admitted). This is a deliberate divergence:
+    admitting a row whose every near-duplicate was itself rejected
+    keeps exactly one representative per duplicate chain in the
+    admitted corpus.
 
     Decisions use the EXACT stored vectors (the index must be built
     with ``store_vectors=True``), not the lossy ADC approximation —
@@ -1138,6 +1189,11 @@ def semantic_dedupe_incremental(
         new_vecs.schema[id_col].dataType,
         _id_field(m).dataType,
         "semantic_dedupe_incremental",
+        remedy=(
+            "Ingested batches must carry ids of the indexed id "
+            "column's type — re-id the batch (or rebuild the index "
+            "on the batch's id type)."
+        ),
     )
     thr = float(threshold)
     scale = float(10 ** p["round_to"])
@@ -1145,6 +1201,9 @@ def semantic_dedupe_incremental(
     assigned = _assign_frozen_cells(
         spark, index_path, new_vecs, m
     ).localCheckpoint(eager=True)
+    _check_batch_size(
+        assigned, max_batch_rows, "semantic_dedupe_incremental"
+    )
     touched = [
         r.cell for r in assigned.select("cell").distinct().collect()
     ]
@@ -1193,7 +1252,11 @@ def semantic_dedupe_incremental(
         )
         dup_ids = dup_ids.unionByName(dup_vs_index).distinct()
 
-    survivors = new_vecs.join(dup_ids, on=id_col, how="left_anti")
+    # dup_ids is bounded by the (capped) batch, so the survivor
+    # anti-join broadcasts it — no Exchange/Sort on either side
+    survivors = new_vecs.join(
+        F.broadcast(dup_ids), on=id_col, how="left_anti"
+    )
     if update_index:
         survivors = survivors.localCheckpoint(eager=True)
         if survivors.take(1):

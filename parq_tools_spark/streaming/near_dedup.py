@@ -186,6 +186,7 @@ def start_semantic_dedupe_stream(
     opq: bool = False,
     keep_versions: int = 1,
     compact_every: int = 0,
+    max_batch_rows: int = 100_000,
     available_now: bool = True,
     query_name: Optional[str] = None,
 ):
@@ -207,11 +208,20 @@ def start_semantic_dedupe_stream(
     train on zero rows (centroids/codebooks are hash-seeded FROM
     corpus vectors — the :func:`~parq_tools_spark.streaming.
     index_sink.start_ann_index_stream` rationale), so the model
-    freezes on the full first batch, the within-batch lower-id rule
-    runs under that model, and the dropped ids are tombstoned out —
-    leaving exactly the batch's survivors admitted. To freeze the
-    model on a better training sample, pre-build with
+    freezes on the full first batch and the within-batch lower-id
+    rule runs under that model BEFORE anything is committed — only
+    the batch's survivors are encoded into segment v1
+    (``ann_index_build``'s ``train_corpus`` split), one atomic
+    manifest commit with no tombstone step and therefore no partial
+    state any crash can expose. To freeze the model on a better
+    training sample, pre-build with
     :func:`~parq_tools_spark.operators.ann_index.ann_index_build`.
+
+    ``max_batch_rows`` bounds each micro-batch (the batch rides a
+    broadcast into the cell-pruned index read — see
+    :func:`~parq_tools_spark.operators.ann_index.
+    semantic_dedupe_incremental`); size your trigger so batches stay
+    under it.
 
     Recovery is the :func:`start_near_dedupe_stream` contract:
     exactly-once output via per-batch directory overwrite, the
@@ -233,14 +243,16 @@ def start_semantic_dedupe_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.ann_index import (
-            _ann_manifest,
             _ann_vs,
+            _check_batch_size,
             _semantic_in_batch_drops,
-            _assign_frozen_cells,
             ann_index_build,
             ann_index_compact,
-            ann_index_delete,
             semantic_dedupe_incremental,
+        )
+        from parq_tools_spark.operators.similarity import (
+            _hashseed_rows,
+            _with_centroid_cells,
         )
 
         spark = batch_df.sparkSession
@@ -251,38 +263,50 @@ def start_semantic_dedupe_stream(
             return
         seed = batch_df.select(id_col, vec_col)
         if _ann_vs(spark, index_path).current() is None:
-            # bootstrap: freeze the model on the full batch, then
-            # apply ONLY the within-batch rule (the index holds
-            # exactly this batch, so an index query would mark both
-            # members of every duplicate pair) and tombstone the
-            # dropped ids — the committed state is the survivors
+            # bootstrap: freeze the model on the FULL batch, apply the
+            # within-batch lower-id rule under it, and commit ONLY the
+            # survivors (ann_index_build's train_corpus split) — ONE
+            # atomic manifest commit. A crash anywhere before it
+            # leaves no committed index, so the replay re-runs this
+            # path from scratch; a crash after it replays through the
+            # incremental path against a survivors-only index, which
+            # reproduces the same survivor set. (The earlier
+            # build-then-tombstone shape had a crash window between
+            # its two commits in which both members of every duplicate
+            # pair were live — the incremental replay then silently
+            # dropped a survivor via its own sibling's index copy.)
+            round_to = 6  # ann_index_build's default — the grid the
+            #               committed model will carry
+            centroids = _hashseed_rows(seed, n_cells, id_col, vec_col)
+            assigned = _with_centroid_cells(
+                seed, centroids, vec_col, round_to, None, "cell"
+            ).localCheckpoint(eager=True)
+            _check_batch_size(
+                assigned, max_batch_rows, "start_semantic_dedupe_stream"
+            )
+            dropped = _semantic_in_batch_drops(
+                assigned,
+                id_col,
+                vec_col,
+                float(threshold),
+                float(10**round_to),
+            ).localCheckpoint(eager=True)
+            survivors = batch_df.join(
+                dropped, on=id_col, how="left_anti"
+            ).localCheckpoint(eager=True)
             ann_index_build(
-                seed,
+                survivors.select(id_col, vec_col),
                 index_path,
                 n_cells=n_cells,
                 m=m,
                 n_codes=n_codes,
                 id_col=id_col,
                 vec_col=vec_col,
+                round_to=round_to,
                 opq=opq,
                 keep_versions=keep_versions,
                 store_vectors=True,
-            )
-            _, _, man = _ann_manifest(spark, index_path)
-            assigned = _assign_frozen_cells(
-                spark, index_path, seed, man
-            ).localCheckpoint(eager=True)
-            dropped = _semantic_in_batch_drops(
-                assigned,
-                id_col,
-                vec_col,
-                float(threshold),
-                float(10 ** man["params"]["round_to"]),
-            ).localCheckpoint(eager=True)
-            if dropped.take(1):
-                ann_index_delete(spark, index_path, dropped)
-            survivors = batch_df.join(
-                dropped, on=id_col, how="left_anti"
+                train_corpus=seed,
             )
         else:
             survivors = semantic_dedupe_incremental(
@@ -291,6 +315,7 @@ def start_semantic_dedupe_stream(
                 batch_df,
                 threshold=threshold,
                 update_index=True,
+                max_batch_rows=max_batch_rows,
             )
         survivors.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"
