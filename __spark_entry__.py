@@ -3342,6 +3342,52 @@ def q_semantic_dedupe(spark, sf_dir):
     return semantic_dedupe(emb, threshold=0.35, n_cells=8).select("vec_id")
 
 
+def q_semantic_stream_dedup(spark, sf_dir):
+    """Streaming semantic admission replayed deterministically: the
+    embeddings table arrives as three micro-batches (vec_id % 3).
+    Batch 0 BOOTSTRAPS the persisted ANN index — model frozen on the
+    full batch, within-batch lower-id rule under it, only survivors
+    committed in one atomic manifest commit
+    (semantic_dedupe_bootstrap, the exact first-non-empty-batch path
+    of streaming.near_dedup.start_semantic_dedupe_stream) — then
+    batches 1 and 2 admit against previously ADMITTED survivors only
+    (semantic_dedupe_incremental, update_index=True, served from the
+    index's cell-pruned stored vectors; the corpus is never re-read).
+    Returns the admitted set stamped with its admission batch. The
+    oracle replicates the frozen hash-seeded batch-0 centroids and
+    folds the per-batch admission rule in static SQL."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from parq_tools_spark.operators.ann_index import (
+        semantic_dedupe_bootstrap,
+        semantic_dedupe_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="semstream_")
+    idx = os.path.join(work, "idx")
+    k = F.col("vec_id") % 3
+    s0 = semantic_dedupe_bootstrap(
+        emb.filter(k == 0), idx, threshold=0.35, n_cells=8
+    )
+    admitted = [s0.select("vec_id").withColumn("batch", F.lit(0))]
+    for i in (1, 2):
+        s = semantic_dedupe_incremental(
+            spark, idx, emb.filter(k == i), threshold=0.35,
+            update_index=True,
+        )
+        admitted.append(
+            s.select("vec_id").withColumn("batch", F.lit(i))
+        )
+    out = reduce(DataFrame.unionByName, admitted).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_repetition_lines(spark, sf_dir):
     """C4-style line repetition signals over the derived line
     structure (newline after every 3rd token, the same chunking the
@@ -3488,7 +3534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     since.
     """
     return {
-        # --- positions 1-50 = the driver check window for r10:
+        # --- positions 1-50 = the driver check window for r13:
+        # new in r13 ...
+        "semantic_stream_dedup": q_semantic_stream_dedup,
         # new in r10 ...
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
@@ -5173,6 +5221,75 @@ WITH ranked_ids AS (
 )
 SELECT e.vec_id FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+        # Streaming semantic admission, replayed in static SQL: the
+        # cell model freezes on batch 0 (hash-seeded centroids FROM
+        # batch-0 vectors — the semantic_dedupe oracle's derivation,
+        # restricted to vec_id % 3 = 0), every vector is assigned its
+        # frozen cell, and admission folds batch by batch: batch 0
+        # drops on the strict lower-id within-batch rule; batches 1/2
+        # drop on (a) ANY previously-ADMITTED same-cell neighbor or
+        # (b) a lower-id same-cell sibling of the SAME batch, all at
+        # rounded cosine >= 0.35. `dup` holds every same-cell
+        # near-pair once (id1 < id2), so rule (a) picks the batch-N
+        # end of any pair whose other end is admitted, and rule (b)
+        # keeps the strict direction.
+        "semantic_stream_dedup": """
+WITH b0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+), ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS cidx
+  FROM b0
+), cents AS (
+  SELECT cidx, embedding FROM ranked_ids WHERE cidx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cell, vec_id % 3 AS b FROM (
+    SELECT vec_id, cidx AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), dup AS (
+  SELECT a.vec_id AS id1, a.b AS b1, x.vec_id AS id2, x.b AS b2
+  FROM assigned a JOIN assigned x
+    ON a.cell = x.cell AND a.vec_id < x.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  WHERE floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(ex.embedding AS DOUBLE[]))
+              * 1000000.0 + 0.5) / 1000000.0 >= 0.35
+), adm0 AS (
+  SELECT vec_id FROM assigned WHERE b = 0 AND vec_id NOT IN (
+    SELECT id2 FROM dup WHERE b1 = 0 AND b2 = 0)
+), adm1 AS (
+  SELECT vec_id FROM assigned WHERE b = 1
+  AND vec_id NOT IN (
+    SELECT d.id2 FROM dup d JOIN adm0 a ON a.vec_id = d.id1 WHERE d.b2 = 1
+    UNION ALL
+    SELECT d.id1 FROM dup d JOIN adm0 a ON a.vec_id = d.id2 WHERE d.b1 = 1)
+  AND vec_id NOT IN (
+    SELECT id2 FROM dup WHERE b1 = 1 AND b2 = 1)
+), adm01 AS (
+  SELECT vec_id FROM adm0 UNION ALL SELECT vec_id FROM adm1
+), adm2 AS (
+  SELECT vec_id FROM assigned WHERE b = 2
+  AND vec_id NOT IN (
+    SELECT d.id2 FROM dup d JOIN adm01 a ON a.vec_id = d.id1 WHERE d.b2 = 2
+    UNION ALL
+    SELECT d.id1 FROM dup d JOIN adm01 a ON a.vec_id = d.id2 WHERE d.b1 = 2)
+  AND vec_id NOT IN (
+    SELECT id2 FROM dup WHERE b1 = 2 AND b2 = 2)
+)
+SELECT vec_id, CAST(0 AS INTEGER) AS batch FROM adm0
+UNION ALL SELECT vec_id, CAST(1 AS INTEGER) AS batch FROM adm1
+UNION ALL SELECT vec_id, CAST(2 AS INTEGER) AS batch FROM adm2
         """,
         "ann_ivf_hash_topk": """
 WITH ranked_ids AS (

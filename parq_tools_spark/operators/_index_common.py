@@ -9,6 +9,8 @@ not policy."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 __all__ = [
     "tag",
     "seg_version",
@@ -205,7 +207,7 @@ def id_field(m: dict):
 
 
 def check_self_exclusion_types(
-    query_type, index_type, fn: str, remedy: str = None
+    query_type, index_type, fn: str, remedy: Optional[str] = None
 ) -> None:
     """Self/same-id exclusion predicates compare a caller-supplied id
     column against the index's persisted id column; an incompatible

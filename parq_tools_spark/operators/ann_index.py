@@ -59,6 +59,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from parq_tools_spark.operators.similarity import DEFAULT_ROUND_TO
+
 __all__ = [
     "ann_index_build",
     "ann_index_add",
@@ -68,6 +70,7 @@ __all__ = [
     "ann_index_compact",
     "ann_index_stats",
     "ann_index_topk",
+    "semantic_dedupe_bootstrap",
     "semantic_dedupe_incremental",
 ]
 
@@ -190,7 +193,7 @@ def ann_index_build(
     n_codes: Optional[int] = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 6,
+    round_to: int = DEFAULT_ROUND_TO,
     opq: bool = False,
     opq_sample: int = 256,
     keep_versions: int = 1,
@@ -1052,10 +1055,12 @@ def _check_batch_size(
     """Both semantic-admission joins ride a broadcast of the batch
     (the self-join and the vs-index join) — cheap for micro-batches,
     a driver/executor OOM for a corpus-sized frame. Probe the first
-    ``max_batch_rows + 1`` rows (the batch is localCheckpointed, so
-    this reads materialized blocks, not the source) and fail loudly
-    past the cap — the :func:`ann_index_topk` ``max_queries``
-    discipline."""
+    ``max_batch_rows + 1`` rows and fail loudly past the cap — the
+    :func:`ann_index_topk` ``max_queries`` discipline. Callers run
+    this on the RAW batch BEFORE the cell-assignment pass and its
+    eager localCheckpoint: ``limit`` stops the source scan early, so
+    an oversized (corpus-scale) ingest is rejected without paying a
+    full materialization first."""
     if batch.limit(max_batch_rows + 1).count() > max_batch_rows:
         raise ValueError(
             f"{fn} broadcasts the batch into the cell-pruned index "
@@ -1106,6 +1111,112 @@ def _semantic_in_batch_drops(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
+
+
+def semantic_dedupe_bootstrap(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: Optional[int] = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = DEFAULT_ROUND_TO,
+    opq: bool = False,
+    keep_versions: int = 1,
+    max_batch_rows: int = 100_000,
+) -> DataFrame:
+    """Seed a semantic-admission index from its FIRST batch: freeze
+    the IVF-PQ model on the full batch (an IVF-PQ model cannot train
+    on zero rows — centroids/codebooks are hash-seeded FROM corpus
+    vectors), apply SemDeDup's within-batch lower-id rule under that
+    model, and commit ONLY the survivors into segment v1
+    (:func:`ann_index_build`'s ``train_corpus`` split) — ONE atomic
+    manifest commit, so a crash anywhere before it leaves no
+    committed index and a replay re-runs this path from scratch,
+    while a crash after it replays through
+    :func:`semantic_dedupe_incremental` against a survivors-only
+    index, which reproduces the same survivor set. (The earlier
+    build-then-tombstone shape had a crash window between its two
+    commits in which both members of every duplicate pair were live —
+    the incremental replay then silently dropped a survivor via its
+    own sibling's index copy.)
+
+    Returns the survivor rows of ``batch`` (all original columns,
+    eagerly checkpointed). This is the exact bootstrap
+    :func:`~parq_tools_spark.streaming.near_dedup.
+    start_semantic_dedupe_stream` runs on its first non-empty
+    micro-batch, factored out so batch replays (and the driver's
+    oracle) execute the byte-identical path.
+
+    The batch must carry UNIQUE ids (one vector per id — the
+    :func:`ann_index_upsert` contract; the within-batch strict
+    lower-id rule never compares equal-id rows, so an exact
+    duplicate pair sharing an id would otherwise BOTH survive and
+    corrupt the index's id-unique invariant) and at most
+    ``max_batch_rows`` rows (it rides a broadcast self-join; the
+    :func:`semantic_dedupe_incremental` cap rationale). Fails loudly
+    if an index already exists at ``index_path`` — bootstrapping
+    over a live index would silently drop its admitted corpus from
+    every future admission decision (rebuild deliberately with
+    :func:`ann_index_build` instead)."""
+    from parq_tools_spark.operators.similarity import (
+        _hashseed_rows,
+        _with_centroid_cells,
+    )
+
+    spark = batch.sparkSession
+    if _ann_vs(spark, index_path).current() is not None:
+        raise ValueError(
+            f"semantic_dedupe_bootstrap: an ann index already exists "
+            f"at {index_path}; bootstrap seeds a NEW admission corpus "
+            "and would silently drop the existing one from future "
+            "decisions. Use semantic_dedupe_incremental to admit "
+            "against it, or ann_index_build to rebuild deliberately."
+        )
+    # cap check FIRST, on the raw batch: limit() stops the source
+    # scan early, so an oversized ingest fails before paying the
+    # cell-assignment pass + eager checkpoint below
+    _check_batch_size(batch, max_batch_rows, "semantic_dedupe_bootstrap")
+    seed = batch.select(id_col, vec_col)
+    n_rows = seed.count()
+    n_ids = seed.select(id_col).distinct().count()
+    if n_ids < n_rows:
+        raise ValueError(
+            f"semantic_dedupe_bootstrap: batch carries "
+            f"{n_rows - n_ids} duplicate {id_col} row(s) — one vector "
+            "per id (the within-batch rule never compares equal-id "
+            "rows, so both copies would be committed and corrupt the "
+            "index's id-unique contract)"
+        )
+    centroids = _hashseed_rows(seed, n_cells, id_col, vec_col)
+    assigned = _with_centroid_cells(
+        seed, centroids, vec_col, round_to, None, "cell"
+    ).localCheckpoint(eager=True)
+    dropped = _semantic_in_batch_drops(
+        assigned, id_col, vec_col, float(threshold), float(10**round_to)
+    ).localCheckpoint(eager=True)
+    # dropped is bounded by the (capped) batch — broadcast the
+    # anti-join, the semantic_dedupe_incremental survivor discipline
+    survivors = batch.join(
+        F.broadcast(dropped), on=id_col, how="left_anti"
+    ).localCheckpoint(eager=True)
+    ann_index_build(
+        survivors.select(id_col, vec_col),
+        index_path,
+        n_cells=n_cells,
+        m=m,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+        opq=opq,
+        keep_versions=keep_versions,
+        store_vectors=True,
+        train_corpus=seed,
+    )
+    return survivors
 
 
 def semantic_dedupe_incremental(
@@ -1198,12 +1309,15 @@ def semantic_dedupe_incremental(
     thr = float(threshold)
     scale = float(10 ** p["round_to"])
 
+    # cap check FIRST, on the raw batch: limit() stops the source
+    # scan early, so an oversized ingest fails before paying the
+    # cell-assignment pass + eager checkpoint below
+    _check_batch_size(
+        new_vecs, max_batch_rows, "semantic_dedupe_incremental"
+    )
     assigned = _assign_frozen_cells(
         spark, index_path, new_vecs, m
     ).localCheckpoint(eager=True)
-    _check_batch_size(
-        assigned, max_batch_rows, "semantic_dedupe_incremental"
-    )
     touched = [
         r.cell for r in assigned.select("cell").distinct().collect()
     ]

@@ -25,7 +25,16 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# The rounding grid every closed-form similarity decision snaps to
+# (cosines are floor(x * 10^ROUND + 0.5) / 10^ROUND so Spark, the
+# persisted index model, and the DuckDB oracle agree bit-for-bit).
+# ann_index_build and the streaming bootstrap both default to THIS
+# constant — a change here moves the whole family together instead
+# of silently diverging a hand-copied literal.
+DEFAULT_ROUND_TO = 6
+
 __all__ = [
+    "DEFAULT_ROUND_TO",
     "cosine_similarity_col",
     "ivf_write",
     "ivf_read",

@@ -244,15 +244,9 @@ def start_semantic_dedupe_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.ann_index import (
             _ann_vs,
-            _check_batch_size,
-            _semantic_in_batch_drops,
-            ann_index_build,
             ann_index_compact,
+            semantic_dedupe_bootstrap,
             semantic_dedupe_incremental,
-        )
-        from parq_tools_spark.operators.similarity import (
-            _hashseed_rows,
-            _with_centroid_cells,
         )
 
         spark = batch_df.sparkSession
@@ -261,52 +255,23 @@ def start_semantic_dedupe_stream(
         if not batch_df.take(1):
             _commit_marker(spark, index_path, checkpoint_dir, batch_id)
             return
-        seed = batch_df.select(id_col, vec_col)
         if _ann_vs(spark, index_path).current() is None:
-            # bootstrap: freeze the model on the FULL batch, apply the
-            # within-batch lower-id rule under it, and commit ONLY the
-            # survivors (ann_index_build's train_corpus split) — ONE
-            # atomic manifest commit. A crash anywhere before it
-            # leaves no committed index, so the replay re-runs this
-            # path from scratch; a crash after it replays through the
-            # incremental path against a survivors-only index, which
-            # reproduces the same survivor set. (The earlier
-            # build-then-tombstone shape had a crash window between
-            # its two commits in which both members of every duplicate
-            # pair were live — the incremental replay then silently
-            # dropped a survivor via its own sibling's index copy.)
-            round_to = 6  # ann_index_build's default — the grid the
-            #               committed model will carry
-            centroids = _hashseed_rows(seed, n_cells, id_col, vec_col)
-            assigned = _with_centroid_cells(
-                seed, centroids, vec_col, round_to, None, "cell"
-            ).localCheckpoint(eager=True)
-            _check_batch_size(
-                assigned, max_batch_rows, "start_semantic_dedupe_stream"
-            )
-            dropped = _semantic_in_batch_drops(
-                assigned,
-                id_col,
-                vec_col,
-                float(threshold),
-                float(10**round_to),
-            ).localCheckpoint(eager=True)
-            survivors = batch_df.join(
-                dropped, on=id_col, how="left_anti"
-            ).localCheckpoint(eager=True)
-            ann_index_build(
-                survivors.select(id_col, vec_col),
+            # first non-empty batch: freeze the model on the FULL
+            # batch, within-batch lower-id rule under it, ONE atomic
+            # manifest commit of only the survivors — the whole
+            # crash-safety argument lives on semantic_dedupe_bootstrap
+            survivors = semantic_dedupe_bootstrap(
+                batch_df,
                 index_path,
+                threshold=threshold,
                 n_cells=n_cells,
                 m=m,
                 n_codes=n_codes,
                 id_col=id_col,
                 vec_col=vec_col,
-                round_to=round_to,
                 opq=opq,
                 keep_versions=keep_versions,
-                store_vectors=True,
-                train_corpus=seed,
+                max_batch_rows=max_batch_rows,
             )
         else:
             survivors = semantic_dedupe_incremental(
