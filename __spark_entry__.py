@@ -3218,6 +3218,60 @@ def q_ann_index_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_ann_retrain_equiv(spark, sf_dir):
+    """Retrain-from-stored-vectors gate: grow an index far past its
+    training corpus (build on the even ids, add the odds under the
+    FROZEN model), then ann_index_retrain — the refit model and
+    re-encoded codes must serve BIT-IDENTICALLY (scores and ranks)
+    to a from-scratch ann_index_build over the full corpus:
+    hash-seeded centroids/codebooks depend only on ids and float64
+    vector values, and the stored vectors are exact. Returns the
+    symmetric difference; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_retrain,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="annrt_")
+    k = F.col("vec_id")
+    grown, fresh = os.path.join(work, "grown"), os.path.join(work, "fresh")
+    ann_index_build(
+        emb.filter(k % 2 == 0), grown,
+        n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    ann_index_add(emb.filter(k % 2 == 1), grown)
+    ann_index_retrain(spark, grown)
+    ann_index_build(
+        emb, fresh, n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    qs = emb.filter(k < 3)
+    cols = ["query_id", "vec_id", "pq_score", "rank"]
+    a = (
+        ann_index_topk(spark, grown, qs, k=5, nprobe=2)
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        ann_index_topk(spark, fresh, qs, k=5, nprobe=2)
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    only_a = a.join(b, cols, "left_anti").withColumn(
+        "side", F.lit("retrained_only")
+    )
+    only_b = b.join(a, cols, "left_anti").withColumn(
+        "side", F.lit("fresh_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_ann_index_stream_equiv(spark, sf_dir):
     """Streaming ANN index maintenance gate: a 3-micro-batch CDC
     stream (bootstrap-build on the even ids' inserts, insert odds,
@@ -3537,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- positions 1-50 = the driver check window for r13:
         # new in r13 ...
         "semantic_stream_dedup": q_semantic_stream_dedup,
+        "ann_retrain_equiv": q_ann_retrain_equiv,
         # new in r10 ...
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
@@ -5082,6 +5137,14 @@ WHERE rnk <= 5
         "ann_index_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "ann_retrain_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS query_id,
+                   CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS DOUBLE) AS pq_score,
+                   CAST(NULL AS INT) AS rank,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,

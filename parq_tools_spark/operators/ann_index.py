@@ -66,6 +66,7 @@ __all__ = [
     "ann_index_add",
     "ann_index_delete",
     "ann_index_upsert",
+    "ann_index_retrain",
     "ann_index_apply_cdc",
     "ann_index_compact",
     "ann_index_stats",
@@ -374,6 +375,103 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
                 "segments": m["segments"] + [seg],
             }
         ),
+    )
+
+
+_INHERIT = object()  # sentinel: n_codes=None is meaningful (identity)
+
+
+def ann_index_retrain(
+    spark,
+    path: str,
+    n_cells: Optional[int] = None,
+    m: Optional[int] = None,
+    n_codes=_INHERIT,
+    opq: Optional[bool] = None,
+    opq_sample: int = 256,
+    keep_versions: Optional[int] = None,
+    store_vectors: bool = True,
+) -> None:
+    """Refit the quantization model from the index's own STORED
+    vectors and re-encode everything under it — the drift answer for
+    an index grown far past its training corpus: :func:`ann_index_add`
+    ingests under the FROZEN model (correct grid, but centroids and
+    codebooks seeded only from the original build/train corpus), so
+    after heavy growth the cells no longer partition the data well
+    and ADC error concentrates where the corpus drifted. Retrain
+    reads the currently-VISIBLE ``(id, vec)`` rows (tombstones
+    honored, exact float64 stored vectors — the index must have been
+    built with ``store_vectors=True``), re-derives the hash-seeded
+    model from them, and commits ONE fresh generation via
+    :func:`ann_index_build` — bit-identical to a from-scratch build
+    over the same visible vectors (the ``ann_retrain_equiv`` gate:
+    hash-seeding depends only on ids and vector values, and float32→
+    float64 upcast is exact, so stored vectors reproduce the fresh
+    build's model and codes exactly).
+
+    Non-destructive and crash-safe exactly like a rebuild: the new
+    generation commits alongside the live one (one-cycle reader
+    grace — which is also why the lazy read of the live segments
+    during the build is safe: the cycle-start sweep only removes
+    state superseded in a PREVIOUS cycle, never the live
+    generation's files); a crash leaves the old index fully
+    committed and the partial new state an invisible orphan.
+
+    Params default to the stored ones; pass ``n_cells``/``m``/
+    ``n_codes``/``opq``/``keep_versions`` to change geometry while
+    retraining (``n_codes`` is stored as the realized codebook WIDTH,
+    so an identity-codebook index retrains at that width by default —
+    pass ``n_codes=None`` explicitly to keep the every-row-a-codeword
+    configuration). ``store_vectors`` defaults to True: dropping the
+    stored vectors would make the index unretrainable and disable
+    exact refinement, so it must be chosen deliberately.
+
+    Cost shape: one cell-pruned-free full read of the live segments'
+    ``(id, vec)`` columns (column-pruned — codes are never read), the
+    :func:`ann_index_build` seed collects, ONE fused encode+assign
+    pass, one cell-shuffled segment write. The source corpus is never
+    touched."""
+    from functools import reduce
+
+    vs, cur, man = _ann_manifest(spark, path)
+    p = man["params"]
+    if not p.get("store_vectors"):
+        raise ValueError(
+            f"ann index at {path} was built without store_vectors="
+            "True, so there are no stored vectors to retrain from — "
+            "rebuild from the source corpus with ann_index_build"
+        )
+    id_col, vec_col = p["id_col"], p["vec_col"]
+    fs = vs.fs
+    live = [s for s in man["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _ann_delete_batches(spark, path, man, id_col)
+    segs = [
+        _ann_visible_scan(spark, path, s, batches, id_col).select(
+            F.col(id_col), F.col("vec").alias(vec_col)
+        )
+        for s in live
+    ]
+    corpus = reduce(DataFrame.unionByName, segs) if segs else None
+    if corpus is None or not corpus.take(1):
+        raise ValueError(
+            f"ann index at {path} has no visible vectors to retrain "
+            "from (everything deleted?) — rebuild with ann_index_build"
+        )
+    ann_index_build(
+        corpus,
+        path,
+        n_cells=p["n_cells"] if n_cells is None else n_cells,
+        m=p["m"] if m is None else m,
+        n_codes=p["n_codes"] if n_codes is _INHERIT else n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=p["round_to"],
+        opq=p["opq"] if opq is None else opq,
+        opq_sample=opq_sample,
+        keep_versions=(
+            p["keep_versions"] if keep_versions is None else keep_versions
+        ),
+        store_vectors=store_vectors,
     )
 
 

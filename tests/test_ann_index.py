@@ -461,3 +461,146 @@ def test_refine_survives_delete_and_compaction(spark, emb, tmp_path):
     ann_index_compact(spark, path, min_files_per_cell=1)
     post = snap()
     assert post == pre
+
+
+def test_retrain_equals_fresh_build_and_bumps_model(spark, emb, tmp_path):
+    """ann_index_retrain refits the model from the STORED vectors and
+    must serve bit-identically to a from-scratch ann_index_build over
+    the same visible corpus (hash-seeding depends only on ids and
+    float64 vector values; float32->float64 upcast is exact). It must
+    also actually CHANGE the model when the corpus drifted — the
+    frozen-model pre-retrain results differ."""
+    from parq_tools_spark.operators.ann_index import ann_index_retrain
+
+    k = F.col("vec_id")
+    path = str(tmp_path / "grown")
+    ann_index_build(
+        emb.filter(k % 2 == 0).select("vec_id", "embedding"), path,
+        n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    ann_index_add(emb.filter(k % 2 == 1).select("vec_id", "embedding"), path)
+    qs = emb.filter(k < 5).select("vec_id", "embedding")
+    pre = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    ann_index_retrain(spark, path)
+    post = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    fresh_path = str(tmp_path / "fresh")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), fresh_path,
+        n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    fresh = _rows(
+        ann_index_topk(spark, fresh_path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    assert post == fresh
+    assert pre != post  # the drifted half re-seeded the model
+    st = ann_index_stats(spark, path)
+    assert st["n_vecs"] == emb.count()
+    assert st["params"]["store_vectors"] is True
+
+
+def test_retrain_honors_tombstones_and_folds_them(spark, emb, tmp_path):
+    """Retrain reads only VISIBLE vectors: deleted ids never re-enter
+    the rebuilt corpus, n_vecs reflects the deletes, and the fresh
+    generation carries no pending tombstones."""
+    from parq_tools_spark.operators.ann_index import ann_index_retrain
+
+    path = str(tmp_path / "idx")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), path,
+        n_cells=8, m=8, n_codes=16, store_vectors=True, keep_versions=2,
+    )
+    ann_index_delete(spark, path, [0, 2])
+    ann_index_retrain(spark, path)
+    st = ann_index_stats(spark, path)
+    assert st["n_vecs"] == emb.count() - 2
+    assert st["pending_delete_batches"] == 0
+    qs = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    got = (
+        ann_index_topk(spark, path, qs, k=1000, nprobe=8)
+        .select("vec_id").distinct()
+    )
+    assert got.filter(F.col("vec_id").isin(0, 2)).count() == 0
+
+
+def test_retrain_improves_drifted_corpus_recall(spark, emb, tmp_path):
+    """The drift story end-to-end: build on labels 0-4, add labels
+    5-9 under the frozen model, query from the drifted half — recall
+    vs brute force must not get worse after retrain (on this fixture
+    it strictly improves; everything is hash-seeded so the margin is
+    deterministic)."""
+    from parq_tools_spark.operators.ann_index import ann_index_retrain
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "drift")
+    ann_index_build(
+        emb.filter(F.col("label") < 5).select("vec_id", "embedding"),
+        path, n_cells=16, m=8, n_codes=16, store_vectors=True,
+    )
+    ann_index_add(
+        emb.filter(F.col("label") >= 5).select("vec_id", "embedding"), path
+    )
+    qs = emb.filter(
+        (F.col("label") >= 5) & (F.col("vec_id") % 7 == 0)
+    ).select("vec_id", "embedding")
+    want = set(
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(
+            emb.select("vec_id", "embedding"), qs, k=10
+        ).select("query_id", "vec_id").collect()
+    )
+
+    def recall():
+        got = set(
+            (r.query_id, r.vec_id)
+            for r in ann_index_topk(spark, path, qs, k=10, nprobe=4)
+            .select("query_id", "vec_id").collect()
+        )
+        return len(got & want) / len(want)
+
+    pre = recall()
+    ann_index_retrain(spark, path)
+    post = recall()
+    assert post >= pre
+    assert post > 0
+
+
+def test_retrain_guards(spark, emb, tmp_path):
+    """No stored vectors -> actionable error; fully-deleted index ->
+    actionable error; geometry overrides are applied and n_codes=None
+    is reachable (identity codebook, not the inherited width)."""
+    from parq_tools_spark.operators.ann_index import ann_index_retrain
+
+    bare = str(tmp_path / "bare")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), bare, n_cells=8, m=8, n_codes=16
+    )
+    with pytest.raises(ValueError, match="store_vectors"):
+        ann_index_retrain(spark, bare)
+
+    small = str(tmp_path / "small")
+    ann_index_build(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding"),
+        small, n_cells=2, m=8, n_codes=4, store_vectors=True,
+        keep_versions=2,
+    )
+    ann_index_delete(spark, small, list(range(10)))
+    with pytest.raises(ValueError, match="no visible vectors"):
+        ann_index_retrain(spark, small)
+
+    geo = str(tmp_path / "geo")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), geo,
+        n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    ann_index_retrain(spark, geo, n_cells=4, n_codes=None)
+    st = ann_index_stats(spark, geo)
+    assert st["params"]["n_cells"] == 4
+    # identity codebook: realized width == corpus size, not 16
+    assert st["params"]["n_codes"] == emb.count()
