@@ -22,6 +22,7 @@ __all__ = [
     "resolve_manifest",
     "retention",
     "resolve_cdc",
+    "maybe_compact",
 ]
 
 
@@ -238,3 +239,68 @@ def check_self_exclusion_types(
             "exclusion flag."
         )
     )
+
+
+def maybe_compact(
+    spark,
+    path: str,
+    marker: str,
+    compact,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
+    rows_key: Optional[str] = None,
+    max_delete_batches: int = 0,
+) -> bool:
+    """Stats-driven compaction trigger shared by the four index
+    families: consult the LIVE manifest's own fragmentation signals
+    and run ``compact()`` only when one crosses its bound — the
+    generalization of the sinks' count-based ``compact_every``
+    (which compacts on a wall-clock-ish batch cadence whether or not
+    the index fragmented; this compacts exactly when the manifest
+    says query cost started creeping).
+
+    Signals, all O(manifest) except the tombstone count (one read of
+    each small pending ``del-`` directory, only taken when
+    ``max_tombstone_frac`` is armed):
+
+    - ``max_segments`` > 0: compact when the manifest references more
+      than that many segments — each append commits one immutable
+      segment, so steady-state scan cost creeps with SEGMENT count
+      (task scheduling + footer reads), not data size.
+    - ``max_tombstone_frac`` > 0 (needs ``rows_key``, the family's
+      live-row counter — ``n_vecs``/``n_docs``): compact when pending
+      tombstoned ids exceed that fraction of live rows — every query
+      pays the tombstone anti-joins until a compaction folds them.
+    - ``max_delete_batches`` > 0: compact when more than that many
+      tombstone BATCHES are pending — the fraction signal for
+      families whose manifest carries no row counter
+      (MinHash/SimHash), where each pending batch costs one
+      anti-join per query regardless of its size.
+
+    All bounds default OFF (0); a sink arms the ones it wants.
+    Returns True iff ``compact()`` ran. Never raises on an
+    uncommitted index (returns False) — the sinks consult it before
+    the bootstrap batch exists."""
+    import json
+
+    from parq_tools_spark.sources.statefs import VersionedState
+
+    vs = VersionedState(spark, path, marker)
+    cur = vs.current()
+    if cur is None:
+        return False
+    m = json.loads(vs.read_marker(cur))
+    dels = delete_entries(m)
+    trigger = bool(max_segments) and len(m["segments"]) > max_segments
+    if not trigger and max_delete_batches:
+        trigger = len(dels) > max_delete_batches
+    if not trigger and max_tombstone_frac and rows_key and dels:
+        total = m.get(rows_key)
+        if total:
+            n_dead = 0
+            for e in dels:
+                n_dead += spark.read.parquet(f"{path}/{e['dir']}").count()
+            trigger = n_dead > max_tombstone_frac * total
+    if trigger:
+        compact()
+    return trigger

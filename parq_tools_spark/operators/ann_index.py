@@ -69,6 +69,7 @@ __all__ = [
     "ann_index_retrain",
     "ann_index_apply_cdc",
     "ann_index_compact",
+    "ann_index_maybe_compact",
     "ann_index_stats",
     "ann_index_topk",
     "semantic_dedupe_bootstrap",
@@ -822,6 +823,36 @@ def ann_index_compact(
     return compacted
 
 
+def ann_index_maybe_compact(
+    spark,
+    path: str,
+    max_segments: int = 16,
+    max_tombstone_frac: float = 0.2,
+) -> bool:
+    """Stats-driven :func:`ann_index_compact` (the shared
+    :func:`~parq_tools_spark.operators._index_common.maybe_compact`
+    trigger): fold segments/tombstones only when the live manifest
+    references more than ``max_segments`` segments or pending
+    tombstoned ids exceed ``max_tombstone_frac`` of ``n_vecs`` —
+    otherwise O(manifest) and do nothing. The streaming sinks consult
+    this each batch when armed, replacing blind every-N-batches
+    compaction with compact-exactly-when-fragmented. When triggered,
+    compaction runs with ``min_files_per_cell=1`` so the breach
+    actually folds the segment list instead of re-triggering every
+    batch. Returns True iff a compaction ran."""
+    from parq_tools_spark.operators._index_common import maybe_compact
+
+    return maybe_compact(
+        spark,
+        path,
+        _ANN_MARKER,
+        lambda: ann_index_compact(spark, path, min_files_per_cell=1),
+        max_segments=max_segments,
+        max_tombstone_frac=max_tombstone_frac,
+        rows_key="n_vecs",
+    )
+
+
 def ann_index_stats(
     spark, path: str, version: Optional[int] = None
 ) -> dict:
@@ -835,6 +866,7 @@ def ann_index_stats(
         "version": cur,
         "n_vecs": m["n_vecs"],
         "params": m["params"],
+        "n_segments": len(m["segments"]),
         "pending_delete_batches": len(m.get("deletes", [])),
     }
 

@@ -65,6 +65,7 @@ __all__ = [
     "minhash_index_apply_cdc",
     "minhash_index_query",
     "minhash_index_compact",
+    "minhash_index_maybe_compact",
     "incremental_dedupe",
 ]
 
@@ -1272,6 +1273,35 @@ def minhash_index_write(
     # crash in between leaves the sidecar stale, which no reader of a
     # params-carrying manifest ever consults.
     fs.write_text(f"{path}/{_PARAMS_FILE}", json.dumps(params))
+
+
+def minhash_index_maybe_compact(
+    spark,
+    path: str,
+    max_segments: int = 16,
+    max_delete_batches: int = 4,
+) -> bool:
+    """Stats-driven :func:`minhash_index_compact` (the shared
+    :func:`~parq_tools_spark.operators._index_common.maybe_compact`
+    trigger): rewrite only when the live manifest references more
+    than ``max_segments`` segments or more than
+    ``max_delete_batches`` tombstone batches are pending (each
+    pending batch costs one anti-join per query; the MinHash manifest
+    carries no row counter, so the batch bound stands in for a
+    tombstone fraction) — otherwise O(manifest) and do nothing. When
+    triggered, compaction runs with ``min_files_per_band=1`` so the
+    breach actually folds the segment list instead of re-triggering
+    every batch. Returns True iff a compaction ran."""
+    from parq_tools_spark.operators._index_common import maybe_compact
+
+    return maybe_compact(
+        spark,
+        path,
+        _INDEX_MARKER,
+        lambda: minhash_index_compact(spark, path, min_files_per_band=1),
+        max_segments=max_segments,
+        max_delete_batches=max_delete_batches,
+    )
 
 
 def minhash_index_compact(

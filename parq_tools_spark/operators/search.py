@@ -48,6 +48,7 @@ __all__ = [
     "bm25_index_upsert",
     "bm25_index_apply_cdc",
     "bm25_index_compact",
+    "bm25_index_maybe_compact",
     "bm25_index_stats",
     "bm25_index_topk",
     "bm25_index_topk_batch",
@@ -1244,6 +1245,34 @@ def bm25_index_compact(
     return compacted
 
 
+def bm25_index_maybe_compact(
+    spark,
+    path: str,
+    max_segments: int = 16,
+    max_tombstone_frac: float = 0.2,
+) -> bool:
+    """Stats-driven :func:`bm25_index_compact` (the shared
+    :func:`~parq_tools_spark.operators._index_common.maybe_compact`
+    trigger): fold postings segments/tombstones only when the live
+    manifest references more than ``max_segments`` segments or
+    pending tombstoned ids exceed ``max_tombstone_frac`` of
+    ``n_docs`` — otherwise O(manifest) and do nothing. When
+    triggered, compaction runs with ``min_files_per_bucket=1`` so the
+    breach actually folds the segment list instead of re-triggering
+    every batch. Returns True iff a compaction ran."""
+    from parq_tools_spark.operators._index_common import maybe_compact
+
+    return maybe_compact(
+        spark,
+        path,
+        _BM25_MARKER,
+        lambda: bm25_index_compact(spark, path, min_files_per_bucket=1),
+        max_segments=max_segments,
+        max_tombstone_frac=max_tombstone_frac,
+        rows_key="n_docs",
+    )
+
+
 def bm25_index_stats(
     spark, path: str, version: Optional[int] = None
 ) -> dict:
@@ -1260,6 +1289,7 @@ def bm25_index_stats(
         "sum_dl": m["sum_dl"],
         "avgdl": (m["sum_dl"] / m["n_docs"]) if m["n_docs"] else 0.0,
         "params": m["params"],
+        "n_segments": len(m["segments"]),
         "pending_delete_batches": len(m.get("deletes", [])),
     }
 

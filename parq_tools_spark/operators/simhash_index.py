@@ -52,6 +52,7 @@ __all__ = [
     "simhash_index_upsert",
     "simhash_index_apply_cdc",
     "simhash_index_compact",
+    "simhash_index_maybe_compact",
     "simhash_index_stats",
     "simhash_index_query",
 ]
@@ -529,6 +530,35 @@ def simhash_index_compact(
         if n_after < cnt:
             compacted[b] = (cnt, n_after)
     return compacted
+
+
+def simhash_index_maybe_compact(
+    spark,
+    path: str,
+    max_segments: int = 16,
+    max_delete_batches: int = 4,
+) -> bool:
+    """Stats-driven :func:`simhash_index_compact` (the shared
+    :func:`~parq_tools_spark.operators._index_common.maybe_compact`
+    trigger): rewrite only when the live manifest references more
+    than ``max_segments`` segments or more than
+    ``max_delete_batches`` tombstone batches are pending (the
+    SimHash manifest carries no row counter, so the batch bound
+    stands in for a tombstone fraction) — otherwise O(manifest) and
+    do nothing. When triggered, compaction runs with
+    ``min_files_per_band=1`` so the breach actually folds the
+    segment list instead of re-triggering every batch. Returns True
+    iff a compaction ran."""
+    from parq_tools_spark.operators._index_common import maybe_compact
+
+    return maybe_compact(
+        spark,
+        path,
+        _SH_MARKER,
+        lambda: simhash_index_compact(spark, path, min_files_per_band=1),
+        max_segments=max_segments,
+        max_delete_batches=max_delete_batches,
+    )
 
 
 def simhash_index_stats(

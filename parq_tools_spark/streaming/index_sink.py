@@ -50,6 +50,7 @@ def _run_index_stream(
     compact_every: int,
     available_now: bool,
     query_name: Optional[str],
+    maybe_compact_fn=None,
 ):
     """The ONE foreachBatch recovery skeleton both sinks run (the
     _markers.py rationale, one layer up): marker short-circuit, empty
@@ -60,7 +61,11 @@ def _run_index_stream(
     the fold; marker-first would permanently skip this trigger's
     compaction (unlike the near-dedup stream, whose replay appends
     duplicate band rows, so it commits marker-first and treats
-    compaction as best-effort)."""
+    compaction as best-effort). ``maybe_compact_fn(spark)`` is the
+    stats-driven alternative trigger (the ``*_maybe_compact``
+    family): consulted every batch not already compacted by the
+    count-based cadence, it compacts exactly when the manifest's own
+    fragmentation signals cross their bounds."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -72,6 +77,8 @@ def _run_index_stream(
         process_batch(spark, batch_df)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_fn(spark, index_path)
+        elif maybe_compact_fn is not None:
+            maybe_compact_fn(spark)
         _commit_marker(spark, index_path, checkpoint_dir, batch_id)
 
     writer = changes.writeStream.foreachBatch(_process).option(
@@ -96,6 +103,8 @@ def start_bm25_index_stream(
     store_positions: bool = False,
     keep_versions: int = 1,
     compact_every: int = 0,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
     available_now: bool = True,
     query_name: Optional[str] = None,
 ):
@@ -115,8 +124,14 @@ def start_bm25_index_stream(
     :func:`~parq_tools_spark.operators.search.bm25_index_compact`
     after every Nth batch, folding accumulated segments and tombstones
     so steady-state query cost doesn't creep with batch count.
-    ``available_now=True`` drains the backlog and stops (the testing /
-    catch-up trigger); pass ``False`` for continuous.
+    ``max_segments`` / ``max_tombstone_frac`` arm the STATS-driven
+    trigger instead (:func:`~parq_tools_spark.operators.search.
+    bm25_index_maybe_compact`, consulted every batch the count-based
+    cadence didn't already compact): the index compacts exactly when
+    its own manifest says fragmentation crossed the bound, not on a
+    blind batch count. ``available_now=True`` drains the backlog and
+    stops (the testing / catch-up trigger); pass ``False`` for
+    continuous.
 
     Returns the started ``StreamingQuery``. Query the index at any
     time with :func:`~parq_tools_spark.operators.search.
@@ -155,6 +170,21 @@ def start_bm25_index_stream(
 
         bm25_index_compact(spark, path)
 
+    def _maybe(spark):
+        from parq_tools_spark.operators.search import (
+            _bm25_vs,
+            bm25_index_maybe_compact,
+        )
+
+        if _bm25_vs(spark, index_path).current() is None:
+            return
+        bm25_index_maybe_compact(
+            spark,
+            index_path,
+            max_segments=max_segments,
+            max_tombstone_frac=max_tombstone_frac,
+        )
+
     return _run_index_stream(
         changes,
         index_path,
@@ -164,6 +194,9 @@ def start_bm25_index_stream(
         compact_every,
         available_now,
         query_name,
+        maybe_compact_fn=(
+            _maybe if (max_segments or max_tombstone_frac) else None
+        ),
     )
 
 
@@ -181,6 +214,8 @@ def start_ann_index_stream(
     opq: bool = False,
     keep_versions: int = 1,
     compact_every: int = 0,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
     available_now: bool = True,
     query_name: Optional[str] = None,
 ):
@@ -199,6 +234,11 @@ def start_ann_index_stream(
     an existing index's stored parameters then govern and
     ``id_col``..``keep_versions`` here are ignored. 'D' ops in the
     bootstrap batch resolve against an empty index — all no-ops.
+
+    ``max_segments`` / ``max_tombstone_frac`` arm the STATS-driven
+    compaction trigger (:func:`~parq_tools_spark.operators.ann_index.
+    ann_index_maybe_compact`, consulted every batch the count-based
+    ``compact_every`` cadence didn't already compact).
     """
     if not changes.isStreaming:
         raise ValueError(
@@ -253,6 +293,19 @@ def start_ann_index_stream(
             return
         ann_index_compact(spark, path)
 
+    def _maybe(spark):
+        from parq_tools_spark.operators.ann_index import (
+            ann_index_maybe_compact,
+        )
+
+        # maybe_compact itself no-ops on an uncommitted index
+        ann_index_maybe_compact(
+            spark,
+            index_path,
+            max_segments=max_segments,
+            max_tombstone_frac=max_tombstone_frac,
+        )
+
     return _run_index_stream(
         changes,
         index_path,
@@ -262,4 +315,7 @@ def start_ann_index_stream(
         compact_every,
         available_now,
         query_name,
+        maybe_compact_fn=(
+            _maybe if (max_segments or max_tombstone_frac) else None
+        ),
     )

@@ -80,6 +80,8 @@ def start_near_dedupe_stream(
     k: int = 3,
     hash_family: str = "portable",
     compact_every: int = 0,
+    max_segments: int = 0,
+    max_delete_batches: int = 0,
     available_now: bool = True,
     query_name: Optional[str] = None,
 ):
@@ -97,7 +99,12 @@ def start_near_dedupe_stream(
     :func:`~parq_tools_spark.operators.dedup.minhash_index_compact`
     after every Nth batch — per-band listing-triggered rewrites, no
     shuffle — so steady-state query cost doesn't creep with file
-    count. ``available_now=True`` drains the backlog and stops (the
+    count. ``max_segments`` / ``max_delete_batches`` arm the
+    STATS-driven trigger instead (:func:`~parq_tools_spark.operators.
+    dedup.minhash_index_maybe_compact`, consulted after each batch the
+    count-based cadence didn't already compact): the index compacts
+    exactly when its own manifest says fragmentation crossed the
+    bound. ``available_now=True`` drains the backlog and stops (the
     testing / catch-up trigger); pass ``False`` for continuous.
 
     Returns the started ``StreamingQuery``; admitted documents are at
@@ -114,6 +121,7 @@ def start_near_dedupe_stream(
             incremental_dedupe,
             minhash_index_compact,
             minhash_index_is_committed,
+            minhash_index_maybe_compact,
             minhash_index_write,
         )
 
@@ -161,6 +169,13 @@ def start_near_dedupe_stream(
         _commit_marker(spark, index_path, checkpoint_dir, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             minhash_index_compact(spark, index_path)
+        elif max_segments or max_delete_batches:
+            minhash_index_maybe_compact(
+                spark,
+                index_path,
+                max_segments=max_segments,
+                max_delete_batches=max_delete_batches,
+            )
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -186,6 +201,8 @@ def start_semantic_dedupe_stream(
     opq: bool = False,
     keep_versions: int = 1,
     compact_every: int = 0,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
     max_batch_rows: int = 100_000,
     available_now: bool = True,
     query_name: Optional[str] = None,
@@ -245,6 +262,7 @@ def start_semantic_dedupe_stream(
         from parq_tools_spark.operators.ann_index import (
             _ann_vs,
             ann_index_compact,
+            ann_index_maybe_compact,
             semantic_dedupe_bootstrap,
             semantic_dedupe_incremental,
         )
@@ -288,6 +306,17 @@ def start_semantic_dedupe_stream(
         _commit_marker(spark, index_path, checkpoint_dir, batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             ann_index_compact(spark, index_path)
+        elif max_segments or max_tombstone_frac:
+            # stats-driven: compacts exactly when the manifest's own
+            # fragmentation signals cross their bounds (see
+            # ann_index_maybe_compact); best-effort after the marker,
+            # the same rationale as compact_every here
+            ann_index_maybe_compact(
+                spark,
+                index_path,
+                max_segments=max_segments,
+                max_tombstone_frac=max_tombstone_frac,
+            )
 
     writer = vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
