@@ -66,6 +66,7 @@ __all__ = [
     "minhash_index_query",
     "minhash_index_compact",
     "minhash_index_maybe_compact",
+    "minhash_index_stats",
     "incremental_dedupe",
 ]
 
@@ -1158,6 +1159,26 @@ def _manifest_params(spark, path: str, m: dict) -> dict:
     return json.loads(
         StateFS(spark, path).read_text(f"{path}/{_PARAMS_FILE}")
     )
+
+
+def minhash_index_stats(
+    spark, path: str, version=None
+) -> dict:
+    """The resolved manifest's statistics — the staleness-contract
+    inspection point the other three families already expose
+    (``bm25_index_stats`` / ``ann_index_stats`` /
+    ``simhash_index_stats``); ``version=`` inspects a retained
+    historical version (the shared index time-travel contract). The
+    MinHash manifest carries no row counter (band rows are
+    per-document-per-band, not per-document), so the dict reports
+    structural signals only."""
+    _, cur, m = _index_manifest_full(spark, path, version)
+    return {
+        "version": cur,
+        "params": _manifest_params(spark, path, m),
+        "n_segments": len(m["segments"]),
+        "pending_delete_batches": len(m.get("deletes", [])),
+    }
 
 
 def minhash_index_is_committed(spark, path: str) -> bool:
