@@ -36,8 +36,6 @@ DEFAULT_ROUND_TO = 6
 __all__ = [
     "DEFAULT_ROUND_TO",
     "cosine_similarity_col",
-    "ivf_write",
-    "ivf_read",
     "ivf_rebalance_subcells",
     "normalize_embeddings",
     "brute_force_topk",
@@ -341,10 +339,10 @@ def ivf_rebalance_subcells(
 
     Search semantics are untouched: ``cell`` remains the centroid id,
     probes rank and filter exactly as before, so every oracle result
-    is bit-identical. Only the physical layout changes —
-    :func:`ivf_write` partitions by (cell, subcell) when the column is
-    present, so partition pruning on ``cell`` still skips unprobed
-    data while no single directory holds an unbounded cell.
+    is bit-identical. Only the physical layout changes — a
+    (cell, subcell)-partitioned write keeps partition pruning on
+    ``cell`` skipping unprobed data while no single directory holds
+    an unbounded cell.
     """
     if max_cell_rows <= 0:
         raise ValueError("max_cell_rows must be positive")
@@ -364,82 +362,11 @@ def ivf_rebalance_subcells(
     return assigned_corpus.withColumn(subcell_col, expr.cast("int"))
 
 
-def ivf_write(
-    assigned_corpus: DataFrame, path: str, centroids: list
-) -> None:
-    """Persist an IVF index: corpus parquet partitioned by ``cell`` +
-    centroids sidecar.
-
-    ``partitionBy("cell")`` is the scale payoff: a probe that filters
-    on ``cell IN (...)`` prunes to the probed directories at PLANNING
-    time (``PartitionFilters`` in the scan) — each query reads
-    ~nprobe/n_cells of a 100 TB corpus instead of scanning it. If the
-    frame carries a ``subcell`` column (see
-    :func:`ivf_rebalance_subcells`), the layout is additionally split
-    by it so no skewed cell produces an unbounded partition.
-
-    The centroids sidecar rides :class:`~parq_tools_spark.sources.
-    statefs.StateFS`, so the whole layout lands on whatever filesystem
-    ``path`` names (``file:``, ``hdfs:``, ``s3a:``) — never split
-    between cluster storage and the driver's local disk. NOTE: this is
-    the plain one-shot layout (``mode("overwrite")``, no manifest) —
-    a crash mid-write leaves a torn directory. For a crash-safe,
-    incrementally-maintained index use the versioned
-    ``ann_index_build`` family (``operators/ann_index.py``), which
-    puts centroids, codebooks and codes under the same
-    versioned-manifest commit protocol as the BM25/MinHash indexes.
-    """
-    import json
-    import warnings
-
-    from parq_tools_spark.sources.statefs import StateFS
-
-    warnings.warn(
-        "ivf_write writes a plain one-shot layout (overwrite, no "
-        "manifest): a crash mid-write leaves a torn directory and "
-        "there is no versioning, retention or incremental "
-        "maintenance. Use ann_index_build "
-        "(parq_tools_spark.operators.ann_index) — the crash-safe "
-        "versioned-manifest index with the same cell-pruned serving "
-        "shape.",
-        DeprecationWarning,
-        stacklevel=2,
-    )
-    part_cols = ["cell"]
-    if "subcell" in assigned_corpus.columns:
-        part_cols.append("subcell")
-    assigned_corpus.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
-    StateFS(assigned_corpus.sparkSession, path).write_text(
-        f"{path}/_centroids.json", json.dumps(centroids)
-    )
-
-
-def ivf_read(spark, path: str):
-    """Load an IVF index written by :func:`ivf_write` ->
-    (assigned_corpus_df, centroids). Sidecar read via StateFS (same
-    filesystem as the parquet, not the driver's local disk).
-
-    DEPRECATED with :func:`ivf_write` — see ``ann_index_build`` /
-    ``ann_index_topk`` for the versioned, crash-safe replacement."""
-    import json
-    import warnings
-
-    warnings.warn(
-        "ivf_read reads the deprecated one-shot IVF layout; see "
-        "ann_index_build/ann_index_topk for the versioned, "
-        "crash-safe replacement",
-        DeprecationWarning,
-        stacklevel=2,
-    )
-
-    from parq_tools_spark.sources.statefs import StateFS
-
-    centroids = json.loads(
-        StateFS(spark, path).read_text(f"{path}/_centroids.json")
-    )
-    return spark.read.parquet(path), centroids
-
-
+# ivf_write / ivf_read (the one-shot unversioned cell-partitioned
+# layout) were removed after a deprecation cycle: the versioned
+# ann_index_build / ann_index_topk family (operators/ann_index.py)
+# serves the same cell-pruned shape crash-safely, incrementally,
+# and with retention. See MIGRATION.md.
 def ivf_topk(
     assigned_corpus: DataFrame,
     centroids: list,
@@ -1467,8 +1394,9 @@ def ivf_pq_topk(
     passes; probes ride a BroadcastHashJoin on the cell key (the
     corpus never shuffles); ADC scoring is one more map-only pass;
     only (query, id, score) triples reach the group-limited top-k
-    window. With :func:`ivf_write`'s cell-partitioned layout the cell
-    filter becomes partition pruning at the source.
+    window. With the persisted index's cell-partitioned layout
+    (``ann_index_build``) the cell filter becomes partition pruning
+    at the source.
 
     ``rotation``: optional OPQ orthogonal matrix
     (:func:`opq_rotation`) applied to the PQ stage only — seeds,

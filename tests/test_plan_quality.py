@@ -76,19 +76,20 @@ def test_text_stats_is_map_only(spark, sf_dir):
     assert _count(plan, "BroadcastExchange") == 0
 
 
-def test_ivf_write_partition_pruning(spark, sf_dir, tmp_path):
-    """The IVF index is written partitionBy(cell); a probe filtering on
-    cells must prune partitions at PLANNING time (PartitionFilters in
-    the scan), reading ~nprobe/n_cells of the corpus."""
-    from parq_tools_spark.operators.similarity import ivf_build, ivf_read, ivf_write
+def test_ivf_cell_layout_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF layout property the persisted ann index builds on: a
+    cell-partitioned write makes a probe's cell filter prune
+    partitions at PLANNING time (PartitionFilters in the scan),
+    reading ~nprobe/n_cells of the corpus."""
+    from parq_tools_spark.operators.similarity import ivf_build
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     assigned, centroids = ivf_build(emb, n_cells=4)
     path = str(tmp_path / "ivf_index")
-    ivf_write(assigned, path, centroids)
+    assigned.write.partitionBy("cell").parquet(path)
 
-    corpus, cents = ivf_read(spark, path)
-    assert len(cents) == 4
+    corpus = spark.read.parquet(path)
+    assert len(centroids) == 4
     probed = corpus.filter("cell IN (0, 1)")
     plan = probed._sc._jvm.PythonSQLUtils.explainString(
         probed._jdf.queryExecution(), "formatted"

@@ -79,14 +79,18 @@ def test_embedding_near_duplicate_pairs_finds_planted_dup(spark, embeddings):
     assert (0, 9999) in got
 
 
-def test_ivf_write_read_partition_pruning(spark, embeddings, tmp_path):
-    from parq_tools_spark.operators.similarity import ivf_build, ivf_read, ivf_write
+def test_ivf_cell_layout_partition_pruning(spark, embeddings, tmp_path):
+    """The IVF scale property the persisted ann index builds on: a
+    cell-partitioned layout turns a probe's cell filter into
+    PLANNING-time partition pruning (the former one-shot ivf_write
+    layout — removed in favor of ann_index_build, see MIGRATION.md —
+    asserted here directly on a partitionBy write)."""
+    from parq_tools_spark.operators.similarity import ivf_build
 
     assigned, centroids = ivf_build(embeddings, n_cells=4)
     path = str(tmp_path / "ivf")
-    ivf_write(assigned, path, centroids)
-    corpus, cents = ivf_read(spark, path)
-    assert cents == centroids
+    assigned.write.partitionBy("cell").parquet(path)
+    corpus = spark.read.parquet(path)
     assert corpus.count() == embeddings.count()
     probed = corpus.filter("cell IN (0, 1)")
     plan = probed._jdf.queryExecution().executedPlan().toString()
@@ -130,25 +134,24 @@ def test_ivf_rebalance_bounds_skewed_cells(spark, embeddings):
     assert a == b
 
 
-def test_ivf_write_partitions_by_subcell(spark, embeddings, tmp_path):
+def test_rebalanced_layout_partitions_by_subcell(spark, embeddings, tmp_path):
     """A rebalanced frame writes (cell, subcell) directories; pruning
-    on cell alone still reaches the scan."""
+    on cell alone still reaches the scan — no skewed cell produces an
+    unbounded directory while probes keep planning-time pruning."""
     from parq_tools_spark.operators.similarity import (
         ivf_build,
-        ivf_read,
         ivf_rebalance_subcells,
-        ivf_write,
     )
 
     assigned, centroids = ivf_build(embeddings, n_cells=4)
     n = assigned.count()
     rebal = ivf_rebalance_subcells(assigned, max_cell_rows=max(1, n // 8))
     path = str(tmp_path / "ivf_rebal")
-    ivf_write(rebal, path, centroids)
+    rebal.write.partitionBy("cell", "subcell").parquet(path)
     import glob
 
     assert glob.glob(path + "/cell=*/subcell=*"), "no subcell directories"
-    corpus, cents = ivf_read(spark, path)
+    corpus = spark.read.parquet(path)
     assert corpus.count() == n
     plan = (
         corpus.filter("cell IN (0, 1)")
@@ -527,29 +530,6 @@ def test_opq_improves_recall_on_imbalanced_data(spark):
     # regression to contiguous fill shows up as rotated == plain-ish)
     assert rotated > plain
     assert rotated > 0.7
-
-
-def test_legacy_ivf_layout_is_deprecated(spark, embeddings, tmp_path):
-    """The one-shot unversioned layout warns loudly and names the
-    versioned replacement — no public API silently writes a torn-able
-    index."""
-    import warnings
-
-    from parq_tools_spark.operators.similarity import (
-        ivf_build,
-        ivf_read,
-        ivf_write,
-    )
-
-    assigned, centroids = ivf_build(embeddings, n_cells=2)
-    path = str(tmp_path / "legacy")
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        ivf_write(assigned, path, centroids)
-        ivf_read(spark, path)
-    deps = [x for x in w if issubclass(x.category, DeprecationWarning)]
-    assert len(deps) == 2
-    assert "ann_index_build" in str(deps[0].message)
 
 
 def test_pq_encode_with_cells_matches_separate_passes(spark, embeddings):
