@@ -421,6 +421,43 @@ def with_gopher_repetition_stats(
     pfx = "_gr"
     while any(c.startswith(pfx) for c in df.columns):
         pfx += "_"
+    # n-gram construction is PROGRESSIVE: gram_{n+1} extends the
+    # MATERIALIZED gram_n by one shifted token (one zip_with pass),
+    # instead of rebuilding each n from the token array (n-1 passes
+    # each — 45 interpreted passes and O(n^2)-per-gram string copying
+    # across n=2..10, vs 9 passes and O(n) here; HOFs are interpreted
+    # with no common-subexpression elimination, so the sharing must
+    # be explicit columns, the ``_rep_sorted`` discipline). Each
+    # stage is a separate projection: an unsorted gram feeds BOTH its
+    # sort and the next gram, so CollapseProject keeps the alias
+    # (multi-use, non-cheap) instead of inlining it twice.
+    tk = f"{pfx}tk"
+    out = df.withColumns({tk: toks, f"{pfx}cnt": F.size(toks)})
+    cnt_col = F.col(f"{pfx}cnt")
+    toks_col = F.col(tk)
+    empty = F.array().cast("array<string>")
+    out = out.withColumn(
+        f"{pfx}u_2",
+        F.when(cnt_col < 2, empty).otherwise(
+            F.zip_with(
+                F.slice(toks_col, 1, cnt_col - 1),
+                F.slice(toks_col, 2, cnt_col - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ),
+    )
+    for n in range(3, 11):
+        m = cnt_col - F.lit(n - 1)
+        out = out.withColumn(
+            f"{pfx}u_{n}",
+            F.when(cnt_col < n, empty).otherwise(
+                F.zip_with(
+                    F.slice(F.col(f"{pfx}u_{n - 1}"), 1, m),
+                    F.slice(toks_col, n, m),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ),
+        )
     arrays: "dict[str, Column]" = {
         f"{pfx}s_l": F.array_sort(
             F.filter(F.split(t, r"\n"), lambda x: x != "")
@@ -430,8 +467,10 @@ def with_gopher_repetition_stats(
         ),
     }
     for n in range(2, 11):
-        arrays[f"{pfx}s_{n}"] = F.array_sort(ngrams_from_tokens(toks, n))
-    out = df.withColumns(arrays)
+        arrays[f"{pfx}s_{n}"] = F.array_sort(F.col(f"{pfx}u_{n}"))
+    out = out.withColumns(arrays).drop(
+        tk, f"{pfx}cnt", *[f"{pfx}u_{n}" for n in range(2, 11)]
+    )
     # second stage: top-run folds AND total-char folds materialized,
     # so the WHEN branches below read attributes instead of
     # re-running an interpreted fold (HOFs get no codegen and no
@@ -443,20 +482,25 @@ def with_gopher_repetition_stats(
     }
     for key in (f"{pfx}s_l", f"{pfx}s_p", *[f"{pfx}s_{n}" for n in range(5, 11)]):
         folds[f"{pfx}c{key[ns:]}"] = _total_chars(F.col(key))
+    # lines/paras need BOTH the dup count and the dup chars: one
+    # materialized neighbor-duplicate array each, read twice, instead
+    # of running the _dup_neighbors filter fold twice per row
+    for suffix in ("l", "p"):
+        folds[f"{pfx}d_{suffix}"] = _dup_neighbors(
+            F.col(f"{pfx}s_{suffix}")
+        )
     out = out.withColumns(folds)
 
     cols: "dict[str, Column]" = {}
-    for name, key in (("line", f"{pfx}s_l"), ("para", f"{pfx}s_p")):
-        arr = F.col(key)
+    for name, suffix in (("line", "l"), ("para", "p")):
+        arr = F.col(f"{pfx}s_{suffix}")
+        dup = F.col(f"{pfx}d_{suffix}")
         n_el = F.greatest(F.size(arr), F.lit(1)).cast("double")
-        total = F.col(f"{pfx}c{key[ns:]}")
-        cols[f"dup_{name}_frac"] = (
-            dup_occurrence_count(arr).cast("double") / n_el
-        )
+        total = F.col(f"{pfx}c_{suffix}")
+        cols[f"dup_{name}_frac"] = F.size(dup).cast("double") / n_el
         cols[f"dup_{name}_char_frac"] = F.when(
             total > 0,
-            _dup_occurrence_chars(arr).cast("double")
-            / total.cast("double"),
+            _total_chars(dup).cast("double") / total.cast("double"),
         ).otherwise(F.lit(0.0))
     for n in (2, 3, 4):
         top = F.col(f"{pfx}t_{n}")
