@@ -3574,57 +3574,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
     with the least accumulated driver evidence first: the entries NEW
-    in round 10 (index-served wsum + batched hybrid, ANN exact
-    re-rank, the composite Gopher filter, the persisted SimHash
-    index), then every entry whose code changed this round (the
-    shared fusion rewrite under all hybrid entries; the ANN family
-    over the fused encode+assign build and the exclude_self/refine
-    serving changes; the BM25 delete path; the pq_build/pq_codebooks
-    refactor under the ANN scan entries; the shared dup-neighbor
-    predicate under the repetition entries), then the entries whose
-    last green driver row is r8 (multimodal/codecs, the bm25 scan
-    family, the remaining TPC-H adaptations). Everything past
-    position 50 was driver-checked green in r9 on code unchanged
-    since.
+    in round 13 (the semantic-admission stream replay, the ANN
+    retrain gate), then every entry whose code changed this round
+    (the semantic pair over the extracted bootstrap; the ANN index
+    family over the retrain/auto-compact/stats changes; hybrid
+    serving over the same index reads; the repetition family over the
+    progressive n-gram rewrite; the BM25 build/stream pair over the
+    sink's stats-driven compaction and the n_segments stats field;
+    the MinHash/SimHash index gates over their new stats/
+    maybe_compact surface; the per-call IVF scans over the
+    similarity-module ivf_write removal), then the entries whose
+    last DIRECT driver row is r9-era (filter/concat/sort/reindex/
+    dedupe/profile/rename/calc/blockmodel, the pair scans, sampling,
+    text stats). Everything past position 50 was driver-checked green
+    in r10-r12 on code unchanged since.
     """
     return {
         # --- positions 1-50 = the driver check window for r13:
         # new in r13 ...
         "semantic_stream_dedup": q_semantic_stream_dedup,
         "ann_retrain_equiv": q_ann_retrain_equiv,
-        # new in r10 ...
-        "hybrid_index_wsum": q_hybrid_index_wsum,
-        "hybrid_index_batch": q_hybrid_index_batch,
-        "hybrid_refined_lossy": q_hybrid_refined_lossy,
-        "ann_refine_topk": q_ann_refine_topk,
-        "gopher_full_filter": q_gopher_full_filter,
-        "simhash_index_query": q_simhash_index_query,
-        # ... r10-changed code: hybrid fusion rewrite,
-        # ANN index (fused build, exclude_self, refine),
-        # BM25 delete path, pq_build refactor, shared
-        # dup-neighbor predicate ...
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_wsum_topk": q_hybrid_wsum_topk,
-        "hybrid_batch_rrf": q_hybrid_batch_rrf,
-        "hybrid_from_index": q_hybrid_from_index,
-        "ann_from_index": q_ann_from_index,
+        # ... r13-changed code ...
+        "semantic_dedupe": q_semantic_dedupe,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
+        "ann_from_index": q_ann_from_index,
+        "ann_refine_topk": q_ann_refine_topk,
+        "hybrid_from_index": q_hybrid_from_index,
+        "hybrid_index_wsum": q_hybrid_index_wsum,
+        "gopher_full_filter": q_gopher_full_filter,
+        "word_repetition": q_word_repetition,
+        "repetition_lines": q_repetition_lines,
+        "repetition_ngram": q_repetition_ngram,
+        "gopher_filter": q_gopher_filter,
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_index_stream": q_bm25_index_stream,
+        "minhash_index_cdc": q_minhash_index_cdc,
+        "simhash_index_query": q_simhash_index_query,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
+        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
+        # ... oldest direct driver evidence (r9-era) ...
+        "filter_dsl": q_filter_dsl,
+        "filter_in_list": q_filter_in_list,
+        "concat_tall": q_concat_tall,
+        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
+        "concat_wide": q_concat_wide,
+        "concat_with_dataframe": q_concat_with_dataframe,
+        "sort_multi": q_sort_multi,
+        "reindex": q_reindex,
+        "dedupe_keep_first": q_dedupe_keep_first,
+        "dedupe_exact": q_dedupe_exact,
+        "profile": q_profile,
+        "rename": q_rename,
+        "calculated_column": q_calculated_column,
+        "blockmodel": q_blockmodel,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "near_dedupe_cc": q_near_dedupe_cc,
+        "dedupe_pairwise": q_dedupe_pairwise,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "deterministic_sample": q_deterministic_sample,
+        "hash_split": q_hash_split,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_count_bpe": q_token_count_bpe,
+        # --- past the window: driver-checked green in
+        # r10-r12 on code unchanged since
+        "hybrid_index_batch": q_hybrid_index_batch,
+        "hybrid_refined_lossy": q_hybrid_refined_lossy,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_wsum_topk": q_hybrid_wsum_topk,
+        "hybrid_batch_rrf": q_hybrid_batch_rrf,
         "bm25_index_delete": q_bm25_index_delete,
         "bm25_index_upsert": q_bm25_index_upsert,
         "bm25_index_time_travel": q_bm25_index_time_travel,
-        "bm25_index_stream": q_bm25_index_stream,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
         "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
-        "word_repetition": q_word_repetition,
-        "repetition_lines": q_repetition_lines,
-        # ... oldest driver evidence (last green r8 on
-        # unchanged code) ...
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -3650,17 +3685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "rollup_revenue": q_rollup_revenue,
         "part_stats": q_part_stats,
-        # --- past the window: everything below was
-        # driver-checked green in r9 on code unchanged
-        # since (r9-new entries and the r9 rotation set)
-        "minhash_index_cdc": q_minhash_index_cdc,
-        "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
         "minhash_index_delete": q_minhash_index_delete,
         "bm25_index_phrase": q_bm25_index_phrase,
         "bm25_from_index": q_bm25_from_index,
         "bm25_from_index_batch": q_bm25_from_index_batch,
-        "bm25_index_build": q_bm25_index_build,
         "bm25_batch": q_bm25_batch,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -3668,20 +3697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
-        "filter_dsl": q_filter_dsl,
-        "filter_in_list": q_filter_in_list,
-        "concat_tall": q_concat_tall,
-        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
-        "concat_wide": q_concat_wide,
-        "concat_with_dataframe": q_concat_with_dataframe,
-        "sort_multi": q_sort_multi,
-        "reindex": q_reindex,
-        "dedupe_keep_first": q_dedupe_keep_first,
-        "dedupe_exact": q_dedupe_exact,
-        "profile": q_profile,
-        "rename": q_rename,
-        "calculated_column": q_calculated_column,
-        "blockmodel": q_blockmodel,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "window_analytics": q_window_analytics,
@@ -3693,34 +3708,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
         "memory_report": q_memory_report,
-        "weighted_sample": q_weighted_sample,
         "paragraph_dedupe": q_paragraph_dedupe,
         "merge_upsert": q_merge_upsert,
-        "semantic_dedupe": q_semantic_dedupe,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "near_dedupe_cc": q_near_dedupe_cc,
-        "dedupe_pairwise": q_dedupe_pairwise,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
         "minhash_precision_check": q_minhash_precision_check,
         "simhash_precision_check": q_simhash_precision_check,
         "ann_lsh_recall_check": q_ann_lsh_recall_check,
-        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
         "group_overlap": q_group_overlap,
-        "deterministic_sample": q_deterministic_sample,
         "clean_text": q_clean_text,
         "pii_redact": q_pii_redact,
         "zorder_cells": q_zorder_cells,
         "pack_shards": q_pack_shards,
-        "repetition_ngram": q_repetition_ngram,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -3734,12 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
         "ngram_freq": q_ngram_freq,
-        "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "token_count_by_lang": q_token_count_by_lang,
-        "token_count_bpe": q_token_count_bpe,
         "dedupe_text_exact": q_dedupe_text_exact,
         "ngram_jaccard": q_ngram_jaccard,
     }
