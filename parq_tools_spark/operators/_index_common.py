@@ -297,9 +297,13 @@ def maybe_compact(
     if not trigger and max_tombstone_frac and rows_key and dels:
         total = m.get(rows_key)
         if total:
-            n_dead = 0
-            for e in dels:
-                n_dead += spark.read.parquet(f"{path}/{e['dir']}").count()
+            # delete_batches applies the fs-existence guard every
+            # other consumer of these entries gets (a legacy entry
+            # whose del- dir is gone must be skipped, not a crash
+            # inside a streaming sink's foreachBatch)
+            n_dead = sum(
+                df.count() for _, df in delete_batches(spark, path, m)
+            )
             trigger = n_dead > max_tombstone_frac * total
     if trigger:
         compact()

@@ -725,12 +725,17 @@ def ann_index_compact(
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files_per_cell: int = 8,
+    force: bool = False,
 ) -> dict:
     """Rewrite the manifest's segments into one (per-cell read +
     coalesce, no shuffle — the cell is the directory) when any cell's
     file count exceeds both ``min_files_per_cell`` and its
     byte-target, then commit. Crash-safe with no repair path: readers
-    only ever see committed manifests. Returns ``{cell:
+    only ever see committed manifests. ``force=True`` rewrites
+    regardless of the file-count triggers (the stats-driven
+    ``maybe_compact`` path: a breached SEGMENT bound must fold even
+    when every per-cell file already sits at its byte target — output
+    files still coalesce to the byte targets). Returns ``{cell:
     (files_before, files_after)}`` for cells whose count dropped."""
     import json
     import math
@@ -762,7 +767,7 @@ def ann_index_compact(
     # the serving-time anti-join side
     id_col = m["params"]["id_col"]
     batches = _ann_delete_batches(spark, path, m, id_col)
-    if not batches and not any(
+    if not force and not batches and not any(
         cnt > min_files_per_cell and cnt > targets[c]
         for c, (cnt, tot) in per_cell.items()
     ):
@@ -837,7 +842,7 @@ def ann_index_maybe_compact(
     otherwise O(manifest) and do nothing. The streaming sinks consult
     this each batch when armed, replacing blind every-N-batches
     compaction with compact-exactly-when-fragmented. When triggered,
-    compaction runs with ``min_files_per_cell=1`` so the breach
+    compaction runs with ``force=True`` so the breach
     actually folds the segment list instead of re-triggering every
     batch. Returns True iff a compaction ran."""
     from parq_tools_spark.operators._index_common import maybe_compact
@@ -846,7 +851,7 @@ def ann_index_maybe_compact(
         spark,
         path,
         _ANN_MARKER,
-        lambda: ann_index_compact(spark, path, min_files_per_cell=1),
+        lambda: ann_index_compact(spark, path, force=True),
         max_segments=max_segments,
         max_tombstone_frac=max_tombstone_frac,
         rows_key="n_vecs",
@@ -1310,8 +1315,11 @@ def semantic_dedupe_bootstrap(
     # cell-assignment pass + eager checkpoint below
     _check_batch_size(batch, max_batch_rows, "semantic_dedupe_bootstrap")
     seed = batch.select(id_col, vec_col)
-    n_rows = seed.count()
-    n_ids = seed.select(id_col).distinct().count()
+    # one aggregate job for both counts (foreachBatch frames re-read
+    # the source per action, so separate count()s would double-scan)
+    n_rows, n_ids = seed.agg(
+        F.count(F.lit(1)), F.count_distinct(F.col(id_col))
+    ).first()
     if n_ids < n_rows:
         raise ValueError(
             f"semantic_dedupe_bootstrap: batch carries "

@@ -1310,7 +1310,7 @@ def minhash_index_maybe_compact(
     pending batch costs one anti-join per query; the MinHash manifest
     carries no row counter, so the batch bound stands in for a
     tombstone fraction) — otherwise O(manifest) and do nothing. When
-    triggered, compaction runs with ``min_files_per_band=1`` so the
+    triggered, compaction runs with ``force=True`` so the
     breach actually folds the segment list instead of re-triggering
     every batch. Returns True iff a compaction ran."""
     from parq_tools_spark.operators._index_common import maybe_compact
@@ -1319,7 +1319,7 @@ def minhash_index_maybe_compact(
         spark,
         path,
         _INDEX_MARKER,
-        lambda: minhash_index_compact(spark, path, min_files_per_band=1),
+        lambda: minhash_index_compact(spark, path, force=True),
         max_segments=max_segments,
         max_delete_batches=max_delete_batches,
     )
@@ -1330,6 +1330,7 @@ def minhash_index_compact(
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files_per_band: int = 8,
+    force: bool = False,
 ) -> dict:
     """Compact an index after repeated :func:`minhash_index_add`
     appends.
@@ -1412,7 +1413,7 @@ def minhash_index_compact(
     )
 
     batches = delete_batches(spark, path, m)
-    if not batches and not any(
+    if not force and not batches and not any(
         cnt > min_files_per_band and cnt > targets[b]
         for b, (cnt, tot) in per_band.items()
     ):

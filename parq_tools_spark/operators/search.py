@@ -1140,6 +1140,7 @@ def bm25_index_compact(
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files_per_bucket: int = 8,
+    force: bool = False,
 ) -> dict:
     """Rewrite the manifest's postings segments into one (per-bucket
     read + coalesce, no shuffle — the bucket is the directory) when
@@ -1177,7 +1178,7 @@ def bm25_index_compact(
     # folding them into the postings (and clearing the list) is the
     # point of the delete protocol's compaction step
     batches = _delete_batches(spark, path, m)
-    if not batches and not any(
+    if not force and not batches and not any(
         cnt > min_files_per_bucket and cnt > targets[b]
         for b, (cnt, tot) in per_bucket.items()
     ):
@@ -1257,7 +1258,7 @@ def bm25_index_maybe_compact(
     manifest references more than ``max_segments`` segments or
     pending tombstoned ids exceed ``max_tombstone_frac`` of
     ``n_docs`` — otherwise O(manifest) and do nothing. When
-    triggered, compaction runs with ``min_files_per_bucket=1`` so the
+    triggered, compaction runs with ``force=True`` so the
     breach actually folds the segment list instead of re-triggering
     every batch. Returns True iff a compaction ran."""
     from parq_tools_spark.operators._index_common import maybe_compact
@@ -1266,7 +1267,7 @@ def bm25_index_maybe_compact(
         spark,
         path,
         _BM25_MARKER,
-        lambda: bm25_index_compact(spark, path, min_files_per_bucket=1),
+        lambda: bm25_index_compact(spark, path, force=True),
         max_segments=max_segments,
         max_tombstone_frac=max_tombstone_frac,
         rows_key="n_docs",

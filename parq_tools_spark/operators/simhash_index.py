@@ -446,6 +446,7 @@ def simhash_index_compact(
     path: str,
     target_file_bytes: int = 128 << 20,
     min_files_per_band: int = 8,
+    force: bool = False,
 ) -> dict:
     """Rewrite the manifest's segments into one (per-band read +
     coalesce — the band is the directory, so no shuffle) when any
@@ -482,7 +483,7 @@ def simhash_index_compact(
     }
     id_col = m["params"]["id_col"]
     batches = _delete_batches(spark, path, m)
-    if not batches and not any(
+    if not force and not batches and not any(
         cnt > min_files_per_band and cnt > targets[b]
         for b, (cnt, tot) in per_band.items()
     ):
@@ -546,7 +547,7 @@ def simhash_index_maybe_compact(
     SimHash manifest carries no row counter, so the batch bound
     stands in for a tombstone fraction) — otherwise O(manifest) and
     do nothing. When triggered, compaction runs with
-    ``min_files_per_band=1`` so the breach actually folds the
+    ``force=True`` so the breach actually folds the
     segment list instead of re-triggering every batch. Returns True
     iff a compaction ran."""
     from parq_tools_spark.operators._index_common import maybe_compact
@@ -555,7 +556,7 @@ def simhash_index_maybe_compact(
         spark,
         path,
         _SH_MARKER,
-        lambda: simhash_index_compact(spark, path, min_files_per_band=1),
+        lambda: simhash_index_compact(spark, path, force=True),
         max_segments=max_segments,
         max_delete_batches=max_delete_batches,
     )

@@ -172,12 +172,10 @@ def start_bm25_index_stream(
 
     def _maybe(spark):
         from parq_tools_spark.operators.search import (
-            _bm25_vs,
             bm25_index_maybe_compact,
         )
 
-        if _bm25_vs(spark, index_path).current() is None:
-            return
+        # maybe_compact itself no-ops on an uncommitted index
         bm25_index_maybe_compact(
             spark,
             index_path,

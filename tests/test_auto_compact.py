@@ -272,3 +272,34 @@ def test_bm25_sink_bounds_segments_with_stats_trigger(
         ).select("doc_id", "score").collect()
     ]
     assert got == want
+
+
+def test_segment_bound_folds_even_when_file_counts_pass(
+    spark, emb, tmp_path
+):
+    """The review-found trap: a breached SEGMENT bound must fold even
+    when no per-cell file count exceeds min_files_per_cell (the
+    production shape — few, large, byte-target-sized files per
+    segment). Unforced compact declines exactly this layout; the
+    wrapper's force=True must commit a fold anyway, or maybe_compact
+    would claim True forever while segments creep unbounded."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_compact,
+        ann_index_maybe_compact,
+        ann_index_stats,
+    )
+
+    path = str(tmp_path / "ann")
+    ann_index_build(_third(emb, "vec_id", 0), path, n_cells=4, m=8,
+                    n_codes=16)
+    for i in (1, 2):
+        ann_index_add(_third(emb, "vec_id", i), path)
+    # per-cell file counts (~3) sit BELOW min_files_per_cell=8: the
+    # count-triggered compact declines and commits nothing
+    assert ann_index_compact(spark, path) == {}
+    assert ann_index_stats(spark, path)["n_segments"] == 3
+    # the stats-driven wrapper must fold regardless
+    assert ann_index_maybe_compact(spark, path, max_segments=2) is True
+    assert ann_index_stats(spark, path)["n_segments"] == 1
