@@ -67,11 +67,25 @@ from parq_tools_spark.operators.search import (  # noqa: F401
     bm25_index_add,
     bm25_index_build,
     bm25_index_compact,
+    bm25_index_maybe_compact,
     bm25_index_stats,
     bm25_index_topk,
     bm25_index_topk_batch,
     bm25_topk,
     bm25_topk_batch,
+)
+from parq_tools_spark.operators.ann_index import (  # noqa: F401
+    ann_index_build,
+    ann_index_maybe_compact,
+    ann_index_retrain,
+    ann_index_stats,
+    ann_index_topk,
+    semantic_dedupe_bootstrap,
+    semantic_dedupe_incremental,
+)
+from parq_tools_spark.operators.index_facade import (  # noqa: F401
+    IndexHandle,
+    open_index,
 )
 from parq_tools_spark.operators.merge import (  # noqa: F401
     apply_cdc,
@@ -191,6 +205,16 @@ __all__ = [
     "pq_topk",
     "ivf_pq_topk",
     "semantic_dedupe",
+    "semantic_dedupe_bootstrap",
+    "semantic_dedupe_incremental",
+    "ann_index_build",
+    "ann_index_topk",
+    "ann_index_retrain",
+    "ann_index_stats",
+    "ann_index_maybe_compact",
+    "bm25_index_maybe_compact",
+    "open_index",
+    "IndexHandle",
     "minhash_pairs_between",
     "minhash_index_write",
     "minhash_index_add",
