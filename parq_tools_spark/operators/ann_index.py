@@ -177,10 +177,27 @@ def _read_model(fs, path: str, m: dict):
     )
 
 
-def _write_codes_segment(coded: DataFrame, seg_path: str, id_col: str) -> None:
+def _write_codes_segment(
+    coded: DataFrame, seg_path: str, id_col: str, cell_task_splits: int = 1
+) -> None:
+    """One segment write, shuffled only by the cell key.
+    ``cell_task_splits > 1`` additionally salts the shuffle with a
+    deterministic id-hash so a HOT cell splits across that many write
+    tasks — ``repartition("cell")`` alone never splits a cell, so at
+    corpus scale one skewed cell (half the vectors in one region)
+    becomes one task writing its entire share. The salt changes only
+    task/file layout: the directory stays ``cell=``, files stay
+    id-sorted WITHIN themselves, and serving reads whole cell
+    directories, so results are bit-identical (pinned by test)."""
+    if cell_task_splits > 1:
+        df = coded.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(cell_task_splits)),
+        )
+    else:
+        df = coded.repartition("cell")
     (
-        coded.repartition("cell")
-        .sortWithinPartitions(id_col)
+        df.sortWithinPartitions(id_col)
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(seg_path)
@@ -201,6 +218,7 @@ def ann_index_build(
     keep_versions: int = 1,
     store_vectors: bool = False,
     train_corpus: Optional[DataFrame] = None,
+    cell_task_splits: int = 1,
 ) -> None:
     """Build a persistent IVF-PQ index over an embedding column.
 
@@ -251,11 +269,23 @@ def ann_index_build(
     start_semantic_dedupe_stream` bootstraps replay-safely: the model
     freezes on the full first batch but only the batch's admitted
     survivors are committed, so no post-build tombstone (and no crash
-    window between two commits) is ever needed."""
+    window between two commits) is ever needed.
+
+    ``cell_task_splits`` bounds write-task skew: the segment shuffle
+    keys on the cell alone, so ONE hot cell is ONE task — at corpus
+    scale a skewed region (half the vectors near one centroid) makes
+    that task write its entire share. A value > 1 salts the shuffle
+    with a deterministic id-hash so each cell splits across that many
+    tasks (more, smaller files per ``cell=`` directory — compaction's
+    byte-targets merge them later); serving and results are
+    bit-identical. Stored in the manifest so :func:`ann_index_add`
+    ingests with the same discipline."""
     import json
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if cell_task_splits < 1:
+        raise ValueError("cell_task_splits must be >= 1")
 
     from parq_tools_spark.operators.similarity import (
         _hashseed_rows,
@@ -300,7 +330,9 @@ def ann_index_build(
     n_vecs = corpus.count()
 
     seg = _tag(new, "seg")
-    _write_codes_segment(coded, f"{path}/{seg}", id_col)
+    _write_codes_segment(
+        coded, f"{path}/{seg}", id_col, cell_task_splits
+    )
     model = _tag(new, "model") + ".json"
     _write_model(vs.fs, path, model, centroids, codebooks, rot)
     vs.commit(
@@ -318,6 +350,7 @@ def ann_index_build(
                     "opq": opq,
                     "keep_versions": keep_versions,
                     "store_vectors": store_vectors,
+                    "cell_task_splits": cell_task_splits,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_vecs": n_vecs,
@@ -365,7 +398,10 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     n_new = new_vecs.count()
 
     seg = _tag(cur + 1, "seg")
-    _write_codes_segment(coded, f"{path}/{seg}", p["id_col"])
+    _write_codes_segment(
+        coded, f"{path}/{seg}", p["id_col"],
+        p.get("cell_task_splits", 1),
+    )
     vs.commit(
         cur + 1,
         json.dumps(
@@ -392,6 +428,7 @@ def ann_index_retrain(
     opq_sample: int = 256,
     keep_versions: Optional[int] = None,
     store_vectors: bool = True,
+    cell_task_splits: Optional[int] = None,
 ) -> None:
     """Refit the quantization model from the index's own STORED
     vectors and re-encode everything under it — the drift answer for
@@ -473,6 +510,11 @@ def ann_index_retrain(
             p["keep_versions"] if keep_versions is None else keep_versions
         ),
         store_vectors=store_vectors,
+        cell_task_splits=(
+            p.get("cell_task_splits", 1)
+            if cell_task_splits is None
+            else cell_task_splits
+        ),
     )
 
 

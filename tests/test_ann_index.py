@@ -604,3 +604,73 @@ def test_retrain_guards(spark, emb, tmp_path):
     assert st["params"]["n_cells"] == 4
     # identity codebook: realized width == corpus size, not 16
     assert st["params"]["n_codes"] == emb.count()
+
+
+def test_cell_task_splits_bit_identical_and_multifile(
+    spark, emb, tmp_path
+):
+    """cell_task_splits salts only the WRITE shuffle: a hot cell
+    splits across tasks (multiple files in its cell= directory) but
+    serving reads whole cell directories, so topk is bit-identical
+    to the unsalted build; add inherits the stored setting."""
+    import glob
+
+    from parq_tools_spark.operators.ann_index import ann_index_stats
+
+    k = F.col("vec_id")
+    plain = str(tmp_path / "plain")
+    salted = str(tmp_path / "salted")
+    ann_index_build(emb.select("vec_id", "embedding"), plain,
+                    n_cells=2, m=8, n_codes=16)
+    # at test scale AQE would coalesce the tiny salted shuffle back
+    # into one partition per cell (at real scale it only merges SMALL
+    # partitions — exactly the desired interplay); pin it off to
+    # observe the split in the file layout
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        ann_index_build(emb.select("vec_id", "embedding"), salted,
+                        n_cells=2, m=8, n_codes=16, cell_task_splits=4)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    st = ann_index_stats(spark, salted)
+    assert st["params"]["cell_task_splits"] == 4
+    cells = glob.glob(salted + "/seg-*/cell=*")
+    assert cells
+    # the salt actually split the write: some cell dir has >1 file
+    assert any(
+        len(glob.glob(c + "/*.parquet")) > 1 for c in cells
+    ), "no cell directory carries multiple files"
+    qs = emb.filter(k < 5).select("vec_id", "embedding")
+    a = _rows(
+        ann_index_topk(spark, plain, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    b = _rows(
+        ann_index_topk(spark, salted, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    assert a == b
+    # add inherits the stored splits and stays equivalent
+    ann_index_add(
+        emb.select((k + 10_000).alias("vec_id"), "embedding"), salted
+    )
+    ann_index_add(
+        emb.select((k + 10_000).alias("vec_id"), "embedding"), plain
+    )
+    a2 = _rows(
+        ann_index_topk(spark, plain, qs, k=8, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    b2 = _rows(
+        ann_index_topk(spark, salted, qs, k=8, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    assert a2 == b2
+
+    with pytest.raises(ValueError, match="cell_task_splits"):
+        ann_index_build(
+            emb.select("vec_id", "embedding"), str(tmp_path / "bad"),
+            cell_task_splits=0,
+        )
