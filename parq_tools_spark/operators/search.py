@@ -513,12 +513,28 @@ def _postings(
 
 
 def _write_postings_segment(
-    postings: DataFrame, seg_path: str, n_buckets: int
+    postings: DataFrame, seg_path: str, n_buckets: int,
+    bucket_task_splits: int = 1,
 ) -> None:
+    """One postings-segment write, shuffled by the term bucket.
+    ``bucket_task_splits > 1`` additionally salts the shuffle with a
+    deterministic doc-id hash so a HOT bucket (the one holding a
+    stop-word-frequency term) splits across that many write tasks —
+    ``repartition("tbucket")`` alone never splits a bucket. The salt
+    changes only task/file layout: the directory stays ``tbucket=``,
+    every file stays (term, doc_id)-sorted within itself (row-group
+    pruning on term intact), and serving reads whole bucket
+    directories, so results are bit-identical (pinned by test)."""
+    bucketed = postings.withColumn("tbucket", _tbucket_col(n_buckets))
+    if bucket_task_splits > 1:
+        df = bucketed.repartition(
+            F.col("tbucket"),
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(bucket_task_splits)),
+        )
+    else:
+        df = bucketed.repartition("tbucket")
     (
-        postings.withColumn("tbucket", _tbucket_col(n_buckets))
-        .repartition("tbucket")
-        .sortWithinPartitions("term", "doc_id")
+        df.sortWithinPartitions("term", "doc_id")
         .write.mode("errorifexists")
         .partitionBy("tbucket")
         .parquet(seg_path)
@@ -597,6 +613,7 @@ def bm25_index_build(
     n_buckets: int = 32,
     store_positions: bool = False,
     keep_versions: int = 1,
+    bucket_task_splits: int = 1,
 ) -> None:
     """Build a persistent BM25 index over ``corpus`` at ``path``.
 
@@ -610,6 +627,13 @@ def bm25_index_build(
     ``version=`` parameter on the query paths reads the index exactly
     as it was at that commit (its statistics, segments AND tombstone
     scope), the same time-travel contract as the rollup state.
+
+    ``bucket_task_splits`` bounds write-task skew exactly like the
+    ANN index's ``cell_task_splits``: the postings shuffle keys on
+    the term bucket alone, so one hot bucket is one task; a value >
+    1 salts it with a doc-id hash (layout-only change, results
+    bit-identical, stored in the manifest so ``add``/``upsert``/CDC
+    ingests inherit it).
 
     Rebuilding over an existing index is NON-DESTRUCTIVE: the new
     generation's segment and vocabulary snapshot are built alongside
@@ -637,10 +661,14 @@ def bm25_index_build(
         _bm25_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
+    if bucket_task_splits < 1:
+        raise ValueError("bucket_task_splits must be >= 1")
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
     post = _postings(corpus, id_col, text_col, store_positions)
     seg = _tag(new, "seg")
-    _write_postings_segment(post, f"{path}/{seg}", n_buckets)
+    _write_postings_segment(
+        post, f"{path}/{seg}", n_buckets, bucket_task_splits
+    )
     _write_segment_docs(corpus, id_col, text_col, f"{path}/{seg}")
     terms_dir = _tag(new, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
@@ -657,6 +685,7 @@ def bm25_index_build(
                     "n_buckets": n_buckets,
                     "store_positions": store_positions,
                     "keep_versions": keep_versions,
+                    "bucket_task_splits": bucket_task_splits,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_docs": n_docs,
@@ -695,7 +724,10 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
         p.get("store_positions", False),
     )
     seg = _tag(cur + 1, "seg")
-    _write_postings_segment(post, f"{path}/{seg}", p["n_buckets"])
+    _write_postings_segment(
+        post, f"{path}/{seg}", p["n_buckets"],
+        p.get("bucket_task_splits", 1),
+    )
     _write_segment_docs(new_docs, p["id_col"], p["text_col"], f"{path}/{seg}")
     batch_terms = _segment_terms(spark, path, seg)
     terms_dir = _tag(cur + 1, "terms")

@@ -948,3 +948,67 @@ def test_allow_missing_still_honored_on_legacy_segment(spark, tmp_path):
     out = bm25_index_delete(spark, path, [2], allow_missing=True)
     assert out["deleted"] == 1
     assert bm25_index_stats(spark, path)["n_docs"] == 1
+
+
+def test_bucket_task_splits_bit_identical_and_multifile(
+    spark, sf_dir, tmp_path
+):
+    """bucket_task_splits salts only the postings-segment WRITE
+    shuffle: a hot bucket splits across tasks (multiple files in its
+    tbucket= directory) while serving reads whole bucket directories
+    — scores bit-identical to the unsalted build; add inherits the
+    stored setting."""
+    import glob
+
+    import pytest
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    import os
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    k = F.col("doc_id")
+    plain = str(tmp_path / "plain")
+    salted = str(tmp_path / "salted")
+    bm25_index_build(docs, plain, n_buckets=2)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        bm25_index_build(docs, salted, n_buckets=2,
+                         bucket_task_splits=4)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert bm25_index_stats(spark, salted)["params"][
+        "bucket_task_splits"] == 4
+    buckets = glob.glob(salted + "/seg-*/tbucket=*")
+    assert buckets
+    assert any(
+        len(glob.glob(b + "/*.parquet")) > 1 for b in buckets
+    ), "no bucket directory carries multiple files"
+
+    def top(path):
+        return [
+            (r.doc_id, r.score)
+            for r in bm25_index_topk(
+                spark, path, "customer value table", k=10
+            ).select("doc_id", "score").collect()
+        ]
+
+    assert top(plain) == top(salted)
+    extra = docs.select((k + 10_000).alias("doc_id"), "text")
+    bm25_index_add(extra, plain)
+    bm25_index_add(extra, salted)
+    assert top(plain) == top(salted)
+    with pytest.raises(ValueError, match="bucket_task_splits"):
+        bm25_index_build(docs, str(tmp_path / "bad"),
+                         bucket_task_splits=0)
