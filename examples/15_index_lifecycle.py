@@ -81,9 +81,11 @@ print(f"recall@10 on the drifted half: {drifted:.3f} -> {recall():.3f}"
 # serving-shaped, so the corpus is never re-read
 batch = emb.filter(F.col("vec_id") % 11 == 0).select(
     (F.col("vec_id") + 100_000).alias("vec_id"),
-    # half the batch = exact copies of corpus vectors (near-dups, get
-    # dropped); half = negated vectors (cosine -1 to everything, get
-    # admitted)
+    # half the batch = exact copies of corpus vectors (near-dups of
+    # the corpus, dropped); half = negated vectors — far from every
+    # corpus vector they resemble, but negations of mutually-similar
+    # vectors are themselves mutually similar, so the in-batch
+    # lower-id rule keeps ONE representative per near-dup group
     F.when(
         F.col("vec_id") % 2 == 0, F.col("embedding")
     ).otherwise(
@@ -94,7 +96,8 @@ admitted = semantic_dedupe_incremental(
     spark, idx, batch, threshold=0.35, update_index=True
 )
 print("semantic admission:", admitted.count(), "of", batch.count(),
-      "new vectors admitted (rest are near-dups of the corpus)")
+      "new vectors admitted (rest are near-dups of the corpus or of "
+      "a lower-id in-batch sibling)")
 
 # --- stats-driven maintenance: compact ONLY when the manifest's own
 # fragmentation signals cross a bound — O(manifest) otherwise

@@ -23,6 +23,7 @@ __all__ = [
     "retention",
     "resolve_cdc",
     "maybe_compact",
+    "write_salted_segment",
 ]
 
 
@@ -308,3 +309,39 @@ def maybe_compact(
     if trigger:
         compact()
     return trigger
+
+
+def write_salted_segment(
+    df,
+    seg_path: str,
+    part_col: str,
+    sort_cols: list,
+    salt_col: str,
+    task_splits: int = 1,
+) -> None:
+    """ONE definition of the skew-bounded segment write shared by the
+    directory-partitioned index families (ANN ``cell=``, BM25
+    ``tbucket=``): shuffle by the partition key, optionally salted
+    with a deterministic ``xxhash64(salt_col) % task_splits`` so a
+    HOT key splits across that many write tasks (``repartition(key)``
+    alone never splits a key — at corpus scale one skewed key becomes
+    one task writing its entire share). The salt changes only
+    task/file layout: the directory stays ``<part_col>=``, every file
+    stays ``sort_cols``-sorted within itself, and serving reads whole
+    key directories, so results are bit-identical (pinned by each
+    family's test)."""
+    from pyspark.sql import functions as F
+
+    if task_splits > 1:
+        out = df.repartition(
+            F.col(part_col),
+            F.pmod(F.xxhash64(F.col(salt_col)), F.lit(task_splits)),
+        )
+    else:
+        out = df.repartition(part_col)
+    (
+        out.sortWithinPartitions(*sort_cols)
+        .write.mode("errorifexists")
+        .partitionBy(part_col)
+        .parquet(seg_path)
+    )

@@ -180,27 +180,16 @@ def _read_model(fs, path: str, m: dict):
 def _write_codes_segment(
     coded: DataFrame, seg_path: str, id_col: str, cell_task_splits: int = 1
 ) -> None:
-    """One segment write, shuffled only by the cell key.
-    ``cell_task_splits > 1`` additionally salts the shuffle with a
-    deterministic id-hash so a HOT cell splits across that many write
-    tasks — ``repartition("cell")`` alone never splits a cell, so at
-    corpus scale one skewed cell (half the vectors in one region)
-    becomes one task writing its entire share. The salt changes only
-    task/file layout: the directory stays ``cell=``, files stay
-    id-sorted WITHIN themselves, and serving reads whole cell
-    directories, so results are bit-identical (pinned by test)."""
-    if cell_task_splits > 1:
-        df = coded.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(cell_task_splits)),
-        )
-    else:
-        df = coded.repartition("cell")
-    (
-        df.sortWithinPartitions(id_col)
-        .write.mode("errorifexists")
-        .partitionBy("cell")
-        .parquet(seg_path)
+    """The ANN instance of the shared skew-bounded segment write
+    (:func:`~parq_tools_spark.operators._index_common.
+    write_salted_segment`): cell-keyed shuffle, id-sorted files,
+    ``cell_task_splits`` salting for hot cells."""
+    from parq_tools_spark.operators._index_common import (
+        write_salted_segment,
+    )
+
+    write_salted_segment(
+        coded, seg_path, "cell", [id_col], id_col, cell_task_splits
     )
 
 

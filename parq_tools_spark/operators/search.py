@@ -520,24 +520,22 @@ def _write_postings_segment(
     ``bucket_task_splits > 1`` additionally salts the shuffle with a
     deterministic doc-id hash so a HOT bucket (the one holding a
     stop-word-frequency term) splits across that many write tasks —
-    ``repartition("tbucket")`` alone never splits a bucket. The salt
-    changes only task/file layout: the directory stays ``tbucket=``,
-    every file stays (term, doc_id)-sorted within itself (row-group
-    pruning on term intact), and serving reads whole bucket
-    directories, so results are bit-identical (pinned by test)."""
-    bucketed = postings.withColumn("tbucket", _tbucket_col(n_buckets))
-    if bucket_task_splits > 1:
-        df = bucketed.repartition(
-            F.col("tbucket"),
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(bucket_task_splits)),
-        )
-    else:
-        df = bucketed.repartition("tbucket")
-    (
-        df.sortWithinPartitions("term", "doc_id")
-        .write.mode("errorifexists")
-        .partitionBy("tbucket")
-        .parquet(seg_path)
+    ``repartition("tbucket")`` alone never splits a bucket — the
+    BM25 instance of the shared
+    :func:`~parq_tools_spark.operators._index_common.
+    write_salted_segment` (row-group pruning on term intact:
+    every file stays (term, doc_id)-sorted within itself)."""
+    from parq_tools_spark.operators._index_common import (
+        write_salted_segment,
+    )
+
+    write_salted_segment(
+        postings.withColumn("tbucket", _tbucket_col(n_buckets)),
+        seg_path,
+        "tbucket",
+        ["term", "doc_id"],
+        "doc_id",
+        bucket_task_splits,
     )
 
 
@@ -647,6 +645,8 @@ def bm25_index_build(
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if bucket_task_splits < 1:
+        raise ValueError("bucket_task_splits must be >= 1")
     spark = corpus.sparkSession
     vs = _bm25_vs(spark, path)
     cur = vs.current()
@@ -661,8 +661,6 @@ def bm25_index_build(
         _bm25_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
-    if bucket_task_splits < 1:
-        raise ValueError("bucket_task_splits must be >= 1")
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
     post = _postings(corpus, id_col, text_col, store_positions)
     seg = _tag(new, "seg")

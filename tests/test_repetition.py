@@ -346,8 +346,10 @@ def test_progressive_ngrams_match_reference_property(spark):
     """Property (hypothesis): the progressive gram chain inside
     with_gopher_repetition_stats (gram n+1 = materialized gram n + one
     shifted token) produces, for EVERY n in 2..10, exactly the naive
-    python n-gram multiset of the whitespace tokens — including the
-    cnt < n empty-array edge and repeated tokens. Randomized token
+    python n-gram multiset of the whitespace tokens — n=2..4 through
+    the top-gram fractions (count desc, gram asc tie-break), n=5..10
+    through the dup-char fractions — including the cnt < n
+    empty-array edge and repeated tokens. Randomized token
     streams; one Spark round-trip per example batch (examples are
     folded into one DataFrame to keep the property fast)."""
     from hypothesis import HealthCheck, given, settings
@@ -379,21 +381,33 @@ def test_progressive_ngrams_match_reference_property(spark):
             r.doc_id: r.asDict()
             for r in with_gopher_repetition_stats(df).collect()
         }
+        from collections import Counter
+
         for i, ws in enumerate(docs):
-            for n in range(5, 11):
+            text = " ".join(ws)
+            nc = max(len(text), 1)
+            for n in range(2, 11):
                 grams = [
                     " ".join(ws[j:j + n])
                     for j in range(len(ws) - n + 1)
                 ]
-                from collections import Counter
-
                 c = Counter(grams)
-                dup_chars = sum(
-                    len(g) * cnt for g, cnt in c.items() if cnt >= 2
-                )
-                tot = sum(len(g) for g in grams)
-                want = (dup_chars / tot) if tot else 0.0
-                got = out[i][f"dup_{n}gram_char_frac"]
+                if n <= 4:
+                    # top gram: count desc, gram asc — chars / doc chars
+                    if c:
+                        best = max(c.values())
+                        bg = min(k for k, v in c.items() if v == best)
+                        want = best * len(bg) / nc
+                    else:
+                        want = 0.0
+                    got = out[i][f"top_{n}gram_char_frac"]
+                else:
+                    dup_chars = sum(
+                        len(g) * v for g, v in c.items() if v >= 2
+                    )
+                    tot = sum(len(g) for g in grams)
+                    want = (dup_chars / tot) if tot else 0.0
+                    got = out[i][f"dup_{n}gram_char_frac"]
                 assert abs(got - want) < 1e-9, (i, n, got, want)
 
     check()

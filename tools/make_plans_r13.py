@@ -48,7 +48,6 @@ def main():
         ann_index_build,
         ann_index_retrain,
         ann_index_topk,
-        semantic_dedupe_bootstrap,
         semantic_dedupe_incremental,
     )
 
@@ -78,14 +77,10 @@ def main():
         plan,
     ))
 
-    # 2. semantic_dedupe_bootstrap survivor plan: batch-only broadcasts
-    boot_idx = f"{work}/bidx"
-    surv = semantic_dedupe_bootstrap(
-        emb.filter(F.col("vec_id") % 3 == 0), boot_idx,
-        threshold=0.35, n_cells=8,
-    )
-    # survivors are checkpointed; audit the PRE-commit shape instead:
-    # in-batch drop join of a fresh assignment (what the bootstrap ran)
+    # 2. semantic_dedupe_bootstrap survivor plan: batch-only
+    # broadcasts. The bootstrap itself eagerly checkpoints (its plan
+    # is gone by return), so audit the exact PRE-commit shape it ran:
+    # in-batch drop join of a fresh frozen-cell assignment.
     from parq_tools_spark.operators.ann_index import (
         _semantic_in_batch_drops,
     )
@@ -152,8 +147,13 @@ def main():
         ],
     )
     plan = fmt(corpus)
-    assert "codes" not in plan.split("ReadSchema")[1].split("\n")[0], (
-        "codes column not pruned from the retrain read"
+    # the retrain corpus UNIONS one scan per live segment — every
+    # scan's ReadSchema must be pruned, not just the first
+    schemas = [
+        frag.split("\n")[0] for frag in plan.split("ReadSchema")[1:]
+    ]
+    assert schemas and all("codes" not in s for s in schemas), (
+        f"codes column not pruned from every retrain scan: {schemas}"
     )
     assert "embeddings.parquet" not in plan
     sections.append((
