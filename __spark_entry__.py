@@ -3272,6 +3272,131 @@ def q_ann_retrain_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_facade_dispatch_equiv(spark, sf_dir):
+    """open_index facade gate: the family-agnostic handle must serve
+    BIT-IDENTICALLY to the direct family calls it dispatches to — a
+    bm25 index and an ann index are built once each, queried both
+    ways, and the symmetric differences unioned. The facade binds
+    (spark, path) and passes through verbatim (zero plan overhead —
+    PLANS_r13 §5), so any row here is a dispatch bug. Expected
+    empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.index_facade import open_index
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="facade_")
+    ap, bp = os.path.join(work, "ann"), os.path.join(work, "bm25")
+    ann_index_build(emb, ap, n_cells=8, m=8, n_codes=16)
+    bm25_index_build(docs, bp, n_buckets=8)
+    qs = emb.filter(F.col("vec_id") < 3)
+
+    acols = ["query_id", "vec_id", "pq_score", "rank"]
+    a_via = (
+        open_index(spark, ap).query(qs, k=5, nprobe=2)
+        .select(*acols).localCheckpoint(eager=True)
+    )
+    a_dir = (
+        ann_index_topk(spark, ap, qs, k=5, nprobe=2)
+        .select(*acols).localCheckpoint(eager=True)
+    )
+    bcols = ["doc_id", "score", "rank"]
+    b_via = (
+        open_index(spark, bp).query("stream merge window", k=10)
+        .select(*bcols).localCheckpoint(eager=True)
+    )
+    b_dir = (
+        bm25_index_topk(spark, bp, "stream merge window", k=10)
+        .select(*bcols).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+    def sym(x, y, cols, side):
+        out = x.join(y, cols, "left_anti").select(
+            F.lit(side).alias("family"),
+            F.col(cols[0]).cast("long").alias("probe_id"),
+            F.lit("facade_only").alias("side"),
+        )
+        back = y.join(x, cols, "left_anti").select(
+            F.lit(side).alias("family"),
+            F.col(cols[0]).cast("long").alias("probe_id"),
+            F.lit("direct_only").alias("side"),
+        )
+        return out.unionByName(back)
+
+    return sym(a_via, a_dir, acols, "ann").unionByName(
+        sym(b_via, b_dir, bcols, "bm25")
+    )
+
+
+def q_auto_compact_equiv(spark, sf_dir):
+    """Stats-driven auto-compaction gate: grow a BM25 index in three
+    appends plus a tombstone batch, let bm25_index_maybe_compact fold
+    on the breached segment bound (force-path: per-bucket file counts
+    sit BELOW min_files_per_bucket, so only the stats trigger can
+    fold), and compare serving against a from-scratch build over the
+    resolved corpus. The maybe_compact call must return True, fold to
+    ONE segment, clear the tombstones, and change NOTHING about
+    scores. Returns the symmetric difference; expected empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_delete,
+        bm25_index_maybe_compact,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="autocompact_")
+    grown, fresh = os.path.join(work, "grown"), os.path.join(work, "f")
+    k = F.col("doc_id")
+    bm25_index_build(docs.filter(k % 3 == 0), grown, n_buckets=8)
+    for i in (1, 2):
+        bm25_index_add(docs.filter(k % 3 == i), grown)
+    dead = [r.doc_id for r in docs.filter(k % 10 == 0).collect()]
+    bm25_index_delete(spark, grown, dead)
+    folded = bm25_index_maybe_compact(
+        spark, grown, max_segments=2, max_tombstone_frac=0.0
+    )
+    st = bm25_index_stats(spark, grown)
+    if not folded or st["n_segments"] != 1 or st["pending_delete_batches"]:
+        raise AssertionError(
+            f"auto-compaction did not fold: ran={folded}, stats={st}"
+        )
+    bm25_index_build(docs.filter(k % 10 != 0), fresh, n_buckets=8)
+    cols = ["doc_id", "score", "rank"]
+    a = (
+        bm25_index_topk(spark, grown, "customer value table", k=10)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    b = (
+        bm25_index_topk(spark, fresh, "customer value table", k=10)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    only_a = a.join(b, cols, "left_anti").withColumn(
+        "side", F.lit("compacted_only")
+    )
+    only_b = b.join(a, cols, "left_anti").withColumn(
+        "side", F.lit("fresh_only")
+    )
+    return only_a.unionByName(only_b)
+
+
 def q_ann_index_stream_equiv(spark, sf_dir):
     """Streaming ANN index maintenance gate: a 3-micro-batch CDC
     stream (bootstrap-build on the even ids' inserts, insert odds,
@@ -3594,6 +3719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r13 ...
         "semantic_stream_dedup": q_semantic_stream_dedup,
         "ann_retrain_equiv": q_ann_retrain_equiv,
+        "facade_dispatch_equiv": q_facade_dispatch_equiv,
+        "auto_compact_equiv": q_auto_compact_equiv,
         # ... r13-changed code ...
         "semantic_dedupe": q_semantic_dedupe,
         "ann_index_equiv": q_ann_index_equiv,
@@ -3642,10 +3769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        # --- past the window: driver-checked green in
+        # r10-r12 on code unchanged since (fingerprint and
+        # token_count_bpe moved past the cut by the two new
+        # r13 equivalence gates above)
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
-        # --- past the window: driver-checked green in
-        # r10-r12 on code unchanged since
         "hybrid_index_batch": q_hybrid_index_batch,
         "hybrid_refined_lossy": q_hybrid_refined_lossy,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
@@ -5133,6 +5262,19 @@ WHERE rnk <= 5
         "ann_index_equiv": """
             SELECT CAST(NULL AS BIGINT) AS query_id,
                    CAST(NULL AS BIGINT) AS vec_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "facade_dispatch_equiv": """
+            SELECT CAST(NULL AS VARCHAR) AS family,
+                   CAST(NULL AS BIGINT) AS probe_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "auto_compact_equiv": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS DOUBLE) AS score,
+                   CAST(NULL AS INT) AS rank,
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,
