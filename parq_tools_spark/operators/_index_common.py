@@ -301,11 +301,21 @@ def maybe_compact(
             # delete_batches applies the fs-existence guard every
             # other consumer of these entries gets (a legacy entry
             # whose del- dir is gone must be skipped, not a crash
-            # inside a streaming sink's foreachBatch)
-            n_dead = sum(
-                df.count() for _, df in delete_batches(spark, path, m)
-            )
-            trigger = n_dead > max_tombstone_frac * total
+            # inside a streaming sink's foreachBatch). ONE action:
+            # the pending batches union into a single distinct count,
+            # so an id tombstoned in two batches counts once and the
+            # probe cost stays flat as batches accumulate (N small
+            # scans, one job) instead of one job per batch.
+            from functools import reduce
+
+            dfs = [df for _, df in delete_batches(spark, path, m)]
+            if dfs:
+                n_dead = (
+                    reduce(lambda a, b: a.unionByName(b), dfs)
+                    .distinct()
+                    .count()
+                )
+                trigger = n_dead > max_tombstone_frac * total
     if trigger:
         compact()
     return trigger

@@ -333,6 +333,12 @@ def ann_index_build(
                     "n_cells": n_cells,
                     "m": m,
                     "n_codes": int(np.asarray(codebooks).shape[1]),
+                    # realized width above serves ADC sizing; the
+                    # CONFIGURED value (None = identity codebook)
+                    # is what retrain must default to, else an
+                    # every-row-a-codeword index silently retrains
+                    # into a lossy fixed-width codebook
+                    "n_codes_configured": n_codes,
                     "id_col": id_col,
                     "vec_col": vec_col,
                     "round_to": round_to,
@@ -446,10 +452,14 @@ def ann_index_retrain(
 
     Params default to the stored ones; pass ``n_cells``/``m``/
     ``n_codes``/``opq``/``keep_versions`` to change geometry while
-    retraining (``n_codes`` is stored as the realized codebook WIDTH,
-    so an identity-codebook index retrains at that width by default —
-    pass ``n_codes=None`` explicitly to keep the every-row-a-codeword
-    configuration). ``store_vectors`` defaults to True: dropping the
+    retraining. ``n_codes`` defaults to the CONFIGURED value the
+    manifest recorded at build time (``n_codes_configured``), so an
+    identity-codebook index (``n_codes=None``) retrains back into an
+    identity codebook — geometry round-trips without the caller
+    re-stating it. Manifests older than that field fall back to the
+    realized codebook width (the historical behavior, documented
+    here so the fallback is deliberate, not silent).
+    ``store_vectors`` defaults to True: dropping the
     stored vectors would make the index unretrainable and disable
     exact refinement, so it must be chosen deliberately.
 
@@ -470,7 +480,25 @@ def ann_index_retrain(
         )
     id_col, vec_col = p["id_col"], p["vec_col"]
     fs = vs.fs
-    live = [s for s in man["segments"] if fs.list_files(f"{path}/{s}")]
+    live, missing = [], []
+    for s in man["segments"]:
+        (live if fs.list_files(f"{path}/{s}") else missing).append(s)
+    if missing:
+        # a committed manifest's segments must exist: retrain REWRITES
+        # the index from what it can read, so silently skipping a
+        # segment whose listing came back empty (transient FS fault,
+        # external deletion) would commit the loss as the new truth —
+        # unlike query paths, where a skipped segment is only a
+        # transient incomplete result. Fail before touching anything.
+        raise ValueError(
+            f"ann index at {path}: manifest v{cur} references "
+            f"segment(s) with no data files: {missing}. Refusing to "
+            "retrain — a rebuilt generation would permanently drop "
+            "whatever those segments held. If the files are truly "
+            "gone, rebuild from the source corpus; if a segment was "
+            "legitimately committed empty, compact first to fold it "
+            "out of the manifest."
+        )
     batches = _ann_delete_batches(spark, path, man, id_col)
     segs = [
         _ann_visible_scan(spark, path, s, batches, id_col).select(
@@ -489,7 +517,13 @@ def ann_index_retrain(
         path,
         n_cells=p["n_cells"] if n_cells is None else n_cells,
         m=p["m"] if m is None else m,
-        n_codes=p["n_codes"] if n_codes is _INHERIT else n_codes,
+        # the CONFIGURED n_codes (None = identity codebook) round-trips;
+        # pre-field manifests fall back to the realized width
+        n_codes=(
+            p.get("n_codes_configured", p["n_codes"])
+            if n_codes is _INHERIT
+            else n_codes
+        ),
         id_col=id_col,
         vec_col=vec_col,
         round_to=p["round_to"],

@@ -62,10 +62,12 @@ def _run_index_stream(
     compaction (unlike the near-dedup stream, whose replay appends
     duplicate band rows, so it commits marker-first and treats
     compaction as best-effort). ``maybe_compact_fn(spark)`` is the
-    stats-driven alternative trigger (the ``*_maybe_compact``
-    family): consulted every batch not already compacted by the
-    count-based cadence, it compacts exactly when the manifest's own
-    fragmentation signals cross their bounds."""
+    stats-driven trigger (the ``*_maybe_compact`` family): consulted
+    EVERY batch — including ones where the count-based cadence ran,
+    since the cadence's non-forced compact can no-op below the
+    file-count triggers while a manifest bound is already breached —
+    it compacts exactly when the manifest's own fragmentation
+    signals cross their bounds."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -77,7 +79,15 @@ def _run_index_stream(
         process_batch(spark, batch_df)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_fn(spark, index_path)
-        elif maybe_compact_fn is not None:
+        # the stats trigger is consulted EVERY batch, including
+        # cadence batches: the cadence runs the non-forced compact,
+        # which can no-op below the per-bucket/per-cell file triggers
+        # while a manifest bound (segment count, tombstone fraction)
+        # is already breached — an elif here would delay that fold to
+        # the next batch. If the cadence compact DID fold, the fresh
+        # manifest is under every bound and this is one O(manifest)
+        # read.
+        if maybe_compact_fn is not None:
             maybe_compact_fn(spark)
         _commit_marker(spark, index_path, checkpoint_dir, batch_id)
 
@@ -126,8 +136,10 @@ def start_bm25_index_stream(
     so steady-state query cost doesn't creep with batch count.
     ``max_segments`` / ``max_tombstone_frac`` arm the STATS-driven
     trigger instead (:func:`~parq_tools_spark.operators.search.
-    bm25_index_maybe_compact`, consulted every batch the count-based
-    cadence didn't already compact): the index compacts exactly when
+    bm25_index_maybe_compact`, consulted EVERY batch — even ones the
+    count-based cadence visited, since the cadence's non-forced
+    compact can no-op below the file triggers while a manifest bound
+    is already breached): the index compacts exactly when
     its own manifest says fragmentation crossed the bound, not on a
     blind batch count. ``available_now=True`` drains the backlog and
     stops (the testing / catch-up trigger); pass ``False`` for
@@ -235,8 +247,10 @@ def start_ann_index_stream(
 
     ``max_segments`` / ``max_tombstone_frac`` arm the STATS-driven
     compaction trigger (:func:`~parq_tools_spark.operators.ann_index.
-    ann_index_maybe_compact`, consulted every batch the count-based
-    ``compact_every`` cadence didn't already compact).
+    ann_index_maybe_compact`, consulted EVERY batch — even ones the
+    count-based ``compact_every`` cadence visited, since the
+    cadence's non-forced compact can no-op below the file triggers
+    while a manifest bound is already breached).
     """
     if not changes.isStreaming:
         raise ValueError(

@@ -674,3 +674,77 @@ def test_cell_task_splits_bit_identical_and_multifile(
             emb.select("vec_id", "embedding"), str(tmp_path / "bad"),
             cell_task_splits=0,
         )
+
+
+def test_retrain_refuses_manifest_segment_with_no_files(
+    spark, emb, tmp_path
+):
+    """A committed manifest's segments must exist: retrain REWRITES
+    the index from what it reads, so a segment whose listing comes
+    back empty (transient FS fault, external deletion) must fail the
+    call loudly — silently skipping it would commit permanent,
+    unreported vector loss as the new truth."""
+    import shutil
+
+    from parq_tools_spark.operators.ann_index import (
+        _ann_manifest,
+        ann_index_retrain,
+    )
+
+    k = F.col("vec_id")
+    path = str(tmp_path / "idx")
+    ann_index_build(
+        emb.filter(k % 2 == 0).select("vec_id", "embedding"), path,
+        n_cells=8, m=8, n_codes=16, store_vectors=True,
+    )
+    ann_index_add(emb.filter(k % 2 == 1).select("vec_id", "embedding"), path)
+    _, _, m = _ann_manifest(spark, path)
+    lost = m["segments"][-1]
+    shutil.rmtree(os.path.join(path, lost))
+    with pytest.raises(ValueError, match="no data files"):
+        ann_index_retrain(spark, path)
+
+
+def test_retrain_identity_codebook_roundtrips(spark, emb, tmp_path):
+    """An index built with n_codes=None (identity codebook: every
+    training row a codeword) must retrain back into an identity
+    codebook by default — the manifest records the CONFIGURED
+    n_codes alongside the realized width, and retrain defaults to the
+    configured value, so geometry round-trips without the caller
+    re-passing n_codes=None."""
+    from parq_tools_spark.operators.ann_index import ann_index_retrain
+
+    k = F.col("vec_id")
+    path = str(tmp_path / "ident")
+    ann_index_build(
+        emb.filter(k % 2 == 0).select("vec_id", "embedding"), path,
+        n_cells=8, m=8, n_codes=None, store_vectors=True,
+    )
+    st0 = ann_index_stats(spark, path)
+    assert st0["params"]["n_codes_configured"] is None
+    n_even = emb.filter(k % 2 == 0).count()
+    assert st0["params"]["n_codes"] == n_even
+
+    ann_index_add(emb.filter(k % 2 == 1).select("vec_id", "embedding"), path)
+    ann_index_retrain(spark, path)
+    st = ann_index_stats(spark, path)
+    # identity preserved: realized width grew to the FULL corpus
+    assert st["params"]["n_codes_configured"] is None
+    assert st["params"]["n_codes"] == emb.count()
+
+    # and the retrained index equals a fresh identity build
+    fresh = str(tmp_path / "fresh_ident")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), fresh,
+        n_cells=8, m=8, n_codes=None, store_vectors=True,
+    )
+    qs = emb.filter(k < 3).select("vec_id", "embedding")
+    a = _rows(
+        ann_index_topk(spark, path, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    b = _rows(
+        ann_index_topk(spark, fresh, qs, k=5, nprobe=2)
+        .select("query_id", "vec_id", "pq_score", "rank")
+    )
+    assert a == b

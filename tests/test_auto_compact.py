@@ -303,3 +303,50 @@ def test_segment_bound_folds_even_when_file_counts_pass(
     # the stats-driven wrapper must fold regardless
     assert ann_index_maybe_compact(spark, path, max_segments=2) is True
     assert ann_index_stats(spark, path)["n_segments"] == 1
+
+
+def test_tombstone_fraction_counts_distinct_ids_in_one_action(
+    spark, emb, tmp_path
+):
+    """An id tombstoned in MORE THAN ONE pending batch (the upsert
+    twice shape: each upsert tombstones the then-visible row) must
+    count ONCE toward the tombstone fraction — the probe unions the
+    pending batches and takes one distinct count, so the trigger
+    never overcounts (and costs one job, not one per batch)."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_maybe_compact,
+        ann_index_stats,
+        ann_index_upsert,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    path = str(tmp_path / "ann")
+    ann_index_build(sub, path, n_cells=4, m=8, n_codes=16)
+    one = sub.filter(F.col("vec_id") == 7)
+    # two upserts of the same id -> two pending del- batches, both
+    # naming id 7; distinct dead ids = 1, naive per-batch sum = 2
+    ann_index_upsert(one, path)
+    ann_index_upsert(one, path)
+    st = ann_index_stats(spark, path)
+    assert st["pending_delete_batches"] == 2
+    n = st["n_vecs"]
+    assert n == 30
+    # threshold between 1 and 2 dead ids: 1.5/n — the overcounting
+    # probe would fire, the distinct one must not
+    assert (
+        ann_index_maybe_compact(
+            spark, path, max_segments=10_000,
+            max_tombstone_frac=1.5 / n,
+        )
+        is False
+    )
+    # and it still fires when the DISTINCT count crosses the bound
+    assert (
+        ann_index_maybe_compact(
+            spark, path, max_segments=10_000,
+            max_tombstone_frac=0.5 / n,
+        )
+        is True
+    )
+    assert ann_index_stats(spark, path)["pending_delete_batches"] == 0

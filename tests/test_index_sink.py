@@ -484,3 +484,37 @@ def test_commit_marker_sweeps_legacy_only_when_own(spark, tmp_path):
     commit_marker(spark, idx, ck_a, 6)
     assert last_applied(spark, idx, ck_a) == 6
     assert not os.path.exists(os.path.join(idx, MARKER))
+
+
+def test_stats_trigger_consulted_on_cadence_batches(spark, tmp_path):
+    """compact_every and the stats bounds armed TOGETHER: the
+    cadence's non-forced compact no-ops at this toy scale (per-bucket
+    file counts sit below min_files_per_bucket), so only the stats
+    trigger can fold the breached segment bound — and it must be
+    consulted on the SAME batch the cadence ran, not one batch late
+    (the old elif shape). With compact_every=1 every batch is a
+    cadence batch, so any delay leaves the index un-folded."""
+    from parq_tools_spark.operators.search import bm25_index_stats
+
+    src = str(tmp_path / "src")
+    _write_batches(spark, src)
+    index_path = str(tmp_path / "idx")
+    _run(
+        spark, src, index_path, str(tmp_path / "ck"),
+        compact_every=1, max_segments=1,
+    )
+    # every batch ended with a fold: bootstrap + fold -> 1 segment
+    st = bm25_index_stats(spark, index_path)
+    assert st["n_segments"] == 1
+    assert st["pending_delete_batches"] == 0
+    # and serving still matches the from-scratch scan
+    from parq_tools_spark.operators.search import bm25_topk
+
+    got = _topk(spark, index_path)
+    want = [
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(
+            _expected_corpus(spark), "stream merge window", k=8
+        ).collect()
+    ]
+    assert got == want
