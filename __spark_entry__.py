@@ -3218,6 +3218,83 @@ def q_ann_index_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
+def q_ann_filtered_topk(spark, sf_dir):
+    """Filtered ANN top-k served from the persisted index through the
+    same build+add lifecycle as ann_from_index, with an allowed-id
+    set (vec_id % 3 == 0, passed as a LITERAL list so the predicate
+    pushes into the segments' parquet scans) applied to CANDIDATES
+    before ranking — the returned k is the top-k AMONG the allowed
+    ids under the index-wide model. The DuckDB oracle re-derives the
+    full IVF-PQ pipeline and injects the same predicate into its
+    candidate set before its ranking window."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annflt_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=8, m=8, n_codes=16
+    )
+    ann_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qs = emb.filter(F.col("vec_id") < 3)
+    allowed = sorted(
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id")
+        .collect()
+    )
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=2, allowed_ids=allowed
+        )
+        .select("query_id", "vec_id", "pq_score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_filtered_topk(spark, sf_dir):
+    """Filtered BM25 top-k served from the persisted index, with an
+    allowed-id DataFrame (doc_id % 3 == 0 — the semi-join physical
+    shape) restricting CANDIDATE documents before scoring and
+    ranking. Statistics stay index-wide (idf/avgdl over the full
+    corpus) — the filter scopes candidates, exactly like every
+    filtered-search engine — so the oracle computes full-corpus BM25
+    and filters its candidate set before the ranking window."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="bmflt_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path, n_buckets=8)
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            allowed_ids=docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id"
+            ),
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -3717,6 +3794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- positions 1-50 = the driver check window for r13:
         # new in r13 ...
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
         "semantic_stream_dedup": q_semantic_stream_dedup,
         "ann_retrain_equiv": q_ann_retrain_equiv,
         "facade_dispatch_equiv": q_facade_dispatch_equiv,
@@ -5182,6 +5261,139 @@ WHERE rnk <= 5
         # ann_ivfpq_topk recompute except the seed ranking draws from
         # the EVEN ids only (the build corpus froze the model), and
         # the result carries the index_version stamp (build=1, add=2).
+        "ann_filtered_topk": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings WHERE vec_id % 2 = 0
+), cents AS (
+  SELECT ridx AS cidx, embedding FROM ranked_ids WHERE ridx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), cand AS (
+  -- the filtered-search contract: the allowed-id predicate scopes
+  -- CANDIDATES before ranking; model/probes stay index-wide
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id AND a.vec_id % 3 = 0
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         floor(sum(list_inner_product(q.xs, cs.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN csub cs ON cs.j = e.j AND cs.code = e.code
+  JOIN qsub q ON q.query_id = c.query_id AND q.j = e.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, pq_score, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
+        "bm25_filtered_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+                -- candidate filter BEFORE scoring/ranking; idf and
+                -- avgdl above stay full-corpus (index-wide stats)
+                AND doc_id % 3 = 0
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
         "ann_from_index": """
 WITH ranked_ids AS (
   SELECT vec_id, embedding,

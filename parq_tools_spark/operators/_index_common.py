@@ -24,6 +24,7 @@ __all__ = [
     "resolve_cdc",
     "maybe_compact",
     "write_salted_segment",
+    "apply_allowed_ids",
 ]
 
 
@@ -355,3 +356,75 @@ def write_salted_segment(
         .partitionBy(part_col)
         .parquet(seg_path)
     )
+
+
+def apply_allowed_ids(df, id_name: str, allowed_ids, index_id_type, fn: str):
+    """The shared pre-rank candidate filter behind every serving
+    path's ``allowed_ids=`` parameter (``ann_index_topk``,
+    ``bm25_index_topk``/``_batch``, the hybrid index paths, and
+    ``semantic_dedupe_incremental``'s admission scope): restrict the
+    CANDIDATE rows to an allowed-id set BEFORE any ranking, so the
+    returned top-k is correct under the filter. Post-filtering a
+    k-sized result under-returns (k shrinks after the filter); this
+    is the standard filtered-search contract — the filter scopes
+    candidates, never the index statistics (BM25 idf/avgdl and the
+    ANN quantization model stay the index-wide ones).
+
+    Two forms, two physical shapes:
+
+    - a Python sequence of ids → a LITERAL ``isin`` predicate, which
+      Catalyst pushes through the union into each segment's parquet
+      scan (``PushedFilters`` — planning-time work, zero joins). The
+      right form for request-sized sets (a user's collection, an
+      explicit shortlist). An empty sequence yields the typed empty
+      result, not an error.
+    - a DataFrame of ids → a ``left_semi`` join against the candidate
+      rows, with the join strategy left to Catalyst/AQE (broadcast
+      when the set is small, shuffled semi-join when it is
+      corpus-sized — at 100 TB an allowed set like "every English
+      document" must never be collected or broadcast blindly). The
+      right form for predicate-derived sets: compute
+      ``metadata.filter("lang = 'en'").select("doc_id")`` and pass
+      it; the metadata table itself is never scanned by the serving
+      call.
+
+    The DataFrame form resolves its id column by name (``id_name`` if
+    present, else a single column), and its type is checked against
+    the index's persisted id type up front — a mismatched pair would
+    silently drop every candidate under non-ANSI semantics."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    if allowed_ids is None:
+        return df
+    if isinstance(allowed_ids, DataFrame):
+        cols = allowed_ids.columns
+        if id_name in cols:
+            src = id_name
+        elif len(cols) == 1:
+            src = cols[0]
+        else:
+            raise ValueError(
+                f"{fn}: allowed_ids DataFrame must carry the index id "
+                f"column '{id_name}' or be single-column; got "
+                f"columns {cols}"
+            )
+        check_self_exclusion_types(
+            allowed_ids.schema[src].dataType,
+            index_id_type,
+            f"{fn}: allowed_ids",
+            remedy=(
+                "Cast the allowed-id column to the indexed id type "
+                "before passing it."
+            ),
+        )
+        allowed = allowed_ids.select(
+            F.col(src).alias(id_name)
+        ).distinct()
+        return df.join(allowed, on=id_name, how="left_semi")
+    ids = list(allowed_ids)
+    if not ids:
+        # an empty allowed set is a valid (if odd) filter: nothing
+        # qualifies — the plan stays typed, the result is empty
+        return df.filter(F.lit(False))
+    return df.filter(F.col(id_name).isin(ids))

@@ -971,6 +971,7 @@ def ann_index_topk(
     exclude_self: bool = True,
     max_queries: int = 10_000,
     refine: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """ANN top-``k`` served FROM the index — no corpus access, no
     re-encoding: the model (centroids + codebooks + rotation) is read
@@ -1020,7 +1021,20 @@ def ann_index_topk(
     score column is then ``cosine_sim`` (exact, rounded to the
     index's grid) instead of ``pq_score``; with ``R >= `` the probed
     candidate count the result EQUALS exact cosine top-k over the
-    probed cells even under a lossy codebook."""
+    probed cells even under a lossy codebook.
+
+    ``allowed_ids`` (a Python sequence of ids, or a DataFrame of
+    ids — see :func:`~parq_tools_spark.operators._index_common.
+    apply_allowed_ids`) restricts CANDIDATES before ranking, so the
+    returned ``k`` is correct under the filter — the filtered-search
+    call every real pipeline makes ("top-k among the English docs").
+    A sequence becomes a literal predicate pushed into the segments'
+    parquet scans; a DataFrame becomes a ``left_semi`` join whose
+    strategy Catalyst/AQE picks. The filter never changes the model
+    or the probe list (index statistics are index-wide), composes
+    with ``exclude_self`` and ``refine`` (the exact re-rank draws
+    from the already-filtered candidates), and an empty allowed set
+    returns the typed empty result."""
     from functools import reduce
 
     from parq_tools_spark.operators.similarity import adc_score
@@ -1115,6 +1129,19 @@ def ann_index_topk(
         for s in live
     ]
     coded = reduce(DataFrame.unionByName, scans)
+    if allowed_ids is not None:
+        # BEFORE the probe join and ranking: a literal id list pushes
+        # through the union into each segment's parquet scan
+        # (PushedFilters); a DataFrame semi-joins. The refine path
+        # below reads its exact vectors from this same filtered scan.
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        coded = apply_allowed_ids(
+            coded, id_col, allowed_ids, id_field.dataType,
+            "ann_index_topk",
+        )
 
     probe_df = spark.createDataFrame(
         [(qid, c) for qid, cells in zip(q_ids, probes) for c in cells],

@@ -345,6 +345,7 @@ def hybrid_index_topk(
     round_to: int = 9,
     bm25_version: Optional[int] = None,
     ann_version: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Hybrid retrieval served entirely FROM the persisted
     indexes — the serving shape: the text leg reads the query terms'
@@ -384,7 +385,15 @@ def hybrid_index_topk(
     vec_rank, score, rank)`` — the same fused score expression as
     :func:`hybrid_topk` (one shared ``_fuse_joined`` definition), so
     with a losslessly-configured ANN index the result is
-    bit-identical to the scan-path hybrid under EITHER method."""
+    bit-identical to the scan-path hybrid under EITHER method.
+
+    ``allowed_ids`` threads the shared pre-rank candidate filter
+    (:func:`~parq_tools_spark.operators._index_common.
+    apply_allowed_ids`) into BOTH legs, so each leg's
+    ``n_candidates`` and the fused ``k`` are correct under the
+    filter — post-filtering the fused result would under-return and
+    skew the rank arithmetic. The two indexes share one id space by
+    contract, so one allowed set scopes both."""
     if method not in ("rrf", "wsum"):
         raise ValueError("method must be 'rrf' or 'wsum'")
     if not 0.0 <= w_text <= 1.0:
@@ -402,6 +411,7 @@ def hybrid_index_topk(
         k1=k1,
         b=b,
         version=bm25_version,
+        allowed_ids=allowed_ids,
     )
     id_col = text.columns[0]
     text = text.select(
@@ -431,6 +441,7 @@ def hybrid_index_topk(
         version=ann_version,
         exclude_self=False,
         refine=max(refine, n_candidates) if refine is not None else None,
+        allowed_ids=allowed_ids,
     )
     ann_id_col = vec_raw.columns[1]
     # with refine the leg's score column is the exact rounded cosine
@@ -636,6 +647,7 @@ def hybrid_index_topk_batch(
     bm25_version: Optional[int] = None,
     ann_version: Optional[int] = None,
     max_queries: int = 10_000,
+    allowed_ids=None,
 ) -> DataFrame:
     """Batched hybrid retrieval served entirely FROM the persisted
     indexes — the offline-retrieval / RAG-eval shape: thousands of
@@ -662,6 +674,10 @@ def hybrid_index_topk_batch(
     ADC candidates, giving scan-quality results from a lossy
     compressed index (see :func:`hybrid_index_topk`).
 
+    ``allowed_ids`` threads the shared pre-rank candidate filter
+    into both legs for every query in the batch (see
+    :func:`hybrid_index_topk`).
+
     Returns ``(query_id, <bm25 id col>, score, rank)``."""
     if method not in ("rrf", "wsum"):
         raise ValueError("method must be 'rrf' or 'wsum'")
@@ -680,6 +696,7 @@ def hybrid_index_topk_batch(
         k1=k1,
         b=b,
         version=bm25_version,
+        allowed_ids=allowed_ids,
     )
     id_col = text_raw.columns[1]
     text = text_raw.select(
@@ -700,6 +717,7 @@ def hybrid_index_topk_batch(
         exclude_self=False,
         max_queries=max_queries,
         refine=max(refine, n_candidates) if refine is not None else None,
+        allowed_ids=allowed_ids,
     )
     ann_id_col = vec_raw.columns[1]
     vec_score = "pq_score" if refine is None else "cosine_sim"

@@ -1429,6 +1429,7 @@ def bm25_index_topk(
     mode: str = "any",
     phrase: Optional[Union[str, Sequence[str]]] = None,
     version: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Top-``k`` by BM25 served FROM the index — no corpus scan, no
     tokenization: the plan reads the query terms' df rows from the
@@ -1461,7 +1462,17 @@ def bm25_index_topk(
     expression checks offset adjacency (``exists p in pos(t0):
     p+i in pos(t_i)``). No corpus access, no tokenization — the
     postings read widens to the phrase's terms (still bucket-pruned)
-    and ranking stays plain BM25 over the query terms."""
+    and ranking stays plain BM25 over the query terms.
+
+    ``allowed_ids`` (sequence of ids, or a DataFrame of ids — see
+    :func:`~parq_tools_spark.operators._index_common.
+    apply_allowed_ids`) restricts CANDIDATE documents before scoring
+    and ranking, so the returned ``k`` is correct under the filter.
+    Applied to the postings read itself (a literal list reaches the
+    parquet scans as a pushed filter), so disallowed documents never
+    enter the aggregation. Statistics stay index-wide: idf/avgdl are
+    the index's, exactly like every filtered-search engine — the
+    filter scopes candidates, not the corpus model."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
@@ -1498,6 +1509,23 @@ def bm25_index_topk(
     post = _read_postings(spark, path, m, read_terms)
     if post is None:
         return _empty_topk(spark, m)
+    if allowed_ids is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        # the caller thinks in the index's id_col name; postings key
+        # on the internal doc_id — bridge a DataFrame's column first
+        if isinstance(allowed_ids, DataFrame) and id_col in (
+            allowed_ids.columns
+        ):
+            allowed_ids = allowed_ids.select(
+                F.col(id_col).alias("doc_id")
+            )
+        post = apply_allowed_ids(
+            post, "doc_id", allowed_ids, _id_field(m).dataType,
+            "bm25_index_topk",
+        )
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -1553,13 +1581,19 @@ def bm25_index_topk_batch(
     round_to: int = 6,
     mode: str = "any",
     version: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Per-query top-``k`` for a whole queries DataFrame served from
     the index: ONE postings read covers the union of all query terms
     (still bucket-pruned), a broadcast (query, term, idf) table fans
     postings out, and a per-query window ranks. Like
     :func:`bm25_topk_batch` but with the corpus pass replaced by the
-    index read — O(matching postings), not O(corpus tokens)."""
+    index read — O(matching postings), not O(corpus tokens).
+
+    ``allowed_ids`` restricts candidate documents for EVERY query in
+    the batch before scoring (same contract as
+    :func:`bm25_index_topk`: candidates, not statistics; each query's
+    ``k`` is correct under the filter)."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     q_rows = queries.select(
@@ -1618,6 +1652,21 @@ def bm25_index_topk_batch(
             qid_field=T.StructField(
                 query_id_col, queries.schema[query_id_col].dataType
             ),
+        )
+    if allowed_ids is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        if isinstance(allowed_ids, DataFrame) and id_col in (
+            allowed_ids.columns
+        ):
+            allowed_ids = allowed_ids.select(
+                F.col(id_col).alias("doc_id")
+            )
+        post = apply_allowed_ids(
+            post, "doc_id", allowed_ids, _id_field(m).dataType,
+            "bm25_index_topk_batch",
         )
     scale = float(10**round_to)
     norm = F.lit(k1) * (

@@ -1,0 +1,375 @@
+"""Filtered top-k across the retrieval surface: the ``allowed_ids``
+pre-rank candidate filter on ``ann_index_topk``,
+``bm25_index_topk``/``_batch`` and the hybrid index paths (shared
+implementation: ``_index_common.apply_allowed_ids``).
+
+The contract under test everywhere: the filter scopes CANDIDATES
+before ranking — the returned k is the top-k AMONG the allowed ids
+(post-filtering a k-sized result under-returns) — while index
+statistics (BM25 idf/avgdl, the ANN quantization model and probe
+lists) stay index-wide."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+
+
+def _rerank(rows, allowed, k, score_key):
+    """Reference semantics: take the UNFILTERED scored candidates,
+    keep the allowed ones, re-rank per query by (score desc, id asc),
+    cut at k."""
+    out = {}
+    for r in rows:
+        if r["vec_id" if "vec_id" in r else "doc_id"] in allowed:
+            out.setdefault(r.get("query_id"), []).append(r)
+    want = []
+    for qid, cand in out.items():
+        cand.sort(
+            key=lambda r: (
+                -r[score_key],
+                r["vec_id" if "vec_id" in r else "doc_id"],
+            )
+        )
+        for rank, r in enumerate(cand[:k], start=1):
+            want.append(
+                (
+                    qid,
+                    r["vec_id" if "vec_id" in r else "doc_id"],
+                    r[score_key],
+                    rank,
+                )
+            )
+    return sorted(want)
+
+
+def test_ann_filtered_equals_rerank_of_unfiltered(spark, emb, tmp_path):
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    path = str(tmp_path / "ann")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    allowed = {
+        r.vec_id for r in emb.filter(F.col("vec_id") % 3 == 0).collect()
+    }
+
+    # every probed candidate, unfiltered (k larger than any cell)
+    full = ann_index_topk(spark, path, qs, k=1_000_000, nprobe=2)
+    want = _rerank(
+        [r.asDict() for r in full.collect()], allowed, 5, "pq_score"
+    )
+
+    got_list = sorted(
+        (r.query_id, r.vec_id, r.pq_score, r.rank)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=2, allowed_ids=sorted(allowed)
+        ).collect()
+    )
+    got_df = sorted(
+        (r.query_id, r.vec_id, r.pq_score, r.rank)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=2,
+            allowed_ids=emb.filter(F.col("vec_id") % 3 == 0).select(
+                "vec_id"
+            ),
+        ).collect()
+    )
+    assert got_list == want
+    assert got_df == want  # list and DataFrame forms agree exactly
+
+
+def test_ann_filtered_lossless_equals_brute_force_over_subset(
+    spark, emb, tmp_path
+):
+    """The semantic gold gate: identity codebook + full probe means
+    pq_score IS the rounded cosine, so filtered index top-k must
+    EQUAL brute-force cosine top-k over the pre-filtered corpus —
+    the result a user would get by maintaining a separate per-scope
+    corpus, without maintaining one."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "annid")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=None)
+    qs = emb.filter(F.col("vec_id") < 3)
+    sub = emb.filter(F.col("vec_id") % 3 == 0)
+    got = sorted(
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=8,
+            allowed_ids=sub.select("vec_id"),
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(sub, qs, k=5).collect()
+    )
+    assert got == want and len(got) == 15
+
+
+def test_ann_filtered_composes_with_refine(spark, emb, tmp_path):
+    """refine= re-ranks the FILTERED candidates against exact stored
+    vectors: with the identity codebook ADC is already exact, so the
+    refined filtered result must equal brute force over the subset —
+    and every returned id is allowed."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.similarity import brute_force_topk
+
+    path = str(tmp_path / "annref")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=None, store_vectors=True
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    sub = emb.filter(F.col("vec_id") % 3 == 0)
+    got = sorted(
+        (r.query_id, r.vec_id)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=8, refine=50,
+            allowed_ids=sub.select("vec_id"),
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(sub, qs, k=5).collect()
+    )
+    assert got == want
+
+
+def test_ann_filtered_empty_allowed_is_typed_empty(spark, emb, tmp_path):
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    path = str(tmp_path / "ann0")
+    ann_index_build(emb, path, n_cells=4, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 2)
+    out = ann_index_topk(spark, path, qs, k=5, nprobe=2, allowed_ids=[])
+    assert out.columns == [
+        "query_id", "vec_id", "pq_score", "rank", "index_version",
+    ]
+    assert out.count() == 0
+
+
+def test_allowed_ids_guards(spark, emb, docs, tmp_path):
+    """A type-incompatible DataFrame and an unresolvable multi-column
+    DataFrame both fail loudly up front — never silently dropping
+    every candidate."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    path = str(tmp_path / "annt")
+    ann_index_build(emb, path, n_cells=4, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 2)
+    bad_type = spark.createDataFrame([("a",)], "vec_id string")
+    with pytest.raises(ValueError, match="allowed_ids"):
+        ann_index_topk(
+            spark, path, qs, k=5, allowed_ids=bad_type
+        )
+    two_cols = spark.createDataFrame(
+        [(1, 2)], "some_id long, other long"
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        ann_index_topk(
+            spark, path, qs, k=5, allowed_ids=two_cols
+        )
+
+
+def test_bm25_filtered_equals_rerank_of_unfiltered(spark, docs, tmp_path):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bm")
+    bm25_index_build(docs, path, n_buckets=8)
+    allowed = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    q = "stream merge window"
+    full = bm25_index_topk(spark, path, q, k=1_000_000)
+    want = _rerank(
+        [r.asDict() for r in full.collect()], allowed, 10, "score"
+    )
+    got_list = sorted(
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, path, q, k=10, allowed_ids=sorted(allowed)
+        ).collect()
+    )
+    got_df = sorted(
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, path, q, k=10,
+            allowed_ids=docs.filter(F.col("doc_id") % 3 == 0).select(
+                "doc_id"
+            ),
+        ).collect()
+    )
+    # _rerank keys by query_id which bm25 single-query has none of —
+    # strip the synthetic qid
+    want = sorted((d, s, rk) for (_, d, s, rk) in want)
+    assert got_list == want
+    assert got_df == want
+
+
+def test_bm25_filtered_scores_use_index_wide_stats(spark, docs, tmp_path):
+    """The filter scopes candidates, NOT statistics: a returned doc's
+    score under the filter equals its unfiltered score (idf/avgdl are
+    the index's), only ranks compress."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmstats")
+    bm25_index_build(docs, path, n_buckets=8)
+    q = "customer value table"
+    unfiltered = {
+        r.doc_id: r.score
+        for r in bm25_index_topk(spark, path, q, k=1_000_000).collect()
+    }
+    allowed = [d for d in sorted(unfiltered) if d % 2 == 0]
+    for r in bm25_index_topk(
+        spark, path, q, k=10, allowed_ids=allowed
+    ).collect():
+        assert r.score == unfiltered[r.doc_id]
+        assert r.doc_id in set(allowed)
+
+
+def test_bm25_filtered_batch_per_query(spark, docs, tmp_path):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_topk_batch,
+    )
+
+    path = str(tmp_path / "bmb")
+    bm25_index_build(docs, path, n_buckets=8)
+    queries = spark.createDataFrame(
+        [(1, "stream merge window"), (2, "customer value table")],
+        "query_id long, query string",
+    )
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk_batch(
+            spark, path, queries, k=5, allowed_ids=allowed
+        ).collect()
+    )
+    # each query independently equals the filtered single-query path
+    want = []
+    for qid, q in [(1, "stream merge window"), (2, "customer value table")]:
+        for r in bm25_index_topk(
+            spark, path, q, k=5, allowed_ids=allowed
+        ).collect():
+            want.append((qid, r.doc_id, r.score, r.rank))
+    assert got == sorted(want)
+
+
+def test_bm25_filtered_composes_with_mode_all_and_phrase(
+    spark, docs, tmp_path
+):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmp")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    allowed = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    for kw in (
+        {"mode": "all"},
+        {"phrase": "customer value"},
+    ):
+        un = bm25_index_topk(
+            spark, path, "customer value", k=1_000_000, **kw
+        ).collect()
+        want = _rerank(
+            [r.asDict() for r in un], allowed, 5, "score"
+        )
+        want = sorted((d, s, rk) for (_, d, s, rk) in want)
+        got = sorted(
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(
+                spark, path, "customer value", k=5,
+                allowed_ids=sorted(allowed), **kw
+            ).collect()
+        )
+        assert got == want, kw
+
+
+def test_hybrid_filtered_threads_both_legs(spark, docs, emb, tmp_path):
+    """The fused result under allowed_ids must equal fusing the two
+    INDIVIDUALLY filtered legs — i.e. the filter reached both legs
+    before their n_candidates cuts, not the fused output."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    bp, ap = str(tmp_path / "b"), str(tmp_path / "a")
+    bm25_index_build(docs, bp, n_buckets=8)
+    ann_index_build(emb, ap, n_cells=4, m=8, n_codes=16)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    allowed = sorted(
+        r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    )
+    fused = hybrid_index_topk(
+        spark, bp, ap, "stream merge window", qvec, k=8,
+        n_candidates=10, allowed_ids=allowed,
+    ).collect()
+    assert fused and all(r.doc_id % 3 == 0 for r in fused)
+
+    text_ranks = {
+        r.doc_id: r.rank
+        for r in bm25_index_topk(
+            spark, bp, "stream merge window", k=10, allowed_ids=allowed
+        ).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(0, qvec)], "query_id long, embedding array<double>"
+    )
+    vec_ranks = {
+        r.vec_id: r.rank
+        for r in ann_index_topk(
+            spark, ap, qdf, k=10, nprobe=2, query_id_col="query_id",
+            query_vec_col="embedding", exclude_self=False,
+            allowed_ids=allowed,
+        ).collect()
+    }
+    for r in fused:
+        assert r.text_rank == text_ranks.get(r.doc_id)
+        assert r.vec_rank == vec_ranks.get(r.doc_id)

@@ -411,3 +411,98 @@ def test_gopher_full_filter_single_scan_no_shuffle(spark, sf_dir):
     explode + groupBy."""
     plan = _plan(spark, "gopher_full_filter", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_ann_filtered_topk_list_pushes_to_segment_scan(
+    spark, sf_dir, tmp_path
+):
+    """allowed_ids as a literal id list must reach the segments'
+    parquet scans as a PUSHED data filter (planning-time, zero joins)
+    alongside the probed-cell PartitionFilters — i.e. the candidate
+    filter lands BEFORE ranking, at the scan itself, and the source
+    corpus is never read."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "annflt")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter("vec_id < 3")
+    df = ann_index_topk(
+        spark, path, qs, k=5, nprobe=2,
+        allowed_ids=[0, 3, 6, 9, 12, 15, 18, 21],
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "embeddings.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*In\(vec_id", plan)
+
+
+def test_ann_filtered_topk_dataframe_semi_joins_before_rank(
+    spark, sf_dir, tmp_path
+):
+    """allowed_ids as a DataFrame must become a LEFT-SEMI join on the
+    candidate rows (strategy left to Catalyst/AQE), placed before the
+    per-query ranking window — and the allowed-set source must never
+    be collected into the plan as literals."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "annfltdf")
+    ann_index_build(emb, path, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter("vec_id < 3")
+    df = ann_index_topk(
+        spark, path, qs, k=5, nprobe=2,
+        allowed_ids=emb.filter("vec_id % 3 = 0").select("vec_id"),
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the semi join exists, the segment scans stay cell-pruned, and
+    # the ranking window is still present above it (pre-rank ordering
+    # itself is pinned semantically by test_filtered_topk.py: the
+    # returned k is correct under the filter, which post-filtering
+    # could not produce)
+    assert "LeftSemi" in plan
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert re.search(r"\(\d+\) Window", plan)
+
+
+def test_bm25_filtered_topk_list_pushes_to_postings_scan(
+    spark, sf_dir, tmp_path
+):
+    """allowed_ids as a literal id list must reach the postings
+    parquet scans as a PUSHED doc_id filter alongside the term-bucket
+    PartitionFilters — disallowed documents never enter the score
+    aggregation, and the corpus is never read."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    path = str(tmp_path / "bmflt")
+    bm25_index_build(docs, path, n_buckets=8)
+    df = bm25_index_topk(
+        spark, path, "stream merge window", k=10,
+        allowed_ids=[0, 2, 4, 6, 8, 10],
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*In\(doc_id", plan)
