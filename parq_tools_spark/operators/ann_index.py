@@ -1456,6 +1456,7 @@ def semantic_dedupe_incremental(
     threshold: float = 0.95,
     update_index: bool = False,
     max_batch_rows: int = 100_000,
+    allowed_ids=None,
 ) -> DataFrame:
     """Incremental SemDeDup admission served FROM the persisted ANN
     index (the embedding twin of :func:`~parq_tools_spark.operators.
@@ -1496,6 +1497,19 @@ def semantic_dedupe_incremental(
     admission is a correctness decision, so it gets the rounded exact
     cosine (:func:`~parq_tools_spark.operators.similarity.
     cosine_similarity_col` with the index's rounding grid).
+
+    ``allowed_ids`` SCOPES admission (the same pre-rank filter as
+    :func:`ann_index_topk` — see :func:`~parq_tools_spark.operators.
+    _index_common.apply_allowed_ids`): only index entries in the
+    allowed set can block a new vector, so a per-language or
+    per-license corpus dedups against its own scope while sharing one
+    physical index — admission with ``allowed_ids=S`` over index
+    ``I`` equals admission over an index holding only ``I ∩ S``
+    (under the same frozen model; pinned by test). The IN-BATCH
+    lower-id rule is deliberately NOT scoped — batch rows are not
+    index entries, and a batch is one admission scope by definition.
+    ``update_index=True`` still appends every survivor: the filter
+    scopes who may BLOCK, not who may enter.
 
     Replay contract (what the streaming sink leans on): the index
     query drops equal-id collisions, and admitted survivors are
@@ -1576,6 +1590,24 @@ def semantic_dedupe_incremental(
                 for s in live
             ],
         )
+        if allowed_ids is not None:
+            # scope WHO MAY BLOCK, before the dup join: a literal
+            # list pushes into the (already cell-pruned) segment
+            # scans, a DataFrame semi-joins
+            from parq_tools_spark.operators._index_common import (
+                apply_allowed_ids,
+            )
+
+            if isinstance(allowed_ids, DataFrame) and id_col in (
+                allowed_ids.columns
+            ):
+                allowed_ids = allowed_ids.select(
+                    F.col(id_col).alias("_idx_id")
+                )
+            idx = apply_allowed_ids(
+                idx, "_idx_id", allowed_ids, _id_field(m).dataType,
+                "semantic_dedupe_incremental",
+            )
         rounded = (
             F.floor(
                 cosine_similarity_col(F.col("_idx_vec"), F.col(vec_col))

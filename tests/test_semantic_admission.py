@@ -381,3 +381,80 @@ class TestSemanticIncremental:
         assert "embeddings.parquet" not in plan
         assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
         assert "SortMergeJoin" not in plan
+
+
+class TestScopedAdmission:
+    def test_allowed_ids_equals_prefiltered_index(
+        self, spark, tmp_path, clustered_batches
+    ):
+        """The scoped-admission equivalence: admission with
+        allowed_ids=S over index I must equal admission over an index
+        holding only I ∩ S under the SAME frozen model (train_corpus=
+        pins the model, so the only difference is who may block)."""
+        from parq_tools_spark.operators.ann_index import (
+            ann_index_build,
+            semantic_dedupe_incremental,
+        )
+
+        b0, b1, _, _ = clustered_batches
+        allowed = [0, 3]  # indexed 1 and 2 may no longer block
+        full = str(tmp_path / "full")
+        scoped = str(tmp_path / "scoped")
+        ann_index_build(
+            b0, full, n_cells=2, m=2, n_codes=4, store_vectors=True
+        )
+        ann_index_build(
+            b0.filter(F.col("vec_id").isin(allowed)),
+            scoped,
+            n_cells=2, m=2, n_codes=4, store_vectors=True,
+            train_corpus=b0,
+        )
+        batch = b1  # 10 dups indexed 0 (allowed), 11 dups indexed 2
+        # (NOT allowed -> must now be admitted), 12 fresh
+
+        def admitted(path, **kw):
+            return sorted(
+                r.vec_id
+                for r in semantic_dedupe_incremental(
+                    spark, path, batch, threshold=0.95, **kw
+                ).select("vec_id").collect()
+            )
+
+        got_list = admitted(full, allowed_ids=allowed)
+        got_df = admitted(
+            full,
+            allowed_ids=spark.createDataFrame(
+                [(i,) for i in allowed], "vec_id long"
+            ),
+        )
+        want = admitted(scoped)
+        assert got_list == want == [11, 12]
+        assert got_df == want
+        # unscoped baseline differs: 11 is blocked by indexed 2
+        assert admitted(full) == [12]
+
+    def test_in_batch_rule_is_not_scoped(self, spark, tmp_path):
+        """allowed_ids scopes INDEX blockers only: a lower-id sibling
+        within the batch still blocks regardless of the filter."""
+        from parq_tools_spark.operators.ann_index import (
+            ann_index_build,
+            semantic_dedupe_incremental,
+        )
+
+        seed = _vec_df(spark, [(0, [1.0, 0.0, 0.0, 0.0]),
+                               (1, [0.0, 1.0, 0.0, 0.0])])
+        path = str(tmp_path / "idx")
+        ann_index_build(
+            seed, path, n_cells=2, m=2, n_codes=4, store_vectors=True
+        )
+        batch = _vec_df(
+            spark,
+            [(40, [0.0, 0.0, 1.0, 0.0]), (41, [0.0, 0.0, 2.0, 0.0])],
+        )
+        got = sorted(
+            r.vec_id
+            for r in semantic_dedupe_incremental(
+                spark, path, batch, threshold=0.95, allowed_ids=[]
+            ).select("vec_id").collect()
+        )
+        assert got == [40]  # 41 still dropped by in-batch lower-id 40
