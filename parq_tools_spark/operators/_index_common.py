@@ -25,6 +25,8 @@ __all__ = [
     "maybe_compact",
     "write_salted_segment",
     "apply_allowed_ids",
+    "auto_task_splits",
+    "resolve_task_splits",
 ]
 
 
@@ -428,3 +430,66 @@ def apply_allowed_ids(df, id_name: str, allowed_ids, index_id_type, fn: str):
         # qualifies — the plan stays typed, the result is empty
         return df.filter(F.lit(False))
     return df.filter(F.col(id_name).isin(ids))
+
+
+#: Row budget per write task the ``"auto"`` task-split resolver
+#: targets: the hottest key's row count divided by this gives the
+#: salt factor. ~1M short index rows (an id + a few small columns)
+#: per task keeps write tasks in the hundreds-of-MB range.
+AUTO_ROWS_PER_TASK = 1_000_000
+
+#: Upper bound for an auto-resolved salt factor — more, smaller files
+#: per key directory is exactly what compaction's byte targets fold
+#: later, but an unbounded factor would fragment a pathological batch
+#: into confetti.
+AUTO_MAX_TASK_SPLITS = 64
+
+
+def auto_task_splits(
+    df,
+    key_col: str,
+    rows_per_task: Optional[int] = None,
+    max_splits: Optional[int] = None,
+) -> int:
+    """Resolve a ``task_splits="auto"`` request from the batch's OWN
+    key skew: one aggregation pass (map-side partial combine, then
+    one tiny reduce of n_keys rows) finds the hottest key's row
+    count; the salt factor is that count over the per-task row
+    budget, clamped to ``[1, max_splits]``. The stats-driven default
+    for :func:`write_salted_segment` — at 100 TB an operator should
+    not have to guess the salt factor per ingest, and a uniform batch
+    resolves to 1 (no salting, no extra files).
+
+    Cost: the aggregation re-evaluates the batch's lineage once (for
+    the ANN family that is the encode pass; for BM25 the tokenize
+    pass) — the price of measuring instead of guessing, paid only
+    when the caller asks for ``"auto"``. Callers with a cheaper
+    estimate pass an int."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rpt = AUTO_ROWS_PER_TASK if rows_per_task is None else rows_per_task
+    cap = AUTO_MAX_TASK_SPLITS if max_splits is None else max_splits
+    row = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()
+    )
+    mx = row[0] or 0
+    return max(1, min(cap, math.ceil(mx / rpt)))
+
+
+def resolve_task_splits(value, df, key_col: str, what: str) -> int:
+    """Normalize a ``task_splits`` parameter: a positive int passes
+    through, the string ``"auto"`` resolves via
+    :func:`auto_task_splits` on the batch at hand. Anything else
+    fails loudly."""
+    if value == "auto":
+        return auto_task_splits(df, key_col)
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise ValueError(f"{what} must be a positive int or 'auto'")
+    if value < 1:
+        raise ValueError(f"{what} must be >= 1")
+    return value

@@ -268,13 +268,24 @@ def ann_index_build(
     tasks (more, smaller files per ``cell=`` directory — compaction's
     byte-targets merge them later); serving and results are
     bit-identical. Stored in the manifest so :func:`ann_index_add`
-    ingests with the same discipline."""
+    ingests with the same discipline. ``"auto"`` measures the batch
+    instead of guessing (:func:`~parq_tools_spark.operators.
+    _index_common.auto_task_splits`: hottest cell's rows over a
+    per-task row budget, one extra aggregation pass) — and because
+    the manifest stores the literal ``"auto"``, every later ingest
+    re-measures ITS OWN batch's skew."""
     import json
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    if cell_task_splits < 1:
-        raise ValueError("cell_task_splits must be >= 1")
+    if cell_task_splits != "auto" and (
+        isinstance(cell_task_splits, bool)
+        or not isinstance(cell_task_splits, int)
+        or cell_task_splits < 1
+    ):
+        raise ValueError(
+            "cell_task_splits must be a positive int or 'auto'"
+        )
 
     from parq_tools_spark.operators.similarity import (
         _hashseed_rows,
@@ -318,9 +329,20 @@ def ann_index_build(
     )
     n_vecs = corpus.count()
 
+    from parq_tools_spark.operators._index_common import (
+        resolve_task_splits,
+    )
+
+    # "auto" measures the batch's own cell skew (one extra
+    # aggregation pass) instead of guessing a salt factor; stored in
+    # the manifest verbatim so every subsequent ingest re-measures
+    # ITS batch
+    splits = resolve_task_splits(
+        cell_task_splits, coded, "cell", "cell_task_splits"
+    )
     seg = _tag(new, "seg")
     _write_codes_segment(
-        coded, f"{path}/{seg}", id_col, cell_task_splits
+        coded, f"{path}/{seg}", id_col, splits
     )
     model = _tag(new, "model") + ".json"
     _write_model(vs.fs, path, model, centroids, codebooks, rot)
@@ -392,10 +414,17 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     )
     n_new = new_vecs.count()
 
+    from parq_tools_spark.operators._index_common import (
+        resolve_task_splits,
+    )
+
     seg = _tag(cur + 1, "seg")
     _write_codes_segment(
         coded, f"{path}/{seg}", p["id_col"],
-        p.get("cell_task_splits", 1),
+        resolve_task_splits(
+            p.get("cell_task_splits", 1), coded, "cell",
+            "cell_task_splits",
+        ),
     )
     vs.commit(
         cur + 1,

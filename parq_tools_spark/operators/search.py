@@ -611,7 +611,7 @@ def bm25_index_build(
     n_buckets: int = 32,
     store_positions: bool = False,
     keep_versions: int = 1,
-    bucket_task_splits: int = 1,
+    bucket_task_splits=1,
 ) -> None:
     """Build a persistent BM25 index over ``corpus`` at ``path``.
 
@@ -631,7 +631,11 @@ def bm25_index_build(
     the term bucket alone, so one hot bucket is one task; a value >
     1 salts it with a doc-id hash (layout-only change, results
     bit-identical, stored in the manifest so ``add``/``upsert``/CDC
-    ingests inherit it).
+    ingests inherit it). ``"auto"`` measures the batch's hottest
+    bucket instead of guessing (:func:`~parq_tools_spark.operators.
+    _index_common.auto_task_splits`, one extra aggregation pass);
+    stored verbatim, so every later ingest re-measures its own
+    batch.
 
     Rebuilding over an existing index is NON-DESTRUCTIVE: the new
     generation's segment and vocabulary snapshot are built alongside
@@ -645,8 +649,14 @@ def bm25_index_build(
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    if bucket_task_splits < 1:
-        raise ValueError("bucket_task_splits must be >= 1")
+    if bucket_task_splits != "auto" and (
+        isinstance(bucket_task_splits, bool)
+        or not isinstance(bucket_task_splits, int)
+        or bucket_task_splits < 1
+    ):
+        raise ValueError(
+            "bucket_task_splits must be a positive int or 'auto'"
+        )
     spark = corpus.sparkSession
     vs = _bm25_vs(spark, path)
     cur = vs.current()
@@ -663,9 +673,19 @@ def bm25_index_build(
 
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
     post = _postings(corpus, id_col, text_col, store_positions)
+    from parq_tools_spark.operators._index_common import (
+        resolve_task_splits,
+    )
+
     seg = _tag(new, "seg")
     _write_postings_segment(
-        post, f"{path}/{seg}", n_buckets, bucket_task_splits
+        post, f"{path}/{seg}", n_buckets,
+        resolve_task_splits(
+            bucket_task_splits,
+            post.withColumn("tbucket", _tbucket_col(n_buckets)),
+            "tbucket",
+            "bucket_task_splits",
+        ),
     )
     _write_segment_docs(corpus, id_col, text_col, f"{path}/{seg}")
     terms_dir = _tag(new, "terms")
@@ -721,10 +741,19 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
         p["text_col"],
         p.get("store_positions", False),
     )
+    from parq_tools_spark.operators._index_common import (
+        resolve_task_splits,
+    )
+
     seg = _tag(cur + 1, "seg")
     _write_postings_segment(
         post, f"{path}/{seg}", p["n_buckets"],
-        p.get("bucket_task_splits", 1),
+        resolve_task_splits(
+            p.get("bucket_task_splits", 1),
+            post.withColumn("tbucket", _tbucket_col(p["n_buckets"])),
+            "tbucket",
+            "bucket_task_splits",
+        ),
     )
     _write_segment_docs(new_docs, p["id_col"], p["text_col"], f"{path}/{seg}")
     batch_terms = _segment_terms(spark, path, seg)

@@ -748,3 +748,87 @@ def test_retrain_identity_codebook_roundtrips(spark, emb, tmp_path):
         .select("query_id", "vec_id", "pq_score", "rank")
     )
     assert a == b
+
+
+def test_auto_cell_task_splits_measures_skew(
+    spark, emb, tmp_path, monkeypatch
+):
+    """cell_task_splits='auto' derives the salt factor from the
+    batch's OWN hottest-cell row count (no guessing): with the
+    per-task row budget pinned small, the skewed build resolves to
+    >1 (multiple files in a hot cell= directory), serving stays
+    bit-identical to the unsalted build, and the manifest stores the
+    literal 'auto' so a later add RE-MEASURES its batch."""
+    import glob
+
+    from parq_tools_spark.operators import _index_common
+    from parq_tools_spark.operators._index_common import (
+        auto_task_splits,
+    )
+
+    # the resolver itself: uniform budget -> 1, tight budget -> >1
+    cells2 = emb.select(
+        "vec_id", (F.col("vec_id") % 2).alias("cell")
+    )
+    assert auto_task_splits(cells2, "cell", rows_per_task=10**9) == 1
+    import math
+
+    hot = cells2.groupBy("cell").count().agg(
+        F.max("count")
+    ).first()[0]
+    assert auto_task_splits(
+        cells2, "cell", rows_per_task=10
+    ) == min(64, math.ceil(hot / 10))
+
+    monkeypatch.setattr(_index_common, "AUTO_ROWS_PER_TASK", 50)
+    k = F.col("vec_id")
+    plain = str(tmp_path / "plain")
+    autop = str(tmp_path / "auto")
+    ann_index_build(emb.select("vec_id", "embedding"), plain,
+                    n_cells=2, m=8, n_codes=16)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        ann_index_build(
+            emb.select("vec_id", "embedding"), autop,
+            n_cells=2, m=8, n_codes=16, cell_task_splits="auto",
+        )
+        st = ann_index_stats(spark, autop)
+        assert st["params"]["cell_task_splits"] == "auto"
+        cells = glob.glob(autop + "/seg-*/cell=*")
+        assert cells and any(
+            len(glob.glob(c + "/*.parquet")) > 1 for c in cells
+        ), "auto did not split the hot cell"
+        qs = emb.filter(k < 5).select("vec_id", "embedding")
+        a = _rows(
+            ann_index_topk(spark, plain, qs, k=5, nprobe=2)
+            .select("query_id", "vec_id", "pq_score", "rank")
+        )
+        b = _rows(
+            ann_index_topk(spark, autop, qs, k=5, nprobe=2)
+            .select("query_id", "vec_id", "pq_score", "rank")
+        )
+        assert a == b
+        # an add under the stored 'auto' re-measures ITS batch and
+        # stays equivalent
+        extra = emb.select((k + 10_000).alias("vec_id"), "embedding")
+        ann_index_add(extra, autop)
+        ann_index_add(extra, plain)
+        a2 = _rows(
+            ann_index_topk(spark, plain, qs, k=8, nprobe=2)
+            .select("query_id", "vec_id", "pq_score", "rank")
+        )
+        b2 = _rows(
+            ann_index_topk(spark, autop, qs, k=8, nprobe=2)
+            .select("query_id", "vec_id", "pq_score", "rank")
+        )
+        assert a2 == b2
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    with pytest.raises(ValueError, match="cell_task_splits"):
+        ann_index_build(
+            emb.select("vec_id", "embedding"), str(tmp_path / "bad2"),
+            cell_task_splits="many",
+        )

@@ -1012,3 +1012,69 @@ def test_bucket_task_splits_bit_identical_and_multifile(
     with pytest.raises(ValueError, match="bucket_task_splits"):
         bm25_index_build(docs, str(tmp_path / "bad"),
                          bucket_task_splits=0)
+
+
+def test_auto_bucket_task_splits_measures_skew(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """bucket_task_splits='auto' derives the postings salt factor
+    from the batch's hottest term bucket: with a tight per-task row
+    budget the build splits the hot tbucket across files, scores stay
+    bit-identical to the unsalted build, and the stored 'auto'
+    re-measures on add."""
+    import glob
+    import os
+
+    import pytest
+
+    from parq_tools_spark.operators import _index_common
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+
+    monkeypatch.setattr(_index_common, "AUTO_ROWS_PER_TASK", 50)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    plain = str(tmp_path / "plain")
+    autop = str(tmp_path / "auto")
+    bm25_index_build(docs, plain, n_buckets=2)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        bm25_index_build(
+            docs, autop, n_buckets=2, bucket_task_splits="auto"
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert bm25_index_stats(spark, autop)["params"][
+        "bucket_task_splits"] == "auto"
+    buckets = glob.glob(autop + "/seg-*/tbucket=*")
+    assert buckets and any(
+        len(glob.glob(b + "/*.parquet")) > 1 for b in buckets
+    ), "auto did not split the hot bucket"
+
+    def top(path):
+        return [
+            (r.doc_id, r.score)
+            for r in bm25_index_topk(
+                spark, path, "customer value table", k=10
+            ).select("doc_id", "score").collect()
+        ]
+
+    assert top(plain) == top(autop)
+    extra = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    bm25_index_add(extra, plain)
+    bm25_index_add(extra, autop)
+    assert top(plain) == top(autop)
+
+    with pytest.raises(ValueError, match="bucket_task_splits"):
+        bm25_index_build(
+            docs, str(tmp_path / "bad"), bucket_task_splits=True
+        )
