@@ -3350,13 +3350,13 @@ def q_ann_retrain_equiv(spark, sf_dir):
 
 
 def q_facade_dispatch_equiv(spark, sf_dir):
-    """open_index facade gate: the family-agnostic handle must serve
-    BIT-IDENTICALLY to the direct family calls it dispatches to — a
-    bm25 index and an ann index are built once each, queried both
-    ways, and the symmetric differences unioned. The facade binds
-    (spark, path) and passes through verbatim (zero plan overhead —
-    PLANS_r13 §5), so any row here is a dispatch bug. Expected
-    empty."""
+    """open_index facade gate over ALL FOUR index families: the
+    family-agnostic handle must serve BIT-IDENTICALLY to the direct
+    family calls it dispatches to — an ann, a bm25, a minhash and a
+    simhash index are built once each, queried both ways, and the
+    four symmetric differences unioned. The facade binds (spark,
+    path) and passes through verbatim (zero plan overhead), so any
+    row here is a dispatch bug. Expected empty."""
     import shutil
     import tempfile
 
@@ -3364,18 +3364,31 @@ def q_facade_dispatch_equiv(spark, sf_dir):
         ann_index_build,
         ann_index_topk,
     )
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
     from parq_tools_spark.operators.index_facade import open_index
     from parq_tools_spark.operators.search import (
         bm25_index_build,
         bm25_index_topk,
+    )
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_write,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="facade_")
     ap, bp = os.path.join(work, "ann"), os.path.join(work, "bm25")
+    mp, sp = os.path.join(work, "mh"), os.path.join(work, "sh")
     ann_index_build(emb, ap, n_cells=8, m=8, n_codes=16)
     bm25_index_build(docs, bp, n_buckets=8)
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(seed, mp, num_hashes=32, bands=8)
+    simhash_index_write(seed, sp)
     qs = emb.filter(F.col("vec_id") < 3)
 
     acols = ["query_id", "vec_id", "pq_score", "rank"]
@@ -3396,6 +3409,24 @@ def q_facade_dispatch_equiv(spark, sf_dir):
         bm25_index_topk(spark, bp, "stream merge window", k=10)
         .select(*bcols).localCheckpoint(eager=True)
     )
+    mcols = ["id_indexed", "id_new", "est_jaccard"]
+    m_via = (
+        open_index(spark, mp).query(batch, threshold=0.5)
+        .select(*mcols).localCheckpoint(eager=True)
+    )
+    m_dir = (
+        minhash_index_query(spark, mp, batch, threshold=0.5)
+        .select(*mcols).localCheckpoint(eager=True)
+    )
+    scols = ["id_indexed", "id_new", "hamming"]
+    s_via = (
+        open_index(spark, sp).query(batch, max_hamming=3)
+        .select(*scols).localCheckpoint(eager=True)
+    )
+    s_dir = (
+        simhash_index_query(spark, sp, batch, max_hamming=3)
+        .select(*scols).localCheckpoint(eager=True)
+    )
     shutil.rmtree(work, ignore_errors=True)
 
     def sym(x, y, cols, side):
@@ -3411,8 +3442,11 @@ def q_facade_dispatch_equiv(spark, sf_dir):
         )
         return out.unionByName(back)
 
-    return sym(a_via, a_dir, acols, "ann").unionByName(
-        sym(b_via, b_dir, bcols, "bm25")
+    return (
+        sym(a_via, a_dir, acols, "ann")
+        .unionByName(sym(b_via, b_dir, bcols, "bm25"))
+        .unionByName(sym(m_via, m_dir, mcols, "minhash"))
+        .unionByName(sym(s_via, s_dir, scols, "simhash"))
     )
 
 
@@ -3776,52 +3810,82 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
     with the least accumulated driver evidence first: the entries NEW
-    in round 13 (the semantic-admission stream replay, the ANN
-    retrain gate), then every entry whose code changed this round
-    (the semantic pair over the extracted bootstrap; the ANN index
-    family over the retrain/auto-compact/stats changes; hybrid
-    serving over the same index reads; the repetition family over the
-    progressive n-gram rewrite; the BM25 build/stream pair over the
-    sink's stats-driven compaction and the n_segments stats field;
-    the MinHash/SimHash index gates over their new stats/
-    maybe_compact surface; the per-call IVF scans over the
-    similarity-module ivf_write removal), then the entries whose
-    last DIRECT driver row is r9-era (filter/concat/sort/reindex/
-    dedupe/profile/rename/calc/blockmodel, the pair scans, sampling,
-    text stats). Everything past position 50 was driver-checked green
-    in r10-r12 on code unchanged since.
+    or extended in round 14 (filtered top-k on both index families;
+    the facade gate now spanning all four families), the r13-new
+    four, then every entry whose code changed this round (the whole
+    index-serving surface over the allowed_ids pre-rank filter, the
+    retrain/auto-compact/task-split maintenance changes, the hybrid
+    paths, the streaming sinks' trigger-ordering fix), then the
+    entries whose last DIRECT driver row is r10-era (events family,
+    incremental agg, multimodal/video, pack/chunk, the diagnostic
+    ops). Everything past position 50 was driver-checked green in
+    r11-r13 on code unchanged since.
     """
     return {
-        # --- positions 1-50 = the driver check window for r13:
-        # new in r13 ...
+        # --- positions 1-50 = the driver check window for r14:
+        # new/changed this round ...
         "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "facade_dispatch_equiv": q_facade_dispatch_equiv,
         "semantic_stream_dedup": q_semantic_stream_dedup,
         "ann_retrain_equiv": q_ann_retrain_equiv,
-        "facade_dispatch_equiv": q_facade_dispatch_equiv,
         "auto_compact_equiv": q_auto_compact_equiv,
-        # ... r13-changed code ...
         "semantic_dedupe": q_semantic_dedupe,
+        "ann_from_index": q_ann_from_index,
+        "ann_refine_topk": q_ann_refine_topk,
         "ann_index_equiv": q_ann_index_equiv,
         "ann_index_delete": q_ann_index_delete,
         "ann_index_stream_equiv": q_ann_index_stream_equiv,
-        "ann_from_index": q_ann_from_index,
-        "ann_refine_topk": q_ann_refine_topk,
+        "bm25_from_index": q_bm25_from_index,
+        "bm25_from_index_batch": q_bm25_from_index_batch,
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_index_stream": q_bm25_index_stream,
+        "bm25_index_phrase": q_bm25_index_phrase,
         "hybrid_from_index": q_hybrid_from_index,
         "hybrid_index_wsum": q_hybrid_index_wsum,
+        "hybrid_index_batch": q_hybrid_index_batch,
+        "hybrid_refined_lossy": q_hybrid_refined_lossy,
+        "minhash_index_cdc": q_minhash_index_cdc,
+        "simhash_index_query": q_simhash_index_query,
+        # ... last direct driver evidence r10-era (events, incremental agg,
+        # multimodal/video, pack/chunk, diagnostics) ...
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+        "pivot_events": q_pivot_events,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "incremental_revenue": q_incremental_revenue,
+        "incremental_retention": q_incremental_retention,
+        "cdc_apply": q_cdc_apply,
+        "minhash_incremental": q_minhash_incremental,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "video_pipeline": q_video_pipeline,
+        "pack_shards": q_pack_shards,
+        "chunk_sentences": q_chunk_sentences,
+        "chunk_documents": q_chunk_documents,
+        "zorder_cells": q_zorder_cells,
+        "pii_redact": q_pii_redact,
+        "clean_text": q_clean_text,
+        "group_overlap": q_group_overlap,
+        "paragraph_dedupe": q_paragraph_dedupe,
+        "merge_upsert": q_merge_upsert,
+        "salted_join": q_salted_join,
+        "key_skew": q_key_skew,
+        "contamination": q_contamination,
+        "data_quality_checks": q_data_quality_checks,
+        # --- past the window: driver-checked green in r11-r13 on code
+        # unchanged since (previous orders preserved) ---
         "gopher_full_filter": q_gopher_full_filter,
         "word_repetition": q_word_repetition,
         "repetition_lines": q_repetition_lines,
         "repetition_ngram": q_repetition_ngram,
         "gopher_filter": q_gopher_filter,
-        "bm25_index_build": q_bm25_index_build,
-        "bm25_index_stream": q_bm25_index_stream,
-        "minhash_index_cdc": q_minhash_index_cdc,
-        "simhash_index_query": q_simhash_index_query,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
         "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        # ... oldest direct driver evidence (r9-era) ...
         "filter_dsl": q_filter_dsl,
         "filter_in_list": q_filter_in_list,
         "concat_tall": q_concat_tall,
@@ -3848,14 +3912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        # --- past the window: driver-checked green in
-        # r10-r12 on code unchanged since (fingerprint and
-        # token_count_bpe moved past the cut by the two new
-        # r13 equivalence gates above)
         "fingerprint": q_fingerprint,
         "token_count_bpe": q_token_count_bpe,
-        "hybrid_index_batch": q_hybrid_index_batch,
-        "hybrid_refined_lossy": q_hybrid_refined_lossy,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
@@ -3868,19 +3926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
         "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "video_pipeline": q_video_pipeline,
         "bm25_search": q_bm25_search,
         "bm25_and_search": q_bm25_and_search,
         "bm25_phrase_search": q_bm25_phrase_search,
-        "chunk_sentences": q_chunk_sentences,
-        "chunk_documents": q_chunk_documents,
-        "incremental_revenue": q_incremental_revenue,
-        "incremental_retention": q_incremental_retention,
-        "cdc_apply": q_cdc_apply,
-        "minhash_incremental": q_minhash_incremental,
         "tpch_q2": q_tpch_q2,
         "tpch_q4": q_tpch_q4,
         "tpch_q9": q_tpch_q9,
@@ -3895,29 +3943,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_stats": q_part_stats,
         "c4_filter": q_c4_filter,
         "minhash_index_delete": q_minhash_index_delete,
-        "bm25_index_phrase": q_bm25_index_phrase,
-        "bm25_from_index": q_bm25_from_index,
-        "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_batch": q_bm25_batch,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
-        "pivot_events": q_pivot_events,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
         "window_analytics": q_window_analytics,
         "grouping_sets_revenue": q_grouping_sets_revenue,
-        "salted_join": q_salted_join,
-        "contamination": q_contamination,
-        "key_skew": q_key_skew,
-        "data_quality_checks": q_data_quality_checks,
         "pipeline_e2e": q_pipeline_e2e,
         "compare_tables": q_compare_tables,
         "memory_report": q_memory_report,
-        "paragraph_dedupe": q_paragraph_dedupe,
-        "merge_upsert": q_merge_upsert,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
         "ann_topk": q_ann_topk,
@@ -3925,11 +3958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_precision_check": q_minhash_precision_check,
         "simhash_precision_check": q_simhash_precision_check,
         "ann_lsh_recall_check": q_ann_lsh_recall_check,
-        "group_overlap": q_group_overlap,
-        "clean_text": q_clean_text,
-        "pii_redact": q_pii_redact,
-        "zorder_cells": q_zorder_cells,
-        "pack_shards": q_pack_shards,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
