@@ -3295,6 +3295,79 @@ def q_bm25_filtered_topk(spark, sf_dir):
     return out
 
 
+def q_ann_where_topk(spark, sf_dir):
+    """Metadata-filtered ANN top-k: the index is built with
+    store_cols=['label'] (the metadata rides each row's codes through
+    the encoder — no id re-join), and serving filters candidates with
+    the engine's DSL predicate where="label in [0, 2, 4]", which
+    Catalyst pushes into the cell-pruned segment scans. The oracle
+    re-derives the IVF-PQ pipeline and scopes its candidate set with
+    the same predicate via the embeddings table."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annwhere_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path,
+        n_cells=8, m=8, n_codes=16, store_cols=["label"],
+    )
+    from parq_tools_spark.operators.ann_index import ann_index_add
+
+    ann_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=2,
+            where="label in [0, 2, 4]",
+        )
+        .select("query_id", "vec_id", "pq_score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_where_topk(spark, sf_dir):
+    """Metadata-filtered BM25 top-k: the index stores lang on every
+    posting row (store_cols=['lang'] — doc-constant like dl, scoring
+    untouched), and serving filters candidates with the DSL predicate
+    where="lang == 'en'" pushed into the bucket-pruned postings
+    scans. Statistics stay index-wide; the oracle computes
+    full-corpus BM25 and scopes candidates by the documents table's
+    lang before its ranking window."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="bmwhere_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path, n_buckets=8, store_cols=["lang"])
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            where="lang == 'en'",
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -3826,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new/changed this round ...
         "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
+        "ann_where_topk": q_ann_where_topk,
+        "bm25_where_topk": q_bm25_where_topk,
         "facade_dispatch_equiv": q_facade_dispatch_equiv,
         "semantic_stream_dedup": q_semantic_stream_dedup,
         "ann_retrain_equiv": q_ann_retrain_equiv,
@@ -5289,6 +5364,86 @@ WHERE rnk <= 5
         # ann_ivfpq_topk recompute except the seed ranking draws from
         # the EVEN ids only (the build corpus froze the model), and
         # the result carries the index_version stamp (build=1, add=2).
+        "ann_where_topk": """
+WITH ranked_ids AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                    vec_id) - 1 AS ridx
+  FROM embeddings WHERE vec_id % 2 = 0
+), cents AS (
+  SELECT ridx AS cidx, embedding FROM ranked_ids WHERE ridx < 8
+), asim AS (
+  SELECT e.vec_id, c.cidx,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cidx AS cell FROM (
+    SELECT vec_id, cidx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx) AS rn
+    FROM asim WHERE vec_id < 3) WHERE rn <= 2
+), norm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT r.ridx AS code, n.v
+  FROM ranked_ids r JOIN norm n ON n.vec_id = r.vec_id
+  WHERE r.ridx < 16
+), subs AS (
+  SELECT CAST(unnest(range(0, 8)) AS INT) AS j
+), xsub AS (
+  SELECT n.vec_id, s.j, n.v[1 + s.j * 8 : (s.j + 1) * 8] AS xs
+  FROM norm n CROSS JOIN subs s
+), csub AS (
+  SELECT c.code, s.j, c.v[1 + s.j * 8 : (s.j + 1) * 8] AS cs
+  FROM seeds c CROSS JOIN subs s
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT x.vec_id, x.j, c.code,
+           row_number() OVER (PARTITION BY x.vec_id, x.j
+             ORDER BY floor((list_inner_product(x.xs, x.xs)
+                      - 2 * list_inner_product(x.xs, c.cs)
+                      + list_inner_product(c.cs, c.cs))
+                      * 1000000.0 + 0.5) / 1000000.0 ASC,
+                      c.code ASC) AS rn
+    FROM xsub x JOIN csub c ON c.j = x.j)
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, j, xs FROM xsub WHERE vec_id < 3
+), cand AS (
+  -- the stored-metadata predicate scopes CANDIDATES before
+  -- ranking; model/probes stay index-wide
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (0, 2, 4))
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         floor(sum(list_inner_product(q.xs, cs.cs)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pq_score
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.vec_id
+  JOIN csub cs ON cs.j = e.j AND cs.code = e.code
+  JOIN qsub q ON q.query_id = c.query_id AND q.j = e.j
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, vec_id, pq_score, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+        """,
         "ann_filtered_topk": """
 WITH ranked_ids AS (
   SELECT vec_id, embedding,
@@ -5367,6 +5522,60 @@ FROM (
     PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rnk
   FROM scored)
 WHERE rnk <= 5
+        """,
+        "bm25_where_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM tok
+            ),
+            qterms(term) AS (
+              VALUES ('merge'), ('stream'), ('window')
+            ),
+            dfs AS (
+              SELECT q.term,
+                     (SELECT count(*) FROM tok
+                      WHERE list_contains(toks, q.term)) AS df
+              FROM qterms q
+            ),
+            idf AS (
+              SELECT term,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+              FROM dfs CROSS JOIN stats
+            ),
+            postings AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+              FROM tok
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM postings
+              WHERE term IN (SELECT term FROM qterms)
+                -- candidate filter BEFORE scoring/ranking; idf and
+                -- avgdl above stay full-corpus (index-wide stats)
+                AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+              GROUP BY doc_id, dl, term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     floor(sum(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                           * 1e6 + 0.5) / 1e6 AS score
+              FROM tf JOIN idf USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS INT) AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
         """,
         "bm25_filtered_topk": r"""
             WITH tok AS (

@@ -27,6 +27,7 @@ __all__ = [
     "apply_allowed_ids",
     "auto_task_splits",
     "resolve_task_splits",
+    "check_store_cols",
 ]
 
 
@@ -493,3 +494,18 @@ def resolve_task_splits(value, df, key_col: str, what: str) -> int:
     if value < 1:
         raise ValueError(f"{what} must be >= 1")
     return value
+
+
+def check_store_cols(df, store_cols, fn: str) -> None:
+    """Indexes built with ``store_cols=`` carry those metadata
+    columns in every row they commit, so every ingest batch must
+    supply them — a batch that silently dropped ``lang`` would poison
+    the index's ``where=`` serving. Fail loudly, naming the columns."""
+    missing = [c for c in store_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{fn}: this index stores metadata columns "
+            f"{list(store_cols)} with every row, but the batch is "
+            f"missing {missing} — carry them through the ingest (or "
+            "rebuild the index without store_cols)"
+        )

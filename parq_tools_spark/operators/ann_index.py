@@ -207,7 +207,8 @@ def ann_index_build(
     keep_versions: int = 1,
     store_vectors: bool = False,
     train_corpus: Optional[DataFrame] = None,
-    cell_task_splits: int = 1,
+    cell_task_splits=1,
+    store_cols=(),
 ) -> None:
     """Build a persistent IVF-PQ index over an embedding column.
 
@@ -273,7 +274,17 @@ def ann_index_build(
     _index_common.auto_task_splits`: hottest cell's rows over a
     per-task row budget, one extra aggregation pass) — and because
     the manifest stores the literal ``"auto"``, every later ingest
-    re-measures ITS OWN batch's skew."""
+    re-measures ITS OWN batch's skew.
+
+    ``store_cols`` persists the named corpus metadata columns (e.g.
+    ``lang``, a license flag) IN the segment rows, riding the same
+    Arrow batch through the encoder — zero extra shuffle, no id
+    re-join. Serving can then filter candidates with
+    :func:`ann_index_topk`'s ``where=`` DSL predicate, which Catalyst
+    pushes into the cell-pruned parquet scans (at 100 TB the filter
+    costs planning time, not a metadata join). Every subsequent
+    ingest must carry the columns (validated loudly); compaction and
+    retraining carry them forward."""
     import json
 
     if keep_versions < 1:
@@ -294,6 +305,19 @@ def ann_index_build(
         pq_encode_with_cells,
     )
 
+    store_cols = list(store_cols)
+    reserved = {"codes", "cell", "vec", id_col, vec_col}
+    bad = [c for c in store_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"store_cols {bad} collide with the segment schema's "
+            f"reserved columns ({sorted(reserved)})"
+        )
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    check_store_cols(corpus, store_cols, "ann_index_build")
     spark = corpus.sparkSession
     vs = _ann_vs(spark, path)
     cur = vs.current()
@@ -326,6 +350,7 @@ def ann_index_build(
         round_to=round_to,
         rotation=rot,
         keep_vec=store_vectors,
+        meta_cols=store_cols,
     )
     n_vecs = corpus.count()
 
@@ -368,6 +393,7 @@ def ann_index_build(
                     "keep_versions": keep_versions,
                     "store_vectors": store_vectors,
                     "cell_task_splits": cell_task_splits,
+                    "store_cols": store_cols,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_vecs": n_vecs,
@@ -402,6 +428,11 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     # one fused encode+assign pass under the frozen model; the
     # segment schema is an index-wide invariant, so the batch stores
     # (or doesn't store) exact vectors exactly as the build did
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    check_store_cols(new_vecs, p.get("store_cols", []), "ann_index_add")
     coded = pq_encode_with_cells(
         new_vecs,
         centroids,
@@ -411,6 +442,7 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
         round_to=p["round_to"],
         rotation=rot,
         keep_vec=bool(p.get("store_vectors")),
+        meta_cols=p.get("store_cols", []),
     )
     n_new = new_vecs.count()
 
@@ -531,7 +563,8 @@ def ann_index_retrain(
     batches = _ann_delete_batches(spark, path, man, id_col)
     segs = [
         _ann_visible_scan(spark, path, s, batches, id_col).select(
-            F.col(id_col), F.col("vec").alias(vec_col)
+            F.col(id_col), F.col("vec").alias(vec_col),
+            *p.get("store_cols", []),
         )
         for s in live
     ]
@@ -567,6 +600,7 @@ def ann_index_retrain(
             if cell_task_splits is None
             else cell_task_splits
         ),
+        store_cols=p.get("store_cols", []),
     )
 
 
@@ -803,7 +837,9 @@ def ann_index_apply_cdc(
     }
     if has_ups:
         res = ann_index_upsert(
-            ups_rows.select(id_col, vec_col),
+            ups_rows.select(
+                id_col, vec_col, *p.get("store_cols", [])
+            ),
             path,
             _visible_ids=visible_touched,
         )
@@ -1001,6 +1037,7 @@ def ann_index_topk(
     max_queries: int = 10_000,
     refine: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """ANN top-``k`` served FROM the index — no corpus access, no
     re-encoding: the model (centroids + codebooks + rotation) is read
@@ -1063,7 +1100,15 @@ def ann_index_topk(
     or the probe list (index statistics are index-wide), composes
     with ``exclude_self`` and ``refine`` (the exact re-rank draws
     from the already-filtered candidates), and an empty allowed set
-    returns the typed empty result."""
+    returns the typed empty result.
+
+    ``where`` filters candidates by a DSL predicate over the index's
+    STORED metadata columns (``ann_index_build(store_cols=...)``) —
+    e.g. ``where="lang == 'en'"`` — compiled by the engine's own
+    filter parser (:func:`~parq_tools_spark.plans.query_parser.
+    build_filter_expression`) and pushed by Catalyst into the
+    cell-pruned segment scans: no metadata table is joined, no id set
+    is materialized. Composes with ``allowed_ids`` (both apply)."""
     from functools import reduce
 
     from parq_tools_spark.operators.similarity import adc_score
@@ -1170,6 +1215,24 @@ def ann_index_topk(
         coded = apply_allowed_ids(
             coded, id_col, allowed_ids, id_field.dataType,
             "ann_index_topk",
+        )
+    if where is not None:
+        from parq_tools_spark.plans.query_parser import (
+            build_filter_expression,
+        )
+
+        stored = p.get("store_cols", [])
+        if not stored:
+            raise ValueError(
+                f"ann index at {path} stores no metadata columns; "
+                "where= needs an index built with "
+                "ann_index_build(..., store_cols=[...])"
+            )
+        # predicate on stored columns only, validated up front —
+        # compiled to a Column so it reaches the parquet scans as
+        # PushedFilters (planning-time work, zero joins)
+        coded = coded.filter(
+            build_filter_expression(where, columns=stored)
         )
 
     probe_df = spark.createDataFrame(
@@ -1666,6 +1729,9 @@ def semantic_dedupe_incremental(
         survivors = survivors.localCheckpoint(eager=True)
         if survivors.take(1):
             ann_index_upsert(
-                survivors.select(id_col, vec_col), index_path
+                survivors.select(
+                    id_col, vec_col, *p.get("store_cols", [])
+                ),
+                index_path,
             )
     return survivors

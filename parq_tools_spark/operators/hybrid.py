@@ -346,6 +346,7 @@ def hybrid_index_topk(
     bm25_version: Optional[int] = None,
     ann_version: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Hybrid retrieval served entirely FROM the persisted
     indexes — the serving shape: the text leg reads the query terms'
@@ -393,7 +394,10 @@ def hybrid_index_topk(
     ``n_candidates`` and the fused ``k`` are correct under the
     filter — post-filtering the fused result would under-return and
     skew the rank arithmetic. The two indexes share one id space by
-    contract, so one allowed set scopes both."""
+    contract, so one allowed set scopes both. ``where`` threads the
+    same way (both indexes must be built with ``store_cols`` covering
+    the predicate's columns — the docs/embeddings pairing shares its
+    metadata by the same contract)."""
     if method not in ("rrf", "wsum"):
         raise ValueError("method must be 'rrf' or 'wsum'")
     if not 0.0 <= w_text <= 1.0:
@@ -412,6 +416,7 @@ def hybrid_index_topk(
         b=b,
         version=bm25_version,
         allowed_ids=allowed_ids,
+        where=where,
     )
     id_col = text.columns[0]
     text = text.select(
@@ -442,6 +447,7 @@ def hybrid_index_topk(
         exclude_self=False,
         refine=max(refine, n_candidates) if refine is not None else None,
         allowed_ids=allowed_ids,
+        where=where,
     )
     ann_id_col = vec_raw.columns[1]
     # with refine the leg's score column is the exact rounded cosine
@@ -648,6 +654,7 @@ def hybrid_index_topk_batch(
     ann_version: Optional[int] = None,
     max_queries: int = 10_000,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Batched hybrid retrieval served entirely FROM the persisted
     indexes — the offline-retrieval / RAG-eval shape: thousands of
@@ -674,8 +681,8 @@ def hybrid_index_topk_batch(
     ADC candidates, giving scan-quality results from a lossy
     compressed index (see :func:`hybrid_index_topk`).
 
-    ``allowed_ids`` threads the shared pre-rank candidate filter
-    into both legs for every query in the batch (see
+    ``allowed_ids`` / ``where`` thread the shared pre-rank candidate
+    filters into both legs for every query in the batch (see
     :func:`hybrid_index_topk`).
 
     Returns ``(query_id, <bm25 id col>, score, rank)``."""
@@ -697,6 +704,7 @@ def hybrid_index_topk_batch(
         b=b,
         version=bm25_version,
         allowed_ids=allowed_ids,
+        where=where,
     )
     id_col = text_raw.columns[1]
     text = text_raw.select(
@@ -718,6 +726,7 @@ def hybrid_index_topk_batch(
         max_queries=max_queries,
         refine=max(refine, n_candidates) if refine is not None else None,
         allowed_ids=allowed_ids,
+        where=where,
     )
     ann_id_col = vec_raw.columns[1]
     vec_score = "pq_score" if refine is None else "cosine_sim"

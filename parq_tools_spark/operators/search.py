@@ -476,6 +476,7 @@ def _postings(
     id_col: str,
     text_col: str,
     store_positions: bool = False,
+    meta_cols=(),
 ) -> DataFrame:
     """(doc_id, dl, term, tf[, positions]) — one row per distinct
     (document, term). Duplicate corpus rows for one id are NOT merged
@@ -484,7 +485,12 @@ def _postings(
     n_docs/sum_dl). With ``store_positions`` each row also carries
     the term's sorted 0-based token offsets — what turns the index
     into a phrase/proximity-capable one (tf stays the array length,
-    so scoring is unchanged; postings grow by one int per token)."""
+    so scoring is unchanged; postings grow by one int per token).
+    ``meta_cols`` (``store_cols`` indexes) ride each posting row like
+    ``dl`` does — doc-constant, so the grouping is unchanged — which
+    is what lets a ``where=`` predicate push into the postings scan
+    at serve time instead of joining a doc table."""
+    meta_cols = list(meta_cols)
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     if not store_positions:
         return (
@@ -492,8 +498,9 @@ def _postings(
                 F.col(id_col).alias("doc_id"),
                 F.size(toks).alias("dl"),
                 F.explode(toks).alias("term"),
+                *meta_cols,
             )
-            .groupBy("doc_id", "dl", "term")
+            .groupBy("doc_id", "dl", "term", *meta_cols)
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         )
     return (
@@ -501,8 +508,9 @@ def _postings(
             F.col(id_col).alias("doc_id"),
             F.size(toks).alias("dl"),
             F.posexplode(toks).alias("pos", "term"),
+            *meta_cols,
         )
-        .groupBy("doc_id", "dl", "term")
+        .groupBy("doc_id", "dl", "term", *meta_cols)
         .agg(
             F.count(F.lit(1)).cast("int").alias("tf"),
             F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
@@ -612,6 +620,7 @@ def bm25_index_build(
     store_positions: bool = False,
     keep_versions: int = 1,
     bucket_task_splits=1,
+    store_cols=(),
 ) -> None:
     """Build a persistent BM25 index over ``corpus`` at ``path``.
 
@@ -637,6 +646,15 @@ def bm25_index_build(
     stored verbatim, so every later ingest re-measures its own
     batch.
 
+    ``store_cols`` persists the named corpus metadata columns (e.g.
+    ``lang``) on every posting row — doc-constant like ``dl``, so
+    scoring and grouping are untouched — enabling
+    :func:`bm25_index_topk`'s ``where=`` DSL predicate to push into
+    the bucket-pruned postings scans at serve time (no doc-table
+    join). Every subsequent ingest must carry the columns (validated
+    loudly); compaction rewrites posting rows, so it carries them
+    forward.
+
     Rebuilding over an existing index is NON-DESTRUCTIVE: the new
     generation's segment and vocabulary snapshot are built alongside
     the live state and a new manifest version (listing ONLY the new
@@ -657,6 +675,20 @@ def bm25_index_build(
         raise ValueError(
             "bucket_task_splits must be a positive int or 'auto'"
         )
+    store_cols = list(store_cols)
+    reserved = {"doc_id", "dl", "term", "tf", "positions", "tbucket",
+                id_col}
+    bad = [c for c in store_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"store_cols {bad} collide with the postings schema's "
+            f"reserved columns ({sorted(reserved)})"
+        )
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    check_store_cols(corpus, store_cols, "bm25_index_build")
     spark = corpus.sparkSession
     vs = _bm25_vs(spark, path)
     cur = vs.current()
@@ -672,7 +704,9 @@ def bm25_index_build(
     new = (cur or 0) + 1
 
     n_docs, sum_dl = _corpus_counts(corpus, text_col)
-    post = _postings(corpus, id_col, text_col, store_positions)
+    post = _postings(
+        corpus, id_col, text_col, store_positions, store_cols
+    )
     from parq_tools_spark.operators._index_common import (
         resolve_task_splits,
     )
@@ -704,6 +738,7 @@ def bm25_index_build(
                     "store_positions": store_positions,
                     "keep_versions": keep_versions,
                     "bucket_task_splits": bucket_task_splits,
+                    "store_cols": store_cols,
                 },
                 "id_type": _id_field_json(corpus, id_col),
                 "n_docs": n_docs,
@@ -734,12 +769,20 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     # batch's postings land in segment version cur+1, beyond every
     # pending tombstone's upto (= the version it was committed at) —
     # the version-scoped visibility that makes upserts O(batch)
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    check_store_cols(
+        new_docs, p.get("store_cols", []), "bm25_index_add"
+    )
     n_new, dl_new = _corpus_counts(new_docs, p["text_col"])
     post = _postings(
         new_docs,
         p["id_col"],
         p["text_col"],
         p.get("store_positions", False),
+        p.get("store_cols", []),
     )
     from parq_tools_spark.operators._index_common import (
         resolve_task_splits,
@@ -1447,6 +1490,26 @@ def _phrase_docs_from_positions(
     return pmap.filter(match).select("doc_id")
 
 
+def _where_postings(post, where: str, m: dict, path: str):
+    """Apply a serving-time ``where=`` DSL predicate to the postings:
+    validated against the index's stored metadata columns (a
+    predicate on a column the index never stored fails loudly, it
+    does not silently drop every candidate), compiled to a Column so
+    it reaches the postings parquet scans as PushedFilters."""
+    from parq_tools_spark.plans.query_parser import (
+        build_filter_expression,
+    )
+
+    stored = m["params"].get("store_cols", [])
+    if not stored:
+        raise ValueError(
+            f"bm25 index at {path} stores no metadata columns; "
+            "where= needs an index built with "
+            "bm25_index_build(..., store_cols=[...])"
+        )
+    return post.filter(build_filter_expression(where, columns=stored))
+
+
 def bm25_index_topk(
     spark,
     path: str,
@@ -1459,6 +1522,7 @@ def bm25_index_topk(
     phrase: Optional[Union[str, Sequence[str]]] = None,
     version: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Top-``k`` by BM25 served FROM the index — no corpus scan, no
     tokenization: the plan reads the query terms' df rows from the
@@ -1501,7 +1565,14 @@ def bm25_index_topk(
     parquet scans as a pushed filter), so disallowed documents never
     enter the aggregation. Statistics stay index-wide: idf/avgdl are
     the index's, exactly like every filtered-search engine — the
-    filter scopes candidates, not the corpus model."""
+    filter scopes candidates, not the corpus model.
+
+    ``where`` filters candidate documents by a DSL predicate over the
+    index's STORED metadata columns (``bm25_index_build(
+    store_cols=...)``), e.g. ``where="lang == 'en'"`` — the predicate
+    rides the posting rows, so Catalyst pushes it into the
+    bucket-pruned postings scans (no doc-table join). Composes with
+    ``allowed_ids``."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     terms = _query_terms(query)
@@ -1555,6 +1626,8 @@ def bm25_index_topk(
             post, "doc_id", allowed_ids, _id_field(m).dataType,
             "bm25_index_topk",
         )
+    if where is not None:
+        post = _where_postings(post, where, m, path)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -1611,6 +1684,7 @@ def bm25_index_topk_batch(
     mode: str = "any",
     version: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Per-query top-``k`` for a whole queries DataFrame served from
     the index: ONE postings read covers the union of all query terms
@@ -1697,6 +1771,8 @@ def bm25_index_topk_batch(
             post, "doc_id", allowed_ids, _id_field(m).dataType,
             "bm25_index_topk_batch",
         )
+    if where is not None:
+        post = _where_postings(post, where, m, path)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)

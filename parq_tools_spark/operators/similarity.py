@@ -1039,6 +1039,7 @@ def pq_encode_with_cells(
     round_to: int = 6,
     rotation=None,
     keep_vec: bool = False,
+    meta_cols=(),
 ):
     """:func:`pq_encode` and :func:`_with_centroid_cells` FUSED into
     one ``mapInPandas`` pass — the persisted ANN index's ingest shape
@@ -1055,8 +1056,12 @@ def pq_encode_with_cells(
     the per-call scan paths (the ``ann_index_equiv`` gate).
 
     Returns ``(id_col, codes array<int>, cell int[, vec
-    array<double>])`` — ``keep_vec=True`` carries the raw vector
-    through for indexes built with ``store_vectors=True``."""
+    array<double>][, *meta_cols])`` — ``keep_vec=True`` carries the
+    raw vector through for indexes built with ``store_vectors=True``;
+    ``meta_cols`` rides the SAME Arrow batch through the encoder
+    (zero extra shuffle, no id re-join), so indexes built with
+    ``store_cols=`` carry filterable metadata next to each row's
+    codes."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -1081,6 +1086,8 @@ def pq_encode_with_cells(
         fields.append(
             T.StructField("vec", T.ArrayType(T.DoubleType()))
         )
+    meta_cols = list(meta_cols)
+    fields.extend(corpus.schema[c] for c in meta_cols)
     schema = T.StructType(fields)
 
     def encode_assign(batches):
@@ -1090,6 +1097,8 @@ def pq_encode_with_cells(
                 out = {id_col: [], "codes": [], "cell": []}
                 if keep_vec:
                     out["vec"] = []
+                for c in meta_cols:
+                    out[c] = []
                 yield pd.DataFrame(out)
                 continue
             raw = np.stack(b[vec_col].to_numpy()).astype(np.float64)
@@ -1119,9 +1128,11 @@ def pq_encode_with_cells(
             }
             if keep_vec:
                 out["vec"] = [v.tolist() for v in raw]
+            for c in meta_cols:
+                out[c] = b[c]
             yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col, *meta_cols).mapInPandas(
         encode_assign, schema
     )
 

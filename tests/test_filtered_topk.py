@@ -373,3 +373,263 @@ def test_hybrid_filtered_threads_both_legs(spark, docs, emb, tmp_path):
     for r in fused:
         assert r.text_rank == text_ranks.get(r.doc_id)
         assert r.vec_rank == vec_ranks.get(r.doc_id)
+
+
+# ---------------------------------------------------------------------------
+# where= : DSL predicates over index-STORED metadata columns
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def emb_full(spark, sf_dir):
+    return spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )  # vec_id, embedding, label
+
+
+@pytest.fixture()
+def docs_full(spark, sf_dir):
+    return spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+
+
+def test_ann_where_equals_allowed_ids(spark, emb_full, tmp_path):
+    """where='label == 0' over a store_cols index must equal the
+    allowed_ids path fed the same ids from the external metadata —
+    one mechanism, two physical shapes (pushed predicate vs id
+    set)."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    path = str(tmp_path / "annmeta")
+    ann_index_build(
+        emb_full, path, n_cells=8, m=8, n_codes=16,
+        store_cols=["label"],
+    )
+    qs = emb_full.filter(F.col("vec_id") < 3)
+    want_ids = emb_full.filter(F.col("label") == 0).select("vec_id")
+    a = sorted(
+        (r.query_id, r.vec_id, r.pq_score, r.rank)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=2, where="label == 0"
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.pq_score, r.rank)
+        for r in ann_index_topk(
+            spark, path, qs, k=5, nprobe=2, allowed_ids=want_ids
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_ann_where_guards(spark, emb_full, tmp_path):
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_topk,
+    )
+    from parq_tools_spark.plans.query_parser import FilterParseError
+
+    bare = str(tmp_path / "bare")
+    ann_index_build(
+        emb_full.select("vec_id", "embedding"), bare,
+        n_cells=4, m=8, n_codes=16,
+    )
+    qs = emb_full.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="store_cols"):
+        ann_index_topk(spark, bare, qs, k=3, where="label == 0")
+
+    meta = str(tmp_path / "meta")
+    ann_index_build(
+        emb_full, meta, n_cells=4, m=8, n_codes=16,
+        store_cols=["label"],
+    )
+    # predicate on a column the index never stored: loud, not silent
+    with pytest.raises(FilterParseError):
+        ann_index_topk(spark, meta, qs, k=3, where="missing == 1")
+    # an ingest that dropped the metadata column: loud
+    with pytest.raises(ValueError, match="missing"):
+        ann_index_add(
+            emb_full.select(
+                (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+            ),
+            meta,
+        )
+    # reserved-name collision at build: loud
+    with pytest.raises(ValueError, match="reserved"):
+        ann_index_build(
+            emb_full.select(
+                "vec_id", "embedding", F.lit(1).alias("cell")
+            ),
+            str(tmp_path / "bad"),
+            store_cols=["cell"],
+        )
+
+
+def test_ann_where_survives_retrain_and_composes(
+    spark, emb_full, tmp_path
+):
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_retrain,
+        ann_index_stats,
+        ann_index_topk,
+    )
+
+    k = F.col("vec_id")
+    path = str(tmp_path / "annrt")
+    ann_index_build(
+        emb_full.filter(k % 2 == 0), path, n_cells=8, m=8, n_codes=16,
+        store_vectors=True, store_cols=["label"],
+    )
+    ann_index_add(emb_full.filter(k % 2 == 1), path)
+    ann_index_retrain(spark, path)
+    assert ann_index_stats(spark, path)["params"]["store_cols"] == [
+        "label"
+    ]
+    qs = emb_full.filter(k < 3)
+    got = ann_index_topk(
+        spark, path, qs, k=5, nprobe=2, where="label == 0",
+        allowed_ids=[r.vec_id for r in emb_full.filter(
+            k % 3 == 0).select("vec_id").collect()],
+    ).collect()
+    assert got
+    labels = {
+        r.vec_id: r.label
+        for r in emb_full.select("vec_id", "label").collect()
+    }
+    for r in got:
+        assert labels[r.vec_id] == 0 and r.vec_id % 3 == 0
+
+
+def test_bm25_where_equals_allowed_ids_and_tracks_updates(
+    spark, docs_full, tmp_path
+):
+    """where='lang == ...' equals the externally-computed allowed_ids
+    path; an upsert that CHANGES a doc's metadata is respected
+    immediately (version-scoped tombstones hide the old posting
+    rows)."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_upsert,
+    )
+
+    path = str(tmp_path / "bmmeta")
+    bm25_index_build(docs_full, path, n_buckets=8, store_cols=["lang"])
+    langs = [
+        r.lang for r in docs_full.select("lang").distinct().collect()
+    ]
+    lang = sorted(langs)[0]
+    q = "stream merge window"
+    a = sorted(
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, path, q, k=10, where=f"lang == '{lang}'"
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_index_topk(
+            spark, path, q, k=10,
+            allowed_ids=docs_full.filter(
+                F.col("lang") == lang).select("doc_id"),
+        ).collect()
+    )
+    assert a == b and a
+
+    # flip one served doc's lang via upsert: it must leave this
+    # scope's results and appear under the new scope
+    victim = a[0][0]
+    vrow = docs_full.filter(F.col("doc_id") == victim).select(
+        "doc_id", "text", F.lit("zz").alias("lang")
+    )
+    bm25_index_upsert(vrow, path)
+    after = {
+        r.doc_id
+        for r in bm25_index_topk(
+            spark, path, q, k=1_000_000, where=f"lang == '{lang}'"
+        ).collect()
+    }
+    assert victim not in after
+    zz = {
+        r.doc_id
+        for r in bm25_index_topk(
+            spark, path, q, k=10, where="lang == 'zz'"
+        ).collect()
+    }
+    assert zz == {victim}
+
+
+def test_bm25_where_survives_compaction(spark, docs_full, tmp_path):
+    from parq_tools_spark.operators.search import (
+        bm25_index_add,
+        bm25_index_build,
+        bm25_index_compact,
+        bm25_index_topk,
+    )
+
+    k = F.col("doc_id")
+    path = str(tmp_path / "bmc")
+    bm25_index_build(
+        docs_full.filter(k % 2 == 0), path, n_buckets=4,
+        store_cols=["lang"],
+    )
+    bm25_index_add(docs_full.filter(k % 2 == 1), path)
+    q = "customer value table"
+
+    def served():
+        return sorted(
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_index_topk(
+                spark, path, q, k=10, where="lang == 'en'"
+            ).collect()
+        )
+
+    pre = served()
+    assert pre
+    out = bm25_index_compact(spark, path, force=True)
+    assert served() == pre
+    assert isinstance(out, dict)
+
+
+def test_hybrid_where_threads_both_legs(spark, docs_full, tmp_path):
+    """Both hybrid legs must see the where predicate: every fused id
+    satisfies it even when the unfiltered legs would rank others
+    higher."""
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    emb = spark.createDataFrame(
+        [
+            (
+                int(r.doc_id),
+                [float((r.doc_id * 7 + i) % 13) for i in range(8)],
+                r.lang,
+            )
+            for r in docs_full.limit(40).collect()
+        ],
+        "vec_id long, embedding array<double>, lang string",
+    )
+    bp, ap = str(tmp_path / "b"), str(tmp_path / "a")
+    bm25_index_build(docs_full, bp, n_buckets=4, store_cols=["lang"])
+    ann_index_build(
+        emb, ap, n_cells=2, m=2, n_codes=4, store_cols=["lang"]
+    )
+    qvec = [float(x) for x in emb.first()[1]]
+    lang = docs_full.first().lang
+    fused = hybrid_index_topk(
+        spark, bp, ap, "stream merge window", qvec, k=5,
+        n_candidates=8, where=f"lang == '{lang}'",
+    ).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in docs_full.select("doc_id", "lang").collect()
+    }
+    assert fused and all(langs[r.doc_id] == lang for r in fused)

@@ -506,3 +506,61 @@ def test_bm25_filtered_topk_list_pushes_to_postings_scan(
     assert "documents.parquet" not in plan
     assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
     assert re.search(r"PushedFilters: \[.*In\(doc_id", plan)
+
+
+def test_ann_where_predicate_pushes_to_segment_scan(
+    spark, sf_dir, tmp_path
+):
+    """where= over store_cols must reach the segments' parquet scans
+    as a PUSHED data filter on the stored metadata column, alongside
+    the probed-cell PartitionFilters — the metadata never lives in a
+    separate table, so the filter costs planning time, not a join."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    path = str(tmp_path / "annwhere")
+    ann_index_build(
+        emb, path, n_cells=8, m=8, n_codes=16, store_cols=["label"]
+    )
+    qs = emb.filter("vec_id < 3")
+    df = ann_index_topk(
+        spark, path, qs, k=5, nprobe=2, where="label == 0"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "embeddings.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(label,0\)", plan)
+    # no semi-join shape: the predicate IS the filter, no id set ever
+    # materializes
+    assert "LeftSemi" not in plan
+
+
+def test_bm25_where_predicate_pushes_to_postings_scan(
+    spark, sf_dir, tmp_path
+):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    path = str(tmp_path / "bmwhere")
+    bm25_index_build(docs, path, n_buckets=8, store_cols=["lang"])
+    df = bm25_index_topk(
+        spark, path, "stream merge window", k=10, where="lang == 'en'"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
