@@ -1837,6 +1837,7 @@ def minhash_index_query(
     threshold: float = 0.7,
     exclude_same_id: bool = True,
     version: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Pairs between an on-disk index and a new batch:
     ``(id_indexed, id_new, est_jaccard)``. The index side is read as
@@ -1852,7 +1853,14 @@ def minhash_index_query(
 
     Readers see exactly the segments the resolved manifest lists — an
     in-flight or crashed add/compact is invisible, so this never
-    raises on maintenance state and never serves a partial band."""
+    raises on maintenance state and never serves a partial band.
+
+    ``allowed_ids`` (sequence or DataFrame of ids — the shared
+    :func:`~parq_tools_spark.operators._index_common.
+    apply_allowed_ids` filter) scopes WHICH INDEXED DOCUMENTS may
+    pair: a literal list pushes into the band-row scans, a DataFrame
+    semi-joins — so one physical index serves per-tenant /
+    per-language dedup without per-scope copies."""
     from functools import reduce
 
     from pyspark.sql import types as T
@@ -1898,6 +1906,18 @@ def minhash_index_query(
             for s in live
         ],
     )
+    if allowed_ids is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        indexed_banded = apply_allowed_ids(
+            indexed_banded,
+            p["id_col"],
+            allowed_ids,
+            indexed_banded.schema[p["id_col"]].dataType,
+            "minhash_index_query",
+        )
     return minhash_pairs_between(
         None,
         new_docs,
@@ -1920,6 +1940,7 @@ def incremental_dedupe(
     text_col: str = "text",
     threshold: float = 0.7,
     update_index: bool = False,
+    allowed_ids=None,
 ) -> DataFrame:
     """The full incremental-ingest dedup step: drop new documents that
     near-duplicate (a) anything in the persistent index or (b) a
@@ -1934,11 +1955,19 @@ def incremental_dedupe(
     Cost shape at 100 TB corpus / small batch: banding the batch, one
     broadcast join against the index band rows (corpus unshuffled),
     one in-batch LSH self-join bounded by batch size.
+
+    ``allowed_ids`` scopes admission exactly like
+    :func:`~parq_tools_spark.operators.ann_index.
+    semantic_dedupe_incremental`: only allowed INDEX entries may
+    block a new document (per-tenant dedup over one index); the
+    in-batch lower-id rule is deliberately unscoped, and
+    ``update_index=True`` still appends every survivor.
     """
     p = _minhash_index_params(spark, index_path)
     id_col = p["id_col"]
     vs_index = minhash_index_query(
-        spark, index_path, new_docs, text_col=text_col, threshold=threshold
+        spark, index_path, new_docs, text_col=text_col,
+        threshold=threshold, allowed_ids=allowed_ids,
     )
     dup_vs_index = vs_index.select(
         F.col("id_new").alias(id_col)

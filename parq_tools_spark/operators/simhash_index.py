@@ -585,6 +585,7 @@ def simhash_index_query(
     max_hamming: int = 3,
     exclude_same_id: bool = True,
     version: Optional[int] = None,
+    allowed_ids=None,
 ) -> DataFrame:
     """Hamming near-dup pairs between the on-disk index and a new
     batch: ``(id_indexed, id_new, hamming)``. The batch's
@@ -600,7 +601,11 @@ def simhash_index_query(
 
     ``exclude_same_id=True`` suppresses equal-id collisions (index
     and batches share one id space by construction); ``version=``
-    time-travels to a retained manifest."""
+    time-travels to a retained manifest. ``allowed_ids`` (sequence or
+    DataFrame — the shared :func:`~parq_tools_spark.operators.
+    _index_common.apply_allowed_ids` filter) scopes WHICH INDEXED
+    documents may pair — per-tenant / per-language dedup over one
+    physical index."""
     from functools import reduce
 
     from pyspark.sql import types as T
@@ -639,6 +644,15 @@ def simhash_index_query(
         DataFrame.unionByName,
         [_visible_scan(spark, path, s, batches, id_col) for s in live],
     )
+    if allowed_ids is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        indexed = apply_allowed_ids(
+            indexed, id_col, allowed_ids, _id_field(m).dataType,
+            "simhash_index_query",
+        )
     fresh = _banded_simhash(
         new_docs, id_col, text_col, p["bits"], p["n_bands"],
         p["hash_family"],

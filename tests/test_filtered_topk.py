@@ -633,3 +633,77 @@ def test_hybrid_where_threads_both_legs(spark, docs_full, tmp_path):
         for r in docs_full.select("doc_id", "lang").collect()
     }
     assert fused and all(langs[r.doc_id] == lang for r in fused)
+
+
+def test_minhash_and_simhash_scoped_queries(spark, docs, tmp_path):
+    """allowed_ids on the pair-query families: only allowed INDEXED
+    documents may pair — equal to querying an index built on the
+    allowed subset only (band rows are per-document, so subsetting
+    the index and filtering its band rows are the same relation)."""
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    k = F.col("doc_id")
+    seed = docs.filter(k % 2 == 0)
+    allowed = seed.filter(k % 4 == 0).select("doc_id")
+    batch = docs.filter(k % 2 == 1)
+
+    full_mh = str(tmp_path / "mh")
+    sub_mh = str(tmp_path / "mhsub")
+    minhash_index_write(seed, full_mh, num_hashes=32, bands=8)
+    minhash_index_write(
+        seed.filter(k % 4 == 0), sub_mh, num_hashes=32, bands=8
+    )
+
+    def pairs(fn, path, **kw):
+        return sorted(
+            (r.id_indexed, r.id_new)
+            for r in fn(spark, path, batch, **kw).collect()
+        )
+
+    got = pairs(
+        minhash_index_query, full_mh, threshold=0.5,
+        allowed_ids=allowed,
+    )
+    want = pairs(minhash_index_query, sub_mh, threshold=0.5)
+    assert got == want
+    # list form agrees with the DataFrame form
+    got_list = pairs(
+        minhash_index_query, full_mh, threshold=0.5,
+        allowed_ids=[r.doc_id for r in allowed.collect()],
+    )
+    assert got_list == want
+
+    full_sh = str(tmp_path / "sh")
+    sub_sh = str(tmp_path / "shsub")
+    simhash_index_write(seed, full_sh)
+    simhash_index_write(seed.filter(k % 4 == 0), sub_sh)
+    got = pairs(
+        simhash_index_query, full_sh, max_hamming=3,
+        allowed_ids=allowed,
+    )
+    want = pairs(simhash_index_query, sub_sh, max_hamming=3)
+    assert got == want
+
+    # scoped admission through incremental_dedupe: survivors against
+    # the scoped index equal survivors against the subset index
+    a = sorted(
+        r.doc_id
+        for r in incremental_dedupe(
+            spark, full_mh, batch, threshold=0.5, allowed_ids=allowed
+        ).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in incremental_dedupe(
+            spark, sub_mh, batch, threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert a == b
