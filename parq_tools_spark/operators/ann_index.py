@@ -1117,6 +1117,23 @@ def ann_index_topk(
     p = m["params"]
     id_col = p["id_col"]
     query_vec_col = query_vec_col or p["vec_col"]
+    # validate (and compile) the where predicate UP FRONT, so a bad
+    # predicate or a store_cols-less index fails identically whether
+    # the index is empty or not
+    where_col = None
+    if where is not None:
+        from parq_tools_spark.plans.query_parser import (
+            build_filter_expression,
+        )
+
+        stored = p.get("store_cols", [])
+        if not stored:
+            raise ValueError(
+                f"ann index at {path} stores no metadata columns; "
+                "where= needs an index built with "
+                "ann_index_build(..., store_cols=[...])"
+            )
+        where_col = build_filter_expression(where, columns=stored)
     centroids, codebooks, rot = _read_model(vs.fs, path, m)
     m_, n_codes_, sub = codebooks.shape
 
@@ -1216,24 +1233,11 @@ def ann_index_topk(
             coded, id_col, allowed_ids, id_field.dataType,
             "ann_index_topk",
         )
-    if where is not None:
-        from parq_tools_spark.plans.query_parser import (
-            build_filter_expression,
-        )
-
-        stored = p.get("store_cols", [])
-        if not stored:
-            raise ValueError(
-                f"ann index at {path} stores no metadata columns; "
-                "where= needs an index built with "
-                "ann_index_build(..., store_cols=[...])"
-            )
-        # predicate on stored columns only, validated up front —
-        # compiled to a Column so it reaches the parquet scans as
+    if where_col is not None:
+        # predicate on stored columns only (validated above) — a
+        # plain Column filter, so it reaches the parquet scans as
         # PushedFilters (planning-time work, zero joins)
-        coded = coded.filter(
-            build_filter_expression(where, columns=stored)
-        )
+        coded = coded.filter(where_col)
 
     probe_df = spark.createDataFrame(
         [(qid, c) for qid, cells in zip(q_ids, probes) for c in cells],

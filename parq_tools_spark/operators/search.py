@@ -1490,12 +1490,13 @@ def _phrase_docs_from_positions(
     return pmap.filter(match).select("doc_id")
 
 
-def _where_postings(post, where: str, m: dict, path: str):
-    """Apply a serving-time ``where=`` DSL predicate to the postings:
-    validated against the index's stored metadata columns (a
-    predicate on a column the index never stored fails loudly, it
-    does not silently drop every candidate), compiled to a Column so
-    it reaches the postings parquet scans as PushedFilters."""
+def _compile_where(where: str, m: dict, path: str):
+    """Validate and compile a serving-time ``where=`` DSL predicate
+    against the index's stored metadata columns (a predicate on a
+    column the index never stored fails loudly — whether or not the
+    index holds any postings — it never silently drops every
+    candidate). The returned Column reaches the postings parquet
+    scans as PushedFilters."""
     from parq_tools_spark.plans.query_parser import (
         build_filter_expression,
     )
@@ -1507,7 +1508,7 @@ def _where_postings(post, where: str, m: dict, path: str):
             "where= needs an index built with "
             "bm25_index_build(..., store_cols=[...])"
         )
-    return post.filter(build_filter_expression(where, columns=stored))
+    return build_filter_expression(where, columns=stored)
 
 
 def bm25_index_topk(
@@ -1605,6 +1606,9 @@ def bm25_index_topk(
         for t in terms
     }
 
+    where_col = (
+        _compile_where(where, m, path) if where is not None else None
+    )
     read_terms = sorted(set(terms) | set(phrase_toks or []))
     post = _read_postings(spark, path, m, read_terms)
     if post is None:
@@ -1626,8 +1630,8 @@ def bm25_index_topk(
             post, "doc_id", allowed_ids, _id_field(m).dataType,
             "bm25_index_topk",
         )
-    if where is not None:
-        post = _where_postings(post, where, m, path)
+    if where_col is not None:
+        post = post.filter(where_col)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -1745,6 +1749,9 @@ def bm25_index_topk_batch(
         ["qid", "term", "idf", "n_terms"],
     )
 
+    where_col = (
+        _compile_where(where, m, path) if where is not None else None
+    )
     post = _read_postings(spark, path, m, all_terms)
     if post is None:
         from pyspark.sql import types as T
@@ -1771,8 +1778,8 @@ def bm25_index_topk_batch(
             post, "doc_id", allowed_ids, _id_field(m).dataType,
             "bm25_index_topk_batch",
         )
-    if where is not None:
-        post = _where_postings(post, where, m, path)
+    if where_col is not None:
+        post = post.filter(where_col)
     scale = float(10**round_to)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
