@@ -707,3 +707,43 @@ def test_minhash_and_simhash_scoped_queries(spark, docs, tmp_path):
         ).select("doc_id").collect()
     )
     assert a == b
+
+
+def test_bm25_where_with_positions_and_phrase(spark, docs_full, tmp_path):
+    """store_cols composes with store_positions: the positional
+    postings variant groups by the meta columns too, and a phrase
+    query under where= returns only allowed docs with scores equal to
+    the unfiltered phrase scores."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    path = str(tmp_path / "bmpos")
+    bm25_index_build(
+        docs_full, path, n_buckets=8, store_positions=True,
+        store_cols=["lang"],
+    )
+    un = {
+        r.doc_id: r.score
+        for r in bm25_index_topk(
+            spark, path, "customer value", k=1_000_000,
+            phrase="customer value",
+        ).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in docs_full.select("doc_id", "lang").collect()
+    }
+    got = bm25_index_topk(
+        spark, path, "customer value", k=5, phrase="customer value",
+        where="lang == 'en'",
+    ).collect()
+    want_ids = sorted(
+        d for d in un if lang[d] == "en"
+    )
+    if want_ids:
+        assert got
+    for r in got:
+        assert lang[r.doc_id] == "en"
+        assert r.score == un[r.doc_id]
