@@ -165,3 +165,32 @@ def test_open_index_errors(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="ambiguous"):
         open_index(spark, both)
     assert set(INDEX_MARKERS) == {"ann", "bm25", "minhash", "simhash"}
+
+
+def test_facade_query_passes_filtered_retrieval_kwargs(
+    spark, sf_dir, tmp_path
+):
+    """The handle passes where=/allowed_ids= through verbatim, so
+    filtered retrieval needs no family-specific code path at the
+    facade layer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.index_facade import open_index
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    path = str(tmp_path / "bm")
+    bm25_index_build(docs, path, n_buckets=4, store_cols=["lang"])
+    h = open_index(spark, path)
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    got = h.query("stream merge window", k=5, where="lang == 'en'").collect()
+    assert got and all(lang[r.doc_id] == "en" for r in got)
+    got2 = h.query(
+        "stream merge window", k=5,
+        allowed_ids=docs.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+    ).collect()
+    assert got2 and all(r.doc_id % 2 == 0 for r in got2)
