@@ -836,6 +836,15 @@ def ann_index_apply_cdc(
         "inserted": 0,
     }
     if has_ups:
+        from parq_tools_spark.operators._index_common import (
+            check_store_cols,
+        )
+
+        # validate here for the clear message — the bare select would
+        # throw UNRESOLVED_COLUMN before add's own check runs
+        check_store_cols(
+            ups_rows, p.get("store_cols", []), "ann_index_apply_cdc"
+        )
         res = ann_index_upsert(
             ups_rows.select(
                 id_col, vec_col, *p.get("store_cols", [])
@@ -1730,6 +1739,14 @@ def semantic_dedupe_incremental(
         F.broadcast(dup_ids), on=id_col, how="left_anti"
     )
     if update_index:
+        from parq_tools_spark.operators._index_common import (
+            check_store_cols,
+        )
+
+        check_store_cols(
+            survivors, p.get("store_cols", []),
+            "semantic_dedupe_incremental(update_index=True)",
+        )
         survivors = survivors.localCheckpoint(eager=True)
         if survivors.take(1):
             ann_index_upsert(
