@@ -25,8 +25,10 @@ __all__ = [
     "maybe_compact",
     "write_salted_segment",
     "apply_allowed_ids",
+    "normalize_allowed_ids",
     "auto_task_splits",
     "resolve_task_splits",
+    "cached_for_auto",
     "check_store_cols",
 ]
 
@@ -430,7 +432,61 @@ def apply_allowed_ids(df, id_name: str, allowed_ids, index_id_type, fn: str):
         # an empty allowed set is a valid (if odd) filter: nothing
         # qualifies — the plan stays typed, the result is empty
         return df.filter(F.lit(False))
+    lit_type = _literal_id_type(ids)
+    if lit_type is not None:
+        # the same loud-mismatch guard the DataFrame form runs: a
+        # string list against a bigint index (or vice versa) would
+        # cast to NULL under non-ANSI semantics and silently drop
+        # every candidate instead of failing
+        check_self_exclusion_types(
+            lit_type,
+            index_id_type,
+            f"{fn}: allowed_ids",
+            remedy=(
+                "Pass literal ids of the indexed id type (or a "
+                "DataFrame cast to it)."
+            ),
+        )
     return df.filter(F.col(id_name).isin(ids))
+
+
+def _literal_id_type(ids):
+    """Spark type of a literal allowed-id list's elements, inferred
+    driver-side from the first non-None value — None for exotic
+    element types, which fall through to Spark's own lit() handling
+    (a loud error there beats a wrong guess here)."""
+    import numbers
+
+    from pyspark.sql import types as T
+
+    for v in ids:
+        if v is None or isinstance(v, bool):
+            continue
+        if isinstance(v, numbers.Integral):
+            return T.LongType()
+        if isinstance(v, numbers.Real):
+            return T.DoubleType()
+        if isinstance(v, str):
+            return T.StringType()
+        if isinstance(v, (bytes, bytearray)):
+            return T.BinaryType()
+        return None
+    return None
+
+
+def normalize_allowed_ids(allowed_ids):
+    """Materialize a non-DataFrame ``allowed_ids`` into a list ONCE.
+    Callers that thread one allowed set into multiple serving legs
+    (the hybrid index paths) must call this first: a one-shot
+    iterable (generator) would be exhausted by the first leg's
+    ``list()`` and the second leg would see an empty set — which is a
+    VALID filter value, so everything downstream silently drops every
+    candidate instead of erroring."""
+    from pyspark.sql import DataFrame
+
+    if allowed_ids is None or isinstance(allowed_ids, DataFrame):
+        return allowed_ids
+    return list(allowed_ids)
 
 
 #: Row budget per write task the ``"auto"`` task-split resolver
@@ -494,6 +550,33 @@ def resolve_task_splits(value, df, key_col: str, what: str) -> int:
     if value < 1:
         raise ValueError(f"{what} must be >= 1")
     return value
+
+
+def cached_for_auto(df, task_splits):
+    """Context manager caching ``df`` across the two passes an
+    ``"auto"`` task-split ingest makes — the skew aggregation
+    (:func:`auto_task_splits`) and the segment write would otherwise
+    each re-evaluate the batch's lineage, and for the index families
+    that lineage is the expensive pass (the ANN encode ``mapInPandas``,
+    the BM25 tokenize): a silent double-encode on EVERY ingest of an
+    'auto' index, including each streaming micro-batch through the
+    sinks. With an int split the df passes through untouched (one
+    pass, nothing to save). MEMORY_AND_DISK (persist's default), so an
+    over-memory batch spills instead of failing; unpersist on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        if task_splits == "auto":
+            df.persist()
+            try:
+                yield df
+            finally:
+                df.unpersist()
+        else:
+            yield df
+
+    return _cm()
 
 
 def check_store_cols(df, store_cols, fn: str) -> None:

@@ -362,13 +362,16 @@ def ann_index_build(
     # aggregation pass) instead of guessing a salt factor; stored in
     # the manifest verbatim so every subsequent ingest re-measures
     # ITS batch
-    splits = resolve_task_splits(
-        cell_task_splits, coded, "cell", "cell_task_splits"
-    )
+    from parq_tools_spark.operators._index_common import cached_for_auto
+
     seg = _tag(new, "seg")
-    _write_codes_segment(
-        coded, f"{path}/{seg}", id_col, splits
-    )
+    with cached_for_auto(coded, cell_task_splits) as coded_c:
+        splits = resolve_task_splits(
+            cell_task_splits, coded_c, "cell", "cell_task_splits"
+        )
+        _write_codes_segment(
+            coded_c, f"{path}/{seg}", id_col, splits
+        )
     model = _tag(new, "model") + ".json"
     _write_model(vs.fs, path, model, centroids, codebooks, rot)
     vs.commit(
@@ -447,17 +450,19 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
     n_new = new_vecs.count()
 
     from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
         resolve_task_splits,
     )
 
     seg = _tag(cur + 1, "seg")
-    _write_codes_segment(
-        coded, f"{path}/{seg}", p["id_col"],
-        resolve_task_splits(
-            p.get("cell_task_splits", 1), coded, "cell",
-            "cell_task_splits",
-        ),
-    )
+    with cached_for_auto(coded, p.get("cell_task_splits", 1)) as coded_c:
+        _write_codes_segment(
+            coded_c, f"{path}/{seg}", p["id_col"],
+            resolve_task_splits(
+                p.get("cell_task_splits", 1), coded_c, "cell",
+                "cell_task_splits",
+            ),
+        )
     vs.commit(
         cur + 1,
         json.dumps(

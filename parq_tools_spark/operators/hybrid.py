@@ -404,8 +404,16 @@ def hybrid_index_topk(
         raise ValueError("w_text must be in [0, 1]")
     from pyspark.sql import types as T
 
+    from parq_tools_spark.operators._index_common import (
+        normalize_allowed_ids,
+    )
     from parq_tools_spark.operators.ann_index import ann_index_topk
     from parq_tools_spark.operators.search import bm25_index_topk
+
+    # materialized ONCE: both legs consume the same object, and a
+    # one-shot iterable exhausted by the BM25 leg would hand the ANN
+    # leg an empty (valid!) filter that drops every vector candidate
+    allowed_ids = normalize_allowed_ids(allowed_ids)
 
     text = bm25_index_topk(
         spark,
@@ -690,8 +698,14 @@ def hybrid_index_topk_batch(
         raise ValueError("method must be 'rrf' or 'wsum'")
     if not 0.0 <= w_text <= 1.0:
         raise ValueError("w_text must be in [0, 1]")
+    from parq_tools_spark.operators._index_common import (
+        normalize_allowed_ids,
+    )
     from parq_tools_spark.operators.ann_index import ann_index_topk
     from parq_tools_spark.operators.search import bm25_index_topk_batch
+
+    # one materialization for both legs (see hybrid_index_topk)
+    allowed_ids = normalize_allowed_ids(allowed_ids)
 
     text_raw = bm25_index_topk_batch(
         spark,

@@ -708,19 +708,21 @@ def bm25_index_build(
         corpus, id_col, text_col, store_positions, store_cols
     )
     from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
         resolve_task_splits,
     )
 
     seg = _tag(new, "seg")
-    _write_postings_segment(
-        post, f"{path}/{seg}", n_buckets,
-        resolve_task_splits(
-            bucket_task_splits,
-            post.withColumn("tbucket", _tbucket_col(n_buckets)),
-            "tbucket",
-            "bucket_task_splits",
-        ),
-    )
+    with cached_for_auto(post, bucket_task_splits) as post_c:
+        _write_postings_segment(
+            post_c, f"{path}/{seg}", n_buckets,
+            resolve_task_splits(
+                bucket_task_splits,
+                post_c.withColumn("tbucket", _tbucket_col(n_buckets)),
+                "tbucket",
+                "bucket_task_splits",
+            ),
+        )
     _write_segment_docs(corpus, id_col, text_col, f"{path}/{seg}")
     terms_dir = _tag(new, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
@@ -785,19 +787,25 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
         p.get("store_cols", []),
     )
     from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
         resolve_task_splits,
     )
 
     seg = _tag(cur + 1, "seg")
-    _write_postings_segment(
-        post, f"{path}/{seg}", p["n_buckets"],
-        resolve_task_splits(
-            p.get("bucket_task_splits", 1),
-            post.withColumn("tbucket", _tbucket_col(p["n_buckets"])),
-            "tbucket",
-            "bucket_task_splits",
-        ),
-    )
+    with cached_for_auto(
+        post, p.get("bucket_task_splits", 1)
+    ) as post_c:
+        _write_postings_segment(
+            post_c, f"{path}/{seg}", p["n_buckets"],
+            resolve_task_splits(
+                p.get("bucket_task_splits", 1),
+                post_c.withColumn(
+                    "tbucket", _tbucket_col(p["n_buckets"])
+                ),
+                "tbucket",
+                "bucket_task_splits",
+            ),
+        )
     _write_segment_docs(new_docs, p["id_col"], p["text_col"], f"{path}/{seg}")
     batch_terms = _segment_terms(spark, path, seg)
     terms_dir = _tag(cur + 1, "terms")

@@ -832,3 +832,20 @@ def test_auto_cell_task_splits_measures_skew(
             emb.select("vec_id", "embedding"), str(tmp_path / "bad2"),
             cell_task_splits="many",
         )
+
+
+def test_cached_for_auto_caches_only_auto(spark):
+    """'auto' ingests measure skew AND write from one cached
+    evaluation of the batch lineage (the encode/tokenize pass is the
+    expensive part); an int split passes through uncached, and the
+    cache never outlives the context."""
+    from parq_tools_spark.operators._index_common import cached_for_auto
+
+    df = spark.range(10)
+    with cached_for_auto(df, "auto") as c:
+        assert c is df
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    with cached_for_auto(df, 4) as c:
+        assert c is df
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)

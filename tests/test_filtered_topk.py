@@ -747,3 +747,59 @@ def test_bm25_where_with_positions_and_phrase(spark, docs_full, tmp_path):
     for r in got:
         assert lang[r.doc_id] == "en"
         assert r.score == un[r.doc_id]
+
+
+def test_allowed_ids_literal_type_guard(spark, emb, tmp_path):
+    """A literal allowed-id list whose element type mismatches the
+    index's persisted id type fails loudly up front — the same guard
+    the DataFrame form runs. Under non-ANSI semantics the mismatch
+    would cast to NULL and silently return an empty (or partial)
+    top-k instead of erroring."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    path = str(tmp_path / "annlit")
+    ann_index_build(emb, path, n_cells=4, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="allowed_ids"):
+        ann_index_topk(spark, path, qs, k=5, allowed_ids=["a", "b"])
+    # matching literal type still serves
+    ok = ann_index_topk(
+        spark, path, qs, k=5,
+        allowed_ids=[r.vec_id for r in emb.limit(8).collect()],
+    )
+    assert ok.count() >= 0
+
+
+def test_hybrid_allowed_ids_generator_not_exhausted(
+    spark, docs, emb, tmp_path
+):
+    """hybrid_index_topk materializes a non-DataFrame allowed set
+    ONCE before threading it into both legs: a one-shot iterable must
+    give the same fused result as the equivalent list, not hand the
+    ANN leg an exhausted (empty) filter after the BM25 leg consumed
+    it."""
+    from parq_tools_spark.operators.ann_index import ann_index_build
+    from parq_tools_spark.operators.hybrid import hybrid_index_topk
+    from parq_tools_spark.operators.search import bm25_index_build
+
+    bp, ap = str(tmp_path / "b"), str(tmp_path / "a")
+    bm25_index_build(docs, bp, n_buckets=8)
+    ann_index_build(emb, ap, n_cells=4, m=8, n_codes=16)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()[1]]
+    allowed = sorted(
+        r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    )
+
+    def run(ids):
+        return sorted(
+            (r.doc_id, r.score, r.rank)
+            for r in hybrid_index_topk(
+                spark, bp, ap, "stream merge window", qvec, k=8,
+                n_candidates=10, allowed_ids=ids,
+            ).collect()
+        )
+
+    assert run(iter(allowed)) == run(allowed) != []
