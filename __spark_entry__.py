@@ -3368,6 +3368,79 @@ def q_bm25_where_topk(spark, sf_dir):
     return out
 
 
+def q_minhash_where_query(spark, sf_dir):
+    """Metadata-filtered MinHash dedup (r15: completes filtered
+    retrieval across all four index families): the index stores lang
+    ON every band row (store_cols=['lang'], carried through the
+    signature aggregation's group key — zero extra shuffle), and
+    serving scopes the INDEXED side with the DSL predicate
+    where="lang == 'en'" pushed into the band-row scans — no metadata
+    table join, no id set materialized. The oracle re-derives the
+    portable MinHash pipeline in SQL and scopes its candidate pairs
+    by the documents table's lang."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="mhwhere_")
+    path = os.path.join(work, "idx")
+    minhash_index_write(
+        docs.filter("doc_id % 2 = 0"), path,
+        num_hashes=64, bands=16, store_cols=["lang"],
+    )
+    out = (
+        minhash_index_query(
+            spark, path, docs.filter("doc_id % 2 = 1"),
+            threshold=0.5, where="lang == 'en'",
+        )
+        .select(
+            "id_indexed",
+            "id_new",
+            _pround(F.col("est_jaccard")).alias("est_jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_simhash_where_query(spark, sf_dir):
+    """The SimHash mirror of minhash_where_query: band rows carry
+    lang (joined onto the fingerprints once at ingest), and
+    where="lang == 'en'" pushes into the band-row scans at serving
+    time. Oracle: the SQL-recomputed fingerprint pipeline with the
+    same lang scope on the indexed side."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="shwhere_")
+    path = os.path.join(work, "idx")
+    simhash_index_write(
+        docs.filter("doc_id % 2 = 0"), path, store_cols=["lang"]
+    )
+    out = simhash_index_query(
+        spark, path, docs.filter("doc_id % 2 = 1"),
+        max_hamming=3, where="lang == 'en'",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -3895,8 +3968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11-r13 on code unchanged since.
     """
     return {
-        # --- positions 1-50 = the driver check window for r14:
+        # --- positions 1-50 = the driver check window for r15:
         # new/changed this round ...
+        "minhash_where_query": q_minhash_where_query,
+        "simhash_where_query": q_simhash_where_query,
         "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "ann_where_topk": q_ann_where_topk,
@@ -7815,6 +7890,77 @@ WITH tk AS (
 )
 SELECT id_indexed, id_new, hamming FROM cand WHERE hamming <= 3
     """.replace("{SIMHASH_SEEDS}", _seed_values("simhash", 63))
+    # the same pipeline with the indexed side scoped by the stored
+    # metadata predicate (where="lang == 'en'") — the index serves it
+    # from in-row metadata; the oracle joins the documents table
+    out["simhash_where_query"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), seeds(seed, a, b) AS (VALUES {SIMHASH_SEEDS}
+), bitsum AS (
+  SELECT doc_id, seed,
+         sum(c * (2 * (((a * base + b) % 2147483647) & 1) - 1)) AS sgn
+  FROM cnt CROSS JOIN seeds GROUP BY doc_id, seed
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn > 0 THEN (1::BIGINT << seed) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bval
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval
+  JOIN documents d ON d.doc_id = a.doc_id
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND d.lang = 'en'
+)
+SELECT id_indexed, id_new, hamming FROM cand WHERE hamming <= 3
+    """.replace("{SIMHASH_SEEDS}", _seed_values("simhash", 63))
+    out["minhash_where_query"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), bh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+), seeds(seed, a, b) AS (VALUES {MINHASH_SEEDS}
+), h AS (
+  SELECT doc_id, seed, min((a * base + b) % 2147483647) AS mh
+  FROM bh CROSS JOIN seeds GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey
+  JOIN documents d ON d.doc_id = a.doc_id
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1 AND d.lang = 'en'
+), est AS (
+  SELECT c.id_indexed, c.id_new,
+         sum(CASE WHEN h1.mh = h2.mh THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN h h1 ON h1.doc_id = c.id_indexed
+  JOIN h h2 ON h2.doc_id = c.id_new AND h2.seed = h1.seed
+  GROUP BY c.id_indexed, c.id_new
+)
+SELECT id_indexed, id_new,
+       floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM est WHERE e >= 0.5
+    """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64))
     # lossy PQ + full probe + refine >= corpus: the exact re-rank
     # provably equals exact rounded cosine top-k (excluding self)
     out["ann_refine_topk"] = r"""

@@ -111,7 +111,12 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, hashed: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    hashed: bool = False,
+    carry_cols=(),
 ) -> DataFrame:
     """(id, shingle) rows, distinct per document.
 
@@ -119,11 +124,21 @@ def exploded_shingles(
     8-byte join/shuffle keys instead of ~20-byte strings. Collisions
     (~n^2/2^65) are negligible for set-similarity purposes; use the
     string form when shingle text must be surfaced.
+
+    ``carry_cols`` rides extra per-document columns through the
+    explode (they repeat per shingle INSIDE the codegen stage, never
+    materialized) so a downstream aggregation can keep them in its
+    group key — how the MinHash index stores metadata columns with
+    zero extra shuffle.
     """
     shingle = F.explode(word_shingles(text_col, k)).alias("shingle")
-    out = _spread(df).select(F.col(id_col), shingle)
+    out = _spread(df).select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], shingle
+    )
     if hashed:
-        out = out.select(id_col, F.xxhash64("shingle").alias("shingle"))
+        out = out.select(
+            id_col, *carry_cols, F.xxhash64("shingle").alias("shingle")
+        )
     return out
 
 
@@ -410,6 +425,7 @@ def minhash_signatures(
     num_hashes: int = 128,
     k: int = 3,
     hash_family: str = "portable",
+    carry_cols=(),
 ) -> DataFrame:
     """Per-document MinHash signature: array of ``num_hashes`` longs.
 
@@ -424,10 +440,21 @@ def minhash_signatures(
     Either way: sig[i] = min over shingles, computed as ``num_hashes``
     min-aggregations in ONE groupBy pass (map-side partial mins make
     the shuffle tiny: num_hashes longs per doc per partition).
+
+    ``carry_cols`` keeps extra per-document columns (functionally
+    dependent on the id) on the output rows by widening the groupBy
+    KEY — the partial-aggregate shuffle rows gain only those values
+    per (partition, doc), so the index's ``store_cols`` metadata
+    rides the signature pass with zero extra shuffle or join.
     """
+    carry_cols = list(carry_cols)
     if hash_family == "portable":
-        sh = exploded_shingles(df, id_col, text_col, k, hashed=False).select(
-            id_col, portable_base_hash(F.col("shingle")).alias("bh")
+        sh = exploded_shingles(
+            df, id_col, text_col, k, hashed=False, carry_cols=carry_cols
+        ).select(
+            id_col,
+            *carry_cols,
+            portable_base_hash(F.col("shingle")).alias("bh"),
         )
         # F.expr strings: one py4j round-trip per aggregation instead of
         # ~5 (lit/mul/add/mod/alias) — plan construction drops from
@@ -437,16 +464,20 @@ def minhash_signatures(
             for i, (a, b) in enumerate(portable_hash_params(num_hashes))
         ]
     elif hash_family == "xxhash64":
-        sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
+        sh = exploded_shingles(
+            df, id_col, text_col, k, hashed=True, carry_cols=carry_cols
+        )
         mins = [
             F.expr(f"min(xxhash64(shingle, {i})) AS _h{i}")
             for i in range(num_hashes)
         ]
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
-    agg = sh.groupBy(id_col).agg(*mins)
+    agg = sh.groupBy(id_col, *carry_cols).agg(*mins)
     return agg.select(
-        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+        id_col,
+        *carry_cols,
+        F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -974,17 +1005,26 @@ def banded_minhash(
     bands: int = 32,
     k: int = 3,
     hash_family: str = "portable",
+    meta_cols=(),
 ) -> DataFrame:
     """(id, signature, band, bhash) rows — the LSH bucket keys of every
     document, ``bands`` rows per document. The shared banding step of
     :func:`minhash_lsh_pairs`, :func:`minhash_pairs_between` and the
-    persistent index."""
+    persistent index. ``meta_cols`` appends per-document metadata
+    columns to every band row (carried through the signature
+    aggregation's group key — zero extra shuffle), the storage shape
+    behind ``minhash_index_write(store_cols=...)``."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    meta_cols = list(meta_cols)
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, hash_family)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, hash_family,
+        carry_cols=meta_cols,
+    )
     return sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in meta_cols],
         F.col("signature"),
         F.explode(
             F.array(
@@ -999,7 +1039,7 @@ def banded_minhash(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "signature", "bk.band", "bk.bhash")
+    ).select(id_col, *meta_cols, "signature", "bk.band", "bk.bhash")
 
 
 def minhash_pairs_between(
@@ -1207,6 +1247,7 @@ def minhash_index_write(
     k: int = 3,
     hash_family: str = "portable",
     keep_versions: int = 1,
+    store_cols=(),
 ) -> None:
     """Persist a corpus's banded MinHash index so future batches
     dedupe against the corpus WITHOUT recomputing its signatures.
@@ -1227,6 +1268,16 @@ def minhash_index_write(
       place (object-store-clean: the commit is one marker PUT);
     - a params sidecar pins the signature scheme.
 
+    ``store_cols`` persists the named per-document metadata columns
+    (e.g. ``lang``, ``license``) ON every band row — carried through
+    the signature aggregation's group key, zero extra shuffle — so
+    :func:`minhash_index_query`'s ``where=`` predicates push straight
+    into the band-row scans (no metadata table join, no id set
+    materialized). Every subsequent ingest batch must supply the same
+    columns; updates stay correct for free because the version-scoped
+    tombstones hide whole rows and compaction/rebuild rewrite whole
+    rows.
+
     Rebuilding over an existing index is NON-DESTRUCTIVE: the new
     generation's segment is built alongside the live state and a new
     manifest version (listing ONLY it, carrying the new params)
@@ -1242,6 +1293,19 @@ def minhash_index_write(
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    store_cols = list(store_cols)
+    reserved = {"signature", "band", "bhash", id_col}
+    bad = [c for c in store_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"store_cols {bad} collide with the band-row schema's "
+            f"reserved columns ({sorted(reserved)})"
+        )
+    check_store_cols(df, store_cols, "minhash_index_write")
     spark = df.sparkSession
     fs = StateFS(spark, path)
     vs = _index_vs(spark, path)
@@ -1267,7 +1331,8 @@ def minhash_index_write(
         _sweep_index_orphans(fs, path, vs, cur)
     new = (cur or 0) + 1
     banded = banded_minhash(
-        df, id_col, text_col, num_hashes, bands, k, hash_family
+        df, id_col, text_col, num_hashes, bands, k, hash_family,
+        meta_cols=store_cols,
     )
     seg = _new_segment_name(new)
     banded.write.mode("errorifexists").partitionBy("band").parquet(
@@ -1280,6 +1345,7 @@ def minhash_index_write(
         "k": k,
         "hash_family": hash_family,
         "keep_versions": keep_versions,
+        "store_cols": store_cols,
     }
     vs.commit(
         new,
@@ -1524,9 +1590,15 @@ def minhash_index_add(
     vs, cur, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
     segments = list(m["segments"])
-    from parq_tools_spark.operators._index_common import retention
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+        retention,
+    )
 
     vs.clean_stale(cur, keep_versions=retention(m))
+    check_store_cols(
+        df, p.get("store_cols", []), "minhash_index_add"
+    )
     banded = banded_minhash(
         df,
         p["id_col"],
@@ -1535,6 +1607,7 @@ def minhash_index_add(
         p["bands"],
         p["k"],
         p["hash_family"],
+        meta_cols=p.get("store_cols", []),
     )
     seg = _new_segment_name(cur + 1)
     banded.write.mode("errorifexists").partitionBy("band").parquet(
@@ -1816,8 +1889,18 @@ def minhash_index_apply_cdc(
         "inserted": 0,
     }
     if has_ups:
+        from parq_tools_spark.operators._index_common import (
+            check_store_cols,
+        )
+
+        check_store_cols(
+            ups_rows, p.get("store_cols", []),
+            "minhash_index_apply_cdc",
+        )
         res = minhash_index_upsert(
-            ups_rows.select(id_col, text_col),
+            ups_rows.select(
+                id_col, text_col, *p.get("store_cols", [])
+            ),
             path,
             text_col=text_col,
             _visible_ids=visible_touched,
@@ -1838,6 +1921,7 @@ def minhash_index_query(
     exclude_same_id: bool = True,
     version: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Pairs between an on-disk index and a new batch:
     ``(id_indexed, id_new, est_jaccard)``. The index side is read as
@@ -1860,7 +1944,16 @@ def minhash_index_query(
     apply_allowed_ids` filter) scopes WHICH INDEXED DOCUMENTS may
     pair: a literal list pushes into the band-row scans, a DataFrame
     semi-joins — so one physical index serves per-tenant /
-    per-language dedup without per-scope copies."""
+    per-language dedup without per-scope copies.
+
+    ``where`` scopes the indexed side by a DSL predicate over the
+    index's STORED metadata columns
+    (``minhash_index_write(store_cols=...)``) — e.g.
+    ``where="lang == 'en'"`` — compiled by the engine's own filter
+    parser (:func:`~parq_tools_spark.plans.query_parser.
+    build_filter_expression`) and pushed by Catalyst into the
+    band-row scans: no metadata table join, no id set materialized.
+    Composes with ``allowed_ids`` (both apply)."""
     from functools import reduce
 
     from pyspark.sql import types as T
@@ -1871,6 +1964,23 @@ def minhash_index_query(
     # them separately could tear across a rebuild-with-new-params)
     _, _, m = _index_manifest_full(spark, path, version)
     p = _manifest_params(spark, path, m)
+    # validate (and compile) the where predicate UP FRONT, so a bad
+    # predicate or a store_cols-less index fails identically whether
+    # the index is empty or not
+    where_col = None
+    if where is not None:
+        from parq_tools_spark.plans.query_parser import (
+            build_filter_expression,
+        )
+
+        stored = p.get("store_cols", [])
+        if not stored:
+            raise ValueError(
+                f"minhash index at {path} stores no metadata columns; "
+                "where= needs an index built with "
+                "minhash_index_write(..., store_cols=[...])"
+            )
+        where_col = build_filter_expression(where, columns=stored)
     fs = StateFS(spark, path)
     segments = list(m["segments"])
     live = [s for s in segments if fs.list_files(f"{path}/{s}")]
@@ -1906,6 +2016,10 @@ def minhash_index_query(
             for s in live
         ],
     )
+    if where_col is not None:
+        # a plain Column filter over in-row metadata: Catalyst pushes
+        # it through the segment union into the parquet scans
+        indexed_banded = indexed_banded.filter(where_col)
     if allowed_ids is not None:
         from parq_tools_spark.operators._index_common import (
             apply_allowed_ids,
@@ -1941,6 +2055,7 @@ def incremental_dedupe(
     threshold: float = 0.7,
     update_index: bool = False,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """The full incremental-ingest dedup step: drop new documents that
     near-duplicate (a) anything in the persistent index or (b) a
@@ -1961,13 +2076,16 @@ def incremental_dedupe(
     semantic_dedupe_incremental`: only allowed INDEX entries may
     block a new document (per-tenant dedup over one index); the
     in-batch lower-id rule is deliberately unscoped, and
-    ``update_index=True`` still appends every survivor.
+    ``update_index=True`` still appends every survivor. ``where``
+    scopes the blocking set the same way, by a DSL predicate over
+    the index's stored metadata columns (pushed into the band-row
+    scans — see :func:`minhash_index_query`).
     """
     p = _minhash_index_params(spark, index_path)
     id_col = p["id_col"]
     vs_index = minhash_index_query(
         spark, index_path, new_docs, text_col=text_col,
-        threshold=threshold, allowed_ids=allowed_ids,
+        threshold=threshold, allowed_ids=allowed_ids, where=where,
     )
     dup_vs_index = vs_index.select(
         F.col("id_new").alias(id_col)

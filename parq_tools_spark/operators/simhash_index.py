@@ -55,6 +55,7 @@ __all__ = [
     "simhash_index_maybe_compact",
     "simhash_index_stats",
     "simhash_index_query",
+    "simhash_incremental_dedupe",
 ]
 
 _SH_MARKER = "_simhash_manifest.json"
@@ -97,21 +98,33 @@ def _banded_simhash(
     bits: int,
     n_bands: int,
     hash_family: str,
+    meta_cols=(),
 ) -> DataFrame:
     """``(id, simhash, band, bval)`` rows — the fingerprint
     (:func:`~parq_tools_spark.operators.dedup.simhash`) exploded into
     the SAME disjoint bit-bands ``hamming_pairs`` uses (``width =
     (bits-1)//n_bands + 1``, low band first), so index-served pairs
-    and the batch path can never disagree on candidates."""
+    and the batch path can never disagree on candidates.
+
+    ``meta_cols`` appends per-document metadata to every band row
+    (``store_cols`` storage): the fingerprint relation comes out of a
+    ``mapInPandas`` aggregation, so metadata joins back on the id —
+    one id-keyed join of two one-row-per-document relations at
+    INGEST time only, small next to the (doc, token, count) shuffle
+    the fingerprint pass already pays; serving never joins."""
     from parq_tools_spark.operators.dedup import simhash
 
+    meta_cols = list(meta_cols)
     fps = simhash(
         df, id_col, text_col, bits=bits, hash_family=hash_family
     )
+    if meta_cols:
+        fps = fps.join(df.select(id_col, *meta_cols), on=id_col)
     width = (bits - 1) // n_bands + 1
     mask = (1 << width) - 1
     return fps.select(
         id_col,
+        *meta_cols,
         "simhash",
         F.explode(
             F.array(
@@ -126,7 +139,7 @@ def _banded_simhash(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.bval")
+    ).select(id_col, *meta_cols, "simhash", "bk.band", "bk.bval")
 
 
 def simhash_index_write(
@@ -138,6 +151,7 @@ def simhash_index_write(
     n_bands: int = 4,
     hash_family: str = "portable",
     keep_versions: int = 1,
+    store_cols=(),
 ) -> None:
     """Build (or non-destructively REBUILD) the persisted SimHash
     index: one fingerprint pass over the corpus, band rows written to
@@ -147,11 +161,32 @@ def simhash_index_write(
     an invisible orphan). ``keep_versions`` pins how many committed
     versions the maintenance sweeps retain — retained versions stay
     servable via ``version=`` on :func:`simhash_index_query` /
-    :func:`simhash_index_stats` (the shared time-travel contract)."""
+    :func:`simhash_index_stats` (the shared time-travel contract).
+
+    ``store_cols`` persists the named per-document metadata columns
+    ON every band row (joined back onto the fingerprints once at
+    ingest), so :func:`simhash_index_query`'s ``where=`` predicates
+    push straight into the band-row scans — no metadata table join
+    at serving time. Every subsequent ingest batch must supply the
+    same columns; tombstones hide whole rows and compaction rewrites
+    whole rows, so updates stay correct for free."""
     import json
+
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    store_cols = list(store_cols)
+    reserved = {"simhash", "band", "bval", id_col}
+    bad = [c for c in store_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"store_cols {bad} collide with the band-row schema's "
+            f"reserved columns ({sorted(reserved)})"
+        )
+    check_store_cols(df, store_cols, "simhash_index_write")
     if not 0 < bits <= 63:
         raise ValueError("bits must be in (0, 63]")
     if not 1 <= n_bands <= bits:
@@ -177,7 +212,8 @@ def simhash_index_write(
     new = (cur or 0) + 1
 
     banded = _banded_simhash(
-        df, id_col, text_col, bits, n_bands, hash_family
+        df, id_col, text_col, bits, n_bands, hash_family,
+        meta_cols=store_cols,
     )
     seg = _tag(new, "seg")
     banded.write.mode("errorifexists").partitionBy("band").parquet(
@@ -194,6 +230,7 @@ def simhash_index_write(
                     "n_bands": n_bands,
                     "hash_family": hash_family,
                     "keep_versions": keep_versions,
+                    "store_cols": store_cols,
                 },
                 "id_type": _id_field_json(df, id_col),
                 "segments": [seg],
@@ -223,6 +260,13 @@ def simhash_index_add(
     vs, cur, m = _sh_manifest(spark, path)
     p = m["params"]
     vs.clean_stale(cur, keep_versions=_retention(m))
+    from parq_tools_spark.operators._index_common import (
+        check_store_cols,
+    )
+
+    check_store_cols(
+        df, p.get("store_cols", []), "simhash_index_add"
+    )
     banded = _banded_simhash(
         df,
         p["id_col"],
@@ -230,6 +274,7 @@ def simhash_index_add(
         p["bits"],
         p["n_bands"],
         p["hash_family"],
+        meta_cols=p.get("store_cols", []),
     )
     seg = _tag(cur + 1, "seg")
     banded.write.mode("errorifexists").partitionBy("band").parquet(
@@ -428,8 +473,14 @@ def simhash_index_apply_cdc(
         "inserted": 0,
     }
     if has_ups:
+        from parq_tools_spark.operators._index_common import (
+            check_store_cols,
+        )
+
+        store = m["params"].get("store_cols", [])
+        check_store_cols(ups_rows, store, "simhash_index_apply_cdc")
         res = simhash_index_upsert(
-            ups_rows.select(id_col, text_col),
+            ups_rows.select(id_col, text_col, *store),
             path,
             text_col=text_col,
             _visible_ids=visible_touched,
@@ -586,6 +637,7 @@ def simhash_index_query(
     exclude_same_id: bool = True,
     version: Optional[int] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Hamming near-dup pairs between the on-disk index and a new
     batch: ``(id_indexed, id_new, hamming)``. The batch's
@@ -605,7 +657,12 @@ def simhash_index_query(
     DataFrame — the shared :func:`~parq_tools_spark.operators.
     _index_common.apply_allowed_ids` filter) scopes WHICH INDEXED
     documents may pair — per-tenant / per-language dedup over one
-    physical index."""
+    physical index. ``where`` scopes the indexed side by a DSL
+    predicate over the index's STORED metadata columns
+    (``simhash_index_write(store_cols=...)``), compiled by the
+    engine's filter parser and pushed by Catalyst into the band-row
+    scans — no metadata join, no id set materialized; composes with
+    ``allowed_ids`` (both apply)."""
     from functools import reduce
 
     from pyspark.sql import types as T
@@ -613,6 +670,22 @@ def simhash_index_query(
     _, _, m = _sh_manifest(spark, path, version)
     p = m["params"]
     id_col = p["id_col"]
+    # validate/compile UP FRONT — errors identical on empty and
+    # non-empty indexes (the shared where= contract)
+    where_col = None
+    if where is not None:
+        from parq_tools_spark.plans.query_parser import (
+            build_filter_expression,
+        )
+
+        stored = p.get("store_cols", [])
+        if not stored:
+            raise ValueError(
+                f"simhash index at {path} stores no metadata columns; "
+                "where= needs an index built with "
+                "simhash_index_write(..., store_cols=[...])"
+            )
+        where_col = build_filter_expression(where, columns=stored)
     if exclude_same_id:
         _check_excl_types(
             new_docs.schema[id_col].dataType,
@@ -644,6 +717,10 @@ def simhash_index_query(
         DataFrame.unionByName,
         [_visible_scan(spark, path, s, batches, id_col) for s in live],
     )
+    if where_col is not None:
+        # plain Column filter over in-row metadata — pushed through
+        # the segment union into the parquet scans
+        indexed = indexed.filter(where_col)
     if allowed_ids is not None:
         from parq_tools_spark.operators._index_common import (
             apply_allowed_ids,
@@ -676,3 +753,73 @@ def simhash_index_query(
         .dropDuplicates(["id_indexed", "id_new"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_incremental_dedupe(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    update_index: bool = False,
+    allowed_ids=None,
+    where: Optional[str] = None,
+) -> DataFrame:
+    """The SimHash incremental-ingest admission step — the
+    Hamming-distance twin of :func:`~parq_tools_spark.operators.
+    dedup.incremental_dedupe`: drop new documents that are within
+    ``max_hamming`` bits of (a) anything in the persistent index or
+    (b) a LOWER-ID document within the same batch, and optionally
+    append the survivors' band rows to the index.
+
+    Returns the surviving rows of ``new_docs``. With
+    ``update_index=True`` the survivors are materialized (one action)
+    before their band rows are appended.
+
+    Cost shape at 100 TB corpus / small batch: fingerprinting the
+    batch (one (doc, token, count) shuffle), one broadcast join of
+    its banded keys into the index's band rows (the corpus never
+    re-fingerprints, never shuffles), plus one in-batch banded
+    self-join bounded by batch size. The in-batch rule runs under the
+    INDEX's frozen params (bits/n_bands/hash_family), so admission
+    and index serving can never disagree on candidates.
+
+    ``allowed_ids`` / ``where`` scope ADMISSION exactly like the
+    MinHash and semantic admitters: only allowed (or
+    predicate-matching, over the index's ``store_cols`` metadata)
+    INDEX entries may block a new document — per-tenant /
+    per-language admission over one physical index. The in-batch
+    lower-id rule is deliberately unscoped, and ``update_index=True``
+    still appends every survivor.
+    """
+    from parq_tools_spark.operators.dedup import hamming_pairs, simhash
+
+    _, _, m = _sh_manifest(spark, index_path)
+    p = m["params"]
+    id_col = p["id_col"]
+    vs_index = simhash_index_query(
+        spark, index_path, new_docs, text_col=text_col,
+        max_hamming=max_hamming, allowed_ids=allowed_ids, where=where,
+    )
+    dup_vs_index = vs_index.select(
+        F.col("id_new").alias(id_col)
+    ).distinct()
+    fps = simhash(
+        new_docs, id_col, text_col,
+        bits=p["bits"], hash_family=p["hash_family"],
+    )
+    in_batch = hamming_pairs(
+        fps, "simhash", id_col,
+        max_hamming=max_hamming, n_bands=p["n_bands"], bits=p["bits"],
+    )
+    # within the batch, keep the min-id member of each duplicate pair
+    dup_in_batch = in_batch.select(F.col("id2").alias(id_col)).distinct()
+    survivors = new_docs.join(
+        dup_vs_index.unionByName(dup_in_batch).distinct(),
+        on=id_col,
+        how="left_anti",
+    )
+    if update_index:
+        survivors = survivors.localCheckpoint(eager=True)
+        simhash_index_add(survivors, index_path, text_col=text_col)
+    return survivors

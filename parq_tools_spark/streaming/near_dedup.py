@@ -54,7 +54,11 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["start_near_dedupe_stream", "start_semantic_dedupe_stream"]
+__all__ = [
+    "start_near_dedupe_stream",
+    "start_semantic_dedupe_stream",
+    "start_simhash_dedupe_stream",
+]
 
 # the checkpoint-scoped versioned marker protocol lives in
 # streaming/_markers.py — ONE implementation shared with the BM25
@@ -84,9 +88,21 @@ def start_near_dedupe_stream(
     max_delete_batches: int = 0,
     available_now: bool = True,
     query_name: Optional[str] = None,
+    allowed_ids=None,
+    where: Optional[str] = None,
 ):
     """Start a streaming query admitting only documents that are not
     near-duplicates of anything previously admitted.
+
+    ``allowed_ids`` / ``where`` SCOPE admission (threaded into
+    :func:`~parq_tools_spark.operators.dedup.incremental_dedupe`
+    every batch): only allowed — or, for ``where``, metadata-matching
+    over the index's ``store_cols`` — INDEX entries may block a new
+    document, so one physical index serves per-tenant / per-language
+    admission streams. The in-batch lower-id rule stays unscoped and
+    survivors still append unconditionally. A ``where`` scope
+    requires the index to pre-exist with ``store_cols`` (the
+    stream's zero-row bootstrap stores none).
 
     If ``index_path`` holds an existing MinHash index
     (:func:`~parq_tools_spark.operators.dedup.minhash_index_write`),
@@ -162,6 +178,8 @@ def start_near_dedupe_stream(
             text_col=text_col,
             threshold=threshold,
             update_index=True,
+            allowed_ids=allowed_ids,
+            where=where,
         )
         survivors.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"
@@ -206,6 +224,7 @@ def start_semantic_dedupe_stream(
     max_batch_rows: int = 100_000,
     available_now: bool = True,
     query_name: Optional[str] = None,
+    allowed_ids=None,
 ):
     """Streaming SEMANTIC admission: admit only vectors that are not
     SemDeDup duplicates (rounded exact cosine >= ``threshold`` within
@@ -247,6 +266,13 @@ def start_semantic_dedupe_stream(
     pairwise non-duplicate and the index query drops equal-id
     collisions), and the index append an UPSERT so a replayed batch
     converges instead of double-inserting.
+
+    ``allowed_ids`` SCOPES admission (threaded into
+    :func:`~parq_tools_spark.operators.ann_index.
+    semantic_dedupe_incremental` every batch): only allowed INDEX
+    entries may block a new vector. The bootstrap batch has no index
+    to scope (its within-batch rule runs unscoped), so pre-build the
+    index when the first batch must already be scoped.
 
     Returns the started ``StreamingQuery``; admitted vectors are at
     ``output_path`` (partitioned by ``batch``).
@@ -299,6 +325,7 @@ def start_semantic_dedupe_stream(
                 threshold=threshold,
                 update_index=True,
                 max_batch_rows=max_batch_rows,
+                allowed_ids=allowed_ids,
             )
         survivors.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"
@@ -319,6 +346,122 @@ def start_semantic_dedupe_stream(
             )
 
     writer = vecs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_simhash_dedupe_stream(
+    docs: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 63,
+    n_bands: int = 4,
+    hash_family: str = "portable",
+    compact_every: int = 0,
+    max_segments: int = 0,
+    max_delete_batches: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+    allowed_ids=None,
+    where: Optional[str] = None,
+):
+    """Streaming SimHash admission — the Hamming-distance sibling of
+    :func:`start_near_dedupe_stream`, completing the streaming
+    admission surface across the banded dedup families: admit only
+    documents farther than ``max_hamming`` bits from anything
+    previously admitted, served from the persisted SimHash index
+    (:func:`~parq_tools_spark.operators.simhash_index.
+    simhash_incremental_dedupe` per micro-batch; the admitted corpus
+    is never re-fingerprinted).
+
+    If ``index_path`` holds an existing SimHash index its stored
+    params govern from the first batch (``id_col``..``hash_family``
+    are ignored); otherwise the first non-empty batch bootstraps an
+    EMPTY index with the given params (zero band rows — every batch
+    takes the one ``simhash_incremental_dedupe`` path, gated on the
+    COMMITTED MANIFEST exactly like the MinHash stream).
+
+    ``allowed_ids`` / ``where`` scope ADMISSION per batch (only
+    allowed / metadata-matching index entries may block a document;
+    the in-batch lower-id rule stays unscoped, survivors append
+    unconditionally). A ``where`` scope requires a pre-built index
+    with ``store_cols``.
+
+    Recovery is the :func:`start_near_dedupe_stream` contract
+    verbatim: exactly-once output via per-batch directory overwrite,
+    checkpoint-scoped versioned markers, replay-stable survivor
+    recomputation (``exclude_same_id`` suppresses a half-indexed
+    batch shadowing itself), idempotent-by-dedup index appends.
+
+    Returns the started ``StreamingQuery``; admitted documents are at
+    ``output_path`` (partitioned by ``batch``).
+    """
+    if not docs.isStreaming:
+        raise ValueError(
+            "start_simhash_dedupe_stream needs a streaming DataFrame; "
+            "use operators.simhash_index.simhash_incremental_dedupe "
+            "for batch ingests"
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from parq_tools_spark.operators.simhash_index import (
+            _sh_vs,
+            simhash_incremental_dedupe,
+            simhash_index_compact,
+            simhash_index_maybe_compact,
+            simhash_index_write,
+        )
+
+        spark = batch_df.sparkSession
+        if batch_id <= _last_applied(spark, index_path, checkpoint_dir):
+            return  # replay of a batch this query already applied
+        if not batch_df.take(1):
+            _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+            return
+        if _sh_vs(spark, index_path).current() is None:
+            simhash_index_write(
+                batch_df.limit(0),
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                bits=bits,
+                n_bands=n_bands,
+                hash_family=hash_family,
+            )
+        survivors = simhash_incremental_dedupe(
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            max_hamming=max_hamming,
+            update_index=True,
+            allowed_ids=allowed_ids,
+            where=where,
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+        _commit_marker(spark, index_path, checkpoint_dir, batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            simhash_index_compact(spark, index_path)
+        elif max_segments or max_delete_batches:
+            simhash_index_maybe_compact(
+                spark,
+                index_path,
+                max_segments=max_segments,
+                max_delete_batches=max_delete_batches,
+            )
+
+    writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
     if query_name:

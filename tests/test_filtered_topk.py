@@ -803,3 +803,240 @@ def test_hybrid_allowed_ids_generator_not_exhausted(
         )
 
     assert run(iter(allowed)) == run(allowed) != []
+
+
+# ---------------------------------------------------------------------------
+# where= on the MinHash / SimHash index families (r15: completes the
+# filtered-retrieval surface across all four families)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_where_equals_allowed_ids_and_tracks_updates(
+    spark, docs_full, tmp_path
+):
+    """where='lang == ...' over a store_cols MinHash index equals the
+    allowed_ids path fed the same ids from external metadata — one
+    mechanism, two physical shapes — and an upsert that CHANGES a
+    doc's stored metadata is respected immediately (version-scoped
+    tombstones hide the old band rows)."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_upsert,
+        minhash_index_write,
+    )
+
+    path = str(tmp_path / "mhmeta")
+    minhash_index_write(
+        docs_full, path, num_hashes=32, bands=8, store_cols=["lang"]
+    )
+    batch = docs_full.filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_indexed, r.id_new, r.est_jaccard)
+            for r in minhash_index_query(
+                spark, path, batch, threshold=0.5,
+                exclude_same_id=False, **kw,
+            ).collect()
+        )
+
+    lang = sorted(
+        r.lang for r in docs_full.select("lang").distinct().collect()
+    )[0]
+    a = pairs(where=f"lang == '{lang}'")
+    b = pairs(
+        allowed_ids=docs_full.filter(
+            F.col("lang") == lang
+        ).select("doc_id")
+    )
+    assert a == b and a
+
+    # flip one indexed doc's lang via upsert: it leaves this scope
+    # and appears under the new scope
+    victim = a[0][0]
+    vrow = docs_full.filter(F.col("doc_id") == victim).select(
+        "doc_id", "text", F.lit("zz").alias("lang")
+    )
+    minhash_index_upsert(vrow, path)
+    assert victim not in {
+        p[0] for p in pairs(where=f"lang == '{lang}'")
+    }
+    assert {p[0] for p in pairs(where="lang == 'zz'")} == {victim}
+
+
+def test_minhash_where_guards_and_compaction(
+    spark, docs_full, tmp_path
+):
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add,
+        minhash_index_compact,
+        minhash_index_delete,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from parq_tools_spark.plans.query_parser import FilterParseError
+
+    k = F.col("doc_id")
+    bare = str(tmp_path / "mhbare")
+    minhash_index_write(
+        docs_full.select("doc_id", "text"), bare,
+        num_hashes=32, bands=8,
+    )
+    batch = docs_full.filter(k < 10).select("doc_id", "text")
+    with pytest.raises(ValueError, match="store_cols"):
+        minhash_index_query(spark, bare, batch, where="lang == 'en'")
+
+    meta = str(tmp_path / "mhmeta")
+    minhash_index_write(
+        docs_full.filter(k % 2 == 0), meta,
+        num_hashes=32, bands=8, store_cols=["lang"],
+    )
+    # predicate on a never-stored column: loud, identical on empty
+    # and non-empty indexes
+    with pytest.raises(FilterParseError):
+        minhash_index_query(spark, meta, batch, where="missing == 1")
+    # an ingest that dropped the metadata column: loud
+    with pytest.raises(ValueError, match="missing"):
+        minhash_index_add(
+            docs_full.filter(k % 2 == 1).select("doc_id", "text"), meta
+        )
+    # reserved-name collision at build: loud
+    with pytest.raises(ValueError, match="reserved"):
+        minhash_index_write(
+            docs_full.select(
+                "doc_id", "text", F.lit(1).alias("bhash")
+            ),
+            str(tmp_path / "mhbad"),
+            store_cols=["bhash"],
+        )
+
+    # metadata survives add + delete + compaction (whole-row rewrite)
+    minhash_index_add(docs_full.filter(k % 2 == 1), meta)
+
+    def served():
+        return sorted(
+            (r.id_indexed, r.id_new, r.est_jaccard)
+            for r in minhash_index_query(
+                spark, meta, batch, threshold=0.5,
+                exclude_same_id=False, where="lang == 'en'",
+            ).collect()
+        )
+
+    pre = served()
+    assert pre
+    gone = [p[0] for p in pre[:1]]
+    minhash_index_delete(spark, meta, gone)
+    minhash_index_compact(spark, meta, force=True)
+    assert served() == [p for p in pre if p[0] not in set(gone)]
+
+
+def test_simhash_where_equals_allowed_ids_and_lifecycle(
+    spark, docs_full, tmp_path
+):
+    """The SimHash mirror: where= equals allowed_ids from the same
+    predicate; guards are loud; metadata survives upsert + compaction
+    and metadata CHANGES are respected immediately."""
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_compact,
+        simhash_index_query,
+        simhash_index_upsert,
+        simhash_index_write,
+    )
+    from parq_tools_spark.plans.query_parser import FilterParseError
+
+    path = str(tmp_path / "shmeta")
+    simhash_index_write(
+        docs_full, path, n_bands=8, store_cols=["lang"]
+    )
+    batch = docs_full.filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+
+    def pairs(**kw):
+        return sorted(
+            (r.id_indexed, r.id_new, r.hamming)
+            for r in simhash_index_query(
+                spark, path, batch, max_hamming=7,
+                exclude_same_id=False, **kw,
+            ).collect()
+        )
+
+    lang = sorted(
+        r.lang for r in docs_full.select("lang").distinct().collect()
+    )[0]
+    a = pairs(where=f"lang == '{lang}'")
+    b = pairs(
+        allowed_ids=docs_full.filter(
+            F.col("lang") == lang
+        ).select("doc_id")
+    )
+    assert a == b and a
+
+    with pytest.raises(FilterParseError):
+        simhash_index_query(spark, path, batch, where="missing == 1")
+    bare = str(tmp_path / "shbare")
+    simhash_index_write(
+        docs_full.select("doc_id", "text"), bare, n_bands=8
+    )
+    with pytest.raises(ValueError, match="store_cols"):
+        simhash_index_query(spark, bare, batch, where="lang == 'en'")
+    with pytest.raises(ValueError, match="reserved"):
+        simhash_index_write(
+            docs_full.select("doc_id", "text", F.lit(1).alias("bval")),
+            str(tmp_path / "shbad"),
+            store_cols=["bval"],
+        )
+
+    # metadata flip via upsert respected immediately
+    victim = a[0][0]
+    vrow = docs_full.filter(F.col("doc_id") == victim).select(
+        "doc_id", "text", F.lit("zz").alias("lang")
+    )
+    simhash_index_upsert(vrow, path)
+    assert victim not in {p[0] for p in pairs(where=f"lang == '{lang}'")}
+    assert {p[0] for p in pairs(where="lang == 'zz'")} == {victim}
+
+    # compaction folds tombstones and keeps the metadata rows
+    pre = pairs(where=f"lang == '{lang}'")
+    simhash_index_compact(spark, path, force=True)
+    assert pairs(where=f"lang == '{lang}'") == pre
+
+
+def test_incremental_dedupe_where_scopes_admission(
+    spark, docs_full, tmp_path
+):
+    """incremental_dedupe(where=...) admits exactly like running
+    against an index built on the predicate's subset (band rows are
+    per-document, so filtering them IS subsetting the index)."""
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_write,
+    )
+
+    k = F.col("doc_id")
+    seed = docs_full.filter(k % 2 == 0)
+    batch = docs_full.filter(k % 2 == 1).select("doc_id", "text")
+    full = str(tmp_path / "mhfull")
+    sub = str(tmp_path / "mhsub")
+    minhash_index_write(
+        seed, full, num_hashes=32, bands=8, store_cols=["lang"]
+    )
+    minhash_index_write(
+        seed.filter(F.col("lang") == "en"), sub,
+        num_hashes=32, bands=8,
+    )
+    a = sorted(
+        r.doc_id
+        for r in incremental_dedupe(
+            spark, full, batch, threshold=0.5, where="lang == 'en'"
+        ).select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in incremental_dedupe(
+            spark, sub, batch, threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert a == b

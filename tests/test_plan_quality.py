@@ -564,3 +564,58 @@ def test_bm25_where_predicate_pushes_to_postings_scan(
     assert "documents.parquet" not in plan
     assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
     assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
+
+
+def test_minhash_where_predicate_pushes_to_band_scan(
+    spark, sf_dir, tmp_path
+):
+    """where= over a store_cols MinHash index must reach the band-row
+    segment scans as a PUSHED data filter — in-row metadata, no
+    semi-join, no id set materialized. (The batch side legitimately
+    scans its own source, so only the absence of a join shape and the
+    pushed EqualTo are asserted.)"""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    path = str(tmp_path / "mhwhere")
+    minhash_index_write(
+        docs, path, num_hashes=32, bands=8, store_cols=["lang"]
+    )
+    batch = docs.filter("doc_id < 5").select("doc_id", "text")
+    df = minhash_index_query(
+        spark, path, batch, threshold=0.5, where="lang == 'en'"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
+    assert "LeftSemi" not in plan
+
+
+def test_simhash_where_predicate_pushes_to_band_scan(
+    spark, sf_dir, tmp_path
+):
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    path = str(tmp_path / "shwhere")
+    simhash_index_write(docs, path, n_bands=8, store_cols=["lang"])
+    batch = docs.filter("doc_id < 5").select("doc_id", "text")
+    df = simhash_index_query(
+        spark, path, batch, max_hamming=7, where="lang == 'en'"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
+    assert "LeftSemi" not in plan

@@ -728,3 +728,182 @@ def test_streaming_near_dedupe_rebootstraps_after_crashed_write(spark, tmp_path)
     _run_near_dedupe(spark, str(src), index_path, out_path, str(tmp_path / "ck"))
     admitted = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert admitted == [1, 2, 4, 7]
+
+
+def _run_simhash_dedupe(spark, src_dir, index_path, out_path, ckpt, **kw):
+    from parq_tools_spark.streaming.near_dedup import (
+        start_simhash_dedupe_stream,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = start_simhash_dedupe_stream(
+        stream,
+        index_path,
+        out_path,
+        ckpt,
+        max_hamming=3,
+        n_bands=8,
+        available_now=True,
+        **kw,
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_simhash_dedupe_matches_batch_path(spark, tmp_path):
+    """The SimHash admission stream equals the sequential batch
+    ingest through simhash_incremental_dedupe — same bootstrap, same
+    frozen params, same in-batch lower-id rule."""
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_incremental_dedupe,
+        simhash_index_write,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = _dedup_docs_batches(spark, str(src))
+    index_path = str(tmp_path / "shindex")
+    out_path = str(tmp_path / "admitted")
+    _run_simhash_dedupe(
+        spark, str(src), index_path, out_path, str(tmp_path / "ck")
+    )
+    got = spark.read.parquet(out_path)
+    assert set(got.columns) == {"doc_id", "text", "batch"}
+    admitted = sorted(r.doc_id for r in got.collect())
+
+    batch_index = str(tmp_path / "batch_index")
+    first = spark.createDataFrame(batches[0], "doc_id long, text string")
+    simhash_index_write(first.limit(0), batch_index, n_bands=8)
+    expected = set()
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        surv = simhash_incremental_dedupe(
+            spark, batch_index, df, max_hamming=3, update_index=True
+        )
+        expected |= {r.doc_id for r in surv.collect()}
+    assert sorted(expected) == admitted and admitted
+
+
+def test_streaming_simhash_scoped_admission_equals_subset_index(
+    spark, tmp_path, sf_dir
+):
+    """where= scope on the SimHash admission stream: only
+    predicate-matching INDEX entries may block a document — the
+    admitted set equals running the batch admitter against an index
+    built on the predicate's subset (the test_filtered_topk
+    contract, now through the streaming sink)."""
+    import os as _os
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_incremental_dedupe,
+        simhash_index_query,
+        simhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang"
+    )
+
+    scoped = str(tmp_path / "scoped")
+    simhash_index_write(seed, scoped, n_bands=8, store_cols=["lang"])
+    src = tmp_path / "src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    out_path = str(tmp_path / "admitted")
+    from parq_tools_spark.streaming.near_dedup import (
+        start_simhash_dedupe_stream,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(str(src / "*"))
+    )
+    q = start_simhash_dedupe_stream(
+        stream, scoped, out_path, str(tmp_path / "ck"),
+        max_hamming=7, n_bands=8, available_now=True,
+        where="lang == 'en'",
+    )
+    q.awaitTermination(180)
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(out_path).collect()
+    )
+
+    subset = str(tmp_path / "subset")
+    simhash_index_write(
+        seed.filter(F.col("lang") == "en"), subset, n_bands=8
+    )
+    want = sorted(
+        r.doc_id
+        for r in simhash_incremental_dedupe(
+            spark, subset, batch.select("doc_id", "text"), max_hamming=7
+        ).collect()
+    )
+    assert admitted == want
+    # survivors were appended to the scoped index (store_cols intact:
+    # a where= query over the grown index still serves)
+    assert simhash_index_query(
+        spark, scoped, batch.select("doc_id", "text").limit(5),
+        max_hamming=7, where="lang == 'en'", exclude_same_id=False,
+    ).count() >= 0
+
+
+def test_streaming_minhash_scoped_admission(spark, tmp_path, sf_dir):
+    """allowed_ids scope threads through the MinHash admission stream
+    the same way: only allowed index entries block."""
+    import os as _os
+
+    from parq_tools_spark.operators.dedup import (
+        incremental_dedupe,
+        minhash_index_write,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    allowed = seed.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    scoped = str(tmp_path / "scoped")
+    minhash_index_write(seed, scoped, num_hashes=32, bands=8)
+    src = tmp_path / "src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    out_path = str(tmp_path / "admitted")
+    from parq_tools_spark.streaming.near_dedup import (
+        start_near_dedupe_stream,
+    )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src / "*"))
+    q = start_near_dedupe_stream(
+        stream, scoped, out_path, str(tmp_path / "ck"),
+        threshold=0.5, available_now=True, allowed_ids=allowed,
+    )
+    q.awaitTermination(180)
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(out_path).collect()
+    )
+
+    subset = str(tmp_path / "subset")
+    minhash_index_write(
+        seed.filter(F.col("doc_id") % 4 == 0), subset,
+        num_hashes=32, bands=8,
+    )
+    want = sorted(
+        r.doc_id
+        for r in incremental_dedupe(
+            spark, subset, batch, threshold=0.5
+        ).collect()
+    )
+    assert admitted == want
