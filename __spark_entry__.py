@@ -3441,6 +3441,90 @@ def q_simhash_where_query(spark, sf_dir):
     return out
 
 
+def q_ann_update_metadata(spark, sf_dir):
+    """Metadata-ONLY update (r15): the same build as ann_where_topk
+    (store_cols=['label'], evens built + odds added), then
+    ann_index_update_metadata flips label->0 for every vec with
+    label=1 and vec_id%3=0 — rewriting ONLY those rows' metadata (one
+    new segment + version-scoped tombstone; codes never re-encoded,
+    n_vecs untouched) — and serving filters on the flipped metadata.
+    The oracle is the ann_where_topk pipeline with the flip applied
+    in SQL, so the driver proves post-update results equal a fresh
+    view of the flipped corpus value-for-value."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_topk,
+        ann_index_update_metadata,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annupd_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path,
+        n_cells=8, m=8, n_codes=16, store_cols=["label"],
+    )
+    ann_index_add(emb.filter(F.col("vec_id") % 2 == 1), path)
+    flips = emb.filter(
+        (F.col("label") == 1) & (F.col("vec_id") % 3 == 0)
+    ).select("vec_id", F.lit(0).cast("int").alias("label"))
+    ann_index_update_metadata(spark, path, flips)
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=2,
+            where="label in [0, 2, 4]",
+        )
+        .select("query_id", "vec_id", "pq_score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_update_metadata(spark, sf_dir):
+    """The BM25 metadata-only update twin: flip lang->'zz' for every
+    English doc with doc_id%7=0 via bm25_index_update_metadata (one
+    new postings segment + tombstone; postings never re-tokenized,
+    n_docs/sum_dl/terms untouched BY CONSTRUCTION), then serve
+    where="lang == 'en'". Oracle: full-corpus BM25 with the flip
+    applied to the candidate scope — statistics stay full-corpus,
+    proving the update changed metadata and nothing else."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+        bm25_index_update_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="bmupd_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path, n_buckets=8, store_cols=["lang"])
+    flips = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+    ).select("doc_id", F.lit("zz").alias("lang"))
+    bm25_index_update_metadata(spark, path, flips)
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            where="lang == 'en'",
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -3972,6 +4056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new/changed this round ...
         "minhash_where_query": q_minhash_where_query,
         "simhash_where_query": q_simhash_where_query,
+        "ann_update_metadata": q_ann_update_metadata,
+        "bm25_update_metadata": q_bm25_update_metadata,
         "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "ann_where_topk": q_ann_where_topk,
@@ -7961,6 +8047,18 @@ SELECT id_indexed, id_new,
        floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
 FROM est WHERE e >= 0.5
     """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64))
+    # metadata-only updates: the where-serving oracles with the FLIP
+    # applied in SQL — derived from the verified base pipelines so
+    # the only difference under test is the flipped candidate scope
+    out["ann_update_metadata"] = out["ann_where_topk"].replace(
+        "WHERE label IN (0, 2, 4)",
+        "WHERE (CASE WHEN label = 1 AND vec_id % 3 = 0 "
+        "THEN 0 ELSE label END) IN (0, 2, 4)",
+    )
+    out["bm25_update_metadata"] = out["bm25_where_topk"].replace(
+        "WHERE lang = 'en')",
+        "WHERE lang = 'en' AND doc_id % 7 <> 0)",
+    )
     # lossy PQ + full probe + refine >= corpus: the exact re-rank
     # provably equals exact rounded cosine top-k (excluding self)
     out["ann_refine_topk"] = r"""

@@ -66,6 +66,7 @@ __all__ = [
     "ann_index_add",
     "ann_index_delete",
     "ann_index_upsert",
+    "ann_index_update_metadata",
     "ann_index_retrain",
     "ann_index_apply_cdc",
     "ann_index_compact",
@@ -862,6 +863,180 @@ def ann_index_apply_cdc(
         )
     out["version"] = _ann_vs(spark, path).current()
     return out
+
+
+def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
+    """Metadata-ONLY update for ``store_cols`` indexes: flip stored
+    metadata values (a license re-grade, a recomputed quality score)
+    WITHOUT re-encoding anything — the affected rows' existing codes
+    (and stored vectors) are read back from the visible segments,
+    their metadata columns replaced, and the rewritten rows committed
+    as one new segment together with a version-scoped tombstone
+    hiding the old rows. A full :func:`ann_index_upsert` would
+    re-run the encode ``mapInPandas`` per row; at corpus scale that
+    makes ``where=`` unmaintainable, and it also needs the raw
+    vectors, which a ``store_vectors=False`` index no longer has.
+
+    ``updates`` carries the index id column plus ANY SUBSET of the
+    index's ``store_cols`` (untouched metadata columns keep their
+    stored values); exactly one row per id. Every id must be
+    currently visible — a typo'd id raises rather than silently
+    updating nothing. The quantization model, cell assignments,
+    ``n_vecs`` and the probe lists are untouched (cells don't move:
+    the vector didn't change), so serving plans — including the
+    pushed ``where=`` filters — are byte-identical in shape.
+
+    The commit is ATOMIC (segment dir + tombstone dir written first,
+    one manifest commit last): a crash leaves invisible orphans and
+    the old metadata fully served; there is no intermediate state
+    where the vectors are deleted. Tombstone ``upto=cur`` hides the
+    old rows in every existing segment while the new segment (version
+    cur+1) stays out of reach — the same visibility trick upserts
+    use. Returns ``{"updated": n, "version": v}``.
+
+    Cost shape at 100 TB: one id-join over the code rows (Catalyst/
+    AQE pick broadcast for request-sized updates, shuffled join for
+    corpus-sized re-grades — the update set is never collected) plus
+    a write of O(affected) rows; codes and vectors move bytes, never
+    through Python."""
+    import json
+    from functools import reduce
+
+    vs, cur, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+    store = p.get("store_cols", [])
+    if not store:
+        raise ValueError(
+            f"ann index at {path} stores no metadata columns; "
+            "update_metadata needs an index built with "
+            "ann_index_build(..., store_cols=[...])"
+        )
+    if id_col not in updates.columns:
+        raise ValueError(
+            f"ann_index_update_metadata: updates must carry the index "
+            f"id column '{id_col}'; got columns {updates.columns}"
+        )
+    upd_cols = [c for c in updates.columns if c != id_col]
+    bad = [c for c in upd_cols if c not in store]
+    if bad:
+        raise ValueError(
+            f"ann_index_update_metadata: {bad} are not stored "
+            f"metadata columns of this index (store_cols={store}) — "
+            "only stored metadata can be updated in place; changing "
+            "a vector needs ann_index_upsert"
+        )
+    if not upd_cols:
+        raise ValueError(
+            "ann_index_update_metadata: updates carry only the id "
+            "column — nothing to update"
+        )
+    from parq_tools_spark.operators._index_common import (
+        check_self_exclusion_types,
+    )
+
+    check_self_exclusion_types(
+        updates.schema[id_col].dataType,
+        _id_field(m).dataType,
+        "ann_index_update_metadata: updates",
+        remedy="Cast the update id column to the indexed id type.",
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _ann_sweep_orphans(vs, path)
+
+    upd = updates.select(
+        id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+    ).localCheckpoint(eager=True)
+    n_upd = upd.count()
+    if n_upd == 0:
+        return {"updated": 0, "version": cur}
+    if upd.select(id_col).distinct().count() < n_upd:
+        raise ValueError(
+            f"ann_index_update_metadata: duplicate {id_col} row(s) in "
+            "updates — one metadata row per id"
+        )
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _ann_delete_batches(spark, path, m, id_col)
+    rows = (
+        reduce(
+            DataFrame.unionByName,
+            [
+                _ann_visible_scan(spark, path, s, batches, id_col)
+                for s in live
+            ],
+        )
+        if live
+        else None
+    )
+    affected = rows.join(upd, on=id_col) if rows is not None else None
+    if affected is None:
+        raise ValueError(
+            f"ann_index_update_metadata: none of the {n_upd} id(s) "
+            "are visible in the (empty) index"
+        )
+    # updated values are CAST to the stored column types: a wider
+    # update type (int column, long updates) would otherwise commit a
+    # segment whose metadata schema drifts from its siblings'
+    out_cols = [
+        F.col(f"_upd_{c}").cast(rows.schema[c].dataType).alias(c)
+        if c in upd_cols
+        else F.col(c)
+        for c in rows.columns
+    ]
+    new_rows = affected.select(*out_cols)
+
+    from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
+        resolve_task_splits,
+    )
+
+    seg = _tag(cur + 1, "seg")
+    with cached_for_auto(
+        new_rows, p.get("cell_task_splits", 1)
+    ) as new_c:
+        _write_codes_segment(
+            new_c, f"{path}/{seg}", id_col,
+            resolve_task_splits(
+                p.get("cell_task_splits", 1), new_c, "cell",
+                "cell_task_splits",
+            ),
+        )
+    # visibility check from the WRITTEN segment (reads O(affected)
+    # rows back, not the index again); a failure here leaves only an
+    # invisible orphan the next maintenance pass sweeps. A no-match
+    # join writes a fileless directory (just _SUCCESS) that cannot be
+    # schema-inferred, so the listing gates the read.
+    n_found = (
+        spark.read.parquet(f"{path}/{seg}").count()
+        if fs.list_files(f"{path}/{seg}")
+        else 0
+    )
+    if n_found < n_upd:
+        raise ValueError(
+            f"ann_index_update_metadata: {n_upd - n_found} of {n_upd} "
+            "requested id(s) are not visible in the index (typo, "
+            "never indexed, or deleted) — refusing a partial update"
+        )
+    del_dir = _tag(cur + 1, "del")
+    upd.select(id_col).write.mode("errorifexists").parquet(
+        f"{path}/{del_dir}"
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": m["segments"] + [seg],
+                # n_vecs unchanged: the same vectors, new metadata
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"updated": n_upd, "version": cur + 1}
 
 
 def ann_index_compact(

@@ -51,6 +51,7 @@ def _ops(family: str) -> dict:
             "compact": m.ann_index_compact,
             "maybe_compact": m.ann_index_maybe_compact,
             "retrain": m.ann_index_retrain,
+            "update_metadata": m.ann_index_update_metadata,
         }
     if family == "bm25":
         from parq_tools_spark.operators import search as m
@@ -64,6 +65,7 @@ def _ops(family: str) -> dict:
             "apply_cdc": m.bm25_index_apply_cdc,
             "compact": m.bm25_index_compact,
             "maybe_compact": m.bm25_index_maybe_compact,
+            "update_metadata": m.bm25_index_update_metadata,
         }
     if family == "minhash":
         from parq_tools_spark.operators import dedup as m
@@ -151,6 +153,21 @@ class IndexHandle:
 
     def maybe_compact(self, **kw) -> bool:
         return self._ops["maybe_compact"](self.spark, self.path, **kw)
+
+    def update_metadata(self, updates, **kw) -> dict:
+        """Metadata-only update over ``store_cols`` — ann/bm25
+        (``*_index_update_metadata``): rewrite affected rows'
+        metadata columns, never re-encode codes or re-tokenize
+        postings."""
+        if "update_metadata" not in self._ops:
+            raise ValueError(
+                f"update_metadata is an ann/bm25-family operation; "
+                f"this is a {self.family} index ({self.path}) — "
+                "rewrite band-row metadata via upsert"
+            )
+        return self._ops["update_metadata"](
+            self.spark, self.path, updates, **kw
+        )
 
     def retrain(self, **kw):
         """Refit the model from stored vectors — ann only

@@ -46,6 +46,7 @@ __all__ = [
     "bm25_index_add",
     "bm25_index_delete",
     "bm25_index_upsert",
+    "bm25_index_update_metadata",
     "bm25_index_apply_cdc",
     "bm25_index_compact",
     "bm25_index_maybe_compact",
@@ -1170,6 +1171,175 @@ def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
         "inserted": n_batch - updated,
         "version": new_version,
     }
+
+
+def bm25_index_update_metadata(
+    spark, path: str, updates: DataFrame
+) -> dict:
+    """Metadata-ONLY update for ``store_cols`` indexes — the BM25
+    twin of :func:`~parq_tools_spark.operators.ann_index.
+    ann_index_update_metadata`: flip stored metadata values without
+    re-tokenizing anything. The affected documents' visible posting
+    rows are read back, their metadata columns replaced, and the
+    rewritten rows committed as ONE new segment together with a
+    version-scoped tombstone hiding the old rows. A full
+    :func:`bm25_index_upsert` would re-run the tokenize/posting
+    aggregation per document and needs the raw text, which the index
+    does not store outside the postings.
+
+    ``updates`` carries ``doc_id`` (the index id column) plus ANY
+    SUBSET of the index's ``store_cols``; exactly one row per id,
+    every id currently visible (the guard keys on the exact ``_docs``
+    doc table, so zero-token documents update cleanly — they move
+    only their doc row; they have no postings to carry metadata).
+
+    Statistics are untouched BY CONSTRUCTION: the documents' terms
+    did not change, so the tombstoned rows' per-term df decrements
+    would exactly cancel the new segment's increments — the manifest
+    keeps the SAME vocabulary snapshot, ``n_docs`` and ``sum_dl``
+    (post-update scores provably equal a fresh build over the
+    flipped corpus). The commit is atomic: segment + ``_docs``
+    sidecar + tombstone written first, one manifest commit last; a
+    crash leaves invisible orphans and the old metadata fully
+    served. Returns ``{"updated": n, "version": v}``."""
+    import json
+    from functools import reduce
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    store = p.get("store_cols", [])
+    if not store:
+        raise ValueError(
+            f"bm25 index at {path} stores no metadata columns; "
+            "update_metadata needs an index built with "
+            "bm25_index_build(..., store_cols=[...])"
+        )
+    if "doc_id" not in updates.columns:
+        raise ValueError(
+            "bm25_index_update_metadata: updates must carry the "
+            f"'doc_id' column; got columns {updates.columns}"
+        )
+    upd_cols = [c for c in updates.columns if c != "doc_id"]
+    bad = [c for c in upd_cols if c not in store]
+    if bad:
+        raise ValueError(
+            f"bm25_index_update_metadata: {bad} are not stored "
+            f"metadata columns of this index (store_cols={store}) — "
+            "only stored metadata can be updated in place; changing "
+            "text needs bm25_index_upsert"
+        )
+    if not upd_cols:
+        raise ValueError(
+            "bm25_index_update_metadata: updates carry only the id "
+            "column — nothing to update"
+        )
+    from parq_tools_spark.operators._index_common import (
+        check_self_exclusion_types,
+    )
+
+    check_self_exclusion_types(
+        updates.schema["doc_id"].dataType,
+        _id_field(m).dataType,
+        "bm25_index_update_metadata: updates",
+        remedy="Cast the update id column to the indexed id type.",
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _bm25_sweep_orphans(vs, path)
+
+    upd = updates.select(
+        "doc_id", *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+    ).localCheckpoint(eager=True)
+    n_upd = upd.count()
+    if n_upd == 0:
+        return {"updated": 0, "version": cur}
+    if upd.select("doc_id").distinct().count() < n_upd:
+        raise ValueError(
+            "bm25_index_update_metadata: duplicate doc_id row(s) in "
+            "updates — one metadata row per id"
+        )
+
+    # exact visibility guard on the _docs doc table (sees zero-token
+    # docs); its affected slice also becomes the new segment's _docs
+    vdocs = _visible_docs(spark, path, m)
+    affected_docs = (
+        vdocs.join(upd.select("doc_id"), on="doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+        if vdocs is not None
+        else None
+    )
+    n_found = affected_docs.count() if affected_docs is not None else 0
+    if n_found < n_upd:
+        raise ValueError(
+            f"bm25_index_update_metadata: {n_upd - n_found} of "
+            f"{n_upd} requested id(s) are not visible in the index "
+            "(typo, never indexed, or deleted) — refusing a partial "
+            "update"
+        )
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _delete_batches(spark, path, m)
+    seg = _tag(cur + 1, "seg")
+    if live:
+        rows = reduce(
+            DataFrame.unionByName,
+            [_visible_scan(spark, path, s, batches) for s in live],
+        ).drop("tbucket")  # recomputed by the segment writer
+        affected = rows.join(upd, on="doc_id")
+        # cast to the stored column types so the new segment's schema
+        # cannot drift from its siblings'
+        out_cols = [
+            F.col(f"_upd_{c}").cast(rows.schema[c].dataType).alias(c)
+            if c in upd_cols
+            else F.col(c)
+            for c in rows.columns
+            if c != "tbucket"
+        ]
+        new_rows = affected.select(*out_cols)
+        from parq_tools_spark.operators._index_common import (
+            cached_for_auto,
+            resolve_task_splits,
+        )
+
+        with cached_for_auto(
+            new_rows, p.get("bucket_task_splits", 1)
+        ) as new_c:
+            _write_postings_segment(
+                new_c, f"{path}/{seg}", p["n_buckets"],
+                resolve_task_splits(
+                    p.get("bucket_task_splits", 1),
+                    new_c.withColumn(
+                        "tbucket", _tbucket_col(p["n_buckets"])
+                    ),
+                    "tbucket",
+                    "bucket_task_splits",
+                ),
+            )
+    # the affected docs' (doc_id, dl) rows move to the new segment's
+    # sidecar so membership probes keep seeing them there
+    affected_docs.write.mode("errorifexists").parquet(
+        f"{path}/{seg}/_docs"
+    )
+    del_dir = _tag(cur + 1, "del")
+    upd.select("doc_id").write.mode("errorifexists").parquet(
+        f"{path}/{del_dir}"
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": m["segments"] + [seg],
+                # n_docs / sum_dl / terms unchanged: same documents,
+                # same tokens, new metadata
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"updated": n_upd, "version": cur + 1}
 
 
 def bm25_index_apply_cdc(
