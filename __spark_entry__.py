@@ -3441,6 +3441,45 @@ def q_simhash_where_query(spark, sf_dir):
     return out
 
 
+def q_contamination_from_index(spark, sf_dir):
+    """Decontamination served FROM the positional BM25 index (r15):
+    eval n-gram containment with NO corpus scan — the eval set's
+    terms prune the postings read to their buckets, candidates come
+    from a conjunctive broadcast join, and contiguity verifies
+    against the stored position arrays (the phrase machinery,
+    data-driven). Eval set = every 25th document, so true positives
+    (containment 1.0 self-pairs) are guaranteed. The oracle
+    recomputes containment from text with the index's tokenization
+    (lowercased alphanumeric runs)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="cfi_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    ev = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = (
+        contamination_from_index(spark, path, ev, k=3, threshold=0.6)
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_overlap",
+            _pround(F.col("containment")).alias("containment"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_update_metadata(spark, sf_dir):
     """Metadata-ONLY update (r15): the same build as ann_where_topk
     (store_cols=['label'], evens built + odds added), then
@@ -4058,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_where_query": q_simhash_where_query,
         "ann_update_metadata": q_ann_update_metadata,
         "bm25_update_metadata": q_bm25_update_metadata,
+        "contamination_from_index": q_contamination_from_index,
         "ann_filtered_topk": q_ann_filtered_topk,
         "bm25_filtered_topk": q_bm25_filtered_topk,
         "ann_where_topk": q_ann_where_topk,
@@ -8059,6 +8099,40 @@ FROM est WHERE e >= 0.5
         "WHERE lang = 'en')",
         "WHERE lang = 'en' AND doc_id % 7 <> 0)",
     )
+    # index-served decontamination: containment recomputed from text
+    # with the INDEX's tokenization (every testdata doc has >= k
+    # tokens, so k-gram set membership == the operator's phrase
+    # semantics here)
+    out["contamination_from_index"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents
+        ), csh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       FOR i IN range(1, len(t) - 1)]
+                 WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                 ELSE [] END)) AS shingle
+          FROM toks
+        ), esh AS (
+          SELECT doc_id AS eval_id, shingle FROM csh
+          WHERE doc_id % 25 = 0
+        ), esize AS (
+          SELECT eval_id, count(*) AS es FROM esh GROUP BY eval_id
+        ), ov AS (
+          SELECT c.doc_id, e.eval_id, count(*) AS n_overlap
+          FROM csh c JOIN esh e USING (shingle)
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, eval_id, n_overlap,
+               floor(CAST(n_overlap AS DOUBLE) / es * 1000000.0 + 0.5)
+                   / 1000000.0 AS containment
+        FROM ov JOIN esize USING (eval_id)
+        WHERE CAST(n_overlap AS DOUBLE) / es >= 0.6
+    """
     # lossy PQ + full probe + refine >= corpus: the exact re-rank
     # provably equals exact rounded cosine top-k (excluding self)
     out["ann_refine_topk"] = r"""

@@ -53,6 +53,7 @@ __all__ = [
     "bm25_index_stats",
     "bm25_index_topk",
     "bm25_index_topk_batch",
+    "contamination_from_index",
 ]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -1850,6 +1851,220 @@ def bm25_index_topk(
         topk.withColumn("rank", F.row_number().over(w))
         .withColumn("index_version", F.lit(cur))
         .withColumnRenamed("doc_id", id_col)
+    )
+
+
+def contamination_from_index(
+    spark,
+    path: str,
+    eval_set: DataFrame,
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.8,
+    version: Optional[int] = None,
+    allowed_ids=None,
+    where: Optional[str] = None,
+    max_eval_terms: int = 200_000,
+) -> DataFrame:
+    """Benchmark decontamination served FROM the positional BM25
+    index — no corpus scan, no corpus re-tokenization: the index's
+    stored position arrays (``bm25_index_build(
+    store_positions=True)``) already hold everything a contiguous
+    k-gram containment check needs, so flagging a 100 TB corpus
+    against a new benchmark costs O(postings of the eval set's
+    terms), not a corpus pass. The scan-path twin is
+    :func:`~parq_tools_spark.operators.dedup.contamination_overlap`;
+    this one measures containment over the INDEX's tokenization
+    (:func:`tokenize` — lowercased alphanumeric runs), the same
+    normalization its phrase serving uses.
+
+    For every (indexed doc, eval doc) pair: ``n_overlap`` = how many
+    of the eval doc's DISTINCT k-token grams appear contiguously in
+    the indexed doc, ``containment`` = n_overlap / |eval doc's gram
+    set| (directional — a long training doc embedding a whole eval
+    prompt scores 1.0). Returns pairs with containment >=
+    ``threshold`` as ``(id_col, eval_id, n_overlap, containment)``.
+    Eval docs shorter than ``k`` tokens contribute their whole token
+    sequence as one gram, matched as a contiguous PHRASE — a long
+    training doc embedding the short eval prompt still flags, which
+    is deliberately stricter than the scan path's shingle-set
+    membership (there a sub-k eval can only match an equal-length
+    doc). Zero-token eval docs contribute nothing.
+
+    Plan shape: the eval set's distinct terms (collected driver-side,
+    capped at ``max_eval_terms`` — benchmarks are KBs by
+    construction; raise the cap deliberately for giant suites) prune
+    the postings read to their term buckets with the term filter
+    pushed into the parquet scans. Candidate (gram, doc) pairs come
+    from a BROADCAST of the eval gram-terms into those postings plus
+    a conjunctive count (a gram can only match a doc holding ALL its
+    distinct terms — the hot-first-term hazard never materializes),
+    and adjacency verifies per candidate with one JVM array
+    expression over the per-doc term->positions map (``exists p in
+    pos(g0): p+i in pos(g_i)``) — the
+    :func:`_phrase_docs_from_positions` machinery, data-driven.
+
+    ``version=`` time-travels; ``allowed_ids`` / ``where`` scope
+    WHICH INDEXED DOCUMENTS may be flagged (the shared
+    filtered-retrieval contract — e.g. decontaminate only one
+    tenant's slice), applied to the postings read itself."""
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    vs, cur, m = _bm25_manifest(spark, path, version)
+    id_col = m["params"]["id_col"]
+    if not m["params"].get("store_positions", False):
+        raise ValueError(
+            f"bm25 index at {path} was built without "
+            "store_positions=True; contamination_from_index serves "
+            "containment from positional postings — rebuild with "
+            "bm25_index_build(..., store_positions=True), or use the "
+            "scan-path contamination_overlap"
+        )
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    where_col = (
+        _compile_where(where, m, path) if where is not None else None
+    )
+
+    empty_pos = F.array().cast("array<int>")
+    toks = tokenize(F.col(eval_text_col))
+    n = F.size(toks)
+    grams = (
+        F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.slice(toks, i, k),
+                )
+            ),
+        )
+        .when(n > 0, F.array(toks))
+        .otherwise(F.array().cast("array<array<string>>"))
+    )
+    # materialized ONCE: the gram relation feeds three consumers (the
+    # driver-side term collect, the per-eval sizes, the candidate
+    # join) — benchmarks are small by construction, and the
+    # checkpoint keeps the eval source out of the serving plan
+    eval_grams = eval_set.select(
+        F.col(eval_id_col), F.explode(grams).alias("gram")
+    ).localCheckpoint(eager=True)
+    esizes = eval_grams.groupBy(eval_id_col).agg(
+        F.count(F.lit(1)).alias("__esize")
+    )
+
+    term_rows = (
+        eval_grams.select(F.explode("gram").alias("term"))
+        .distinct()
+        .limit(max_eval_terms + 1)
+        .collect()
+    )
+    terms = sorted(r["term"] for r in term_rows)
+    if len(terms) > max_eval_terms:
+        raise ValueError(
+            f"contamination_from_index prunes the postings read by "
+            f"the eval set's distinct terms and caps at "
+            f"max_eval_terms={max_eval_terms}; got more. Split the "
+            "eval set or raise the cap deliberately."
+        )
+
+    def _empty():
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    _id_field(m),
+                    eval_set.schema[eval_id_col],
+                    T.StructField("n_overlap", T.LongType()),
+                    T.StructField("containment", T.DoubleType()),
+                ]
+            ),
+        )
+
+    if not terms:
+        return _empty()
+    post = _read_postings(spark, path, m, terms)
+    if post is None:
+        return _empty()
+    if allowed_ids is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_allowed_ids,
+        )
+
+        if isinstance(allowed_ids, DataFrame) and id_col in (
+            allowed_ids.columns
+        ):
+            allowed_ids = allowed_ids.select(
+                F.col(id_col).alias("doc_id")
+            )
+        post = apply_allowed_ids(
+            post, "doc_id", allowed_ids, _id_field(m).dataType,
+            "contamination_from_index",
+        )
+    if where_col is not None:
+        post = post.filter(where_col)
+
+    # conjunctive candidate generation: a gram can only match a doc
+    # holding ALL its distinct terms, so the count equality prunes
+    # before any per-position work; the eval side broadcasts — the
+    # postings (the corpus-scale side) never shuffle for this join
+    gram_terms = eval_grams.select(
+        eval_id_col, "gram",
+        F.explode(F.array_distinct("gram")).alias("term"),
+    )
+    cand = (
+        post.select("doc_id", "term")
+        .join(F.broadcast(gram_terms), on="term")
+        .groupBy(eval_id_col, "gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == F.size(F.array_distinct("gram")))
+        .drop("_nt")
+    )
+    pmap = (
+        post.select("doc_id", "term", "positions")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("_pm")
+        )
+    )
+
+    def pos_of(term_expr):
+        return F.coalesce(
+            F.element_at(F.col("_pm"), term_expr), empty_pos
+        )
+
+    idxs = F.when(
+        F.size("gram") > 1,
+        F.sequence(F.lit(1), F.size("gram") - F.lit(1)),
+    ).otherwise(F.array().cast("array<int>"))
+    match = F.exists(
+        pos_of(F.element_at(F.col("gram"), F.lit(1))),
+        lambda p: F.forall(
+            idxs,
+            lambda i: F.array_contains(
+                pos_of(F.element_at(F.col("gram"), i + F.lit(1))),
+                p + i,
+            ),
+        ),
+    )
+    hits = cand.join(pmap, on="doc_id").filter(match)
+    overlap = hits.groupBy("doc_id", eval_id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        overlap.join(F.broadcast(esizes), eval_id_col)
+        .withColumn(
+            "containment",
+            F.col("n_overlap").cast("double") / F.col("__esize"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumnRenamed("doc_id", id_col)
+        .select(id_col, eval_id_col, "n_overlap", "containment")
     )
 
 

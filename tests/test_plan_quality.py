@@ -619,3 +619,33 @@ def test_simhash_where_predicate_pushes_to_band_scan(
     )
     assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
     assert "LeftSemi" not in plan
+
+
+def test_contamination_from_index_never_scans_corpus(
+    spark, sf_dir, tmp_path
+):
+    """Index-served decontamination must read ONLY the eval terms'
+    bucket-pruned postings: no corpus parquet anywhere in the plan
+    (the eval grams are checkpointed), tbucket partition filters and
+    the pushed term In() on the postings scans, and no re-scan of the
+    eval source either."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    path = str(tmp_path / "cfiplan")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    ev = docs.filter("doc_id % 25 = 0").limit(5).selectExpr(
+        "doc_id AS eval_id", "text"
+    )
+    df = contamination_from_index(spark, path, ev, k=3, threshold=0.6)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*In\(term", plan)

@@ -2,6 +2,7 @@
 tokenizer contract, and the no-full-index plan shape."""
 
 import math
+import os
 
 import pytest
 
@@ -1078,3 +1079,174 @@ def test_auto_bucket_task_splits_measures_skew(
         bm25_index_build(
             docs, str(tmp_path / "bad"), bucket_task_splits=True
         )
+
+
+# ---------------------------------------------------------------------
+# contamination_from_index (r15): decontamination served from the
+# positional index — no corpus scan
+# ---------------------------------------------------------------------
+
+
+def _scan_containment(docs, k, threshold):
+    """Inline scan-path reference with the INDEX's tokenization and
+    the operator's PHRASE semantics: an eval gram (k tokens, or the
+    whole sub-k doc) matches any doc containing it contiguously — so
+    doc grams are built per distinct eval-gram LENGTH."""
+    from functools import reduce
+
+    from parq_tools_spark.operators.search import tokenize
+
+    def grams_of(length_col_k):
+        toks = tokenize(F.col("text"))
+        n = F.size(toks)
+        return (
+            F.when(
+                n >= length_col_k,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), n - F.lit(length_col_k - 1)
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i, length_col_k)
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    egrams = (
+        F.when(n >= k, grams_of(k))
+        .when(n > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    esh = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(egrams).alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        {
+            len(r.g.split(" "))
+            for r in esh.select("g").distinct().collect()
+        }
+    )
+    esize = esh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("es"))
+    csh = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select("doc_id", F.explode(grams_of(m)).alias("g"))
+            for m in sizes
+        ],
+    )
+    ov = (
+        csh.join(esh, on="g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        ov.join(esize, "eval_id")
+        .withColumn("c", F.col("n_overlap") / F.col("es"))
+        .filter(F.col("c") >= threshold)
+    )
+
+
+def test_contamination_from_index_equals_scan(spark, sf_dir, tmp_path):
+    """Index-served containment equals the scan-path computation over
+    the same corpus and tokenization — including short (<k tokens)
+    docs, whose whole token sequence is one gram."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    short = spark.createDataFrame(
+        [(10**6, "stream merge"), (10**6 + 1, None)],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(short)
+    path = str(tmp_path / "cfi")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    ev = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    got = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap, round(r.containment, 6))
+        for r in contamination_from_index(
+            spark, path, ev, k=3, threshold=0.6
+        ).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap, round(r.c, 6))
+        for r in _scan_containment(docs, 3, 0.6).collect()
+    )
+    assert got == want and got
+    # every eval doc with >= 1 gram contains itself at 1.0
+    self_pairs = [t for t in got if t[0] == t[1]]
+    assert self_pairs and all(t[3] == 1.0 for t in self_pairs)
+
+
+def test_contamination_from_index_guards_and_scope(
+    spark, sf_dir, tmp_path
+):
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    ev = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    plain = str(tmp_path / "plain")
+    bm25_index_build(docs, plain, n_buckets=8)
+    with pytest.raises(ValueError, match="store_positions"):
+        contamination_from_index(spark, plain, ev, k=3)
+
+    path = str(tmp_path / "meta")
+    bm25_index_build(
+        docs, path, n_buckets=8, store_positions=True,
+        store_cols=["lang"],
+    )
+    with pytest.raises(ValueError, match="max_eval_terms"):
+        contamination_from_index(
+            spark, path, ev, k=3, max_eval_terms=2
+        )
+    with pytest.raises(ValueError, match="k must be"):
+        contamination_from_index(spark, path, ev, k=0)
+
+    full = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap)
+        for r in contamination_from_index(
+            spark, path, ev, k=3, threshold=0.6
+        ).collect()
+    )
+    lang = {
+        r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()
+    }
+    scoped = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap)
+        for r in contamination_from_index(
+            spark, path, ev, k=3, threshold=0.6, where="lang == 'en'"
+        ).collect()
+    )
+    assert scoped == [t for t in full if lang[t[0]] == "en"]
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    via_ids = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap)
+        for r in contamination_from_index(
+            spark, path, ev, k=3, threshold=0.6, allowed_ids=allowed
+        ).collect()
+    )
+    assert via_ids == scoped
