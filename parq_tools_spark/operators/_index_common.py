@@ -30,6 +30,7 @@ __all__ = [
     "resolve_task_splits",
     "cached_for_auto",
     "check_store_cols",
+    "update_band_metadata",
 ]
 
 
@@ -592,3 +593,132 @@ def check_store_cols(df, store_cols, fn: str) -> None:
             f"missing {missing} — carry them through the ingest (or "
             "rebuild the index without store_cols)"
         )
+
+
+def update_band_metadata(
+    spark, path: str, updates, *, vs, cur: int, m: dict,
+    params: dict, fn: str,
+):
+    """Metadata-ONLY update shared by the band-row index families
+    (MinHash / SimHash) — the band twin of
+    ``ann_index_update_metadata``: the affected ids' visible band
+    rows are read back (signatures/fingerprints untouched — nothing
+    is re-shingled or re-fingerprinted), their metadata columns
+    replaced, and the rewritten rows committed as one new
+    band-partitioned segment together with a version-scoped tombstone
+    in a single atomic manifest commit. ``updates`` carries the index
+    id column plus any subset of the index's ``store_cols``; one row
+    per id, every id visible. Returns ``{"updated": n, "version":
+    v}``. The two families' manifests share this commit shape
+    exactly, so ONE implementation serves both."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    id_col = params["id_col"]
+    store = params.get("store_cols", [])
+    if not store:
+        raise ValueError(
+            f"index at {path} stores no metadata columns; "
+            f"{fn} needs an index built with store_cols=[...]"
+        )
+    if id_col not in updates.columns:
+        raise ValueError(
+            f"{fn}: updates must carry the index id column "
+            f"'{id_col}'; got columns {updates.columns}"
+        )
+    upd_cols = [c for c in updates.columns if c != id_col]
+    bad = [c for c in upd_cols if c not in store]
+    if bad:
+        raise ValueError(
+            f"{fn}: {bad} are not stored metadata columns of this "
+            f"index (store_cols={store}) — only stored metadata can "
+            "be updated in place; changing text needs upsert"
+        )
+    if not upd_cols:
+        raise ValueError(
+            f"{fn}: updates carry only the id column — nothing to "
+            "update"
+        )
+    upd = updates.select(
+        id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+    ).localCheckpoint(eager=True)
+    n_upd = upd.count()
+    if n_upd == 0:
+        return {"updated": 0, "version": cur}
+    if upd.select(id_col).distinct().count() < n_upd:
+        raise ValueError(
+            f"{fn}: duplicate {id_col} row(s) in updates — one "
+            "metadata row per id"
+        )
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = delete_batches(spark, path, m)
+    rows = (
+        reduce(
+            DataFrame.unionByName,
+            [visible_scan(spark, path, s, batches, id_col) for s in live],
+        )
+        if live
+        else None
+    )
+    if rows is None:
+        raise ValueError(
+            f"{fn}: none of the {n_upd} id(s) are visible in the "
+            "(empty) index"
+        )
+    check_self_exclusion_types(
+        updates.schema[id_col].dataType,
+        rows.schema[id_col].dataType,
+        f"{fn}: updates",
+        remedy="Cast the update id column to the indexed id type.",
+    )
+    affected = rows.join(upd, on=id_col)
+    out_cols = [
+        F.col(f"_upd_{c}").cast(rows.schema[c].dataType).alias(c)
+        if c in upd_cols
+        else F.col(c)
+        for c in rows.columns
+    ]
+    seg = tag(cur + 1, "seg")
+    affected.select(*out_cols).write.mode(
+        "errorifexists"
+    ).partitionBy("band").parquet(f"{path}/{seg}")
+    # visibility check from the WRITTEN segment's band-0 directory
+    # (every indexed doc has one row per band — partition-pruned,
+    # O(affected)); failure leaves only an invisible orphan
+    n_found = (
+        spark.read.parquet(f"{path}/{seg}")
+        .filter(F.col("band") == 0)
+        .select(id_col)
+        .distinct()
+        .count()
+        if fs.list_files(f"{path}/{seg}")
+        else 0
+    )
+    if n_found < n_upd:
+        raise ValueError(
+            f"{fn}: {n_upd - n_found} of {n_upd} requested id(s) are "
+            "not visible in the index (typo, never indexed, or "
+            "deleted) — refusing a partial update"
+        )
+    del_dir = tag(cur + 1, "del")
+    upd.select(id_col).write.mode("errorifexists").parquet(
+        f"{path}/{del_dir}"
+    )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": m["segments"] + [seg],
+                "deletes": m.get("deletes", [])
+                + [{"dir": del_dir, "upto": cur}],
+            }
+        ),
+    )
+    return {"updated": n_upd, "version": cur + 1}

@@ -2112,3 +2112,26 @@ def incremental_dedupe(
         minhash_index_add(survivors, index_path, text_col=text_col)
     return survivors
 
+
+
+def minhash_index_update_metadata(
+    spark, path: str, updates: DataFrame
+) -> dict:
+    """Metadata-only update over ``store_cols`` — the shared band-row
+    implementation (:func:`~parq_tools_spark.operators._index_common.
+    update_band_metadata`): affected ids' band rows rewritten with new
+    metadata (signatures untouched, nothing re-shingled), one atomic
+    segment + tombstone commit."""
+    from parq_tools_spark.operators._index_common import (
+        retention,
+        update_band_metadata,
+    )
+
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    vs.clean_stale(cur, keep_versions=retention(m))
+    _sweep_index_orphans(vs.fs, path, vs, cur)
+    return update_band_metadata(
+        spark, path, updates, vs=vs, cur=cur, m=m,
+        params=p, fn="minhash_index_update_metadata",
+    )

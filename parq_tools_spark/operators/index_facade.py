@@ -79,6 +79,7 @@ def _ops(family: str) -> dict:
             "apply_cdc": m.minhash_index_apply_cdc,
             "compact": m.minhash_index_compact,
             "maybe_compact": m.minhash_index_maybe_compact,
+            "update_metadata": m.minhash_index_update_metadata,
         }
     from parq_tools_spark.operators import simhash_index as m
 
@@ -91,6 +92,7 @@ def _ops(family: str) -> dict:
         "apply_cdc": m.simhash_index_apply_cdc,
         "compact": m.simhash_index_compact,
         "maybe_compact": m.simhash_index_maybe_compact,
+        "update_metadata": m.simhash_index_update_metadata,
     }
 
 
@@ -155,16 +157,10 @@ class IndexHandle:
         return self._ops["maybe_compact"](self.spark, self.path, **kw)
 
     def update_metadata(self, updates, **kw) -> dict:
-        """Metadata-only update over ``store_cols`` — ann/bm25
-        (``*_index_update_metadata``): rewrite affected rows'
-        metadata columns, never re-encode codes or re-tokenize
-        postings."""
-        if "update_metadata" not in self._ops:
-            raise ValueError(
-                f"update_metadata is an ann/bm25-family operation; "
-                f"this is a {self.family} index ({self.path}) — "
-                "rewrite band-row metadata via upsert"
-            )
+        """Metadata-only update over ``store_cols``, all four
+        families (``*_index_update_metadata``): rewrite affected
+        rows' metadata columns; codes, postings, signatures and
+        fingerprints are never recomputed."""
         return self._ops["update_metadata"](
             self.spark, self.path, updates, **kw
         )

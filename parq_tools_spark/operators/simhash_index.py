@@ -56,6 +56,7 @@ __all__ = [
     "simhash_index_stats",
     "simhash_index_query",
     "simhash_incremental_dedupe",
+    "simhash_index_update_metadata",
 ]
 
 _SH_MARKER = "_simhash_manifest.json"
@@ -823,3 +824,24 @@ def simhash_incremental_dedupe(
         survivors = survivors.localCheckpoint(eager=True)
         simhash_index_add(survivors, index_path, text_col=text_col)
     return survivors
+
+
+def simhash_index_update_metadata(
+    spark, path: str, updates: DataFrame
+) -> dict:
+    """Metadata-only update over ``store_cols`` — the shared band-row
+    implementation (:func:`~parq_tools_spark.operators._index_common.
+    update_band_metadata`): affected ids' band rows rewritten with new
+    metadata (fingerprints untouched, nothing re-fingerprinted), one
+    atomic segment + tombstone commit."""
+    from parq_tools_spark.operators._index_common import (
+        update_band_metadata,
+    )
+
+    vs, cur, m = _sh_manifest(spark, path)
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _sh_sweep_orphans(vs, path)
+    return update_band_metadata(
+        spark, path, updates, vs=vs, cur=cur, m=m,
+        params=m["params"], fn="simhash_index_update_metadata",
+    )

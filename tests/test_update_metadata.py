@@ -295,12 +295,109 @@ def test_update_metadata_facade_dispatch(spark, docs, tmp_path):
     )
     assert out["updated"] == 1
 
+    # band families dispatch too (shared update_band_metadata); a
+    # store_cols-less index stays a loud error through the facade
     mh = str(tmp_path / "mh")
     minhash_index_write(
         docs.select("doc_id", "text").limit(50), mh,
         num_hashes=32, bands=8,
     )
-    with pytest.raises(ValueError, match="ann/bm25-family"):
+    with pytest.raises(ValueError, match="store_cols"):
         open_index(spark, mh).update_metadata(
             spark.createDataFrame([(1, "x")], "doc_id long, lang string")
         )
+    mh2 = str(tmp_path / "mh2")
+    minhash_index_write(
+        docs.limit(50), mh2, num_hashes=32, bands=8,
+        store_cols=["lang"],
+    )
+    vic = docs.limit(1).first().doc_id
+    out2 = open_index(spark, mh2).update_metadata(
+        spark.createDataFrame([(vic, "xx")], "doc_id long, lang string")
+    )
+    assert out2["updated"] == 1
+
+
+def test_band_update_metadata_equals_fresh_build(spark, docs, tmp_path):
+    """MinHash/SimHash metadata-only updates (shared
+    update_band_metadata): post-update where= pairs equal an index
+    built over the flipped corpus; band-row signatures/fingerprints
+    are never recomputed (old segment files untouched)."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_update_metadata,
+        minhash_index_write,
+    )
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+        simhash_index_update_metadata,
+        simhash_index_write,
+    )
+
+    k = F.col("doc_id")
+    seed = docs.filter(k % 2 == 0)
+    batch = docs.filter(k % 2 == 1).select("doc_id", "text")
+
+    for fam, write, query, update, kw in [
+        (
+            "minhash", minhash_index_write, minhash_index_query,
+            minhash_index_update_metadata,
+            {"threshold": 0.5},
+        ),
+        (
+            "simhash", simhash_index_write, simhash_index_query,
+            simhash_index_update_metadata,
+            {"max_hamming": 7},
+        ),
+    ]:
+        path = str(tmp_path / fam)
+        fresh = str(tmp_path / (fam + "f"))
+        extra = (
+            {"num_hashes": 32, "bands": 8}
+            if fam == "minhash"
+            else {"n_bands": 8}
+        )
+        write(seed, path, store_cols=["lang"], **extra)
+        before = set(glob.glob(path + "/seg-*/band=*/*.parquet"))
+        full = sorted(
+            (r.id_indexed, r.id_new)
+            for r in query(
+                spark, path, batch, exclude_same_id=False,
+                where="lang == 'en'", **kw,
+            ).collect()
+        )
+        assert full
+        victim = full[0][0]
+        res = update(
+            spark, path,
+            spark.createDataFrame(
+                [(victim, "zz")], "doc_id long, lang string"
+            ),
+        )
+        assert res["updated"] == 1
+        assert before <= set(
+            glob.glob(path + "/seg-*/band=*/*.parquet")
+        )
+        flipped = seed.withColumn(
+            "lang",
+            F.when(F.col("doc_id") == victim, F.lit("zz")).otherwise(
+                F.col("lang")
+            ),
+        )
+        write(flipped, fresh, store_cols=["lang"], **extra)
+        for w in ("lang == 'en'", "lang == 'zz'"):
+            a = sorted(
+                (r.id_indexed, r.id_new)
+                for r in query(
+                    spark, path, batch, exclude_same_id=False,
+                    where=w, **kw,
+                ).collect()
+            )
+            b = sorted(
+                (r.id_indexed, r.id_new)
+                for r in query(
+                    spark, fresh, batch, exclude_same_id=False,
+                    where=w, **kw,
+                ).collect()
+            )
+            assert a == b, (fam, w)
