@@ -4078,53 +4078,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
-    with the least accumulated driver evidence first: the entries NEW
-    or extended in round 14 (filtered top-k on both index families;
-    the facade gate now spanning all four families), the r13-new
-    four, then every entry whose code changed this round (the whole
-    index-serving surface over the allowed_ids pre-rank filter, the
-    retrain/auto-compact/task-split maintenance changes, the hybrid
-    paths, the streaming sinks' trigger-ordering fix), then the
-    entries whose last DIRECT driver row is r10-era (events family,
-    incremental agg, multimodal/video, pack/chunk, the diagnostic
-    ops). Everything past position 50 was driver-checked green in
-    r11-r13 on code unchanged since.
+    with the least accumulated driver evidence first: the five entries
+    NEW in round 15 (where= on the MinHash/SimHash families,
+    metadata-only updates, index-served decontamination), then every
+    entry whose code changed this round (the band families' signature/
+    banding carry, hybrid allowed-set normalization, the facade's
+    update_metadata dispatch, the literal allowed_ids type guard,
+    cached auto-split ingests, the streaming admission scopes), then
+    the entries whose last DIRECT driver row is r10-era (events
+    family, incremental agg, multimodal/video, pack/chunk, the
+    diagnostic ops). Everything past position 50 was driver-checked
+    green in r11-r14 on code unchanged since, and the whole registry
+    is re-proven by the at-HEAD sf0.1 oracle sweep each round.
     """
     return {
-        # --- positions 1-50 = the driver check window for r15:
-        # new/changed this round ...
+        # --- positions 1-50 = the driver check window for r15 ---
+        # 1-5: NEW this round (filtered retrieval on the band
+        # families, metadata-only updates, index-served decontam)
         "minhash_where_query": q_minhash_where_query,
         "simhash_where_query": q_simhash_where_query,
         "ann_update_metadata": q_ann_update_metadata,
         "bm25_update_metadata": q_bm25_update_metadata,
         "contamination_from_index": q_contamination_from_index,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "bm25_filtered_topk": q_bm25_filtered_topk,
-        "ann_where_topk": q_ann_where_topk,
-        "bm25_where_topk": q_bm25_where_topk,
-        "facade_dispatch_equiv": q_facade_dispatch_equiv,
-        "semantic_stream_dedup": q_semantic_stream_dedup,
-        "ann_retrain_equiv": q_ann_retrain_equiv,
-        "auto_compact_equiv": q_auto_compact_equiv,
-        "semantic_dedupe": q_semantic_dedupe,
-        "ann_from_index": q_ann_from_index,
-        "ann_refine_topk": q_ann_refine_topk,
-        "ann_index_equiv": q_ann_index_equiv,
-        "ann_index_delete": q_ann_index_delete,
-        "ann_index_stream_equiv": q_ann_index_stream_equiv,
-        "bm25_from_index": q_bm25_from_index,
-        "bm25_from_index_batch": q_bm25_from_index_batch,
-        "bm25_index_build": q_bm25_index_build,
-        "bm25_index_stream": q_bm25_index_stream,
-        "bm25_index_phrase": q_bm25_index_phrase,
+        # 6-30: code changed this round (minhash/simhash banding +
+        # shingle carry, hybrid allowed-set normalization, facade
+        # update_metadata dispatch, allowed_ids literal type guard,
+        # cached auto-split ingests, streaming admission scopes)
+        "minhash_index_cdc": q_minhash_index_cdc,
+        "minhash_incremental": q_minhash_incremental,
+        "minhash_index_delete": q_minhash_index_delete,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_precision_check": q_minhash_precision_check,
+        "ngram_jaccard": q_ngram_jaccard,
+        "contamination": q_contamination,
+        "simhash_index_query": q_simhash_index_query,
+        "simhash_pairs": q_simhash_pairs,
         "hybrid_from_index": q_hybrid_from_index,
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
         "hybrid_refined_lossy": q_hybrid_refined_lossy,
-        "minhash_index_cdc": q_minhash_index_cdc,
-        "simhash_index_query": q_simhash_index_query,
-        # ... last direct driver evidence r10-era (events, incremental agg,
-        # multimodal/video, pack/chunk, diagnostics) ...
+        "facade_dispatch_equiv": q_facade_dispatch_equiv,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
+        "ann_where_topk": q_ann_where_topk,
+        "bm25_where_topk": q_bm25_where_topk,
+        "semantic_stream_dedup": q_semantic_stream_dedup,
+        "ann_from_index": q_ann_from_index,
+        "ann_index_equiv": q_ann_index_equiv,
+        "ann_index_stream_equiv": q_ann_index_stream_equiv,
+        "bm25_index_build": q_bm25_index_build,
+        "bm25_index_stream": q_bm25_index_stream,
+        "auto_compact_equiv": q_auto_compact_equiv,
+        # 31-50: stalest direct driver evidence (r10-era rows:
+        # events family, incremental agg, multimodal/video,
+        # pack/chunk, diagnostics)
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
@@ -4134,7 +4141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_revenue": q_incremental_revenue,
         "incremental_retention": q_incremental_retention,
         "cdc_apply": q_cdc_apply,
-        "minhash_incremental": q_minhash_incremental,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -4146,14 +4152,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "clean_text": q_clean_text,
         "group_overlap": q_group_overlap,
+        # --- past the window: driver-checked green r11-r14 on
+        # code unchanged since (the at-HEAD sf0.1 sweep covers all) ---
+        "ann_retrain_equiv": q_ann_retrain_equiv,
+        "semantic_dedupe": q_semantic_dedupe,
+        "ann_refine_topk": q_ann_refine_topk,
+        "ann_index_delete": q_ann_index_delete,
+        "bm25_from_index": q_bm25_from_index,
+        "bm25_from_index_batch": q_bm25_from_index_batch,
+        "bm25_index_phrase": q_bm25_index_phrase,
         "paragraph_dedupe": q_paragraph_dedupe,
         "merge_upsert": q_merge_upsert,
         "salted_join": q_salted_join,
         "key_skew": q_key_skew,
-        "contamination": q_contamination,
         "data_quality_checks": q_data_quality_checks,
-        # --- past the window: driver-checked green in r11-r13 on code
-        # unchanged since (previous orders preserved) ---
         "gopher_full_filter": q_gopher_full_filter,
         "word_repetition": q_word_repetition,
         "repetition_lines": q_repetition_lines,
@@ -4176,8 +4188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename": q_rename,
         "calculated_column": q_calculated_column,
         "blockmodel": q_blockmodel,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "near_dedupe_cc": q_near_dedupe_cc,
         "dedupe_pairwise": q_dedupe_pairwise,
         "weighted_sample": q_weighted_sample,
@@ -4218,7 +4228,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "part_stats": q_part_stats,
         "c4_filter": q_c4_filter,
-        "minhash_index_delete": q_minhash_index_delete,
         "bm25_batch": q_bm25_batch,
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
@@ -4231,7 +4240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "minhash_precision_check": q_minhash_precision_check,
         "simhash_precision_check": q_simhash_precision_check,
         "ann_lsh_recall_check": q_ann_lsh_recall_check,
         "tpch_q3": q_tpch_q3,
@@ -4249,7 +4257,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": q_ngram_freq,
         "token_count_by_lang": q_token_count_by_lang,
         "dedupe_text_exact": q_dedupe_text_exact,
-        "ngram_jaccard": q_ngram_jaccard,
     }
 
 

@@ -1742,6 +1742,7 @@ def semantic_dedupe_incremental(
     update_index: bool = False,
     max_batch_rows: int = 100_000,
     allowed_ids=None,
+    where: Optional[str] = None,
 ) -> DataFrame:
     """Incremental SemDeDup admission served FROM the persisted ANN
     index (the embedding twin of :func:`~parq_tools_spark.operators.
@@ -1794,7 +1795,11 @@ def semantic_dedupe_incremental(
     lower-id rule is deliberately NOT scoped — batch rows are not
     index entries, and a batch is one admission scope by definition.
     ``update_index=True`` still appends every survivor: the filter
-    scopes who may BLOCK, not who may enter.
+    scopes who may BLOCK, not who may enter. ``where`` scopes the
+    same way by a DSL predicate over the index's STORED metadata
+    columns (``ann_index_build(store_cols=...)``) — pushed into the
+    already cell-pruned stored-vector scans, no id set materialized;
+    composes with ``allowed_ids`` (both apply).
 
     Replay contract (what the streaming sink leans on): the index
     query drops equal-id collisions, and admitted survivors are
@@ -1835,6 +1840,23 @@ def semantic_dedupe_incremental(
             "on the batch's id type)."
         ),
     )
+    # validate/compile the where predicate UP FRONT (the shared
+    # where= contract: identical errors on empty and non-empty
+    # indexes, loud on a store_cols-less index)
+    where_col = None
+    if where is not None:
+        from parq_tools_spark.plans.query_parser import (
+            build_filter_expression,
+        )
+
+        stored = p.get("store_cols", [])
+        if not stored:
+            raise ValueError(
+                f"ann index at {index_path} stores no metadata "
+                "columns; where= needs an index built with "
+                "ann_index_build(..., store_cols=[...])"
+            )
+        where_col = build_filter_expression(where, columns=stored)
     thr = float(threshold)
     scale = float(10 ** p["round_to"])
 
@@ -1862,18 +1884,22 @@ def semantic_dedupe_incremental(
         batches = _ann_delete_batches(spark, index_path, m, id_col)
         # literal cell predicate => planning-time partition pruning:
         # only the batch's touched cell= directories are read
+        def _seg_scan(s):
+            scan = _ann_visible_scan(
+                spark, index_path, s, batches, id_col
+            ).filter(F.col("cell").isin(touched))
+            if where_col is not None:
+                # metadata scope BEFORE the alias-select drops the
+                # stored columns — pushed into the cell-pruned scan
+                scan = scan.filter(where_col)
+            return scan.select(
+                F.col(id_col).alias("_idx_id"),
+                F.col("cell").alias("_idx_cell"),
+                F.col("vec").alias("_idx_vec"),
+            )
+
         idx = reduce(
-            DataFrame.unionByName,
-            [
-                _ann_visible_scan(spark, index_path, s, batches, id_col)
-                .filter(F.col("cell").isin(touched))
-                .select(
-                    F.col(id_col).alias("_idx_id"),
-                    F.col("cell").alias("_idx_cell"),
-                    F.col("vec").alias("_idx_vec"),
-                )
-                for s in live
-            ],
+            DataFrame.unionByName, [_seg_scan(s) for s in live]
         )
         if allowed_ids is not None:
             # scope WHO MAY BLOCK, before the dup join: a literal

@@ -54,6 +54,7 @@ __all__ = [
     "bm25_index_topk",
     "bm25_index_topk_batch",
     "contamination_from_index",
+    "decontaminate_from_index",
 ]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -2065,6 +2066,37 @@ def contamination_from_index(
         .filter(F.col("containment") >= threshold)
         .withColumnRenamed("doc_id", id_col)
         .select(id_col, eval_id_col, "n_overlap", "containment")
+    )
+
+
+def decontaminate_from_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_id_col: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Drop corpus rows flagged by :func:`contamination_from_index`
+    (the index-served twin of :func:`~parq_tools_spark.operators.
+    dedup.decontaminate`): the flagged-id set comes entirely from the
+    positional index — the corpus DataFrame is touched only by the
+    final broadcast anti-join, never tokenized or shingled.
+    ``corpus_id_col`` defaults to the index's id column; ``**kw``
+    passes through (``k``, ``threshold``, ``version``,
+    ``allowed_ids``, ``where``, ...). The flagged set is bounded by
+    the contamination result (eval-sized pairs), so the anti-join
+    broadcasts it."""
+    _, _, m = _bm25_manifest(spark, path)
+    id_col = m["params"]["id_col"]
+    corpus_id_col = corpus_id_col or id_col
+    flagged = (
+        contamination_from_index(spark, path, eval_set, **kw)
+        .select(F.col(id_col).alias(corpus_id_col))
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(flagged), on=corpus_id_col, how="left_anti"
     )
 
 

@@ -225,6 +225,7 @@ def start_semantic_dedupe_stream(
     available_now: bool = True,
     query_name: Optional[str] = None,
     allowed_ids=None,
+    where: Optional[str] = None,
 ):
     """Streaming SEMANTIC admission: admit only vectors that are not
     SemDeDup duplicates (rounded exact cosine >= ``threshold`` within
@@ -267,12 +268,15 @@ def start_semantic_dedupe_stream(
     collisions), and the index append an UPSERT so a replayed batch
     converges instead of double-inserting.
 
-    ``allowed_ids`` SCOPES admission (threaded into
+    ``allowed_ids`` / ``where`` SCOPE admission (threaded into
     :func:`~parq_tools_spark.operators.ann_index.
-    semantic_dedupe_incremental` every batch): only allowed INDEX
-    entries may block a new vector. The bootstrap batch has no index
-    to scope (its within-batch rule runs unscoped), so pre-build the
-    index when the first batch must already be scoped.
+    semantic_dedupe_incremental` every batch): only allowed — or, for
+    ``where``, metadata-matching over the index's ``store_cols`` —
+    INDEX entries may block a new vector. The bootstrap batch has no
+    index to scope (its within-batch rule runs unscoped), so
+    pre-build the index when the first batch must already be scoped;
+    a ``where`` scope requires the pre-built index to carry
+    ``store_cols``.
 
     Returns the started ``StreamingQuery``; admitted vectors are at
     ``output_path`` (partitioned by ``batch``).
@@ -326,6 +330,7 @@ def start_semantic_dedupe_stream(
                 update_index=True,
                 max_batch_rows=max_batch_rows,
                 allowed_ids=allowed_ids,
+                where=where,
             )
         survivors.write.mode("overwrite").parquet(
             f"{output_path}/batch={batch_id}"

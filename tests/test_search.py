@@ -1250,3 +1250,38 @@ def test_contamination_from_index_guards_and_scope(
         ).collect()
     )
     assert via_ids == scoped
+
+
+def test_decontaminate_from_index_drops_flagged(spark, sf_dir, tmp_path):
+    """The anti-join wrapper: survivors = corpus minus the ids
+    contamination_from_index flags; the corpus side is never
+    tokenized (only the final anti-join touches it)."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+        decontaminate_from_index,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    path = str(tmp_path / "dcfi")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    ev = docs.filter(F.col("doc_id") % 25 == 0).selectExpr(
+        "doc_id AS eval_id", "text"
+    )
+    flagged = {
+        r.doc_id
+        for r in contamination_from_index(
+            spark, path, ev, k=3, threshold=0.6
+        ).collect()
+    }
+    assert flagged
+    kept = {
+        r.doc_id
+        for r in decontaminate_from_index(
+            spark, path, docs, ev, k=3, threshold=0.6
+        ).collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - flagged

@@ -458,3 +458,62 @@ class TestScopedAdmission:
             ).select("vec_id").collect()
         )
         assert got == [40]  # 41 still dropped by in-batch lower-id 40
+
+
+class TestWhereScope:
+    def test_where_equals_allowed_ids_and_prefiltered_index(
+        self, spark, tmp_path, clustered_batches
+    ):
+        """where= over stored metadata scopes admission exactly like
+        the equivalent allowed_ids set and like an index built on the
+        predicate's subset under the same frozen model."""
+        from parq_tools_spark.operators.ann_index import (
+            ann_index_build,
+            semantic_dedupe_incremental,
+        )
+        from parq_tools_spark.plans.query_parser import FilterParseError
+
+        b0, b1, _, _ = clustered_batches
+        # tenant 0 = vec_ids {0, 3}; tenant 1 = {1, 2}
+        b0m = b0.withColumn(
+            "tenant", F.when(F.col("vec_id").isin(0, 3), 0).otherwise(1)
+        )
+        full = str(tmp_path / "full")
+        scoped = str(tmp_path / "scoped")
+        ann_index_build(
+            b0m, full, n_cells=2, m=2, n_codes=4,
+            store_vectors=True, store_cols=["tenant"],
+        )
+        ann_index_build(
+            b0m.filter(F.col("tenant") == 0), scoped,
+            n_cells=2, m=2, n_codes=4, store_vectors=True,
+            train_corpus=b0m.select("vec_id", "embedding"),
+            store_cols=["tenant"],
+        )
+
+        def admitted(path, **kw):
+            return sorted(
+                r.vec_id
+                for r in semantic_dedupe_incremental(
+                    spark, path, b1, threshold=0.95, **kw
+                ).select("vec_id").collect()
+            )
+
+        got = admitted(full, where="tenant == 0")
+        via_ids = admitted(full, allowed_ids=[0, 3])
+        want = admitted(scoped)
+        assert got == via_ids == want == [11, 12]
+        # composes with allowed_ids (both apply): scoping tenant-0
+        # AND allowing only id 3 frees 10 (blocked by 0 before)
+        assert admitted(
+            full, where="tenant == 0", allowed_ids=[3]
+        ) == [10, 11, 12]
+        # guards: loud on a missing column, loud without store_cols
+        with pytest.raises(FilterParseError):
+            admitted(full, where="nope == 1")
+        bare = str(tmp_path / "bare")
+        ann_index_build(
+            b0, bare, n_cells=2, m=2, n_codes=4, store_vectors=True
+        )
+        with pytest.raises(ValueError, match="store_cols"):
+            admitted(bare, where="tenant == 0")
