@@ -30,6 +30,7 @@ __all__ = [
     "resolve_task_splits",
     "cached_for_auto",
     "check_store_cols",
+    "check_metadata_updates",
     "update_band_metadata",
 ]
 
@@ -595,6 +596,41 @@ def check_store_cols(df, store_cols, fn: str) -> None:
         )
 
 
+def check_metadata_updates(updates, id_col: str, store, fn: str):
+    """Shared up-front validation for every family's metadata-only
+    update path (``*_index_update_metadata``): the index must store
+    metadata, the updates must carry the id column plus a non-empty
+    SUBSET of the stored columns. Returns the update columns. ONE
+    definition so the four paths cannot drift on what counts as a
+    valid update."""
+    if not store:
+        raise ValueError(
+            f"{fn}: this index stores no metadata columns; "
+            "update_metadata needs an index built with "
+            "store_cols=[...]"
+        )
+    if id_col not in updates.columns:
+        raise ValueError(
+            f"{fn}: updates must carry the index id column "
+            f"'{id_col}'; got columns {updates.columns}"
+        )
+    upd_cols = [c for c in updates.columns if c != id_col]
+    bad = [c for c in upd_cols if c not in store]
+    if bad:
+        raise ValueError(
+            f"{fn}: {bad} are not stored metadata columns of this "
+            f"index (store_cols={list(store)}) — only stored "
+            "metadata can be updated in place; changing content "
+            "needs upsert"
+        )
+    if not upd_cols:
+        raise ValueError(
+            f"{fn}: updates carry only the id column — nothing to "
+            "update"
+        )
+    return upd_cols
+
+
 def update_band_metadata(
     spark, path: str, updates, *, vs, cur: int, m: dict,
     params: dict, fn: str,
@@ -619,29 +655,7 @@ def update_band_metadata(
 
     id_col = params["id_col"]
     store = params.get("store_cols", [])
-    if not store:
-        raise ValueError(
-            f"index at {path} stores no metadata columns; "
-            f"{fn} needs an index built with store_cols=[...]"
-        )
-    if id_col not in updates.columns:
-        raise ValueError(
-            f"{fn}: updates must carry the index id column "
-            f"'{id_col}'; got columns {updates.columns}"
-        )
-    upd_cols = [c for c in updates.columns if c != id_col]
-    bad = [c for c in upd_cols if c not in store]
-    if bad:
-        raise ValueError(
-            f"{fn}: {bad} are not stored metadata columns of this "
-            f"index (store_cols={store}) — only stored metadata can "
-            "be updated in place; changing text needs upsert"
-        )
-    if not upd_cols:
-        raise ValueError(
-            f"{fn}: updates carry only the id column — nothing to "
-            "update"
-        )
+    upd_cols = check_metadata_updates(updates, id_col, store, fn)
     upd = updates.select(
         id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
     ).localCheckpoint(eager=True)

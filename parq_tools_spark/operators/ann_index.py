@@ -906,33 +906,13 @@ def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
     p = m["params"]
     id_col = p["id_col"]
     store = p.get("store_cols", [])
-    if not store:
-        raise ValueError(
-            f"ann index at {path} stores no metadata columns; "
-            "update_metadata needs an index built with "
-            "ann_index_build(..., store_cols=[...])"
-        )
-    if id_col not in updates.columns:
-        raise ValueError(
-            f"ann_index_update_metadata: updates must carry the index "
-            f"id column '{id_col}'; got columns {updates.columns}"
-        )
-    upd_cols = [c for c in updates.columns if c != id_col]
-    bad = [c for c in upd_cols if c not in store]
-    if bad:
-        raise ValueError(
-            f"ann_index_update_metadata: {bad} are not stored "
-            f"metadata columns of this index (store_cols={store}) — "
-            "only stored metadata can be updated in place; changing "
-            "a vector needs ann_index_upsert"
-        )
-    if not upd_cols:
-        raise ValueError(
-            "ann_index_update_metadata: updates carry only the id "
-            "column — nothing to update"
-        )
     from parq_tools_spark.operators._index_common import (
+        check_metadata_updates,
         check_self_exclusion_types,
+    )
+
+    upd_cols = check_metadata_updates(
+        updates, id_col, store, "ann_index_update_metadata"
     )
 
     check_self_exclusion_types(
@@ -1009,7 +989,10 @@ def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
     # join writes a fileless directory (just _SUCCESS) that cannot be
     # schema-inferred, so the listing gates the read.
     n_found = (
-        spark.read.parquet(f"{path}/{seg}").count()
+        spark.read.parquet(f"{path}/{seg}")
+        .select(id_col)
+        .distinct()
+        .count()
         if fs.list_files(f"{path}/{seg}")
         else 0
     )

@@ -1210,33 +1210,13 @@ def bm25_index_update_metadata(
     vs, cur, m = _bm25_manifest(spark, path)
     p = m["params"]
     store = p.get("store_cols", [])
-    if not store:
-        raise ValueError(
-            f"bm25 index at {path} stores no metadata columns; "
-            "update_metadata needs an index built with "
-            "bm25_index_build(..., store_cols=[...])"
-        )
-    if "doc_id" not in updates.columns:
-        raise ValueError(
-            "bm25_index_update_metadata: updates must carry the "
-            f"'doc_id' column; got columns {updates.columns}"
-        )
-    upd_cols = [c for c in updates.columns if c != "doc_id"]
-    bad = [c for c in upd_cols if c not in store]
-    if bad:
-        raise ValueError(
-            f"bm25_index_update_metadata: {bad} are not stored "
-            f"metadata columns of this index (store_cols={store}) — "
-            "only stored metadata can be updated in place; changing "
-            "text needs bm25_index_upsert"
-        )
-    if not upd_cols:
-        raise ValueError(
-            "bm25_index_update_metadata: updates carry only the id "
-            "column — nothing to update"
-        )
     from parq_tools_spark.operators._index_common import (
+        check_metadata_updates,
         check_self_exclusion_types,
+    )
+
+    upd_cols = check_metadata_updates(
+        updates, "doc_id", store, "bm25_index_update_metadata"
     )
 
     check_self_exclusion_types(
@@ -1296,7 +1276,6 @@ def bm25_index_update_metadata(
             if c in upd_cols
             else F.col(c)
             for c in rows.columns
-            if c != "tbucket"
         ]
         new_rows = affected.select(*out_cols)
         from parq_tools_spark.operators._index_common import (
@@ -1926,9 +1905,19 @@ def contamination_from_index(
         )
     if k < 1:
         raise ValueError("k must be >= 1")
+    if eval_id_col == id_col:
+        raise ValueError(
+            f"contamination_from_index: eval_id_col '{eval_id_col}' "
+            f"collides with the index id column — the output carries "
+            "both; rename the eval id column"
+        )
     where_col = (
         _compile_where(where, m, path) if where is not None else None
     )
+    # internal eval-id name: the pipeline's own columns (doc_id, term,
+    # gram, _pm) must never be shadowed by a caller's eval_id_col —
+    # renamed back in the final select
+    _EID = "_cfi_eval_id"
 
     empty_pos = F.array().cast("array<int>")
     toks = tokenize(F.col(eval_text_col))
@@ -1951,9 +1940,9 @@ def contamination_from_index(
     # join) — benchmarks are small by construction, and the
     # checkpoint keeps the eval source out of the serving plan
     eval_grams = eval_set.select(
-        F.col(eval_id_col), F.explode(grams).alias("gram")
+        F.col(eval_id_col).alias(_EID), F.explode(grams).alias("gram")
     ).localCheckpoint(eager=True)
-    esizes = eval_grams.groupBy(eval_id_col).agg(
+    esizes = eval_grams.groupBy(_EID).agg(
         F.count(F.lit(1)).alias("__esize")
     )
 
@@ -2013,13 +2002,13 @@ def contamination_from_index(
     # before any per-position work; the eval side broadcasts — the
     # postings (the corpus-scale side) never shuffle for this join
     gram_terms = eval_grams.select(
-        eval_id_col, "gram",
+        _EID, "gram",
         F.explode(F.array_distinct("gram")).alias("term"),
     )
     cand = (
         post.select("doc_id", "term")
         .join(F.broadcast(gram_terms), on="term")
-        .groupBy(eval_id_col, "gram", "doc_id")
+        .groupBy(_EID, "gram", "doc_id")
         .agg(F.count(F.lit(1)).alias("_nt"))
         .filter(F.col("_nt") == F.size(F.array_distinct("gram")))
         .drop("_nt")
@@ -2054,17 +2043,18 @@ def contamination_from_index(
         ),
     )
     hits = cand.join(pmap, on="doc_id").filter(match)
-    overlap = hits.groupBy("doc_id", eval_id_col).agg(
+    overlap = hits.groupBy("doc_id", _EID).agg(
         F.count(F.lit(1)).alias("n_overlap")
     )
     return (
-        overlap.join(F.broadcast(esizes), eval_id_col)
+        overlap.join(F.broadcast(esizes), _EID)
         .withColumn(
             "containment",
             F.col("n_overlap").cast("double") / F.col("__esize"),
         )
         .filter(F.col("containment") >= threshold)
         .withColumnRenamed("doc_id", id_col)
+        .withColumnRenamed(_EID, eval_id_col)
         .select(id_col, eval_id_col, "n_overlap", "containment")
     )
 
@@ -2087,9 +2077,25 @@ def decontaminate_from_index(
     ``allowed_ids``, ``where``, ...). The flagged set is bounded by
     the contamination result (eval-sized pairs), so the anti-join
     broadcasts it."""
-    _, _, m = _bm25_manifest(spark, path)
+    # manifest resolved at the SAME version the contamination call
+    # will serve (a rebuild can change id_col across versions)
+    _, _, m = _bm25_manifest(spark, path, kw.get("version"))
     id_col = m["params"]["id_col"]
     corpus_id_col = corpus_id_col or id_col
+    from parq_tools_spark.operators._index_common import (
+        check_self_exclusion_types,
+    )
+
+    # the anti-join compares flagged INDEX ids against the corpus id
+    # column; a type mismatch would cast to NULL under non-ANSI
+    # semantics, match nothing, and silently KEEP every contaminated
+    # row — fail loudly instead (the apply_allowed_ids guard)
+    check_self_exclusion_types(
+        corpus.schema[corpus_id_col].dataType,
+        _id_field(m).dataType,
+        "decontaminate_from_index: corpus id",
+        remedy="Cast the corpus id column to the indexed id type.",
+    )
     flagged = (
         contamination_from_index(spark, path, eval_set, **kw)
         .select(F.col(id_col).alias(corpus_id_col))

@@ -131,6 +131,15 @@ def start_near_dedupe_stream(
             "start_near_dedupe_stream needs a streaming DataFrame; use "
             "operators.dedup.incremental_dedupe for batch ingests"
         )
+    from parq_tools_spark.operators._index_common import (
+        normalize_allowed_ids,
+    )
+
+    # materialized ONCE, up front: the same allowed set is consumed
+    # by EVERY micro-batch — a one-shot iterable would be exhausted
+    # by batch 1 and hand every later batch an empty (valid!) filter
+    # that silently admits all duplicates
+    allowed_ids = normalize_allowed_ids(allowed_ids)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.dedup import (
@@ -287,6 +296,13 @@ def start_semantic_dedupe_stream(
             "DataFrame; use operators.ann_index."
             "semantic_dedupe_incremental for batch ingests"
         )
+    from parq_tools_spark.operators._index_common import (
+        normalize_allowed_ids,
+    )
+
+    # one materialization for every micro-batch (see
+    # start_near_dedupe_stream)
+    allowed_ids = normalize_allowed_ids(allowed_ids)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.ann_index import (
@@ -416,6 +432,13 @@ def start_simhash_dedupe_stream(
             "use operators.simhash_index.simhash_incremental_dedupe "
             "for batch ingests"
         )
+    from parq_tools_spark.operators._index_common import (
+        normalize_allowed_ids,
+    )
+
+    # one materialization for every micro-batch (see
+    # start_near_dedupe_stream)
+    allowed_ids = normalize_allowed_ids(allowed_ids)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from parq_tools_spark.operators.simhash_index import (

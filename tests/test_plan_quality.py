@@ -649,3 +649,36 @@ def test_contamination_from_index_never_scans_corpus(
     assert "documents.parquet" not in plan
     assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
     assert re.search(r"PushedFilters: \[.*In\(term", plan)
+
+
+def test_semantic_admission_where_pushes_to_segment_scan(
+    spark, sf_dir, tmp_path
+):
+    """where= on semantic admission reaches the cell-pruned
+    stored-vector scans as a pushed EqualTo — the metadata scope
+    costs planning time, not a join."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_build,
+        semantic_dedupe_incremental,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    path = str(tmp_path / "semwhere")
+    ann_index_build(
+        emb, path, n_cells=4, m=8, n_codes=16,
+        store_vectors=True, store_cols=["label"],
+    )
+    batch = emb.limit(3).selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding", "label"
+    )
+    df = semantic_dedupe_incremental(
+        spark, path, batch, threshold=0.95, where="label == 0"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PushedFilters: \[.*EqualTo\(label,0\)", plan)
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert "SortMergeJoin" not in plan

@@ -1285,3 +1285,52 @@ def test_decontaminate_from_index_drops_flagged(spark, sf_dir, tmp_path):
     }
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert kept == all_ids - flagged
+
+
+def test_contamination_from_index_eval_id_col_names(
+    spark, sf_dir, tmp_path
+):
+    """eval_id_col colliding with the pipeline's internal columns
+    (term/gram) works via the internal alias; colliding with the
+    INDEX id column is a loud up-front error (the output would carry
+    both); decontaminate refuses a type-mismatched corpus id."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        contamination_from_index,
+        decontaminate_from_index,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    path = str(tmp_path / "cfin")
+    bm25_index_build(docs, path, n_buckets=8, store_positions=True)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    base = sorted(
+        (r.doc_id, r.eval_id, r.n_overlap)
+        for r in contamination_from_index(
+            spark, path,
+            ev.selectExpr("doc_id AS eval_id", "text"),
+            k=3, threshold=0.6,
+        ).collect()
+    )
+    via_term = sorted(
+        (r.doc_id, r.term, r.n_overlap)
+        for r in contamination_from_index(
+            spark, path,
+            ev.selectExpr("doc_id AS term", "text"),
+            eval_id_col="term", k=3, threshold=0.6,
+        ).collect()
+    )
+    assert via_term == base and base
+    with pytest.raises(ValueError, match="collides"):
+        contamination_from_index(
+            spark, path, ev, eval_id_col="doc_id", k=3
+        )
+    with pytest.raises(ValueError, match="join-compatible"):
+        decontaminate_from_index(
+            spark, path,
+            docs.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text"),
+            ev.selectExpr("doc_id AS eval_id", "text"),
+            k=3,
+        )

@@ -907,3 +907,58 @@ def test_streaming_minhash_scoped_admission(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert admitted == want
+
+
+def test_streaming_scoped_admission_survives_multiple_batches(
+    spark, tmp_path, sf_dir
+):
+    """A one-shot iterable allowed set must scope EVERY micro-batch,
+    not just the first: the sinks normalize it to a list up front, so
+    a generator gives the same admitted set as the equivalent list
+    across a multi-batch run."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.dedup import minhash_index_write
+    from parq_tools_spark.streaming.near_dedup import (
+        start_near_dedupe_stream,
+    )
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    allowed = sorted(
+        r.doc_id for r in seed.filter(F.col("doc_id") % 4 == 0).collect()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def run(ids, tag):
+        scoped = str(tmp_path / f"idx_{tag}")
+        minhash_index_write(seed, scoped, num_hashes=32, bands=8)
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        # two files + maxFilesPerTrigger=1 => two micro-batches
+        batch.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+        batch.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        out = str(tmp_path / f"out_{tag}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_near_dedupe_stream(
+            stream, scoped, out, str(tmp_path / f"ck_{tag}"),
+            threshold=0.5, available_now=True, allowed_ids=ids,
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        assert got.select("batch").distinct().count() == 2
+        return sorted(r.doc_id for r in got.collect())
+
+    assert run(iter(allowed), "gen") == run(list(allowed), "list")
