@@ -1876,14 +1876,13 @@ def contamination_from_index(
     capped at ``max_eval_terms`` — benchmarks are KBs by
     construction; raise the cap deliberately for giant suites) prune
     the postings read to their term buckets with the term filter
-    pushed into the parquet scans. Candidate (gram, doc) pairs come
-    from a BROADCAST of the eval gram-terms into those postings plus
-    a conjunctive count (a gram can only match a doc holding ALL its
-    distinct terms — the hot-first-term hazard never materializes),
-    and adjacency verifies per candidate with one JVM array
-    expression over the per-doc term->positions map (``exists p in
-    pos(g0): p+i in pos(g_i)``) — the
-    :func:`_phrase_docs_from_positions` machinery, data-driven.
+    pushed into the parquet scans. Candidate doc k-grams are
+    RECONSTRUCTED from the stored positions — the eval terms'
+    postings explode to (doc, pos, term) rows and m-1 co-partitioned
+    (doc, pos) joins rebuild every contiguous gram over eval terms —
+    then matched on the FULL gram string, so join selectivity
+    survives even a stopword-heavy eval set or a tiny vocabulary
+    (any single-term candidate plan fans out by term df).
 
     ``version=`` time-travels; ``allowed_ids`` / ``where`` scope
     WHICH INDEXED DOCUMENTS may be flagged (the shared
@@ -1918,8 +1917,6 @@ def contamination_from_index(
     # gram, _pm) must never be shadowed by a caller's eval_id_col —
     # renamed back in the final select
     _EID = "_cfi_eval_id"
-
-    empty_pos = F.array().cast("array<int>")
     toks = tokenize(F.col(eval_text_col))
     n = F.size(toks)
     grams = (
@@ -1997,52 +1994,57 @@ def contamination_from_index(
     if where_col is not None:
         post = post.filter(where_col)
 
-    # conjunctive candidate generation: a gram can only match a doc
-    # holding ALL its distinct terms, so the count equality prunes
-    # before any per-position work; the eval side broadcasts — the
-    # postings (the corpus-scale side) never shuffle for this join
-    gram_terms = eval_grams.select(
-        _EID, "gram",
-        F.explode(F.array_distinct("gram")).alias("term"),
+    # Candidate doc k-grams RECONSTRUCTED from the stored positions:
+    # explode the eval terms' postings to (doc, pos, term) rows and
+    # chain m-1 co-partitioned (doc, pos) self-joins to rebuild every
+    # contiguous m-gram a doc holds OVER EVAL TERMS ONLY (a chain
+    # through a non-eval token breaks on the missing row — correct,
+    # since such a gram can never equal an eval gram). One chain per
+    # distinct eval-gram LENGTH — normally just {k}; sub-k whole-doc
+    # grams add theirs. The final join key is the FULL gram string,
+    # so selectivity survives even a degenerate tiny vocabulary
+    # (single-term candidate plans — anchor or conjunctive — fan out
+    # by term df and melt down when every term is hot; the scan path
+    # joins whole shingles for the same reason). Volume is O(eval-
+    # term token occurrences): tiny for a real benchmark's
+    # vocabulary, and never worse than the corpus token count the
+    # scan path pays.
+    eg = eval_grams.select(
+        _EID,
+        F.concat_ws("\x1f", "gram").alias("_gk"),
+        F.size("gram").alias("_glen"),
     )
-    cand = (
-        post.select("doc_id", "term")
-        .join(F.broadcast(gram_terms), on="term")
-        .groupBy(_EID, "gram", "doc_id")
-        .agg(F.count(F.lit(1)).alias("_nt"))
-        .filter(F.col("_nt") == F.size(F.array_distinct("gram")))
-        .drop("_nt")
+    lengths = sorted(
+        r["_glen"] for r in eg.select("_glen").distinct().collect()
     )
-    pmap = (
-        post.select("doc_id", "term", "positions")
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
-            ).alias("_pm")
+    tp = post.select(
+        "doc_id", "term", F.explode("positions").alias("_p")
+    )
+    parts = []
+    for mlen in lengths:
+        g = tp.select(
+            "doc_id", "_p", F.col("term").alias("_g0")
         )
-    )
-
-    def pos_of(term_expr):
-        return F.coalesce(
-            F.element_at(F.col("_pm"), term_expr), empty_pos
+        cols = [F.col("_g0")]
+        for i in range(1, mlen):
+            g = g.join(
+                tp.select(
+                    "doc_id",
+                    (F.col("_p") - i).alias("_p"),
+                    F.col("term").alias(f"_g{i}"),
+                ),
+                on=["doc_id", "_p"],
+            )
+            cols.append(F.col(f"_g{i}"))
+        parts.append(
+            g.select(
+                "doc_id", F.concat_ws("\x1f", *cols).alias("_gk")
+            )
         )
-
-    idxs = F.when(
-        F.size("gram") > 1,
-        F.sequence(F.lit(1), F.size("gram") - F.lit(1)),
-    ).otherwise(F.array().cast("array<int>"))
-    match = F.exists(
-        pos_of(F.element_at(F.col("gram"), F.lit(1))),
-        lambda p: F.forall(
-            idxs,
-            lambda i: F.array_contains(
-                pos_of(F.element_at(F.col("gram"), i + F.lit(1))),
-                p + i,
-            ),
-        ),
+    doc_grams = reduce(DataFrame.unionByName, parts).distinct()
+    hits = doc_grams.join(
+        F.broadcast(eg.select(_EID, "_gk")), on="_gk"
     )
-    hits = cand.join(pmap, on="doc_id").filter(match)
     overlap = hits.groupBy("doc_id", _EID).agg(
         F.count(F.lit(1)).alias("n_overlap")
     )

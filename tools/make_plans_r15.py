@@ -182,10 +182,10 @@ def main():
     sections.append((
         "5. contamination_from_index — eval containment, zero corpus IO",
         "Claim: the eval set's distinct terms prune the postings read\n"
-        "(tbucket PartitionFilters + pushed In(term,...)); candidates\n"
-        "come from a BROADCAST of the eval gram-terms plus a\n"
-        "conjunctive all-terms count; contiguity verifies against the\n"
-        "stored position arrays with one JVM array expression. The\n"
+        "(tbucket PartitionFilters + pushed In(term,...)); candidate\n"
+        "doc k-grams are RECONSTRUCTED from the stored positions via\n"
+        "co-partitioned (doc, pos) joins and matched on the FULL gram\n"
+        "string (selectivity survives a degenerate vocabulary). The\n"
         "corpus parquet appears NOWHERE in the plan (the eval grams\n"
         "are checkpointed) — decontaminating 100 TB against a new\n"
         "benchmark costs O(eval-term postings), not a corpus pass.\n"
