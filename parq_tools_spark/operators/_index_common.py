@@ -32,6 +32,12 @@ __all__ = [
     "check_store_cols",
     "check_metadata_updates",
     "update_band_metadata",
+    "NO_DEFAULT",
+    "check_add_metadata_col",
+    "backfill_metadata_rows",
+    "add_band_metadata_col",
+    "resolve_cdc_with_meta",
+    "apply_cdc_meta",
 ]
 
 
@@ -736,3 +742,294 @@ def update_band_metadata(
         ),
     )
     return {"updated": n_upd, "version": cur + 1}
+
+
+#: Sentinel distinguishing "no default supplied" from an explicit
+#: ``default=None`` — NULL is a legitimate metadata value, and the
+#: two must behave differently (no default + uncovered ids is a loud
+#: error; an explicit None fills them with NULL on purpose).
+NO_DEFAULT = object()
+
+
+def check_add_metadata_col(values, id_col: str, store, reserved, fn: str) -> str:
+    """Shared up-front validation for every family's metadata-column
+    BACKFILL path (``*_index_add_metadata_col`` — the evolution leg of
+    the metadata lifecycle: store → filter → update → evolve):
+    ``values`` must carry the index id column plus exactly ONE new
+    column that is neither already stored (flipping stored values is
+    :func:`check_metadata_updates` / ``update_metadata``'s job) nor a
+    reserved segment-schema column. Returns the new column's name.
+    ONE definition so the four families cannot drift on what counts
+    as a valid evolution."""
+    if id_col not in values.columns:
+        raise ValueError(
+            f"{fn}: values must carry the index id column "
+            f"'{id_col}'; got columns {values.columns}"
+        )
+    new_cols = [c for c in values.columns if c != id_col]
+    if len(new_cols) != 1:
+        raise ValueError(
+            f"{fn}: values must carry the id column plus exactly ONE "
+            "new metadata column (one column per backfill call); got "
+            f"columns {values.columns}"
+        )
+    new_col = new_cols[0]
+    if new_col in store:
+        raise ValueError(
+            f"{fn}: '{new_col}' is already a stored metadata column "
+            f"(store_cols={list(store)}) — flip stored values with "
+            "update_metadata; add_metadata_col adds NEW columns"
+        )
+    if new_col in reserved:
+        raise ValueError(
+            f"{fn}: '{new_col}' collides with the segment schema's "
+            f"reserved columns ({sorted(reserved)})"
+        )
+    return new_col
+
+
+def backfill_metadata_rows(
+    rows, values, id_col: str, new_col: str, default, fn: str,
+    coverage_ids=None,
+):
+    """Attach one NEW metadata column to every visible index row:
+    values looked up by id (extra ids in ``values`` are ignored — it
+    is a lookup, not a command), ids absent from ``values`` filled
+    with ``default``. Shared by the four families' backfill paths.
+
+    Loud-up-front guards: duplicate value ids raise; a join-
+    incompatible id type raises (it would silently NULL-fill every
+    row under non-ANSI semantics); and with NO default supplied, any
+    visible id lacking a value raises BEFORE anything is written —
+    ``coverage_ids`` is the family's cheapest one-row-per-id relation
+    (band 0 for the band families, the code rows for ANN, distinct
+    posting doc ids for BM25), so the coverage probe is one
+    column-pruned scan, never a second full-width pass.
+
+    An explicit ``default=None`` is honored (NULL backfill); the
+    missing-vs-explicit-NULL distinction rides a presence marker, not
+    ``coalesce``, so a deliberate NULL in ``values`` survives even
+    when a non-NULL default is given. Returns ``(rows_with_new_col,
+    n_values)``."""
+    from pyspark.sql import functions as F
+
+    val_type = values.schema[new_col].dataType
+    vals = values.select(
+        id_col, F.col(new_col).alias("_new_val")
+    ).localCheckpoint(eager=True)
+    n_vals = vals.count()
+    if vals.select(id_col).distinct().count() < n_vals:
+        raise ValueError(
+            f"{fn}: duplicate {id_col} row(s) in values — one value "
+            "per id"
+        )
+    check_self_exclusion_types(
+        vals.schema[id_col].dataType,
+        rows.schema[id_col].dataType,
+        f"{fn}: values",
+        remedy="Cast the values id column to the indexed id type.",
+    )
+    if default is NO_DEFAULT:
+        ids = coverage_ids if coverage_ids is not None else rows.select(id_col)
+        n_missing = (
+            ids.distinct()
+            .join(vals.select(id_col), on=id_col, how="left_anti")
+            .count()
+        )
+        if n_missing:
+            raise ValueError(
+                f"{fn}: {n_missing} visible id(s) have no value in "
+                "values and no default= was given — pass default= to "
+                "fill the gap, or cover every visible id"
+            )
+        joined = rows.join(vals, on=id_col, how="left")
+        newv = F.col("_new_val")
+    else:
+        joined = rows.join(
+            vals.withColumn("_has", F.lit(True)), on=id_col, how="left"
+        )
+        newv = F.when(
+            F.col("_has").isNotNull(), F.col("_new_val")
+        ).otherwise(F.lit(default).cast(val_type))
+    out = joined.withColumn(new_col, newv).drop("_new_val", "_has")
+    return out, n_vals
+
+
+def add_band_metadata_col(
+    spark, path: str, values, default, *, vs, cur: int, m: dict,
+    params: dict, reserved, fn: str, task_splits=1,
+):
+    """Backfill a NEW metadata column over a band-row index
+    (MinHash / SimHash) — the band twin of
+    ``ann_index_add_metadata_col`` and the evolution leg the
+    metadata lifecycle was missing: every VISIBLE band row is
+    rewritten with the extra column (signatures/fingerprints carried
+    as stored bytes — nothing re-shingled or re-fingerprinted) and
+    committed as ONE fresh segment whose manifest extends
+    ``params.store_cols`` in the SAME atomic commit, so serving-time
+    ``where=`` validation and every subsequent ingest's
+    ``check_store_cols`` see the new column the instant it is
+    queryable, never before.
+
+    The commit is COMPACTION-shaped (``segments=[new]``,
+    ``deletes=[]``), not the update path's segment+tombstone shape:
+    a backfill touches every row by definition, and tombstoning the
+    whole index would bolt a full-index anti-join onto every query
+    until the next fold. Pending tombstones fold into the rewrite
+    (each segment anti-joins only the batches covering its version),
+    old segments stay on disk for the reader-grace cycle like any
+    compaction. Cost shape at 100 TB: one id-lookup join plus one
+    index-sized shuffle keyed by band (the write's own partitioning;
+    ``task_splits`` salts it like the families' ingest writes) — the
+    irreducible cost of an O(index) schema evolution, paid once
+    instead of on every serving query."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    id_col = params["id_col"]
+    store = list(params.get("store_cols", []))
+    new_col = check_add_metadata_col(values, id_col, store, reserved, fn)
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        raise ValueError(
+            f"{fn}: the index holds no visible rows — nothing to "
+            "backfill"
+        )
+    batches = delete_batches(spark, path, m)
+    rows = reduce(
+        DataFrame.unionByName,
+        [visible_scan(spark, path, s, batches, id_col) for s in live],
+    )
+    # one row per id per band — band 0 alone is exact membership at
+    # 1/bands of the scan (the delete guard's trick)
+    coverage = rows.filter(F.col("band") == 0).select(id_col)
+    out, _ = backfill_metadata_rows(
+        rows, values, id_col, new_col, default, fn,
+        coverage_ids=coverage,
+    )
+    seg = tag(cur + 1, "seg")
+    with cached_for_auto(out, task_splits) as out_c:
+        write_salted_segment(
+            out_c, f"{path}/{seg}", "band", [id_col], id_col,
+            resolve_task_splits(task_splits, out_c, "band", "task_splits"),
+        )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": [seg],
+                "deletes": [],
+                "params": {**params, "store_cols": store + [new_col]},
+            }
+        ),
+    )
+    return {"added": new_col, "version": cur + 1}
+
+
+def resolve_cdc_with_meta(changes, id_col: str, op_col: str, seq_col):
+    """Split a CDC batch into the final non-meta ops (the unchanged
+    :func:`resolve_cdc` semantics over 'I'/'U'/'D') and the final 'M'
+    (metadata-only) ops that still apply AFTER the batch's upserts.
+    Returns ``(final_others, final_metas)``; ``final_metas`` is None
+    when the batch carries no 'M' rows at all — the fast path every
+    existing change log takes, with zero extra jobs beyond one
+    early-stopping ``take(1)`` probe.
+
+    'M' resolution: the LAST 'M' per id, DROPPED when a non-meta op
+    at an equal-or-later sequence supersedes it — a 'U' at-or-after
+    the 'M' carries the full authoritative metadata record, and a 'D'
+    at-or-after removes the row the 'M' would touch (superseded 'M's
+    vanish exactly like superseded 'U's do today, uncounted). An 'M'
+    that SURVIVES but whose id is not visible once the batch's
+    deletes and upserts have applied is a no-op, never an error
+    (counted by the caller) — the 'D'-of-missing precedent: CDC
+    replay must converge, and a foreachBatch sink that raised on a
+    re-graded-then-deleted id would wedge its stream permanently.
+
+    Without ``seq_col`` the whole batch — BOTH classes together —
+    must carry at most one op per id (the shared resolve_cdc guard),
+    so a 'U'+'M' pair for one id can never apply in arbitrary
+    order."""
+    from pyspark.sql import functions as F
+
+    metas_raw = changes.filter(F.col(op_col) == "M")
+    if not metas_raw.take(1):
+        return resolve_cdc(changes, id_col, op_col, seq_col), None
+    if seq_col is None:
+        final = resolve_cdc(changes, id_col, op_col, None)
+        return (
+            final.filter(F.col(op_col) != "M"),
+            final.filter(F.col(op_col) == "M"),
+        )
+    others = resolve_cdc(
+        changes.filter(F.col(op_col) != "M"), id_col, op_col, seq_col
+    )
+    metas = resolve_cdc(metas_raw, id_col, op_col, seq_col)
+    sup = others.select(id_col, F.col(seq_col).alias("_other_seq"))
+    metas = (
+        metas.join(sup, on=id_col, how="left")
+        .filter(
+            F.col("_other_seq").isNull()
+            | (F.col(seq_col) > F.col("_other_seq"))
+        )
+        .drop("_other_seq")
+    )
+    return others, metas
+
+
+def apply_cdc_meta(
+    metas, *, store, src_id_col: str, dst_id_col: str, visible_ids,
+    update_fn, fn: str,
+):
+    """The shared 'M'-op fold every family's ``apply_cdc`` runs AFTER
+    its deletes and upserts: project the surviving 'M' rows to
+    ``(id, *store_cols)`` (an 'M' row is the full metadata record for
+    its id, like a 'U' row — per-column partial updates don't exist
+    on a change stream), drop ids not visible post-upsert (the no-op
+    contract of :func:`resolve_cdc_with_meta`), and apply the
+    family's metadata-only update — one segment + tombstone commit,
+    nothing re-encoded. Returns ``{"meta_updated": u,
+    "meta_noops": n}``.
+
+    An 'M' op against an index built WITHOUT ``store_cols`` raises:
+    that is a pipeline misconfiguration (the stream is shipping
+    re-grades nothing can store), not a replayable data condition."""
+    from pyspark.sql import functions as F
+
+    if not store:
+        raise ValueError(
+            f"{fn}: the change batch carries 'M' (metadata-only) ops "
+            "but this index stores no metadata columns — build with "
+            "store_cols=[...] or keep re-grades off this stream"
+        )
+    check_store_cols(metas, store, fn)
+    upd = metas.select(
+        F.col(src_id_col).alias(dst_id_col), *store
+    ).localCheckpoint(eager=True)
+    n_meta = upd.count()
+    if not n_meta:
+        return {"meta_updated": 0, "meta_noops": 0}
+    if visible_ids is None:
+        return {"meta_updated": 0, "meta_noops": n_meta}
+    check_self_exclusion_types(
+        upd.schema[dst_id_col].dataType,
+        visible_ids.schema[visible_ids.columns[0]].dataType,
+        f"{fn}: 'M' rows",
+        remedy="Cast the change stream's id column to the indexed id type.",
+    )
+    vis = visible_ids.select(
+        F.col(visible_ids.columns[0]).alias(dst_id_col)
+    ).distinct()
+    visible_upd = upd.join(vis, on=dst_id_col, how="left_semi").localCheckpoint(
+        eager=True
+    )
+    n_vis = visible_upd.count()
+    if n_vis:
+        update_fn(visible_upd)
+    return {"meta_updated": n_vis, "meta_noops": n_meta - n_vis}

@@ -131,6 +131,7 @@ def _ann_sweep_orphans(vs, path: str) -> None:
 
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
+    NO_DEFAULT as _NO_DEFAULT,
     delete_batches as _ann_delete_batches_impl,
     delete_entries as _delete_entries,
     visible_scan as _ann_visible_scan,
@@ -1020,6 +1021,100 @@ def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
         ),
     )
     return {"updated": n_upd, "version": cur + 1}
+
+
+def ann_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_NO_DEFAULT
+) -> dict:
+    """Backfill a NEW metadata column over the index — the evolution
+    leg the ``store_cols`` lifecycle was missing (store → ``where=``
+    filter → ``update_metadata`` → **evolve**): a quality score
+    computed AFTER the build becomes a served, filterable column
+    without re-encoding a single vector. Every visible code row is
+    read back, the new column attached (``values`` looked up by the
+    index id; ids absent from ``values`` take ``default`` — omit it
+    and an uncovered id raises before anything is written; extra ids
+    in ``values`` are ignored), and the rewritten rows committed as
+    ONE fresh segment whose manifest extends ``params.store_cols``
+    in the SAME atomic commit — serving-time ``where=`` validation
+    and every subsequent ingest's ``check_store_cols`` see the new
+    column the instant it is queryable, never before. Works on a
+    store_cols-LESS index (adding the first metadata column) and on
+    ``store_vectors=False`` indexes — the codes are carried as
+    stored bytes, which is the proof nothing re-encodes.
+
+    The commit is COMPACTION-shaped (``segments=[new]``,
+    ``deletes=[]``): a backfill touches every row by definition, and
+    the update path's whole-index tombstone would bolt a full-index
+    anti-join onto every query until the next fold. Pending
+    tombstones fold into the rewrite; the model, ``n_vecs`` and cell
+    assignments are untouched (the vectors didn't change). Cost at
+    100 TB: one id-lookup join (AQE picks broadcast for small values,
+    shuffle for corpus-sized scores) plus the cell-keyed segment
+    write every ingest already pays — O(index) once, the irreducible
+    price of schema evolution. Returns ``{"added": col,
+    "version": v}``."""
+    import json
+    from functools import reduce
+
+    from parq_tools_spark.operators._index_common import (
+        backfill_metadata_rows,
+        cached_for_auto,
+        check_add_metadata_col,
+        resolve_task_splits,
+    )
+
+    vs, cur, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+    store = list(p.get("store_cols", []))
+    reserved = {"codes", "cell", "vec", id_col, p["vec_col"]}
+    new_col = check_add_metadata_col(
+        values, id_col, store, reserved, "ann_index_add_metadata_col"
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _ann_sweep_orphans(vs, path)
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        raise ValueError(
+            "ann_index_add_metadata_col: the index holds no visible "
+            "rows — nothing to backfill"
+        )
+    batches = _ann_delete_batches(spark, path, m, id_col)
+    rows = reduce(
+        DataFrame.unionByName,
+        [_ann_visible_scan(spark, path, s, batches, id_col) for s in live],
+    )
+    out, _ = backfill_metadata_rows(
+        rows, values, id_col, new_col, default,
+        "ann_index_add_metadata_col",
+    )
+    seg = _tag(cur + 1, "seg")
+    with cached_for_auto(out, p.get("cell_task_splits", 1)) as out_c:
+        _write_codes_segment(
+            out_c, f"{path}/{seg}", id_col,
+            resolve_task_splits(
+                p.get("cell_task_splits", 1), out_c, "cell",
+                "cell_task_splits",
+            ),
+        )
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": [seg],
+                "deletes": [],
+                # n_vecs/model unchanged: same vectors, one more
+                # metadata column on every row
+                "params": {**p, "store_cols": store + [new_col]},
+            }
+        ),
+    )
+    return {"added": new_col, "version": cur + 1}
 
 
 def ann_index_compact(

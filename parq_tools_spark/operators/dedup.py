@@ -36,6 +36,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parq_tools_spark.operators import _index_common as _CM
+
 __all__ = [
     "word_shingles",
     "exploded_shingles",
@@ -67,6 +69,8 @@ __all__ = [
     "minhash_index_compact",
     "minhash_index_maybe_compact",
     "minhash_index_stats",
+    "minhash_index_update_metadata",
+    "minhash_index_add_metadata_col",
     "incremental_dedupe",
 ]
 
@@ -2134,4 +2138,36 @@ def minhash_index_update_metadata(
     return update_band_metadata(
         spark, path, updates, vs=vs, cur=cur, m=m,
         params=p, fn="minhash_index_update_metadata",
+    )
+
+
+def minhash_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_CM.NO_DEFAULT,
+    task_splits=1,
+) -> dict:
+    """Backfill a NEW metadata column over the MinHash index — the
+    shared band-row implementation (:func:`~parq_tools_spark.
+    operators._index_common.add_band_metadata_col`): every visible
+    band row rewritten with the extra column (signatures carried as
+    stored values, nothing re-shingled), one compaction-shaped commit
+    that extends ``params.store_cols`` atomically. Works on a
+    store_cols-less index (the first metadata column); ids absent
+    from ``values`` take ``default`` (omit it and an uncovered id
+    raises before anything is written). Returns ``{"added": col,
+    "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        add_band_metadata_col,
+        retention,
+    )
+
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    vs.clean_stale(cur, keep_versions=retention(m))
+    _sweep_index_orphans(vs.fs, path, vs, cur)
+    return add_band_metadata_col(
+        spark, path, values, default,
+        vs=vs, cur=cur, m=m, params=p,
+        reserved={"signature", "band", "bhash", p["id_col"]},
+        fn="minhash_index_add_metadata_col",
+        task_splits=task_splits,
     )

@@ -52,6 +52,7 @@ def _ops(family: str) -> dict:
             "maybe_compact": m.ann_index_maybe_compact,
             "retrain": m.ann_index_retrain,
             "update_metadata": m.ann_index_update_metadata,
+            "add_metadata_col": m.ann_index_add_metadata_col,
         }
     if family == "bm25":
         from parq_tools_spark.operators import search as m
@@ -66,6 +67,7 @@ def _ops(family: str) -> dict:
             "compact": m.bm25_index_compact,
             "maybe_compact": m.bm25_index_maybe_compact,
             "update_metadata": m.bm25_index_update_metadata,
+            "add_metadata_col": m.bm25_index_add_metadata_col,
         }
     if family == "minhash":
         from parq_tools_spark.operators import dedup as m
@@ -80,6 +82,7 @@ def _ops(family: str) -> dict:
             "compact": m.minhash_index_compact,
             "maybe_compact": m.minhash_index_maybe_compact,
             "update_metadata": m.minhash_index_update_metadata,
+            "add_metadata_col": m.minhash_index_add_metadata_col,
         }
     from parq_tools_spark.operators import simhash_index as m
 
@@ -93,6 +96,7 @@ def _ops(family: str) -> dict:
         "compact": m.simhash_index_compact,
         "maybe_compact": m.simhash_index_maybe_compact,
         "update_metadata": m.simhash_index_update_metadata,
+        "add_metadata_col": m.simhash_index_add_metadata_col,
     }
 
 
@@ -163,6 +167,17 @@ class IndexHandle:
         fingerprints are never recomputed."""
         return self._ops["update_metadata"](
             self.spark, self.path, updates, **kw
+        )
+
+    def add_metadata_col(self, values, **kw) -> dict:
+        """Backfill a NEW metadata column over the index, all four
+        families (``*_index_add_metadata_col``): the evolution leg of
+        the store_cols lifecycle — one compaction-shaped commit that
+        rewrites the visible rows with the extra column and extends
+        ``params.store_cols`` atomically; codes, postings, signatures
+        and fingerprints are never recomputed."""
+        return self._ops["add_metadata_col"](
+            self.spark, self.path, values, **kw
         )
 
     def retrain(self, **kw):

@@ -452,6 +452,7 @@ def _bm25_manifest(spark, path: str, version=None):
 
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
+    NO_DEFAULT as _NO_DEFAULT,
     id_field as _id_field_impl,
     id_field_json as _id_field_json_impl,
     resolve_manifest as _resolve_manifest,
@@ -1321,6 +1322,116 @@ def bm25_index_update_metadata(
         ),
     )
     return {"updated": n_upd, "version": cur + 1}
+
+
+def bm25_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_NO_DEFAULT
+) -> dict:
+    """Backfill a NEW metadata column over the BM25 index — the
+    evolution leg of the ``store_cols`` lifecycle (store → ``where=``
+    → ``update_metadata`` → **evolve**), the postings twin of
+    :func:`~parq_tools_spark.operators.ann_index.
+    ann_index_add_metadata_col`: a license grade computed after the
+    build becomes a served, filterable column without re-tokenizing a
+    single document. Every visible posting row is read back, the new
+    column attached (``values`` looked up by doc id; ids absent from
+    ``values`` take ``default`` — omit it and an uncovered id raises
+    before anything is written; extra ids are ignored), and the
+    rewritten postings committed as ONE fresh segment whose manifest
+    extends ``params.store_cols`` in the SAME atomic commit. Works on
+    a store_cols-less index (adding the first metadata column).
+
+    Metadata rides POSTING rows (the ``where=`` serving contract), so
+    coverage is judged against documents that have postings —
+    zero-token documents carry no metadata rows before OR after the
+    backfill, exactly as at build time. The ``_docs`` sidecar carries
+    forward tombstone-folded (membership probes stay exact);
+    ``n_docs``/``sum_dl``/the terms snapshot are untouched BY
+    CONSTRUCTION — no token changed — so post-backfill scores equal a
+    fresh build over the corpus-with-column. The commit is
+    COMPACTION-shaped (``segments=[new]``, ``deletes=[]``): a
+    backfill touches every row, and a whole-index tombstone would tax
+    every query until the next fold. Cost at 100 TB: one id-lookup
+    join plus the tbucket-keyed segment write every ingest already
+    pays — O(index) once. Returns ``{"added": col, "version": v}``."""
+    import json
+    from functools import reduce
+
+    from parq_tools_spark.operators._index_common import (
+        backfill_metadata_rows,
+        cached_for_auto,
+        check_add_metadata_col,
+        resolve_task_splits,
+    )
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    store = list(p.get("store_cols", []))
+    reserved = {
+        "doc_id", "dl", "term", "tf", "positions", "tbucket",
+        p["id_col"],
+    }
+    new_col = check_add_metadata_col(
+        values, p["id_col"], store, reserved,
+        "bm25_index_add_metadata_col",
+    )
+    # values key on the SOURCE id column name; postings store doc_id
+    vals = values.select(
+        F.col(p["id_col"]).alias("doc_id"), new_col
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _bm25_sweep_orphans(vs, path)
+
+    fs = vs.fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    batches = _delete_batches(spark, path, m)
+    rows = (
+        reduce(
+            DataFrame.unionByName,
+            [_visible_scan(spark, path, s, batches) for s in live],
+        ).drop("tbucket")  # recomputed by the segment writer
+        if live
+        else None
+    )
+    if rows is None or not rows.take(1):
+        raise ValueError(
+            "bm25_index_add_metadata_col: the index holds no visible "
+            "postings — nothing to backfill"
+        )
+    out, _ = backfill_metadata_rows(
+        rows, vals, "doc_id", new_col, default,
+        "bm25_index_add_metadata_col",
+    )
+    seg = _tag(cur + 1, "seg")
+    with cached_for_auto(out, p.get("bucket_task_splits", 1)) as out_c:
+        _write_postings_segment(
+            out_c, f"{path}/{seg}", p["n_buckets"],
+            resolve_task_splits(
+                p.get("bucket_task_splits", 1),
+                out_c.withColumn("tbucket", _tbucket_col(p["n_buckets"])),
+                "tbucket",
+                "bucket_task_splits",
+            ),
+        )
+    # the doc table carries forward tombstone-folded, like compaction
+    vdocs = _visible_docs(spark, path, m)
+    if vdocs is not None:
+        vdocs.write.mode("errorifexists").parquet(f"{path}/{seg}/_docs")
+    vs.commit(
+        cur + 1,
+        json.dumps(
+            {
+                **m,
+                "version": cur + 1,
+                "segments": [seg],
+                "deletes": [],
+                # n_docs/sum_dl/terms unchanged: same tokens, one
+                # more metadata column on every posting row
+                "params": {**p, "store_cols": store + [new_col]},
+            }
+        ),
+    )
+    return {"added": new_col, "version": cur + 1}
 
 
 def bm25_index_apply_cdc(

@@ -57,11 +57,13 @@ __all__ = [
     "simhash_index_query",
     "simhash_incremental_dedupe",
     "simhash_index_update_metadata",
+    "simhash_index_add_metadata_col",
 ]
 
 _SH_MARKER = "_simhash_manifest.json"
 
 from parq_tools_spark.operators._index_common import (  # noqa: E402
+    NO_DEFAULT as _NO_DEFAULT,
     check_self_exclusion_types as _check_excl_types,
     delete_batches as _delete_batches,
     id_field as _id_field,
@@ -844,4 +846,35 @@ def simhash_index_update_metadata(
     return update_band_metadata(
         spark, path, updates, vs=vs, cur=cur, m=m,
         params=m["params"], fn="simhash_index_update_metadata",
+    )
+
+
+def simhash_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_NO_DEFAULT,
+    task_splits=1,
+) -> dict:
+    """Backfill a NEW metadata column over the SimHash index — the
+    shared band-row implementation (:func:`~parq_tools_spark.
+    operators._index_common.add_band_metadata_col`): every visible
+    band row rewritten with the extra column (fingerprints carried as
+    stored values, nothing re-fingerprinted), one compaction-shaped
+    commit that extends ``params.store_cols`` atomically. Works on a
+    store_cols-less index (the first metadata column); ids absent
+    from ``values`` take ``default`` (omit it and an uncovered id
+    raises before anything is written). Returns ``{"added": col,
+    "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        add_band_metadata_col,
+    )
+
+    vs, cur, m = _sh_manifest(spark, path)
+    p = m["params"]
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _sh_sweep_orphans(vs, path)
+    return add_band_metadata_col(
+        spark, path, values, default,
+        vs=vs, cur=cur, m=m, params=p,
+        reserved={"simhash", "band", "bval", p["id_col"]},
+        fn="simhash_index_add_metadata_col",
+        task_splits=task_splits,
     )
