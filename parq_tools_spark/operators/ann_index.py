@@ -758,7 +758,7 @@ def ann_index_apply_cdc(
     op_col: str = "op",
     seq_col: Optional[str] = None,
 ) -> dict:
-    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D', optional
+    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D'/'M', optional
     ``seq_col`` ordering multiple ops per id) to the vector index —
     the exact contract of :func:`~parq_tools_spark.operators.search.
     bm25_index_apply_cdc` so one change log can feed every index
@@ -770,17 +770,33 @@ def ann_index_apply_cdc(
     frozen model. O(batch + one visible-id scan), no compaction
     required.
 
+    'M' (metadata-only) ops fold into
+    :func:`ann_index_update_metadata` AFTER the deletes and upserts
+    (shared :func:`~parq_tools_spark.operators._index_common.
+    resolve_cdc_with_meta` semantics): a re-grade rides the same
+    change stream without a re-encode upsert — O(affected) metadata
+    rewrite, no ``vec_col`` needed on the 'M' rows (which is also
+    what makes re-grades possible on ``store_vectors=False``
+    indexes). An 'M' row carries the id plus ALL ``store_cols``; an
+    'M' whose id is not visible once the batch applied is a no-op
+    (replay convergence), counted in ``meta_noops``; an 'M'
+    superseded by a same-batch 'U'/'D' at an equal-or-later seq
+    vanishes like a superseded 'U'.
+
     Returns ``{"deleted": d, "delete_noops": n, "updated": u,
-    "inserted": i, "version": v}``."""
+    "inserted": i, "meta_updated": mu, "meta_noops": mn,
+    "version": v}``."""
     from functools import reduce
 
-    from parq_tools_spark.operators._index_common import resolve_cdc
+    from parq_tools_spark.operators._index_common import (
+        resolve_cdc_with_meta,
+    )
 
     _, _, m = _ann_manifest(spark, path)
     p = m["params"]
     id_col, vec_col = p["id_col"], p["vec_col"]
 
-    final = resolve_cdc(changes, id_col, op_col, seq_col)
+    final, metas = resolve_cdc_with_meta(changes, id_col, op_col, seq_col)
 
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     # the value column is selected LAZILY: a delete-only change log
@@ -861,6 +877,43 @@ def ann_index_apply_cdc(
         )
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out.update({"meta_updated": 0, "meta_noops": 0})
+    if metas is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_cdc_meta,
+        )
+
+        # visibility resolves POST-upsert (fresh manifest): an 'M'
+        # for an id this very batch inserted must apply
+        _, _, m2 = _ann_manifest(spark, path)
+        fs2 = _ann_vs(spark, path).fs
+        live2 = [
+            s for s in m2["segments"] if fs2.list_files(f"{path}/{s}")
+        ]
+        vis = None
+        if live2:
+            b2 = _ann_delete_batches(spark, path, m2, id_col)
+            vis = reduce(
+                DataFrame.unionByName,
+                [
+                    _ann_visible_scan(spark, path, s, b2, id_col)
+                    .select(id_col)
+                    for s in live2
+                ],
+            ).distinct()
+        out.update(
+            apply_cdc_meta(
+                metas,
+                store=p.get("store_cols", []),
+                src_id_col=id_col,
+                dst_id_col=id_col,
+                visible_ids=vis,
+                update_fn=lambda upd: ann_index_update_metadata(
+                    spark, path, upd
+                ),
+                fn="ann_index_apply_cdc",
+            )
         )
     out["version"] = _ann_vs(spark, path).current()
     return out

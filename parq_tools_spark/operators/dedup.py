@@ -1829,23 +1829,31 @@ def minhash_index_apply_cdc(
     seq_col: Optional[str] = None,
     text_col: str = "text",
 ) -> dict:
-    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D', optional
+    """Apply a CDC batch (``op_col`` in 'I'/'U'/'D'/'M', optional
     ``seq_col``) to the MinHash index — the exact contract of
     ``bm25_index_apply_cdc`` / ``ann_index_apply_cdc`` (shared
     ``_index_common.resolve_cdc``), so ONE change log keeps all
-    three index families in lockstep with a mutable corpus: last op
+    the index families in lockstep with a mutable corpus: last op
     per id wins, D-of-missing is a no-op, I/U upsert. This is what
     keeps near-dup suppression honest under updates — a stale band
     row would drop new documents as duplicates of content that no
-    longer exists. Returns ``{"deleted": d, "delete_noops": n,
-    "updated": u, "inserted": i, "version": v}``."""
-    from parq_tools_spark.operators._index_common import resolve_cdc
+    longer exists. 'M' (metadata-only) ops fold into
+    :func:`minhash_index_update_metadata` AFTER the deletes and
+    upserts (shared ``resolve_cdc_with_meta`` semantics: id plus ALL
+    ``store_cols`` per 'M' row, not-visible ids are no-ops counted in
+    ``meta_noops``, superseded 'M's vanish) — a re-grade never
+    re-shingles. Returns ``{"deleted": d, "delete_noops": n,
+    "updated": u, "inserted": i, "meta_updated": mu,
+    "meta_noops": mn, "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        resolve_cdc_with_meta,
+    )
 
     _, _, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
     id_col = p["id_col"]
 
-    final = resolve_cdc(changes, id_col, op_col, seq_col)
+    final, metas = resolve_cdc_with_meta(changes, id_col, op_col, seq_col)
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     # the text column is selected LAZILY: a delete-only change log
     # (no text_col in its schema) must apply cleanly, exactly like
@@ -1911,6 +1919,28 @@ def minhash_index_apply_cdc(
         )
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out.update({"meta_updated": 0, "meta_noops": 0})
+    if metas is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_cdc_meta,
+        )
+
+        # visibility resolves POST-upsert (fresh manifest): an 'M'
+        # for an id this very batch inserted must apply
+        _, _, m2 = _index_manifest_full(spark, path)
+        out.update(
+            apply_cdc_meta(
+                metas,
+                store=p.get("store_cols", []),
+                src_id_col=id_col,
+                dst_id_col=id_col,
+                visible_ids=_minhash_visible_ids(spark, path, m2, id_col),
+                update_fn=lambda upd: minhash_index_update_metadata(
+                    spark, path, upd
+                ),
+                fn="minhash_index_apply_cdc",
+            )
         )
     out["version"] = _index_vs(spark, path).current()
     return out

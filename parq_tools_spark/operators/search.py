@@ -1442,9 +1442,9 @@ def bm25_index_apply_cdc(
     seq_col: Optional[str] = None,
 ) -> dict:
     """Apply a CDC batch (the ``streaming/cdc.py`` convention:
-    ``op_col`` in 'I'/'U'/'D', optional ``seq_col`` ordering multiple
-    ops per id) to the index: the LAST op per id wins — ordered by
-    ``(seq desc, op desc)``, the same tiebreak as
+    ``op_col`` in 'I'/'U'/'D'/'M', optional ``seq_col`` ordering
+    multiple ops per id) to the index: the LAST op per id wins —
+    ordered by ``(seq desc, op desc)``, the same tiebreak as
     ``operators/merge.py``'s ``apply_cdc`` (a same-sequence 'U' beats
     'D'), so index state and snapshot state cannot diverge on an
     identical change log. Final 'D' ids that are currently visible
@@ -1454,15 +1454,32 @@ def bm25_index_apply_cdc(
     upsert. Two commits, O(batch + doc-table scan) total, no
     compaction required.
 
+    'M' (metadata-only) ops fold into
+    :func:`bm25_index_update_metadata` AFTER the deletes and upserts
+    (shared :func:`~parq_tools_spark.operators._index_common.
+    resolve_cdc_with_meta` semantics): a license re-grade rides the
+    SAME change stream as content updates without forcing a
+    re-tokenize upsert — O(affected) metadata rewrite instead of
+    O(batch-tokens), and it needs no raw text on the 'M' rows. An 'M'
+    row carries the id plus ALL the index's ``store_cols`` (the full
+    metadata record, like a 'U' row); an 'M' whose id is not visible
+    once the batch applied is a no-op (the 'D'-of-missing precedent —
+    replay convergence for the streaming sinks), counted in
+    ``meta_noops``; an 'M' superseded by a same-batch 'U'/'D' at an
+    equal-or-later seq simply vanishes, like a superseded 'U'.
+
     Returns ``{"deleted": d, "delete_noops": n, "updated": u,
-    "inserted": i, "version": v}``."""
-    from parq_tools_spark.operators._index_common import resolve_cdc
+    "inserted": i, "meta_updated": mu, "meta_noops": mn,
+    "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        resolve_cdc_with_meta,
+    )
 
     _, _, m = _bm25_manifest(spark, path)
     p = m["params"]
     id_col = p["id_col"]
 
-    final = resolve_cdc(changes, id_col, op_col, seq_col)
+    final, metas = resolve_cdc_with_meta(changes, id_col, op_col, seq_col)
 
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     upserts = final.filter(F.col(op_col).isin("I", "U")).drop(op_col)
@@ -1502,6 +1519,31 @@ def bm25_index_apply_cdc(
         res = bm25_index_upsert(upserts, path)
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out.update({"meta_updated": 0, "meta_noops": 0})
+    if metas is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_cdc_meta,
+        )
+
+        # visibility resolves POST-upsert (fresh manifest): an 'M'
+        # for an id this very batch inserted must apply
+        _, _, m2 = _bm25_manifest(spark, path)
+        vdocs = _visible_docs(spark, path, m2)
+        out.update(
+            apply_cdc_meta(
+                metas,
+                store=p.get("store_cols", []),
+                src_id_col=id_col,
+                dst_id_col="doc_id",
+                visible_ids=(
+                    vdocs.select("doc_id") if vdocs is not None else None
+                ),
+                update_fn=lambda upd: bm25_index_update_metadata(
+                    spark, path, upd
+                ),
+                fn="bm25_index_apply_cdc",
+            )
         )
     out["version"] = _bm25_vs(spark, path).current()
     return out

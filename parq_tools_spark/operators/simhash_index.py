@@ -429,12 +429,22 @@ def simhash_index_apply_cdc(
     families (shared ``resolve_cdc``): last op per id wins, a final
     'D' for an id not in the index is a NO-OP, final 'I'/'U' rows
     upsert. ONE band-0 visibility scan serves both the delete no-op
-    filter and the upsert probe. Returns ``{"deleted": d,
-    "delete_noops": n, "updated": u, "inserted": i, "version": v}``."""
+    filter and the upsert probe. 'M' (metadata-only) ops fold into
+    :func:`simhash_index_update_metadata` AFTER the deletes and
+    upserts (shared ``resolve_cdc_with_meta`` semantics: id plus ALL
+    ``store_cols`` per 'M' row, not-visible ids are no-ops counted in
+    ``meta_noops``, superseded 'M's vanish) — a re-grade never
+    re-fingerprints. Returns ``{"deleted": d, "delete_noops": n,
+    "updated": u, "inserted": i, "meta_updated": mu,
+    "meta_noops": mn, "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        resolve_cdc_with_meta,
+    )
+
     _, _, m = _sh_manifest(spark, path)
     id_col = m["params"]["id_col"]
 
-    final = _resolve_cdc(changes, id_col, op_col, seq_col)
+    final, metas = resolve_cdc_with_meta(changes, id_col, op_col, seq_col)
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     # text selected LAZILY: a delete-only change log applies cleanly
     ups_rows = final.filter(F.col(op_col).isin("I", "U"))
@@ -490,6 +500,28 @@ def simhash_index_apply_cdc(
         )
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
+        )
+    out.update({"meta_updated": 0, "meta_noops": 0})
+    if metas is not None:
+        from parq_tools_spark.operators._index_common import (
+            apply_cdc_meta,
+        )
+
+        # visibility resolves POST-upsert (fresh manifest): an 'M'
+        # for an id this very batch inserted must apply
+        _, _, m2 = _sh_manifest(spark, path)
+        out.update(
+            apply_cdc_meta(
+                metas,
+                store=m["params"].get("store_cols", []),
+                src_id_col=id_col,
+                dst_id_col=id_col,
+                visible_ids=_sh_visible_ids(spark, path, m2, id_col),
+                update_fn=lambda upd: simhash_index_update_metadata(
+                    spark, path, upd
+                ),
+                fn="simhash_index_apply_cdc",
+            )
         )
     out["version"] = _sh_vs(spark, path).current()
     return out

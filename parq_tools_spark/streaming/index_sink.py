@@ -1,7 +1,14 @@
 """Streaming maintenance of the persisted BM25 index: a CDC stream
 (``op`` in 'I'/'U'/'D') keeps the search index continuously fresh
 (beyond-reference; the reference has neither a streaming surface nor a
-search index).
+search index). Change rows carry ``op`` in 'I'/'U'/'D'/'M' — 'M'
+(metadata-only) ops fold into the family's ``update_metadata``
+after the batch's deletes and upserts (shared
+``resolve_cdc_with_meta`` semantics), so a license re-grade rides
+the same stream as content changes without a re-encode/re-tokenize
+upsert. 'M' replay is convergent too: a not-visible id is a counted
+no-op, and re-applying an identical metadata flip rewrites the same
+values.
 
 Why ``foreachBatch`` + the on-disk index instead of streaming state:
 the index IS the state — hundreds of GB of postings at 100 TB of
@@ -145,6 +152,16 @@ def start_bm25_index_stream(
     stops (the testing / catch-up trigger); pass ``False`` for
     continuous.
 
+    'M' (metadata-only) rows fold into ``bm25_index_update_metadata``
+    through the same ``apply_cdc`` call (they need the id plus ALL
+    the index's ``store_cols``, no text). The sink's own bootstrap
+    build stores NO metadata columns, so 'M' rows against a
+    sink-bootstrapped index raise loudly (a stream shipping re-grades
+    nothing can store is a misconfiguration, not a replayable data
+    condition) — PRE-BUILD with ``bm25_index_build(...,
+    store_cols=[...])`` to stream re-grades; 'M' ids not visible when
+    the batch applies are then counted no-ops, so replay converges.
+
     Returns the started ``StreamingQuery``. Query the index at any
     time with :func:`~parq_tools_spark.operators.search.
     bm25_index_topk` — readers always see some fully-committed
@@ -251,6 +268,16 @@ def start_ann_index_stream(
     count-based ``compact_every`` cadence visited, since the
     cadence's non-forced compact can no-op below the file triggers
     while a manifest bound is already breached).
+
+    'M' (metadata-only) rows fold into ``ann_index_update_metadata``
+    through the same ``apply_cdc`` call (id plus ALL ``store_cols``,
+    no ``vec_col`` needed). Only I/U rows seed the model-training
+    bootstrap build, which stores NO metadata columns — so 'M' rows
+    are dropped in the bootstrap batch and raise loudly afterwards
+    (re-grades nothing can store are a misconfiguration); PRE-BUILD
+    with ``ann_index_build(..., store_cols=[...])`` to stream
+    re-grades, where not-visible 'M' ids are counted no-ops and
+    replay converges.
     """
     if not changes.isStreaming:
         raise ValueError(
