@@ -3564,6 +3564,244 @@ def q_bm25_update_metadata(spark, sf_dir):
     return out
 
 
+def q_ann_add_metadata_col(spark, sf_dir):
+    """store_cols EVOLUTION (r16): the same even-build + odd-add
+    lifecycle as ann_where_topk but the index starts BARE (no
+    store_cols, no stored vectors), and ann_index_add_metadata_col
+    backfills label afterwards — every visible code row rewritten
+    with the new column (codes carried as bytes; with
+    store_vectors=False a re-encode is impossible, which is the
+    proof), one compaction-shaped commit extending params.store_cols
+    atomically. Serving where="label in [0, 2, 4]" must then equal
+    the fresh store_cols build value-for-value, so the oracle is
+    ann_where_topk's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_add_metadata_col,
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annamc_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding"
+        ),
+        path, n_cells=8, m=8, n_codes=16,
+    )
+    ann_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ),
+        path,
+    )
+    ann_index_add_metadata_col(spark, path, emb.select("vec_id", "label"))
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=2,
+            where="label in [0, 2, 4]",
+        )
+        .select("query_id", "vec_id", "pq_score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_add_metadata_col(spark, sf_dir):
+    """The BM25 evolution twin: a bare index (no store_cols) gets
+    lang backfilled by bm25_index_add_metadata_col — every visible
+    posting row rewritten with the new column (nothing re-tokenized;
+    n_docs/sum_dl/terms untouched BY CONSTRUCTION), params.store_cols
+    extended in the same atomic commit — then serves
+    where="lang == 'en'". Must equal a fresh store_cols build, so the
+    oracle is bm25_where_topk's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_add_metadata_col,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="bmamc_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs.select("doc_id", "text"), path, n_buckets=8)
+    bm25_index_add_metadata_col(
+        spark, path, docs.select("doc_id", "lang")
+    )
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            where="lang == 'en'",
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_minhash_add_metadata_col(spark, sf_dir):
+    """MinHash evolution (shared add_band_metadata_col): the bare
+    even-id index gets lang backfilled onto every band row
+    (signatures carried, nothing re-shingled), then serves the same
+    where="lang == 'en'" query as minhash_where_query — equality with
+    that entry's fresh store_cols build is the gate, so the oracle is
+    its SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add_metadata_col,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="mhamc_")
+    path = os.path.join(work, "idx")
+    minhash_index_write(
+        docs.filter("doc_id % 2 = 0").select("doc_id", "text"), path,
+        num_hashes=64, bands=16,
+    )
+    minhash_index_add_metadata_col(
+        spark, path, docs.select("doc_id", "lang")
+    )
+    out = (
+        minhash_index_query(
+            spark, path, docs.filter("doc_id % 2 = 1"),
+            threshold=0.5, where="lang == 'en'",
+        )
+        .select(
+            "id_indexed",
+            "id_new",
+            _pround(F.col("est_jaccard")).alias("est_jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_simhash_add_metadata_col(spark, sf_dir):
+    """SimHash evolution: bare even-id index, lang backfilled onto
+    the band rows (fingerprints carried), served with
+    where="lang == 'en'" — simhash_where_query's oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_add_metadata_col,
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="shamc_")
+    path = os.path.join(work, "idx")
+    simhash_index_write(
+        docs.filter("doc_id % 2 = 0").select("doc_id", "text"), path
+    )
+    simhash_index_add_metadata_col(
+        spark, path, docs.select("doc_id", "lang")
+    )
+    out = simhash_index_query(
+        spark, path, docs.filter("doc_id % 2 = 1"),
+        max_hamming=3, where="lang == 'en'",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_meta_cdc_stream(spark, sf_dir):
+    """Op-typed metadata updates on the CHANGE STREAM (r16): a mixed
+    upsert/delete/meta CDC stream drains through
+    start_bm25_index_stream into a pre-built store_cols index — 'U'
+    rows re-supply existing docs' own text (tombstone + re-add fully
+    exercised, logical corpus unchanged by them), 'M' rows re-grade
+    every English doc with doc_id%11=0 to 'zz' WITHOUT re-tokenizing
+    (folded into bm25_index_update_metadata inside apply_cdc), 'D'
+    rows drop doc_id%13=0. Serving where="lang == 'en'" afterwards
+    must equal DuckDB's full BM25 over the post-stream corpus
+    (deletes removed, flips applied, statistics recomputed over the
+    survivors). Stream==batch parity is pytest-gated
+    (tests/test_metadata_lifecycle.py)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_topk,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_bm25_index_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    work = tempfile.mkdtemp(prefix="bmmcdc_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(docs, path, n_buckets=8, store_cols=["lang"])
+
+    schema = "doc_id long, text string, lang string, op string, seq long"
+    b0 = docs.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id", "text", "lang",
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    b1 = docs.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") % 11 == 0)
+    ).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("zz").alias("lang"),
+        F.lit("M").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("D").alias("op"), F.lit(3).cast("long").alias("seq"),
+    )
+    src = os.path.join(work, "cdc")
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_bm25_index_stream(
+        stream, path, os.path.join(work, "ck"), seq_col="seq"
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("meta CDC stream did not drain in 600s")
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            where="lang == 'en'",
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -4079,59 +4317,95 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
     with the least accumulated driver evidence first: the five entries
-    NEW in round 15 (where= on the MinHash/SimHash families,
-    metadata-only updates, index-served decontamination), then every
-    entry whose code changed this round (the band families' signature/
-    banding carry, hybrid allowed-set normalization, the facade's
-    update_metadata dispatch, the literal allowed_ids type guard,
-    cached auto-split ingests, the streaming admission scopes), then
-    the entries whose last DIRECT driver row is r10-era (events
-    family, incremental agg, multimodal/video, pack/chunk, the
-    diagnostic ops). Everything past position 50 was driver-checked
-    green in r11-r14 on code unchanged since, and the whole registry
-    is re-proven by the at-HEAD sf0.1 oracle sweep each round.
+    NEW in round 16 (``*_index_add_metadata_col`` store_cols evolution
+    across all four families, op-typed 'M' metadata updates on the CDC
+    stream), then every entry whose code changed this round (the four
+    families' apply_cdc/update_metadata/segment writers, the facade,
+    the sinks, the topk_batch guard, the decontamination join), then
+    the entries whose last DIRECT driver row is oldest (the r1-era
+    parity family and the exact-dedup tail; events/multimodal rotated
+    through the r15 window). Everything past position 50 was
+    driver-checked green in recent rounds on code unchanged since, and
+    the whole registry is re-proven by the at-HEAD sf0.1 oracle sweep
+    each round.
     """
     return {
-        # --- positions 1-50 = the driver check window for r15 ---
-        # 1-5: NEW this round (filtered retrieval on the band
-        # families, metadata-only updates, index-served decontam)
-        "minhash_where_query": q_minhash_where_query,
-        "simhash_where_query": q_simhash_where_query,
+        # --- positions 1-50 = the driver check window for r16 ---
+        # 1-5: NEW this round (store_cols evolution across all four
+        # families; op-typed 'M' metadata updates on the CDC stream)
+        "ann_add_metadata_col": q_ann_add_metadata_col,
+        "bm25_add_metadata_col": q_bm25_add_metadata_col,
+        "minhash_add_metadata_col": q_minhash_add_metadata_col,
+        "simhash_add_metadata_col": q_simhash_add_metadata_col,
+        "bm25_meta_cdc_stream": q_bm25_meta_cdc_stream,
+        # 6-30: code changed this round (the four families'
+        # apply_cdc gained the 'M' fold, update_metadata gained the
+        # post-commit compaction trigger, the backfill writers touch
+        # the same segment machinery, the facade dispatches
+        # add_metadata_col, bm25_index_topk_batch gained the
+        # max_queries guard, decontaminate_from_index's anti-join is
+        # now AQE-decided)
         "ann_update_metadata": q_ann_update_metadata,
         "bm25_update_metadata": q_bm25_update_metadata,
         "contamination_from_index": q_contamination_from_index,
-        # 6-30: code changed this round (minhash/simhash banding +
-        # shingle carry, hybrid allowed-set normalization, facade
-        # update_metadata dispatch, allowed_ids literal type guard,
-        # cached auto-split ingests, streaming admission scopes)
+        "minhash_where_query": q_minhash_where_query,
+        "simhash_where_query": q_simhash_where_query,
         "minhash_index_cdc": q_minhash_index_cdc,
-        "minhash_incremental": q_minhash_incremental,
+        "bm25_index_stream": q_bm25_index_stream,
+        "ann_index_stream_equiv": q_ann_index_stream_equiv,
+        "bm25_from_index_batch": q_bm25_from_index_batch,
+        "facade_dispatch_equiv": q_facade_dispatch_equiv,
+        "auto_compact_equiv": q_auto_compact_equiv,
+        "bm25_index_upsert": q_bm25_index_upsert,
+        "bm25_index_delete": q_bm25_index_delete,
+        "ann_index_delete": q_ann_index_delete,
         "minhash_index_delete": q_minhash_index_delete,
+        "minhash_incremental": q_minhash_incremental,
+        "ann_where_topk": q_ann_where_topk,
+        "bm25_where_topk": q_bm25_where_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
+        "bm25_filtered_topk": q_bm25_filtered_topk,
+        "ann_from_index": q_ann_from_index,
+        "bm25_index_build": q_bm25_index_build,
+        "simhash_index_query": q_simhash_index_query,
         "minhash_pairs": q_minhash_pairs,
+        "bm25_index_time_travel": q_bm25_index_time_travel,
+        # 31-50: stalest direct driver evidence (the r1-era parity
+        # family and the exact-dedup/diagnostic tail; multimodal and
+        # events rotated through the r15 window)
+        "filter_dsl": q_filter_dsl,
+        "filter_in_list": q_filter_in_list,
+        "concat_tall": q_concat_tall,
+        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
+        "concat_wide": q_concat_wide,
+        "concat_with_dataframe": q_concat_with_dataframe,
+        "sort_multi": q_sort_multi,
+        "reindex": q_reindex,
+        "dedupe_keep_first": q_dedupe_keep_first,
+        "dedupe_exact": q_dedupe_exact,
+        "profile": q_profile,
+        "rename": q_rename,
+        "calculated_column": q_calculated_column,
+        "blockmodel": q_blockmodel,
+        "compare_tables": q_compare_tables,
+        "memory_report": q_memory_report,
+        "near_dedupe_cc": q_near_dedupe_cc,
+        "dedupe_pairwise": q_dedupe_pairwise,
+        "dedupe_text_exact": q_dedupe_text_exact,
+        "token_count_bpe": q_token_count_bpe,
+        # --- past the window: driver-checked green in recent rounds
+        # on code unchanged since (the at-HEAD sf0.1 sweep covers
+        # every entry each round) ---
         "minhash_precision_check": q_minhash_precision_check,
         "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
-        "simhash_index_query": q_simhash_index_query,
         "simhash_pairs": q_simhash_pairs,
         "hybrid_from_index": q_hybrid_from_index,
         "hybrid_index_wsum": q_hybrid_index_wsum,
         "hybrid_index_batch": q_hybrid_index_batch,
         "hybrid_refined_lossy": q_hybrid_refined_lossy,
-        "facade_dispatch_equiv": q_facade_dispatch_equiv,
-        "ann_filtered_topk": q_ann_filtered_topk,
-        "bm25_filtered_topk": q_bm25_filtered_topk,
-        "ann_where_topk": q_ann_where_topk,
-        "bm25_where_topk": q_bm25_where_topk,
         "semantic_stream_dedup": q_semantic_stream_dedup,
-        "ann_from_index": q_ann_from_index,
         "ann_index_equiv": q_ann_index_equiv,
-        "ann_index_stream_equiv": q_ann_index_stream_equiv,
-        "bm25_index_build": q_bm25_index_build,
-        "bm25_index_stream": q_bm25_index_stream,
-        "auto_compact_equiv": q_auto_compact_equiv,
-        # 31-50: stalest direct driver evidence (r10-era rows:
-        # events family, incremental agg, multimodal/video,
-        # pack/chunk, diagnostics)
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
@@ -4152,14 +4426,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "clean_text": q_clean_text,
         "group_overlap": q_group_overlap,
-        # --- past the window: driver-checked green r11-r14 on
-        # code unchanged since (the at-HEAD sf0.1 sweep covers all) ---
         "ann_retrain_equiv": q_ann_retrain_equiv,
         "semantic_dedupe": q_semantic_dedupe,
         "ann_refine_topk": q_ann_refine_topk,
-        "ann_index_delete": q_ann_index_delete,
         "bm25_from_index": q_bm25_from_index,
-        "bm25_from_index_batch": q_bm25_from_index_batch,
         "bm25_index_phrase": q_bm25_index_phrase,
         "paragraph_dedupe": q_paragraph_dedupe,
         "merge_upsert": q_merge_upsert,
@@ -4174,22 +4444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
         "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        "filter_dsl": q_filter_dsl,
-        "filter_in_list": q_filter_in_list,
-        "concat_tall": q_concat_tall,
-        "concat_tall_schema_evolution": q_concat_tall_schema_evolution,
-        "concat_wide": q_concat_wide,
-        "concat_with_dataframe": q_concat_with_dataframe,
-        "sort_multi": q_sort_multi,
-        "reindex": q_reindex,
-        "dedupe_keep_first": q_dedupe_keep_first,
-        "dedupe_exact": q_dedupe_exact,
-        "profile": q_profile,
-        "rename": q_rename,
-        "calculated_column": q_calculated_column,
-        "blockmodel": q_blockmodel,
-        "near_dedupe_cc": q_near_dedupe_cc,
-        "dedupe_pairwise": q_dedupe_pairwise,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
@@ -4199,13 +4453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "token_count_bpe": q_token_count_bpe,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_wsum_topk": q_hybrid_wsum_topk,
         "hybrid_batch_rrf": q_hybrid_batch_rrf,
-        "bm25_index_delete": q_bm25_index_delete,
-        "bm25_index_upsert": q_bm25_index_upsert,
-        "bm25_index_time_travel": q_bm25_index_time_travel,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
         "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
@@ -4234,8 +4484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": q_window_analytics,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "pipeline_e2e": q_pipeline_e2e,
-        "compare_tables": q_compare_tables,
-        "memory_report": q_memory_report,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
         "ann_topk": q_ann_topk,
@@ -4256,7 +4504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "ngram_freq": q_ngram_freq,
         "token_count_by_lang": q_token_count_by_lang,
-        "dedupe_text_exact": q_dedupe_text_exact,
     }
 
 
@@ -8106,6 +8353,79 @@ FROM est WHERE e >= 0.5
         "WHERE lang = 'en')",
         "WHERE lang = 'en' AND doc_id % 7 <> 0)",
     )
+    # store_cols EVOLUTION (r16): backfilling the metadata column onto
+    # a bare index must serve where= identically to the fresh
+    # store_cols build each *_where_* entry already verifies — the
+    # oracles are those entries' SQL VERBATIM, so the only thing under
+    # test is the backfill path itself
+    out["ann_add_metadata_col"] = out["ann_where_topk"]
+    out["bm25_add_metadata_col"] = out["bm25_where_topk"]
+    out["minhash_add_metadata_col"] = out["minhash_where_query"]
+    out["simhash_add_metadata_col"] = out["simhash_where_query"]
+    # mixed U/D/M CDC stream: full BM25 recomputed over the
+    # post-stream corpus — doc_id%13 deleted, every English
+    # doc_id%11 re-graded to 'zz' (metadata-only — the 'U' rows
+    # re-supplied their own text, so the token corpus is documents
+    # minus the deletes), statistics over the survivors
+    out["bm25_meta_cdc_stream"] = r"""
+        WITH corpus AS (
+          SELECT doc_id, text,
+                 CASE WHEN lang = 'en' AND doc_id % 11 = 0
+                      THEN 'zz' ELSE lang END AS lang
+          FROM documents
+          WHERE doc_id % 13 <> 0
+        ),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                     '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM corpus
+        ),
+        stats AS (
+          SELECT count(*) AS n,
+                 CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+          FROM tok
+        ),
+        qterms(term) AS (
+          VALUES ('merge'), ('stream'), ('window')
+        ),
+        dfs AS (
+          SELECT q.term,
+                 (SELECT count(*) FROM tok
+                  WHERE list_contains(toks, q.term)) AS df
+          FROM qterms q
+        ),
+        idf AS (
+          SELECT term,
+                 ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+          FROM dfs CROSS JOIN stats
+        ),
+        postings AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+          FROM tok
+        ),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM postings
+          WHERE term IN (SELECT term FROM qterms)
+            AND doc_id IN (SELECT doc_id FROM corpus WHERE lang = 'en')
+          GROUP BY doc_id, dl, term
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 floor(sum(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+                       * 1e6 + 0.5) / 1e6 AS score
+          FROM tf JOIN idf USING (term) CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INT) AS rank
+        FROM scored
+        ORDER BY rank
+        LIMIT 10
+    """
     # index-served decontamination: containment recomputed from text
     # with the INDEX's tokenization (every testdata doc has >= k
     # tokens, so k-gram set membership == the operator's phrase

@@ -919,7 +919,13 @@ def ann_index_apply_cdc(
     return out
 
 
-def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
+def ann_index_update_metadata(
+    spark,
+    path: str,
+    updates: DataFrame,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
+) -> dict:
     """Metadata-ONLY update for ``store_cols`` indexes: flip stored
     metadata values (a license re-grade, a recomputed quality score)
     WITHOUT re-encoding anything — the affected rows' existing codes
@@ -952,7 +958,16 @@ def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
     AQE pick broadcast for request-sized updates, shuffled join for
     corpus-sized re-grades — the update set is never collected) plus
     a write of O(affected) rows; codes and vectors move bytes, never
-    through Python."""
+    through Python.
+
+    ``max_segments`` / ``max_tombstone_frac`` arm the shared
+    stats-driven compaction trigger AFTER the commit (the sinks'
+    :func:`ann_index_maybe_compact`, same bounds): every update adds
+    one segment + one tombstone, so a metadata-churn-only maintenance
+    loop (repeated re-grades with no ingest in between) would
+    otherwise fragment the manifest unboundedly — ingest paths
+    consult the trigger, and as of this round so does this one. Both
+    default OFF (0), preserving the commit-and-return behavior."""
     import json
     from functools import reduce
 
@@ -1073,6 +1088,13 @@ def ann_index_update_metadata(spark, path: str, updates: DataFrame) -> dict:
             }
         ),
     )
+    if max_segments or max_tombstone_frac:
+        ann_index_maybe_compact(
+            spark,
+            path,
+            max_segments=max_segments,
+            max_tombstone_frac=max_tombstone_frac,
+        )
     return {"updated": n_upd, "version": cur + 1}
 
 

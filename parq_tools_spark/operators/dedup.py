@@ -2149,13 +2149,19 @@ def incremental_dedupe(
 
 
 def minhash_index_update_metadata(
-    spark, path: str, updates: DataFrame
+    spark, path: str, updates: DataFrame,
+    max_segments: int = 0, max_delete_batches: int = 0,
 ) -> dict:
     """Metadata-only update over ``store_cols`` — the shared band-row
     implementation (:func:`~parq_tools_spark.operators._index_common.
     update_band_metadata`): affected ids' band rows rewritten with new
     metadata (signatures untouched, nothing re-shingled), one atomic
-    segment + tombstone commit."""
+    segment + tombstone commit. ``max_segments`` /
+    ``max_delete_batches`` arm the stats-driven compaction trigger
+    AFTER the commit (:func:`minhash_index_maybe_compact`): a
+    metadata-churn-only loop adds a segment + tombstone per call and
+    would otherwise fragment the manifest until the next ingest. Both
+    default OFF (0)."""
     from parq_tools_spark.operators._index_common import (
         retention,
         update_band_metadata,
@@ -2165,10 +2171,17 @@ def minhash_index_update_metadata(
     p = _manifest_params(spark, path, m)
     vs.clean_stale(cur, keep_versions=retention(m))
     _sweep_index_orphans(vs.fs, path, vs, cur)
-    return update_band_metadata(
+    out = update_band_metadata(
         spark, path, updates, vs=vs, cur=cur, m=m,
         params=p, fn="minhash_index_update_metadata",
     )
+    if max_segments or max_delete_batches:
+        minhash_index_maybe_compact(
+            spark, path,
+            max_segments=max_segments,
+            max_delete_batches=max_delete_batches,
+        )
+    return out
 
 
 def minhash_index_add_metadata_col(

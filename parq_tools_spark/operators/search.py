@@ -1177,7 +1177,11 @@ def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
 
 
 def bm25_index_update_metadata(
-    spark, path: str, updates: DataFrame
+    spark,
+    path: str,
+    updates: DataFrame,
+    max_segments: int = 0,
+    max_tombstone_frac: float = 0.0,
 ) -> dict:
     """Metadata-ONLY update for ``store_cols`` indexes — the BM25
     twin of :func:`~parq_tools_spark.operators.ann_index.
@@ -1204,7 +1208,14 @@ def bm25_index_update_metadata(
     flipped corpus). The commit is atomic: segment + ``_docs``
     sidecar + tombstone written first, one manifest commit last; a
     crash leaves invisible orphans and the old metadata fully
-    served. Returns ``{"updated": n, "version": v}``."""
+    served. Returns ``{"updated": n, "version": v}``.
+
+    ``max_segments`` / ``max_tombstone_frac`` arm the shared
+    stats-driven compaction trigger AFTER the commit
+    (:func:`bm25_index_maybe_compact`, the sinks' bounds): every
+    update adds one segment + one tombstone, so a metadata-churn-only
+    maintenance loop would otherwise fragment the manifest unboundedly
+    until the next ingest. Both default OFF (0)."""
     import json
     from functools import reduce
 
@@ -1321,6 +1332,13 @@ def bm25_index_update_metadata(
             }
         ),
     )
+    if max_segments or max_tombstone_frac:
+        bm25_index_maybe_compact(
+            spark,
+            path,
+            max_segments=max_segments,
+            max_tombstone_frac=max_tombstone_frac,
+        )
     return {"updated": n_upd, "version": cur + 1}
 
 
@@ -2226,12 +2244,15 @@ def decontaminate_from_index(
     (the index-served twin of :func:`~parq_tools_spark.operators.
     dedup.decontaminate`): the flagged-id set comes entirely from the
     positional index — the corpus DataFrame is touched only by the
-    final broadcast anti-join, never tokenized or shingled.
-    ``corpus_id_col`` defaults to the index's id column; ``**kw``
-    passes through (``k``, ``threshold``, ``version``,
-    ``allowed_ids``, ``where``, ...). The flagged set is bounded by
-    the contamination result (eval-sized pairs), so the anti-join
-    broadcasts it."""
+    final anti-join, never tokenized or shingled. ``corpus_id_col``
+    defaults to the index's id column; ``**kw`` passes through
+    (``k``, ``threshold``, ``version``, ``allowed_ids``, ``where``,
+    ...). The anti-join strategy is left to Catalyst/AQE: the
+    contamination PAIRS are eval-bounded, but the flagged DISTINCT
+    corpus-id set is bounded only by how widely the benchmark leaked
+    — at 100 TB with a low threshold that can be millions of ids, and
+    a forced broadcast would pin it on every executor (or fail)
+    instead of letting AQE fall back to a shuffled anti-join."""
     # manifest resolved at the SAME version the contamination call
     # will serve (a rebuild can change id_col across versions)
     _, _, m = _bm25_manifest(spark, path, kw.get("version"))
@@ -2256,9 +2277,7 @@ def decontaminate_from_index(
         .select(F.col(id_col).alias(corpus_id_col))
         .distinct()
     )
-    return corpus.join(
-        F.broadcast(flagged), on=corpus_id_col, how="left_anti"
-    )
+    return corpus.join(flagged, on=corpus_id_col, how="left_anti")
 
 
 def bm25_index_topk_batch(
@@ -2275,6 +2294,7 @@ def bm25_index_topk_batch(
     version: Optional[int] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Per-query top-``k`` for a whole queries DataFrame served from
     the index: ONE postings read covers the union of all query terms
@@ -2286,14 +2306,26 @@ def bm25_index_topk_batch(
     ``allowed_ids`` restricts candidate documents for EVERY query in
     the batch before scoring (same contract as
     :func:`bm25_index_topk`: candidates, not statistics; each query's
-    ``k`` is correct under the filter)."""
+    ``k`` is correct under the filter).
+
+    The queries DataFrame is collected to the driver (per-query term
+    lists plan the bucket pruning) and capped at ``max_queries`` —
+    the same guard as ``ann_index_topk``'s: a mistakenly corpus-sized
+    queries DataFrame must raise, not OOM the driver."""
     if mode not in ("any", "all"):
         raise ValueError("mode must be 'any' or 'all'")
     q_rows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(query_col).alias("q")
-    ).collect()
+    ).limit(max_queries + 1).collect()
     if not q_rows:
         raise ValueError("no queries")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            "bm25_index_topk_batch collects the queries to the driver "
+            "(their term lists plan the bucket-pruned postings read) "
+            f"and caps at max_queries={max_queries}; got more. Batch "
+            "through repeated calls or raise max_queries deliberately."
+        )
     q_terms = {}
     for r in q_rows:
         if r.qid in q_terms:

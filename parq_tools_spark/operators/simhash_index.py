@@ -861,13 +861,19 @@ def simhash_incremental_dedupe(
 
 
 def simhash_index_update_metadata(
-    spark, path: str, updates: DataFrame
+    spark, path: str, updates: DataFrame,
+    max_segments: int = 0, max_delete_batches: int = 0,
 ) -> dict:
     """Metadata-only update over ``store_cols`` — the shared band-row
     implementation (:func:`~parq_tools_spark.operators._index_common.
     update_band_metadata`): affected ids' band rows rewritten with new
     metadata (fingerprints untouched, nothing re-fingerprinted), one
-    atomic segment + tombstone commit."""
+    atomic segment + tombstone commit. ``max_segments`` /
+    ``max_delete_batches`` arm the stats-driven compaction trigger
+    AFTER the commit (:func:`simhash_index_maybe_compact`): a
+    metadata-churn-only loop adds a segment + tombstone per call and
+    would otherwise fragment the manifest until the next ingest. Both
+    default OFF (0)."""
     from parq_tools_spark.operators._index_common import (
         update_band_metadata,
     )
@@ -875,10 +881,17 @@ def simhash_index_update_metadata(
     vs, cur, m = _sh_manifest(spark, path)
     vs.clean_stale(cur, keep_versions=_retention(m))
     _sh_sweep_orphans(vs, path)
-    return update_band_metadata(
+    out = update_band_metadata(
         spark, path, updates, vs=vs, cur=cur, m=m,
         params=m["params"], fn="simhash_index_update_metadata",
     )
+    if max_segments or max_delete_batches:
+        simhash_index_maybe_compact(
+            spark, path,
+            max_segments=max_segments,
+            max_delete_batches=max_delete_batches,
+        )
+    return out
 
 
 def simhash_index_add_metadata_col(
