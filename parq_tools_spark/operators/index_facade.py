@@ -2,10 +2,10 @@
 (vector-ANN ``ann_index.py``, BM25 ``search.py``, MinHash
 ``dedup.py``, SimHash ``simhash_index.py``): ``open_index(spark,
 path)`` sniffs which family's manifest marker the path holds and
-returns a handle exposing the shared 9-operation surface —
+returns a handle exposing the shared operation surface —
 ``query / stats / versions / add / delete / upsert / apply_cdc /
-compact / maybe_compact`` — with the family's own functions behind
-it (same defaults, same semantics, nothing re-implemented here).
+compact / maybe_compact / update_metadata / add_metadata_col`` —
+with the family's own functions behind it (same defaults, same semantics, nothing re-implemented here).
 
 Why a facade and not a base class: the families deliberately share
 PROTOCOL (``_index_common.py`` — generation tags, version-scoped
