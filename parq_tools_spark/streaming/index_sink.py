@@ -118,6 +118,7 @@ def start_bm25_index_stream(
     seq_col: Optional[str] = None,
     n_buckets: int = 32,
     store_positions: bool = False,
+    store_cols=(),
     keep_versions: int = 1,
     compact_every: int = 0,
     max_segments: int = 0,
@@ -154,13 +155,13 @@ def start_bm25_index_stream(
 
     'M' (metadata-only) rows fold into ``bm25_index_update_metadata``
     through the same ``apply_cdc`` call (they need the id plus ALL
-    the index's ``store_cols``, no text). The sink's own bootstrap
-    build stores NO metadata columns, so 'M' rows against a
-    sink-bootstrapped index raise loudly (a stream shipping re-grades
-    nothing can store is a misconfiguration, not a replayable data
-    condition) — PRE-BUILD with ``bm25_index_build(...,
-    store_cols=[...])`` to stream re-grades; 'M' ids not visible when
-    the batch applies are then counted no-ops, so replay converges.
+    the index's ``store_cols``, no text). Pass ``store_cols=`` here
+    (or pre-build with it) so the bootstrapped index can store what
+    the re-grades ship — I/U rows must then carry the columns, and
+    'M' ids not visible when their batch applies are counted no-ops,
+    so replay converges. 'M' rows against a store_cols-LESS index
+    raise loudly: a stream shipping re-grades nothing can store is a
+    misconfiguration, not a replayable data condition.
 
     Returns the started ``StreamingQuery``. Query the index at any
     time with :func:`~parq_tools_spark.operators.search.
@@ -182,12 +183,15 @@ def start_bm25_index_stream(
 
         if _bm25_vs(spark, index_path).current() is None:
             bm25_index_build(
-                batch_df.limit(0).select(id_col, text_col),
+                batch_df.limit(0).select(
+                    id_col, text_col, *store_cols
+                ),
                 index_path,
                 id_col=id_col,
                 text_col=text_col,
                 n_buckets=n_buckets,
                 store_positions=store_positions,
+                store_cols=store_cols,
                 keep_versions=keep_versions,
             )
         bm25_index_apply_cdc(
@@ -239,6 +243,7 @@ def start_ann_index_stream(
     m: int = 8,
     n_codes: Optional[int] = 16,
     opq: bool = False,
+    store_cols=(),
     keep_versions: int = 1,
     compact_every: int = 0,
     max_segments: int = 0,
@@ -271,13 +276,13 @@ def start_ann_index_stream(
 
     'M' (metadata-only) rows fold into ``ann_index_update_metadata``
     through the same ``apply_cdc`` call (id plus ALL ``store_cols``,
-    no ``vec_col`` needed). Only I/U rows seed the model-training
-    bootstrap build, which stores NO metadata columns — so 'M' rows
-    are dropped in the bootstrap batch and raise loudly afterwards
-    (re-grades nothing can store are a misconfiguration); PRE-BUILD
-    with ``ann_index_build(..., store_cols=[...])`` to stream
-    re-grades, where not-visible 'M' ids are counted no-ops and
-    replay converges.
+    no ``vec_col`` needed). Pass ``store_cols=`` here (or pre-build
+    with it) so the bootstrapped index can store what the re-grades
+    ship; only I/U rows seed the model-training bootstrap build, so
+    its 'M' rows are no-ops by construction (nothing is visible yet)
+    and later batches' not-visible 'M' ids are counted no-ops —
+    replay converges. 'M' rows against a store_cols-LESS index raise
+    loudly (re-grades nothing can store are a misconfiguration).
     """
     if not changes.isStreaming:
         raise ValueError(
@@ -296,12 +301,24 @@ def start_ann_index_stream(
         )
 
         if _ann_vs(spark, index_path).current() is None:
-            final = resolve_cdc(batch_df, id_col, op_col, seq_col)
-            seed = final.filter(F.col(op_col).isin("I", "U")).select(
-                id_col, vec_col
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
             )
+
+            final = resolve_cdc(
+                batch_df.filter(F.col(op_col) != "M"),
+                id_col, op_col, seq_col,
+            )
+            ups = final.filter(F.col(op_col).isin("I", "U"))
+            # validate here for the clear message — the bare select
+            # would throw UNRESOLVED_COLUMN before build's own check
+            check_store_cols(
+                ups, list(store_cols), "start_ann_index_stream"
+            )
+            seed = ups.select(id_col, vec_col, *store_cols)
             if not seed.take(1):
-                # a delete-only batch against no index: all no-ops
+                # a delete-only (or meta-only) batch against no
+                # index: all no-ops
                 return
             ann_index_build(
                 seed,
@@ -312,6 +329,7 @@ def start_ann_index_stream(
                 id_col=id_col,
                 vec_col=vec_col,
                 opq=opq,
+                store_cols=store_cols,
                 keep_versions=keep_versions,
             )
             return

@@ -495,6 +495,107 @@ def test_cdc_meta_stream_equals_batch(spark, docs, tmp_path):
         assert served(sidx, **kw) == served(bidx, **kw), w
 
 
+def test_sink_bootstraps_store_cols_index(spark, tmp_path):
+    """store_cols= on the sinks: the stream's own bootstrap builds a
+    metadata-carrying index, so re-grades need no out-of-band
+    pre-build — I batches carry the columns, a later 'M' batch flips
+    them, and serving filters on the result."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_stats,
+        bm25_index_topk,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_bm25_index_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, op string, seq long"
+    b0 = [
+        (0, "stream merge windows and watermarks", "en", "I", 0),
+        (1, "broadcast joins avoid shuffling", "de", "I", 0),
+    ]
+    b1 = [(0, None, "zz", "M", 1)]
+    src = tmp_path / "cdc"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    idx = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = start_bm25_index_stream(
+        stream, idx, str(tmp_path / "ck"), seq_col="seq",
+        store_cols=["lang"],
+    )
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    assert bm25_index_stats(spark, idx)["params"]["store_cols"] == ["lang"]
+    got = {
+        r.doc_id
+        for r in bm25_index_topk(
+            spark, idx, "stream merge", k=10, where="lang == 'zz'"
+        ).collect()
+    }
+    assert got == {0}
+
+
+def test_ann_sink_bootstraps_store_cols_index(spark, emb, tmp_path):
+    """The ANN twin: the model-training bootstrap batch seeds a
+    store_cols index (a same-batch U+M pair seeds the U — the 'M'
+    must never displace the content row from the seed), and a later
+    'M' batch re-grades without vectors."""
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_stats,
+        ann_index_topk,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_ann_index_stream,
+    )
+
+    rows = [
+        (int(r.vec_id), list(r.embedding), int(r.label), "I", 0)
+        for r in emb.filter("vec_id < 40").collect()
+    ]
+    # same-batch U + M for one id in the BOOTSTRAP batch: the U's
+    # vector must seed the build (the M is a no-op pre-index)
+    b0 = rows + [(0, None, 7, "M", 1)]
+    b1 = [(1, None, 9, "M", 2)]
+    schema = (
+        "vec_id long, embedding array<double>, label int, "
+        "op string, seq long"
+    )
+    src = tmp_path / "cdc"
+    src.mkdir()
+    for i, batch in enumerate([b0, b1]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    idx = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = start_ann_index_stream(
+        stream, idx, str(tmp_path / "ck"), seq_col="seq",
+        n_cells=4, m=8, n_codes=16, store_cols=["label"],
+    )
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+    st = ann_index_stats(spark, idx)
+    assert st["params"]["store_cols"] == ["label"]
+    assert st["n_vecs"] == 40  # the bootstrap 'M' didn't eat vec 0
+    got = {
+        r.vec_id
+        for r in ann_index_topk(
+            spark, idx, emb.filter("vec_id == 2"), k=40, nprobe=4,
+            where="label == 9", exclude_self=False,
+        ).collect()
+    }
+    assert 1 in got
+
+
 # ---------------------------------------------------------------------
 # update_metadata consults the compaction trigger
 # ---------------------------------------------------------------------
