@@ -774,6 +774,15 @@ def check_add_metadata_col(values, id_col: str, store, reserved, fn: str) -> str
             f"columns {values.columns}"
         )
     new_col = new_cols[0]
+    if new_col in ("_new_val", "_has"):
+        # the backfill join's own helper names: the final
+        # drop("_new_val", "_has") would silently remove the
+        # just-attached column while store_cols gains it — bricking
+        # every subsequent where=/ingest on a column no row carries
+        raise ValueError(
+            f"{fn}: '{new_col}' collides with the backfill join's "
+            "helper columns — pick another name"
+        )
     if new_col in store:
         raise ValueError(
             f"{fn}: '{new_col}' is already a stored metadata column "
@@ -813,6 +822,12 @@ def backfill_metadata_rows(
     n_values)``."""
     from pyspark.sql import functions as F
 
+    clash = [c for c in ("_new_val", "_has") if c in rows.columns]
+    if clash:
+        raise ValueError(
+            f"{fn}: the index stores column(s) {clash}, which collide "
+            "with the backfill join's helper columns — rename them"
+        )
     val_type = values.schema[new_col].dataType
     vals = values.select(
         id_col, F.col(new_col).alias("_new_val")
@@ -904,6 +919,14 @@ def add_band_metadata_col(
         DataFrame.unionByName,
         [visible_scan(spark, path, s, batches, id_col) for s in live],
     )
+    if not rows.take(1):
+        # segment files exist but every row is tombstoned: committing
+        # the rewrite would make a data-less directory the SOLE
+        # segment and break schema inference for every later query
+        raise ValueError(
+            f"{fn}: the index holds no visible rows — nothing to "
+            "backfill"
+        )
     # one row per id per band — band 0 alone is exact membership at
     # 1/bands of the scan (the delete guard's trick)
     coverage = rows.filter(F.col("band") == 0).select(id_col)
@@ -1002,6 +1025,14 @@ def apply_cdc_meta(
     re-grades nothing can store), not a replayable data condition."""
     from pyspark.sql import functions as F
 
+    if not metas.take(1):
+        # every raw 'M' was superseded by a same-batch U/D —
+        # superseded M's vanish uncounted like superseded U's, and
+        # the store_cols misconfiguration guard below must not fire
+        # for ops that no longer exist (a foreachBatch raise here
+        # would wedge the stream on every replay AFTER the batch's
+        # deletes/upserts already committed)
+        return {"meta_updated": 0, "meta_noops": 0}
     if not store:
         raise ValueError(
             f"{fn}: the change batch carries 'M' (metadata-only) ops "
@@ -1013,8 +1044,6 @@ def apply_cdc_meta(
         F.col(src_id_col).alias(dst_id_col), *store
     ).localCheckpoint(eager=True)
     n_meta = upd.count()
-    if not n_meta:
-        return {"meta_updated": 0, "meta_noops": 0}
     if visible_ids is None:
         return {"meta_updated": 0, "meta_noops": n_meta}
     check_self_exclusion_types(

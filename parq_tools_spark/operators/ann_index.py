@@ -148,6 +148,29 @@ def _ann_delete_batches(spark, path: str, m: dict, id_col: str) -> list:
     return _ann_delete_batches_impl(spark, path, m)
 
 
+def _ann_visible_ids(spark, path: str, m: dict, id_col: str):
+    """Visible vec ids (the ANN twin of ``_minhash_visible_ids`` /
+    ``_sh_visible_ids``): union of tombstone-folded per-segment id
+    scans, or None on an index with no live segment files. NOT
+    de-duplicated — callers that join against a small batch first
+    keep the distinct on the post-join (batch-sized) side."""
+    from functools import reduce
+
+    fs = _ann_vs(spark, path).fs
+    live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
+    if not live:
+        return None
+    batches = _ann_delete_batches(spark, path, m, id_col)
+    return reduce(
+        DataFrame.unionByName,
+        [
+            _ann_visible_scan(spark, path, s, batches, id_col)
+            .select(id_col)
+            for s in live
+        ],
+    )
+
+
 def _write_model(fs, path: str, name: str, centroids, codebooks, rotation):
     import json
 
@@ -703,8 +726,6 @@ def ann_index_upsert(
     pre-materialized superset of the batch's visible ids, so the CDC
     path never scans the index twice per batch. Returns
     ``{"updated": u, "inserted": i, "version": v}``."""
-    from functools import reduce
-
     spark = new_vecs.sparkSession
     vs, cur, m = _ann_manifest(spark, path)
     id_col = m["params"]["id_col"]
@@ -725,15 +746,7 @@ def ann_index_upsert(
         if _visible_ids is not None:
             visible = _visible_ids
         else:
-            batches = _ann_delete_batches(spark, path, m, id_col)
-            visible = reduce(
-                DataFrame.unionByName,
-                [
-                    _ann_visible_scan(spark, path, s, batches, id_col)
-                    .select(id_col)
-                    for s in live
-                ],
-            )
+            visible = _ann_visible_ids(spark, path, m, id_col)
         existing = (
             visible.join(F.broadcast(ids_df), on=id_col)
             .distinct()
@@ -887,21 +900,7 @@ def ann_index_apply_cdc(
         # visibility resolves POST-upsert (fresh manifest): an 'M'
         # for an id this very batch inserted must apply
         _, _, m2 = _ann_manifest(spark, path)
-        fs2 = _ann_vs(spark, path).fs
-        live2 = [
-            s for s in m2["segments"] if fs2.list_files(f"{path}/{s}")
-        ]
-        vis = None
-        if live2:
-            b2 = _ann_delete_batches(spark, path, m2, id_col)
-            vis = reduce(
-                DataFrame.unionByName,
-                [
-                    _ann_visible_scan(spark, path, s, b2, id_col)
-                    .select(id_col)
-                    for s in live2
-                ],
-            ).distinct()
+        vis = _ann_visible_ids(spark, path, m2, id_col)
         out.update(
             apply_cdc_meta(
                 metas,
@@ -1162,6 +1161,14 @@ def ann_index_add_metadata_col(
         DataFrame.unionByName,
         [_ann_visible_scan(spark, path, s, batches, id_col) for s in live],
     )
+    if not rows.take(1):
+        # segment files exist but every row is tombstoned: the
+        # rewrite would commit a data-less directory as the SOLE
+        # segment and break schema inference for every later query
+        raise ValueError(
+            "ann_index_add_metadata_col: the index holds no visible "
+            "rows — nothing to backfill"
+        )
     out, _ = backfill_metadata_rows(
         rows, values, id_col, new_col, default,
         "ann_index_add_metadata_col",

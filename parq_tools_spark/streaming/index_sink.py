@@ -182,6 +182,15 @@ def start_bm25_index_stream(
         )
 
         if _bm25_vs(spark, index_path).current() is None:
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
+            )
+
+            # validate here for the clear message — the bare select
+            # would throw UNRESOLVED_COLUMN before build's own check
+            check_store_cols(
+                batch_df, list(store_cols), "start_bm25_index_stream"
+            )
             bm25_index_build(
                 batch_df.limit(0).select(
                     id_col, text_col, *store_cols
@@ -278,9 +287,10 @@ def start_ann_index_stream(
     through the same ``apply_cdc`` call (id plus ALL ``store_cols``,
     no ``vec_col`` needed). Pass ``store_cols=`` here (or pre-build
     with it) so the bootstrapped index can store what the re-grades
-    ship; only I/U rows seed the model-training bootstrap build, so
-    its 'M' rows are no-ops by construction (nothing is visible yet)
-    and later batches' not-visible 'M' ids are counted no-ops —
+    ship; only I/U rows seed the model-training bootstrap build, and
+    the bootstrap batch's surviving 'M' rows fold in right after it
+    (the seeded ids are visible by then — same semantics as a
+    replayed batch). Not-visible 'M' ids are counted no-ops, so
     replay converges. 'M' rows against a store_cols-LESS index raise
     loudly (re-grades nothing can store are a misconfiguration).
     """
@@ -293,7 +303,6 @@ def start_ann_index_stream(
     def _apply(spark, batch_df: DataFrame) -> None:
         from pyspark.sql import functions as F
 
-        from parq_tools_spark.operators._index_common import resolve_cdc
         from parq_tools_spark.operators.ann_index import (
             _ann_vs,
             ann_index_apply_cdc,
@@ -303,11 +312,11 @@ def start_ann_index_stream(
         if _ann_vs(spark, index_path).current() is None:
             from parq_tools_spark.operators._index_common import (
                 check_store_cols,
+                resolve_cdc_with_meta,
             )
 
-            final = resolve_cdc(
-                batch_df.filter(F.col(op_col) != "M"),
-                id_col, op_col, seq_col,
+            final, metas = resolve_cdc_with_meta(
+                batch_df, id_col, op_col, seq_col
             )
             ups = final.filter(F.col(op_col).isin("I", "U"))
             # validate here for the clear message — the bare select
@@ -332,6 +341,17 @@ def start_ann_index_stream(
                 store_cols=store_cols,
                 keep_versions=keep_versions,
             )
+            # fold the batch's SURVIVING 'M' rows like the
+            # non-bootstrap path does: after the in-batch build the
+            # seeded ids ARE visible, and a crash between the build
+            # commit and the checkpoint marker replays batch 0
+            # through apply_cdc where the 'M's would apply — dropping
+            # them here would make final state depend on crash timing
+            if metas is not None and metas.take(1):
+                ann_index_apply_cdc(
+                    spark, index_path, metas,
+                    op_col=op_col, seq_col=seq_col,
+                )
             return
         ann_index_apply_cdc(
             spark, index_path, batch_df, op_col=op_col, seq_col=seq_col

@@ -296,6 +296,12 @@ def test_add_metadata_col_guards(spark, emb, docs, tmp_path):
             spark, path,
             spark.createDataFrame([("a", 1)], "vec_id string, g int"),
         )
+    # the backfill join's helper names can't become metadata columns
+    # (the final drop would silently remove the just-added column)
+    with pytest.raises(ValueError, match="helper columns"):
+        ann_index_add_metadata_col(
+            spark, path, emb.select("vec_id", F.lit(1).alias("_new_val"))
+        )
     # an EMPTY index has nothing to backfill
     bare = str(tmp_path / "bm_empty")
     bm25_index_build(
@@ -305,6 +311,54 @@ def test_add_metadata_col_guards(spark, emb, docs, tmp_path):
         bm25_index_add_metadata_col(
             spark, bare, docs.select("doc_id", "lang")
         )
+    # an ALL-TOMBSTONED index too: committing the rewrite would make
+    # a data-less directory the sole segment and break later queries
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_delete,
+        ann_index_topk,
+    )
+
+    tomb = str(tmp_path / "ann_tomb")
+    small = emb.filter("vec_id < 20")
+    ann_index_build(small, tomb, n_cells=4, m=8, n_codes=16)
+    ann_index_delete(spark, tomb, [int(r.vec_id) for r in small.collect()])
+    with pytest.raises(ValueError, match="no visible"):
+        ann_index_add_metadata_col(
+            spark, tomb, emb.select("vec_id", "label")
+        )
+    # queries still serve (empty) — the failed backfill wrote nothing
+    assert (
+        ann_index_topk(
+            spark, tomb, emb.filter("vec_id < 1"), k=3, nprobe=4
+        ).count() == 0
+    )
+
+
+def test_cdc_meta_fully_superseded_on_bare_index(spark, docs, tmp_path):
+    """A store_cols-less index receiving a batch whose every 'M' is
+    superseded by a same-batch U must apply cleanly (superseded M's
+    vanish uncounted) — a raise here would wedge a foreachBatch
+    stream AFTER its upserts already committed."""
+    from parq_tools_spark.operators.search import (
+        bm25_index_apply_cdc,
+        bm25_index_build,
+    )
+
+    path = str(tmp_path / "bm")
+    bm25_index_build(
+        docs.select("doc_id", "text").filter("doc_id < 50"), path,
+        n_buckets=4,
+    )
+    ch = spark.createDataFrame(
+        [
+            (7, None, "M", 1),
+            (7, "corrective full update text", "U", 2),
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    out = bm25_index_apply_cdc(spark, path, ch, seq_col="seq")
+    assert out["updated"] == 1
+    assert (out["meta_updated"], out["meta_noops"]) == (0, 0)
 
 
 def test_add_metadata_col_facade_dispatch(spark, docs, tmp_path):
@@ -543,9 +597,11 @@ def test_sink_bootstraps_store_cols_index(spark, tmp_path):
 
 def test_ann_sink_bootstraps_store_cols_index(spark, emb, tmp_path):
     """The ANN twin: the model-training bootstrap batch seeds a
-    store_cols index (a same-batch U+M pair seeds the U — the 'M'
-    must never displace the content row from the seed), and a later
-    'M' batch re-grades without vectors."""
+    store_cols index (a same-batch I+M pair seeds the I — the 'M'
+    must never displace the content row from the seed — and the 'M'
+    then FOLDS right after the build, matching what a replayed
+    batch 0 would do through apply_cdc), and a later 'M' batch
+    re-grades without vectors."""
     from parq_tools_spark.operators.ann_index import (
         ann_index_stats,
         ann_index_topk,
@@ -586,14 +642,19 @@ def test_ann_sink_bootstraps_store_cols_index(spark, emb, tmp_path):
     st = ann_index_stats(spark, idx)
     assert st["params"]["store_cols"] == ["label"]
     assert st["n_vecs"] == 40  # the bootstrap 'M' didn't eat vec 0
-    got = {
-        r.vec_id
-        for r in ann_index_topk(
-            spark, idx, emb.filter("vec_id == 2"), k=40, nprobe=4,
-            where="label == 9", exclude_self=False,
-        ).collect()
-    }
-    assert 1 in got
+
+    def ids_where(w):
+        return {
+            r.vec_id
+            for r in ann_index_topk(
+                spark, idx, emb.filter("vec_id == 2"), k=40, nprobe=4,
+                where=w, exclude_self=False,
+            ).collect()
+        }
+
+    assert 1 in ids_where("label == 9")
+    # the bootstrap batch's own 'M' applied after the build
+    assert 0 in ids_where("label == 7")
 
 
 # ---------------------------------------------------------------------
