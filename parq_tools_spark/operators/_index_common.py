@@ -34,8 +34,10 @@ __all__ = [
     "update_band_metadata",
     "NO_DEFAULT",
     "check_add_metadata_col",
+    "check_drop_metadata_cols",
     "backfill_metadata_rows",
     "add_band_metadata_col",
+    "drop_band_metadata_cols",
     "resolve_cdc_with_meta",
     "apply_cdc_meta",
 ]
@@ -751,14 +753,20 @@ def update_band_metadata(
 NO_DEFAULT = object()
 
 
-def check_add_metadata_col(values, id_col: str, store, reserved, fn: str) -> str:
+def check_add_metadata_col(values, id_col: str, store, reserved, fn: str,
+                           default=None) -> list:
     """Shared up-front validation for every family's metadata-column
     BACKFILL path (``*_index_add_metadata_col`` — the evolution leg of
-    the metadata lifecycle: store → filter → update → evolve):
-    ``values`` must carry the index id column plus exactly ONE new
-    column that is neither already stored (flipping stored values is
+    the metadata lifecycle: store → filter → update → evolve → prune):
+    ``values`` must carry the index id column plus one or more NEW
+    columns, each neither already stored (flipping stored values is
     :func:`check_metadata_updates` / ``update_metadata``'s job) nor a
-    reserved segment-schema column. Returns the new column's name.
+    reserved segment-schema column. Returns the new column names in
+    ``values``' order. Multi-column is first-class: the O(index)
+    rewrite is the entire cost of evolution, so shipping a k-column
+    quality table (score, license, toxicity, …) must cost ONE rewrite,
+    not k. A dict ``default`` is validated here too — a key naming no
+    new column is a typo that would otherwise silently fill nothing.
     ONE definition so the four families cannot drift on what counts
     as a valid evolution."""
     if id_col not in values.columns:
@@ -767,71 +775,117 @@ def check_add_metadata_col(values, id_col: str, store, reserved, fn: str) -> str
             f"'{id_col}'; got columns {values.columns}"
         )
     new_cols = [c for c in values.columns if c != id_col]
-    if len(new_cols) != 1:
+    if not new_cols:
         raise ValueError(
-            f"{fn}: values must carry the id column plus exactly ONE "
-            "new metadata column (one column per backfill call); got "
-            f"columns {values.columns}"
+            f"{fn}: values must carry the id column plus at least one "
+            f"new metadata column; got columns {values.columns}"
         )
-    new_col = new_cols[0]
-    if new_col in ("_new_val", "_has"):
-        # the backfill join's own helper names: the final
-        # drop("_new_val", "_has") would silently remove the
-        # just-attached column while store_cols gains it — bricking
-        # every subsequent where=/ingest on a column no row carries
+    if len(set(new_cols)) != len(new_cols):
         raise ValueError(
-            f"{fn}: '{new_col}' collides with the backfill join's "
-            "helper columns — pick another name"
+            f"{fn}: duplicate column names in values "
+            f"({values.columns}) — each new metadata column once"
         )
-    if new_col in store:
+    for new_col in new_cols:
+        if new_col == "_has":
+            # the backfill join's own presence marker: the final
+            # drop("_has") would silently remove the just-attached
+            # column while store_cols gains it — bricking every
+            # subsequent where=/ingest on a column no row carries
+            raise ValueError(
+                f"{fn}: '{new_col}' collides with the backfill join's "
+                "helper columns — pick another name"
+            )
+        if new_col in store:
+            raise ValueError(
+                f"{fn}: '{new_col}' is already a stored metadata column "
+                f"(store_cols={list(store)}) — flip stored values with "
+                "update_metadata; add_metadata_col adds NEW columns"
+            )
+        if new_col in reserved:
+            raise ValueError(
+                f"{fn}: '{new_col}' collides with the segment schema's "
+                f"reserved columns ({sorted(reserved)})"
+            )
+    if isinstance(default, dict):
+        bad = [c for c in default if c not in new_cols]
+        if bad:
+            raise ValueError(
+                f"{fn}: default= names column(s) {bad} that are not "
+                f"among the new metadata columns {new_cols}"
+            )
+    return new_cols
+
+
+def check_drop_metadata_cols(cols, store, fn: str) -> list:
+    """Shared up-front validation for every family's metadata-column
+    PRUNE path (``*_index_drop_metadata_col`` — the inverse of the
+    backfill leg): ``cols`` (one name or a list) must each be a
+    currently stored metadata column, named once. Dropping ALL stored
+    columns is legal — the index reverts to store_cols-less, and any
+    subsequent ``where=`` against a dropped column fails with the
+    standard unknown-column error (whether a sink's admission scope
+    still references it is undetectable here, so the contract is
+    documented, not guessed). Returns the names as a list."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise ValueError(f"{fn}: no columns to drop")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"{fn}: duplicate column names in {cols}")
+    bad = [c for c in cols if c not in store]
+    if bad:
         raise ValueError(
-            f"{fn}: '{new_col}' is already a stored metadata column "
-            f"(store_cols={list(store)}) — flip stored values with "
-            "update_metadata; add_metadata_col adds NEW columns"
+            f"{fn}: {bad} are not stored metadata columns of this "
+            f"index (store_cols={list(store)}) — only stored metadata "
+            "can be dropped"
         )
-    if new_col in reserved:
-        raise ValueError(
-            f"{fn}: '{new_col}' collides with the segment schema's "
-            f"reserved columns ({sorted(reserved)})"
-        )
-    return new_col
+    return cols
 
 
 def backfill_metadata_rows(
-    rows, values, id_col: str, new_col: str, default, fn: str,
+    rows, values, id_col: str, new_cols: list, default, fn: str,
     coverage_ids=None,
 ):
-    """Attach one NEW metadata column to every visible index row:
+    """Attach NEW metadata column(s) to every visible index row:
     values looked up by id (extra ids in ``values`` are ignored — it
     is a lookup, not a command), ids absent from ``values`` filled
     with ``default``. Shared by the four families' backfill paths.
 
+    ``new_cols`` is a LIST: k columns backfill in ONE pass and ONE
+    commit — the O(index) rewrite is the whole cost of evolution, so
+    a k-column quality table must never pay it k times. ``default``
+    is either one value applied to every new column, or a dict
+    ``{col: default}`` — columns absent from the dict have NO default
+    (an uncovered id raises for them). Coverage is judged per ROW of
+    ``values`` (one values row carries all k columns for its id), so
+    one probe covers every no-default column.
+
     Loud-up-front guards: duplicate value ids raise; a join-
     incompatible id type raises (it would silently NULL-fill every
-    row under non-ANSI semantics); and with NO default supplied, any
-    visible id lacking a value raises BEFORE anything is written —
-    ``coverage_ids`` is the family's cheapest one-row-per-id relation
-    (band 0 for the band families, the code rows for ANN, distinct
-    posting doc ids for BM25), so the coverage probe is one
-    column-pruned scan, never a second full-width pass.
+    row under non-ANSI semantics); and for any column with NO
+    default, a visible id lacking a values row raises BEFORE anything
+    is written — ``coverage_ids`` is the family's cheapest
+    one-row-per-id relation (band 0 for the band families, the code
+    rows for ANN, distinct posting doc ids for BM25), so the coverage
+    probe is one column-pruned scan, never a second full-width pass.
 
     An explicit ``default=None`` is honored (NULL backfill); the
     missing-vs-explicit-NULL distinction rides a presence marker, not
     ``coalesce``, so a deliberate NULL in ``values`` survives even
-    when a non-NULL default is given. Returns ``(rows_with_new_col,
+    when a non-NULL default is given. Returns ``(rows_with_new_cols,
     n_values)``."""
     from pyspark.sql import functions as F
 
-    clash = [c for c in ("_new_val", "_has") if c in rows.columns]
-    if clash:
+    if "_has" in rows.columns:
         raise ValueError(
-            f"{fn}: the index stores column(s) {clash}, which collide "
-            "with the backfill join's helper columns — rename them"
+            f"{fn}: the index stores column '_has', which collides "
+            "with the backfill join's helper column — rename it"
         )
-    val_type = values.schema[new_col].dataType
-    vals = values.select(
-        id_col, F.col(new_col).alias("_new_val")
-    ).localCheckpoint(eager=True)
+    defaults = (
+        {c: default.get(c, NO_DEFAULT) for c in new_cols}
+        if isinstance(default, dict)
+        else {c: default for c in new_cols}
+    )
+    vals = values.select(id_col, *new_cols).localCheckpoint(eager=True)
     n_vals = vals.count()
     if vals.select(id_col).distinct().count() < n_vals:
         raise ValueError(
@@ -844,7 +898,8 @@ def backfill_metadata_rows(
         f"{fn}: values",
         remedy="Cast the values id column to the indexed id type.",
     )
-    if default is NO_DEFAULT:
+    no_default = [c for c in new_cols if defaults[c] is NO_DEFAULT]
+    if no_default:
         ids = coverage_ids if coverage_ids is not None else rows.select(id_col)
         n_missing = (
             ids.distinct()
@@ -854,65 +909,49 @@ def backfill_metadata_rows(
         if n_missing:
             raise ValueError(
                 f"{fn}: {n_missing} visible id(s) have no value in "
-                "values and no default= was given — pass default= to "
-                "fill the gap, or cover every visible id"
+                f"values and no default= was given for {no_default} — "
+                "pass default= to fill the gap, or cover every "
+                "visible id"
             )
-        joined = rows.join(vals, on=id_col, how="left")
-        newv = F.col("_new_val")
-    else:
-        joined = rows.join(
-            vals.withColumn("_has", F.lit(True)), on=id_col, how="left"
+    joined = rows.join(
+        vals.withColumn("_has", F.lit(True)), on=id_col, how="left"
+    )
+    out = joined
+    for c in new_cols:
+        if defaults[c] is NO_DEFAULT:
+            # coverage proven above (or no probe needed: every
+            # visible id has a values row), so the joined value IS
+            # the value — no marker logic, explicit NULLs included
+            continue
+        out = out.withColumn(
+            c,
+            F.when(F.col("_has").isNotNull(), F.col(c)).otherwise(
+                F.lit(defaults[c]).cast(vals.schema[c].dataType)
+            ),
         )
-        newv = F.when(
-            F.col("_has").isNotNull(), F.col("_new_val")
-        ).otherwise(F.lit(default).cast(val_type))
-    out = joined.withColumn(new_col, newv).drop("_new_val", "_has")
+    out = out.drop("_has")
     return out, n_vals
 
 
-def add_band_metadata_col(
-    spark, path: str, values, default, *, vs, cur: int, m: dict,
-    params: dict, reserved, fn: str, task_splits=1,
-):
-    """Backfill a NEW metadata column over a band-row index
-    (MinHash / SimHash) — the band twin of
-    ``ann_index_add_metadata_col`` and the evolution leg the
-    metadata lifecycle was missing: every VISIBLE band row is
-    rewritten with the extra column (signatures/fingerprints carried
-    as stored bytes — nothing re-shingled or re-fingerprinted) and
-    committed as ONE fresh segment whose manifest extends
-    ``params.store_cols`` in the SAME atomic commit, so serving-time
-    ``where=`` validation and every subsequent ingest's
-    ``check_store_cols`` see the new column the instant it is
-    queryable, never before.
-
-    The commit is COMPACTION-shaped (``segments=[new]``,
-    ``deletes=[]``), not the update path's segment+tombstone shape:
-    a backfill touches every row by definition, and tombstoning the
-    whole index would bolt a full-index anti-join onto every query
-    until the next fold. Pending tombstones fold into the rewrite
-    (each segment anti-joins only the batches covering its version),
-    old segments stay on disk for the reader-grace cycle like any
-    compaction. Cost shape at 100 TB: one id-lookup join plus one
-    index-sized shuffle keyed by band (the write's own partitioning;
-    ``task_splits`` salts it like the families' ingest writes) — the
-    irreducible cost of an O(index) schema evolution, paid once
-    instead of on every serving query."""
-    import json
+def visible_band_rows(spark, path: str, m: dict, id_col: str, fn: str):
+    """Every VISIBLE band row of a band-partitioned index (MinHash /
+    SimHash), tombstones folded — the read side both evolution legs
+    (backfill / prune) share. Raises when nothing is visible:
+    committing a rewrite of zero rows would make a data-less
+    directory the SOLE segment and break schema inference for every
+    later query."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
-    from pyspark.sql import functions as F
 
-    id_col = params["id_col"]
-    store = list(params.get("store_cols", []))
-    new_col = check_add_metadata_col(values, id_col, store, reserved, fn)
-    fs = vs.fs
+    from parq_tools_spark.sources.statefs import StateFS
+
+    fs = StateFS(spark, path)
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
     if not live:
         raise ValueError(
             f"{fn}: the index holds no visible rows — nothing to "
-            "backfill"
+            "rewrite"
         )
     batches = delete_batches(spark, path, m)
     rows = reduce(
@@ -920,20 +959,29 @@ def add_band_metadata_col(
         [visible_scan(spark, path, s, batches, id_col) for s in live],
     )
     if not rows.take(1):
-        # segment files exist but every row is tombstoned: committing
-        # the rewrite would make a data-less directory the SOLE
-        # segment and break schema inference for every later query
         raise ValueError(
             f"{fn}: the index holds no visible rows — nothing to "
-            "backfill"
+            "rewrite"
         )
-    # one row per id per band — band 0 alone is exact membership at
-    # 1/bands of the scan (the delete guard's trick)
-    coverage = rows.filter(F.col("band") == 0).select(id_col)
-    out, _ = backfill_metadata_rows(
-        rows, values, id_col, new_col, default, fn,
-        coverage_ids=coverage,
-    )
+    return rows
+
+
+def commit_band_rewrite(
+    out, path: str, *, vs, cur: int, m: dict, params: dict,
+    store_cols: list, id_col: str, task_splits=1,
+):
+    """Write rewritten band rows as ONE fresh segment and commit a
+    COMPACTION-shaped manifest (``segments=[new]``, ``deletes=[]``)
+    whose ``params.store_cols`` becomes ``store_cols`` in the SAME
+    atomic commit — the shared tail of the band families' evolution
+    legs (backfill extends the list, prune shrinks it). Serving-time
+    ``where=`` validation and every subsequent ingest's
+    ``check_store_cols`` see the new list the instant it is
+    queryable, never before. Old segments stay on disk for the
+    reader-grace cycle like any compaction. Returns the new
+    version."""
+    import json
+
     seg = tag(cur + 1, "seg")
     with cached_for_auto(out, task_splits) as out_c:
         write_salted_segment(
@@ -948,11 +996,92 @@ def add_band_metadata_col(
                 "version": cur + 1,
                 "segments": [seg],
                 "deletes": [],
-                "params": {**params, "store_cols": store + [new_col]},
+                "params": {**params, "store_cols": store_cols},
             }
         ),
     )
-    return {"added": new_col, "version": cur + 1}
+    return cur + 1
+
+
+def add_band_metadata_col(
+    spark, path: str, values, default, *, vs, cur: int, m: dict,
+    params: dict, reserved, fn: str, task_splits=1,
+):
+    """Backfill NEW metadata column(s) over a band-row index
+    (MinHash / SimHash) — the band twin of
+    ``ann_index_add_metadata_col`` and the evolution leg of the
+    metadata lifecycle: every VISIBLE band row is rewritten with the
+    extra column(s) (signatures/fingerprints carried as stored
+    values — nothing re-shingled or re-fingerprinted) and committed
+    as ONE fresh segment whose manifest extends ``params.store_cols``
+    in the SAME atomic commit. ``values`` may carry k new columns —
+    they land in ONE rewrite (``default`` a shared value or a
+    per-column dict), because the O(index) rewrite is the entire cost
+    of evolution and must never be paid per column.
+
+    The commit is COMPACTION-shaped (``segments=[new]``,
+    ``deletes=[]``), not the update path's segment+tombstone shape:
+    a backfill touches every row by definition, and tombstoning the
+    whole index would bolt a full-index anti-join onto every query
+    until the next fold. Pending tombstones fold into the rewrite
+    (each segment anti-joins only the batches covering its version),
+    old segments stay on disk for the reader-grace cycle like any
+    compaction. Cost shape at 100 TB: one id-lookup join plus one
+    index-sized shuffle keyed by band (the write's own partitioning;
+    ``task_splits`` salts it like the families' ingest writes) — the
+    irreducible cost of an O(index) schema evolution, paid once
+    instead of on every serving query."""
+    from pyspark.sql import functions as F
+
+    id_col = params["id_col"]
+    store = list(params.get("store_cols", []))
+    new_cols = check_add_metadata_col(
+        values, id_col, store, reserved, fn, default=default
+    )
+    rows = visible_band_rows(spark, path, m, id_col, fn)
+    # one row per id per band — band 0 alone is exact membership at
+    # 1/bands of the scan (the delete guard's trick)
+    coverage = rows.filter(F.col("band") == 0).select(id_col)
+    out, _ = backfill_metadata_rows(
+        rows, values, id_col, new_cols, default, fn,
+        coverage_ids=coverage,
+    )
+    v = commit_band_rewrite(
+        out, path, vs=vs, cur=cur, m=m, params=params,
+        store_cols=store + new_cols, id_col=id_col,
+        task_splits=task_splits,
+    )
+    return {"added": new_cols, "version": v}
+
+
+def drop_band_metadata_cols(
+    spark, path: str, cols, *, vs, cur: int, m: dict,
+    params: dict, fn: str, task_splits=1,
+):
+    """Drop stored metadata column(s) from a band-row index
+    (MinHash / SimHash) — the PRUNE leg of the metadata lifecycle,
+    the inverse of :func:`add_band_metadata_col`: every VISIBLE band
+    row is rewritten WITHOUT the column(s) (signatures/fingerprints
+    carried) and committed as ONE compaction-shaped segment whose
+    manifest shrinks ``params.store_cols`` atomically. Until this
+    runs, a mistakenly added or superseded column pays its bytes on
+    every band scan forever. Dropping the last stored column is
+    legal (the index reverts to store_cols-less); serving ``where=``
+    against a dropped column then fails with the standard
+    unknown-column error — whether a streaming sink's admission
+    scope still references it is undetectable here, so that contract
+    is documented rather than guessed."""
+    store = list(params.get("store_cols", []))
+    cols = check_drop_metadata_cols(cols, store, fn)
+    id_col = params["id_col"]
+    rows = visible_band_rows(spark, path, m, id_col, fn)
+    out = rows.drop(*cols)
+    v = commit_band_rewrite(
+        out, path, vs=vs, cur=cur, m=m, params=params,
+        store_cols=[c for c in store if c not in cols], id_col=id_col,
+        task_splits=task_splits,
+    )
+    return {"dropped": cols, "version": v}
 
 
 def resolve_cdc_with_meta(changes, id_col: str, op_col: str, seq_col):

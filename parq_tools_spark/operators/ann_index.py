@@ -1097,64 +1097,20 @@ def ann_index_update_metadata(
     return {"updated": n_upd, "version": cur + 1}
 
 
-def ann_index_add_metadata_col(
-    spark, path: str, values: DataFrame, default=_NO_DEFAULT
-) -> dict:
-    """Backfill a NEW metadata column over the index — the evolution
-    leg the ``store_cols`` lifecycle was missing (store → ``where=``
-    filter → ``update_metadata`` → **evolve**): a quality score
-    computed AFTER the build becomes a served, filterable column
-    without re-encoding a single vector. Every visible code row is
-    read back, the new column attached (``values`` looked up by the
-    index id; ids absent from ``values`` take ``default`` — omit it
-    and an uncovered id raises before anything is written; extra ids
-    in ``values`` are ignored), and the rewritten rows committed as
-    ONE fresh segment whose manifest extends ``params.store_cols``
-    in the SAME atomic commit — serving-time ``where=`` validation
-    and every subsequent ingest's ``check_store_cols`` see the new
-    column the instant it is queryable, never before. Works on a
-    store_cols-LESS index (adding the first metadata column) and on
-    ``store_vectors=False`` indexes — the codes are carried as
-    stored bytes, which is the proof nothing re-encodes.
-
-    The commit is COMPACTION-shaped (``segments=[new]``,
-    ``deletes=[]``): a backfill touches every row by definition, and
-    the update path's whole-index tombstone would bolt a full-index
-    anti-join onto every query until the next fold. Pending
-    tombstones fold into the rewrite; the model, ``n_vecs`` and cell
-    assignments are untouched (the vectors didn't change). Cost at
-    100 TB: one id-lookup join (AQE picks broadcast for small values,
-    shuffle for corpus-sized scores) plus the cell-keyed segment
-    write every ingest already pays — O(index) once, the irreducible
-    price of schema evolution. Returns ``{"added": col,
-    "version": v}``."""
-    import json
+def _ann_visible_rows_for_rewrite(spark, path, vs, m, id_col, fn):
+    """Every VISIBLE code row, tombstones folded — the read side both
+    evolution legs (backfill / prune) share. Raises when nothing is
+    visible: committing a rewrite of zero rows would make a data-less
+    directory the SOLE segment and break schema inference for every
+    later query."""
     from functools import reduce
-
-    from parq_tools_spark.operators._index_common import (
-        backfill_metadata_rows,
-        cached_for_auto,
-        check_add_metadata_col,
-        resolve_task_splits,
-    )
-
-    vs, cur, m = _ann_manifest(spark, path)
-    p = m["params"]
-    id_col = p["id_col"]
-    store = list(p.get("store_cols", []))
-    reserved = {"codes", "cell", "vec", id_col, p["vec_col"]}
-    new_col = check_add_metadata_col(
-        values, id_col, store, reserved, "ann_index_add_metadata_col"
-    )
-    vs.clean_stale(cur, keep_versions=_retention(m))
-    _ann_sweep_orphans(vs, path)
 
     fs = vs.fs
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
     if not live:
         raise ValueError(
-            "ann_index_add_metadata_col: the index holds no visible "
-            "rows — nothing to backfill"
+            f"{fn}: the index holds no visible rows — nothing to "
+            "rewrite"
         )
     batches = _ann_delete_batches(spark, path, m, id_col)
     rows = reduce(
@@ -1162,17 +1118,28 @@ def ann_index_add_metadata_col(
         [_ann_visible_scan(spark, path, s, batches, id_col) for s in live],
     )
     if not rows.take(1):
-        # segment files exist but every row is tombstoned: the
-        # rewrite would commit a data-less directory as the SOLE
-        # segment and break schema inference for every later query
         raise ValueError(
-            "ann_index_add_metadata_col: the index holds no visible "
-            "rows — nothing to backfill"
+            f"{fn}: the index holds no visible rows — nothing to "
+            "rewrite"
         )
-    out, _ = backfill_metadata_rows(
-        rows, values, id_col, new_col, default,
-        "ann_index_add_metadata_col",
+    return rows
+
+
+def _ann_commit_rewrite(out, path, *, vs, cur, m, p, id_col, store_cols):
+    """Write rewritten code rows as ONE fresh segment and commit a
+    COMPACTION-shaped manifest (``segments=[new]``, ``deletes=[]``)
+    whose ``params.store_cols`` becomes ``store_cols`` in the SAME
+    atomic commit — the shared tail of the ANN evolution legs
+    (backfill extends the list, prune shrinks it). The model,
+    ``n_vecs`` and cell assignments are untouched (the vectors didn't
+    change). Returns the new version."""
+    import json
+
+    from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
+        resolve_task_splits,
     )
+
     seg = _tag(cur + 1, "seg")
     with cached_for_auto(out, p.get("cell_task_splits", 1)) as out_c:
         _write_codes_segment(
@@ -1190,13 +1157,115 @@ def ann_index_add_metadata_col(
                 "version": cur + 1,
                 "segments": [seg],
                 "deletes": [],
-                # n_vecs/model unchanged: same vectors, one more
-                # metadata column on every row
-                "params": {**p, "store_cols": store + [new_col]},
+                # n_vecs/model unchanged: same vectors, different
+                # metadata columns on every row
+                "params": {**p, "store_cols": store_cols},
             }
         ),
     )
-    return {"added": new_col, "version": cur + 1}
+    return cur + 1
+
+
+def ann_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_NO_DEFAULT
+) -> dict:
+    """Backfill NEW metadata column(s) over the index — the evolution
+    leg of the ``store_cols`` lifecycle (store → ``where=``
+    filter → ``update_metadata`` → **evolve** → prune): a quality
+    score computed AFTER the build becomes a served, filterable
+    column without re-encoding a single vector. Every visible code
+    row is read back, the new column(s) attached (``values`` looked
+    up by the index id; ids absent from ``values`` take ``default`` —
+    omit it and an uncovered id raises before anything is written;
+    extra ids in ``values`` are ignored), and the rewritten rows
+    committed as ONE fresh segment whose manifest extends
+    ``params.store_cols`` in the SAME atomic commit — serving-time
+    ``where=`` validation and every subsequent ingest's
+    ``check_store_cols`` see the new columns the instant they are
+    queryable, never before. ``values`` may carry k new columns —
+    they land in ONE O(index) rewrite (``default`` a shared fill or a
+    per-column dict), because the rewrite is the entire cost of
+    evolution and must never be paid per column. Works on a
+    store_cols-LESS index (adding the first metadata column) and on
+    ``store_vectors=False`` indexes — the codes are carried as
+    stored bytes, which is the proof nothing re-encodes.
+
+    The commit is COMPACTION-shaped (``segments=[new]``,
+    ``deletes=[]``): a backfill touches every row by definition, and
+    the update path's whole-index tombstone would bolt a full-index
+    anti-join onto every query until the next fold. Pending
+    tombstones fold into the rewrite; the model, ``n_vecs`` and cell
+    assignments are untouched (the vectors didn't change). Cost at
+    100 TB: one id-lookup join (AQE picks broadcast for small values,
+    shuffle for corpus-sized scores) plus the cell-keyed segment
+    write every ingest already pays — O(index) once, the irreducible
+    price of schema evolution. Returns ``{"added": [cols],
+    "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        backfill_metadata_rows,
+        check_add_metadata_col,
+    )
+
+    vs, cur, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+    store = list(p.get("store_cols", []))
+    reserved = {"codes", "cell", "vec", id_col, p["vec_col"]}
+    new_cols = check_add_metadata_col(
+        values, id_col, store, reserved, "ann_index_add_metadata_col",
+        default=default,
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _ann_sweep_orphans(vs, path)
+    rows = _ann_visible_rows_for_rewrite(
+        spark, path, vs, m, id_col, "ann_index_add_metadata_col"
+    )
+    out, _ = backfill_metadata_rows(
+        rows, values, id_col, new_cols, default,
+        "ann_index_add_metadata_col",
+    )
+    v = _ann_commit_rewrite(
+        out, path, vs=vs, cur=cur, m=m, p=p, id_col=id_col,
+        store_cols=store + new_cols,
+    )
+    return {"added": new_cols, "version": v}
+
+
+def ann_index_drop_metadata_col(spark, path: str, cols) -> dict:
+    """Drop stored metadata column(s) from the index — the PRUNE leg
+    of the metadata lifecycle, the inverse of
+    :func:`ann_index_add_metadata_col`: every visible code row is
+    rewritten WITHOUT the column(s) (codes carried as stored bytes,
+    nothing re-encoded) and committed as ONE compaction-shaped
+    segment whose manifest shrinks ``params.store_cols`` atomically.
+    Until this runs, a mistakenly added or superseded column pays its
+    bytes on every cell scan forever. ``cols`` is one name or a
+    list; dropping the last stored column reverts the index to
+    store_cols-less — serving ``where=`` against a dropped column
+    then fails with the standard unknown-column error. Returns
+    ``{"dropped": [cols], "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        check_drop_metadata_cols,
+    )
+
+    vs, cur, m = _ann_manifest(spark, path)
+    p = m["params"]
+    id_col = p["id_col"]
+    store = list(p.get("store_cols", []))
+    cols = check_drop_metadata_cols(
+        cols, store, "ann_index_drop_metadata_col"
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _ann_sweep_orphans(vs, path)
+    rows = _ann_visible_rows_for_rewrite(
+        spark, path, vs, m, id_col, "ann_index_drop_metadata_col"
+    )
+    v = _ann_commit_rewrite(
+        rows.drop(*cols), path, vs=vs, cur=cur, m=m, p=p,
+        id_col=id_col,
+        store_cols=[c for c in store if c not in cols],
+    )
+    return {"dropped": cols, "version": v}
 
 
 def ann_index_compact(

@@ -2188,15 +2188,17 @@ def minhash_index_add_metadata_col(
     spark, path: str, values: DataFrame, default=_CM.NO_DEFAULT,
     task_splits=1,
 ) -> dict:
-    """Backfill a NEW metadata column over the MinHash index — the
+    """Backfill NEW metadata column(s) over the MinHash index — the
     shared band-row implementation (:func:`~parq_tools_spark.
     operators._index_common.add_band_metadata_col`): every visible
-    band row rewritten with the extra column (signatures carried as
-    stored values, nothing re-shingled), one compaction-shaped commit
-    that extends ``params.store_cols`` atomically. Works on a
-    store_cols-less index (the first metadata column); ids absent
+    band row rewritten with the extra column(s) (signatures carried
+    as stored values, nothing re-shingled), one compaction-shaped
+    commit that extends ``params.store_cols`` atomically. ``values``
+    may carry k new columns — ONE O(index) rewrite lands them all
+    (``default`` a shared fill or a per-column dict). Works on a
+    store_cols-less index (the first metadata columns); ids absent
     from ``values`` take ``default`` (omit it and an uncovered id
-    raises before anything is written). Returns ``{"added": col,
+    raises before anything is written). Returns ``{"added": [cols],
     "version": v}``."""
     from parq_tools_spark.operators._index_common import (
         add_band_metadata_col,
@@ -2212,5 +2214,33 @@ def minhash_index_add_metadata_col(
         vs=vs, cur=cur, m=m, params=p,
         reserved={"signature", "band", "bhash", p["id_col"]},
         fn="minhash_index_add_metadata_col",
+        task_splits=task_splits,
+    )
+
+
+def minhash_index_drop_metadata_col(
+    spark, path: str, cols, task_splits=1,
+) -> dict:
+    """Drop stored metadata column(s) from the MinHash index — the
+    PRUNE leg of the metadata lifecycle (shared band-row
+    implementation :func:`~parq_tools_spark.operators._index_common.
+    drop_band_metadata_cols`): every visible band row rewritten
+    without the column(s), one compaction-shaped commit shrinking
+    ``params.store_cols`` atomically. ``cols`` is one name or a
+    list; dropping the last stored column reverts the index to
+    store_cols-less. Returns ``{"dropped": [cols], "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        drop_band_metadata_cols,
+        retention,
+    )
+
+    vs, cur, m = _index_manifest_full(spark, path)
+    p = _manifest_params(spark, path, m)
+    vs.clean_stale(cur, keep_versions=retention(m))
+    _sweep_index_orphans(vs.fs, path, vs, cur)
+    return drop_band_metadata_cols(
+        spark, path, cols,
+        vs=vs, cur=cur, m=m, params=p,
+        fn="minhash_index_drop_metadata_col",
         task_splits=task_splits,
     )

@@ -4,7 +4,8 @@
 path)`` sniffs which family's manifest marker the path holds and
 returns a handle exposing the shared operation surface —
 ``query / stats / versions / add / delete / upsert / apply_cdc /
-compact / maybe_compact / update_metadata / add_metadata_col`` —
+compact / maybe_compact / update_metadata / add_metadata_col /
+drop_metadata_col`` —
 with the family's own functions behind it (same defaults, same semantics, nothing re-implemented here).
 
 Why a facade and not a base class: the families deliberately share
@@ -53,6 +54,7 @@ def _ops(family: str) -> dict:
             "retrain": m.ann_index_retrain,
             "update_metadata": m.ann_index_update_metadata,
             "add_metadata_col": m.ann_index_add_metadata_col,
+            "drop_metadata_col": m.ann_index_drop_metadata_col,
         }
     if family == "bm25":
         from parq_tools_spark.operators import search as m
@@ -68,6 +70,7 @@ def _ops(family: str) -> dict:
             "maybe_compact": m.bm25_index_maybe_compact,
             "update_metadata": m.bm25_index_update_metadata,
             "add_metadata_col": m.bm25_index_add_metadata_col,
+            "drop_metadata_col": m.bm25_index_drop_metadata_col,
         }
     if family == "minhash":
         from parq_tools_spark.operators import dedup as m
@@ -83,6 +86,7 @@ def _ops(family: str) -> dict:
             "maybe_compact": m.minhash_index_maybe_compact,
             "update_metadata": m.minhash_index_update_metadata,
             "add_metadata_col": m.minhash_index_add_metadata_col,
+            "drop_metadata_col": m.minhash_index_drop_metadata_col,
         }
     from parq_tools_spark.operators import simhash_index as m
 
@@ -97,6 +101,7 @@ def _ops(family: str) -> dict:
         "maybe_compact": m.simhash_index_maybe_compact,
         "update_metadata": m.simhash_index_update_metadata,
         "add_metadata_col": m.simhash_index_add_metadata_col,
+        "drop_metadata_col": m.simhash_index_drop_metadata_col,
     }
 
 
@@ -178,6 +183,17 @@ class IndexHandle:
         and fingerprints are never recomputed."""
         return self._ops["add_metadata_col"](
             self.spark, self.path, values, **kw
+        )
+
+    def drop_metadata_col(self, cols, **kw) -> dict:
+        """Drop stored metadata column(s), all four families
+        (``*_index_drop_metadata_col``): the prune leg of the
+        store_cols lifecycle — one compaction-shaped commit that
+        rewrites the visible rows without the column(s) and shrinks
+        ``params.store_cols`` atomically; codes, postings, signatures
+        and fingerprints are never recomputed."""
+        return self._ops["drop_metadata_col"](
+            self.spark, self.path, cols, **kw
         )
 
     def retrain(self, **kw):

@@ -1342,63 +1342,14 @@ def bm25_index_update_metadata(
     return {"updated": n_upd, "version": cur + 1}
 
 
-def bm25_index_add_metadata_col(
-    spark, path: str, values: DataFrame, default=_NO_DEFAULT
-) -> dict:
-    """Backfill a NEW metadata column over the BM25 index — the
-    evolution leg of the ``store_cols`` lifecycle (store → ``where=``
-    → ``update_metadata`` → **evolve**), the postings twin of
-    :func:`~parq_tools_spark.operators.ann_index.
-    ann_index_add_metadata_col`: a license grade computed after the
-    build becomes a served, filterable column without re-tokenizing a
-    single document. Every visible posting row is read back, the new
-    column attached (``values`` looked up by doc id; ids absent from
-    ``values`` take ``default`` — omit it and an uncovered id raises
-    before anything is written; extra ids are ignored), and the
-    rewritten postings committed as ONE fresh segment whose manifest
-    extends ``params.store_cols`` in the SAME atomic commit. Works on
-    a store_cols-less index (adding the first metadata column).
-
-    Metadata rides POSTING rows (the ``where=`` serving contract), so
-    coverage is judged against documents that have postings —
-    zero-token documents carry no metadata rows before OR after the
-    backfill, exactly as at build time. The ``_docs`` sidecar carries
-    forward tombstone-folded (membership probes stay exact);
-    ``n_docs``/``sum_dl``/the terms snapshot are untouched BY
-    CONSTRUCTION — no token changed — so post-backfill scores equal a
-    fresh build over the corpus-with-column. The commit is
-    COMPACTION-shaped (``segments=[new]``, ``deletes=[]``): a
-    backfill touches every row, and a whole-index tombstone would tax
-    every query until the next fold. Cost at 100 TB: one id-lookup
-    join plus the tbucket-keyed segment write every ingest already
-    pays — O(index) once. Returns ``{"added": col, "version": v}``."""
-    import json
+def _bm25_visible_rows_for_rewrite(spark, path, vs, m, fn):
+    """Every VISIBLE posting row, tombstones folded and ``tbucket``
+    dropped (the segment writer recomputes it) — the read side both
+    evolution legs (backfill / prune) share. Raises when nothing is
+    visible: committing a rewrite of zero rows would make a data-less
+    directory the SOLE segment and break schema inference for every
+    later query."""
     from functools import reduce
-
-    from parq_tools_spark.operators._index_common import (
-        backfill_metadata_rows,
-        cached_for_auto,
-        check_add_metadata_col,
-        resolve_task_splits,
-    )
-
-    vs, cur, m = _bm25_manifest(spark, path)
-    p = m["params"]
-    store = list(p.get("store_cols", []))
-    reserved = {
-        "doc_id", "dl", "term", "tf", "positions", "tbucket",
-        p["id_col"],
-    }
-    new_col = check_add_metadata_col(
-        values, p["id_col"], store, reserved,
-        "bm25_index_add_metadata_col",
-    )
-    # values key on the SOURCE id column name; postings store doc_id
-    vals = values.select(
-        F.col(p["id_col"]).alias("doc_id"), new_col
-    )
-    vs.clean_stale(cur, keep_versions=_retention(m))
-    _bm25_sweep_orphans(vs, path)
 
     fs = vs.fs
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
@@ -1413,13 +1364,28 @@ def bm25_index_add_metadata_col(
     )
     if rows is None or not rows.take(1):
         raise ValueError(
-            "bm25_index_add_metadata_col: the index holds no visible "
-            "postings — nothing to backfill"
+            f"{fn}: the index holds no visible postings — nothing to "
+            "rewrite"
         )
-    out, _ = backfill_metadata_rows(
-        rows, vals, "doc_id", new_col, default,
-        "bm25_index_add_metadata_col",
+    return rows
+
+
+def _bm25_commit_rewrite(spark, out, path, *, vs, cur, m, p, store_cols):
+    """Write rewritten posting rows as ONE fresh segment (the
+    ``_docs`` sidecar carried forward tombstone-folded, like
+    compaction) and commit a COMPACTION-shaped manifest
+    (``segments=[new]``, ``deletes=[]``) whose ``params.store_cols``
+    becomes ``store_cols`` in the SAME atomic commit — the shared
+    tail of the BM25 evolution legs (backfill extends the list, prune
+    shrinks it). ``n_docs``/``sum_dl``/the terms snapshot are
+    untouched — no token changed. Returns the new version."""
+    import json
+
+    from parq_tools_spark.operators._index_common import (
+        cached_for_auto,
+        resolve_task_splits,
     )
+
     seg = _tag(cur + 1, "seg")
     with cached_for_auto(out, p.get("bucket_task_splits", 1)) as out_c:
         _write_postings_segment(
@@ -1431,7 +1397,6 @@ def bm25_index_add_metadata_col(
                 "bucket_task_splits",
             ),
         )
-    # the doc table carries forward tombstone-folded, like compaction
     vdocs = _visible_docs(spark, path, m)
     if vdocs is not None:
         vdocs.write.mode("errorifexists").parquet(f"{path}/{seg}/_docs")
@@ -1443,13 +1408,119 @@ def bm25_index_add_metadata_col(
                 "version": cur + 1,
                 "segments": [seg],
                 "deletes": [],
-                # n_docs/sum_dl/terms unchanged: same tokens, one
-                # more metadata column on every posting row
-                "params": {**p, "store_cols": store + [new_col]},
+                # n_docs/sum_dl/terms unchanged: same tokens,
+                # different metadata columns on every posting row
+                "params": {**p, "store_cols": store_cols},
             }
         ),
     )
-    return {"added": new_col, "version": cur + 1}
+    return cur + 1
+
+
+def bm25_index_add_metadata_col(
+    spark, path: str, values: DataFrame, default=_NO_DEFAULT
+) -> dict:
+    """Backfill NEW metadata column(s) over the BM25 index — the
+    evolution leg of the ``store_cols`` lifecycle (store → ``where=``
+    → ``update_metadata`` → **evolve** → prune), the postings twin of
+    :func:`~parq_tools_spark.operators.ann_index.
+    ann_index_add_metadata_col`: a license grade computed after the
+    build becomes a served, filterable column without re-tokenizing a
+    single document. Every visible posting row is read back, the new
+    column(s) attached (``values`` looked up by doc id; ids absent
+    from ``values`` take ``default`` — omit it and an uncovered id
+    raises before anything is written; extra ids are ignored), and
+    the rewritten postings committed as ONE fresh segment whose
+    manifest extends ``params.store_cols`` in the SAME atomic commit.
+    ``values`` may carry k new columns — they land in ONE O(index)
+    rewrite (``default`` a shared fill or a per-column dict), because
+    the rewrite is the entire cost of evolution and must never be
+    paid per column. Works on a store_cols-less index (adding the
+    first metadata column).
+
+    Metadata rides POSTING rows (the ``where=`` serving contract), so
+    coverage is judged against documents that have postings —
+    zero-token documents carry no metadata rows before OR after the
+    backfill, exactly as at build time. The ``_docs`` sidecar carries
+    forward tombstone-folded (membership probes stay exact);
+    ``n_docs``/``sum_dl``/the terms snapshot are untouched BY
+    CONSTRUCTION — no token changed — so post-backfill scores equal a
+    fresh build over the corpus-with-columns. The commit is
+    COMPACTION-shaped (``segments=[new]``, ``deletes=[]``): a
+    backfill touches every row, and a whole-index tombstone would tax
+    every query until the next fold. Cost at 100 TB: one id-lookup
+    join plus the tbucket-keyed segment write every ingest already
+    pays — O(index) once. Returns ``{"added": [cols],
+    "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        backfill_metadata_rows,
+        check_add_metadata_col,
+    )
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    store = list(p.get("store_cols", []))
+    reserved = {
+        "doc_id", "dl", "term", "tf", "positions", "tbucket",
+        p["id_col"],
+    }
+    new_cols = check_add_metadata_col(
+        values, p["id_col"], store, reserved,
+        "bm25_index_add_metadata_col", default=default,
+    )
+    # values key on the SOURCE id column name; postings store doc_id
+    vals = values.select(
+        F.col(p["id_col"]).alias("doc_id"), *new_cols
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _bm25_sweep_orphans(vs, path)
+    rows = _bm25_visible_rows_for_rewrite(
+        spark, path, vs, m, "bm25_index_add_metadata_col"
+    )
+    out, _ = backfill_metadata_rows(
+        rows, vals, "doc_id", new_cols, default,
+        "bm25_index_add_metadata_col",
+    )
+    v = _bm25_commit_rewrite(
+        spark, out, path, vs=vs, cur=cur, m=m, p=p,
+        store_cols=store + new_cols,
+    )
+    return {"added": new_cols, "version": v}
+
+
+def bm25_index_drop_metadata_col(spark, path: str, cols) -> dict:
+    """Drop stored metadata column(s) from the BM25 index — the PRUNE
+    leg of the metadata lifecycle, the inverse of
+    :func:`bm25_index_add_metadata_col`: every visible posting row is
+    rewritten WITHOUT the column(s) (tokens/positions carried,
+    nothing re-tokenized) and committed as ONE compaction-shaped
+    segment whose manifest shrinks ``params.store_cols`` atomically.
+    Until this runs, a mistakenly added or superseded column pays its
+    bytes on every postings scan forever. ``cols`` is one name or a
+    list; dropping the last stored column reverts the index to
+    store_cols-less — serving ``where=`` against a dropped column
+    then fails with the standard unknown-column error. Returns
+    ``{"dropped": [cols], "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        check_drop_metadata_cols,
+    )
+
+    vs, cur, m = _bm25_manifest(spark, path)
+    p = m["params"]
+    store = list(p.get("store_cols", []))
+    cols = check_drop_metadata_cols(
+        cols, store, "bm25_index_drop_metadata_col"
+    )
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _bm25_sweep_orphans(vs, path)
+    rows = _bm25_visible_rows_for_rewrite(
+        spark, path, vs, m, "bm25_index_drop_metadata_col"
+    )
+    v = _bm25_commit_rewrite(
+        spark, rows.drop(*cols), path, vs=vs, cur=cur, m=m, p=p,
+        store_cols=[c for c in store if c not in cols],
+    )
+    return {"dropped": cols, "version": v}
 
 
 def bm25_index_apply_cdc(

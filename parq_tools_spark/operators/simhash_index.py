@@ -898,16 +898,18 @@ def simhash_index_add_metadata_col(
     spark, path: str, values: DataFrame, default=_NO_DEFAULT,
     task_splits=1,
 ) -> dict:
-    """Backfill a NEW metadata column over the SimHash index — the
+    """Backfill NEW metadata column(s) over the SimHash index — the
     shared band-row implementation (:func:`~parq_tools_spark.
     operators._index_common.add_band_metadata_col`): every visible
-    band row rewritten with the extra column (fingerprints carried as
-    stored values, nothing re-fingerprinted), one compaction-shaped
-    commit that extends ``params.store_cols`` atomically. Works on a
-    store_cols-less index (the first metadata column); ids absent
-    from ``values`` take ``default`` (omit it and an uncovered id
-    raises before anything is written). Returns ``{"added": col,
-    "version": v}``."""
+    band row rewritten with the extra column(s) (fingerprints carried
+    as stored values, nothing re-fingerprinted), one
+    compaction-shaped commit that extends ``params.store_cols``
+    atomically. ``values`` may carry k new columns — ONE O(index)
+    rewrite lands them all (``default`` a shared fill or a per-column
+    dict). Works on a store_cols-less index (the first metadata
+    columns); ids absent from ``values`` take ``default`` (omit it
+    and an uncovered id raises before anything is written). Returns
+    ``{"added": [cols], "version": v}``."""
     from parq_tools_spark.operators._index_common import (
         add_band_metadata_col,
     )
@@ -921,5 +923,31 @@ def simhash_index_add_metadata_col(
         vs=vs, cur=cur, m=m, params=p,
         reserved={"simhash", "band", "bval", p["id_col"]},
         fn="simhash_index_add_metadata_col",
+        task_splits=task_splits,
+    )
+
+
+def simhash_index_drop_metadata_col(
+    spark, path: str, cols, task_splits=1,
+) -> dict:
+    """Drop stored metadata column(s) from the SimHash index — the
+    PRUNE leg of the metadata lifecycle (shared band-row
+    implementation :func:`~parq_tools_spark.operators._index_common.
+    drop_band_metadata_cols`): every visible band row rewritten
+    without the column(s), one compaction-shaped commit shrinking
+    ``params.store_cols`` atomically. ``cols`` is one name or a
+    list; dropping the last stored column reverts the index to
+    store_cols-less. Returns ``{"dropped": [cols], "version": v}``."""
+    from parq_tools_spark.operators._index_common import (
+        drop_band_metadata_cols,
+    )
+
+    vs, cur, m = _sh_manifest(spark, path)
+    vs.clean_stale(cur, keep_versions=_retention(m))
+    _sh_sweep_orphans(vs, path)
+    return drop_band_metadata_cols(
+        spark, path, cols,
+        vs=vs, cur=cur, m=m, params=m["params"],
+        fn="simhash_index_drop_metadata_col",
         task_splits=task_splits,
     )

@@ -60,7 +60,7 @@ def test_ann_add_metadata_col_equals_fresh_build(spark, emb, tmp_path):
     res = ann_index_add_metadata_col(
         spark, path, emb.select("vec_id", "label")
     )
-    assert res["added"] == "label"
+    assert res["added"] == ["label"]
     # old code files untouched on disk (compaction-shaped commit:
     # superseded segments keep their reader-grace cycle)
     assert before <= set(glob.glob(path + "/seg-*/cell=*/*.parquet"))
@@ -109,7 +109,7 @@ def test_bm25_add_metadata_col_default_fill_and_extension(
         "doc_id", (F.col("doc_id") % 3).cast("int").alias("grade")
     )
     res = bm25_index_add_metadata_col(spark, path, vals, default=9)
-    assert res["added"] == "grade"
+    assert res["added"] == ["grade"]
     st = bm25_index_stats(spark, path)
     assert st["params"]["store_cols"] == ["lang", "grade"]
     # statistics untouched by construction
@@ -172,7 +172,7 @@ def test_band_add_metadata_col_equals_fresh_build(spark, docs, tmp_path):
         write(seed.select("doc_id", "text"), path, **extra)  # bare
         before = set(glob.glob(path + "/seg-*/band=*/*.parquet"))
         res = add_col(spark, path, docs.select("doc_id", "lang"))
-        assert res["added"] == "lang", fam
+        assert res["added"] == ["lang"], fam
         assert before <= set(
             glob.glob(path + "/seg-*/band=*/*.parquet")
         ), fam
@@ -255,13 +255,20 @@ def test_add_metadata_col_guards(spark, emb, docs, tmp_path):
         ann_index_add_metadata_col(
             spark, path, emb.select("vec_id", F.lit(1).alias("cell"))
         )
-    # exactly one new column per call
-    with pytest.raises(ValueError, match="exactly ONE"):
+    # duplicate NEW column names in one multi-column backfill
+    with pytest.raises(ValueError, match="duplicate column names"):
         ann_index_add_metadata_col(
             spark, path,
             emb.select(
-                "vec_id", F.lit(1).alias("g1"), F.lit(2).alias("g2")
+                "vec_id", F.lit(1).alias("g1"), F.lit(2).alias("g1")
             ),
+        )
+    # a default= dict key naming no new column is a typo, not a fill
+    with pytest.raises(ValueError, match="default="):
+        ann_index_add_metadata_col(
+            spark, path,
+            emb.select("vec_id", F.lit(1).alias("g1")),
+            default={"g2": 0},
         )
     # id column required
     with pytest.raises(ValueError, match="id column"):
@@ -300,7 +307,7 @@ def test_add_metadata_col_guards(spark, emb, docs, tmp_path):
     # (the final drop would silently remove the just-added column)
     with pytest.raises(ValueError, match="helper columns"):
         ann_index_add_metadata_col(
-            spark, path, emb.select("vec_id", F.lit(1).alias("_new_val"))
+            spark, path, emb.select("vec_id", F.lit(1).alias("_has"))
         )
     # an EMPTY index has nothing to backfill
     bare = str(tmp_path / "bm_empty")
@@ -372,7 +379,7 @@ def test_add_metadata_col_facade_dispatch(spark, docs, tmp_path):
     bm25_index_build(docs.select("doc_id", "text"), path, n_buckets=8)
     h = open_index(spark, path)
     out = h.add_metadata_col(docs.select("doc_id", "lang"))
-    assert out["added"] == "lang"
+    assert out["added"] == ["lang"]
     assert bm25_index_topk(
         spark, path, "stream merge window", k=5, where="lang == 'en'"
     ).count() == 5
