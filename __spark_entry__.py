@@ -3778,7 +3778,17 @@ def q_bm25_meta_cdc_stream(spark, sf_dir):
     )
     src = os.path.join(work, "cdc")
     for i, b in enumerate([b0, b1, b2]):
-        b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        d = os.path.join(src, f"f{i}")
+        b.coalesce(1).write.parquet(d)
+        # FileStreamSource orders by mtime: coarse clock granularity
+        # could tie the sequentially-written files and make batch
+        # order timing-dependent, so stamp strictly increasing mtimes
+        import glob as _g
+        import time as _time
+
+        now = _time.time()
+        for f in _g.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (now + i * 10, now + i * 10))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

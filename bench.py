@@ -458,7 +458,7 @@ def _bench_index_serve(spark, sf_dir) -> "dict[str, float]":
             spark, bm,
             docs.select("doc_id", (F.col("doc_id") % 3).alias("grade")),
         )
-        out["bm25_add_metadata_col_run"] = round(
+        out["bm25_add_metadata_col_serve"] = round(
             time.perf_counter() - t0, 3
         )
 

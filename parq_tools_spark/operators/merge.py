@@ -205,6 +205,7 @@ def apply_cdc(
     seq_col: str = "seq",
     broadcast_source: bool = False,
     target_seq_col: Optional[str] = None,
+    meta_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Apply a change-data-capture log to a keyed snapshot.
 
@@ -215,6 +216,25 @@ def apply_cdc(
     broken by ``op_col`` descending, so a same-sequence U beats D —
     document your log's ordering and pass unique sequences to avoid
     relying on the tiebreak).
+
+    ``meta_cols`` opts into 'M' (metadata-only) ops — the index
+    families' convention (``*_index_apply_cdc``), where an 'M' row
+    re-grades a subset of columns and carries NULL (meaning "don't
+    touch") in every other content column. Without it, a log carrying
+    'M' raises LOUDLY instead of upserting those rows — feeding an
+    'M' through the plain upsert path would overwrite the row's
+    content columns with the NULLs while an index applying the SAME
+    log flips only its metadata, silently diverging the two surfaces.
+    With ``meta_cols=[...]`` named, an 'M' updates exactly those
+    columns and preserves the rest from the snapshot, resolved with
+    the index semantics (shared with ``_index_common.
+    resolve_cdc_with_meta``): the last 'M' per key applies AFTER the
+    batch's upserts, is superseded by a non-'M' op at an
+    equal-or-later sequence, and is a no-op when its key is not
+    present once the deletes/upserts have applied (never an insert,
+    never an error — replay convergence). Ops outside I/U/D/'M'
+    always raise. The op validation is one early-stopping ``take(1)``
+    probe over the change log per call — the only eager work here.
 
     ``target_seq_col`` (stale-event protection): when set, ``target``
     must carry that column holding the seq of the last event applied
@@ -236,14 +256,84 @@ def apply_cdc(
     ``match_condition``; it adds no extra pass.
     """
     keys = list(keys)
+    meta_cols = list(meta_cols) if meta_cols is not None else None
+    allowed = ["I", "U", "D"] + (["M"] if meta_cols else [])
+    stray = changes.filter(~F.col(op_col).isin(allowed)).select(op_col).take(1)
+    if stray:
+        op = stray[0][0]
+        if op == "M":
+            raise ValueError(
+                "apply_cdc: the change log carries 'M' (metadata-only)"
+                " ops but meta_cols= was not given — upserting them "
+                "would NULL the rows' content columns while an index "
+                "applying the same log flips only its metadata. Pass "
+                "meta_cols=[...] naming the re-graded columns, or "
+                "keep 'M' ops off snapshot logs."
+            )
+        raise ValueError(
+            f"apply_cdc: unknown op {op!r} in {op_col!r} — expected "
+            f"one of {allowed}"
+        )
+    if meta_cols:
+        bad = [c for c in meta_cols if c in keys or c in (op_col, seq_col)]
+        if bad:
+            raise ValueError(
+                f"apply_cdc: meta_cols {bad} collide with the keys / "
+                "op / seq columns"
+            )
+        missing = [
+            c
+            for c in meta_cols
+            if c not in target.columns or c not in changes.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"apply_cdc: meta_cols {missing} missing from the "
+                "target and/or the change log"
+            )
+
+    others = changes.filter(F.col(op_col) != "M") if meta_cols else changes
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
+        others.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+    metas = None
+    if meta_cols:
+        metas = (
+            changes.filter(F.col(op_col) == "M")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not metas.take(1):
+            metas = None  # fast path: a meta-capable log with no M's
+        else:
+            # a non-M op at an equal-or-later seq supersedes the M:
+            # a U carries the full authoritative record, a D removes
+            # the row it would touch (resolve_cdc_with_meta semantics)
+            sup = latest.select(
+                *keys, F.col(seq_col).alias("_other_seq")
+            )
+            metas = (
+                metas.join(sup, on=keys, how="left")
+                .filter(
+                    F.col("_other_seq").isNull()
+                    | (F.col(seq_col) > F.col("_other_seq"))
+                )
+                .drop("_other_seq")
+                .select(
+                    *keys,
+                    F.col(seq_col).alias("_m_seq"),
+                    *[F.col(c).alias(f"_m_{c}") for c in meta_cols],
+                )
+                .withColumn("_m_has", F.lit(True))
+            )
+
     match_condition = None
     if target_seq_col is not None:
         if target_seq_col not in target.columns:
@@ -262,7 +352,7 @@ def apply_cdc(
     else:
         latest = latest.drop(seq_col)
     latest = latest.withColumn("_is_delete", F.col(op_col) == "D").drop(op_col)
-    return merge_upsert(
+    base = merge_upsert(
         target,
         latest,
         keys,
@@ -270,3 +360,37 @@ def apply_cdc(
         broadcast_source=broadcast_source,
         match_condition=match_condition,
     )
+    if metas is None:
+        return base
+
+    # fold surviving M's AFTER the upserts: matched keys re-grade
+    # exactly meta_cols (everything else preserved from the row the
+    # batch just settled); unmatched M's vanish — no insert, no error
+    m_side = F.broadcast(metas) if broadcast_source else metas
+    joined = base.join(m_side, on=keys, how="left")
+    applied = F.col("_m_has").isNotNull()
+    if target_seq_col is not None:
+        # the same stale-event guard the upsert leg rides: an M replay
+        # at-or-below the stored seq must not re-apply (idempotence),
+        # and an applied M advances the stored seq
+        applied = applied & (
+            F.col(target_seq_col).isNull()
+            | (F.col("_m_seq") > F.col(target_seq_col))
+        )
+    out_cols = []
+    for c in base.columns:
+        if c in meta_cols:
+            out_cols.append(
+                F.when(applied, F.col(f"_m_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        elif c == target_seq_col:
+            out_cols.append(
+                F.when(applied, F.col("_m_seq"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

@@ -122,12 +122,17 @@ def start_cdc_apply(
     broadcast_source: bool = True,
     available_now: bool = True,
     track_seq: bool = True,
+    meta_cols=None,
 ):
     """Start a streaming query that folds ``changes`` into the parquet
     snapshot at ``snapshot_path``.
 
     ``changes`` must be a streaming DataFrame carrying the key
-    columns, ``op_col`` ('I'/'U'/'D') and ``seq_col``. The snapshot
+    columns, ``op_col`` ('I'/'U'/'D', plus 'M' metadata-only ops when
+    ``meta_cols=[...]`` names the re-graded columns — see
+    :func:`~parq_tools_spark.operators.merge.apply_cdc`; a log
+    carrying 'M' without ``meta_cols`` fails the batch loudly rather
+    than NULLing content columns) and ``seq_col``. The snapshot
     must already exist (write an initial version first; it needs no
     ``__cdc_seq`` column — one is added on the first batch when
     ``track_seq=True``). ``available_now=True`` drains the backlog and
@@ -170,6 +175,7 @@ def start_cdc_apply(
             seq_col=seq_col,
             broadcast_source=broadcast_source,
             target_seq_col=SEQ_STATE_COL if track_seq else None,
+            meta_cols=meta_cols,
         )
         nxt = (cur or 0) + 1
         # the write materializes into a FRESH directory while the plan

@@ -294,3 +294,195 @@ def test_merge_rejects_update_col_missing_from_target(spark, target):
     )
     with pytest.raises(ValueError, match="not in target"):
         merge_upsert(target, src, ["k"], update_cols=["extra_col"])
+
+
+# ---------------------------------------------------------------------
+# 'M' (metadata-only) ops — the index families' convention on the
+# shared change log, now first-class on the snapshot side too
+# ---------------------------------------------------------------------
+
+
+def test_cdc_meta_op_without_meta_cols_raises(spark, target):
+    """An 'M' fed to the plain upsert path would NULL the row's
+    content columns while an index applying the SAME log flips only
+    its metadata — diverging the two surfaces. Loud, not silent."""
+    ch = spark.createDataFrame(
+        [(1, None, 99.0, "M", 1)],
+        "k long, name string, v double, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="meta_cols"):
+        apply_cdc(target, ch, ["k"])
+
+
+def test_cdc_unknown_op_raises(spark, target):
+    ch = spark.createDataFrame(
+        [(1, "x", 1.0, "X", 1)],
+        "k long, name string, v double, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="unknown op 'X'"):
+        apply_cdc(target, ch, ["k"])
+    with pytest.raises(ValueError, match="unknown op 'X'"):
+        apply_cdc(target, ch, ["k"], meta_cols=["v"])
+
+
+def test_cdc_meta_cols_validation(spark, target):
+    ch = spark.createDataFrame(
+        [(1, "x", 1.0, "U", 1)],
+        "k long, name string, v double, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        apply_cdc(target, ch, ["k"], meta_cols=["k"])
+    with pytest.raises(ValueError, match="missing"):
+        apply_cdc(target, ch, ["k"], meta_cols=["nope"])
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_cdc_meta_semantics(spark, target, broadcast):
+    """The full 'M' contract, mirroring the index families: M
+    re-grades only meta_cols (content preserved); U-then-M applies M
+    on the FRESH row; M superseded by later U/D vanishes; M on a
+    missing key is a no-op, never an insert."""
+    ch = spark.createDataFrame(
+        [
+            # plain re-grade: v flips, name preserved
+            (1, None, 11.0, "M", 1),
+            # U@1 then M@2: content from U, then the re-grade on top
+            (2, "B2", 21.0, "U", 1),
+            (2, None, 22.0, "M", 2),
+            # M@1 then U@2: the upsert's record is authoritative
+            (3, None, 33.0, "M", 1),
+            (3, "C2", 31.0, "U", 2),
+            # M then D: the delete supersedes the re-grade
+            (4, "d", 40.0, "I", 1),
+            (4, None, 44.0, "M", 2),
+            (4, None, None, "D", 3),
+            # M for a key never present: no-op, no insert
+            (99, None, 9.0, "M", 1),
+        ],
+        "k long, name string, v double, op string, seq long",
+    )
+    out = apply_cdc(
+        target, ch, ["k"], meta_cols=["v"], broadcast_source=broadcast
+    )
+    assert _rows(out) == [
+        (1, "a", 11.0),
+        (2, "B2", 22.0),
+        (3, "C2", 31.0),
+    ]
+
+
+@pytest.mark.parametrize("broadcast", [False, True])
+def test_cdc_meta_multi_col_and_null_value(spark, broadcast):
+    """meta_cols may list several columns; an M's NULL in a META
+    column is a written value (the M row is the full metadata record,
+    like a 'U'), while content columns are never touched."""
+    target = spark.createDataFrame(
+        [(1, "text one", "en", 5), (2, "text two", "de", 7)],
+        "k long, body string, lang string, grade int",
+    )
+    ch = spark.createDataFrame(
+        [(1, None, None, 9, "M", 1)],
+        "k long, body string, lang string, grade int, op string, seq long",
+    )
+    out = apply_cdc(
+        target, ch, ["k"], meta_cols=["lang", "grade"],
+        broadcast_source=broadcast,
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].body == "text one"  # content preserved
+    assert rows[1].lang is None and rows[1].grade == 9  # full meta record
+    assert (rows[2].lang, rows[2].grade) == ("de", 7)
+
+
+def test_cdc_meta_with_target_seq_is_idempotent(spark):
+    """With target_seq_col, an applied M advances the stored seq, so
+    replaying the same log is a no-op — and a stale M cannot undo a
+    newer re-grade."""
+    target = spark.createDataFrame(
+        [(1, "t1", "en", None), (2, "t2", "de", None)],
+        "k long, body string, lang string, _seq long",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "t1b", "fr", "U", 5),
+            (1, None, "zz", "M", 6),
+            (2, None, "qq", "M", 3),
+        ],
+        "k long, body string, lang string, op string, seq long",
+    )
+    once = apply_cdc(
+        target, ch, ["k"], meta_cols=["lang"], target_seq_col="_seq"
+    )
+    rows = {r.k: r for r in once.collect()}
+    assert (rows[1].body, rows[1].lang, rows[1]._seq) == ("t1b", "zz", 6)
+    assert (rows[2].body, rows[2].lang, rows[2]._seq) == ("t2", "qq", 3)
+    twice = apply_cdc(
+        once, ch, ["k"], meta_cols=["lang"], target_seq_col="_seq"
+    )
+    assert _rows(twice) == _rows(once)
+    # a STALE M (seq below the stored one) never re-applies
+    stale = spark.createDataFrame(
+        [(1, None, "old", "M", 2)],
+        "k long, body string, lang string, op string, seq long",
+    )
+    kept = apply_cdc(
+        once, stale, ["k"], meta_cols=["lang"], target_seq_col="_seq"
+    )
+    assert _rows(kept) == _rows(once)
+
+
+def test_cdc_meta_snapshot_and_index_stay_in_lockstep(
+    spark, sf_dir, tmp_path
+):
+    """The round's motivating contract: ONE mixed U/D/M change log
+    applied to a BM25 index (bm25_index_apply_cdc) and to the source
+    snapshot (merge.apply_cdc meta_cols=) leaves both agreeing on
+    membership and metadata."""
+    import os
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_apply_cdc,
+        bm25_index_build,
+        bm25_index_topk,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text", "lang")
+        .filter("doc_id < 200")
+    )
+    path = str(tmp_path / "bm")
+    bm25_index_build(docs, path, n_buckets=4, store_cols=["lang"])
+    ch = spark.createDataFrame(
+        [
+            (3, "replacement stream merge window text", "fr", "U", 1),
+            (3, None, "zz", "M", 2),
+            (5, None, "qq", "M", 1),
+            (7, None, None, "D", 1),
+        ],
+        "doc_id long, text string, lang string, op string, seq long",
+    )
+    bm25_index_apply_cdc(spark, path, ch, seq_col="seq")
+    snap = apply_cdc(
+        docs, ch, ["doc_id"], meta_cols=["lang"], seq_col="seq"
+    )
+    served = bm25_index_topk(
+        spark, path, "stream merge window replacement", k=1_000_000
+    ).select("doc_id")
+    snap_ids = {r.doc_id for r in snap.collect()}
+    assert {r.doc_id for r in served.collect()} <= snap_ids
+    assert 7 not in snap_ids
+    lang = {r.doc_id: r.lang for r in snap.collect()}
+    assert lang[3] == "zz" and lang[5] == "qq"
+    for did, lg in [(3, "zz"), (5, "qq")]:
+        # probe with the doc's own leading words so BM25 must hit it
+        # unless the metadata filter excludes it
+        words = " ".join(
+            snap.filter(F.col("doc_id") == did)
+            .collect()[0]
+            .text.split()[:4]
+        )
+        hits = bm25_index_topk(
+            spark, path, words, k=1_000_000, where=f"lang == '{lg}'"
+        )
+        assert did in {r.doc_id for r in hits.collect()}, (did, lg)

@@ -962,3 +962,92 @@ def test_streaming_scoped_admission_survives_multiple_batches(
         return sorted(r.doc_id for r in got.collect())
 
     assert run(iter(allowed), "gen") == run(list(allowed), "list")
+
+
+def test_streaming_cdc_apply_with_meta_ops(spark, tmp_path):
+    """'M' (metadata-only) ops through the streaming snapshot sink:
+    with meta_cols= the re-grade lands without NULLing content, the
+    stream reaches the batch apply_cdc state, and replay stays
+    idempotent via the persisted seq."""
+    from parq_tools_spark.operators.merge import apply_cdc
+    from parq_tools_spark.streaming.cdc import (
+        read_snapshot,
+        start_cdc_apply,
+    )
+
+    snap_path = str(tmp_path / "snapshot")
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    initial = spark.createDataFrame(
+        [(1, "body one", "en"), (2, "body two", "de")],
+        "k long, body string, lang string",
+    )
+    initial.write.parquet(snap_path)
+
+    chg_schema = "k long, op string, seq long, body string, lang string"
+    batch1 = [(1, "U", 1, "body one v2", "fr"), (3, "I", 1, "body three", "en")]
+    batch2 = [(1, "M", 2, None, "zz"), (2, "M", 2, None, "qq")]
+    spark.createDataFrame(batch1, chg_schema).coalesce(1).write.parquet(
+        str(chg_dir / "f1")
+    )
+    spark.createDataFrame(batch2, chg_schema).coalesce(1).write.parquet(
+        str(chg_dir / "f2")
+    )
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chg_dir / "*"))
+    )
+    q = start_cdc_apply(
+        stream, snap_path, ["k"], str(tmp_path / "ckpt"),
+        available_now=True, meta_cols=["lang"],
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in read_snapshot(spark, snap_path).collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in apply_cdc(
+            initial,
+            spark.createDataFrame(batch1 + batch2, chg_schema),
+            ["k"],
+            meta_cols=["lang"],
+        ).collect()
+    )
+    assert got == expected
+    assert got == [
+        (1, "body one v2", "zz"),  # U content kept, M re-grade on top
+        (2, "body two", "qq"),     # content untouched by the pure M
+        (3, "body three", "en"),
+    ]
+
+
+def test_streaming_cdc_meta_without_meta_cols_fails_batch(
+    spark, tmp_path
+):
+    """A log carrying 'M' into a sink started WITHOUT meta_cols must
+    fail the stream loudly (content columns would be NULLed), not
+    commit a diverged snapshot."""
+    from parq_tools_spark.streaming.cdc import start_cdc_apply
+
+    snap_path = str(tmp_path / "snapshot")
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "body", "en")], "k long, body string, lang string"
+    ).write.parquet(snap_path)
+    chg_schema = "k long, op string, seq long, body string, lang string"
+    spark.createDataFrame(
+        [(1, "M", 1, None, "zz")], chg_schema
+    ).coalesce(1).write.parquet(str(chg_dir / "f1"))
+    stream = spark.readStream.schema(chg_schema).parquet(str(chg_dir / "*"))
+    q = start_cdc_apply(
+        stream, snap_path, ["k"], str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        q.awaitTermination(120)
