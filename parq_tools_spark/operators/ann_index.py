@@ -1867,6 +1867,7 @@ def semantic_dedupe_bootstrap(
     opq: bool = False,
     keep_versions: int = 1,
     max_batch_rows: int = 100_000,
+    store_cols=(),
 ) -> DataFrame:
     """Seed a semantic-admission index from its FIRST batch: freeze
     the IVF-PQ model on the full batch (an IVF-PQ model cannot train
@@ -1920,6 +1921,16 @@ def semantic_dedupe_bootstrap(
     # scan early, so an oversized ingest fails before paying the
     # cell-assignment pass + eager checkpoint below
     _check_batch_size(batch, max_batch_rows, "semantic_dedupe_bootstrap")
+    if store_cols:
+        from parq_tools_spark.operators._index_common import (
+            check_store_cols,
+        )
+
+        # metadata stored from batch 1, so a where=-scoped admission
+        # stream can cold-start on this bootstrap with no pre-build
+        check_store_cols(
+            batch, list(store_cols), "semantic_dedupe_bootstrap"
+        )
     seed = batch.select(id_col, vec_col)
     # one aggregate job for both counts (foreachBatch frames re-read
     # the source per action, so separate count()s would double-scan)
@@ -1947,7 +1958,7 @@ def semantic_dedupe_bootstrap(
         F.broadcast(dropped), on=id_col, how="left_anti"
     ).localCheckpoint(eager=True)
     ann_index_build(
-        survivors.select(id_col, vec_col),
+        survivors.select(id_col, vec_col, *store_cols),
         index_path,
         n_cells=n_cells,
         m=m,
@@ -1958,6 +1969,7 @@ def semantic_dedupe_bootstrap(
         opq=opq,
         keep_versions=keep_versions,
         store_vectors=True,
+        store_cols=list(store_cols),
         train_corpus=seed,
     )
     return survivors

@@ -90,6 +90,7 @@ def start_near_dedupe_stream(
     query_name: Optional[str] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    store_cols=(),
 ):
     """Start a streaming query admitting only documents that are not
     near-duplicates of anything previously admitted.
@@ -100,9 +101,13 @@ def start_near_dedupe_stream(
     over the index's ``store_cols`` — INDEX entries may block a new
     document, so one physical index serves per-tenant / per-language
     admission streams. The in-batch lower-id rule stays unscoped and
-    survivors still append unconditionally. A ``where`` scope
-    requires the index to pre-exist with ``store_cols`` (the
-    stream's zero-row bootstrap stores none).
+    survivors still append unconditionally. A ``where`` scope needs
+    an index carrying ``store_cols`` — either pre-built, or
+    bootstrapped by THIS sink via ``store_cols=`` (the zero-row
+    bootstrap then stores those columns from batch 0, so a
+    cold-started scoped admission stream needs no out-of-band
+    pre-build; each ingest batch must carry the columns or the batch
+    fails loudly).
 
     If ``index_path`` holds an existing MinHash index
     (:func:`~parq_tools_spark.operators.dedup.minhash_index_write`),
@@ -161,6 +166,15 @@ def start_near_dedupe_stream(
             _commit_marker(spark, index_path, checkpoint_dir, batch_id)
             return
         if not minhash_index_is_committed(spark, index_path):
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
+            )
+
+            # validate here for the clear message — the bare select
+            # would throw UNRESOLVED_COLUMN before write's own check
+            check_store_cols(
+                batch_df, list(store_cols), "start_near_dedupe_stream"
+            )
             # bootstrap an EMPTY index (committed manifest, zero band
             # rows — minhash_index_query returns a typed empty
             # relation for it), so every batch, including the first,
@@ -171,7 +185,7 @@ def start_near_dedupe_stream(
             # the partial state), not wedge every later batch on
             # "no committed index"
             minhash_index_write(
-                batch_df.limit(0),
+                batch_df.limit(0).select(id_col, text_col, *store_cols),
                 index_path,
                 id_col=id_col,
                 text_col=text_col,
@@ -179,6 +193,7 @@ def start_near_dedupe_stream(
                 bands=bands,
                 k=k,
                 hash_family=hash_family,
+                store_cols=store_cols,
             )
         survivors = incremental_dedupe(
             spark,
@@ -235,6 +250,7 @@ def start_semantic_dedupe_stream(
     query_name: Optional[str] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    store_cols=(),
 ):
     """Streaming SEMANTIC admission: admit only vectors that are not
     SemDeDup duplicates (rounded exact cosine >= ``threshold`` within
@@ -283,9 +299,12 @@ def start_semantic_dedupe_stream(
     ``where``, metadata-matching over the index's ``store_cols`` —
     INDEX entries may block a new vector. The bootstrap batch has no
     index to scope (its within-batch rule runs unscoped), so
-    pre-build the index when the first batch must already be scoped;
-    a ``where`` scope requires the pre-built index to carry
-    ``store_cols``.
+    pre-build the index when the first batch must already be scoped.
+    A ``where`` scope needs an index carrying ``store_cols`` —
+    pre-built, or bootstrapped by this sink via ``store_cols=`` (the
+    model-freezing first batch then commits its survivors WITH those
+    columns, so scoped admission serves from batch 1; ingest batches
+    missing the columns fail loudly).
 
     Returns the started ``StreamingQuery``; admitted vectors are at
     ``output_path`` (partitioned by ``batch``).
@@ -327,6 +346,7 @@ def start_semantic_dedupe_stream(
             survivors = semantic_dedupe_bootstrap(
                 batch_df,
                 index_path,
+                store_cols=store_cols,
                 threshold=threshold,
                 n_cells=n_cells,
                 m=m,
@@ -394,6 +414,7 @@ def start_simhash_dedupe_stream(
     query_name: Optional[str] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    store_cols=(),
 ):
     """Streaming SimHash admission — the Hamming-distance sibling of
     :func:`start_near_dedupe_stream`, completing the streaming
@@ -414,8 +435,10 @@ def start_simhash_dedupe_stream(
     ``allowed_ids`` / ``where`` scope ADMISSION per batch (only
     allowed / metadata-matching index entries may block a document;
     the in-batch lower-id rule stays unscoped, survivors append
-    unconditionally). A ``where`` scope requires a pre-built index
-    with ``store_cols``.
+    unconditionally). A ``where`` scope needs an index carrying
+    ``store_cols`` — pre-built, or bootstrapped by this sink via
+    ``store_cols=`` (stored from batch 0; ingest batches missing the
+    columns fail loudly).
 
     Recovery is the :func:`start_near_dedupe_stream` contract
     verbatim: exactly-once output via per-batch directory overwrite,
@@ -456,14 +479,23 @@ def start_simhash_dedupe_stream(
             _commit_marker(spark, index_path, checkpoint_dir, batch_id)
             return
         if _sh_vs(spark, index_path).current() is None:
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
+            )
+
+            check_store_cols(
+                batch_df, list(store_cols),
+                "start_simhash_dedupe_stream",
+            )
             simhash_index_write(
-                batch_df.limit(0),
+                batch_df.limit(0).select(id_col, text_col, *store_cols),
                 index_path,
                 id_col=id_col,
                 text_col=text_col,
                 bits=bits,
                 n_bands=n_bands,
                 hash_family=hash_family,
+                store_cols=store_cols,
             )
         survivors = simhash_incremental_dedupe(
             spark,

@@ -517,3 +517,117 @@ class TestWhereScope:
         )
         with pytest.raises(ValueError, match="store_cols"):
             admitted(bare, where="tenant == 0")
+
+
+class TestStoreColsBootstrap:
+    def test_cold_start_scoped_stream_equals_batch_path(
+        self, spark, tmp_path, clustered_batches
+    ):
+        """store_cols= on the semantic admission sink: a COLD-started
+        stream bootstraps a store_cols index from its model-freezing
+        first batch, so where=-scoped admission serves from batch 1
+        with no out-of-band pre-build — and equals the batch
+        composition (semantic_dedupe_bootstrap + scoped
+        semantic_dedupe_incremental per batch)."""
+        from parq_tools_spark.operators.ann_index import (
+            ann_index_stats,
+            semantic_dedupe_bootstrap,
+            semantic_dedupe_incremental,
+        )
+        from parq_tools_spark.streaming.near_dedup import (
+            start_semantic_dedupe_stream,
+        )
+
+        b0, b1, b2, _ = clustered_batches
+        # tenant 0 = {0, 3}: indexed 2 (tenant 1) may no longer block,
+        # so scoped admission frees 11 (its dup) vs the unscoped run
+        tenant = F.when(F.col("vec_id").isin(0, 3), 0).otherwise(1)
+        b0m, b1m, b2m = (
+            b.withColumn("tenant", tenant) for b in (b0, b1, b2)
+        )
+        work = str(tmp_path)
+        src = os.path.join(work, "src")
+        for i, b in enumerate([b0m, b1m, b2m]):
+            b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, tenant int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        idx = os.path.join(work, "idx")
+        out = os.path.join(work, "out")
+        q = start_semantic_dedupe_stream(
+            stream, idx, out, os.path.join(work, "ck"),
+            threshold=0.95, n_cells=2, m=2, n_codes=4,
+            store_cols=["tenant"], where="tenant == 0",
+        )
+        assert q.awaitTermination(300)
+        admitted = _admitted(spark, out)
+        assert ann_index_stats(spark, idx)["params"]["store_cols"] == [
+            "tenant"
+        ]
+
+        # batch composition under the same frozen model
+        idx2 = os.path.join(work, "idx2")
+        got = sorted(
+            r.vec_id
+            for r in semantic_dedupe_bootstrap(
+                b0m, idx2, threshold=0.95, n_cells=2, m=2, n_codes=4,
+                store_cols=["tenant"],
+            ).select("vec_id").collect()
+        )
+        for b in (b1m, b2m):
+            got += sorted(
+                r.vec_id
+                for r in semantic_dedupe_incremental(
+                    spark, idx2, b, threshold=0.95,
+                    update_index=True, where="tenant == 0",
+                ).select("vec_id").collect()
+            )
+        assert admitted == sorted(got)
+        # the scope MATTERED: unscoped run admits a different set
+        out_u = os.path.join(work, "out_u")
+        stream2 = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, tenant int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q2 = start_semantic_dedupe_stream(
+            stream2, os.path.join(work, "idx_u"), out_u,
+            os.path.join(work, "ck_u"),
+            threshold=0.95, n_cells=2, m=2, n_codes=4,
+            store_cols=["tenant"],
+        )
+        assert q2.awaitTermination(300)
+        assert _admitted(spark, out_u) != admitted
+
+    def test_bootstrap_batch_missing_store_col_fails_loudly(
+        self, spark, tmp_path, clustered_batches
+    ):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+        from parq_tools_spark.streaming.near_dedup import (
+            start_semantic_dedupe_stream,
+        )
+
+        b0, _, _, _ = clustered_batches
+        work = str(tmp_path)
+        src = os.path.join(work, "src")
+        b0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(os.path.join(src, "*"))
+        q = start_semantic_dedupe_stream(
+            stream, os.path.join(work, "idx"), os.path.join(work, "out"),
+            os.path.join(work, "ck"),
+            threshold=0.95, n_cells=2, m=2, n_codes=4,
+            store_cols=["tenant"],
+        )
+        with pytest.raises(StreamingQueryException) as ei:
+            q.awaitTermination(300)
+        assert "tenant" in str(ei.value)

@@ -1051,3 +1051,148 @@ def test_streaming_cdc_meta_without_meta_cols_fails_batch(
 
     with pytest.raises(pyspark.errors.StreamingQueryException):
         q.awaitTermination(120)
+
+
+def test_streaming_near_dedupe_store_cols_bootstrap(
+    spark, tmp_path, sf_dir
+):
+    """store_cols= on the MinHash admission sink: a COLD-started
+    where=-scoped stream (no pre-built index) admits exactly what the
+    pre-built-empty-index variant admits, and an ingest batch missing
+    the stored column fails the stream loudly."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_stats,
+        minhash_index_write,
+    )
+    from parq_tools_spark.streaming.near_dedup import (
+        start_near_dedupe_stream,
+    )
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run(tag, prebuild, **kw):
+        idx = str(tmp_path / f"idx_{tag}")
+        if prebuild:
+            minhash_index_write(
+                docs.limit(0), idx, num_hashes=32, bands=8,
+                store_cols=["lang"],
+            )
+        out = str(tmp_path / f"out_{tag}")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_near_dedupe_stream(
+            stream, idx, out, str(tmp_path / f"ck_{tag}"),
+            threshold=0.5, num_hashes=32, bands=8,
+            available_now=True, where="lang == 'en'", **kw,
+        )
+        assert q.awaitTermination(300)
+        return idx, sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+
+    cold_idx, cold = run("cold", prebuild=False, store_cols=["lang"])
+    _, pre = run("pre", prebuild=True)
+    assert cold == pre and cold
+    # the cold bootstrap really stored the column
+    assert minhash_index_stats(spark, cold_idx)["params"][
+        "store_cols"
+    ] == ["lang"]
+
+    # ingest missing the stored column: loud, names the column
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    docs.select("doc_id", "text").limit(20).coalesce(1).write.parquet(
+        str(src2 / "b0")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src2 / "*")
+    )
+    q = start_near_dedupe_stream(
+        stream, str(tmp_path / "idx_miss"), str(tmp_path / "out_miss"),
+        str(tmp_path / "ck_miss"), threshold=0.5,
+        available_now=True, store_cols=["lang"],
+    )
+    with pytest.raises(StreamingQueryException) as ei:
+        q.awaitTermination(300)
+    assert "lang" in str(ei.value)
+
+
+def test_streaming_simhash_store_cols_bootstrap(spark, tmp_path, sf_dir):
+    """store_cols= on the SimHash admission sink: cold-started
+    where=-scoped admission == the pre-built-empty-index variant."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_stats,
+        simhash_index_write,
+    )
+    from parq_tools_spark.streaming.near_dedup import (
+        start_simhash_dedupe_stream,
+    )
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    docs.filter(F.col("doc_id") % 4 == 3).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run(tag, prebuild, **kw):
+        idx = str(tmp_path / f"idx_{tag}")
+        if prebuild:
+            simhash_index_write(
+                docs.limit(0), idx, n_bands=8, store_cols=["lang"]
+            )
+        out = str(tmp_path / f"out_{tag}")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = start_simhash_dedupe_stream(
+            stream, idx, out, str(tmp_path / f"ck_{tag}"),
+            max_hamming=7, n_bands=8,
+            available_now=True, where="lang == 'en'", **kw,
+        )
+        assert q.awaitTermination(300)
+        return idx, sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+
+    cold_idx, cold = run("cold", prebuild=False, store_cols=["lang"])
+    _, pre = run("pre", prebuild=True)
+    assert cold == pre and cold
+    assert simhash_index_stats(spark, cold_idx)["params"][
+        "store_cols"
+    ] == ["lang"]
