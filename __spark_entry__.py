@@ -3812,6 +3812,281 @@ def q_bm25_meta_cdc_stream(spark, sf_dir):
     return out
 
 
+def _band_meta_cdc_src(spark, sf_dir, work):
+    """Four ordered CDC micro-batch files shared by the band-family
+    CDC-sink entries (the r17 sinks): I everything, U the %17==0 docs
+    with their own text (tombstone + re-add exercised, logical corpus
+    unchanged), M re-grading every English %11==0 doc to 'zz', D
+    dropping %13==0. Strictly increasing mtimes pin FileStreamSource
+    batch order (the bm25_meta_cdc_stream fix)."""
+    import glob as _g
+    import time as _time
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    k = F.col("doc_id")
+    b0 = docs.select(
+        "doc_id", "text", "lang",
+        F.lit("I").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    b1 = docs.filter(k % 17 == 0).select(
+        "doc_id", "text", "lang",
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    )
+    b2 = docs.filter((F.col("lang") == "en") & (k % 11 == 0)).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("zz").alias("lang"),
+        F.lit("M").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    b3 = docs.filter(k % 13 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("D").alias("op"), F.lit(3).cast("long").alias("seq"),
+    )
+    src = os.path.join(work, "cdc")
+    for i, b in enumerate([b0, b1, b2, b3]):
+        d = os.path.join(src, f"f{i}")
+        b.coalesce(1).write.parquet(d)
+        now = _time.time()
+        for f in _g.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (now + i * 10, now + i * 10))
+    return src, docs
+
+
+def q_minhash_meta_cdc_stream(spark, sf_dir):
+    """The r17 band-family CDC sink, MinHash: a mixed I/U/M/D change
+    stream COLD-starts start_minhash_index_stream (the sink's
+    store_cols=['lang'] bootstrap — no out-of-band pre-build), and
+    post-stream serving with where="lang == 'en'" must equal DuckDB's
+    full portable-MinHash pipeline over the post-stream corpus
+    (deletes removed, 'M' flips applied — flipped docs leave the
+    scope without re-shingling). Probe ids shift +1,000,000 so the
+    pairing is index-vs-new only. Stream==batch parity is
+    pytest-gated (tests/test_index_sink.py)."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import minhash_index_query
+    from parq_tools_spark.streaming.index_sink import (
+        start_minhash_index_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="mhmcdc_")
+    src, docs = _band_meta_cdc_src(spark, sf_dir, work)
+    path = os.path.join(work, "idx")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, op string, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_minhash_index_stream(
+        stream, path, os.path.join(work, "ck"),
+        seq_col="seq", num_hashes=64, bands=16,
+        store_cols=["lang"],
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("minhash meta CDC stream did not drain")
+    probe = docs.filter("doc_id % 7 = 1").select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    out = (
+        minhash_index_query(
+            spark, path, probe, threshold=0.5, where="lang == 'en'"
+        )
+        .select(
+            "id_indexed",
+            "id_new",
+            _pround(F.col("est_jaccard")).alias("est_jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_simhash_meta_cdc_stream(spark, sf_dir):
+    """The SimHash twin of minhash_meta_cdc_stream: the same mixed
+    I/U/M/D stream through start_simhash_index_stream's cold
+    store_cols bootstrap, served with where="lang == 'en'" against
+    DuckDB's recomputed fingerprint pipeline over the post-stream
+    corpus."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_query,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_simhash_index_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="shmcdc_")
+    src, docs = _band_meta_cdc_src(spark, sf_dir, work)
+    path = os.path.join(work, "idx")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, op string, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_simhash_index_stream(
+        stream, path, os.path.join(work, "ck"),
+        seq_col="seq", store_cols=["lang"],
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("simhash meta CDC stream did not drain")
+    probe = docs.filter("doc_id % 7 = 1").select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    out = simhash_index_query(
+        spark, path, probe, max_hamming=3, where="lang == 'en'"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_ann_add_metadata_cols2(spark, sf_dir):
+    """MULTI-COLUMN evolution (r17): the ann_add_metadata_col
+    lifecycle but TWO new columns (label + par := vec_id % 2) land in
+    ONE add_metadata_col call — one O(index) rewrite, one
+    compaction-shaped commit, ONE new segment (the IO lock is
+    pytest-gated in tests/test_metadata_evolution.py) — and serving
+    where= over BOTH columns must equal the fresh two-column build,
+    i.e. the ann_where_topk oracle with the parity conjunct added to
+    its candidate scope."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add,
+        ann_index_add_metadata_col,
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="annamc2_")
+    path = os.path.join(work, "idx")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding"
+        ),
+        path, n_cells=8, m=8, n_codes=16,
+    )
+    ann_index_add(
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ),
+        path,
+    )
+    ann_index_add_metadata_col(
+        spark, path,
+        emb.select(
+            "vec_id", "label",
+            (F.col("vec_id") % 2).cast("int").alias("par"),
+        ),
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    out = (
+        ann_index_topk(
+            spark, path, qs, k=5, nprobe=2,
+            where="label in [0, 2, 4] and par == 1",
+        )
+        .select("query_id", "vec_id", "pq_score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_bm25_drop_metadata_col(spark, sf_dir):
+    """The PRUNE leg (r17): build the bm25_where_topk index with an
+    EXTRA stored column (grade := doc_id % 3), then
+    bm25_index_drop_metadata_col removes it — every visible posting
+    row rewritten without the column, one compaction-shaped commit
+    shrinking params.store_cols. Serving where="lang == 'en'"
+    afterwards must equal the build that never had grade, so the
+    oracle is bm25_where_topk's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_drop_metadata_col,
+        bm25_index_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        (F.col("doc_id") % 3).cast("int").alias("grade"),
+    )
+    work = tempfile.mkdtemp(prefix="bmdrop_")
+    path = os.path.join(work, "idx")
+    bm25_index_build(
+        docs, path, n_buckets=8, store_cols=["lang", "grade"]
+    )
+    bm25_index_drop_metadata_col(spark, path, "grade")
+    out = (
+        bm25_index_topk(
+            spark, path, "stream merge window", k=10,
+            where="lang == 'en'",
+        )
+        .select("doc_id", "score", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_minhash_drop_metadata_col(spark, sf_dir):
+    """The band-family prune leg (r17): the minhash_where_query index
+    built with an extra grade column, dropped via
+    minhash_index_drop_metadata_col (shared drop_band_metadata_cols —
+    signatures carried, nothing re-shingled); post-drop where serving
+    equals the build that never stored grade, so the oracle is
+    minhash_where_query's SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_drop_metadata_col,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        (F.col("doc_id") % 3).cast("int").alias("grade"),
+    )
+    work = tempfile.mkdtemp(prefix="mhdrop_")
+    path = os.path.join(work, "idx")
+    minhash_index_write(
+        docs.filter("doc_id % 2 = 0"), path,
+        num_hashes=64, bands=16, store_cols=["lang", "grade"],
+    )
+    minhash_index_drop_metadata_col(spark, path, "grade")
+    out = (
+        minhash_index_query(
+            spark, path, docs.filter("doc_id % 2 = 1"),
+            threshold=0.5, where="lang == 'en'",
+        )
+        .select(
+            "id_indexed",
+            "id_new",
+            _pround(F.col("est_jaccard")).alias("est_jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_ann_retrain_equiv(spark, sf_dir):
     """Retrain-from-stored-vectors gate: grow an index far past its
     training corpus (build on the even ids, add the odds under the
@@ -3866,14 +4141,29 @@ def q_ann_retrain_equiv(spark, sf_dir):
     return only_a.unionByName(only_b)
 
 
-def q_facade_dispatch_equiv(spark, sf_dir):
-    """open_index facade gate over ALL FOUR index families: the
-    family-agnostic handle must serve BIT-IDENTICALLY to the direct
-    family calls it dispatches to — an ann, a bm25, a minhash and a
-    simhash index are built once each, queried both ways, and the
-    four symmetric differences unioned. The facade binds (spark,
-    path) and passes through verbatim (zero plan overhead), so any
-    row here is a dispatch bug. Expected empty."""
+def _facade_sym(via, direct, cols, fam):
+    """Symmetric difference of a facade-served vs directly-served
+    result — the shared tail of the per-family facade gates. Any row
+    is a dispatch bug; expected empty."""
+    out = via.join(direct, cols, "left_anti").select(
+        F.lit(fam).alias("family"),
+        F.col(cols[0]).cast("long").alias("probe_id"),
+        F.lit("facade_only").alias("side"),
+    )
+    back = direct.join(via, cols, "left_anti").select(
+        F.lit(fam).alias("family"),
+        F.col(cols[0]).cast("long").alias("probe_id"),
+        F.lit("direct_only").alias("side"),
+    )
+    return out.unionByName(back)
+
+
+def q_facade_dispatch_ann(spark, sf_dir):
+    """open_index facade gate, ANN family (r17: the 12-job/4-build
+    facade_dispatch_equiv bundle split per family so each entry has
+    a small fixed cost and a regression localizes): the
+    family-agnostic handle must serve BIT-IDENTICALLY to
+    ann_index_topk on the same prebuilt index. Expected empty."""
     import shutil
     import tempfile
 
@@ -3881,90 +4171,118 @@ def q_facade_dispatch_equiv(spark, sf_dir):
         ann_index_build,
         ann_index_topk,
     )
-    from parq_tools_spark.operators.dedup import (
-        minhash_index_query,
-        minhash_index_write,
+    from parq_tools_spark.operators.index_facade import open_index
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="facade_a_")
+    ap = os.path.join(work, "ann")
+    ann_index_build(emb, ap, n_cells=8, m=8, n_codes=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    cols = ["query_id", "vec_id", "pq_score", "rank"]
+    via = (
+        open_index(spark, ap).query(qs, k=5, nprobe=2)
+        .select(*cols).localCheckpoint(eager=True)
     )
+    direct = (
+        ann_index_topk(spark, ap, qs, k=5, nprobe=2)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return _facade_sym(via, direct, cols, "ann")
+
+
+def q_facade_dispatch_bm25(spark, sf_dir):
+    """open_index facade gate, BM25 family — facade handle vs
+    bm25_index_topk on the same prebuilt index. Expected empty."""
+    import shutil
+    import tempfile
+
     from parq_tools_spark.operators.index_facade import open_index
     from parq_tools_spark.operators.search import (
         bm25_index_build,
         bm25_index_topk,
     )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="facade_b_")
+    bp = os.path.join(work, "bm25")
+    bm25_index_build(docs, bp, n_buckets=8)
+    cols = ["doc_id", "score", "rank"]
+    via = (
+        open_index(spark, bp).query("stream merge window", k=10)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    direct = (
+        bm25_index_topk(spark, bp, "stream merge window", k=10)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return _facade_sym(via, direct, cols, "bm25")
+
+
+def q_facade_dispatch_minhash(spark, sf_dir):
+    """open_index facade gate, MinHash family — facade handle vs
+    minhash_index_query on the same prebuilt index. Expected
+    empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from parq_tools_spark.operators.index_facade import open_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="facade_m_")
+    mp = os.path.join(work, "mh")
+    seed = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    minhash_index_write(seed, mp, num_hashes=32, bands=8)
+    cols = ["id_indexed", "id_new", "est_jaccard"]
+    via = (
+        open_index(spark, mp).query(batch, threshold=0.5)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    direct = (
+        minhash_index_query(spark, mp, batch, threshold=0.5)
+        .select(*cols).localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return _facade_sym(via, direct, cols, "minhash")
+
+
+def q_facade_dispatch_simhash(spark, sf_dir):
+    """open_index facade gate, SimHash family — facade handle vs
+    simhash_index_query on the same prebuilt index. Expected
+    empty."""
+    import shutil
+    import tempfile
+
+    from parq_tools_spark.operators.index_facade import open_index
     from parq_tools_spark.operators.simhash_index import (
         simhash_index_query,
         simhash_index_write,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="facade_")
-    ap, bp = os.path.join(work, "ann"), os.path.join(work, "bm25")
-    mp, sp = os.path.join(work, "mh"), os.path.join(work, "sh")
-    ann_index_build(emb, ap, n_cells=8, m=8, n_codes=16)
-    bm25_index_build(docs, bp, n_buckets=8)
+    work = tempfile.mkdtemp(prefix="facade_s_")
+    sp = os.path.join(work, "sh")
     seed = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    minhash_index_write(seed, mp, num_hashes=32, bands=8)
     simhash_index_write(seed, sp)
-    qs = emb.filter(F.col("vec_id") < 3)
-
-    acols = ["query_id", "vec_id", "pq_score", "rank"]
-    a_via = (
-        open_index(spark, ap).query(qs, k=5, nprobe=2)
-        .select(*acols).localCheckpoint(eager=True)
-    )
-    a_dir = (
-        ann_index_topk(spark, ap, qs, k=5, nprobe=2)
-        .select(*acols).localCheckpoint(eager=True)
-    )
-    bcols = ["doc_id", "score", "rank"]
-    b_via = (
-        open_index(spark, bp).query("stream merge window", k=10)
-        .select(*bcols).localCheckpoint(eager=True)
-    )
-    b_dir = (
-        bm25_index_topk(spark, bp, "stream merge window", k=10)
-        .select(*bcols).localCheckpoint(eager=True)
-    )
-    mcols = ["id_indexed", "id_new", "est_jaccard"]
-    m_via = (
-        open_index(spark, mp).query(batch, threshold=0.5)
-        .select(*mcols).localCheckpoint(eager=True)
-    )
-    m_dir = (
-        minhash_index_query(spark, mp, batch, threshold=0.5)
-        .select(*mcols).localCheckpoint(eager=True)
-    )
-    scols = ["id_indexed", "id_new", "hamming"]
-    s_via = (
+    cols = ["id_indexed", "id_new", "hamming"]
+    via = (
         open_index(spark, sp).query(batch, max_hamming=3)
-        .select(*scols).localCheckpoint(eager=True)
+        .select(*cols).localCheckpoint(eager=True)
     )
-    s_dir = (
+    direct = (
         simhash_index_query(spark, sp, batch, max_hamming=3)
-        .select(*scols).localCheckpoint(eager=True)
+        .select(*cols).localCheckpoint(eager=True)
     )
     shutil.rmtree(work, ignore_errors=True)
+    return _facade_sym(via, direct, cols, "simhash")
 
-    def sym(x, y, cols, side):
-        out = x.join(y, cols, "left_anti").select(
-            F.lit(side).alias("family"),
-            F.col(cols[0]).cast("long").alias("probe_id"),
-            F.lit("facade_only").alias("side"),
-        )
-        back = y.join(x, cols, "left_anti").select(
-            F.lit(side).alias("family"),
-            F.col(cols[0]).cast("long").alias("probe_id"),
-            F.lit("direct_only").alias("side"),
-        )
-        return out.unionByName(back)
-
-    return (
-        sym(a_via, a_dir, acols, "ann")
-        .unionByName(sym(b_via, b_dir, bcols, "bm25"))
-        .unionByName(sym(m_via, m_dir, mcols, "minhash"))
-        .unionByName(sym(s_via, s_dir, scols, "simhash"))
-    )
 
 
 def q_auto_compact_equiv(spark, sf_dir):
@@ -4326,45 +4644,91 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-row check window covers the queries
-    with the least accumulated driver evidence first: the five entries
-    NEW in round 16 (``*_index_add_metadata_col`` store_cols evolution
-    across all four families, op-typed 'M' metadata updates on the CDC
-    stream), then every entry whose code changed this round (the four
-    families' apply_cdc/update_metadata/segment writers, the facade,
-    the sinks, the topk_batch guard, the decontamination join), then
-    the entries whose last DIRECT driver row is oldest (the r1-era
-    parity family and the exact-dedup tail; events/multimodal rotated
-    through the r15 window). Everything past position 50 was
-    driver-checked green in recent rounds on code unchanged since, and
-    the whole registry is re-proven by the at-HEAD sf0.1 oracle sweep
-    each round.
+    with the least accumulated driver evidence first: the NINE entries
+    NEW in round 17 (band-family CDC sinks with cold store_cols
+    bootstrap, multi-column backfill, the drop_metadata_col prune leg,
+    and the facade gate split per family so each has a small fixed
+    cost — the old 4-build facade_dispatch_equiv bundle is retired,
+    fully subsumed by the splits), then every entry whose code changed
+    this round (the shared backfill helpers behind all four
+    add_metadata_col paths, merge.apply_cdc's 'M' support behind
+    cdc_apply, the admission/CDC sinks, the bm25_meta_cdc_stream
+    mtime fix), then the entries whose last DIRECT driver row is
+    oldest (the r11-r13-era ANN equivalence/PQ family, hybrid,
+    chunk/pack/sampling and zorder tail). Everything past position 50
+    was driver-checked green in recent rounds on code unchanged
+    since, and the whole registry is re-proven by the at-HEAD sf0.1
+    oracle sweep each round.
     """
     return {
-        # --- positions 1-50 = the driver check window for r16 ---
-        # 1-5: NEW this round (store_cols evolution across all four
-        # families; op-typed 'M' metadata updates on the CDC stream)
+        # --- positions 1-50 = the driver check window for r17 ---
+        # 1-9: NEW this round (band CDC sinks, multi-col backfill,
+        # the prune leg, the per-family facade gates)
+        "minhash_meta_cdc_stream": q_minhash_meta_cdc_stream,
+        "simhash_meta_cdc_stream": q_simhash_meta_cdc_stream,
+        "ann_add_metadata_cols2": q_ann_add_metadata_cols2,
+        "bm25_drop_metadata_col": q_bm25_drop_metadata_col,
+        "minhash_drop_metadata_col": q_minhash_drop_metadata_col,
+        "facade_dispatch_ann": q_facade_dispatch_ann,
+        "facade_dispatch_bm25": q_facade_dispatch_bm25,
+        "facade_dispatch_minhash": q_facade_dispatch_minhash,
+        "facade_dispatch_simhash": q_facade_dispatch_simhash,
+        # 10-19: code changed this round (shared backfill helpers,
+        # merge.apply_cdc 'M' fold, admission/CDC sink bootstrap,
+        # ordered-mtime CDC files)
         "ann_add_metadata_col": q_ann_add_metadata_col,
         "bm25_add_metadata_col": q_bm25_add_metadata_col,
         "minhash_add_metadata_col": q_minhash_add_metadata_col,
         "simhash_add_metadata_col": q_simhash_add_metadata_col,
         "bm25_meta_cdc_stream": q_bm25_meta_cdc_stream,
-        # 6-30: code changed this round (the four families'
-        # apply_cdc gained the 'M' fold, update_metadata gained the
-        # post-commit compaction trigger, the backfill writers touch
-        # the same segment machinery, the facade dispatches
-        # add_metadata_col, bm25_index_topk_batch gained the
-        # max_queries guard, decontaminate_from_index's anti-join is
-        # now AQE-decided)
+        "cdc_apply": q_cdc_apply,
+        "semantic_stream_dedup": q_semantic_stream_dedup,
+        "bm25_index_stream": q_bm25_index_stream,
+        "ann_index_stream_equiv": q_ann_index_stream_equiv,
+        "minhash_index_cdc": q_minhash_index_cdc,
+        # 20-50: stalest direct driver evidence (the r11-r13-era
+        # ANN equivalence/PQ family, hybrid, chunk/pack/sampling,
+        # zorder)
+        "ann_index_equiv": q_ann_index_equiv,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
+        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
+        "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
+        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
+        "ann_refine_topk": q_ann_refine_topk,
+        "hybrid_from_index": q_hybrid_from_index,
+        "hybrid_index_wsum": q_hybrid_index_wsum,
+        "hybrid_index_batch": q_hybrid_index_batch,
+        "hybrid_refined_lossy": q_hybrid_refined_lossy,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_wsum_topk": q_hybrid_wsum_topk,
+        "hybrid_batch_rrf": q_hybrid_batch_rrf,
+        "chunk_sentences": q_chunk_sentences,
+        "chunk_documents": q_chunk_documents,
+        "pack_shards": q_pack_shards,
+        "zorder_cells": q_zorder_cells,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "deterministic_sample": q_deterministic_sample,
+        "hash_split": q_hash_split,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall_check": q_ann_lsh_recall_check,
+        "ann_topk": q_ann_topk,
+        "semantic_dedupe": q_semantic_dedupe,
+        # --- past the window: driver-checked green in recent
+        # rounds on code unchanged since (the at-HEAD sf0.1 sweep
+        # covers every entry each round) ---
         "ann_update_metadata": q_ann_update_metadata,
         "bm25_update_metadata": q_bm25_update_metadata,
         "contamination_from_index": q_contamination_from_index,
         "minhash_where_query": q_minhash_where_query,
         "simhash_where_query": q_simhash_where_query,
-        "minhash_index_cdc": q_minhash_index_cdc,
-        "bm25_index_stream": q_bm25_index_stream,
-        "ann_index_stream_equiv": q_ann_index_stream_equiv,
         "bm25_from_index_batch": q_bm25_from_index_batch,
-        "facade_dispatch_equiv": q_facade_dispatch_equiv,
         "auto_compact_equiv": q_auto_compact_equiv,
         "bm25_index_upsert": q_bm25_index_upsert,
         "bm25_index_delete": q_bm25_index_delete,
@@ -4380,9 +4744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_index_query": q_simhash_index_query,
         "minhash_pairs": q_minhash_pairs,
         "bm25_index_time_travel": q_bm25_index_time_travel,
-        # 31-50: stalest direct driver evidence (the r1-era parity
-        # family and the exact-dedup/diagnostic tail; multimodal and
-        # events rotated through the r15 window)
         "filter_dsl": q_filter_dsl,
         "filter_in_list": q_filter_in_list,
         "concat_tall": q_concat_tall,
@@ -4403,19 +4764,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_pairwise": q_dedupe_pairwise,
         "dedupe_text_exact": q_dedupe_text_exact,
         "token_count_bpe": q_token_count_bpe,
-        # --- past the window: driver-checked green in recent rounds
-        # on code unchanged since (the at-HEAD sf0.1 sweep covers
-        # every entry each round) ---
         "minhash_precision_check": q_minhash_precision_check,
         "ngram_jaccard": q_ngram_jaccard,
         "contamination": q_contamination,
         "simhash_pairs": q_simhash_pairs,
-        "hybrid_from_index": q_hybrid_from_index,
-        "hybrid_index_wsum": q_hybrid_index_wsum,
-        "hybrid_index_batch": q_hybrid_index_batch,
-        "hybrid_refined_lossy": q_hybrid_refined_lossy,
-        "semantic_stream_dedup": q_semantic_stream_dedup,
-        "ann_index_equiv": q_ann_index_equiv,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
@@ -4424,21 +4776,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "incremental_revenue": q_incremental_revenue,
         "incremental_retention": q_incremental_retention,
-        "cdc_apply": q_cdc_apply,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "video_pipeline": q_video_pipeline,
-        "pack_shards": q_pack_shards,
-        "chunk_sentences": q_chunk_sentences,
-        "chunk_documents": q_chunk_documents,
-        "zorder_cells": q_zorder_cells,
         "pii_redact": q_pii_redact,
         "clean_text": q_clean_text,
         "group_overlap": q_group_overlap,
         "ann_retrain_equiv": q_ann_retrain_equiv,
-        "semantic_dedupe": q_semantic_dedupe,
-        "ann_refine_topk": q_ann_refine_topk,
         "bm25_from_index": q_bm25_from_index,
         "bm25_index_phrase": q_bm25_index_phrase,
         "paragraph_dedupe": q_paragraph_dedupe,
@@ -4451,27 +4796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_lines": q_repetition_lines,
         "repetition_ngram": q_repetition_ngram,
         "gopher_filter": q_gopher_filter,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_hash_topk": q_ann_ivf_hash_topk,
-        "ann_ivf_fullprobe_equiv": q_ann_ivf_fullprobe_equiv,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "deterministic_sample": q_deterministic_sample,
-        "hash_split": q_hash_split,
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_wsum_topk": q_hybrid_wsum_topk,
-        "hybrid_batch_rrf": q_hybrid_batch_rrf,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_pq_exact_equiv": q_ann_pq_exact_equiv,
-        "ann_opq_exact_equiv": q_ann_opq_exact_equiv,
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
-        "ann_ivfpq_equiv": q_ann_ivfpq_equiv,
-        "ann_opq_ivfpq_equiv": q_ann_opq_ivfpq_equiv,
         "bm25_search": q_bm25_search,
         "bm25_and_search": q_bm25_and_search,
         "bm25_phrase_search": q_bm25_phrase_search,
@@ -4496,10 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "embedding_sim_pairs": q_embedding_sim_pairs,
         "embedding_sim_pairs_blocked": q_embedding_sim_pairs_blocked,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_precision_check": q_simhash_precision_check,
-        "ann_lsh_recall_check": q_ann_lsh_recall_check,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
@@ -6179,7 +6504,25 @@ WHERE rnk <= 5
                    CAST(NULL AS VARCHAR) AS side
             WHERE FALSE
         """,
-        "facade_dispatch_equiv": """
+        "facade_dispatch_ann": """
+            SELECT CAST(NULL AS VARCHAR) AS family,
+                   CAST(NULL AS BIGINT) AS probe_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "facade_dispatch_bm25": """
+            SELECT CAST(NULL AS VARCHAR) AS family,
+                   CAST(NULL AS BIGINT) AS probe_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "facade_dispatch_minhash": """
+            SELECT CAST(NULL AS VARCHAR) AS family,
+                   CAST(NULL AS BIGINT) AS probe_id,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
+        """,
+        "facade_dispatch_simhash": """
             SELECT CAST(NULL AS VARCHAR) AS family,
                    CAST(NULL AS BIGINT) AS probe_id,
                    CAST(NULL AS VARCHAR) AS side
@@ -8351,6 +8694,102 @@ SELECT id_indexed, id_new,
        floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
 FROM est WHERE e >= 0.5
     """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64))
+    # band-family CDC sinks (r17): the sinks cold-bootstrap
+    # store_cols indexes and drain an ordered I/U/M/D stream; the
+    # oracles recompute the band pipelines over the POST-STREAM
+    # corpus (deletes removed, 'M' lang flips applied — the U ops
+    # re-supply identical text, so the logical corpus ignores them)
+    # with the probe side id-shifted exactly like the Spark entries
+    out["minhash_meta_cdc_stream"] = """
+WITH corpus AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = 'en' AND doc_id % 11 = 0
+              THEN 'zz' ELSE lang END AS lang
+  FROM documents
+  WHERE doc_id % 13 <> 0
+), alld AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 1
+), toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM alld
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+         ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), bh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS base FROM sh
+), seeds(seed, a, b) AS (VALUES {MINHASH_SEEDS}
+), h AS (
+  SELECT doc_id, seed, min((a * base + b) % 2147483647) AS mh
+  FROM bh CROSS JOIN seeds GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY seed) AS bkey
+  FROM h GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey
+  JOIN corpus c ON c.doc_id = a.doc_id
+  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000 AND c.lang = 'en'
+), est AS (
+  SELECT c.id_indexed, c.id_new,
+         sum(CASE WHEN h1.mh = h2.mh THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN h h1 ON h1.doc_id = c.id_indexed
+  JOIN h h2 ON h2.doc_id = c.id_new AND h2.seed = h1.seed
+  GROUP BY c.id_indexed, c.id_new
+)
+SELECT id_indexed, id_new,
+       floor(e * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM est WHERE e >= 0.5
+    """.replace("{MINHASH_SEEDS}", _seed_values("minhash", 64))
+    out["simhash_meta_cdc_stream"] = """
+WITH corpus AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = 'en' AND doc_id % 11 = 0
+              THEN 'zz' ELSE lang END AS lang
+  FROM documents
+  WHERE doc_id % 13 <> 0
+), alld AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 1
+), tk AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM alld
+), cnt AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base,
+         count(*) AS c
+  FROM tk GROUP BY 1, 2
+), seeds(seed, a, b) AS (VALUES {SIMHASH_SEEDS}
+), bitsum AS (
+  SELECT doc_id, seed,
+         sum(c * (2 * (((a * base + b) % 2147483647) & 1) - 1)) AS sgn
+  FROM cnt CROSS JOIN seeds GROUP BY doc_id, seed
+), fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn > 0 THEN (1::BIGINT << seed) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS bval
+  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS bb(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_indexed, b.doc_id AS id_new,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval
+  JOIN corpus c ON c.doc_id = a.doc_id
+  WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000 AND c.lang = 'en'
+)
+SELECT id_indexed, id_new, hamming FROM cand WHERE hamming <= 3
+    """.replace("{SIMHASH_SEEDS}", _seed_values("simhash", 63))
     # metadata-only updates: the where-serving oracles with the FLIP
     # applied in SQL — derived from the verified base pipelines so
     # the only difference under test is the flipped candidate scope
@@ -8372,6 +8811,19 @@ FROM est WHERE e >= 0.5
     out["bm25_add_metadata_col"] = out["bm25_where_topk"]
     out["minhash_add_metadata_col"] = out["minhash_where_query"]
     out["simhash_add_metadata_col"] = out["simhash_where_query"]
+    # MULTI-COLUMN evolution (r17): two columns in ONE backfill must
+    # serve like the fresh two-column build — ann_where_topk's SQL
+    # with the second column's conjunct (par := vec_id % 2) added to
+    # the same candidate scope
+    out["ann_add_metadata_cols2"] = out["ann_where_topk"].replace(
+        "WHERE label IN (0, 2, 4)",
+        "WHERE label IN (0, 2, 4) AND vec_id % 2 = 1",
+    )
+    # the PRUNE leg (r17): dropping the extra stored column must
+    # serve exactly like the build that never had it — the verified
+    # where-serving SQL verbatim
+    out["bm25_drop_metadata_col"] = out["bm25_where_topk"]
+    out["minhash_drop_metadata_col"] = out["minhash_where_query"]
     # mixed U/D/M CDC stream: full BM25 recomputed over the
     # post-stream corpus — doc_id%13 deleted, every English
     # doc_id%11 re-graded to 'zz' (metadata-only — the 'U' rows

@@ -1,7 +1,7 @@
-"""Streaming maintenance of the persisted BM25 index: a CDC stream
-(``op`` in 'I'/'U'/'D') keeps the search index continuously fresh
-(beyond-reference; the reference has neither a streaming surface nor a
-search index). Change rows carry ``op`` in 'I'/'U'/'D'/'M' — 'M'
+"""Streaming maintenance of the persisted indexes: a CDC stream
+(``op`` in 'I'/'U'/'D'/'M') keeps all four index families (BM25, ANN,
+MinHash, SimHash) continuously fresh (beyond-reference; the reference
+has neither a streaming surface nor any index). Change rows carry ``op`` in 'I'/'U'/'D'/'M' — 'M'
 (metadata-only) ops fold into the family's ``update_metadata``
 after the batch's deletes and upserts (shared
 ``resolve_cdc_with_meta`` semantics), so a license re-grade rides
@@ -45,7 +45,12 @@ from parq_tools_spark.streaming._markers import (
     last_applied as _last_applied,
 )
 
-__all__ = ["start_bm25_index_stream", "start_ann_index_stream"]
+__all__ = [
+    "start_bm25_index_stream",
+    "start_ann_index_stream",
+    "start_minhash_index_stream",
+    "start_simhash_index_stream",
+]
 
 
 def _run_index_stream(
@@ -394,5 +399,239 @@ def start_ann_index_stream(
         query_name,
         maybe_compact_fn=(
             _maybe if (max_segments or max_tombstone_frac) else None
+        ),
+    )
+
+
+def start_minhash_index_stream(
+    changes: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    hash_family: str = "portable",
+    store_cols=(),
+    keep_versions: int = 1,
+    compact_every: int = 0,
+    max_segments: int = 0,
+    max_delete_batches: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Start a streaming query folding CDC rows into the persisted
+    MinHash index — the band-family sibling of
+    :func:`start_bm25_index_stream` (same markers, same replay
+    convergence, same ``apply_cdc`` semantics via
+    :func:`~parq_tools_spark.operators.dedup.
+    minhash_index_apply_cdc`), so the near-dup candidate index stays
+    continuously fresh under the SAME change log that maintains the
+    search/vector indexes and the snapshot — takedown 'D's, refresh
+    'U's and re-grade 'M's all land without a rebuild.
+
+    This differs from :func:`~parq_tools_spark.streaming.near_dedup.
+    start_near_dedupe_stream` in WHAT the stream means: the admission
+    sink filters documents and appends survivors; this sink REPLAYS
+    an upstream change log verbatim (nothing is filtered, deletes
+    actually delete).
+
+    If ``index_path`` holds an existing index its stored parameters
+    govern from the first batch (``id_col``..``keep_versions`` are
+    ignored); otherwise the first batch bootstraps an EMPTY index
+    with the given parameters — committed manifest, zero band rows —
+    so every batch takes the one ``apply_cdc`` path (the committed-
+    manifest gate of the admission sinks).
+
+    'M' (metadata-only) rows fold into
+    ``minhash_index_update_metadata`` through the same ``apply_cdc``
+    call (id plus ALL ``store_cols``, no text). Pass ``store_cols=``
+    here (or pre-build with it) so the bootstrapped index can store
+    what the re-grades ship — I/U rows must then carry the columns,
+    and 'M' ids not visible when their batch applies are counted
+    no-ops, so replay converges. 'M' rows against a store_cols-LESS
+    index raise loudly (a misconfiguration, not a replayable data
+    condition).
+
+    ``compact_every`` / ``max_segments`` / ``max_delete_batches``
+    are the count-based cadence and the stats-driven trigger
+    (:func:`~parq_tools_spark.operators.dedup.
+    minhash_index_maybe_compact`), with the shared consult-every-
+    batch rule of :func:`_run_index_stream`.
+    """
+    if not changes.isStreaming:
+        raise ValueError(
+            "start_minhash_index_stream needs a streaming DataFrame; "
+            "use operators.dedup.minhash_index_apply_cdc for batch CDC"
+        )
+
+    def _apply(spark, batch_df: DataFrame) -> None:
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_apply_cdc,
+            minhash_index_is_committed,
+            minhash_index_write,
+        )
+
+        if not minhash_index_is_committed(spark, index_path):
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
+            )
+
+            # validate here for the clear message — the bare select
+            # would throw UNRESOLVED_COLUMN before write's own check
+            check_store_cols(
+                batch_df, list(store_cols),
+                "start_minhash_index_stream",
+            )
+            minhash_index_write(
+                batch_df.limit(0).select(id_col, text_col, *store_cols),
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+                hash_family=hash_family,
+                keep_versions=keep_versions,
+                store_cols=store_cols,
+            )
+        minhash_index_apply_cdc(
+            spark, index_path, batch_df,
+            op_col=op_col, seq_col=seq_col, text_col=text_col,
+        )
+
+    def _compact(spark, path):
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_compact,
+        )
+
+        minhash_index_compact(spark, path)
+
+    def _maybe(spark):
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_maybe_compact,
+        )
+
+        minhash_index_maybe_compact(
+            spark,
+            index_path,
+            max_segments=max_segments,
+            max_delete_batches=max_delete_batches,
+        )
+
+    return _run_index_stream(
+        changes,
+        index_path,
+        checkpoint_dir,
+        _apply,
+        _compact,
+        compact_every,
+        available_now,
+        query_name,
+        maybe_compact_fn=(
+            _maybe if (max_segments or max_delete_batches) else None
+        ),
+    )
+
+
+def start_simhash_index_stream(
+    changes: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    seq_col: Optional[str] = None,
+    bits: int = 63,
+    n_bands: int = 4,
+    hash_family: str = "portable",
+    store_cols=(),
+    keep_versions: int = 1,
+    compact_every: int = 0,
+    max_segments: int = 0,
+    max_delete_batches: int = 0,
+    available_now: bool = True,
+    query_name: Optional[str] = None,
+):
+    """Start a streaming query folding CDC rows into the persisted
+    SimHash index — :func:`start_minhash_index_stream`'s
+    Hamming-distance twin, completing the CDC sink surface across
+    all four index families (same markers, same replay convergence,
+    same 'M'-fold semantics via :func:`~parq_tools_spark.operators.
+    simhash_index.simhash_index_apply_cdc`; see the MinHash sink's
+    docstring for the replay-a-change-log vs filter-an-ingest
+    distinction and the ``store_cols=`` bootstrap contract)."""
+    if not changes.isStreaming:
+        raise ValueError(
+            "start_simhash_index_stream needs a streaming DataFrame; "
+            "use operators.simhash_index.simhash_index_apply_cdc for "
+            "batch CDC"
+        )
+
+    def _apply(spark, batch_df: DataFrame) -> None:
+        from parq_tools_spark.operators.simhash_index import (
+            _sh_vs,
+            simhash_index_apply_cdc,
+            simhash_index_write,
+        )
+
+        if _sh_vs(spark, index_path).current() is None:
+            from parq_tools_spark.operators._index_common import (
+                check_store_cols,
+            )
+
+            check_store_cols(
+                batch_df, list(store_cols),
+                "start_simhash_index_stream",
+            )
+            simhash_index_write(
+                batch_df.limit(0).select(id_col, text_col, *store_cols),
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                bits=bits,
+                n_bands=n_bands,
+                hash_family=hash_family,
+                keep_versions=keep_versions,
+                store_cols=store_cols,
+            )
+        simhash_index_apply_cdc(
+            spark, index_path, batch_df,
+            op_col=op_col, seq_col=seq_col, text_col=text_col,
+        )
+
+    def _compact(spark, path):
+        from parq_tools_spark.operators.simhash_index import (
+            simhash_index_compact,
+        )
+
+        simhash_index_compact(spark, path)
+
+    def _maybe(spark):
+        from parq_tools_spark.operators.simhash_index import (
+            simhash_index_maybe_compact,
+        )
+
+        simhash_index_maybe_compact(
+            spark,
+            index_path,
+            max_segments=max_segments,
+            max_delete_batches=max_delete_batches,
+        )
+
+    return _run_index_stream(
+        changes,
+        index_path,
+        checkpoint_dir,
+        _apply,
+        _compact,
+        compact_every,
+        available_now,
+        query_name,
+        maybe_compact_fn=(
+            _maybe if (max_segments or max_delete_batches) else None
         ),
     )

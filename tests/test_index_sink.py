@@ -518,3 +518,242 @@ def test_stats_trigger_consulted_on_cadence_batches(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# band-family CDC sinks: start_minhash_index_stream /
+# start_simhash_index_stream — same markers, same replay convergence,
+# same 'M'-fold semantics as the BM25/ANN sinks
+# ---------------------------------------------------------------------
+
+BAND_CDC_SCHEMA = (
+    "doc_id long, text string, lang string, op string, seq long"
+)
+
+
+def _band_batches(spark, docs, src_dir):
+    """Three micro-batches over the documents table: I evens (with
+    lang), then U re-supplies + M re-grades, then D takedowns."""
+    b0 = docs.filter("doc_id % 2 = 0").select(
+        "doc_id", "text", "lang",
+        F.lit("I").alias("op"), F.lit(0).cast("long").alias("seq"),
+    )
+    b1 = docs.filter("doc_id % 10 = 4").select(
+        "doc_id", "text", "lang",
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+    ).unionByName(
+        docs.filter("doc_id % 10 = 6").select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("zz").alias("lang"),
+            F.lit("M").alias("op"), F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    b2 = docs.filter("doc_id % 10 = 8").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+    import time
+
+    for i, b in enumerate([b0, b1, b2]):
+        d = os.path.join(src_dir, f"f{i}")
+        b.coalesce(1).write.parquet(d)
+        # distinct mtimes: FileStreamSource orders batches by mtime
+        import glob as _g
+
+        now = time.time()
+        for f in _g.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (now + i * 10, now + i * 10))
+    return [b0, b1, b2]
+
+
+def test_minhash_stream_equals_batch_cdc_path(spark, sf_dir, tmp_path):
+    """Mixed U/D/M CDC stream through start_minhash_index_stream
+    (store_cols bootstrapped cold) == the same batches through
+    minhash_index_apply_cdc on an identically-bootstrapped index —
+    queried with and without a where= scope."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_query,
+        minhash_index_stats,
+        minhash_index_write,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_minhash_index_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    src = str(tmp_path / "cdc")
+    batches = _band_batches(spark, docs, src)
+
+    streamed = str(tmp_path / "streamed")
+    stream = (
+        spark.readStream.schema(BAND_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_minhash_index_stream(
+        stream, streamed, str(tmp_path / "ck"),
+        seq_col="seq", num_hashes=32, bands=8,
+        store_cols=["lang"],
+    )
+    assert q.awaitTermination(300), "stream did not drain in 300s"
+
+    batch_idx = str(tmp_path / "batch")
+    minhash_index_write(
+        docs.limit(0), batch_idx, num_hashes=32, bands=8,
+        store_cols=["lang"],
+    )
+    for b in batches:
+        minhash_index_apply_cdc(spark, batch_idx, b, seq_col="seq")
+
+    assert (
+        minhash_index_stats(spark, streamed)["params"]["store_cols"]
+        == ["lang"]
+    )
+    probe = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    def q_pairs(path, **kw):
+        return sorted(
+            (r.id_indexed, r.id_new)
+            for r in minhash_index_query(
+                spark, path, probe, threshold=0.5,
+                exclude_same_id=False, **kw,
+            ).collect()
+        )
+
+    assert q_pairs(streamed) == q_pairs(batch_idx)
+    assert q_pairs(streamed, where="lang == 'zz'") == q_pairs(
+        batch_idx, where="lang == 'zz'"
+    )
+    # the D'd ids are really gone; the M'd ids really re-graded
+    zz = {
+        p[0] for p in q_pairs(streamed, where="lang == 'zz'")
+    }
+    assert zz and all(v % 10 == 6 for v in zz)
+    assert not any(
+        p[0] % 10 == 8 for p in q_pairs(streamed)
+    )
+
+
+def test_minhash_stream_fresh_checkpoint_replay_converges(
+    spark, sf_dir, tmp_path
+):
+    """A lost-checkpoint full replay converges to the same logical
+    state (apply_cdc is final-state idempotent)."""
+    from parq_tools_spark.operators.dedup import minhash_index_query
+    from parq_tools_spark.streaming.index_sink import (
+        start_minhash_index_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang").filter("doc_id < 300")
+    src = str(tmp_path / "cdc")
+    _band_batches(spark, docs, src)
+    idx = str(tmp_path / "idx")
+    probe = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema(BAND_CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = start_minhash_index_stream(
+            stream, idx, str(tmp_path / f"ck_{tag}"),
+            seq_col="seq", num_hashes=32, bands=8,
+            store_cols=["lang"],
+        )
+        assert q.awaitTermination(300)
+        from parq_tools_spark.operators.dedup import (
+            minhash_index_query as mq,
+        )
+
+        return sorted(
+            (r.id_indexed, r.id_new)
+            for r in mq(
+                spark, idx, probe, threshold=0.5,
+                exclude_same_id=False,
+            ).collect()
+        )
+
+    assert run("a") == run("b")
+
+
+def test_simhash_stream_equals_batch_cdc_path(spark, sf_dir, tmp_path):
+    """The SimHash twin: streamed U/D/M == batched apply_cdc, with
+    and without where=."""
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_apply_cdc,
+        simhash_index_query,
+        simhash_index_stats,
+        simhash_index_write,
+    )
+    from parq_tools_spark.streaming.index_sink import (
+        start_simhash_index_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text", "lang")
+    src = str(tmp_path / "cdc")
+    batches = _band_batches(spark, docs, src)
+
+    streamed = str(tmp_path / "streamed")
+    stream = (
+        spark.readStream.schema(BAND_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_simhash_index_stream(
+        stream, streamed, str(tmp_path / "ck"),
+        seq_col="seq", n_bands=8, store_cols=["lang"],
+    )
+    assert q.awaitTermination(300), "stream did not drain in 300s"
+
+    batch_idx = str(tmp_path / "batch")
+    simhash_index_write(
+        docs.limit(0), batch_idx, n_bands=8, store_cols=["lang"]
+    )
+    for b in batches:
+        simhash_index_apply_cdc(spark, batch_idx, b, seq_col="seq")
+
+    assert (
+        simhash_index_stats(spark, streamed)["params"]["store_cols"]
+        == ["lang"]
+    )
+    probe = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    def q_pairs(path, **kw):
+        return sorted(
+            (r.id_indexed, r.id_new)
+            for r in simhash_index_query(
+                spark, path, probe, max_hamming=7,
+                exclude_same_id=False, **kw,
+            ).collect()
+        )
+
+    assert q_pairs(streamed) == q_pairs(batch_idx)
+    assert q_pairs(streamed, where="lang == 'zz'") == q_pairs(
+        batch_idx, where="lang == 'zz'"
+    )
+
+
+def test_band_sinks_reject_batch_dataframe(spark, sf_dir):
+    from parq_tools_spark.streaming.index_sink import (
+        start_minhash_index_stream,
+        start_simhash_index_stream,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).limit(1)
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        start_minhash_index_stream(docs, "/tmp/x", "/tmp/ck")
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        start_simhash_index_stream(docs, "/tmp/x", "/tmp/ck")
