@@ -10,12 +10,17 @@ first-class, independently-maintainable axis:
     store   -> build with store_cols=[...] (metadata rides the rows)
     filter  -> serve with where="..." (pushed into the pruned scans)
     update  -> *_index_update_metadata (O(affected), nothing recomputed)
-    evolve  -> *_index_add_metadata_col (backfill a NEW column)
-    stream  -> op-typed 'M' rows on the same CDC feed as content
+    evolve  -> *_index_add_metadata_col (backfill NEW columns — k of
+               them in ONE O(index) rewrite)
+    prune   -> *_index_drop_metadata_col (the inverse rewrite)
+    stream  -> op-typed 'M' rows on the same CDC feed as content,
+               through a cold-bootstrapped streaming sink
 
-This example walks all five legs on a BM25 index through the
+This example walks all the legs on a BM25 index through the
 family-agnostic facade; the identical calls work on the ANN, MinHash
-and SimHash families (MIGRATION.md tabulates the 4-family surface).
+and SimHash families (MIGRATION.md tabulates the 4-family surface —
+round 17 added MinHash/SimHash CDC sinks, so the streamed leg below
+works on all four too).
 """
 import os
 import sys
@@ -68,17 +73,30 @@ assert victim not in {
 }
 print(f"doc {victim} re-graded out of the 'en' slice")
 
-# --- EVOLVE: a quality score computed long AFTER the build becomes a
-# served, filterable column — every visible row backfilled, the
+# --- EVOLVE: quality signals computed long AFTER the build become
+# served, filterable columns — every visible row backfilled, the
 # manifest's store_cols extended in the SAME atomic commit. values is
 # an id->value lookup; uncovered ids take default= (or raise loudly).
-grades = docs.select("doc_id", (F.col("doc_id") % 3).cast("int").alias("grade"))
-h.add_metadata_col(grades, default=9)
+# k columns land in ONE O(index) rewrite (default= takes a per-column
+# dict), because the rewrite is the entire cost of evolution.
+signals = docs.select(
+    "doc_id",
+    (F.col("doc_id") % 3).cast("int").alias("grade"),
+    (F.length("text") > 200).alias("long_doc"),
+)
+h.add_metadata_col(signals, default={"grade": 9, "long_doc": False})
 print("stats:", h.stats()["params"]["store_cols"])
 good = bm25_index_topk(
     spark, idx, q, k=5, where="lang == 'en' and grade == 0"
 )
 print("top-5 English grade-0:", [r.doc_id for r in good.collect()])
+
+# --- PRUNE: a superseded column stops paying its bytes on every
+# postings scan — the inverse rewrite, shrinking store_cols in the
+# same atomic commit shape. where= on the dropped column now fails
+# with the standard unknown-column error.
+h.drop_metadata_col("long_doc")
+print("after prune:", h.stats()["params"]["store_cols"])
 
 # --- STREAM: re-grades ride the SAME change feed as content. An 'M'
 # row carries the id plus ALL store_cols and folds into
@@ -103,4 +121,41 @@ assert victim in {
         spark, idx, q, k=1_000_000, where="lang == 'en'"
     ).collect()
 }
-print("lifecycle complete: store -> filter -> update -> evolve -> stream")
+
+# --- STREAMED: the same mixed feed as a real micro-batch stream
+# through a COLD-started sink — store_cols= bootstraps the index on
+# batch 0, so a scoped serving surface needs no out-of-band
+# pre-build. (start_minhash_index_stream / start_simhash_index_stream
+# are the band twins; start_ann_index_stream the vector one.)
+from parq_tools_spark.streaming.index_sink import start_bm25_index_stream
+
+cdc_dir = os.path.join(work, "cdc")
+sidx = os.path.join(work, "stream_idx")
+feed = docs.select(
+    "doc_id", "text", "lang",
+    F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq"),
+).unionByName(
+    # re-grade every English doc divisible by 11 — metadata-only, no
+    # text on the row, lands via update_metadata inside the sink
+    docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 11 == 0))
+    .select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("restricted").alias("lang"),
+        F.lit("M").alias("op"), F.lit(2).cast("long").alias("seq"),
+    )
+)
+feed.coalesce(1).write.parquet(os.path.join(cdc_dir, "f0"))
+stream = spark.readStream.schema(
+    "doc_id long, text string, lang string, op string, seq long"
+).parquet(cdc_dir + "/*")
+sq = start_bm25_index_stream(
+    stream, sidx, os.path.join(work, "ck"),
+    seq_col="seq", n_buckets=8, store_cols=["lang"],
+)
+sq.awaitTermination(300)
+restricted = bm25_index_topk(
+    spark, sidx, q, k=1_000_000, where="lang == 'restricted'"
+)
+print("streamed re-grades now serve:", restricted.count(), "docs")
+print("lifecycle complete: "
+      "store -> filter -> update -> evolve -> prune -> stream")

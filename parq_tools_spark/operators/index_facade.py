@@ -17,7 +17,7 @@ convenience for code that holds a path and doesn't know — or care —
 which family wrote it: maintenance jobs sweeping a directory of
 indexes, inspection tooling, REPL forensics.
 
-The full 4x9 surface is tabulated in ``MIGRATION.md`` (the
+The full per-family surface is tabulated in ``MIGRATION.md`` (the
 per-family function names this dispatches to).
 """
 
