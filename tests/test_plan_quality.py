@@ -682,3 +682,81 @@ def test_semantic_admission_where_pushes_to_segment_scan(
     assert re.search(r"PushedFilters: \[.*EqualTo\(label,0\)", plan)
     assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_multi_col_backfill_serves_both_pushed(spark, sf_dir, tmp_path):
+    """r17 multi-column evolution: after a TWO-column single-commit
+    backfill, a where= conjunction over BOTH backfilled columns
+    reaches the cell-pruned segment scans as pushed data filters —
+    the same plan shape as a fresh two-column build, no join, no id
+    set."""
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.ann_index import (
+        ann_index_add_metadata_col,
+        ann_index_build,
+        ann_index_topk,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    path = str(tmp_path / "annmc2")
+    ann_index_build(
+        emb.select("vec_id", "embedding"), path,
+        n_cells=8, m=8, n_codes=16,
+    )
+    ann_index_add_metadata_col(
+        spark, path,
+        emb.select(
+            "vec_id", "label",
+            (F.col("vec_id") % 2).cast("int").alias("par"),
+        ),
+    )
+    qs = emb.filter("vec_id < 3")
+    df = ann_index_topk(
+        spark, path, qs, k=5, nprobe=2,
+        where="label == 0 and par == 1",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(label,0\)", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(par,1\)", plan)
+    assert "LeftSemi" not in plan
+
+
+def test_post_drop_serving_keeps_pushdown(spark, sf_dir, tmp_path):
+    """r17 prune leg: after dropping one of two stored columns, the
+    surviving column's where= still pushes into the bucket-pruned
+    postings scans — the rewrite changed the stored schema, not the
+    serving plan shape."""
+    from pyspark.sql import functions as F
+
+    from parq_tools_spark.operators.search import (
+        bm25_index_build,
+        bm25_index_drop_metadata_col,
+        bm25_index_topk,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id", "text", "lang",
+        (F.col("doc_id") % 3).cast("int").alias("grade"),
+    )
+    path = str(tmp_path / "bmdrop")
+    bm25_index_build(
+        docs, path, n_buckets=8, store_cols=["lang", "grade"]
+    )
+    bm25_index_drop_metadata_col(spark, path, "grade")
+    df = bm25_index_topk(
+        spark, path, "stream merge window", k=10, where="lang == 'en'"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan
+    assert re.search(r"PartitionFilters: \[.*tbucket.*\]", plan)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan)
