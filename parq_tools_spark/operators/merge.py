@@ -315,10 +315,16 @@ def apply_cdc(
         else:
             # a non-M op at an equal-or-later seq supersedes the M:
             # a U carries the full authoritative record, a D removes
-            # the row it would touch (resolve_cdc_with_meta semantics)
+            # the row it would touch (resolve_cdc_with_meta semantics).
+            # Both sides are change-log-sized; broadcast_source is the
+            # caller's statement that the log is small, so the
+            # supersession join broadcasts too (otherwise it reuses
+            # the window's existing hash partitioning of the log).
             sup = latest.select(
                 *keys, F.col(seq_col).alias("_other_seq")
             )
+            if broadcast_source:
+                sup = F.broadcast(sup)
             metas = (
                 metas.join(sup, on=keys, how="left")
                 .filter(
