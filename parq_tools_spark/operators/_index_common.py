@@ -933,10 +933,12 @@ def backfill_metadata_rows(
     return out, n_vals
 
 
-def visible_band_rows(spark, path: str, m: dict, id_col: str, fn: str):
+def visible_band_rows(spark, path: str, m: dict, id_col: str, fn: str,
+                      fs):
     """Every VISIBLE band row of a band-partitioned index (MinHash /
     SimHash), tombstones folded — the read side both evolution legs
-    (backfill / prune) share. Raises when nothing is visible:
+    (backfill / prune) share; ``fs`` is the caller's ``vs.fs`` (every
+    caller already holds one). Raises when nothing is visible:
     committing a rewrite of zero rows would make a data-less
     directory the SOLE segment and break schema inference for every
     later query."""
@@ -944,9 +946,6 @@ def visible_band_rows(spark, path: str, m: dict, id_col: str, fn: str):
 
     from pyspark.sql import DataFrame
 
-    from parq_tools_spark.sources.statefs import StateFS
-
-    fs = StateFS(spark, path)
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
     if not live:
         raise ValueError(
@@ -1038,7 +1037,7 @@ def add_band_metadata_col(
     new_cols = check_add_metadata_col(
         values, id_col, store, reserved, fn, default=default
     )
-    rows = visible_band_rows(spark, path, m, id_col, fn)
+    rows = visible_band_rows(spark, path, m, id_col, fn, vs.fs)
     # one row per id per band — band 0 alone is exact membership at
     # 1/bands of the scan (the delete guard's trick)
     coverage = rows.filter(F.col("band") == 0).select(id_col)
@@ -1074,7 +1073,7 @@ def drop_band_metadata_cols(
     store = list(params.get("store_cols", []))
     cols = check_drop_metadata_cols(cols, store, fn)
     id_col = params["id_col"]
-    rows = visible_band_rows(spark, path, m, id_col, fn)
+    rows = visible_band_rows(spark, path, m, id_col, fn, vs.fs)
     out = rows.drop(*cols)
     v = commit_band_rewrite(
         out, path, vs=vs, cur=cur, m=m, params=params,

@@ -67,6 +67,8 @@ __all__ = [
     "ann_index_delete",
     "ann_index_upsert",
     "ann_index_update_metadata",
+    "ann_index_add_metadata_col",
+    "ann_index_drop_metadata_col",
     "ann_index_retrain",
     "ann_index_apply_cdc",
     "ann_index_compact",

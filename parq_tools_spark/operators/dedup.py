@@ -71,6 +71,7 @@ __all__ = [
     "minhash_index_stats",
     "minhash_index_update_metadata",
     "minhash_index_add_metadata_col",
+    "minhash_index_drop_metadata_col",
     "incremental_dedupe",
 ]
 
@@ -1302,7 +1303,9 @@ def minhash_index_write(
     )
 
     store_cols = list(store_cols)
-    reserved = {"signature", "band", "bhash", id_col}
+    # text_col is reserved too: storing the raw document text on
+    # EVERY band row is bands x text bytes of silent index bloat
+    reserved = {"signature", "band", "bhash", id_col, text_col}
     bad = [c for c in store_cols if c in reserved]
     if bad:
         raise ValueError(
@@ -1344,6 +1347,7 @@ def minhash_index_write(
     )
     params = {
         "id_col": id_col,
+        "text_col": text_col,
         "num_hashes": num_hashes,
         "bands": bands,
         "k": k,
@@ -2212,7 +2216,13 @@ def minhash_index_add_metadata_col(
     return add_band_metadata_col(
         spark, path, values, default,
         vs=vs, cur=cur, m=m, params=p,
-        reserved={"signature", "band", "bhash", p["id_col"]},
+        reserved={
+            "signature", "band", "bhash", p["id_col"],
+            # the index's own text column: an unprojected values
+            # frame must not silently store the raw text on every
+            # band row (older manifests lack the key: default name)
+            p.get("text_col", "text"),
+        },
         fn="minhash_index_add_metadata_col",
         task_splits=task_splits,
     )

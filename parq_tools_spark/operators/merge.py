@@ -232,9 +232,13 @@ def apply_cdc(
     batch's upserts, is superseded by a non-'M' op at an
     equal-or-later sequence, and is a no-op when its key is not
     present once the deletes/upserts have applied (never an insert,
-    never an error — replay convergence). Ops outside I/U/D/'M'
-    always raise. The op validation is one early-stopping ``take(1)``
-    probe over the change log per call — the only eager work here.
+    never an error — replay convergence). Ops outside I/U/D/'M' —
+    including NULL — always raise. The op validation is one
+    early-stopping, column-pruned ``take(1)`` probe over the change
+    log per call (a clean log pays a scan of its op column; the same
+    per-batch-probe trade the index sinks' ``resolve_cdc_with_meta``
+    makes), plus a second such probe for 'M' presence when
+    ``meta_cols`` is set — the only eager work here.
 
     ``target_seq_col`` (stale-event protection): when set, ``target``
     must carry that column holding the seq of the last event applied
@@ -258,7 +262,12 @@ def apply_cdc(
     keys = list(keys)
     meta_cols = list(meta_cols) if meta_cols is not None else None
     allowed = ["I", "U", "D"] + (["M"] if meta_cols else [])
-    stray = changes.filter(~F.col(op_col).isin(allowed)).select(op_col).take(1)
+    # NULL must not slip through: ~isin(...) is NULL for a NULL op,
+    # which a bare filter would silently drop — the same malformed
+    # row would then be applied or discarded depending on meta_cols
+    stray = changes.filter(
+        ~F.col(op_col).isin(allowed) | F.col(op_col).isNull()
+    ).select(op_col).take(1)
     if stray:
         op = stray[0][0]
         if op == "M":
@@ -275,11 +284,18 @@ def apply_cdc(
             f"one of {allowed}"
         )
     if meta_cols:
-        bad = [c for c in meta_cols if c in keys or c in (op_col, seq_col)]
+        bad = [
+            c
+            for c in meta_cols
+            if c in keys or c in (op_col, seq_col, target_seq_col)
+        ]
         if bad:
+            # target_seq_col especially: a meta column aliasing the
+            # stored-seq column would write the change row's raw seq
+            # over the idempotence bookkeeping
             raise ValueError(
                 f"apply_cdc: meta_cols {bad} collide with the keys / "
-                "op / seq columns"
+                "op / seq / target_seq columns"
             )
         missing = [
             c
@@ -290,6 +306,19 @@ def apply_cdc(
             raise ValueError(
                 f"apply_cdc: meta_cols {missing} missing from the "
                 "target and/or the change log"
+            )
+        clash = [
+            c
+            for c in ["_m_has", "_m_seq"]
+            + [f"_m_{c}" for c in meta_cols]
+            if c in target.columns
+        ]
+        if clash:
+            # the fold join's helper names: an ambiguous-reference
+            # crash at execution is a worse error than this one
+            raise ValueError(
+                f"apply_cdc: target column(s) {clash} collide with "
+                "the 'M'-fold join's helper columns — rename them"
             )
 
     others = changes.filter(F.col(op_col) != "M") if meta_cols else changes

@@ -47,6 +47,8 @@ __all__ = [
     "bm25_index_delete",
     "bm25_index_upsert",
     "bm25_index_update_metadata",
+    "bm25_index_add_metadata_col",
+    "bm25_index_drop_metadata_col",
     "bm25_index_apply_cdc",
     "bm25_index_compact",
     "bm25_index_maybe_compact",
@@ -680,8 +682,10 @@ def bm25_index_build(
             "bucket_task_splits must be a positive int or 'auto'"
         )
     store_cols = list(store_cols)
+    # text_col reserved: the raw text replicated onto every posting
+    # row (tokens-per-doc copies) is silent, catastrophic bloat
     reserved = {"doc_id", "dl", "term", "tf", "positions", "tbucket",
-                id_col}
+                id_col, text_col}
     bad = [c for c in store_cols if c in reserved]
     if bad:
         raise ValueError(
@@ -1463,6 +1467,10 @@ def bm25_index_add_metadata_col(
     reserved = {
         "doc_id", "dl", "term", "tf", "positions", "tbucket",
         p["id_col"],
+        # the index's own text column: an unprojected values frame
+        # must not silently replicate the raw text onto every
+        # posting row (older manifests always carry the key)
+        p.get("text_col", "text"),
     }
     new_cols = check_add_metadata_col(
         values, p["id_col"], store, reserved,

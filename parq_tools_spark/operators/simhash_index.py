@@ -58,6 +58,7 @@ __all__ = [
     "simhash_incremental_dedupe",
     "simhash_index_update_metadata",
     "simhash_index_add_metadata_col",
+    "simhash_index_drop_metadata_col",
 ]
 
 _SH_MARKER = "_simhash_manifest.json"
@@ -182,7 +183,8 @@ def simhash_index_write(
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     store_cols = list(store_cols)
-    reserved = {"simhash", "band", "bval", id_col}
+    # text_col reserved: raw text on every band row = silent bloat
+    reserved = {"simhash", "band", "bval", id_col, text_col}
     bad = [c for c in store_cols if c in reserved]
     if bad:
         raise ValueError(
@@ -229,6 +231,7 @@ def simhash_index_write(
                 "version": new,
                 "params": {
                     "id_col": id_col,
+                    "text_col": text_col,
                     "bits": bits,
                     "n_bands": n_bands,
                     "hash_family": hash_family,
@@ -921,7 +924,12 @@ def simhash_index_add_metadata_col(
     return add_band_metadata_col(
         spark, path, values, default,
         vs=vs, cur=cur, m=m, params=p,
-        reserved={"simhash", "band", "bval", p["id_col"]},
+        reserved={
+            "simhash", "band", "bval", p["id_col"],
+            # the index's own text column (older manifests lack the
+            # key: default name) — see minhash_index_add_metadata_col
+            p.get("text_col", "text"),
+        },
         fn="simhash_index_add_metadata_col",
         task_splits=task_splits,
     )

@@ -486,3 +486,39 @@ def test_cdc_meta_snapshot_and_index_stay_in_lockstep(
             spark, path, words, k=1_000_000, where=f"lang == '{lg}'"
         )
         assert did in {r.doc_id for r in hits.collect()}, (did, lg)
+
+
+def test_cdc_null_op_raises(spark, target):
+    """A NULL op is malformed, not filterable: ~isin() is NULL for
+    it, so without the explicit isNull() probe the row would be
+    silently dropped — applied or discarded depending on meta_cols."""
+    ch = spark.createDataFrame(
+        [(1, "x", 1.0, None, 1)],
+        "k long, name string, v double, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="unknown op None"):
+        apply_cdc(target, ch, ["k"])
+    with pytest.raises(ValueError, match="unknown op None"):
+        apply_cdc(target, ch, ["k"], meta_cols=["v"])
+
+
+def test_cdc_meta_cols_guard_seq_and_helper_collisions(spark):
+    """meta_cols may not alias the stored-seq column (an applied M
+    would overwrite the idempotence bookkeeping with a raw value),
+    and target columns colliding with the fold join's helper names
+    raise up front instead of AMBIGUOUS_REFERENCE at execution."""
+    target = spark.createDataFrame(
+        [(1, "a", 1.0, None)],
+        "k long, name string, _seq double, _m_has boolean",
+    )
+    ch = spark.createDataFrame(
+        [(1, "b", 2.0, None, "M", 1)],
+        "k long, name string, _seq double, _m_has boolean, "
+        "op string, seq long",
+    )
+    with pytest.raises(ValueError, match="target_seq"):
+        apply_cdc(
+            target, ch, ["k"], meta_cols=["_seq"], target_seq_col="_seq"
+        )
+    with pytest.raises(ValueError, match="helper"):
+        apply_cdc(target, ch, ["k"], meta_cols=["name"])

@@ -436,3 +436,56 @@ def test_drop_facade_dispatch_and_roundtrip(spark, docs, tmp_path):
         for r in bm25_index_topk(spark, path, q, k=10).collect()
     )
     assert before == after
+
+
+def test_text_col_is_reserved_everywhere(spark, docs, tmp_path):
+    """The index's own text column can never become a metadata
+    column: an unprojected values frame (doc_id, text, lang) would
+    otherwise silently replicate the raw text onto every posting /
+    band row — tokens-per-doc (or bands) copies of the document.
+    Reserved at build AND at backfill, all three text families."""
+    from parq_tools_spark.operators.dedup import (
+        minhash_index_add_metadata_col,
+        minhash_index_write,
+    )
+    from parq_tools_spark.operators.search import (
+        bm25_index_add_metadata_col,
+        bm25_index_build,
+    )
+    from parq_tools_spark.operators.simhash_index import (
+        simhash_index_add_metadata_col,
+        simhash_index_write,
+    )
+
+    # build-time: explicit but almost surely a mistake
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_index_build(
+            docs, str(tmp_path / "b0"), n_buckets=4,
+            store_cols=["text"],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        minhash_index_write(
+            docs, str(tmp_path / "m0"), num_hashes=32, bands=8,
+            store_cols=["text"],
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        simhash_index_write(
+            docs, str(tmp_path / "s0"), store_cols=["text"]
+        )
+    # backfill-time: the silent path — multi-column made a bare
+    # `add_metadata_col(spark, path, docs)` legal, so text must trip
+    # the reserved guard, not quietly land in store_cols
+    bp = str(tmp_path / "bm")
+    bm25_index_build(docs.select("doc_id", "text"), bp, n_buckets=4)
+    with pytest.raises(ValueError, match="reserved"):
+        bm25_index_add_metadata_col(spark, bp, docs)
+    mp = str(tmp_path / "mh")
+    minhash_index_write(
+        docs.select("doc_id", "text"), mp, num_hashes=32, bands=8
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        minhash_index_add_metadata_col(spark, mp, docs)
+    sp = str(tmp_path / "sh")
+    simhash_index_write(docs.select("doc_id", "text"), sp)
+    with pytest.raises(ValueError, match="reserved"):
+        simhash_index_add_metadata_col(spark, sp, docs)
