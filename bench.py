@@ -461,6 +461,16 @@ def _bench_index_serve(spark, sf_dir) -> "dict[str, float]":
         out["bm25_add_metadata_col_serve"] = round(
             time.perf_counter() - t0, 3
         )
+        # the prune leg is the same O(index) rewrite in reverse
+        from parq_tools_spark.operators.search import (
+            bm25_index_drop_metadata_col,
+        )
+
+        t0 = time.perf_counter()
+        bm25_index_drop_metadata_col(spark, bm, "grade")
+        out["bm25_drop_metadata_col_serve"] = round(
+            time.perf_counter() - t0, 3
+        )
 
         # --- ANN store_cols index: metadata flip ---
         ann = os.path.join(tmp, "ann")
