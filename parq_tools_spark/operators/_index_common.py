@@ -65,8 +65,12 @@ def resolve_cdc(changes, id_col: str, op_col: str, seq_col):
             .drop("_rn")
         )
     else:
+        # checkpoint FIRST so the duplicate probe scans the
+        # materialized batch, not the (possibly expensive) source
+        # lineage a second time
+        final = changes.localCheckpoint(eager=True)
         dup = (
-            changes.groupBy(id_col)
+            final.groupBy(id_col)
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -77,7 +81,7 @@ def resolve_cdc(changes, id_col: str, op_col: str, seq_col):
                 f"multiple ops per {id_col} in the CDC batch but no "
                 "seq_col to order them — pass seq_col"
             )
-        final = changes
+        return final
     return final.localCheckpoint(eager=True)
 
 #: Legacy (pre-version-scoped) tombstones hid EVERY segment — an
@@ -589,6 +593,63 @@ def cached_for_auto(df, task_splits):
     return _cm()
 
 
+def run_overlapped(fn, items, max_workers: int = 8):
+    """Run independent per-partition-directory Spark jobs (compaction
+    bucket/band/cell rewrites) from a small thread pool so the next
+    job's tasks back-fill executors freed by the current job's tail
+    (guide §2.6) — serially, an index with 32 term buckets paid 32
+    sequential job latencies per compaction. Results are unchanged:
+    each item writes its own directory; any exception propagates (the
+    caller commits only after every rewrite succeeded, so a failure
+    leaves invisible orphans exactly as before)."""
+    items = list(items)
+    if not items:
+        return
+    if len(items) == 1:
+        fn(items[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(items))
+    ) as pool:
+        # list() drains the iterator so the first exception re-raises
+        list(pool.map(fn, items))
+
+
+def eager_stats(df, **aggs):
+    """``localCheckpoint(eager=True)`` plus named aggregates in ONE
+    job: the ``Observation`` rides the checkpoint materialization, so
+    the validation counts every maintenance path needs (batch size,
+    visible-id count, ...) no longer cost a second pass over the
+    batch (guide: measure/validate in the pass you already pay for).
+
+    Returns ``(checkpointed_df, {name: value})``. Aggregates must be
+    observation-legal (no distinct aggregates)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    out = df.observe(
+        obs, *[expr.alias(name) for name, expr in aggs.items()]
+    ).localCheckpoint(eager=True)
+    return out, obs.get
+
+
+def write_stats(writer_fn, df, **aggs):
+    """Run ``writer_fn(df_with_observe)`` (a parquet/segment write)
+    and return the named aggregates observed DURING that write — the
+    ``eager_stats`` pattern for write passes: a separate count job
+    over the same input becomes free."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    writer_fn(
+        df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()])
+    )
+    return obs.get
+
+
 def check_store_cols(df, store_cols, fn: str) -> None:
     """Indexes built with ``store_cols=`` carry those metadata
     columns in every row they commit, so every ingest batch must
@@ -664,10 +725,13 @@ def update_band_metadata(
     id_col = params["id_col"]
     store = params.get("store_cols", [])
     upd_cols = check_metadata_updates(updates, id_col, store, fn)
-    upd = updates.select(
-        id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
-    ).localCheckpoint(eager=True)
-    n_upd = upd.count()
+    upd, _st = eager_stats(
+        updates.select(
+            id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+        ),
+        n=F.count(F.lit(1)),
+    )
+    n_upd = int(_st["n"])
     if n_upd == 0:
         return {"updated": 0, "version": cur}
     if upd.select(id_col).distinct().count() < n_upd:
@@ -885,8 +949,10 @@ def backfill_metadata_rows(
         if isinstance(default, dict)
         else {c: default for c in new_cols}
     )
-    vals = values.select(id_col, *new_cols).localCheckpoint(eager=True)
-    n_vals = vals.count()
+    vals, _vst = eager_stats(
+        values.select(id_col, *new_cols), n=F.count(F.lit(1))
+    )
+    n_vals = int(_vst["n"])
     if vals.select(id_col).distinct().count() < n_vals:
         raise ValueError(
             f"{fn}: duplicate {id_col} row(s) in values — one value "
@@ -1168,10 +1234,11 @@ def apply_cdc_meta(
             "store_cols=[...] or keep re-grades off this stream"
         )
     check_store_cols(metas, store, fn)
-    upd = metas.select(
-        F.col(src_id_col).alias(dst_id_col), *store
-    ).localCheckpoint(eager=True)
-    n_meta = upd.count()
+    upd, _st = eager_stats(
+        metas.select(F.col(src_id_col).alias(dst_id_col), *store),
+        n=F.count(F.lit(1)),
+    )
+    n_meta = int(_st["n"])
     if visible_ids is None:
         return {"meta_updated": 0, "meta_noops": n_meta}
     check_self_exclusion_types(
@@ -1183,10 +1250,11 @@ def apply_cdc_meta(
     vis = visible_ids.select(
         F.col(visible_ids.columns[0]).alias(dst_id_col)
     ).distinct()
-    visible_upd = upd.join(vis, on=dst_id_col, how="left_semi").localCheckpoint(
-        eager=True
+    visible_upd, _vst = eager_stats(
+        upd.join(vis, on=dst_id_col, how="left_semi"),
+        n=F.count(F.lit(1)),
     )
-    n_vis = visible_upd.count()
+    n_vis = int(_vst["n"])
     if n_vis:
         update_fn(visible_upd)
     return {"meta_updated": n_vis, "meta_noops": n_meta - n_vis}

@@ -379,7 +379,13 @@ def ann_index_build(
         keep_vec=store_vectors,
         meta_cols=store_cols,
     )
-    n_vecs = corpus.count()
+    # n_vecs rides the segment write as an Observation (the encoder
+    # is row-1:1, so count(coded) == count(corpus)) — the former
+    # separate corpus.count() pass is gone (r17 optimization)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    coded = coded.observe(_obs, F.count(F.lit(1)).alias("n"))
 
     from parq_tools_spark.operators._index_common import (
         resolve_task_splits,
@@ -399,6 +405,7 @@ def ann_index_build(
         _write_codes_segment(
             coded_c, f"{path}/{seg}", id_col, splits
         )
+    n_vecs = int(_obs.get["n"])
     model = _tag(new, "model") + ".json"
     _write_model(vs.fs, path, model, centroids, codebooks, rot)
     vs.commit(
@@ -474,7 +481,12 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
         keep_vec=bool(p.get("store_vectors")),
         meta_cols=p.get("store_cols", []),
     )
-    n_new = new_vecs.count()
+    # n_new rides the segment write as an Observation (the encoder
+    # is row-1:1) — no separate batch count pass
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    coded = coded.observe(_obs, F.count(F.lit(1)).alias("n"))
 
     from parq_tools_spark.operators._index_common import (
         cached_for_auto,
@@ -490,6 +502,7 @@ def ann_index_add(new_vecs: DataFrame, path: str) -> None:
                 "cell_task_splits",
             ),
         )
+    n_new = int(_obs.get["n"])
     vs.commit(
         cur + 1,
         json.dumps(
@@ -668,8 +681,10 @@ def ann_index_delete(spark, path: str, ids, _verified: bool = False) -> dict:
             [(i,) for i in ids],
             T.StructType([_id_field(m)]),
         ).distinct()
-    ids_df = ids_df.localCheckpoint(eager=True)
-    n_del = ids_df.count()
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    ids_df, _st = eager_stats(ids_df, n=F.count(F.lit(1)))
+    n_del = int(_st["n"])
     if n_del == 0:
         return {"deleted": 0, "version": cur}
 
@@ -731,9 +746,12 @@ def ann_index_upsert(
     spark = new_vecs.sparkSession
     vs, cur, m = _ann_manifest(spark, path)
     id_col = m["params"]["id_col"]
-    n_rows = new_vecs.count()
+    # batch size + id-uniqueness in ONE aggregate job (was two)
+    row = new_vecs.agg(
+        F.count(F.lit(1)), F.countDistinct(F.col(id_col))
+    ).first()
+    n_rows, n_batch = int(row[0]), int(row[1])
     ids_df = new_vecs.select(F.col(id_col)).distinct()
-    n_batch = ids_df.count()
     if n_batch < n_rows:
         raise ValueError(
             f"ann_index_upsert: batch carries {n_rows - n_batch} "
@@ -749,12 +767,15 @@ def ann_index_upsert(
             visible = _visible_ids
         else:
             visible = _ann_visible_ids(spark, path, m, id_col)
-        existing = (
-            visible.join(F.broadcast(ids_df), on=id_col)
-            .distinct()
-            .localCheckpoint(eager=True)
+        from parq_tools_spark.operators._index_common import (
+            eager_stats,
         )
-        updated = existing.count()
+
+        existing, _est = eager_stats(
+            visible.join(F.broadcast(ids_df), on=id_col).distinct(),
+            n=F.count(F.lit(1)),
+        )
+        updated = int(_est["n"])
         if updated:
             # ids came FROM the visible rows — skip the re-scan
             ann_index_delete(spark, path, existing, _verified=True)
@@ -804,6 +825,7 @@ def ann_index_apply_cdc(
     from functools import reduce
 
     from parq_tools_spark.operators._index_common import (
+        eager_stats,
         resolve_cdc_with_meta,
     )
 
@@ -818,14 +840,20 @@ def ann_index_apply_cdc(
     # (no vec_col in its schema) must apply cleanly, exactly like the
     # BM25 contract — the column is only required if I/U rows exist
     ups_rows = final.filter(F.col(op_col).isin("I", "U"))
-    has_ups = bool(ups_rows.take(1))
+    # both branch sizes in ONE aggregate job over the (checkpointed)
+    # resolved batch — resolve_cdc leaves at most one row per id
+    sizes = final.agg(
+        F.count(F.when(F.col(op_col) == "D", 1)),
+        F.count(F.when(F.col(op_col).isin("I", "U"), 1)),
+    ).first()
+    has_ups = bool(int(sizes[1]))
 
     # ONE visible-id scan serves both the delete no-op filter and the
     # upsert's updated/inserted probe (their ids are disjoint after
     # resolve_cdc, and the tombstone commit between them cannot change
     # the upsert ids' visibility) — restricted to the batch's touched
     # ids before materializing, so the checkpoint is O(batch)
-    n_d = deletes.count()
+    n_d = int(sizes[0])
     visible_touched = None
     if n_d or has_ups:
         touched = deletes
@@ -855,11 +883,11 @@ def ann_index_apply_cdc(
     if n_d:
         n_vis = 0
         if visible_touched is not None:
-            visible_d = (
-                visible_touched.join(F.broadcast(deletes), on=id_col)
-                .localCheckpoint(eager=True)
+            visible_d, _vst = eager_stats(
+                visible_touched.join(F.broadcast(deletes), on=id_col),
+                n=F.count(F.lit(1)),
             )
-            n_vis = visible_d.count()
+            n_vis = int(_vst["n"])
             if n_vis:
                 # ids came FROM the visible rows — the delete's
                 # visibility re-scan is redundant
@@ -994,10 +1022,15 @@ def ann_index_update_metadata(
     vs.clean_stale(cur, keep_versions=_retention(m))
     _ann_sweep_orphans(vs, path)
 
-    upd = updates.select(
-        id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
-    ).localCheckpoint(eager=True)
-    n_upd = upd.count()
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    upd, _st = eager_stats(
+        updates.select(
+            id_col, *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+        ),
+        n=F.count(F.lit(1)),
+    )
+    n_upd = int(_st["n"])
     if n_upd == 0:
         return {"updated": 0, "version": cur}
     if upd.select(id_col).distinct().count() < n_upd:
@@ -1326,7 +1359,8 @@ def ann_index_compact(
     from functools import reduce
 
     new_seg = _tag(cur + 1, "seg")
-    for c in sorted(per_cell):
+
+    def _rewrite_cell(c) -> None:
         if not batches:
             # no pending tombstones: one multi-path read of the cell
             # subdirectories (per-segment plans exist only to scope
@@ -1337,7 +1371,7 @@ def ann_index_compact(
                 if fs.exists(f"{path}/{seg}/cell={c}")
             ]
             if not srcs:
-                continue
+                return
             cell_df = spark.read.parquet(*srcs)
         else:
             # per-segment reads so each segment folds only the
@@ -1352,13 +1386,19 @@ def ann_index_compact(
                 if fs.exists(f"{path}/{seg}/cell={c}")
             ]
             if not parts:
-                continue
+                return
             cell_df = reduce(DataFrame.unionByName, parts).drop("cell")
         (
             cell_df.coalesce(targets[c])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/cell={c}")
         )
+
+    # independent per-cell rewrites overlap from a small thread pool
+    # (guide §2.6); failures propagate BEFORE the commit
+    from parq_tools_spark.operators._index_common import run_overlapped
+
+    run_overlapped(_rewrite_cell, sorted(per_cell))
     vs.commit(
         cur + 1,
         json.dumps(

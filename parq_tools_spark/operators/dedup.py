@@ -826,15 +826,17 @@ def connected_components_alternating(
     iterative plan lineage so round N's plan does not embed rounds
     1..N-1.
     """
-    edges = (
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    edges, _est = eager_stats(
         pairs.select(
             F.least("id1", "id2").alias("u"), F.greatest("id1", "id2").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        n=F.count(F.lit(1)),
     )
-    n_edges = edges.count()
+    n_edges = int(_est["n"])
     n_parts = max(1, -(-n_edges // 500_000))
     edges = edges.repartition(n_parts, "u")
 
@@ -1495,7 +1497,8 @@ def minhash_index_compact(
 
     id_col = _manifest_params(spark, path, m)["id_col"]
     new_seg = _new_segment_name(cur + 1)
-    for b, (cnt, tot) in sorted(per_band.items()):
+
+    def _rewrite_band(b) -> None:
         if not batches:
             srcs = [
                 f"{path}/{seg}/band={b}"
@@ -1503,7 +1506,7 @@ def minhash_index_compact(
                 if fs.exists(f"{path}/{seg}/band={b}")
             ]
             if not srcs:
-                continue
+                return
             # per-band read -> coalesce -> write: the partition column
             # is the directory name, so the rewrite needs no shuffle
             band_df = spark.read.parquet(*srcs)
@@ -1518,11 +1521,17 @@ def minhash_index_compact(
                 if fs.exists(f"{path}/{seg}/band={b}")
             ]
             if not parts:
-                continue
+                return
             band_df = _reduce(DataFrame.unionByName, parts).drop("band")
         band_df.coalesce(targets[b]).write.mode(
             "errorifexists"
         ).parquet(f"{path}/{new_seg}/band={b}")
+
+    # independent per-band rewrites overlap from a small thread pool
+    # (guide §2.6); failures propagate BEFORE the commit
+    from parq_tools_spark.operators._index_common import run_overlapped
+
+    run_overlapped(_rewrite_band, sorted(per_band))
     vs.commit(
         cur + 1,
         json.dumps(
@@ -1697,8 +1706,10 @@ def minhash_index_delete(
             [(i,) for i in ids],
             T.StructType([T.StructField(id_col, id_type)]),
         ).distinct()
-    ids_df = ids_df.localCheckpoint(eager=True)
-    n_del = ids_df.count()
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    ids_df, _st = eager_stats(ids_df, n=F.count(F.lit(1)))
+    n_del = int(_st["n"])
     if n_del == 0:
         return {"deleted": 0, "version": cur}
 
@@ -1793,9 +1804,12 @@ def minhash_index_upsert(
     vs, cur, m = _index_manifest_full(spark, path)
     p = _manifest_params(spark, path, m)
     id_col = p["id_col"]
-    n_rows = df.count()
+    # batch size + id-uniqueness in ONE aggregate job (was two)
+    row = df.agg(
+        F.count(F.lit(1)), F.countDistinct(F.col(id_col))
+    ).first()
+    n_rows, n_batch = int(row[0]), int(row[1])
     ids_df = df.select(F.col(id_col)).distinct()
-    n_batch = ids_df.count()
     if n_batch < n_rows:
         raise ValueError(
             f"minhash_index_upsert: batch carries {n_rows - n_batch} "
@@ -1809,12 +1823,15 @@ def minhash_index_upsert(
     )
     updated = 0
     if visible is not None:
-        existing = (
-            visible.join(F.broadcast(ids_df), on=id_col)
-            .distinct()
-            .localCheckpoint(eager=True)
+        from parq_tools_spark.operators._index_common import (
+            eager_stats,
         )
-        updated = existing.count()
+
+        existing, _est = eager_stats(
+            visible.join(F.broadcast(ids_df), on=id_col).distinct(),
+            n=F.count(F.lit(1)),
+        )
+        updated = int(_est["n"])
         if updated:
             minhash_index_delete(spark, path, existing, _verified=True)
     minhash_index_add(df, path, text_col=text_col)
@@ -1863,13 +1880,19 @@ def minhash_index_apply_cdc(
     # (no text_col in its schema) must apply cleanly, exactly like
     # the BM25 contract — the column is only required for I/U rows
     ups_rows = final.filter(F.col(op_col).isin("I", "U"))
-    has_ups = bool(ups_rows.take(1))
+    # both branch sizes in ONE aggregate job over the (checkpointed)
+    # resolved batch — resolve_cdc leaves at most one row per id
+    sizes = final.agg(
+        F.count(F.when(F.col(op_col) == "D", 1)),
+        F.count(F.when(F.col(op_col).isin("I", "U"), 1)),
+    ).first()
+    has_ups = bool(int(sizes[1]))
 
     # ONE band-0 visibility scan serves both the delete no-op filter
     # and the upsert's updated/inserted probe (their ids are disjoint
     # after resolve_cdc) — restricted to the batch's touched ids
     # before materializing, so the checkpoint is O(batch)
-    n_d = deletes.count()
+    n_d = int(sizes[0])
     visible_touched = None
     if n_d or has_ups:
         touched = deletes
@@ -1889,10 +1912,15 @@ def minhash_index_apply_cdc(
     if n_d:
         n_vis = 0
         if visible_touched is not None:
-            visible_d = visible_touched.join(
-                F.broadcast(deletes), on=id_col
-            ).localCheckpoint(eager=True)
-            n_vis = visible_d.count()
+            from parq_tools_spark.operators._index_common import (
+                eager_stats,
+            )
+
+            visible_d, _vst = eager_stats(
+                visible_touched.join(F.broadcast(deletes), on=id_col),
+                n=F.count(F.lit(1)),
+            )
+            n_vis = int(_vst["n"])
             if n_vis:
                 n_deleted = minhash_index_delete(
                     spark, path, visible_d, _verified=True

@@ -564,14 +564,6 @@ def _write_terms(terms: DataFrame, terms_path: str) -> None:
     )
 
 
-def _corpus_counts(corpus: DataFrame, text_col: str):
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    row = corpus.select(
-        F.count(F.lit(1)), F.coalesce(F.sum(F.size(toks)), F.lit(0))
-    ).first()
-    return int(row[0]), int(row[1])
-
-
 def _empty_terms(spark) -> DataFrame:
     from pyspark.sql import types as T
 
@@ -711,7 +703,6 @@ def bm25_index_build(
         _bm25_sweep_orphans(vs, path)
     new = (cur or 0) + 1
 
-    n_docs, sum_dl = _corpus_counts(corpus, text_col)
     post = _postings(
         corpus, id_col, text_col, store_positions, store_cols
     )
@@ -731,7 +722,9 @@ def bm25_index_build(
                 "bucket_task_splits",
             ),
         )
-    _write_segment_docs(corpus, id_col, text_col, f"{path}/{seg}")
+    n_docs, sum_dl = _write_segment_docs(
+        corpus, id_col, text_col, f"{path}/{seg}"
+    )
     terms_dir = _tag(new, "terms")
     # (doc, term) is unique after the postings aggregate, so df is a
     # plain count — no second distinct pass over the corpus
@@ -786,7 +779,6 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
     check_store_cols(
         new_docs, p.get("store_cols", []), "bm25_index_add"
     )
-    n_new, dl_new = _corpus_counts(new_docs, p["text_col"])
     post = _postings(
         new_docs,
         p["id_col"],
@@ -814,7 +806,9 @@ def bm25_index_add(new_docs: DataFrame, path: str) -> None:
                 "bucket_task_splits",
             ),
         )
-    _write_segment_docs(new_docs, p["id_col"], p["text_col"], f"{path}/{seg}")
+    n_new, dl_new = _write_segment_docs(
+        new_docs, p["id_col"], p["text_col"], f"{path}/{seg}"
+    )
     batch_terms = _segment_terms(spark, path, seg)
     terms_dir = _tag(cur + 1, "terms")
     _write_terms(
@@ -894,15 +888,26 @@ def _write_segment_docs(
     otherwise be invisible to membership probes. The underscore
     prefix keeps Spark's partition discovery from mixing it into the
     postings reads; only maintenance paths (delete/upsert guards and
-    stats) touch it."""
+    stats) touch it.
+
+    Returns ``(n_docs, sum_dl)`` for the batch, observed DURING the
+    write — the former separate ``_corpus_counts`` job (a full
+    corpus scan + tokenize per build/add) rides this pass for free
+    (r17 optimization, guide §1.2: one fewer corpus pass)."""
+    from parq_tools_spark.operators._index_common import write_stats
+
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    (
+    stats = write_stats(
+        lambda df: df.write.mode("errorifexists").parquet(
+            f"{seg_path}/_docs"
+        ),
         corpus.select(
             F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
-        )
-        .write.mode("errorifexists")
-        .parquet(f"{seg_path}/_docs")
+        ),
+        n=F.count(F.lit(1)),
+        s=F.coalesce(F.sum("dl"), F.lit(0)),
     )
+    return int(stats["n"]), int(stats["s"])
 
 
 def _segment_docs(spark, path: str, seg: str) -> Optional[DataFrame]:
@@ -959,7 +964,10 @@ def _visible_docs(spark, path: str, m: dict) -> Optional[DataFrame]:
     return reduce(DataFrame.unionByName, parts)
 
 
-def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dict:
+def bm25_index_delete(
+    spark, path: str, ids, allow_missing: bool = False,
+    _verified_docs: bool = False,
+) -> dict:
     """Delete documents from the index by id — the CDC-shaped
     maintenance path (``streaming/cdc.py`` upserts become delete +
     :func:`bm25_index_add`).
@@ -1006,41 +1014,60 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     vs.clean_stale(cur, keep_versions=_retention(m))
     _bm25_sweep_orphans(vs, path)
 
-    if isinstance(ids, DataFrame):
-        ids_df = ids.select(
-            F.col(ids.columns[0]).alias("doc_id")
-        ).distinct()
-    else:
-        id_type = _id_field(m).dataType
-        ids_df = spark.createDataFrame(
-            [(i,) for i in ids],
-            T.StructType([T.StructField("doc_id", id_type)]),
-        ).distinct()
-    # materialized once: the same id set drives the stats decrements,
-    # the tombstone write and the count below
-    ids_df = ids_df.localCheckpoint(eager=True)
-    n_del = ids_df.count()
-    if n_del == 0:
-        return {"deleted": 0, "version": cur}
+    from parq_tools_spark.operators._index_common import eager_stats
 
     fs = vs.fs
-    # membership + dl from the VISIBLE doc table (the _docs sidecar
-    # sees zero-token docs too, so the guard is exact on segments
-    # written since it exists); a tombstoned-then-not-re-added id is
-    # not visible and trips the guard
-    vdocs = _visible_docs(spark, path, m)
-    if vdocs is not None:
-        found = (
-            vdocs.join(F.broadcast(ids_df), on="doc_id")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        row = found.agg(
-            F.coalesce(F.sum("dl"), F.lit(0)), F.count(F.lit(1))
+    if _verified_docs:
+        # upsert/apply_cdc fast path: the caller just derived ``ids``
+        # FROM the visible doc table as CHECKPOINTED (doc_id, dl)
+        # rows, so the membership probe below would read the _docs
+        # sidecars a second time per batch — one cheap aggregate over
+        # the caller's checkpoint replaces it; visibility is known by
+        # construction
+        row = ids.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
         ).first()
-        dl_del, n_found = int(row[0]), int(row[1])
+        n_del = int(row[0])
+        if n_del == 0:
+            return {"deleted": 0, "version": cur}
+        dl_del, n_found = int(row[1]), n_del
+        ids_df = ids.select("doc_id")
     else:
-        dl_del, n_found = 0, 0
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(
+                F.col(ids.columns[0]).alias("doc_id")
+            ).distinct()
+        else:
+            id_type = _id_field(m).dataType
+            ids_df = spark.createDataFrame(
+                [(i,) for i in ids],
+                T.StructType([T.StructField("doc_id", id_type)]),
+            ).distinct()
+        # materialized once: the same id set drives the stats
+        # decrements, the tombstone write and the count (which rides
+        # the checkpoint job as an Observation — one job, not two)
+        ids_df, _st = eager_stats(ids_df, n=F.count(F.lit(1)))
+        n_del = int(_st["n"])
+        if n_del == 0:
+            return {"deleted": 0, "version": cur}
+
+        # membership + dl from the VISIBLE doc table (the _docs
+        # sidecar sees zero-token docs too, so the guard is exact on
+        # segments written since it exists); a tombstoned-then-not-
+        # re-added id is not visible and trips the guard
+        vdocs = _visible_docs(spark, path, m)
+        if vdocs is not None:
+            # one aggregate job; `found` is only re-derived on the
+            # error path below (recompute cost irrelevant there)
+            found = vdocs.join(
+                F.broadcast(ids_df), on="doc_id"
+            ).distinct()
+            row = found.agg(
+                F.coalesce(F.sum("dl"), F.lit(0)), F.count(F.lit(1))
+            ).first()
+            dl_del, n_found = int(row[0]), int(row[1])
+        else:
+            dl_del, n_found = 0, 0
     if n_found < n_del and allow_missing:
         # allow_missing exists ONLY for legacy segments written before
         # the _docs sidecar (their zero-token docs are invisible to
@@ -1078,6 +1105,10 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
     live = [s for s in m["segments"] if fs.list_files(f"{path}/{s}")]
     batches = _delete_batches(spark, path, m)
     if live:
+        # checkpointed: the terms write below range-partitions its
+        # input, whose SAMPLING pass would otherwise re-run this
+        # postings scan a second time (dec itself is O(affected
+        # terms) — tiny next to the scan it saves)
         dec = (
             reduce(
                 DataFrame.unionByName,
@@ -1086,7 +1117,7 @@ def bm25_index_delete(spark, path: str, ids, allow_missing: bool = False) -> dic
             .join(F.broadcast(ids_df), on="doc_id")
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("_dec"))
-        )
+        ).localCheckpoint(eager=True)
     else:
         dec = None
 
@@ -1147,11 +1178,14 @@ def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
     spark = new_docs.sparkSession
     vs, cur, m = _bm25_manifest(spark, path)
     p = m["params"]
-    n_rows = new_docs.count()
+    # batch size + id-uniqueness in ONE aggregate job (was two)
+    row = new_docs.agg(
+        F.count(F.lit(1)), F.countDistinct(F.col(p["id_col"]))
+    ).first()
+    n_rows, n_batch = int(row[0]), int(row[1])
     ids_df = new_docs.select(
         F.col(p["id_col"]).alias("doc_id")
     ).distinct()
-    n_batch = ids_df.count()
     if n_batch < n_rows:
         raise ValueError(
             f"bm25_index_upsert: batch carries {n_rows - n_batch} "
@@ -1162,15 +1196,20 @@ def bm25_index_upsert(new_docs: DataFrame, path: str) -> dict:
     vdocs = _visible_docs(spark, path, m)
     updated = 0
     if vdocs is not None:
-        existing = (
-            vdocs.select("doc_id")
+        from parq_tools_spark.operators._index_common import eager_stats
+
+        # checkpoint + count in one job (the count rides the
+        # checkpoint materialization as an Observation); dl carried
+        # through so the delete skips its own _docs membership scan
+        existing, st = eager_stats(
+            vdocs.select("doc_id", "dl")
             .join(F.broadcast(ids_df), on="doc_id")
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            n=F.count(F.lit(1)),
         )
-        updated = existing.count()
+        updated = int(st["n"])
         if updated:
-            bm25_index_delete(spark, path, existing)
+            bm25_index_delete(spark, path, existing, _verified_docs=True)
     bm25_index_add(new_docs, path)
     new_version = _bm25_vs(spark, path).current()
     return {
@@ -1244,10 +1283,15 @@ def bm25_index_update_metadata(
     vs.clean_stale(cur, keep_versions=_retention(m))
     _bm25_sweep_orphans(vs, path)
 
-    upd = updates.select(
-        "doc_id", *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
-    ).localCheckpoint(eager=True)
-    n_upd = upd.count()
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    upd, _st = eager_stats(
+        updates.select(
+            "doc_id", *[F.col(c).alias(f"_upd_{c}") for c in upd_cols]
+        ),
+        n=F.count(F.lit(1)),
+    )
+    n_upd = int(_st["n"])
     if n_upd == 0:
         return {"updated": 0, "version": cur}
     if upd.select("doc_id").distinct().count() < n_upd:
@@ -1259,14 +1303,14 @@ def bm25_index_update_metadata(
     # exact visibility guard on the _docs doc table (sees zero-token
     # docs); its affected slice also becomes the new segment's _docs
     vdocs = _visible_docs(spark, path, m)
-    affected_docs = (
-        vdocs.join(upd.select("doc_id"), on="doc_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-        if vdocs is not None
-        else None
-    )
-    n_found = affected_docs.count() if affected_docs is not None else 0
+    if vdocs is not None:
+        affected_docs, _fst = eager_stats(
+            vdocs.join(upd.select("doc_id"), on="doc_id").distinct(),
+            n=F.count(F.lit(1)),
+        )
+        n_found = int(_fst["n"])
+    else:
+        affected_docs, n_found = None, 0
     if n_found < n_upd:
         raise ValueError(
             f"bm25_index_update_metadata: {n_upd - n_found} of "
@@ -1583,36 +1627,50 @@ def bm25_index_apply_cdc(
     if seq_col is not None and seq_col in upserts.columns:
         upserts = upserts.drop(seq_col)
 
+    # one aggregate job over the (checkpointed) resolved batch sizes
+    # BOTH branches — resolve_cdc leaves at most one row per id, so
+    # the 'D' row count IS the distinct delete-id count
+    sizes = final.agg(
+        F.count(F.when(F.col(op_col) == "D", 1)),
+        F.count(F.when(F.col(op_col).isin("I", "U"), 1)),
+    ).first()
+    n_d, n_up = int(sizes[0]), int(sizes[1])
+
     n_deleted, n_noop = 0, 0
-    n_d = deletes.count()
     if n_d:
         # D of an id not in the index is a no-op (the I-then-D
         # short-lived-row pattern), never an error — only visible
         # ids reach the delete's strict guard
         vdocs = _visible_docs(spark, path, m)
         if vdocs is not None:
-            visible_d = (
-                vdocs.select("doc_id")
+            from parq_tools_spark.operators._index_common import (
+                eager_stats,
+            )
+
+            # dl carried through so the delete skips its own _docs
+            # membership scan (_verified_docs fast path)
+            visible_d, _vst = eager_stats(
+                vdocs.select("doc_id", "dl")
                 .join(
                     F.broadcast(
                         deletes.withColumnRenamed(id_col, "doc_id")
                     ),
                     on="doc_id",
                 )
-                .distinct()
-                .localCheckpoint(eager=True)
+                .distinct(),
+                n=F.count(F.lit(1)),
             )
-            n_vis = visible_d.count()
+            n_vis = int(_vst["n"])
             if n_vis:
-                n_deleted = bm25_index_delete(spark, path, visible_d)[
-                    "deleted"
-                ]
+                n_deleted = bm25_index_delete(
+                    spark, path, visible_d, _verified_docs=True
+                )["deleted"]
             n_noop = n_d - n_vis
         else:
             n_noop = n_d
     out = {"deleted": n_deleted, "delete_noops": n_noop,
            "updated": 0, "inserted": 0}
-    if upserts.limit(1).count():
+    if n_up:
         res = bm25_index_upsert(upserts, path)
         out.update(
             {"updated": res["updated"], "inserted": res["inserted"]}
@@ -1698,7 +1756,8 @@ def bm25_index_compact(
     from functools import reduce
 
     new_seg = _tag(cur + 1, "seg")
-    for b in sorted(per_bucket):
+
+    def _rewrite_bucket(b) -> None:
         if not batches:
             # no pending tombstones: one multi-path read of the
             # bucket subdirectories (the cheap pre-delete shape —
@@ -1709,7 +1768,7 @@ def bm25_index_compact(
                 if fs.exists(f"{path}/{seg}/tbucket={b}")
             ]
             if not srcs:
-                continue
+                return
             bucket = spark.read.parquet(*srcs)
         else:
             # per-segment reads so each segment folds only the
@@ -1724,13 +1783,22 @@ def bm25_index_compact(
                 if fs.exists(f"{path}/{seg}/tbucket={b}")
             ]
             if not parts:
-                continue
+                return
             bucket = reduce(DataFrame.unionByName, parts).drop("tbucket")
         (
             bucket.coalesce(targets[b])
             .write.mode("errorifexists")
             .parquet(f"{path}/{new_seg}/tbucket={b}")
         )
+
+    # independent per-bucket rewrites overlap from a small thread
+    # pool (guide §2.6): each bucket is a separate directory and a
+    # separate Spark job, so running them serially left the cluster
+    # idle on every job's tail; any failure propagates BEFORE the
+    # commit, leaving only an invisible orphan (unchanged semantics)
+    from parq_tools_spark.operators._index_common import run_overlapped
+
+    run_overlapped(_rewrite_bucket, sorted(per_bucket))
     # carry the doc table forward (tombstones folded), so membership
     # probes stay exact across compactions
     vdocs = _visible_docs(spark, path, m)

@@ -343,8 +343,10 @@ def simhash_index_delete(
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], T.StructType([_id_field(m)])
         ).distinct()
-    ids_df = ids_df.localCheckpoint(eager=True)
-    n_del = ids_df.count()
+    from parq_tools_spark.operators._index_common import eager_stats
+
+    ids_df, _st = eager_stats(ids_df, n=F.count(F.lit(1)))
+    n_del = int(_st["n"])
     if n_del == 0:
         return {"deleted": 0, "version": cur}
 
@@ -389,9 +391,12 @@ def simhash_index_upsert(
     spark = df.sparkSession
     vs, cur, m = _sh_manifest(spark, path)
     id_col = m["params"]["id_col"]
-    n_rows = df.count()
+    # batch size + id-uniqueness in ONE aggregate job (was two)
+    row = df.agg(
+        F.count(F.lit(1)), F.countDistinct(F.col(id_col))
+    ).first()
+    n_rows, n_batch = int(row[0]), int(row[1])
     ids_df = df.select(F.col(id_col)).distinct()
-    n_batch = ids_df.count()
     if n_batch < n_rows:
         raise ValueError(
             f"simhash_index_upsert: batch carries {n_rows - n_batch} "
@@ -404,12 +409,15 @@ def simhash_index_upsert(
     )
     updated = 0
     if visible is not None:
-        existing = (
-            visible.join(F.broadcast(ids_df), on=id_col)
-            .distinct()
-            .localCheckpoint(eager=True)
+        from parq_tools_spark.operators._index_common import (
+            eager_stats,
         )
-        updated = existing.count()
+
+        existing, _est = eager_stats(
+            visible.join(F.broadcast(ids_df), on=id_col).distinct(),
+            n=F.count(F.lit(1)),
+        )
+        updated = int(_est["n"])
         if updated:
             simhash_index_delete(spark, path, existing, _verified=True)
     simhash_index_add(df, path, text_col=text_col)
@@ -451,9 +459,15 @@ def simhash_index_apply_cdc(
     deletes = final.filter(F.col(op_col) == "D").select(id_col).distinct()
     # text selected LAZILY: a delete-only change log applies cleanly
     ups_rows = final.filter(F.col(op_col).isin("I", "U"))
-    has_ups = bool(ups_rows.take(1))
+    # both branch sizes in ONE aggregate job over the (checkpointed)
+    # resolved batch — resolve_cdc leaves at most one row per id
+    sizes = final.agg(
+        F.count(F.when(F.col(op_col) == "D", 1)),
+        F.count(F.when(F.col(op_col).isin("I", "U"), 1)),
+    ).first()
+    has_ups = bool(int(sizes[1]))
 
-    n_d = deletes.count()
+    n_d = int(sizes[0])
     visible_touched = None
     if n_d or has_ups:
         touched = deletes
@@ -473,10 +487,15 @@ def simhash_index_apply_cdc(
     if n_d:
         n_vis = 0
         if visible_touched is not None:
-            visible_d = visible_touched.join(
-                F.broadcast(deletes), on=id_col
-            ).localCheckpoint(eager=True)
-            n_vis = visible_d.count()
+            from parq_tools_spark.operators._index_common import (
+                eager_stats,
+            )
+
+            visible_d, _vst = eager_stats(
+                visible_touched.join(F.broadcast(deletes), on=id_col),
+                n=F.count(F.lit(1)),
+            )
+            n_vis = int(_vst["n"])
             if n_vis:
                 n_deleted = simhash_index_delete(
                     spark, path, visible_d, _verified=True
