@@ -278,8 +278,24 @@ def ngram_jaccard_pairs(
     conservative (never a false pair, possibly a missed one near the
     threshold).
     """
-    sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # materialized ONCE: this relation feeds the per-document sizes,
+    # the document-frequency pruning pass, and BOTH sides of the
+    # candidate self-join — under a broadcast join each consumer
+    # re-tokenizes and re-shingles the corpus from scratch (four full
+    # passes in the max_df=None plan). At cluster scale a sort-merge
+    # plan would share one exchange across the join sides; the
+    # checkpoint makes the sharing unconditional and also keeps the
+    # sizes/pruning passes off the corpus.
+    sh = exploded_shingles(df, id_col, text_col, k, hashed=True).localCheckpoint(
+        eager=True
+    )
+    # one row per document, consumed twice (n1 and n2 attach) — the
+    # aggregation over the shingle stream must not run per consumer
+    sizes = (
+        sh.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=True)
+    )
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         if max_df == "auto":
@@ -506,9 +522,20 @@ def minhash_lsh_pairs(
     default portable ``hash_family`` the whole pipeline is
     recomputable in ANSI SQL (see :func:`minhash_signatures`).
     """
-    banded = banded_minhash(
-        df, id_col, text_col, num_hashes, bands, k, hash_family
-    )
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    # materialized ONCE: the candidate self-join evaluates each side
+    # independently when the planner picks a broadcast join (there is
+    # no exchange to reuse), which would re-tokenize the corpus and
+    # re-run the whole signature aggregation — its shuffle is the
+    # dominant cost of this operator — a second time. The checkpoint
+    # is one (id, signature) row per document, far smaller than the
+    # shingle stream it replaces; both join sides then re-derive the
+    # map-only band explode from it.
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, hash_family
+    ).localCheckpoint(eager=True)
+    banded = _band_explode(sigs, id_col, [], bands, num_hashes // bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -662,6 +689,14 @@ def hamming_pairs(
     """
     width = (bits - 1) // n_bands + 1
     mask = (1 << width) - 1
+    # materialized ONCE: every caller feeds a computed signature
+    # relation (SimHash fingerprints, perceptual hashes — each a full
+    # corpus/blob pass through the Python boundary), and the banded
+    # self-join below evaluates each side independently when the
+    # planner picks a broadcast join. The checkpoint is one
+    # (id, int64) row per document — re-running the fingerprint
+    # pipeline per join side costs orders of magnitude more.
+    df = df.localCheckpoint(eager=True)
     banded = df.select(
         id_col,
         sig_col,
@@ -1024,11 +1059,19 @@ def banded_minhash(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     meta_cols = list(meta_cols)
-    r = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, k, hash_family,
         carry_cols=meta_cols,
     )
+    return _band_explode(sigs, id_col, meta_cols, bands, num_hashes // bands)
+
+
+def _band_explode(
+    sigs: DataFrame, id_col: str, meta_cols, bands: int, r: int
+) -> DataFrame:
+    """The map-only banding projection of :func:`banded_minhash`,
+    split out so :func:`minhash_lsh_pairs` can apply it to an
+    already-materialized signature table."""
     return sigs.select(
         F.col(id_col),
         *[F.col(c) for c in meta_cols],
