@@ -737,7 +737,14 @@ def embedding_near_duplicate_pairs(
     dim = len(first[0])
     width = n_planes // n_bands
     mask = (1 << width) - 1
-    sigs = lsh_signatures(corpus, vec_col, n_planes, seed, dim)
+    # materialized ONCE: the banded self-join below evaluates each
+    # side independently when the planner picks a broadcast join, so
+    # without this the hyperplane-projection signatures (a dim x
+    # n_planes dot-product expression per row) would be computed
+    # twice over the corpus (the §7 pair-generator pattern)
+    sigs = lsh_signatures(corpus, vec_col, n_planes, seed, dim).localCheckpoint(
+        eager=True
+    )
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),
