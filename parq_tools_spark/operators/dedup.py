@@ -190,6 +190,12 @@ def contamination_overlap(
     shuffled; per-pair counting is one map-side-combined aggregation.
     """
     corpus_sh = exploded_shingles(corpus, id_col, text_col, k)
+    # materialized ONCE: the eval shingle set feeds two independent
+    # broadcasts (the overlap join and the per-eval-doc sizes), and
+    # each would otherwise re-derive it from eval_set — which is
+    # often a FILTER over the corpus relation, so every extra
+    # evaluation is another full corpus scan. The set is small by
+    # construction (benchmarks are KBs).
     eval_sh = (
         eval_set.select(
             F.col(eval_id_col), F.col(eval_text_col).alias("__etext")
@@ -199,6 +205,7 @@ def contamination_overlap(
             F.explode(word_shingles("__etext", k)).alias("shingle"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     eval_sizes = eval_sh.groupBy(eval_id_col).agg(
         F.count(F.lit(1)).alias("__esize")
