@@ -518,6 +518,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.7,
     hash_family: str = "portable",
+    _banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash/LSH near-duplicate pairs.
 
@@ -528,21 +529,32 @@ def minhash_lsh_pairs(
     1-(1-s^r)^b with r = num_hashes/bands rows per band. With the
     default portable ``hash_family`` the whole pipeline is
     recomputable in ANSI SQL (see :func:`minhash_signatures`).
+
+    ``_banded`` (internal): a precomputed, already-materialized band
+    relation for ``df`` (the :func:`banded_minhash` shape) — lets
+    :func:`incremental_dedupe` band its batch once for both the
+    vs-index and the in-batch rule.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    # materialized ONCE: the candidate self-join evaluates each side
-    # independently when the planner picks a broadcast join (there is
-    # no exchange to reuse), which would re-tokenize the corpus and
-    # re-run the whole signature aggregation — its shuffle is the
-    # dominant cost of this operator — a second time. The checkpoint
-    # is one (id, signature) row per document, far smaller than the
-    # shingle stream it replaces; both join sides then re-derive the
-    # map-only band explode from it.
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, k, hash_family
-    ).localCheckpoint(eager=True)
-    banded = _band_explode(sigs, id_col, [], bands, num_hashes // bands)
+    if _banded is not None:
+        banded = _banded
+    else:
+        # materialized ONCE: the candidate self-join evaluates each
+        # side independently when the planner picks a broadcast join
+        # (there is no exchange to reuse), which would re-tokenize the
+        # corpus and re-run the whole signature aggregation — its
+        # shuffle is the dominant cost of this operator — a second
+        # time. The checkpoint is one (id, signature) row per
+        # document, far smaller than the shingle stream it replaces;
+        # both join sides then re-derive the map-only band explode
+        # from it.
+        sigs = minhash_signatures(
+            df, id_col, text_col, num_hashes, k, hash_family
+        ).localCheckpoint(eager=True)
+        banded = _band_explode(
+            sigs, id_col, [], bands, num_hashes // bands
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1111,6 +1123,7 @@ def minhash_pairs_between(
     hash_family: str = "portable",
     indexed_banded: Optional[DataFrame] = None,
     exclude_same_id: bool = False,
+    new_banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora (the incremental-dedup
     primitive): ``(id_indexed, id_new, est_jaccard)`` for every new
@@ -1130,15 +1143,19 @@ def minhash_pairs_between(
     supplied (the persistent index) — the cost of deduping a new batch
     against a 100 TB corpus is banding the BATCH plus one broadcast
     join; the corpus side is a scan of precomputed band rows that
-    never shuffles.
+    never shuffles. ``new_banded`` is the batch-side twin: a caller
+    that already banded the batch (``incremental_dedupe`` shares one
+    banding between the vs-index and in-batch rules) passes it here
+    so the batch is not re-shingled either.
     """
     if indexed_banded is None:
         indexed_banded = banded_minhash(
             indexed, id_col, text_col, num_hashes, bands, k, hash_family
         )
-    new_banded = banded_minhash(
-        new_docs, id_col, text_col, num_hashes, bands, k, hash_family
-    )
+    if new_banded is None:
+        new_banded = banded_minhash(
+            new_docs, id_col, text_col, num_hashes, bands, k, hash_family
+        )
     a = indexed_banded.select(
         F.col(id_col).alias("id_indexed"),
         F.col("signature").alias("_sig_a"),
@@ -2038,6 +2055,7 @@ def minhash_index_query(
     version: Optional[int] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    _new_banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Pairs between an on-disk index and a new batch:
     ``(id_indexed, id_new, est_jaccard)``. The index side is read as
@@ -2160,6 +2178,7 @@ def minhash_index_query(
         hash_family=p["hash_family"],
         indexed_banded=indexed_banded,
         exclude_same_id=exclude_same_id,
+        new_banded=_new_banded,
     )
 
 
@@ -2199,9 +2218,21 @@ def incremental_dedupe(
     """
     p = _minhash_index_params(spark, index_path)
     id_col = p["id_col"]
+    # the batch is banded ONCE (signatures checkpointed, map-only
+    # explode on top) and shared by both rules — without this the
+    # vs-index probe and the in-batch self-join each re-shingled and
+    # re-signature-aggregated the batch from scratch
+    sigs = minhash_signatures(
+        new_docs, id_col, text_col, p["num_hashes"], p["k"],
+        p["hash_family"],
+    ).localCheckpoint(eager=True)
+    banded = _band_explode(
+        sigs, id_col, [], p["bands"], p["num_hashes"] // p["bands"]
+    )
     vs_index = minhash_index_query(
         spark, index_path, new_docs, text_col=text_col,
         threshold=threshold, allowed_ids=allowed_ids, where=where,
+        _new_banded=banded,
     )
     dup_vs_index = vs_index.select(
         F.col("id_new").alias(id_col)
@@ -2215,6 +2246,7 @@ def incremental_dedupe(
         k=p["k"],
         threshold=threshold,
         hash_family=p["hash_family"],
+        _banded=banded,
     )
     # within the batch, keep the min-id member of each duplicate pair
     dup_in_batch = in_batch.select(F.col("id2").alias(id_col)).distinct()

@@ -103,6 +103,7 @@ def _banded_simhash(
     n_bands: int,
     hash_family: str,
     meta_cols=(),
+    _fps: Optional[DataFrame] = None,
 ) -> DataFrame:
     """``(id, simhash, band, bval)`` rows — the fingerprint
     (:func:`~parq_tools_spark.operators.dedup.simhash`) exploded into
@@ -119,8 +120,15 @@ def _banded_simhash(
     from parq_tools_spark.operators.dedup import simhash
 
     meta_cols = list(meta_cols)
-    fps = simhash(
-        df, id_col, text_col, bits=bits, hash_family=hash_family
+    # ``_fps``: a precomputed (id, simhash) relation for ``df`` —
+    # the incremental admitter fingerprints its batch once and bands
+    # here without a second mapInPandas pass
+    fps = (
+        _fps
+        if _fps is not None
+        else simhash(
+            df, id_col, text_col, bits=bits, hash_family=hash_family
+        )
     )
     if meta_cols:
         fps = fps.join(df.select(id_col, *meta_cols), on=id_col)
@@ -695,6 +703,7 @@ def simhash_index_query(
     version: Optional[int] = None,
     allowed_ids=None,
     where: Optional[str] = None,
+    _fresh_banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Hamming near-dup pairs between the on-disk index and a new
     batch: ``(id_indexed, id_new, hamming)``. The batch's
@@ -787,10 +796,16 @@ def simhash_index_query(
             indexed, id_col, allowed_ids, _id_field(m).dataType,
             "simhash_index_query",
         )
-    fresh = _banded_simhash(
-        new_docs, id_col, text_col, p["bits"], p["n_bands"],
-        p["hash_family"],
-    )
+    if _fresh_banded is not None:
+        # caller already fingerprinted + banded the batch (the
+        # incremental admitter shares one fingerprint pass between
+        # the vs-index and in-batch rules)
+        fresh = _fresh_banded
+    else:
+        fresh = _banded_simhash(
+            new_docs, id_col, text_col, p["bits"], p["n_bands"],
+            p["hash_family"],
+        )
     a = indexed.alias("a")
     b = fresh.alias("b")
     cond = (F.col("a.band") == F.col("b.band")) & (
@@ -854,17 +869,26 @@ def simhash_incremental_dedupe(
     _, _, m = _sh_manifest(spark, index_path)
     p = m["params"]
     id_col = p["id_col"]
+    # the batch is fingerprinted ONCE (checkpointed) and shared by
+    # both rules — without this the vs-index probe and the in-batch
+    # self-join each ran the whole tokenize -> (doc, token, count)
+    # shuffle -> mapInPandas fingerprint pipeline on the batch
+    fps = simhash(
+        new_docs, id_col, text_col,
+        bits=p["bits"], hash_family=p["hash_family"],
+    ).localCheckpoint(eager=True)
+    banded = _banded_simhash(
+        new_docs, id_col, text_col, p["bits"], p["n_bands"],
+        p["hash_family"], _fps=fps,
+    )
     vs_index = simhash_index_query(
         spark, index_path, new_docs, text_col=text_col,
         max_hamming=max_hamming, allowed_ids=allowed_ids, where=where,
+        _fresh_banded=banded,
     )
     dup_vs_index = vs_index.select(
         F.col("id_new").alias(id_col)
     ).distinct()
-    fps = simhash(
-        new_docs, id_col, text_col,
-        bits=p["bits"], hash_family=p["hash_family"],
-    )
     in_batch = hamming_pairs(
         fps, "simhash", id_col,
         max_hamming=max_hamming, n_bands=p["n_bands"], bits=p["bits"],
