@@ -58,8 +58,38 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One base table. The schema is resolved from the file's own
+    footer on the driver (pyarrow, fresh per call — nothing cached),
+    because Spark 4's schema inference otherwise submits one Spark
+    job per read CALL, a fixed ~0.5-1 s of scheduling overhead that
+    every query here would pay per table before computing anything
+    (guide §1.2). The data itself is read and computed from the
+    parquet input on every call exactly as before; a footer Spark
+    cannot resolve this way falls back to plain inference."""
     _ensure_pkg_on_workers(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    reader = spark.read
+    try:
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        # prefer_timestamp_ntz mirrors Spark's own inference default
+        # (tz-less parquet timestamps read as TIMESTAMP_NTZ), so the
+        # resolved schema is bit-identical to the inferred one
+        ntz = (
+            spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+            )
+            == "true"
+        )
+        reader = reader.schema(
+            from_arrow_schema(
+                _pq.read_schema(path), prefer_timestamp_ntz=ntz
+            )
+        )
+    except Exception:
+        pass
+    return reader.parquet(path)
 
 
 def _dec_sum(col, scale: int = 2):

@@ -616,7 +616,9 @@ class LazySparkDF:
     ):
         if (path is None) == (df is None):
             raise ValueError("Provide exactly one of path or df")
-        base = spark.read.parquet(path) if path else df
+        from parq_tools_spark.sources.parquet_io import read_parquet
+
+        base = read_parquet(spark, path) if path else df
         self._spark = spark
         self._source_path = path
         if index_columns is None and path is not None:
@@ -976,7 +978,9 @@ class LazySparkDF:
         shutil.move(tmp, path)
         _rm(backup)
         # the old plan points at deleted files — re-read from the swap
-        base = self._spark.read.parquet(path)
+        from parq_tools_spark.sources.parquet_io import read_parquet
+
+        base = read_parquet(self._spark, path)
         self._df = with_row_ordinal(base, _ROW_ID)
         self._user_columns = [c for c in base.columns]
         self._dense = True

@@ -136,6 +136,7 @@ from parq_tools_spark.operators._index_common import (  # noqa: E402
     NO_DEFAULT as _NO_DEFAULT,
     delete_batches as _ann_delete_batches_impl,
     delete_entries as _delete_entries,
+    read_committed as _read_committed,
     visible_scan as _ann_visible_scan,
 )
 
@@ -1092,7 +1093,7 @@ def ann_index_update_metadata(
     # join writes a fileless directory (just _SUCCESS) that cannot be
     # schema-inferred, so the listing gates the read.
     n_found = (
-        spark.read.parquet(f"{path}/{seg}")
+        _read_committed(spark, f"{path}/{seg}")
         .select(id_col)
         .distinct()
         .count()
@@ -1372,7 +1373,7 @@ def ann_index_compact(
             ]
             if not srcs:
                 return
-            cell_df = spark.read.parquet(*srcs)
+            cell_df = _read_committed(spark, *srcs)
         else:
             # per-segment reads so each segment folds only the
             # tombstones whose upto covers its version; the cell

@@ -1576,7 +1576,11 @@ def minhash_index_compact(
                 return
             # per-band read -> coalesce -> write: the partition column
             # is the directory name, so the rewrite needs no shuffle
-            band_df = spark.read.parquet(*srcs)
+            from parq_tools_spark.operators._index_common import (
+                read_committed,
+            )
+
+            band_df = read_committed(spark, *srcs)
         else:
             # per-segment reads so each segment folds only the
             # tombstones whose upto covers its version
@@ -1764,8 +1768,14 @@ def minhash_index_delete(
         # id type from the live band rows (the minhash manifest
         # carries no id_type field); an empty index has nothing to
         # delete and the guard below raises for any requested id
+        from parq_tools_spark.operators._index_common import (
+            read_committed,
+        )
+
         id_type = (
-            spark.read.parquet(f"{path}/{live[0]}").schema[id_col].dataType
+            read_committed(spark, f"{path}/{live[0]}").schema[
+                id_col
+            ].dataType
             if live
             else T.LongType()
         )

@@ -110,9 +110,11 @@ def memory_report(
 ) -> DataFrame:
     """Combined report as a DataFrame:
     (column, compressed_bytes, uncompressed_bytes, in_memory_bytes)."""
+    from parq_tools_spark.sources.parquet_io import read_parquet
+
     footer = compressed_column_sizes(path)
     mem = (
-        estimate_memory(spark.read.parquet(path))
+        estimate_memory(read_parquet(spark, path))
         if estimate_decompressed
         else {}
     )

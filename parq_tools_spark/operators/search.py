@@ -457,6 +457,7 @@ from parq_tools_spark.operators._index_common import (  # noqa: E402
     NO_DEFAULT as _NO_DEFAULT,
     id_field as _id_field_impl,
     id_field_json as _id_field_json_impl,
+    read_committed as _read_committed,
     resolve_manifest as _resolve_manifest,
     retention as _retention,
     tag as _tag,
@@ -589,7 +590,7 @@ def _segment_terms(spark, path: str, seg: str) -> DataFrame:
     if not StateFS(spark, path).list_files(f"{path}/{seg}"):
         return _empty_terms(spark)
     return (
-        spark.read.parquet(f"{path}/{seg}")
+        _read_committed(spark, f"{path}/{seg}")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
@@ -602,7 +603,7 @@ def _read_terms(spark, path: str, m: dict) -> DataFrame:
 
     if not StateFS(spark, path).list_files(f"{path}/{m['terms']}"):
         return _empty_terms(spark)
-    return spark.read.parquet(f"{path}/{m['terms']}")
+    return _read_committed(spark, f"{path}/{m['terms']}")
 
 
 def _id_field_json(corpus: DataFrame, id_col: str) -> str:
@@ -925,12 +926,12 @@ def _segment_docs(spark, path: str, seg: str) -> Optional[DataFrame]:
         # `_docs` directory itself trips the hidden-path filter (an
         # "All paths were ignored" warning and behavior that only
         # works by accident); explicit leaf files bypass it cleanly
-        return spark.read.parquet(
-            *[f"{path}/{seg}/_docs/{f}" for f in files]
+        return _read_committed(
+            spark, files=[f"{path}/{seg}/_docs/{f}" for f in files]
         )
     if fs.list_files(f"{path}/{seg}"):
         return (
-            spark.read.parquet(f"{path}/{seg}")
+            _read_committed(spark, f"{path}/{seg}")
             .select("doc_id", "dl")
             .distinct()
         )
@@ -1769,7 +1770,7 @@ def bm25_index_compact(
             ]
             if not srcs:
                 return
-            bucket = spark.read.parquet(*srcs)
+            bucket = _read_committed(spark, *srcs)
         else:
             # per-segment reads so each segment folds only the
             # tombstones whose upto covers its version (broadcast

@@ -615,7 +615,11 @@ def simhash_index_compact(
             ]
             if not srcs:
                 continue
-            band_df = spark.read.parquet(*srcs)
+            from parq_tools_spark.operators._index_common import (
+                read_committed,
+            )
+
+            band_df = read_committed(spark, *srcs)
         else:
             parts = [
                 _visible_scan(spark, path, seg, batches, id_col).filter(

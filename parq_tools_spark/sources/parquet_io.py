@@ -31,6 +31,49 @@ __all__ = [
 ]
 
 
+def _footer_schema(spark: SparkSession, path: str):
+    """The file's (or flat directory's first file's) Spark schema
+    resolved from one parquet footer on the driver — skips Spark 4's
+    per-call schema-inference JOB (~0.5-1 s of scheduling overhead
+    per read call at bench scale; a remote footer round trip per call
+    at 100 TB). Resolution is fresh per call (nothing cached), mirrors
+    inference exactly (``prefer_timestamp_ntz`` follows the session
+    conf), and returns None — caller falls back to plain inference —
+    for anything unusual: non-local schemes, partitioned/nested
+    directories, unreadable footers."""
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        local = path[5:] if path.startswith("file:") else path
+        if "://" in local.split("/", 1)[0]:
+            return None
+        if _os.path.isfile(local):
+            first = local
+        else:
+            entries = sorted(
+                e
+                for e in _os.listdir(local)
+                if e.endswith(".parquet") and not e.startswith((".", "_"))
+            )
+            if not entries:
+                return None  # empty / nested / partitioned: infer
+            first = _os.path.join(local, entries[0])
+        ntz = (
+            spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+            )
+            == "true"
+        )
+        return from_arrow_schema(
+            _pq.read_schema(first), prefer_timestamp_ntz=ntz
+        )
+    except Exception:
+        return None
+
+
 def read_parquet(
     spark: SparkSession,
     path: str | Sequence[str],
@@ -40,10 +83,17 @@ def read_parquet(
 
     Column pruning reaches the scan (``ReadSchema`` in the physical
     plan), the Spark-native version of ``scanner(columns=...)``
-    (``parq_filter.py:55``).
-    """
+    (``parq_filter.py:55``). Single-path scans resolve the schema
+    from the footer on the driver (:func:`_footer_schema`) instead of
+    paying Spark's per-call inference job; multi-path scans keep
+    inference (the paths may legitimately differ in schema)."""
     paths = [path] if isinstance(path, str) else list(path)
-    df = spark.read.parquet(*paths)
+    reader = spark.read
+    if len(paths) == 1:
+        schema = _footer_schema(spark, paths[0])
+        if schema is not None:
+            reader = reader.schema(schema)
+    df = reader.parquet(*paths)
     if columns is not None:
         df = df.select(*columns)
     return df
@@ -104,7 +154,7 @@ def parquet_row_count(spark: SparkSession, path: str) -> int:
     Spark's Parquet scan answers ``count()`` from row-group metadata
     when no filter is present.
     """
-    return spark.read.parquet(path).count()
+    return read_parquet(spark, path).count()
 
 
 def check_valid_parquet(path: str) -> bool:
@@ -132,4 +182,7 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: Iterable[str]
 ) -> dict[str, DataFrame]:
     """Load named testdata tables from a scale-factor directory."""
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+    return {
+        name: read_parquet(spark, table_path(sf_dir, name))
+        for name in names
+    }
