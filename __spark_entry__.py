@@ -2010,8 +2010,10 @@ def q_bm25_index_build(spark, sf_dir):
     path = os.path.join(work, "idx")
     bm25_index_build(docs, path)
     _, _, m = _bm25_manifest(spark, path)
+    from parq_tools_spark.sources.parquet_io import read_parquet
+
     out = (
-        spark.read.parquet(os.path.join(path, m["terms"]))
+        read_parquet(spark, os.path.join(path, m["terms"]))
         .filter(
             F.col("term").isin("merge", "stream", "window", "customer", "data")
         )
@@ -4448,9 +4450,11 @@ def q_ann_index_stream_equiv(spark, sf_dir):
         q.stop()
         raise TimeoutError("ann index stream did not drain in 300s")
 
+    from parq_tools_spark.sources.parquet_io import read_parquet
+
     batch_idx = os.path.join(work, "bidx")
     ann_index_build(
-        spark.read.parquet(os.path.join(src, "f0")).select(
+        read_parquet(spark, os.path.join(src, "f0")).select(
             "vec_id", "embedding"
         ),
         batch_idx,
@@ -4462,7 +4466,7 @@ def q_ann_index_stream_equiv(spark, sf_dir):
         ann_index_apply_cdc(
             spark,
             batch_idx,
-            spark.read.parquet(os.path.join(src, f)),
+            read_parquet(spark, os.path.join(src, f)),
             seq_col="seq",
         )
     qs = emb.filter(k < 3)

@@ -70,8 +70,10 @@ def _vstate(spark: SparkSession, path: str) -> VersionedState:
 def _read_current(
     spark: SparkSession, vs: VersionedState, version: Optional[int]
 ) -> DataFrame:
+    from parq_tools_spark.sources.parquet_io import read_parquet
+
     if version is not None:
-        return spark.read.parquet(vs.version_dir(version))
+        return read_parquet(spark, vs.version_dir(version))
     # bootstrap: plain parquet at the root. If an aborted first batch
     # left an uncommitted v-dir, a bare directory read would sweep it
     # in as a partition — pin the read to the root-level files then.
@@ -83,7 +85,7 @@ def _read_current(
             if not d and n.endswith(".parquet")
         ]
         return spark.read.parquet(*files)
-    return spark.read.parquet(vs.root)
+    return read_parquet(spark, vs.root)
 
 
 def read_snapshot(
