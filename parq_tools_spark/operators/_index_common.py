@@ -149,7 +149,7 @@ def resolve_cdc(changes, id_col: str, op_col: str, seq_col):
         # checkpoint FIRST so the duplicate probe scans the
         # materialized batch, not the (possibly expensive) source
         # lineage a second time
-        final = changes.localCheckpoint(eager=True)
+        final = materialize(changes)
         dup = (
             final.groupBy(id_col)
             .count()
@@ -163,7 +163,7 @@ def resolve_cdc(changes, id_col: str, op_col: str, seq_col):
                 "seq_col to order them — pass seq_col"
             )
         return final
-    return final.localCheckpoint(eager=True)
+    return materialize(final)
 
 #: Legacy (pre-version-scoped) tombstones hid EVERY segment — an
 #: upto above any real version reproduces that exactly.
@@ -698,10 +698,60 @@ def run_overlapped(fn, items, max_workers: int = 8):
         list(pool.map(fn, items))
 
 
+def materialize(df):
+    """Materialize an intermediate relation ONCE and truncate its
+    lineage — the single policy point for every operator that must pin
+    a per-call intermediate (pair-generator signature tables, CC edge
+    iterations, CDC resolution, admission-batch bandings, validation
+    folds). Mechanism is selected by
+    ``spark.parq_tools.materialize.mode``:
+
+    - ``local`` (default): ``localCheckpoint(eager=True)``. Blocks
+      live on the executors that computed them — no disk round trip,
+      no checkpoint dir needed. Right for local mode and
+      static-allocation clusters; the trade is that a lost executor
+      loses both the blocks and the (truncated) lineage, failing the
+      query instead of recomputing it.
+    - ``reliable``: ``Dataset.checkpoint(eager=True)`` to the
+      session's checkpoint directory — survives executor loss, the
+      correct mode under dynamic allocation / preemptible nodes
+      (guide §5). Requires ``SparkContext.setCheckpointDir`` (or the
+      ``spark.checkpoint.dir`` conf); raises with that instruction
+      when unset rather than silently degrading fault tolerance.
+    """
+    mode = "local"
+    try:
+        mode = df.sparkSession.conf.get(
+            "spark.parq_tools.materialize.mode", "local"
+        )
+    except Exception:
+        pass
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = sc.getConf().get("spark.checkpoint.dir", None)
+            if ckdir:
+                sc.setCheckpointDir(ckdir)
+            else:
+                raise ValueError(
+                    "spark.parq_tools.materialize.mode=reliable needs a "
+                    "checkpoint directory: call "
+                    "SparkContext.setCheckpointDir(...) or set "
+                    "spark.checkpoint.dir"
+                )
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            "spark.parq_tools.materialize.mode must be 'local' or "
+            f"'reliable', got {mode!r}"
+        )
+    return df.localCheckpoint(eager=True)
+
+
 def eager_stats(df, **aggs):
-    """``localCheckpoint(eager=True)`` plus named aggregates in ONE
-    job: the ``Observation`` rides the checkpoint materialization, so
-    the validation counts every maintenance path needs (batch size,
+    """:func:`materialize` plus named aggregates in ONE job: the
+    ``Observation`` rides the checkpoint materialization, so the
+    validation counts every maintenance path needs (batch size,
     visible-id count, ...) no longer cost a second pass over the
     batch (guide: measure/validate in the pass you already pay for).
 
@@ -711,9 +761,9 @@ def eager_stats(df, **aggs):
     from pyspark.sql import functions as F
 
     obs = Observation()
-    out = df.observe(
-        obs, *[expr.alias(name) for name, expr in aggs.items()]
-    ).localCheckpoint(eager=True)
+    out = materialize(
+        df.observe(obs, *[expr.alias(name) for name, expr in aggs.items()])
+    )
     return out, obs.get
 
 

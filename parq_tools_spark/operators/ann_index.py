@@ -103,6 +103,7 @@ def _ann_manifest(spark, path: str, version=None):
 from parq_tools_spark.operators._index_common import (  # noqa: E402
     id_field as _id_field,
     id_field_json as _id_field_json,
+    materialize as _mat,
     resolve_manifest as _resolve_manifest,
     retention as _retention,
     tag as _tag,
@@ -877,8 +878,8 @@ def ann_index_apply_cdc(
                 )
                 .join(F.broadcast(touched), on=id_col)
                 .distinct()
-                .localCheckpoint(eager=True)
             )
+            visible_touched = _mat(visible_touched)
 
     n_deleted, n_noop = 0, 0
     if n_d:
@@ -1989,17 +1990,17 @@ def semantic_dedupe_bootstrap(
             "index's id-unique contract)"
         )
     centroids = _hashseed_rows(seed, n_cells, id_col, vec_col)
-    assigned = _with_centroid_cells(
+    assigned = _mat(_with_centroid_cells(
         seed, centroids, vec_col, round_to, None, "cell"
-    ).localCheckpoint(eager=True)
-    dropped = _semantic_in_batch_drops(
+    ))
+    dropped = _mat(_semantic_in_batch_drops(
         assigned, id_col, vec_col, float(threshold), float(10**round_to)
-    ).localCheckpoint(eager=True)
+    ))
     # dropped is bounded by the (capped) batch — broadcast the
     # anti-join, the semantic_dedupe_incremental survivor discipline
-    survivors = batch.join(
+    survivors = _mat(batch.join(
         F.broadcast(dropped), on=id_col, how="left_anti"
-    ).localCheckpoint(eager=True)
+    ))
     ann_index_build(
         survivors.select(id_col, vec_col, *store_cols),
         index_path,
@@ -2150,9 +2151,9 @@ def semantic_dedupe_incremental(
     _check_batch_size(
         new_vecs, max_batch_rows, "semantic_dedupe_incremental"
     )
-    assigned = _assign_frozen_cells(
+    assigned = _mat(_assign_frozen_cells(
         spark, index_path, new_vecs, m
-    ).localCheckpoint(eager=True)
+    ))
     touched = [
         r.cell for r in assigned.select("cell").distinct().collect()
     ]
@@ -2237,7 +2238,7 @@ def semantic_dedupe_incremental(
             survivors, p.get("store_cols", []),
             "semantic_dedupe_incremental(update_index=True)",
         )
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = _mat(survivors)
         if survivors.take(1):
             ann_index_upsert(
                 survivors.select(

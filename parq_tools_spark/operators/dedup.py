@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parq_tools_spark.operators import _index_common as _CM
+from parq_tools_spark.operators._index_common import materialize as _mat
 
 __all__ = [
     "word_shingles",
@@ -205,8 +206,8 @@ def contamination_overlap(
             F.explode(word_shingles("__etext", k)).alias("shingle"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    eval_sh = _mat(eval_sh)
     eval_sizes = eval_sh.groupBy(eval_id_col).agg(
         F.count(F.lit(1)).alias("__esize")
     )
@@ -285,24 +286,37 @@ def ngram_jaccard_pairs(
     conservative (never a false pair, possibly a missed one near the
     threshold).
     """
-    # materialized ONCE: this relation feeds the per-document sizes,
-    # the document-frequency pruning pass, and BOTH sides of the
-    # candidate self-join — under a broadcast join each consumer
-    # re-tokenizes and re-shingles the corpus from scratch (four full
-    # passes in the max_df=None plan). At cluster scale a sort-merge
-    # plan would share one exchange across the join sides; the
-    # checkpoint makes the sharing unconditional and also keeps the
-    # sizes/pruning passes off the corpus.
-    sh = exploded_shingles(df, id_col, text_col, k, hashed=True).localCheckpoint(
-        eager=True
-    )
+    sh = exploded_shingles(df, id_col, text_col, k, hashed=True)
+    if max_df is not None:
+        # pruning adds a third and fourth consumer of the shingle
+        # stream (the document-frequency aggregation and the
+        # anti-join's probe side) on top of the two self-join sides —
+        # materialize it once so the corpus is tokenized exactly once,
+        # and derive the sizes from the materialized stream.
+        sh = _mat(sh)
+        sizes_src = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        # the shingle stream is deliberately NOT materialized here: the
+        # relation is token-count-sized — its eager write costs more
+        # than the one re-shingle it saves at bench scale (driver r17:
+        # 0.803x) and is a spill hazard at 100 TB — while the two
+        # self-join sides share one exchange under the sort-merge plan
+        # (ReusedExchange) or re-run one map-only explode under a
+        # broadcast plan. The per-document set size doesn't need the
+        # stream at all: ``word_shingles`` is already per-row distinct,
+        # so |shingles(doc)| == size(word_shingles(text)) — a map-only
+        # expression with NO explode and NO shingle-stream shuffle; the
+        # per-id sum keeps duplicate-id inputs aggregating exactly as
+        # the exploded count did.
+        per_row = _spread(df).select(
+            F.col(id_col), F.size(word_shingles(text_col, k)).alias("_n")
+        )
+        sizes_src = per_row.groupBy(id_col).agg(
+            F.sum("_n").cast("long").alias("n_sh")
+        )
     # one row per document, consumed twice (n1 and n2 attach) — the
-    # aggregation over the shingle stream must not run per consumer
-    sizes = (
-        sh.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-        .localCheckpoint(eager=True)
-    )
+    # sizes aggregation must not run per consumer
+    sizes = _mat(sizes_src)
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         if max_df == "auto":
@@ -549,9 +563,9 @@ def minhash_lsh_pairs(
         # document, far smaller than the shingle stream it replaces;
         # both join sides then re-derive the map-only band explode
         # from it.
-        sigs = minhash_signatures(
+        sigs = _mat(minhash_signatures(
             df, id_col, text_col, num_hashes, k, hash_family
-        ).localCheckpoint(eager=True)
+        ))
         banded = _band_explode(
             sigs, id_col, [], bands, num_hashes // bands
         )
@@ -715,7 +729,7 @@ def hamming_pairs(
     # planner picks a broadcast join. The checkpoint is one
     # (id, int64) row per document — re-running the fingerprint
     # pipeline per join side costs orders of magnitude more.
-    df = df.localCheckpoint(eager=True)
+    df = _mat(df)
     banded = df.select(
         id_col,
         sig_col,
@@ -938,7 +952,7 @@ def connected_components_alternating(
 
     prev = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _mat(_small_star(_large_star(edges)))
         cur = _fingerprint(edges)
         if cur == prev:
             break
@@ -1979,10 +1993,8 @@ def minhash_index_apply_cdc(
             ).distinct()
         visible = _minhash_visible_ids(spark, path, m, id_col)
         if visible is not None:
-            visible_touched = (
-                visible.join(F.broadcast(touched), on=id_col)
-                .distinct()
-                .localCheckpoint(eager=True)
+            visible_touched = _mat(
+                visible.join(F.broadcast(touched), on=id_col).distinct()
             )
 
     n_deleted, n_noop = 0, 0
@@ -2232,10 +2244,10 @@ def incremental_dedupe(
     # explode on top) and shared by both rules — without this the
     # vs-index probe and the in-batch self-join each re-shingled and
     # re-signature-aggregated the batch from scratch
-    sigs = minhash_signatures(
+    sigs = _mat(minhash_signatures(
         new_docs, id_col, text_col, p["num_hashes"], p["k"],
         p["hash_family"],
-    ).localCheckpoint(eager=True)
+    ))
     banded = _band_explode(
         sigs, id_col, [], p["bands"], p["num_hashes"] // p["bands"]
     )
@@ -2266,7 +2278,7 @@ def incremental_dedupe(
         how="left_anti",
     )
     if update_index:
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = _mat(survivors)
         minhash_index_add(survivors, index_path, text_col=text_col)
     return survivors
 

@@ -456,6 +456,7 @@ def _bm25_manifest(spark, path: str, version=None):
 from parq_tools_spark.operators._index_common import (  # noqa: E402
     NO_DEFAULT as _NO_DEFAULT,
     id_field as _id_field_impl,
+    materialize as _mat,
     id_field_json as _id_field_json_impl,
     read_committed as _read_committed,
     resolve_manifest as _resolve_manifest,
@@ -1110,7 +1111,7 @@ def bm25_index_delete(
         # input, whose SAMPLING pass would otherwise re-run this
         # postings scan a second time (dec itself is O(affected
         # terms) — tiny next to the scan it saves)
-        dec = (
+        dec = _mat(
             reduce(
                 DataFrame.unionByName,
                 [_visible_scan(spark, path, s, batches) for s in live],
@@ -1118,7 +1119,7 @@ def bm25_index_delete(
             .join(F.broadcast(ids_df), on="doc_id")
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("_dec"))
-        ).localCheckpoint(eager=True)
+        )
     else:
         dec = None
 
@@ -2255,9 +2256,9 @@ def contamination_from_index(
     # driver-side term collect, the per-eval sizes, the candidate
     # join) — benchmarks are small by construction, and the
     # checkpoint keeps the eval source out of the serving plan
-    eval_grams = eval_set.select(
+    eval_grams = _mat(eval_set.select(
         F.col(eval_id_col).alias(_EID), F.explode(grams).alias("gram")
-    ).localCheckpoint(eager=True)
+    ))
     esizes = eval_grams.groupBy(_EID).agg(
         F.count(F.lit(1)).alias("__esize")
     )

@@ -69,6 +69,7 @@ from parq_tools_spark.operators._index_common import (  # noqa: E402
     delete_batches as _delete_batches,
     id_field as _id_field,
     id_field_json as _id_field_json,
+    materialize as _mat,
     resolve_cdc as _resolve_cdc,
     resolve_manifest as _resolve_manifest,
     retention as _retention,
@@ -485,10 +486,8 @@ def simhash_index_apply_cdc(
             ).distinct()
         visible = _sh_visible_ids(spark, path, m, id_col)
         if visible is not None:
-            visible_touched = (
-                visible.join(F.broadcast(touched), on=id_col)
-                .distinct()
-                .localCheckpoint(eager=True)
+            visible_touched = _mat(
+                visible.join(F.broadcast(touched), on=id_col).distinct()
             )
 
     n_deleted, n_noop = 0, 0
@@ -877,10 +876,10 @@ def simhash_incremental_dedupe(
     # both rules — without this the vs-index probe and the in-batch
     # self-join each ran the whole tokenize -> (doc, token, count)
     # shuffle -> mapInPandas fingerprint pipeline on the batch
-    fps = simhash(
+    fps = _mat(simhash(
         new_docs, id_col, text_col,
         bits=p["bits"], hash_family=p["hash_family"],
-    ).localCheckpoint(eager=True)
+    ))
     banded = _banded_simhash(
         new_docs, id_col, text_col, p["bits"], p["n_bands"],
         p["hash_family"], _fps=fps,
@@ -905,7 +904,7 @@ def simhash_incremental_dedupe(
         how="left_anti",
     )
     if update_index:
-        survivors = survivors.localCheckpoint(eager=True)
+        survivors = _mat(survivors)
         simhash_index_add(survivors, index_path, text_col=text_col)
     return survivors
 

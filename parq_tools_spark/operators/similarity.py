@@ -742,9 +742,9 @@ def embedding_near_duplicate_pairs(
     # without this the hyperplane-projection signatures (a dim x
     # n_planes dot-product expression per row) would be computed
     # twice over the corpus (the §7 pair-generator pattern)
-    sigs = lsh_signatures(corpus, vec_col, n_planes, seed, dim).localCheckpoint(
-        eager=True
-    )
+    from parq_tools_spark.operators._index_common import materialize as _mat
+
+    sigs = _mat(lsh_signatures(corpus, vec_col, n_planes, seed, dim))
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for declared queries to plans/r17/.
+"""Dump .explain("formatted") for declared queries to plans/$SPARK_GRAFT_PLANS_REV (default r18)/.
 
 Usage:
     SPARK_GRAFT_CPUS=8 python tools/dump_plans.py <suffix> <query> [query ...]
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans", "r17",
+    "plans", os.environ.get("SPARK_GRAFT_PLANS_REV", "r18"),
 )
 
 
