@@ -31,7 +31,9 @@ __all__ = [
 ]
 
 
-def _footer_schema(spark: SparkSession, path: str):
+def _footer_schema(
+    spark: SparkSession, path: str, nanos_as_long: bool = False
+):
     """The file's (or flat directory's first file's) Spark schema
     resolved from one parquet footer on the driver — skips Spark 4's
     per-call schema-inference JOB (~0.5-1 s of scheduling overhead
@@ -40,7 +42,12 @@ def _footer_schema(spark: SparkSession, path: str):
     inference exactly (``prefer_timestamp_ntz`` follows the session
     conf), and returns None — caller falls back to plain inference —
     for anything unusual: non-local schemes, partitioned/nested
-    directories, unreadable footers."""
+    directories, unreadable footers.
+
+    ``nanos_as_long=True`` mirrors inference under
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (the streaming
+    events bootstrap sets it): TIMESTAMP(NANOS) columns resolve to
+    LongType exactly as that legacy conf makes Spark read them."""
     try:
         import os as _os
 
@@ -67,9 +74,25 @@ def _footer_schema(spark: SparkSession, path: str):
             )
             == "true"
         )
-        return from_arrow_schema(
-            _pq.read_schema(first), prefer_timestamp_ntz=ntz
-        )
+        arrow = _pq.read_schema(first)
+        if nanos_as_long:
+            import pyarrow as _pa
+            from pyspark.sql import types as _T
+
+            fields = []
+            for f in arrow:
+                if _pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                    fields.append(
+                        _T.StructField(f.name, _T.LongType(), f.nullable)
+                    )
+                else:
+                    fields.append(
+                        from_arrow_schema(
+                            _pa.schema([f]), prefer_timestamp_ntz=ntz
+                        )[0]
+                    )
+            return _T.StructType(fields)
+        return from_arrow_schema(arrow, prefer_timestamp_ntz=ntz)
     except Exception:
         return None
 

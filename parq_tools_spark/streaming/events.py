@@ -115,10 +115,18 @@ def read_events_stream(
     transformation downstream is source-agnostic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        schema = spark.read.parquet(path).schema  # footer-only, no data scan
-    except Exception:  # empty/absent dir: no footers to probe yet
-        schema = EVENTS_SCHEMA
+    # resolve the bootstrap schema from one parquet footer on the
+    # DRIVER (nanos columns -> long, mirroring the conf above) — the
+    # batch-read probe this replaces submitted one Spark inference JOB
+    # per stream START on Spark 4
+    from parq_tools_spark.sources.parquet_io import _footer_schema
+
+    schema = _footer_schema(spark, path, nanos_as_long=True)
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema  # inference fallback
+        except Exception:  # empty/absent dir: no footers to probe yet
+            schema = EVENTS_SCHEMA
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -7,6 +7,11 @@ StatusTracker.getJobIdsForGroup. Job counts are deterministic — immune
 to box noise — so old-vs-new counts are primary evidence that a change
 removed (or added) work on a query path; wall times are secondary.
 
+Caveat: getJobIdsForGroup reads the UI status store, which retains
+only ``spark.ui.retainedJobs`` jobs (default 1000) — an entry that
+submits very many jobs would silently undercount, so the session
+below pins retainedJobs high enough for any declared entry.
+
 Usage:
     SPARK_GRAFT_CPUS=8 python tools/count_query_jobs.py [sf_dir] [entry ...]
 """
@@ -27,14 +32,20 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from parq_tools_spark import get_spark
 
-    spark = get_spark("count-query-jobs")
+    spark = get_spark(
+        "count-query-jobs", **{"spark.ui.retainedJobs": "10000"}
+    )
     sc = spark.sparkContext
     queries = entry_mod.queries()
     names = ONLY or list(queries)
 
     # one warm action so the first measured entry doesn't absorb
-    # JVM/session startup
-    spark.read.parquet(os.path.join(SF, "region.parquet")).count()
+    # JVM/session startup; a dataset dir without region.parquet just
+    # degrades to a cold first measurement instead of aborting the run
+    try:
+        spark.read.parquet(os.path.join(SF, "region.parquet")).count()
+    except Exception:
+        pass
 
     for name in names:
         if name not in queries:
@@ -53,7 +64,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}", flush=True)
         finally:
-            sc.setJobGroup(None, None)
+            sc.clearJobGroup()
             try:
                 spark.catalog.clearCache()
                 for rdd in sc._jsc.getPersistentRDDs().values():
