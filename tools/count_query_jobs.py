@@ -64,7 +64,10 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}", flush=True)
         finally:
-            sc.clearJobGroup()
+            # PySpark's SparkContext doesn't expose clearJobGroup();
+            # the documented JVM API is one py4j hop away and also
+            # resets interruptOnCancel (advice fix)
+            sc._jsc.clearJobGroup()
             try:
                 spark.catalog.clearCache()
                 for rdd in sc._jsc.getPersistentRDDs().values():
